@@ -1,0 +1,17 @@
+"""rdfa_ray — a Ray-Data-native RDFa-1.1 distiller / KG-construction engine.
+
+A from-scratch reimplementation of the *semantics* of RDFLib/pyrdfa3
+(the W3C RDFa 1.1 distiller) as a distributed Ray Data pipeline:
+transcript turns (``conv_id, turn_idx, role, text, tool, ts``) carry
+(X)HTML/SVG/XML fragments; a per-turn evaluation-context walk (the
+"kernel", ``rdfa_ray.kernel``) extracts (subj, pred, obj, graph)
+triples inside ``map_batches`` actor pools; downstream stages do
+entity linking, canonicalization and partitioned graph materialization.
+
+Nothing is ported from the reference's execution architecture (it is a
+single-threaded recursive library); only its observable triple output
+is reproduced.  Reference anchors are cited per module as
+``/root/reference/pyRdfa/<file>:<lines>``.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,131 @@
+"""N-Triples serialization (the engine's conformance output format).
+
+The reference delegates serialization to rdflib
+(``graph.serialize(format="nt")``, selected via
+``/root/reference/pyRdfa/__init__.py:458-466``).  This is a direct
+implementation of the W3C N-Triples grammar: IRIs in ``<>``, bnodes as
+``_:label``, literals with ECHAR escaping and optional ``@lang`` /
+``^^<datatype>``.
+"""
+
+from __future__ import annotations
+
+from .terms import IRI, BNODE, LIT
+
+_ESCAPES = {
+    "\\": "\\\\",
+    '"': '\\"',
+    "\n": "\\n",
+    "\r": "\\r",
+    "\t": "\\t",
+    "\b": "\\b",
+    "\f": "\\f",
+}
+
+
+def _escape_literal(value: str) -> str:
+    out = []
+    for ch in value:
+        esc = _ESCAPES.get(ch)
+        if esc is not None:
+            out.append(esc)
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def term_to_nt(term) -> str:
+    kind = term[0]
+    if kind == IRI:
+        return "<%s>" % term[1]
+    if kind == BNODE:
+        return "_:%s" % term[1]
+    if kind == LIT:
+        _, value, lang, datatype = term
+        body = '"%s"' % _escape_literal(value)
+        if datatype:
+            return '%s^^<%s>' % (body, datatype)
+        if lang:
+            return "%s@%s" % (body, lang)
+        return body
+    raise ValueError("unknown term kind: %r" % (term,))
+
+
+def triple_to_ntriples(triple) -> str:
+    s, p, o = triple
+    return "%s %s %s ." % (term_to_nt(s), term_to_nt(p), term_to_nt(o))
+
+
+def graph_to_ntriples(triples) -> str:
+    """Serialize an iterable of triples, sorted for deterministic output."""
+    return "\n".join(sorted(triple_to_ntriples(t) for t in triples)) + "\n"
+
+
+# ---------------------------------------------------------------------------
+# A small N-Triples *reader* for test fixtures (tests/corpus/*.nt).
+
+def _parse_term(s: str, pos: int):
+    while s[pos] in " \t":
+        pos += 1
+    if s[pos] == "<":
+        end = s.index(">", pos)
+        return (IRI, s[pos + 1 : end]), end + 1
+    if s[pos] == "_" and s[pos + 1] == ":":
+        end = pos + 2
+        while end < len(s) and s[end] not in " \t":
+            end += 1
+        return (BNODE, s[pos + 2 : end]), end
+    if s[pos] == '"':
+        out = []
+        i = pos + 1
+        while True:
+            ch = s[i]
+            if ch == "\\":
+                nxt = s[i + 1]
+                if nxt == "u":
+                    out.append(chr(int(s[i + 2 : i + 6], 16)))
+                    i += 6
+                    continue
+                if nxt == "U":
+                    out.append(chr(int(s[i + 2 : i + 10], 16)))
+                    i += 10
+                    continue
+                rev = {"\\": "\\", '"': '"', "n": "\n", "r": "\r", "t": "\t", "b": "\b", "f": "\f"}
+                out.append(rev[nxt])
+                i += 2
+                continue
+            if ch == '"':
+                break
+            out.append(ch)
+            i += 1
+        value = "".join(out)
+        i += 1
+        lang = None
+        datatype = None
+        if i < len(s) and s[i] == "@":
+            end = i + 1
+            while end < len(s) and s[end] not in " \t":
+                end += 1
+            lang = s[i + 1 : end]
+            i = end
+        elif s[i : i + 2] == "^^":
+            assert s[i + 2] == "<"
+            end = s.index(">", i)
+            datatype = s[i + 3 : end]
+            i = end + 1
+        return (LIT, value, lang, datatype), i
+    raise ValueError("cannot parse term at %r" % s[pos : pos + 40])
+
+
+def parse_ntriples(text: str):
+    """Parse N-Triples text into a set of term-tuples. Fixture use only."""
+    triples = set()
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        s, pos = _parse_term(line, 0)
+        p, pos = _parse_term(line, pos)
+        o, pos = _parse_term(line, pos)
+        triples.add((s, p, o))
+    return triples
