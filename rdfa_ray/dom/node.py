@@ -23,12 +23,13 @@ def _escape_attr(s: str) -> str:
 
 
 class Element:
-    __slots__ = ("tag", "local", "ns_uri", "attrs", "children")
+    __slots__ = ("tag", "local", "ns_uri", "ns_scope", "attrs", "children")
 
     def __init__(self, tag: str, attrs=None, ns_uri: str | None = None, local: str | None = None):
         self.tag = tag              # qualified name as written (lowercased in HTML)
         self.local = local if local is not None else (tag.split(":", 1)[-1])
         self.ns_uri = ns_uri        # resolved namespace URI (XML path only)
+        self.ns_scope = None        # in-scope prefix->uri map (XML path only)
         self.attrs: dict[str, str] = dict(attrs) if attrs else {}
         self.children: list = []    # Element | str
 
@@ -82,6 +83,7 @@ class Element:
 
     def clone(self) -> "Element":
         el = Element(self.tag, self.attrs, self.ns_uri, self.local)
+        el.ns_scope = self.ns_scope
         el.children = [c.clone() if isinstance(c, Element) else c for c in self.children]
         return el
 

@@ -41,6 +41,7 @@ def _convert(node, ns_scope: dict) -> Element:
         local = tag
         ns_uri = scope.get("")
     el = Element(tag, ns_uri=ns_uri, local=local)
+    el.ns_scope = scope
     if node.attributes:
         for i in range(node.attributes.length):
             attr = node.attributes.item(i)
