@@ -1,0 +1,248 @@
+"""The flagship KG-construction pipeline.
+
+    read_parquet(transcripts)                       [tasks]
+      -> filter(text != "")                         [vectorized tasks]
+      -> map_batches(RdfaDistiller actor pool)      [actors]
+      -> (links via broadcast-alias EntityLinker)   [actors]
+      -> canonicalize groupby((graph, subj))        [shuffle]
+      -> partitioned materialize: Parquet + N-Triples + manifest
+         (one atomic write per partition; resume skips finished parts)
+
+Engine analogue of the reference's whole CLI lifecycle
+(``/root/reference/pyRdfa/__init__.py:689-725`` ``rdf_from_sources`` +
+serialization), redesigned for streaming execution: nothing
+materializes the full dataset on the driver; the only all-to-all
+exchanges are the canonicalization groupby and the final partition-key
+shuffle (both documented in SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import zlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..sources.aliases import build_alias_table
+from ..stages.distill import DISTILL_BATCH_SIZE, RdfaDistiller
+from ..stages.link import AugmentingLinker
+from ..stages.canonicalize import canonicalize
+
+DEFAULT_PARTITIONS = 64
+
+
+def _filter_nonempty(batch: pa.Table) -> pa.Table:
+    text = batch.column("text")
+    mask = pc.and_(text.is_valid(), pc.not_equal(text, ""))
+    return batch.filter(mask)
+
+
+def build_triples(turns_ds, options_kwargs=None, concurrency=None, num_cpus=1):
+    """transcripts Dataset -> raw distiller output (triples + diags)."""
+    if concurrency is None:
+        import ray
+
+        cores = int(ray.cluster_resources().get("CPU", 8))
+        concurrency = (2, max(2, cores))
+    return turns_ds.map_batches(_filter_nonempty, batch_format="pyarrow").map_batches(
+        RdfaDistiller,
+        fn_constructor_kwargs={"options_kwargs": options_kwargs or {}},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=DISTILL_BATCH_SIZE,
+        concurrency=concurrency,
+        num_cpus=num_cpus,
+    )
+
+
+def _part_of(conv_id: str, n_parts: int) -> int:
+    return zlib.crc32(conv_id.encode()) % n_parts
+
+
+def _add_part(batch: pa.Table, n_parts: int) -> pa.Table:
+    parts = [
+        _part_of(c, n_parts) for c in batch.column("conv_id").to_pylist()
+    ]
+    return batch.append_column("part", pa.array(parts, pa.int32()))
+
+
+def _nt_term(kind, value, lang, datatype):
+    if kind == "bnode":
+        return "_:%s" % value
+    if kind == "literal":
+        esc = (
+            value.replace("\\", "\\\\").replace('"', '\\"')
+            .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
+        )
+        if datatype:
+            return '"%s"^^<%s>' % (esc, datatype)
+        if lang:
+            return '"%s"@%s' % (esc, lang)
+        return '"%s"' % esc
+    return "<%s>" % value
+
+
+class PartitionWriter:
+    """Per-partition atomic sink: parquet + N-Triples + manifest entry.
+
+    Called from ``groupby("part").map_groups`` so one task owns one
+    output partition; writes to a temp path then renames (resume
+    safety); returns the manifest row.
+    """
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+
+    def __call__(self, group) -> pa.Table:
+        import pandas as pd
+
+        if isinstance(group, pd.DataFrame):
+            table = pa.Table.from_pandas(group, preserve_index=False)
+        else:
+            table = group
+        part = int(table.column("part")[0].as_py())
+        data = table.drop_columns(["part"])
+
+        os.makedirs("%s/parquet" % self.out_dir, exist_ok=True)
+        os.makedirs("%s/nt" % self.out_dir, exist_ok=True)
+        os.makedirs("%s/_manifest" % self.out_dir, exist_ok=True)
+
+        pq_tmp = "%s/parquet/part-%05d.parquet.tmp" % (self.out_dir, part)
+        pq_final = "%s/parquet/part-%05d.parquet" % (self.out_dir, part)
+        pq.write_table(data, pq_tmp)
+        os.replace(pq_tmp, pq_final)
+
+        kinds = data.column("kind").to_pylist()
+        lines = []
+        n_triples = n_diags = 0
+        subj = data.column("subj").to_pylist()
+        subj_kind = data.column("subj_kind").to_pylist()
+        pred = data.column("pred").to_pylist()
+        obj_value = data.column("obj_value").to_pylist()
+        obj_kind = data.column("obj_kind").to_pylist()
+        obj_lang = data.column("obj_lang").to_pylist()
+        obj_dt = data.column("obj_datatype").to_pylist()
+        graph = data.column("graph").to_pylist()
+        for i, k in enumerate(kinds):
+            if k != "triple":
+                n_diags += 1
+                continue
+            n_triples += 1
+            lines.append(
+                "%s %s %s <%s> ."
+                % (
+                    _nt_term(subj_kind[i], subj[i], None, None),
+                    "<%s>" % pred[i],
+                    _nt_term(obj_kind[i], obj_value[i], obj_lang[i], obj_dt[i]),
+                    graph[i],
+                )
+            )
+        lines.sort()
+        nt_text = "\n".join(lines) + ("\n" if lines else "")
+        nt_tmp = "%s/nt/part-%05d.nq.tmp" % (self.out_dir, part)
+        nt_final = "%s/nt/part-%05d.nq" % (self.out_dir, part)
+        with open(nt_tmp, "w") as f:
+            f.write(nt_text)
+        os.replace(nt_tmp, nt_final)
+
+        sha = hashlib.sha256(nt_text.encode()).hexdigest()
+        convs = set(data.column("conv_id").to_pylist())
+        manifest = {
+            "part": part,
+            "rows": data.num_rows,
+            "triples": n_triples,
+            "diagnostics": n_diags,
+            "conversations": len(convs),
+            "sha256_nq": sha,
+            "parquet": os.path.basename(pq_final),
+            "nq": os.path.basename(nt_final),
+        }
+        mf_tmp = "%s/_manifest/part-%05d.json.tmp" % (self.out_dir, part)
+        mf_final = "%s/_manifest/part-%05d.json" % (self.out_dir, part)
+        with open(mf_tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(mf_tmp, mf_final)
+
+        return pa.Table.from_pydict(
+            {
+                "part": pa.array([part], pa.int32()),
+                "rows": pa.array([data.num_rows], pa.int64()),
+                "triples": pa.array([n_triples], pa.int64()),
+                "diagnostics": pa.array([n_diags], pa.int64()),
+                "sha256_nq": pa.array([sha]),
+            }
+        )
+
+
+def completed_parts(out_dir: str) -> set[int]:
+    mdir = "%s/_manifest" % out_dir
+    if not os.path.isdir(mdir):
+        return set()
+    done = set()
+    for name in os.listdir(mdir):
+        if name.endswith(".json"):
+            with open(os.path.join(mdir, name)) as f:
+                done.add(json.load(f)["part"])
+    return done
+
+
+def run_flagship(
+    turns_ds,
+    out_dir: str,
+    n_parts: int = DEFAULT_PARTITIONS,
+    resume: bool = True,
+    link: bool = True,
+    options_kwargs=None,
+    concurrency=None,
+):
+    """Run the full pipeline; returns the manifest summary as pandas.
+
+    Resume: partitions listed in ``out_dir/_manifest`` are complete
+    (they were written atomically); their conversations are filtered
+    OUT of the input before any expensive work happens, so a rerun
+    only processes the missing key ranges.
+    """
+    done = completed_parts(out_dir) if resume else set()
+
+    def drop_done(batch: pa.Table) -> pa.Table:
+        if not done:
+            return batch
+        keep = [
+            _part_of(c, n_parts) not in done
+            for c in batch.column("conv_id").to_pylist()
+        ]
+        return batch.filter(pa.array(keep))
+
+    pending = turns_ds.map_batches(drop_done, batch_format="pyarrow")
+
+    raw = build_triples(pending, options_kwargs=options_kwargs, concurrency=concurrency)
+    if link:
+        import ray
+
+        alias_ref = ray.put(build_alias_table())
+        augmented = raw.map_batches(
+            AugmentingLinker,
+            fn_constructor_kwargs={"alias_ref": alias_ref},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=4096,
+            concurrency=(2, 8),
+        )
+        final = canonicalize(augmented)
+    else:
+        final = raw
+
+    parted = final.map_batches(
+        lambda b: _add_part(b, n_parts), batch_format="pyarrow"
+    )
+    writer = PartitionWriter(out_dir)
+
+    def write_partition(group):
+        return writer(group)
+
+    summary = parted.groupby("part").map_groups(write_partition, batch_format="pyarrow")
+    return summary.to_pandas()

@@ -1,0 +1,256 @@
+"""Deterministic synthetic transcript corpus (FIXTURES.md §1).
+
+Schema fixed by ``BASELINE.json`` ``input_hint``:
+``(conv_id:string, turn_idx:int32, role:string, text:string,
+tool:string, ts:timestamp[us])``.  ~20 turns per conversation; the
+``text`` mix is chosen per-row from ``crc32(conv_id:turn_idx)`` so it
+is reproducible and scale-invariant:
+
+  60% HTML5+RDFa fragments (alias-entity names; ~10% hit entity 0)
+  15% XHTML documents (1/3 of them RDFa 1.0 via @version)
+   5% SVG with embedded RDF/XML;  5% <script type="text/turtle">
+  10% plain prose (0 triples; exercises the fast path)
+   5% malformed markup (diagnostics, never a crash)
+
+Generation runs distributed (``ray.data.range -> map_batches``); no
+RNG / wall clock anywhere.
+"""
+
+from __future__ import annotations
+
+import html
+import zlib
+
+import pyarrow as pa
+
+from .aliases import entity_iri, entity_surface
+
+TURNS_PER_CONV = 20
+EPOCH_US = 1_767_225_600_000_000  # 2026-01-01T00:00:00Z in microseconds
+
+_ROLES = ("user", "assistant", "tool")
+_TOOLS = ("", "browser", "search")
+
+TRANSCRIPTS_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("role", pa.string()),
+        ("text", pa.string()),
+        ("tool", pa.string()),
+        ("ts", pa.timestamp("us")),
+    ]
+)
+
+
+def _h(conv_id: str, turn_idx: int, salt: str = "") -> int:
+    return zlib.crc32(("%s:%d:%s" % (conv_id, turn_idx, salt)).encode())
+
+
+def _pick_entity(conv_id: str, turn_idx: int) -> int:
+    # ~10% of markup rows reference the hot entity 0
+    if _h(conv_id, turn_idx, "hot") % 10 == 0:
+        return 0
+    return _h(conv_id, turn_idx, "ent") % 50
+
+
+def _html5_fragment(conv_id: str, turn_idx: int) -> str:
+    e = _pick_entity(conv_id, turn_idx)
+    surface = entity_surface(e)
+    variant = _h(conv_id, turn_idx, "v") % 4
+    doc = "#item%d" % (_h(conv_id, turn_idx, "i") % 1000)
+    if variant == 0:
+        return (
+            '<div vocab="http://schema.org/" about="%s" typeof="Organization">'
+            '<span property="name">%s</span>'
+            '<span property="description">Discussed in turn %d</span></div>'
+            % (doc, surface, turn_idx)
+        )
+    if variant == 1:
+        return (
+            '<div prefix="ex: http://example.org/terms#" about="%s">'
+            '<a rel="ex:mentions" href="http://topics.local/t%d">topic</a>'
+            '<span property="ex:subject">%s</span></div>'
+            % (doc, _h(conv_id, turn_idx, "t") % 200, surface)
+        )
+    if variant == 2:
+        return (
+            '<div vocab="http://schema.org/" typeof="Event" about="%s">'
+            '<span property="performer">%s</span>'
+            '<time property="startDate">2026-0%d-1%d</time>'
+            '<ul><li inlist="" property="keywords">alpha%d</li>'
+            '<li inlist="" property="keywords">beta%d</li></ul></div>'
+            % (doc, surface, 1 + turn_idx % 9, turn_idx % 10,
+               turn_idx % 7, turn_idx % 5)
+        )
+    return (
+        '<p about="%s" property="http://purl.org/dc/terms/title" lang="en">'
+        "Notes on %s</p>" % (doc, surface)
+    )
+
+
+def _xhtml_doc(conv_id: str, turn_idx: int) -> str:
+    e = _pick_entity(conv_id, turn_idx)
+    surface = entity_surface(e)
+    if _h(conv_id, turn_idx, "10") % 3 == 0:
+        # RDFa 1.0 path via @version
+        return (
+            '<html version="RDFa 1.0" xmlns:dc="http://purl.org/dc/elements/1.1/">'
+            "<head><title>t</title></head>"
+            '<body><div about="#r%d"><span property="dc:creator">%s</span></div>'
+            "</body></html>" % (turn_idx, surface)
+        )
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<!DOCTYPE html PUBLIC "-//W3C//DTD XHTML+RDFa 1.1//EN" '
+        '"http://www.w3.org/MarkUp/DTD/xhtml-rdfa-2.dtd">\n'
+        '<html xmlns="http://www.w3.org/1999/xhtml"><head><title>t</title></head>'
+        '<body><div about="#r%d" typeof="http://schema.org/Person">'
+        '<span property="http://schema.org/name">%s</span></div></body></html>'
+        % (turn_idx, surface)
+    )
+
+
+def _svg_doc(conv_id: str, turn_idx: int) -> str:
+    e = _pick_entity(conv_id, turn_idx)
+    return (
+        '<svg xmlns="http://www.w3.org/2000/svg"><metadata>'
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">'
+        '<rdf:Description rdf:about="%s" xmlns:dc="http://purl.org/dc/terms/">'
+        "<dc:title>Diagram %d</dc:title></rdf:Description>"
+        "</rdf:RDF></metadata></svg>" % (entity_iri(e), turn_idx)
+    )
+
+
+def _turtle_doc(conv_id: str, turn_idx: int) -> str:
+    e = _pick_entity(conv_id, turn_idx)
+    return (
+        '<script type="text/turtle">\n'
+        "@prefix ex: <http://example.org/terms#> .\n"
+        '<%s> ex:mentionCount %d ; ex:label "%s" .\n'
+        "</script>" % (entity_iri(e), _h(conv_id, turn_idx, "c") % 100, entity_surface(e))
+    )
+
+
+_PROSE_WORDS = (
+    "the quick brown fox jumps over lazy dogs while discussing quarterly "
+    "results and planning the next sprint with renewed focus on quality"
+).split()
+
+
+def _prose(conv_id: str, turn_idx: int) -> str:
+    h = _h(conv_id, turn_idx, "p")
+    n = 8 + h % 24
+    return " ".join(_PROSE_WORDS[(h + i) % len(_PROSE_WORDS)] for i in range(n))
+
+
+def _malformed(conv_id: str, turn_idx: int) -> str:
+    variant = _h(conv_id, turn_idx, "m") % 3
+    if variant == 0:
+        return '<div about="[]" property="ex:p" prefix="ex: http://e/">unclosed <span>mess'
+    if variant == 1:
+        return '<div about="[undefinedprefix:x]" property="undefinedprefix:y">bad curie</div>'
+    return '<?xml version="1.0"?><svg xmlns="http://www.w3.org/2000/svg"><broken'
+
+
+def text_for(conv_id: str, turn_idx: int) -> str:
+    h = _h(conv_id, turn_idx) % 100
+    if h < 60:
+        return _html5_fragment(conv_id, turn_idx)
+    if h < 75:
+        return _xhtml_doc(conv_id, turn_idx)
+    if h < 80:
+        return _svg_doc(conv_id, turn_idx)
+    if h < 85:
+        return _turtle_doc(conv_id, turn_idx)
+    if h < 95:
+        return _prose(conv_id, turn_idx)
+    return _malformed(conv_id, turn_idx)
+
+
+def rows_for_range(start: int, stop: int) -> pa.Table:
+    """Build transcript rows for global row indices [start, stop)."""
+    conv_ids, turn_idxs, roles, texts, tools, tss = [], [], [], [], [], []
+    for gi in range(start, stop):
+        conv = gi // TURNS_PER_CONV
+        turn = gi % TURNS_PER_CONV
+        conv_id = "conv%08d" % conv
+        conv_ids.append(conv_id)
+        turn_idxs.append(turn)
+        roles.append(_ROLES[turn % 3])
+        texts.append(text_for(conv_id, turn))
+        tools.append(_TOOLS[(turn % 3 == 2) and (1 + turn % 2)])
+        tss.append(EPOCH_US + gi * 1_000_000)
+    return pa.Table.from_pydict(
+        {
+            "conv_id": conv_ids,
+            "turn_idx": pa.array(turn_idxs, pa.int32()),
+            "role": roles,
+            "text": texts,
+            "tool": tools,
+            "ts": pa.array(tss, pa.timestamp("us")),
+        },
+        schema=TRANSCRIPTS_SCHEMA,
+    )
+
+
+def transcripts_dataset(n_turns: int, override_num_blocks: int | None = None):
+    """Distributed generation: ray.data.range -> map_batches (no driver loop)."""
+    import ray.data as rd
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").to_pylist()
+        return rows_for_range(ids[0], ids[-1] + 1)
+
+    ds = rd.range(n_turns, override_num_blocks=override_num_blocks)
+    return ds.map_batches(gen, batch_format="pyarrow", batch_size=8192)
+
+
+def write_transcripts(path: str, n_turns: int, override_num_blocks: int | None = None):
+    transcripts_dataset(n_turns, override_num_blocks).write_parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# Transcript view over the driver's documents table (used by entry() and
+# the SQL-checked queries: the wrapping is deterministic and trivially
+# expressible in DuckDB).
+
+DOC_NS = "http://docs.local/d"
+SCHEMA_TEXT = "http://schema.org/text"
+
+
+def wrap_documents_batch(batch: pa.Table) -> pa.Table:
+    """documents(doc_id, text, lang, source, n_chars) -> transcripts rows
+    whose markup yields exactly one triple per doc:
+    (<DOC_NS{doc_id}>, schema:text, text)."""
+    doc_ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    conv_ids, turn_idxs, roles, out_texts, tools, tss = [], [], [], [], [], []
+    for doc_id, text in zip(doc_ids, texts):
+        conv_ids.append("doc%08d" % doc_id)
+        turn_idxs.append(0)
+        roles.append("user")
+        out_texts.append(
+            '<div about="%s%d" property="%s">%s</div>'
+            % (DOC_NS, doc_id, SCHEMA_TEXT, html.escape(text or "", quote=False))
+        )
+        tools.append("")
+        tss.append(EPOCH_US + doc_id)
+    return pa.Table.from_pydict(
+        {
+            "conv_id": conv_ids,
+            "turn_idx": pa.array(turn_idxs, pa.int32()),
+            "role": roles,
+            "text": out_texts,
+            "tool": tools,
+            "ts": pa.array(tss, pa.timestamp("us")),
+        },
+        schema=TRANSCRIPTS_SCHEMA,
+    )
+
+
+def transcripts_from_documents(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet("%s/documents.parquet" % sf_dir, columns=["doc_id", "text"])
+    return ds.map_batches(wrap_documents_batch, batch_format="pyarrow", batch_size=2048)

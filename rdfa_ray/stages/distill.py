@@ -1,0 +1,123 @@
+"""The distiller stage: transcript turns -> (subj, pred, obj, graph) rows.
+
+Engine analogue of the reference's per-document
+``graph_from_source`` loop (``/root/reference/pyRdfa/__init__.py:689-
+725``), re-expressed as a stateful Ray Data actor stage:
+
+    triples = turns.map_batches(
+        RdfaDistiller, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=DISTILL_BATCH_SIZE, concurrency=(2, cores), num_cpus=1)
+
+Actor pool (not tasks) because per-actor state is warm: compiled
+regexes, interned context tables, vocab expansion maps
+(``KernelOptions`` construction), mirroring the reference's per-call
+setup cost being amortized (SURVEY.md §7.2).
+
+The per-row kernel is inherently row-oriented (a DOM walk), so the
+"vectorization" here is batch-level: one Arrow table in, one Arrow
+table out, with column builders filled in a tight loop and converted
+once per batch.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..kernel import KernelOptions, distill
+from ..rdf.terms import BNODE, IRI, LIT
+
+# Tuned for ~1-10 KB markup fragments: a batch stays well under the
+# object-store block target while amortizing actor-call overhead.
+DISTILL_BATCH_SIZE = 512
+
+TRIPLES_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("kind", pa.string()),  # "triple" | "diag"
+        ("subj", pa.large_string()),
+        ("subj_kind", pa.string()),  # "iri" | "bnode"
+        ("pred", pa.large_string()),
+        ("obj_value", pa.large_string()),
+        ("obj_kind", pa.string()),  # "iri" | "bnode" | "literal"
+        ("obj_lang", pa.string()),
+        ("obj_datatype", pa.string()),
+        ("graph", pa.string()),
+    ]
+)
+
+
+def graph_iri(conv_id: str, turn_idx: int) -> str:
+    """Skolem per-turn document/graph IRI (also the RDFa base, so that
+    relative IRIs in fragments resolve inside the turn's namespace)."""
+    return "http://graft.local/conv/%s/turn/%d" % (conv_id, turn_idx)
+
+
+class RdfaDistiller:
+    """Actor: parses each turn's ``text`` and emits triple + diagnostic rows."""
+
+    def __init__(self, options_kwargs: dict | None = None, vocab_graphs: dict | None = None):
+        kwargs = dict(options_kwargs or {})
+        if vocab_graphs:
+            kwargs["vocab_graphs"] = vocab_graphs
+        self._options_kwargs = kwargs
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        conv_ids = batch.column("conv_id").to_pylist()
+        turn_idxs = batch.column("turn_idx").to_pylist()
+        texts = batch.column("text").to_pylist()
+
+        out = {name: [] for name in TRIPLES_SCHEMA.names}
+        app = {name: out[name].append for name in TRIPLES_SCHEMA.names}
+
+        for conv_id, turn_idx, text in zip(conv_ids, turn_idxs, texts):
+            if not text:
+                continue
+            g_iri = graph_iri(conv_id, turn_idx)
+            options = KernelOptions(**self._options_kwargs)
+            triples, diags = distill(text, base=g_iri, options=options)
+            for (s, p, o) in triples:
+                app["conv_id"](conv_id)
+                app["turn_idx"](turn_idx)
+                app["kind"]("triple")
+                app["subj"](s[1])
+                app["subj_kind"]("iri" if s[0] == IRI else "bnode")
+                app["pred"](p[1])
+                if o[0] == LIT:
+                    app["obj_value"](o[1])
+                    app["obj_kind"]("literal")
+                    app["obj_lang"](o[2])
+                    app["obj_datatype"](o[3])
+                else:
+                    app["obj_value"](o[1])
+                    app["obj_kind"]("iri" if o[0] == IRI else "bnode")
+                    app["obj_lang"](None)
+                    app["obj_datatype"](None)
+                app["graph"](g_iri)
+            for d in diags:
+                app["conv_id"](conv_id)
+                app["turn_idx"](turn_idx)
+                app["kind"]("diag")
+                app["subj"](d.severity)
+                app["subj_kind"]("iri")
+                app["pred"](d.dclass or "")
+                app["obj_value"](d.message)
+                app["obj_kind"]("literal")
+                app["obj_lang"](None)
+                app["obj_datatype"](None)
+                app["graph"](g_iri)
+
+        return pa.Table.from_pydict(out, schema=TRIPLES_SCHEMA)
+
+
+def split_triples(batch: pa.Table) -> pa.Table:
+    """Stateless filter: keep data triples (drop diagnostics)."""
+    import pyarrow.compute as pc
+
+    return batch.filter(pc.equal(batch.column("kind"), "triple"))
+
+
+def split_diags(batch: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    return batch.filter(pc.equal(batch.column("kind"), "diag"))

@@ -1,0 +1,137 @@
+"""Entity linking: mention detection over literal objects against a
+broadcast alias dictionary (SURVEY.md §2.5 D1).
+
+Broadcast pattern: the alias dict is ``ray.put`` once on the driver;
+each linker actor fetches it ONCE in ``__init__`` and compiles a
+single alternation regex — never re-shipped per batch.  No shuffle.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+
+LINKS_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("graph", pa.string()),
+        ("subj", pa.large_string()),
+        ("subj_kind", pa.string()),
+        ("pred", pa.large_string()),
+        ("entity", pa.string()),
+        ("surface", pa.string()),
+        ("score", pa.float64()),
+    ]
+)
+
+
+class EntityLinker:
+    """map_batches actor: triples rows -> link rows.
+
+    A link is emitted when a literal object contains an alias surface
+    form.  score = 1.0 for an exact full-string match, 0.8 for a
+    substring (word-boundary) match — deterministic, no model.
+    """
+
+    def __init__(self, alias_ref=None, alias_table: dict | None = None):
+        if alias_table is None:
+            import ray
+
+            alias_table = ray.get(alias_ref)
+        self.aliases = alias_table
+        # longest-first so overlapping aliases match maximally
+        pattern = "|".join(
+            re.escape(a) for a in sorted(alias_table, key=len, reverse=True)
+        )
+        self.rx = re.compile(r"(?<![\w])(%s)(?![\w])" % pattern)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.and_(
+            pc.equal(batch.column("kind"), "triple"),
+            pc.equal(batch.column("obj_kind"), "literal"),
+        )
+        lits = batch.filter(mask)
+        out = {name: [] for name in LINKS_SCHEMA.names}
+        conv = lits.column("conv_id").to_pylist()
+        turn = lits.column("turn_idx").to_pylist()
+        graph = lits.column("graph").to_pylist()
+        subj = lits.column("subj").to_pylist()
+        subj_kind = lits.column("subj_kind").to_pylist()
+        pred = lits.column("pred").to_pylist()
+        vals = lits.column("obj_value").to_pylist()
+        for i, v in enumerate(vals):
+            if not v:
+                continue
+            for m in self.rx.finditer(v):
+                surface = m.group(1)
+                out["conv_id"].append(conv[i])
+                out["turn_idx"].append(turn[i])
+                out["graph"].append(graph[i])
+                out["subj"].append(subj[i])
+                out["subj_kind"].append(subj_kind[i])
+                out["pred"].append(pred[i])
+                out["entity"].append(self.aliases[surface])
+                out["surface"].append(surface)
+                out["score"].append(1.0 if surface == v else 0.8)
+        return pa.Table.from_pydict(out, schema=LINKS_SCHEMA)
+
+
+def link_triples(triples_ds, alias_table: dict, concurrency=(2, 8)):
+    """Wire the linker as an actor pool with the broadcast alias dict."""
+    import ray
+
+    alias_ref = ray.put(alias_table)
+    return triples_ds.map_batches(
+        EntityLinker,
+        fn_constructor_kwargs={"alias_ref": alias_ref},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4096,
+        concurrency=concurrency,
+    )
+
+
+class AugmentingLinker(EntityLinker):
+    """Single-pass variant: emits the INPUT rows (tagged with
+    ``_row_kind``) plus the link rows in one unified schema, so the
+    pipeline stays a linear chain (the distiller output is consumed
+    exactly once — a forked Dataset would re-execute the whole
+    upstream per consumer)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        links = EntityLinker.__call__(self, batch)
+        n = batch.num_rows
+        passthrough = batch.append_column(
+            "_row_kind", batch.column("kind").cast(pa.string())
+        )
+        passthrough = passthrough.append_column(
+            "entity", pa.array([""] * n, pa.string())
+        )
+        passthrough = passthrough.append_column(
+            "score", pa.array([0.0] * n, pa.float64())
+        )
+        m = links.num_rows
+        link_rows = pa.Table.from_pydict(
+            {
+                "conv_id": links.column("conv_id"),
+                "turn_idx": links.column("turn_idx"),
+                "kind": pa.array(["link"] * m),
+                "subj": links.column("subj").cast(pa.large_string()),
+                "subj_kind": links.column("subj_kind"),
+                "pred": links.column("pred").cast(pa.large_string()),
+                "obj_value": pa.array([""] * m, pa.large_string()),
+                "obj_kind": pa.array([""] * m),
+                "obj_lang": pa.array([None] * m, pa.string()),
+                "obj_datatype": pa.array([None] * m, pa.string()),
+                "graph": links.column("graph"),
+                "_row_kind": pa.array(["link"] * m),
+                "entity": links.column("entity"),
+                "score": links.column("score"),
+            },
+            schema=passthrough.schema,
+        )
+        return pa.concat_tables([passthrough, link_rows])
