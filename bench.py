@@ -1,0 +1,164 @@
+"""Benchmark harness.
+
+    python bench.py              # headline run, prints ONE JSON line
+    python bench.py --scaling    # same job at 8 and 32 CPUs (fresh
+                                 # processes), prints scaling efficiency
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     RAY_GRAFT_CPUS (default 32),
+     GRAFT_BENCH_TURNS (synthetic flagship turns; default 60000).
+
+Headline metric: wall seconds for the flagship KG pipeline (synthetic
+transcripts -> distill -> link -> canonicalize -> partitioned
+materialize).  Per-query timings for the other operator families are
+reported under "queries".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def _headline_and_queries(sf_dir: str, num_cpus: int, n_turns: int) -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from rdfa_ray.pipelines.flagship import run_flagship
+    from rdfa_ray.sources.transcripts import transcripts_dataset
+
+    out_dir = "/tmp/graft_bench/flagship_%d" % num_cpus
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    # warm the page cache / JIT paths with a small untimed run
+    run_flagship(
+        transcripts_dataset(2000, override_num_blocks=num_cpus * 2),
+        "/tmp/graft_bench/warm_%d" % num_cpus,
+        n_parts=num_cpus,
+        resume=False,
+    )
+    shutil.rmtree("/tmp/graft_bench/warm_%d" % num_cpus, ignore_errors=True)
+
+    t0 = time.time()
+    summary = run_flagship(
+        transcripts_dataset(n_turns, override_num_blocks=num_cpus * 4),
+        out_dir,
+        n_parts=max(32, num_cpus * 2),
+        resume=False,
+    )
+    headline = time.time() - t0
+    n_triples = int(summary["triples"].sum())
+
+    timings = {}
+
+    def timed(name, fn):
+        t = time.time()
+        try:
+            res = fn(sf_dir)
+            if hasattr(res, "to_pandas"):
+                res.to_pandas()
+            timings[name] = round(time.time() - t, 3)
+        except Exception as e:  # pragma: no cover
+            timings[name] = "ERROR: %s" % e
+
+    from rdfa_ray.pipelines import queries as Q
+
+    timed("rdfa_text_triples", Q.q_rdfa_text_triples)
+    timed("rdfa_typed_triples", Q.q_rdfa_typed_triples)
+    timed("rdfa_canonical_subjects", Q.q_rdfa_canonical_subjects)
+    timed("lineitem_agg", Q.q_lineitem_agg)
+    timed("orders_by_segment", Q.q_orders_by_segment)
+    timed("dedup_exact", Q.q_dedup_exact)
+    timed("dedup_minhash", Q.q_dedup_minhash)
+    timed("text_metrics", Q.q_text_metrics)
+    timed("ann_bruteforce", Q.q_ann_bruteforce)
+
+    ray.shutdown()
+    return {
+        "headline_sec": round(headline, 3),
+        "turns": n_turns,
+        "turns_per_sec": round(n_turns / headline, 1),
+        "triples": n_triples,
+        "queries": timings,
+    }
+
+
+def main():
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    n_turns = int(os.environ.get("GRAFT_BENCH_TURNS", "60000"))
+
+    if "--scaling" in sys.argv:
+        # identical job at two parallelism levels in fresh processes
+        results = {}
+        for ncpu in (8, 32):
+            env = dict(
+                os.environ,
+                RAY_GRAFT_CPUS=str(ncpu),
+                GRAFT_SF_DIR=sf_dir,
+                GRAFT_BENCH_TURNS=str(n_turns),
+            )
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            ).stdout
+            results[ncpu] = json.loads(out.strip().splitlines()[-1])
+        r8 = results[8]["turns_per_sec"]
+        r32 = results[32]["turns_per_sec"]
+        eff = (r32 / r8) / (32 / 8)
+        print(
+            json.dumps(
+                {
+                    "metric": "flagship scaling 8->32 cpus",
+                    "sec_8": results[8]["value"],
+                    "sec_32": results[32]["value"],
+                    "turns_per_sec_8": r8,
+                    "turns_per_sec_32": r32,
+                    "triples_8": results[8]["triples"],
+                    "triples_32": results[32]["triples"],
+                    "scaling_efficiency": round(eff, 3),
+                    "sf": sf_dir,
+                }
+            )
+        )
+        return
+
+    stats = _headline_and_queries(sf_dir, num_cpus, n_turns)
+    print(
+        json.dumps(
+            {
+                "metric": "flagship KG pipeline wall time (distill+link+canonicalize+materialize)",
+                "value": stats["headline_sec"],
+                "unit": "sec",
+                "turns": stats["turns"],
+                "turns_per_sec": stats["turns_per_sec"],
+                "triples": stats["triples"],
+                "queries": stats["queries"],
+                "sf": os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+                "num_cpus": int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,400 @@
+"""The queries() / oracle_sql() registry consumed by __ray_entry__.py.
+
+Every implemented operator family from SURVEY.md §2 has an entry; the
+SQL oracle is provided wherever the semantics are exactly expressible
+in DuckDB over the same parquet views (integer / hash-exact results;
+float aggregates are rounded identically on both sides).  Ops whose
+results are not SQL-expressible (minhash LSH, simhash, ANN, language
+ID, flagship over markup) have no oracle and get the driver's
+rows-only check — noted per entry.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..sources.aliases import build_alias_table, entity_iri, entity_surface
+from ..sources.transcripts import (
+    DOC_NS,
+    SCHEMA_TEXT,
+    transcripts_from_documents,
+    typed_transcripts_from_documents,
+    transcripts_dataset,
+)
+from ..stages.distill import split_diags, split_triples
+from ..stages.link import AugmentingLinker, EntityLinker
+from ..stages.canonicalize import canonicalize
+from .flagship import build_triples
+
+_XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+
+
+# ---------------------------------------------------------------------------
+# RDFa distillation queries (documents wrapped into markup views)
+
+
+def q_rdfa_text_triples(sf_dir: str):
+    """One (subj, pred, obj_value) triple per document."""
+    turns = transcripts_from_documents(sf_dir)
+    triples = build_triples(turns).map_batches(split_triples, batch_format="pyarrow")
+    return triples.select_columns(["subj", "pred", "obj_value"])
+
+
+def q_rdfa_typed_triples(sf_dir: str):
+    turns = typed_transcripts_from_documents(sf_dir)
+    triples = build_triples(turns).map_batches(split_triples, batch_format="pyarrow")
+    return triples.select_columns(["subj", "pred", "obj_value"])
+
+
+def q_rdfa_triple_counts(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    turns = typed_transcripts_from_documents(sf_dir)
+    triples = build_triples(turns).map_batches(split_triples, batch_format="pyarrow")
+    return triples.groupby("conv_id").aggregate(Count(alias_name="n_triples"))
+
+
+def q_rdfa_diagnostics(sf_dir: str):
+    turns = typed_transcripts_from_documents(sf_dir, with_broken=True)
+    diags = build_triples(turns).map_batches(split_diags, batch_format="pyarrow")
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"conv_id": batch.column("conv_id"), "dclass": batch.column("pred")}
+        )
+
+    return diags.map_batches(project, batch_format="pyarrow")
+
+
+def q_rdfa_entity_links(sf_dir: str):
+    import ray
+
+    turns = typed_transcripts_from_documents(sf_dir, with_alias=True)
+    triples = build_triples(turns)
+    alias_ref = ray.put(build_alias_table())
+    links = triples.map_batches(
+        EntityLinker,
+        fn_constructor_kwargs={"alias_ref": alias_ref},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(2, 4),
+    )
+    return links.select_columns(["conv_id", "entity", "surface"])
+
+
+def q_rdfa_canonical_subjects(sf_dir: str):
+    import ray
+
+    turns = typed_transcripts_from_documents(sf_dir, with_alias=True)
+    triples = build_triples(turns)
+    alias_ref = ray.put(build_alias_table())
+    augmented = triples.map_batches(
+        AugmentingLinker,
+        fn_constructor_kwargs={"alias_ref": alias_ref},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(2, 4),
+    )
+    canon = canonicalize(augmented)
+
+    def project(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.equal(batch.column("pred"), "http://schema.org/source")
+        )
+        return pa.Table.from_pydict(
+            {"subj": batch.column("subj"), "obj_value": batch.column("obj_value")}
+        )
+
+    return canon.map_batches(project, batch_format="pyarrow")
+
+
+def q_rdfa_flagship_synthetic(sf_dir: str):
+    """Full flagship chain over the synthetic transcript corpus (markup
+    mix incl. XHTML/SVG/turtle/malformed). NOT SQL-expressible ->
+    rows-only check."""
+    import ray
+
+    n = 2000
+    turns = transcripts_dataset(n, override_num_blocks=8)
+    triples = build_triples(turns)
+    alias_ref = ray.put(build_alias_table())
+    augmented = turns_aug = triples.map_batches(
+        AugmentingLinker,
+        fn_constructor_kwargs={"alias_ref": alias_ref},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(2, 4),
+    )
+    return canonicalize(augmented)
+
+
+# ---------------------------------------------------------------------------
+# Relational operators
+
+
+def q_lineitem_agg(sf_dir: str):
+    from .relational import lineitem_agg
+
+    return lineitem_agg(sf_dir)
+
+
+def q_orders_by_segment(sf_dir: str):
+    from .relational import orders_by_segment
+
+    return orders_by_segment(sf_dir)
+
+
+def q_top_orders(sf_dir: str):
+    from .relational import top_orders
+
+    return top_orders(sf_dir, 10)
+
+
+def q_sessionize_events(sf_dir: str):
+    from .relational import sessionize_events
+
+    return sessionize_events(sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Training-data ops
+
+
+def q_dedup_exact(sf_dir: str):
+    import ray.data as rd
+
+    from ..stages.dedup import exact_dedup
+
+    docs = rd.read_parquet("%s/documents.parquet" % sf_dir, columns=["doc_id", "text"])
+    return exact_dedup(docs)
+
+
+def q_dedup_minhash(sf_dir: str):
+    import ray.data as rd
+
+    from ..stages.dedup import minhash_dedup
+
+    docs = rd.read_parquet("%s/documents.parquet" % sf_dir, columns=["doc_id", "text"])
+    pairs = minhash_dedup(docs, threshold=0.8)
+
+    def round_j(batch: pa.Table) -> pa.Table:
+        idx = batch.schema.get_field_index("jaccard")
+        return batch.set_column(idx, "jaccard", pc.round(batch.column("jaccard"), 3))
+
+    return pairs.map_batches(round_j, batch_format="pyarrow")
+
+
+def q_dedup_simhash(sf_dir: str):
+    import ray.data as rd
+
+    from ..stages.dedup import simhash_dedup
+
+    docs = rd.read_parquet("%s/documents.parquet" % sf_dir, columns=["doc_id", "text"])
+    return simhash_dedup(docs)
+
+
+def q_text_metrics(sf_dir: str):
+    import ray.data as rd
+
+    from ..stages.text import analyze_text
+
+    docs = rd.read_parquet("%s/documents.parquet" % sf_dir, columns=["doc_id", "text"])
+    return analyze_text(docs).select_columns(
+        ["doc_id", "n_chars", "n_tokens", "n_bpe_tokens", "n_alpha", "fingerprint"]
+    )
+
+
+def q_quality_signals(sf_dir: str):
+    import ray.data as rd
+
+    from ..stages.text import analyze_text
+
+    docs = rd.read_parquet("%s/documents.parquet" % sf_dir, columns=["doc_id", "text"])
+    return analyze_text(docs).select_columns(["doc_id", "stopword_ratio", "lang_pred"])
+
+
+def q_fingerprints_rolling(sf_dir: str):
+    import ray.data as rd
+
+    from ..stages.text import rolling_fingerprints
+
+    docs = rd.read_parquet("%s/documents.parquet" % sf_dir, columns=["doc_id", "text"])
+    return rolling_fingerprints(docs)
+
+
+def q_ann_bruteforce(sf_dir: str):
+    import ray.data as rd
+
+    from ..stages.ann import brute_force_topk
+
+    embs = rd.read_parquet("%s/embeddings.parquet" % sf_dir)
+    ds = brute_force_topk(embs, query_ids=list(range(8)), k=10)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["query_id", "vec_id"])
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def q_ann_ivf(sf_dir: str):
+    import ray.data as rd
+
+    from ..stages.ann import ivf_topk
+
+    embs = rd.read_parquet("%s/embeddings.parquet" % sf_dir)
+    ds = ivf_topk(embs, query_ids=list(range(8)), k=10)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["query_id", "vec_id"])
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def q_embedding_dups(sf_dir: str):
+    import ray.data as rd
+
+    from ..stages.ann import cosine_dup_pairs
+
+    embs = rd.read_parquet("%s/embeddings.parquet" % sf_dir)
+    ds = cosine_dup_pairs(embs, threshold=0.95)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["a", "b"])
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def q_multimodal_features(sf_dir: str):
+    import ray.data as rd
+
+    from ..stages.multimodal import media_features
+
+    docs = rd.read_parquet("%s/documents.parquet" % sf_dir, columns=["doc_id", "text"])
+    feats = media_features(docs)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["media_id", "width", "height", "decode_error"])
+
+    return feats.map_batches(project, batch_format="pyarrow")
+
+
+QUERIES = {
+    "rdfa_text_triples": q_rdfa_text_triples,
+    "rdfa_typed_triples": q_rdfa_typed_triples,
+    "rdfa_triple_counts": q_rdfa_triple_counts,
+    "rdfa_diagnostics": q_rdfa_diagnostics,
+    "rdfa_entity_links": q_rdfa_entity_links,
+    "rdfa_canonical_subjects": q_rdfa_canonical_subjects,
+    "rdfa_flagship_synthetic": q_rdfa_flagship_synthetic,
+    "lineitem_agg": q_lineitem_agg,
+    "orders_by_segment": q_orders_by_segment,
+    "top_orders": q_top_orders,
+    "sessionize_events": q_sessionize_events,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "text_metrics": q_text_metrics,
+    "quality_signals": q_quality_signals,
+    "fingerprints_rolling": q_fingerprints_rolling,
+    "ann_bruteforce": q_ann_bruteforce,
+    "ann_ivf": q_ann_ivf,
+    "embedding_dups": q_embedding_dups,
+    "multimodal_features": q_multimodal_features,
+}
+
+
+# ---------------------------------------------------------------------------
+# Oracles
+
+
+def _alias_values_sql() -> str:
+    rows = ",".join(
+        "(%d, '%s', '%s')" % (i, entity_surface(i).replace("'", "''"), entity_iri(i))
+        for i in range(50)
+    )
+    return "aliases(i, surface, entity) AS (VALUES %s)" % rows
+
+
+_SUBJ = "'%s' || CAST(doc_id AS VARCHAR)" % DOC_NS
+
+ORACLE_SQL = {
+    "rdfa_text_triples": (
+        "SELECT %s AS subj, '%s' AS pred, text AS obj_value FROM documents"
+        % (_SUBJ, SCHEMA_TEXT)
+    ),
+    "rdfa_typed_triples": (
+        "SELECT subj, pred, obj_value FROM ("
+        "SELECT %s AS subj, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,"
+        " 'http://schema.org/Document' AS obj_value FROM documents "
+        "UNION ALL SELECT %s, 'http://schema.org/inLanguage', lang FROM documents "
+        "UNION ALL SELECT %s, 'http://schema.org/source', source FROM documents "
+        "UNION ALL SELECT %s, 'http://schema.org/characterCount',"
+        " CAST(n_chars AS VARCHAR) FROM documents)"
+        % (_SUBJ, _SUBJ, _SUBJ, _SUBJ)
+    ),
+    "rdfa_triple_counts": (
+        "SELECT printf('doc%08d', doc_id) AS conv_id, CAST(4 AS BIGINT) AS n_triples "
+        "FROM documents"
+    ),
+    "rdfa_diagnostics": (
+        "SELECT printf('doc%08d', doc_id) AS conv_id,"
+        " 'http://www.w3.org/ns/rdfa#UnresolvedCURIE' AS dclass "
+        "FROM documents WHERE doc_id % 7 = 0"
+    ),
+    "rdfa_entity_links": (
+        "WITH %s SELECT printf('doc%%08d', d.doc_id) AS conv_id, a.entity AS entity,"
+        " a.surface AS surface FROM documents d JOIN aliases a ON a.i = d.doc_id %% 50 "
+        "WHERE d.doc_id %% 5 = 0" % _alias_values_sql()
+    ),
+    "rdfa_canonical_subjects": (
+        "WITH %s SELECT CASE WHEN d.doc_id %% 5 = 0 THEN a.entity"
+        " ELSE %s END AS subj, d.source AS obj_value "
+        "FROM documents d LEFT JOIN aliases a ON a.i = d.doc_id %% 50"
+        % (_alias_values_sql(), _SUBJ.replace("doc_id", "d.doc_id"))
+    ),
+    # money sums as integer cents: exact + order-independent (float sums
+    # accumulated in different orders differ by eps across engines)
+    "lineitem_agg": (
+        "SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,"
+        " CAST(SUM(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT)"
+        " AS sum_base_cents,"
+        " CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100.0) AS BIGINT))"
+        " AS BIGINT) AS sum_revenue_cents,"
+        " CAST(SUM(CAST(ROUND(l_discount * 100.0) AS BIGINT)) AS BIGINT)"
+        " AS sum_disc_cents,"
+        " COUNT(*) AS count_order "
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+    ),
+    "orders_by_segment": (
+        "SELECT c.c_mktsegment AS c_mktsegment, COUNT(*) AS n_orders,"
+        " CAST(SUM(CAST(ROUND(o.o_totalprice * 100.0) AS BIGINT)) AS BIGINT)"
+        " AS total_cents "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+        "GROUP BY c.c_mktsegment"
+    ),
+    "top_orders": (
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"
+    ),
+    "sessionize_events": (
+        "SELECT user_id,"
+        " CAST(COUNT(CASE WHEN gap > 1800 THEN 1 END) + 1 AS BIGINT) AS n_sessions,"
+        " COUNT(*) AS n_events FROM ("
+        "SELECT user_id, epoch(ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts))"
+        " AS gap FROM events) t GROUP BY user_id"
+    ),
+    "dedup_exact": (
+        "SELECT md5(text) AS h, MIN(doc_id) AS keeper, COUNT(*) AS n "
+        "FROM documents GROUP BY md5(text)"
+    ),
+    "text_metrics": (
+        "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,"
+        " CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens,"
+        " CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]+')) AS BIGINT)"
+        " AS n_bpe_tokens,"
+        " CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,"
+        " md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint "
+        "FROM documents"
+    ),
+}

@@ -195,15 +195,32 @@ def rows_for_range(start: int, stop: int) -> pa.Table:
 
 
 def transcripts_dataset(n_turns: int, override_num_blocks: int | None = None):
-    """Distributed generation: ray.data.range -> map_batches (no driver loop)."""
+    """Distributed generation: tiny shard-spec rows fan out to
+    map_batches generators (no driver loop; rows are built on workers).
+
+    Shard specs are materialized items (not lazy ReadTasks) because
+    Ray 2.49's range datasource mis-fuses with downstream all-to-all
+    ops ("Not a block type: ReadTask")."""
     import ray.data as rd
 
-    def gen(batch: pa.Table) -> pa.Table:
-        ids = batch.column("id").to_pylist()
-        return rows_for_range(ids[0], ids[-1] + 1)
+    n_shards = override_num_blocks or 64
+    n_shards = max(1, min(n_shards, n_turns))
+    per = (n_turns + n_shards - 1) // n_shards
+    specs = [
+        {"start": i * per, "stop": min((i + 1) * per, n_turns)}
+        for i in range(n_shards)
+        if i * per < n_turns
+    ]
 
-    ds = rd.range(n_turns, override_num_blocks=override_num_blocks)
-    return ds.map_batches(gen, batch_format="pyarrow", batch_size=8192)
+    def gen(batch: pa.Table) -> pa.Table:
+        tables = [
+            rows_for_range(s, e)
+            for s, e in zip(batch.column("start").to_pylist(), batch.column("stop").to_pylist())
+        ]
+        return pa.concat_tables(tables)
+
+    ds = rd.from_items(specs, override_num_blocks=len(specs))
+    return ds.map_batches(gen, batch_format="pyarrow", batch_size=1)
 
 
 def write_transcripts(path: str, n_turns: int, override_num_blocks: int | None = None):
@@ -254,3 +271,71 @@ def transcripts_from_documents(sf_dir: str):
 
     ds = rd.read_parquet("%s/documents.parquet" % sf_dir, columns=["doc_id", "text"])
     return ds.map_batches(wrap_documents_batch, batch_format="pyarrow", batch_size=2048)
+
+
+# Richer deterministic views used by the SQL-checked queries() entries.
+
+SCHEMA_NS = "http://schema.org/"
+XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+
+
+def _mk_turn_rows(conv_ids, texts):
+    n = len(conv_ids)
+    return pa.Table.from_pydict(
+        {
+            "conv_id": conv_ids,
+            "turn_idx": pa.array([0] * n, pa.int32()),
+            "role": ["user"] * n,
+            "text": texts,
+            "tool": [""] * n,
+            "ts": pa.array([EPOCH_US + i for i in range(n)], pa.timestamp("us")),
+        },
+        schema=TRANSCRIPTS_SCHEMA,
+    )
+
+
+def wrap_documents_typed(batch: pa.Table, with_alias=False, with_broken=False) -> pa.Table:
+    """4 triples per doc: rdf:type + inLanguage + source + characterCount.
+    with_alias: +1 schema:about alias mention for doc_id%5==0.
+    with_broken: +1 UnresolvedCURIE warning for doc_id%7==0."""
+    from .aliases import entity_surface
+
+    conv_ids, texts = [], []
+    for doc_id, lang, source, n_chars in zip(
+        batch.column("doc_id").to_pylist(),
+        batch.column("lang").to_pylist(),
+        batch.column("source").to_pylist(),
+        batch.column("n_chars").to_pylist(),
+    ):
+        parts = [
+            '<div about="%s%d" typeof="%sDocument">' % (DOC_NS, doc_id, SCHEMA_NS),
+            '<span property="%sinLanguage">%s</span>' % (SCHEMA_NS, lang),
+            '<span property="%ssource">%s</span>' % (SCHEMA_NS, source),
+            '<span property="%scharacterCount" datatype="%s">%d</span>'
+            % (SCHEMA_NS, XSD_INT, n_chars),
+        ]
+        if with_alias and doc_id % 5 == 0:
+            parts.append(
+                '<span property="%sabout">%s</span>'
+                % (SCHEMA_NS, entity_surface(doc_id % 50))
+            )
+        if with_broken and doc_id % 7 == 0:
+            parts.append('<span about="[undef:x]" property="%sbroken">x</span>' % SCHEMA_NS)
+        parts.append("</div>")
+        conv_ids.append("doc%08d" % doc_id)
+        texts.append("".join(parts))
+    return _mk_turn_rows(conv_ids, texts)
+
+
+def typed_transcripts_from_documents(sf_dir: str, with_alias=False, with_broken=False):
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        "%s/documents.parquet" % sf_dir,
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    return ds.map_batches(
+        lambda b: wrap_documents_typed(b, with_alias, with_broken),
+        batch_format="pyarrow",
+        batch_size=2048,
+    )

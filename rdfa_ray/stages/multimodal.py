@@ -1,0 +1,126 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads + typed
+metadata, decoded / feature-extracted in an actor-pool stage.
+
+The image/audio decode libraries are NOT in this container, so the
+decode step is a clearly-marked deterministic fake behind the real
+Ray-side plumbing (schema, small batches for wide binary rows, actor
+signature, output layout) — swap ``FakeImageDecoder._decode`` for a
+PIL/ffmpeg call in a real deployment.  See the task brief: "STUB the
+decode step ... make the Ray-side plumbing real and tested".
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("payload", pa.large_binary()),
+        ("media_type", pa.string()),
+        ("n_bytes", pa.int64()),
+    ]
+)
+
+# Binary payloads are wide: keep batches small so batch x concurrency
+# fits the worker heap (per the memory-aware sizing rule).
+MEDIA_BATCH_SIZE = 64
+
+
+def synthesize_media_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic fake media source: derives an opaque binary payload
+    from the documents table (stand-in for read_binary_files)."""
+    doc_ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    payloads, types, sizes = [], [], []
+    for doc_id, text in zip(doc_ids, texts):
+        seed = hashlib.md5(("media:%d" % doc_id).encode()).digest()
+        body = (seed + (text or "").encode())[:4096]
+        payloads.append(body)
+        types.append(("image/png", "audio/wav", "video/mp4")[doc_id % 3])
+        sizes.append(len(body))
+    return pa.Table.from_pydict(
+        {
+            "media_id": pa.array(doc_ids, pa.int64()),
+            "payload": pa.array(payloads, pa.large_binary()),
+            "media_type": pa.array(types),
+            "n_bytes": pa.array(sizes, pa.int64()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+class FakeImageDecoder:
+    """Actor-pool decode/feature stage.
+
+    Real deployment: __init__ loads the codec/model ONCE per actor;
+    __call__ decodes each payload and emits features.  Here _decode is
+    a deterministic fake (no PIL/ffmpeg in the container) that still
+    touches every payload byte so the data path is exercised.
+    """
+
+    def __init__(self, target_size: int = 224):
+        self.target_size = target_size  # stand-in for model/codec init
+
+    def _decode(self, payload: bytes, media_type: str):
+        if media_type.startswith("image/"):
+            h = zlib.crc32(payload)
+            width = 64 + h % 1024
+            height = 64 + (h >> 10) % 1024
+            # NOTE: real impl -> PIL.Image.open(io.BytesIO(payload)).resize(...)
+            arr = np.frombuffer(payload[:256].ljust(256, b"\0"), dtype=np.uint8)
+            feature = arr.astype(np.float32).reshape(16, 16).mean(axis=1)
+            return width, height, feature
+        raise NotImplementedError(
+            "decode for %s requires codec libraries not present in this container"
+            % media_type
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        types = batch.column("media_type").to_pylist()
+        out = {
+            "media_id": [], "width": [], "height": [], "feature": [], "decode_error": [],
+        }
+        for mid, payload, mtype in zip(ids, payloads, types):
+            try:
+                w, h, feat = self._decode(payload, mtype)
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["feature"].append(feat.tolist())
+                out["decode_error"].append("")
+            except NotImplementedError as e:
+                out["media_id"].append(mid)
+                out["width"].append(0)
+                out["height"].append(0)
+                out["feature"].append([0.0] * 16)
+                out["decode_error"].append(str(e)[:80])
+        return pa.Table.from_pydict(
+            {
+                "media_id": pa.array(out["media_id"], pa.int64()),
+                "width": pa.array(out["width"], pa.int32()),
+                "height": pa.array(out["height"], pa.int32()),
+                "feature": pa.array(out["feature"], pa.list_(pa.float32())),
+                "decode_error": pa.array(out["decode_error"]),
+            }
+        )
+
+
+def media_features(docs_ds, concurrency=(2, 4)):
+    """documents -> synthetic media -> actor-pool decode/features."""
+    media = docs_ds.map_batches(
+        synthesize_media_batch, batch_format="pyarrow", batch_size=512
+    )
+    return media.map_batches(
+        FakeImageDecoder,
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

@@ -1,0 +1,125 @@
+"""Text-analysis stages: language ID, quality metrics, token counting,
+fingerprinting.  All vectorized or tight-loop ``map_batches`` with
+per-actor compiled state; each has a ``queries()`` entry (SQL-checked
+where the metric is integer/hash-exact).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pyarrow as pa
+
+_TOKEN_RE = re.compile(r"[A-Za-z0-9]+")
+_ALPHA_RE = re.compile(r"[A-Za-z]")
+_WS_COLLAPSE = re.compile(r"\s+")
+
+# BPE-ish subword split: words, numbers, punctuation runs
+_BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+")
+
+_STOPWORDS = frozenset(
+    "the a an and or of to in is are was were be been it this that with for on as at by".split()
+)
+
+# tiny trigram tables for the language-ID heuristic (synthetic corpora
+# are English-ish; the heuristic exists as the pipeline stage pattern)
+_LANG_TRIGRAMS = {
+    "en": ("the", " th", "he ", "ing", "and", " an", "nd ", " of", "of ", "ed "),
+    "de": ("der", "ein", "ich", "sch", "die", " de", "en ", "und", " un", "ch "),
+    "fr": ("les", " le", "de ", " de", "ent", "que", " qu", "es ", "ion", "eur"),
+    "es": ("de ", " de", "la ", " la", "que", " qu", "os ", "el ", " el", "ión"),
+}
+
+
+class TextAnalyzer:
+    """Actor: per-doc quality metrics + language guess + fingerprint."""
+
+    def __init__(self):
+        self.token_re = _TOKEN_RE
+        self.alpha_re = _ALPHA_RE
+        self.bpe_re = _BPE_RE
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        n = len(texts)
+        n_chars = [0] * n
+        n_tokens = [0] * n
+        n_bpe = [0] * n
+        n_alpha = [0] * n
+        stop_ratio = [0.0] * n
+        langs = [""] * n
+        fps = [""] * n
+        for i, t in enumerate(texts):
+            t = t or ""
+            n_chars[i] = len(t)
+            toks = self.token_re.findall(t)
+            n_tokens[i] = len(toks)
+            n_bpe[i] = len(self.bpe_re.findall(t))
+            n_alpha[i] = len(self.alpha_re.findall(t))
+            if toks:
+                low = [w.lower() for w in toks]
+                stop_ratio[i] = sum(w in _STOPWORDS for w in low) / len(low)
+            langs[i] = self.guess_lang(t)
+            norm = _WS_COLLAPSE.sub(" ", t.lower())
+            fps[i] = hashlib.md5(norm.encode()).hexdigest()
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "n_chars": pa.array(n_chars, pa.int64()),
+                "n_tokens": pa.array(n_tokens, pa.int64()),
+                "n_bpe_tokens": pa.array(n_bpe, pa.int64()),
+                "n_alpha": pa.array(n_alpha, pa.int64()),
+                "stopword_ratio": pa.array(stop_ratio, pa.float64()),
+                "lang_pred": pa.array(langs),
+                "fingerprint": pa.array(fps),
+            }
+        )
+
+    @staticmethod
+    def guess_lang(text: str) -> str:
+        t = text.lower()[:2000]
+        best, best_score = "unk", 0
+        for lang, grams in _LANG_TRIGRAMS.items():
+            score = sum(t.count(g) for g in grams)
+            if score > best_score:
+                best, best_score = lang, score
+        return best
+
+
+def analyze_text(docs_ds, concurrency=(2, 8)):
+    return docs_ds.map_batches(
+        TextAnalyzer, batch_format="pyarrow", batch_size=2048, concurrency=concurrency
+    )
+
+
+def rolling_fingerprints(docs_ds, window: int = 8):
+    """Document fingerprinting via winnowed rolling hashes: for each doc,
+    the min-sampled set of rolling word-window hashes (one row per
+    selected fingerprint) — usable for containment / plagiarism joins."""
+    import zlib
+
+    def fp(batch: pa.Table) -> pa.Table:
+        ids, hashes = [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            words = _TOKEN_RE.findall((text or "").lower())
+            hs = [
+                zlib.crc32(" ".join(words[i : i + window]).encode())
+                for i in range(max(0, len(words) - window + 1))
+            ]
+            # winnow: keep local minima over a sliding window of 4
+            chosen = set()
+            for i in range(len(hs)):
+                lo = min(hs[max(0, i - 3) : i + 1])
+                chosen.add(lo)
+            for h in sorted(chosen):
+                ids.append(doc_id)
+                hashes.append(h)
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(ids, pa.int64()), "fp": pa.array(hashes, pa.uint32())}
+        )
+
+    return docs_ds.map_batches(fp, batch_format="pyarrow", batch_size=1024)

@@ -1,0 +1,184 @@
+"""Ray pipeline end-to-end tests (small corpus; Ray init once per
+session via conftest's ray_session fixture)."""
+
+import json
+import os
+import pathlib
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def small_corpus(ray_session):
+    from rdfa_ray.sources.transcripts import transcripts_dataset
+
+    return transcripts_dataset(400, override_num_blocks=4)
+
+
+def _fresh(tmp_base, name):
+    out = os.path.join(tmp_base, name)
+    shutil.rmtree(out, ignore_errors=True)
+    return out
+
+
+def test_flagship_end_to_end(ray_session, small_corpus, tmp_path_factory):
+    from rdfa_ray.pipelines import run_flagship
+    from rdfa_ray.sources.transcripts import transcripts_dataset
+
+    out = _fresh(str(tmp_path_factory.getbasetemp()), "flag1")
+    summary = run_flagship(small_corpus, out, n_parts=8)
+    assert summary["triples"].sum() > 400  # markup-rich corpus
+    assert (summary["rows"] > 0).all()
+    # all partitions have parquet + nq + manifest
+    parts = sorted(int(p) for p in summary["part"])
+    for p in parts:
+        assert os.path.exists("%s/parquet/part-%05d.parquet" % (out, p))
+        assert os.path.exists("%s/nt/part-%05d.nq" % (out, p))
+        assert os.path.exists("%s/_manifest/part-%05d.json" % (out, p))
+
+    # resume: nothing left to do
+    s2 = run_flagship(transcripts_dataset(400, override_num_blocks=4), out, n_parts=8)
+    assert len(s2) == 0
+
+    # partial resume: delete one manifest -> exactly that part reruns,
+    # byte-identical output (determinism under retry)
+    victim = parts[0]
+    nq_before = open("%s/nt/part-%05d.nq" % (out, victim)).read()
+    os.remove("%s/_manifest/part-%05d.json" % (out, victim))
+    s3 = run_flagship(transcripts_dataset(400, override_num_blocks=4), out, n_parts=8)
+    assert sorted(s3["part"]) == [victim]
+    assert open("%s/nt/part-%05d.nq" % (out, victim)).read() == nq_before
+
+
+def test_text_passthrough_invariant(ray_session):
+    """Per-turn text equality under stable (conv_id, turn_idx) ordering."""
+    from rdfa_ray.sources.transcripts import transcripts_dataset
+
+    a = (
+        transcripts_dataset(200, override_num_blocks=4)
+        .sort(["conv_id", "turn_idx"])
+        .to_pandas()
+    )
+    b = (
+        transcripts_dataset(200, override_num_blocks=2)
+        .repartition(3, shuffle=True)
+        .sort(["conv_id", "turn_idx"])
+        .to_pandas()
+    )
+    assert (a["text"].values == b["text"].values).all()
+    assert (a["conv_id"].values == b["conv_id"].values).all()
+
+
+def test_distiller_matches_kernel(ray_session, small_corpus):
+    """The Ray stage must emit exactly the kernel's triples per turn."""
+    from rdfa_ray.kernel import distill
+    from rdfa_ray.pipelines.flagship import build_triples
+    from rdfa_ray.stages.distill import graph_iri
+
+    turns = small_corpus.limit(40).to_pandas()
+    out = build_triples(small_corpus.limit(40), concurrency=2).to_pandas()
+    for _, row in turns.iterrows():
+        g = graph_iri(row["conv_id"], row["turn_idx"])
+        expected, diags = distill(row["text"], base=g)
+        got = out[(out["graph"] == g) & (out["kind"] == "triple")]
+        assert len(got) == len(expected), row["text"][:120]
+        assert len(out[(out["graph"] == g) & (out["kind"] == "diag")]) == len(diags)
+
+
+def test_linker_and_canonicalize(ray_session):
+    import ray
+
+    from rdfa_ray.pipelines.flagship import build_triples
+    from rdfa_ray.sources.aliases import build_alias_table, entity_iri, entity_surface
+    from rdfa_ray.sources.transcripts import TRANSCRIPTS_SCHEMA
+    from rdfa_ray.stages.canonicalize import OWL_SAME_AS, canonicalize
+    from rdfa_ray.stages.link import AugmentingLinker
+    import pyarrow as pa
+    import ray.data as rd
+
+    surface = entity_surface(3)
+    turns = rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "conv_id": ["c1"],
+                "turn_idx": pa.array([0], pa.int32()),
+                "role": ["user"],
+                "text": [
+                    '<div about="http://x.org/s" property="http://schema.org/name">%s</div>'
+                    % surface
+                ],
+                "tool": [""],
+                "ts": pa.array([0], pa.timestamp("us")),
+            },
+            schema=TRANSCRIPTS_SCHEMA,
+        )
+    )
+    triples = build_triples(turns, concurrency=2)
+    alias_ref = ray.put(build_alias_table())
+    augmented = triples.map_batches(
+        AugmentingLinker,
+        fn_constructor_kwargs={"alias_ref": alias_ref},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    result = canonicalize(augmented).to_pandas()
+    trip = result[result["kind"] == "triple"]
+    assert set(trip["subj"]) == {entity_iri(3)}
+    same_as = trip[trip["pred"] == OWL_SAME_AS]
+    assert len(same_as) == 1 and same_as["obj_value"].iloc[0] == "http://x.org/s"
+
+
+def test_dedup_and_text_stages(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rdfa_ray.stages.dedup import exact_dedup, jaccard, minhash_dedup, simhash_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    near = base.replace("lazy", "sleepy")
+    docs = rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": [base, base, near, "completely different text about nothing"],
+            }
+        )
+    )
+    exact = exact_dedup(docs).to_pandas()
+    dup_group = exact[exact["n"] == 2]
+    assert len(dup_group) == 1 and dup_group["keeper"].iloc[0] == 1
+
+    assert jaccard(base, near) > 0.5
+    mh = minhash_dedup(docs, threshold=0.5).to_pandas()
+    pairs = set(zip(mh["a"], mh["b"]))
+    assert (1, 2) in pairs  # exact dup always survives
+    sh = simhash_dedup(docs).to_pandas()
+    assert (1, 2) in set(zip(sh["a"], sh["b"]))
+
+
+def test_ann_bruteforce_exact(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rdfa_ray.stages.ann import brute_force_topk
+
+    rs = np.random.RandomState(5)
+    mat = rs.randn(100, 16)
+    embs = rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "vec_id": pa.array(range(100), pa.int64()),
+                "embedding": pa.array(mat.tolist(), pa.list_(pa.float32())),
+            }
+        )
+    )
+    got = brute_force_topk(embs, query_ids=[0], k=5).to_pandas()
+    # numpy reference
+    m32 = mat.astype(np.float32).astype(np.float64)
+    normed = m32 / np.linalg.norm(m32, axis=1, keepdims=True)
+    sims = normed @ normed[0]
+    expected = set(np.argsort(-sims)[:5].tolist())
+    assert set(got["vec_id"]) == expected
