@@ -39,15 +39,29 @@ def _headline_and_queries(sf_dir: str, num_cpus: int, n_turns: int) -> dict:
     rd.DataContext.get_current().enable_progress_bars = False
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import ray.data as rd
     from rdfa_ray.pipelines.flagship import run_flagship
     from rdfa_ray.sources.transcripts import transcripts_dataset
 
     out_dir = "/tmp/graft_bench/flagship_%d" % num_cpus
     shutil.rmtree(out_dir, ignore_errors=True)
 
-    # warm the page cache / JIT paths with a small untimed run
+    # The pipeline input contract is a Parquet transcripts table
+    # (BASELINE.json input_hint); generate it once, untimed, then time
+    # read_parquet -> pipeline.  (Also avoids Ray fusing the synthetic
+    # generator's tiny shard-spec blocks into the distiller's task
+    # bundling, which would serialize the whole stage.)
+    tdir = "/tmp/graft_bench/transcripts_%d" % n_turns
+    if not os.path.isdir(tdir) or not os.listdir(tdir):
+        shutil.rmtree(tdir, ignore_errors=True)
+        transcripts_dataset(n_turns, override_num_blocks=256).write_parquet(tdir)
+
+    def read_turns():
+        return rd.read_parquet(tdir, override_num_blocks=num_cpus * 4)
+
+    # warm the page cache / actor pools with a small untimed run
     run_flagship(
-        transcripts_dataset(2000, override_num_blocks=num_cpus * 2),
+        read_turns().limit(2000),
         "/tmp/graft_bench/warm_%d" % num_cpus,
         n_parts=num_cpus,
         resume=False,
@@ -56,7 +70,7 @@ def _headline_and_queries(sf_dir: str, num_cpus: int, n_turns: int) -> dict:
 
     t0 = time.time()
     summary = run_flagship(
-        transcripts_dataset(n_turns, override_num_blocks=num_cpus * 4),
+        read_turns(),
         out_dir,
         n_parts=max(32, num_cpus * 2),
         resume=False,
@@ -101,7 +115,9 @@ def _headline_and_queries(sf_dir: str, num_cpus: int, n_turns: int) -> dict:
 def main():
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-    n_turns = int(os.environ.get("GRAFT_BENCH_TURNS", "60000"))
+    # FIXTURES.md: n_turns ~ SF * 6M -> 600k at the sf0.1 bench scale
+    default_turns = "600000" if sf_dir.rstrip("/").endswith("0.1") else "60000"
+    n_turns = int(os.environ.get("GRAFT_BENCH_TURNS", default_turns))
 
     if "--scaling" in sys.argv:
         # identical job at two parallelism levels in fresh processes

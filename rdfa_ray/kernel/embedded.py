@@ -21,10 +21,24 @@ from __future__ import annotations
 import re
 from urllib.parse import urljoin
 
+from urllib.parse import urlsplit
+
 from ..dom.node import Element
 from ..rdf.terms import RDF_NS, XSD_NS, iri, literal
 from .context import ACCEPT_EMBEDDED_RDF_XML, ACCEPT_EMBEDDED_TURTLE
 from .literals import return_xml
+
+
+def _resolve_iri(base: str, ref: str) -> str:
+    """urljoin that keeps absolute IRIs untouched and preserves a
+    trailing '#'/'?' (Python's urljoin swallows empty fragments — the
+    same bug the reference works around at state.py:301-313)."""
+    if not base or urlsplit(ref)[0] != "":
+        return ref
+    joined = urljoin(base, ref)
+    if ref and ref[-1] in "#?" and (not joined or joined[-1] != ref[-1]):
+        joined += ref[-1]
+    return joined
 
 
 class EmbeddedParseError(Exception):
@@ -115,7 +129,7 @@ class _TurtleParser:
             raise EmbeddedParseError("expected %r, got %r" % (ch, val))
 
     def _resolve(self, ref: str):
-        return iri(urljoin(self.base, ref) if self.base else ref)
+        return iri(_resolve_iri(self.base, ref))
 
     def _pname_to_term(self, val: str):
         prefix, _, local = val.partition(":")
@@ -141,7 +155,7 @@ class _TurtleParser:
                 k3, v3 = self._next()
                 if k3 != "iri":
                     raise EmbeddedParseError("bad @prefix IRI")
-                self.prefixes[v2[:-1]] = urljoin(self.base, v3[1:-1]) if self.base else v3[1:-1]
+                self.prefixes[v2[:-1]] = _resolve_iri(self.base, v3[1:-1])
                 if val == "@prefix":
                     self._expect_punct(".")
                 continue
@@ -150,7 +164,7 @@ class _TurtleParser:
                 k2, v2 = self._next()
                 if k2 != "iri":
                     raise EmbeddedParseError("bad @base IRI")
-                self.base = urljoin(self.base, v2[1:-1]) if self.base else v2[1:-1]
+                self.base = _resolve_iri(self.base, v2[1:-1])
                 if val == "@base":
                     self._expect_punct(".")
                 continue
@@ -237,7 +251,7 @@ class _TurtleParser:
                 self._next()
                 k3, v3 = self._next()
                 if k3 == "iri":
-                    return literal(value, datatype=urljoin(self.base, v3[1:-1]) if self.base else v3[1:-1])
+                    return literal(value, datatype=_resolve_iri(self.base, v3[1:-1]))
                 if k3 == "pname":
                     dt = self._pname_to_term(v3)
                     return literal(value, datatype=dt[1])
@@ -294,7 +308,7 @@ class _RdfXmlParser:
         return el.tag
 
     def _resolve(self, ref: str):
-        return iri(urljoin(self.base, ref) if self.base else ref)
+        return iri(_resolve_iri(self.base, ref))
 
     def _nodeid(self, label: str):
         b = self.node_ids.get(label)

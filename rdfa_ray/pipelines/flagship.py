@@ -47,7 +47,9 @@ def build_triples(turns_ds, options_kwargs=None, concurrency=None, num_cpus=1):
         import ray
 
         cores = int(ray.cluster_resources().get("CPU", 8))
-        concurrency = (2, max(2, cores))
+        # min pool sized to ramp fast but leave CPUs for the read stage
+        # (a fixed pool of `cores` actors starves reads and deadlocks)
+        concurrency = (max(2, cores // 4), max(2, cores))
     return turns_ds.map_batches(_filter_nonempty, batch_format="pyarrow").map_batches(
         RdfaDistiller,
         fn_constructor_kwargs={"options_kwargs": options_kwargs or {}},

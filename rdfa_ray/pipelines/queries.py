@@ -129,6 +129,87 @@ def q_rdfa_flagship_synthetic(sf_dir: str):
     return canonicalize(augmented)
 
 
+def q_rdfa_embedded_turtle(sf_dir: str):
+    """Embedded <script type="text/turtle"> extraction (K11/S3)."""
+    from ..sources.transcripts import view_from_documents, wrap_documents_turtle
+
+    turns = view_from_documents(sf_dir, wrap_documents_turtle)
+    triples = build_triples(turns).map_batches(split_triples, batch_format="pyarrow")
+    return triples.select_columns(["subj", "pred", "obj_value", "obj_datatype"])
+
+
+def q_rdfa_embedded_svg(sf_dir: str):
+    """SVG host + embedded RDF/XML subtree (S4/K11)."""
+    from ..sources.transcripts import view_from_documents, wrap_documents_svg
+
+    turns = view_from_documents(sf_dir, wrap_documents_svg)
+    triples = build_triples(turns).map_batches(split_triples, batch_format="pyarrow")
+    return triples.select_columns(["subj", "pred", "obj_value"])
+
+
+def q_rdfa_10_literals(sf_dir: str):
+    """RDFa 1.0 path: @version gate, xmlns CURIEs, literal objects (K2/K9)."""
+    from ..sources.transcripts import view_from_documents, wrap_documents_rdfa10
+
+    turns = view_from_documents(sf_dir, wrap_documents_rdfa10)
+    triples = build_triples(turns).map_batches(split_triples, batch_format="pyarrow")
+    return triples.select_columns(["subj", "pred", "obj_value"])
+
+
+def q_rdfa_vocab_expansion(sf_dir: str):
+    """@vocab + config vocabulary graph + mini-OWL entailment (A3/A4)."""
+    from ..rdf.terms import iri
+    from ..sources.transcripts import view_from_documents, wrap_documents_vocab
+
+    vocab_graph = {
+        (
+            iri("http://vocab.local/name"),
+            iri("http://www.w3.org/2000/01/rdf-schema#subPropertyOf"),
+            iri("http://vocab.local/label"),
+        )
+    }
+    turns = view_from_documents(sf_dir, wrap_documents_vocab)
+    triples = build_triples(
+        turns,
+        options_kwargs={
+            "vocab_expansion": True,
+            "vocab_graphs": {"http://vocab.local/": vocab_graph},
+        },
+    ).map_batches(split_triples, batch_format="pyarrow")
+    return triples.select_columns(["subj", "pred", "obj_value"])
+
+
+def q_rdfa_distinct_triples(sf_dir: str):
+    """Multi-source union + global exact triple dedup (S6/A1): the same
+    source distilled twice, unioned, then distinct across the whole
+    dataset via a hash-partitioned groupby."""
+    turns = typed_transcripts_from_documents(sf_dir)
+    t1 = build_triples(turns).map_batches(split_triples, batch_format="pyarrow")
+    t2 = build_triples(typed_transcripts_from_documents(sf_dir)).map_batches(
+        split_triples, batch_format="pyarrow"
+    )
+    both = t1.union(t2).select_columns(["subj", "pred", "obj_value"])
+    return both.groupby(["subj", "pred", "obj_value"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+def q_rdfa_diagnostics_rollup(sf_dir: str):
+    """groupby(diagnostic class).count() with map-side combine (A5)."""
+    from ..stages.aggregate import diagnostics_rollup
+
+    turns = typed_transcripts_from_documents(sf_dir, with_broken=True)
+    diags = build_triples(turns).map_batches(split_diags, batch_format="pyarrow")
+    rolled = diagnostics_rollup(diags)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"dclass": batch.column("pred"), "n": batch.column("n")}
+        )
+
+    return rolled.map_batches(rename, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Relational operators
 
@@ -287,6 +368,12 @@ QUERIES = {
     "rdfa_entity_links": q_rdfa_entity_links,
     "rdfa_canonical_subjects": q_rdfa_canonical_subjects,
     "rdfa_flagship_synthetic": q_rdfa_flagship_synthetic,
+    "rdfa_embedded_turtle": q_rdfa_embedded_turtle,
+    "rdfa_embedded_svg": q_rdfa_embedded_svg,
+    "rdfa_10_literals": q_rdfa_10_literals,
+    "rdfa_vocab_expansion": q_rdfa_vocab_expansion,
+    "rdfa_distinct_triples": q_rdfa_distinct_triples,
+    "rdfa_diagnostics_rollup": q_rdfa_diagnostics_rollup,
     "lineitem_agg": q_lineitem_agg,
     "orders_by_segment": q_orders_by_segment,
     "top_orders": q_top_orders,
@@ -352,6 +439,43 @@ ORACLE_SQL = {
         " ELSE %s END AS subj, d.source AS obj_value "
         "FROM documents d LEFT JOIN aliases a ON a.i = d.doc_id %% 50"
         % (_alias_values_sql(), _SUBJ.replace("doc_id", "d.doc_id"))
+    ),
+    "rdfa_embedded_turtle": (
+        "SELECT %s AS subj, 'http://example.org/terms#charCount' AS pred,"
+        " CAST(n_chars AS VARCHAR) AS obj_value,"
+        " 'http://www.w3.org/2001/XMLSchema#integer' AS obj_datatype FROM documents"
+        % _SUBJ
+    ),
+    "rdfa_embedded_svg": (
+        "SELECT %s AS subj, 'http://purl.org/dc/terms/source' AS pred,"
+        " source AS obj_value FROM documents" % _SUBJ
+    ),
+    "rdfa_10_literals": (
+        "SELECT %s AS subj, 'http://purl.org/dc/elements/1.1/source' AS pred,"
+        " source AS obj_value FROM documents" % _SUBJ
+    ),
+    "rdfa_vocab_expansion": (
+        "SELECT subj, pred, obj_value FROM ("
+        "SELECT %s AS subj, 'http://vocab.local/name' AS pred, source AS obj_value"
+        " FROM documents "
+        "UNION ALL SELECT %s, 'http://vocab.local/label', source FROM documents "
+        "UNION ALL SELECT 'http://graft.local/conv/doc' || printf('%%08d', doc_id)"
+        " || '/turn/0', 'http://www.w3.org/ns/rdfa#usesVocabulary',"
+        " 'http://vocab.local/' FROM documents)" % (_SUBJ, _SUBJ)
+    ),
+    "rdfa_distinct_triples": (
+        "SELECT DISTINCT subj, pred, obj_value FROM ("
+        "SELECT %s AS subj, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,"
+        " 'http://schema.org/Document' AS obj_value FROM documents "
+        "UNION ALL SELECT %s, 'http://schema.org/inLanguage', lang FROM documents "
+        "UNION ALL SELECT %s, 'http://schema.org/source', source FROM documents "
+        "UNION ALL SELECT %s, 'http://schema.org/characterCount',"
+        " CAST(n_chars AS VARCHAR) FROM documents)"
+        % (_SUBJ, _SUBJ, _SUBJ, _SUBJ)
+    ),
+    "rdfa_diagnostics_rollup": (
+        "SELECT 'http://www.w3.org/ns/rdfa#UnresolvedCURIE' AS dclass,"
+        " COUNT(*) AS n FROM documents WHERE doc_id % 7 = 0"
     ),
     # money sums as integer cents: exact + order-independent (float sums
     # accumulated in different orders differ by eps across engines)

@@ -327,6 +327,80 @@ def wrap_documents_typed(batch: pa.Table, with_alias=False, with_broken=False) -
     return _mk_turn_rows(conv_ids, texts)
 
 
+def wrap_documents_turtle(batch: pa.Table) -> pa.Table:
+    """Embedded-Turtle view: one <script type="text/turtle"> per doc
+    yielding (<doc>, ex:charCount, n_chars^^xsd:integer)."""
+    conv_ids, texts = [], []
+    for doc_id, n_chars in zip(
+        batch.column("doc_id").to_pylist(), batch.column("n_chars").to_pylist()
+    ):
+        conv_ids.append("doc%08d" % doc_id)
+        texts.append(
+            '<script type="text/turtle">\n'
+            "@prefix ex: <http://example.org/terms#> .\n"
+            "<%s%d> ex:charCount %d .\n</script>" % (DOC_NS, doc_id, n_chars)
+        )
+    return _mk_turn_rows(conv_ids, texts)
+
+
+def wrap_documents_svg(batch: pa.Table) -> pa.Table:
+    """SVG + embedded RDF/XML view: (<doc>, dc:source, source)."""
+    conv_ids, texts = [], []
+    for doc_id, source in zip(
+        batch.column("doc_id").to_pylist(), batch.column("source").to_pylist()
+    ):
+        conv_ids.append("doc%08d" % doc_id)
+        texts.append(
+            '<svg xmlns="http://www.w3.org/2000/svg"><metadata>'
+            '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">'
+            '<rdf:Description rdf:about="%s%d" xmlns:dc="http://purl.org/dc/terms/">'
+            "<dc:source>%s</dc:source></rdf:Description></rdf:RDF></metadata></svg>"
+            % (DOC_NS, doc_id, source)
+        )
+    return _mk_turn_rows(conv_ids, texts)
+
+
+def wrap_documents_rdfa10(batch: pa.Table) -> pa.Table:
+    """RDFa 1.0 view (@version gate + xmlns CURIEs): (<doc>#r, dc11:source, source)."""
+    conv_ids, texts = [], []
+    for doc_id, source in zip(
+        batch.column("doc_id").to_pylist(), batch.column("source").to_pylist()
+    ):
+        conv_ids.append("doc%08d" % doc_id)
+        texts.append(
+            '<html version="RDFa 1.0" xmlns:dc="http://purl.org/dc/elements/1.1/">'
+            "<head><title>t</title></head>"
+            '<body><div about="%s%d"><span property="dc:source">%s</span></div>'
+            "</body></html>" % (DOC_NS, doc_id, source)
+        )
+    return _mk_turn_rows(conv_ids, texts)
+
+
+def wrap_documents_vocab(batch: pa.Table) -> pa.Table:
+    """@vocab view for vocab-expansion: (<doc>, v:name, source) with
+    vocab http://vocab.local/ -> rdfa:usesVocabulary triple."""
+    conv_ids, texts = [], []
+    for doc_id, source in zip(
+        batch.column("doc_id").to_pylist(), batch.column("source").to_pylist()
+    ):
+        conv_ids.append("doc%08d" % doc_id)
+        texts.append(
+            '<div vocab="http://vocab.local/" about="%s%d">'
+            '<span property="name">%s</span></div>' % (DOC_NS, doc_id, source)
+        )
+    return _mk_turn_rows(conv_ids, texts)
+
+
+def view_from_documents(sf_dir: str, wrapper):
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        "%s/documents.parquet" % sf_dir,
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    return ds.map_batches(wrapper, batch_format="pyarrow", batch_size=2048)
+
+
 def typed_transcripts_from_documents(sf_dir: str, with_alias=False, with_broken=False):
     import ray.data as rd
 

@@ -1,67 +1,97 @@
 """Canonicalization: rewrite linked subjects to canonical entity IRIs
-via a groupby-aggregate shuffle keyed by (graph, subj), with explicit
-salting support for hot keys (SURVEY.md §2.5 D2, §7.3).
+(SURVEY.md §2.5 D2, §7.3).
 
 Semantics (deterministic):
-  * For every (graph, subj) that has >=1 link row, the canonical IRI is
-    the entity of the best link (max score, ties broken by smallest
-    entity IRI).
-  * All triples of that subject are rewritten: subj -> canonical IRI,
-    and an ``owl:sameAs`` provenance triple is added when the original
-    subject was an IRI different from the canonical one (bnode subjects
-    are replaced silently — they were document-local).
-  * Object positions are NOT rewritten (documented deviation: objects
-    referencing a canonicalized subject are per-document bnodes/IRIs
-    whose rewrite would require a second join; left for the object
-    pass in pipelines that need it).
+  * For every (graph, subj) with >=1 link row, the canonical IRI is the
+    entity of the best link (max score, ties broken by smallest entity
+    IRI).
+  * All triples of that subject are rewritten subj -> canonical IRI;
+    an ``owl:sameAs`` provenance triple is added when the original
+    subject was a non-bnode IRI different from the canonical one
+    (bnode subjects are replaced silently — they were document-local).
+  * Object positions are NOT rewritten (documented deviation; a second
+    bucketed join keyed on (graph, obj_value) would add it).
 
-Scale note: the shuffle key includes ``graph`` (per-turn), so key
-cardinality is high and per-group size is small — the hot-entity skew
-appears *after* rewrite, in entity-level aggregations, which must use
-the pre-aggregation combiner in ``stages.aggregate``.
+Physical plan: an explicit partitioned hash join — both row kinds get
+``bucket = crc32(graph|subj) % B``; ``groupby(bucket)`` co-locates a
+subject's triples with its link evidence; inside each bucket the work
+is a VECTORIZED pandas merge (never per-(graph,subj) Python calls —
+group cardinality is ~rows/3, and per-group overhead dominated an
+earlier map_groups implementation).  Keys include the per-turn graph
+IRI, so bucket load is uniform; genuinely hot keys would be salted by
+raising B and sub-splitting (see stages.aggregate for the combiner
+alternative used for algebraic aggregates).
 """
 
 from __future__ import annotations
 
+import zlib
+
+import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 OWL_SAME_AS = "http://www.w3.org/2002/07/owl#sameAs"
 
+N_BUCKETS = 256
 
-_DROP = ["_row_kind", "entity", "score"]
+_DROP = ["_row_kind", "entity", "score", "bucket"]
 
 
-def _canonicalize_group(group: pd.DataFrame) -> pd.DataFrame:
-    links = group[group["_row_kind"] == "link"]
-    keep = group[group["_row_kind"] != "link"].copy()  # triples + diags
+def _add_bucket(batch: pa.Table, n_buckets: int) -> pa.Table:
+    graphs = batch.column("graph").to_pylist()
+    subjs = batch.column("subj").to_pylist()
+    buckets = [
+        zlib.crc32(("%s|%s" % (g, s)).encode()) % n_buckets
+        for g, s in zip(graphs, subjs)
+    ]
+    return batch.append_column("bucket", pa.array(buckets, pa.int32()))
+
+
+def _canonicalize_bucket(bucket_df: pd.DataFrame) -> pd.DataFrame:
+    links = bucket_df[bucket_df["_row_kind"] == "link"]
+    keep = bucket_df[bucket_df["_row_kind"] != "link"]
     if len(links) == 0:
         return keep.drop(columns=_DROP)
-    best = links.sort_values(["score", "entity"], ascending=[False, True]).iloc[0]
-    canonical = best["entity"]
-    triples_mask = keep["_row_kind"] == "triple"
-    if not triples_mask.any():
-        return keep.drop(columns=_DROP)
-    orig_subj = keep.loc[triples_mask, "subj"].iloc[0]
-    orig_kind = keep.loc[triples_mask, "subj_kind"].iloc[0]
-    keep.loc[triples_mask, "subj"] = canonical
-    keep.loc[triples_mask, "subj_kind"] = "iri"
-    out = keep.drop(columns=_DROP)
-    if orig_kind == "iri" and orig_subj != canonical:
-        prov = out[out["kind"] == "triple"].iloc[[0]].copy()
+
+    # best link per (graph, subj): max score, then smallest entity IRI
+    best = (
+        links.sort_values(["graph", "subj", "score", "entity"],
+                          ascending=[True, True, False, True])
+        .drop_duplicates(["graph", "subj"])[["graph", "subj", "entity"]]
+        .rename(columns={"entity": "_canonical"})
+    )
+
+    keep = keep.merge(best, on=["graph", "subj"], how="left")
+    matched = keep["_canonical"].notna() & (keep["_row_kind"] == "triple")
+
+    # provenance rows BEFORE rewriting (need the original subject)
+    prov_src = keep[
+        matched & (keep["subj_kind"] == "iri") & (keep["subj"] != keep["_canonical"])
+    ].drop_duplicates(["graph", "subj"])
+    prov = prov_src.copy()
+    if len(prov):
         prov["pred"] = OWL_SAME_AS
-        prov["obj_value"] = orig_subj
+        prov["obj_value"] = prov["subj"]
         prov["obj_kind"] = "iri"
         prov["obj_lang"] = None
         prov["obj_datatype"] = None
-        out = pd.concat([out, prov], ignore_index=True)
-    return out
+
+    keep.loc[matched, "subj"] = keep.loc[matched, "_canonical"]
+    keep.loc[matched, "subj_kind"] = "iri"
+    if len(prov):
+        prov["subj"] = prov["_canonical"]
+        prov["subj_kind"] = "iri"
+        keep = pd.concat([keep, prov], ignore_index=True)
+    return keep.drop(columns=_DROP + ["_canonical"])
 
 
-def canonicalize(augmented_ds):
-    """groupby((graph, subj)).map_groups over the AugmentingLinker output
-    — an explicit co-partitioned join of triples with their link
-    evidence.  Diag rows ride along untouched (their (graph, subj)
-    keys never collide with linked subjects)."""
-    return augmented_ds.groupby(["graph", "subj"]).map_groups(
-        _canonicalize_group, batch_format="pandas"
+def canonicalize(augmented_ds, n_buckets: int = N_BUCKETS):
+    """Bucketed vectorized join over the AugmentingLinker output.
+    Diag rows ride along untouched."""
+    bucketed = augmented_ds.map_batches(
+        lambda b: _add_bucket(b, n_buckets), batch_format="pyarrow"
+    )
+    return bucketed.groupby("bucket").map_groups(
+        _canonicalize_bucket, batch_format="pandas"
     )
