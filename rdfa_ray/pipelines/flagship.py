@@ -72,22 +72,6 @@ def _add_part(batch: pa.Table, n_parts: int) -> pa.Table:
     return batch.append_column("part", pa.array(parts, pa.int32()))
 
 
-def _nt_term(kind, value, lang, datatype):
-    if kind == "bnode":
-        return "_:%s" % value
-    if kind == "literal":
-        esc = (
-            value.replace("\\", "\\\\").replace('"', '\\"')
-            .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
-        )
-        if datatype:
-            return '"%s"^^<%s>' % (esc, datatype)
-        if lang:
-            return '"%s"@%s' % (esc, lang)
-        return '"%s"' % esc
-    return "<%s>" % value
-
-
 class PartitionWriter:
     """Per-partition atomic sink: parquet + N-Triples + manifest entry.
 
@@ -118,33 +102,47 @@ class PartitionWriter:
         pq.write_table(data, pq_tmp)
         os.replace(pq_tmp, pq_final)
 
-        kinds = data.column("kind").to_pylist()
-        lines = []
-        n_triples = n_diags = 0
-        subj = data.column("subj").to_pylist()
-        subj_kind = data.column("subj_kind").to_pylist()
-        pred = data.column("pred").to_pylist()
-        obj_value = data.column("obj_value").to_pylist()
-        obj_kind = data.column("obj_kind").to_pylist()
-        obj_lang = data.column("obj_lang").to_pylist()
-        obj_dt = data.column("obj_datatype").to_pylist()
-        graph = data.column("graph").to_pylist()
-        for i, k in enumerate(kinds):
-            if k != "triple":
-                n_diags += 1
-                continue
-            n_triples += 1
-            lines.append(
-                "%s %s %s <%s> ."
-                % (
-                    _nt_term(subj_kind[i], subj[i], None, None),
-                    "<%s>" % pred[i],
-                    _nt_term(obj_kind[i], obj_value[i], obj_lang[i], obj_dt[i]),
-                    graph[i],
-                )
+        # vectorized N-Quads formatting (pandas string kernels, no
+        # Python per-row loop — this is the hot path of the sink)
+        import numpy as np
+        import pandas as pd
+
+        df = data.to_pandas()
+        is_triple = df["kind"].to_numpy() == "triple"
+        n_triples = int(is_triple.sum())
+        n_diags = int(len(df) - n_triples)
+        t = df[is_triple]
+        if len(t):
+            subj_s = np.where(
+                t["subj_kind"].to_numpy() == "bnode",
+                "_:" + t["subj"],
+                "<" + t["subj"] + ">",
             )
-        lines.sort()
-        nt_text = "\n".join(lines) + ("\n" if lines else "")
+            ok = t["obj_kind"].to_numpy()
+            esc = (
+                t["obj_value"]
+                .str.replace("\\", "\\\\", regex=False)
+                .str.replace('"', '\\"', regex=False)
+                .str.replace("\n", "\\n", regex=False)
+                .str.replace("\r", "\\r", regex=False)
+                .str.replace("\t", "\\t", regex=False)
+            )
+            lang = t["obj_lang"].fillna("")
+            dt = t["obj_datatype"].fillna("")
+            lit = (
+                '"' + esc + '"'
+                + np.where(dt != "", "^^<" + dt + ">", np.where(lang != "", "@" + lang, ""))
+            )
+            obj_s = np.where(
+                ok == "literal", lit, np.where(ok == "bnode", "_:" + t["obj_value"], "<" + t["obj_value"] + ">")
+            )
+            lines = (
+                subj_s + " <" + t["pred"] + "> " + obj_s + " <" + t["graph"] + "> ."
+            )
+            arr = np.sort(lines.to_numpy())
+            nt_text = "\n".join(arr) + "\n"
+        else:
+            nt_text = ""
         nt_tmp = "%s/nt/part-%05d.nq.tmp" % (self.out_dir, part)
         nt_final = "%s/nt/part-%05d.nq" % (self.out_dir, part)
         with open(nt_tmp, "w") as f:
@@ -225,6 +223,7 @@ def run_flagship(
     if link:
         import ray
 
+        cores = int(ray.cluster_resources().get("CPU", 8))
         alias_ref = ray.put(build_alias_table())
         augmented = raw.map_batches(
             AugmentingLinker,
@@ -232,7 +231,7 @@ def run_flagship(
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=4096,
-            concurrency=(2, 8),
+            concurrency=(2, max(4, cores // 2)),
         )
         final = canonicalize(augmented)
     else:
