@@ -1,0 +1,85 @@
+"""CLI entry point — the engine's analogue of the reference's
+``scripts/localRDFa.py`` (getopt flags -> Options -> rdf_from_sources).
+
+    python -m rdfa_ray.cli --input /path/to/transcripts_parquet \
+        --output /tmp/kg_out [--parts 64] [--no-link] [--no-resume] \
+        [--rdfa-version 1.0] [--space-preserve/--no-space-preserve] \
+        [--no-embedded-rdf] [--check-lite] [--vocab-expansion] \
+        [--num-cpus N]
+
+Owns its Ray session (guarded init) — library code never calls
+ray.init (driver contract).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="rdfa_ray KG-construction pipeline")
+    p.add_argument("--input", required=True, help="transcripts parquet file/dir")
+    p.add_argument("--output", required=True, help="output directory")
+    p.add_argument("--parts", type=int, default=64)
+    p.add_argument("--no-link", action="store_true", help="skip entity linking/canonicalization")
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--rdfa-version", choices=["1.0", "1.1"], default=None)
+    p.add_argument("--no-space-preserve", action="store_true")
+    p.add_argument("--no-embedded-rdf", action="store_true")
+    p.add_argument("--check-lite", action="store_true")
+    p.add_argument("--vocab-expansion", action="store_true")
+    p.add_argument("--num-cpus", type=int, default=None)
+    args = p.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from rdfa_ray.pipelines.flagship import run_flagship
+
+    options_kwargs = {
+        "space_preserve": not args.no_space_preserve,
+        "embedded_rdf": not args.no_embedded_rdf,
+        "check_lite": args.check_lite,
+        "vocab_expansion": args.vocab_expansion,
+    }
+
+    turns = rd.read_parquet(args.input)
+    summary = run_flagship(
+        turns,
+        args.output,
+        n_parts=args.parts,
+        resume=not args.no_resume,
+        link=not args.no_link,
+        options_kwargs=options_kwargs,
+    )
+    print(
+        json.dumps(
+            {
+                "partitions_written": len(summary),
+                "rows": int(summary["rows"].sum()) if len(summary) else 0,
+                "triples": int(summary["triples"].sum()) if len(summary) else 0,
+                "diagnostics": int(summary["diagnostics"].sum()) if len(summary) else 0,
+                "output": args.output,
+            }
+        )
+    )
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

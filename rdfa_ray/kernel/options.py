@@ -69,3 +69,29 @@ class KernelOptions:
     def add_info(self, txt, info_type=None, node=None, buggy_value=None):
         if self.add_informational_messages:
             self.diagnostics.append(Diagnostic("info", info_type, txt, node))
+
+
+_SEVERITY_CLASS = {"error": RDFA_Error, "warning": RDFA_Warning, "info": RDFA_Info}
+_DC_NS = "http://purl.org/dc/terms/"
+
+
+def diagnostics_to_triples(diagnostics, bnodes):
+    """Render diagnostics as processor-graph RDF triples (reference
+    ``ProcessorGraph.add_triples``, options.py:41-112): a bnode typed
+    rdfa:{Error,Warning,Information} (+ the specific class) with a
+    dc:description.  The reference's wall-clock ``dc:date`` triple is
+    deliberately omitted — it would break run determinism (idempotent
+    Ray retries); the manifest carries run metadata instead."""
+    from ..rdf.terms import iri, literal
+
+    triples = set()
+    for d in diagnostics:
+        b = bnodes.new()
+        triples.add((b, iri("http://www.w3.org/1999/02/22-rdf-syntax-ns#type"),
+                     iri(_SEVERITY_CLASS[d.severity])))
+        if d.dclass:
+            triples.add((b, iri("http://www.w3.org/1999/02/22-rdf-syntax-ns#type"),
+                         iri(d.dclass)))
+        msg = "[In element '%s'] %s" % (d.node, d.message) if d.node else d.message
+        triples.add((b, iri(_DC_NS + "description"), literal(msg)))
+    return triples

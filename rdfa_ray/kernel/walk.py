@@ -445,3 +445,44 @@ def distill(
         options.add_error("RDFa processing failure: %s" % e, NonConformantMarkup)
 
     return graph, options.diagnostics
+
+
+def distill_rdfa10(text: str, base: str = "", options: KernelOptions | None = None):
+    """Pin RDFa 1.0 semantics regardless of in-content version markers —
+    the ``RDFa10Parser`` plugin variant (reference
+    rdflibparsers.py:183-208)."""
+    return distill(text, base=base, options=options, rdfa_version="1.0")
+
+
+def extract_hturtle(text: str, base: str = "", options: KernelOptions | None = None):
+    """Extract ONLY embedded ``<script type="text/turtle">`` content,
+    skipping all RDFa attribute processing — the ``HTurtleParser``
+    variant (reference rdflibparsers.py:273-351, which reuses the
+    walker skeleton but only runs the embedded-turtle branch)."""
+    from .embedded import parse_turtle
+    from .options import KernelOptions as KO
+    from .state import BnodeGen
+
+    options = options if options is not None else KO()
+    options.diagnostics = []
+    graph: set = set()
+    if "text/turtle" not in text:
+        return graph, options.diagnostics
+    try:
+        doc, host, version = parse_document(text)
+    except Exception as e:
+        options.add_error("Parse failure: %s" % e, NonConformantMarkup)
+        return graph, options.diagnostics
+    bnodes = BnodeGen()
+    for el in doc.root.iter_elements():
+        if el.tag.lower() == "script" and el.getAttribute("type") == "text/turtle":
+            content = "".join(c for c in el.children if not isinstance(c, Element))
+            content = content.replace("<![CDATA[", "").replace("]]>", "")
+            try:
+                graph |= parse_turtle(content, base, bnodes)
+            except Exception as e:
+                options.add_error(
+                    "Embedded Turtle content could not be parsed (problems with %s?); ignored"
+                    % e
+                )
+    return graph, options.diagnostics

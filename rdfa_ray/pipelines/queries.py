@@ -194,6 +194,48 @@ def q_rdfa_distinct_triples(sf_dir: str):
     )
 
 
+def q_rdfa_hturtle(sf_dir: str):
+    """HTurtleParser variant: turtle-only extraction, RDFa attributes
+    ignored (reference rdflibparsers.py:273-351)."""
+    from ..sources.transcripts import view_from_documents, wrap_documents_turtle
+    from ..stages.distill import RdfaDistiller
+    from .flagship import _filter_nonempty
+
+    turns = view_from_documents(sf_dir, wrap_documents_turtle)
+    triples = turns.map_batches(_filter_nonempty, batch_format="pyarrow").map_batches(
+        RdfaDistiller,
+        fn_constructor_kwargs={"mode": "hturtle"},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=512,
+        concurrency=(2, 4),
+    ).map_batches(split_triples, batch_format="pyarrow")
+    return triples.select_columns(["subj", "pred", "obj_value", "obj_datatype"])
+
+
+def q_rdfa_processor_graph(sf_dir: str):
+    """Processor-graph rdf:type class counts (A5: diagnostics rendered
+    as RDF; wall-clock dc:date omitted by design)."""
+    from ..kernel.options import _SEVERITY_CLASS
+
+    turns = typed_transcripts_from_documents(sf_dir, with_broken=True)
+    diags = build_triples(turns).map_batches(split_diags, batch_format="pyarrow")
+
+    def classes(batch: pa.Table) -> pa.Table:
+        out = []
+        for sev, dclass in zip(
+            batch.column("subj").to_pylist(), batch.column("pred").to_pylist()
+        ):
+            out.append(_SEVERITY_CLASS[sev])
+            if dclass:
+                out.append(dclass)
+        return pa.Table.from_pydict({"dclass": pa.array(out, pa.string())})
+
+    from ..stages.aggregate import salted_count
+
+    return salted_count(diags.map_batches(classes, batch_format="pyarrow"), "dclass")
+
+
 def q_rdfa_diagnostics_rollup(sf_dir: str):
     """groupby(diagnostic class).count() with map-side combine (A5)."""
     from ..stages.aggregate import diagnostics_rollup
@@ -374,6 +416,8 @@ QUERIES = {
     "rdfa_vocab_expansion": q_rdfa_vocab_expansion,
     "rdfa_distinct_triples": q_rdfa_distinct_triples,
     "rdfa_diagnostics_rollup": q_rdfa_diagnostics_rollup,
+    "rdfa_hturtle": q_rdfa_hturtle,
+    "rdfa_processor_graph": q_rdfa_processor_graph,
     "lineitem_agg": q_lineitem_agg,
     "orders_by_segment": q_orders_by_segment,
     "top_orders": q_top_orders,
@@ -476,6 +520,19 @@ ORACLE_SQL = {
     "rdfa_diagnostics_rollup": (
         "SELECT 'http://www.w3.org/ns/rdfa#UnresolvedCURIE' AS dclass,"
         " COUNT(*) AS n FROM documents WHERE doc_id % 7 = 0"
+    ),
+    "rdfa_hturtle": (
+        "SELECT %s AS subj, 'http://example.org/terms#charCount' AS pred,"
+        " CAST(n_chars AS VARCHAR) AS obj_value,"
+        " 'http://www.w3.org/2001/XMLSchema#integer' AS obj_datatype FROM documents"
+        % _SUBJ
+    ),
+    "rdfa_processor_graph": (
+        "SELECT dclass, n FROM ("
+        "SELECT 'http://www.w3.org/ns/rdfa#Warning' AS dclass, COUNT(*) AS n"
+        " FROM documents WHERE doc_id % 7 = 0 "
+        "UNION ALL SELECT 'http://www.w3.org/ns/rdfa#UnresolvedCURIE', COUNT(*)"
+        " FROM documents WHERE doc_id % 7 = 0)"
     ),
     # money sums as integer cents: exact + order-independent (float sums
     # accumulated in different orders differ by eps across engines)

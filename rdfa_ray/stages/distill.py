@@ -54,13 +54,30 @@ def graph_iri(conv_id: str, turn_idx: int) -> str:
 
 
 class RdfaDistiller:
-    """Actor: parses each turn's ``text`` and emits triple + diagnostic rows."""
+    """Actor: parses each turn's ``text`` and emits triple + diagnostic rows.
 
-    def __init__(self, options_kwargs: dict | None = None, vocab_graphs: dict | None = None):
+    ``mode``: "rdfa" (default), "rdfa10" (pin RDFa 1.0 — the
+    RDFa10Parser plugin variant) or "hturtle" (embedded-turtle-only —
+    the HTurtleParser variant); reference rdflibparsers.py:183-351.
+    """
+
+    def __init__(
+        self,
+        options_kwargs: dict | None = None,
+        vocab_graphs: dict | None = None,
+        mode: str = "rdfa",
+    ):
         kwargs = dict(options_kwargs or {})
         if vocab_graphs:
             kwargs["vocab_graphs"] = vocab_graphs
         self._options_kwargs = kwargs
+        if mode == "rdfa10":
+            from ..kernel.walk import distill_rdfa10 as _fn
+        elif mode == "hturtle":
+            from ..kernel.walk import extract_hturtle as _fn
+        else:
+            _fn = distill
+        self._distill = _fn
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         conv_ids = batch.column("conv_id").to_pylist()
@@ -75,7 +92,7 @@ class RdfaDistiller:
                 continue
             g_iri = graph_iri(conv_id, turn_idx)
             options = KernelOptions(**self._options_kwargs)
-            triples, diags = distill(text, base=g_iri, options=options)
+            triples, diags = self._distill(text, base=g_iri, options=options)
             for (s, p, o) in triples:
                 app["conv_id"](conv_id)
                 app["turn_idx"](turn_idx)

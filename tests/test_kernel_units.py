@@ -150,3 +150,33 @@ def test_malformed_never_crashes():
     ]
     for t in bad:
         g, d = distill(t, base=BASE)  # must not raise
+
+
+def test_rdfa10_pin_and_hturtle():
+    from rdfa_ray.kernel.walk import distill_rdfa10, extract_hturtle
+
+    doc = (
+        '<div about="#a" prefix="ex: http://e/"><span property="ex:p">a<b>x</b></span></div>'
+        '<script type="text/turtle">@prefix ex: <http://e/> . <#t> ex:q "v" .</script>'
+    )
+    # pinned 1.0: @prefix ignored, auto-XMLLiteral path; turtle still extracted
+    g10, d10 = distill_rdfa10(doc, base=BASE)
+    assert not any(p == iri("http://e/p") for (s, p, o) in g10)
+    assert (iri(BASE + "#t"), iri("http://e/q"), literal("v")) in g10
+    # hturtle-only: RDFa attributes ignored entirely
+    ght, dht = extract_hturtle(doc, base=BASE)
+    assert ght == {(iri(BASE + "#t"), iri("http://e/q"), literal("v"))}
+
+
+def test_processor_graph_triples():
+    from rdfa_ray.kernel.options import diagnostics_to_triples
+    from rdfa_ray.kernel.state import BnodeGen
+    from rdfa_ray.rdf.terms import IRI
+
+    g, d = distill('<div about="[undef:x]" property="ex:p">v</div>', base=BASE)
+    assert d
+    triples = diagnostics_to_triples(d, BnodeGen())
+    types = {o[1] for (s, p, o) in triples if p[1].endswith("#type")}
+    assert "http://www.w3.org/ns/rdfa#Warning" in types
+    assert "http://www.w3.org/ns/rdfa#UnresolvedCURIE" in types
+    assert any(p[1].endswith("description") for (s, p, o) in triples)
