@@ -3,17 +3,21 @@
     read_parquet(transcripts)                       [tasks]
       -> filter(text != "")                         [vectorized tasks]
       -> map_batches(RdfaDistiller actor pool)      [actors]
-      -> (links via broadcast-alias EntityLinker)   [actors]
-      -> canonicalize groupby((graph, subj))        [shuffle]
-      -> partitioned materialize: Parquet + N-Triples + manifest
-         (one atomic write per partition; resume skips finished parts)
+      -> links via broadcast-alias AugmentingLinker [actors]
+      -> groupby(part = hash(conv_id))              [the ONE shuffle]
+           fused per-partition task: vectorized canonicalization
+           (the conv-derived graph IRI co-locates each (graph, subj)
+           group with its link evidence) + atomic Parquet/N-Quads/
+           manifest write; resume skips finished partitions
 
 Engine analogue of the reference's whole CLI lifecycle
 (``/root/reference/pyRdfa/__init__.py:689-725`` ``rdf_from_sources`` +
 serialization), redesigned for streaming execution: nothing
-materializes the full dataset on the driver; the only all-to-all
-exchanges are the canonicalization groupby and the final partition-key
-shuffle (both documented in SURVEY.md §7.3).
+materializes the full dataset on the driver, and exactly one
+all-to-all exchange (partition-key groupby) feeds the fused
+canonicalize+materialize step (SURVEY.md §7.3).  The standalone
+``stages.canonicalize`` groupby remains available for pipelines whose
+canonicalization key does NOT align with the output partitioning.
 """
 
 from __future__ import annotations
@@ -30,7 +34,6 @@ import pyarrow.parquet as pq
 from ..sources.aliases import build_alias_table
 from ..stages.distill import DISTILL_BATCH_SIZE, RdfaDistiller
 from ..stages.link import AugmentingLinker
-from ..stages.canonicalize import canonicalize
 
 DEFAULT_PARTITIONS = 64
 
@@ -49,7 +52,7 @@ def build_triples(turns_ds, options_kwargs=None, concurrency=None, num_cpus=1):
         cores = int(ray.cluster_resources().get("CPU", 8))
         # min pool sized to ramp fast but leave CPUs for the read stage
         # (a fixed pool of `cores` actors starves reads and deadlocks)
-        concurrency = (max(2, cores // 4), max(2, cores))
+        concurrency = (max(2, cores // 2), max(2, cores))
     return turns_ds.map_batches(_filter_nonempty, batch_format="pyarrow").map_batches(
         RdfaDistiller,
         fn_constructor_kwargs={"options_kwargs": options_kwargs or {}},
@@ -80,18 +83,27 @@ class PartitionWriter:
     safety); returns the manifest row.
     """
 
-    def __init__(self, out_dir: str):
+    def __init__(self, out_dir: str, canonicalize_links: bool = False):
         self.out_dir = out_dir
+        self.canonicalize_links = canonicalize_links
 
     def __call__(self, group) -> pa.Table:
         import pandas as pd
 
-        if isinstance(group, pd.DataFrame):
-            table = pa.Table.from_pandas(group, preserve_index=False)
-        else:
-            table = group
-        part = int(table.column("part")[0].as_py())
-        data = table.drop_columns(["part"])
+        if not isinstance(group, pd.DataFrame):
+            group = group.to_pandas()
+        part = int(group["part"].iloc[0])
+        group = group.drop(columns=["part"])
+        if self.canonicalize_links:
+            # fused canonicalization: this partition holds every
+            # (graph, subj) group in full (partition key = conv hash;
+            # graph is conv-derived), so the vectorized bucket kernel
+            # applies directly
+            from ..stages.canonicalize import _canonicalize_bucket
+
+            group = _canonicalize_bucket(group)
+        table = pa.Table.from_pandas(group, preserve_index=False)
+        data = table
 
         os.makedirs("%s/parquet" % self.out_dir, exist_ok=True)
         os.makedirs("%s/nt" % self.out_dir, exist_ok=True)
@@ -225,7 +237,7 @@ def run_flagship(
 
         cores = int(ray.cluster_resources().get("CPU", 8))
         alias_ref = ray.put(build_alias_table())
-        augmented = raw.map_batches(
+        final = raw.map_batches(
             AugmentingLinker,
             fn_constructor_kwargs={"alias_ref": alias_ref},
             batch_format="pyarrow",
@@ -233,17 +245,21 @@ def run_flagship(
             batch_size=4096,
             concurrency=(2, max(4, cores // 2)),
         )
-        final = canonicalize(augmented)
     else:
         final = raw
 
+    # ONE all-to-all: partition by hash(conv_id).  The per-turn graph
+    # IRI is conv-derived, so this co-locates every (graph, subj) group
+    # with its link evidence; canonicalization runs inside the same
+    # per-partition task that writes the output — a fused
+    # canonicalize+materialize with a single shuffle (SURVEY §7.3).
     parted = final.map_batches(
         lambda b: _add_part(b, n_parts), batch_format="pyarrow"
     )
-    writer = PartitionWriter(out_dir)
+    writer = PartitionWriter(out_dir, canonicalize_links=link)
 
     def write_partition(group):
         return writer(group)
 
-    summary = parted.groupby("part").map_groups(write_partition, batch_format="pyarrow")
+    summary = parted.groupby("part").map_groups(write_partition, batch_format="pandas")
     return summary.to_pandas()

@@ -52,7 +52,7 @@ def _canonicalize_bucket(bucket_df: pd.DataFrame) -> pd.DataFrame:
     links = bucket_df[bucket_df["_row_kind"] == "link"]
     keep = bucket_df[bucket_df["_row_kind"] != "link"]
     if len(links) == 0:
-        return keep.drop(columns=_DROP)
+        return keep.drop(columns=_DROP, errors="ignore")
 
     # best link per (graph, subj): max score, then smallest entity IRI
     best = (
@@ -83,7 +83,7 @@ def _canonicalize_bucket(bucket_df: pd.DataFrame) -> pd.DataFrame:
         prov["subj"] = prov["_canonical"]
         prov["subj_kind"] = "iri"
         keep = pd.concat([keep, prov], ignore_index=True)
-    return keep.drop(columns=_DROP + ["_canonical"])
+    return keep.drop(columns=_DROP + ["_canonical"], errors="ignore")
 
 
 def canonicalize(augmented_ds, n_buckets: int = N_BUCKETS):
