@@ -57,7 +57,7 @@ def _headline_and_queries(sf_dir: str, num_cpus: int, n_turns: int) -> dict:
         transcripts_dataset(n_turns, override_num_blocks=256).write_parquet(tdir)
 
     def read_turns():
-        return rd.read_parquet(tdir, override_num_blocks=num_cpus * 4)
+        return rd.read_parquet(tdir, override_num_blocks=num_cpus * 8)
 
     # warm the page cache / actor pools with a small untimed run
     run_flagship(
@@ -69,10 +69,13 @@ def _headline_and_queries(sf_dir: str, num_cpus: int, n_turns: int) -> dict:
     shutil.rmtree("/tmp/graft_bench/warm_%d" % num_cpus, ignore_errors=True)
 
     t0 = time.time()
+    # fixed partition count at every parallelism level: the scaling
+    # comparison must run the IDENTICAL job, and a real deployment
+    # sizes partitions to the data (>> max cores), not to the cluster
     summary = run_flagship(
         read_turns(),
         out_dir,
-        n_parts=max(32, num_cpus * 2),
+        n_parts=256,
         resume=False,
     )
     headline = time.time() - t0

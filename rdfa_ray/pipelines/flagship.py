@@ -33,7 +33,7 @@ import pyarrow.parquet as pq
 
 from ..sources.aliases import build_alias_table
 from ..stages.distill import DISTILL_BATCH_SIZE, RdfaDistiller
-from ..stages.link import AugmentingLinker
+from ..stages.link import link_batch_augmenting
 
 DEFAULT_PARTITIONS = 64
 
@@ -44,16 +44,37 @@ def _filter_nonempty(batch: pa.Table) -> pa.Table:
     return batch.filter(mask)
 
 
-def build_triples(turns_ds, options_kwargs=None, concurrency=None, num_cpus=1):
-    """transcripts Dataset -> raw distiller output (triples + diags)."""
-    if concurrency is None:
+def build_triples(
+    turns_ds, options_kwargs=None, concurrency=None, num_cpus=1, use_actors=None
+):
+    """transcripts Dataset -> raw distiller output (triples + diags).
+
+    Default: elastic TASKS via ``distill_batch_task`` (see its
+    docstring for the measured scaling rationale).  Pass
+    ``use_actors=True`` (or a ``concurrency`` spec) for the actor-pool
+    variant — required when per-actor state is heavy (vocab graphs).
+    """
+    if use_actors is None:
+        use_actors = concurrency is not None
+    filtered = turns_ds.map_batches(_filter_nonempty, batch_format="pyarrow")
+    if not use_actors:
+        from ..stages.distill import distill_batch_task
+
+        return filtered.map_batches(
+            distill_batch_task,
+            fn_kwargs={"options_kwargs": options_kwargs or {}},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=4096,
+        )
+    if concurrency is None or isinstance(concurrency, bool):
         import ray
 
         cores = int(ray.cluster_resources().get("CPU", 8))
         # min pool sized to ramp fast but leave CPUs for the read stage
         # (a fixed pool of `cores` actors starves reads and deadlocks)
         concurrency = (max(2, cores // 2), max(2, cores))
-    return turns_ds.map_batches(_filter_nonempty, batch_format="pyarrow").map_batches(
+    return filtered.map_batches(
         RdfaDistiller,
         fn_constructor_kwargs={"options_kwargs": options_kwargs or {}},
         batch_format="pyarrow",
@@ -235,15 +256,17 @@ def run_flagship(
     if link:
         import ray
 
-        cores = int(ray.cluster_resources().get("CPU", 8))
         alias_ref = ray.put(build_alias_table())
+        # elastic TASKS (not an actor pool): the linker is cheap
+        # (~3.4 us/row) and an actor pool would reserve CPUs against
+        # the distiller pool; per-worker regex state is cached inside
+        # link_batch_augmenting
         final = raw.map_batches(
-            AugmentingLinker,
-            fn_constructor_kwargs={"alias_ref": alias_ref},
+            link_batch_augmenting,
+            fn_kwargs={"alias_ref": alias_ref},
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=4096,
-            concurrency=(2, max(4, cores // 2)),
         )
     else:
         final = raw

@@ -119,7 +119,7 @@ def q_rdfa_flagship_synthetic(sf_dir: str):
     turns = transcripts_dataset(n, override_num_blocks=8)
     triples = build_triples(turns)
     alias_ref = ray.put(build_alias_table())
-    augmented = turns_aug = triples.map_batches(
+    augmented = triples.map_batches(
         AugmentingLinker,
         fn_constructor_kwargs={"alias_ref": alias_ref},
         batch_format="pyarrow",

@@ -95,6 +95,23 @@ def link_triples(triples_ds, alias_table: dict, concurrency=(2, 8)):
     )
 
 
+_LINKER_CACHE: dict = {}
+
+
+def link_batch_augmenting(batch: pa.Table, alias_ref=None) -> pa.Table:
+    """Task-based AugmentingLinker: a plain function for elastic
+    map_batches tasks (an actor pool here would RESERVE CPUs and fight
+    the distiller pool for the node; the linker's per-task state — the
+    compiled alias regex — is cached per worker process instead)."""
+    key = alias_ref.hex() if hasattr(alias_ref, "hex") else id(alias_ref)
+    linker = _LINKER_CACHE.get(key)
+    if linker is None:
+        linker = AugmentingLinker(alias_ref=alias_ref)
+        _LINKER_CACHE.clear()
+        _LINKER_CACHE[key] = linker
+    return linker(batch)
+
+
 class AugmentingLinker(EntityLinker):
     """Single-pass variant: emits the INPUT rows (tagged with
     ``_row_kind``) plus the link rows in one unified schema, so the
