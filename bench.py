@@ -36,7 +36,13 @@ def _headline_and_queries(sf_dir: str, num_cpus: int, n_turns: int) -> dict:
     )
     import ray.data as rd
 
-    rd.DataContext.get_current().enable_progress_bars = False
+    ctx = rd.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    # Disable per-operator CPU reservations: with 4+ operators on a
+    # small local cluster the default 0.5 ratio fragments the CPU
+    # budget and caps the fused map stage at ~3 of 8 cores (measured);
+    # with 0.0 the streaming executor shares CPUs demand-driven.
+    ctx.op_resource_reservation_ratio = 0.0
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import ray.data as rd
@@ -57,7 +63,10 @@ def _headline_and_queries(sf_dir: str, num_cpus: int, n_turns: int) -> dict:
         transcripts_dataset(n_turns, override_num_blocks=256).write_parquet(tdir)
 
     def read_turns():
-        return rd.read_parquet(tdir, override_num_blocks=num_cpus * 8)
+        # fixed block count at every parallelism level: the scaling
+        # comparison runs the IDENTICAL job; 128 blocks measured best
+        # (more blocks -> per-task overhead, fewer -> stragglers)
+        return rd.read_parquet(tdir, override_num_blocks=128)
 
     # warm the page cache / actor pools with a small untimed run
     run_flagship(
