@@ -182,3 +182,30 @@ def test_ann_bruteforce_exact(ray_session):
     sims = normed @ normed[0]
     expected = set(np.argsort(-sims)[:5].tolist())
     assert set(got["vec_id"]) == expected
+
+
+def test_cosine_dup_pairs_planted(ray_session):
+    """The driver embeddings have no >=0.95 pairs (max cosine ~0.51), so
+    the embedding_dups query legitimately returns 0 rows there; prove
+    the LSH+verify path works on planted near-duplicates."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rdfa_ray.stages.ann import cosine_dup_pairs
+
+    rs = np.random.RandomState(9)
+    base = rs.randn(50, 16)
+    # plant: vec 50 = copy of 0, vec 51 = tiny perturbation of 1
+    planted = np.vstack([base, base[0], base[1] + 0.01 * rs.randn(16)])
+    embs = rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "vec_id": pa.array(range(len(planted)), pa.int64()),
+                "embedding": pa.array(planted.tolist(), pa.list_(pa.float32())),
+            }
+        )
+    )
+    got = cosine_dup_pairs(embs, threshold=0.95).to_pandas()
+    pairs = set(zip(got["a"], got["b"]))
+    assert (0, 50) in pairs and (1, 51) in pairs
