@@ -9,8 +9,9 @@ Semantics (deterministic):
     an ``owl:sameAs`` provenance triple is added when the original
     subject was a non-bnode IRI different from the canonical one
     (bnode subjects are replaced silently — they were document-local).
-  * Object positions are NOT rewritten (documented deviation; a second
-    bucketed join keyed on (graph, obj_value) would add it).
+  * Object positions referencing a canonicalized subject in the same
+    graph are rewritten too (a second vectorized merge keyed on
+    (graph, obj_value)), so intra-document edges stay consistent.
 
 Physical plan: an explicit partitioned hash join — both row kinds get
 ``bucket = crc32(graph|subj) % B``; ``groupby(bucket)`` co-locates a
@@ -39,12 +40,13 @@ _DROP = ["_row_kind", "entity", "score", "bucket"]
 
 
 def _add_bucket(batch: pa.Table, n_buckets: int) -> pa.Table:
+    # bucket by graph (per-turn document IRI): co-locates a document's
+    # whole triple set, which both the subject- and the object-position
+    # rewrites need; per-graph size is bounded by document size, so the
+    # key is uniform (hot ENTITIES only emerge after rewrite, in
+    # downstream aggregates — see stages.aggregate combiners)
     graphs = batch.column("graph").to_pylist()
-    subjs = batch.column("subj").to_pylist()
-    buckets = [
-        zlib.crc32(("%s|%s" % (g, s)).encode()) % n_buckets
-        for g, s in zip(graphs, subjs)
-    ]
+    buckets = [zlib.crc32(g.encode()) % n_buckets for g in graphs]
     return batch.append_column("bucket", pa.array(buckets, pa.int32()))
 
 
@@ -79,11 +81,26 @@ def _canonicalize_bucket(bucket_df: pd.DataFrame) -> pd.DataFrame:
 
     keep.loc[matched, "subj"] = keep.loc[matched, "_canonical"]
     keep.loc[matched, "subj_kind"] = "iri"
+
+    # object-position rewrite: references to a canonicalized subject
+    # (within the same graph — bnodes/IRIs are document-scoped, and the
+    # partition co-locates the whole graph) follow it to the canonical
+    # IRI, keeping intra-document edges consistent
+    obest = best.rename(columns={"subj": "obj_value", "_canonical": "_ocanon"})
+    keep = keep.merge(obest, on=["graph", "obj_value"], how="left")
+    omatched = (
+        keep["_ocanon"].notna()
+        & (keep["_row_kind"] == "triple")
+        & keep["obj_kind"].isin(["iri", "bnode"])
+    )
+    keep.loc[omatched, "obj_value"] = keep.loc[omatched, "_ocanon"]
+    keep.loc[omatched, "obj_kind"] = "iri"
+
     if len(prov):
         prov["subj"] = prov["_canonical"]
         prov["subj_kind"] = "iri"
         keep = pd.concat([keep, prov], ignore_index=True)
-    return keep.drop(columns=_DROP + ["_canonical"], errors="ignore")
+    return keep.drop(columns=_DROP + ["_canonical", "_ocanon"], errors="ignore")
 
 
 def canonicalize(augmented_ds, n_buckets: int = N_BUCKETS):

@@ -107,7 +107,8 @@ def test_linker_and_canonicalize(ray_session):
                 "role": ["user"],
                 "text": [
                     '<div about="http://x.org/s" property="http://schema.org/name">%s</div>'
-                    % surface
+                    '<div about="http://x.org/other" rel="http://schema.org/about" '
+                    'resource="http://x.org/s">ref</div>' % surface
                 ],
                 "tool": [""],
                 "ts": pa.array([0], pa.timestamp("us")),
@@ -125,9 +126,12 @@ def test_linker_and_canonicalize(ray_session):
     )
     result = canonicalize(augmented).to_pandas()
     trip = result[result["kind"] == "triple"]
-    assert set(trip["subj"]) == {entity_iri(3)}
+    assert entity_iri(3) in set(trip["subj"])
     same_as = trip[trip["pred"] == OWL_SAME_AS]
     assert len(same_as) == 1 and same_as["obj_value"].iloc[0] == "http://x.org/s"
+    # object position referencing the canonicalized subject follows it
+    ref_edge = trip[trip["pred"] == "http://schema.org/about"]
+    assert len(ref_edge) == 1 and ref_edge["obj_value"].iloc[0] == entity_iri(3)
 
 
 def test_dedup_and_text_stages(ray_session):
