@@ -46,7 +46,11 @@ def main(argv=None):
         )
     import ray.data as rd
 
-    rd.DataContext.get_current().enable_progress_bars = False
+    ctx = rd.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    # see bench.py: default per-operator CPU reservations fragment small
+    # local clusters and throttle the fused map stage
+    ctx.op_resource_reservation_ratio = 0.0
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from rdfa_ray.pipelines.flagship import run_flagship

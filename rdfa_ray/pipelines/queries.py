@@ -268,6 +268,56 @@ def q_orders_by_segment(sf_dir: str):
     return orders_by_segment(sf_dir)
 
 
+def q_join_bucketed(sf_dir: str):
+    """Partitioned hash join with BOTH sides as datasets (the
+    both-sides-large pattern) — same logical result as the broadcast
+    join, different physical plan."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.join import bucketed_hash_join
+
+    orders = rd.read_parquet(
+        "%s/orders.parquet" % sf_dir, columns=["o_custkey", "o_totalprice"]
+    )
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "total_cents",
+            pc.cast(
+                pc.round(
+                    pc.multiply(batch.column("o_totalprice"), 100.0),
+                    0,
+                    round_mode="half_towards_infinity",
+                ),
+                pa.int64(),
+            ),
+        )
+
+    orders = orders.map_batches(to_cents, batch_format="pyarrow").select_columns(
+        ["o_custkey", "total_cents"]
+    )
+    cust = rd.read_parquet(
+        "%s/customer.parquet" % sf_dir, columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda b: b.rename_columns(["o_custkey", "c_mktsegment"]),
+        batch_format="pyarrow",
+    )
+    joined = bucketed_hash_join(orders, cust, on="o_custkey", n_buckets=32)
+    agg = joined.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"), Sum("total_cents", alias_name="total_cents")
+    )
+
+    def cast_back(batch: pa.Table) -> pa.Table:
+        # null-padding in the join made the cents column nullable-float
+        idx = batch.schema.get_field_index("total_cents")
+        return batch.set_column(
+            idx, "total_cents", pc.cast(batch.column("total_cents"), pa.int64())
+        )
+
+    return agg.map_batches(cast_back, batch_format="pyarrow")
+
+
 def q_top_orders(sf_dir: str):
     from .relational import top_orders
 
@@ -420,6 +470,7 @@ QUERIES = {
     "rdfa_processor_graph": q_rdfa_processor_graph,
     "lineitem_agg": q_lineitem_agg,
     "orders_by_segment": q_orders_by_segment,
+    "join_bucketed": q_join_bucketed,
     "top_orders": q_top_orders,
     "sessionize_events": q_sessionize_events,
     "dedup_exact": q_dedup_exact,
@@ -548,6 +599,13 @@ ORACLE_SQL = {
         "FROM lineitem GROUP BY l_returnflag, l_linestatus"
     ),
     "orders_by_segment": (
+        "SELECT c.c_mktsegment AS c_mktsegment, COUNT(*) AS n_orders,"
+        " CAST(SUM(CAST(ROUND(o.o_totalprice * 100.0) AS BIGINT)) AS BIGINT)"
+        " AS total_cents "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+        "GROUP BY c.c_mktsegment"
+    ),
+    "join_bucketed": (
         "SELECT c.c_mktsegment AS c_mktsegment, COUNT(*) AS n_orders,"
         " CAST(SUM(CAST(ROUND(o.o_totalprice * 100.0) AS BIGINT)) AS BIGINT)"
         " AS total_cents "

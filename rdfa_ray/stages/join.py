@@ -1,0 +1,85 @@
+"""Generic joins for two large sides (neither broadcastable).
+
+The portable Ray Data pattern (no reliance on a version-specific
+``Dataset.join``): add ``__bucket = hash(key) % B`` to BOTH sides, tag
+the side, align the two schemas (null-padding), union, and hash-join
+each ``groupby(__bucket)`` group with a vectorized pandas merge.  B is
+sized so a bucket's build side fits a worker's heap; hot keys are
+handled by the uniform hash (raise B to sub-split further — each
+bucket's cost is O(rows_in_bucket)).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pandas as pd
+import pyarrow as pa
+
+
+def bucketed_hash_join(
+    left_ds,
+    right_ds,
+    on: str,
+    n_buckets: int = 64,
+    how: str = "inner",
+    suffix: str = "_r",
+):
+    """Join two Datasets on a single key column; right-side name
+    collisions (other than the key) get ``suffix``."""
+    left_schema = left_ds.schema()
+    right_schema = right_ds.schema()
+    left_cols = list(left_schema.names)
+    rename = {
+        c: (c + suffix if c in left_cols and c != on else c)
+        for c in right_schema.names
+    }
+    right_cols = [rename[c] for c in right_schema.names if c != on]
+    left_types = {n: t for n, t in zip(left_schema.names, left_schema.types)}
+    right_types = {
+        rename[n]: t for n, t in zip(right_schema.names, right_schema.types) if n != on
+    }
+    all_cols = left_cols + right_cols  # key stays in left position
+
+    def tag(side):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            keys = batch.column(on).to_pylist()
+            out = {}
+            if side == "l":
+                for c in left_cols:
+                    out[c] = batch.column(c)
+                for c in right_cols:
+                    out[c] = pa.nulls(n, right_types[c])
+            else:
+                for c in left_cols:
+                    if c == on:
+                        out[c] = batch.column(on)
+                    else:
+                        out[c] = pa.nulls(n, left_types[c])
+                inv = {v: k for k, v in rename.items()}
+                for c in right_cols:
+                    out[c] = batch.column(inv[c])
+            out["__bucket"] = pa.array(
+                [zlib.crc32(str(k).encode()) % n_buckets for k in keys], pa.int32()
+            )
+            out["__side"] = pa.array([side] * n)
+            return pa.Table.from_pydict(out)
+
+        return fn
+
+    tagged = left_ds.map_batches(tag("l"), batch_format="pyarrow").union(
+        right_ds.map_batches(tag("r"), batch_format="pyarrow")
+    )
+
+    join_cols_l = left_cols
+    join_cols_r = [on] + right_cols
+
+    def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        l = group[group["__side"] == "l"][join_cols_l]
+        r = group[group["__side"] == "r"][join_cols_r]
+        if len(l) == 0 or (len(r) == 0 and how == "inner"):
+            return pd.DataFrame(columns=all_cols)
+        return l.merge(r, on=on, how=how)
+
+    return tagged.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")

@@ -83,3 +83,37 @@ def test_adversarial_determinism_no_crash():
         for (s, p, o) in t1:
             assert p[0] == IRI  # predicates are never bnodes
             assert s[0] in ("iri", "bnode")
+
+
+def _gen_rel_chain(rng, counter, depth=0):
+    """Family B: rel-chains with incomplete triples — each
+    <div about=#X rel=ex:r> containing K direct subject-bearing
+    children yields exactly K (X, r, child) triples."""
+    counter[0] += 1
+    me = counter[0]
+    k = rng.randrange(1, 4)
+    children = []
+    expected = 0
+    for _ in range(k):
+        if depth < 3 and rng.random() < 0.4:
+            inner, c = _gen_rel_chain(rng, counter, depth + 1)
+            children.append(inner)
+            expected += 1 + c  # the child itself + its own rel triples
+        else:
+            counter[0] += 1
+            children.append('<span about="#s%d">leaf</span>' % counter[0])
+            expected += 1
+    return (
+        '<div about="#s%d" rel="ex:r">%s</div>' % (me, "".join(children)),
+        expected,
+    )
+
+
+def test_rel_chain_count_oracle():
+    for seed in range(20):
+        rng = random.Random(500 + seed)
+        body, n_rel = _gen_rel_chain(rng, [0])
+        doc = '<div prefix="ex: http://e/">%s</div>' % body
+        triples, diags = distill(doc, base=BASE)
+        got = [t for t in triples if t[1] == (IRI, "http://e/r")]
+        assert len(got) == n_rel, (seed, doc)
