@@ -330,6 +330,20 @@ def q_sessionize_events(sf_dir: str):
     return sessionize_events(sf_dir)
 
 
+def q_events_hourly(sf_dir: str):
+    from .relational import events_hourly
+
+    ds = events_hourly(sf_dir)
+
+    def cast_back(batch: pa.Table) -> pa.Table:
+        idx = batch.schema.get_field_index("value_milli")
+        return batch.set_column(
+            idx, "value_milli", pc.cast(batch.column("value_milli"), pa.int64())
+        )
+
+    return ds.map_batches(cast_back, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Training-data ops
 
@@ -473,6 +487,7 @@ QUERIES = {
     "join_bucketed": q_join_bucketed,
     "top_orders": q_top_orders,
     "sessionize_events": q_sessionize_events,
+    "events_hourly": q_events_hourly,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
@@ -622,6 +637,12 @@ ORACLE_SQL = {
         " COUNT(*) AS n_events FROM ("
         "SELECT user_id, epoch(ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts))"
         " AS gap FROM events) t GROUP BY user_id"
+    ),
+    "events_hourly": (
+        "SELECT CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,"
+        " event_type, COUNT(*) AS n_events,"
+        " CAST(SUM(CAST(ROUND(value * 1000.0) AS BIGINT)) AS BIGINT) AS value_milli "
+        "FROM events GROUP BY 1, 2"
     ),
     "dedup_exact": (
         "SELECT md5(text) AS h, MIN(doc_id) AS keeper, COUNT(*) AS n "

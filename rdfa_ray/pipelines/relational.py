@@ -103,6 +103,39 @@ def top_orders(sf_dir: str, k: int = 10):
     return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k)
 
 
+def events_hourly(sf_dir: str):
+    """Tumbling 1-hour windows per event type: vectorized window-key
+    derivation inside map_batches + grouped aggregate (the engine's
+    windowed-aggregate pattern; ordering-free because the window key is
+    content-derived)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(
+        "%s/events.parquet" % sf_dir, columns=["ts", "event_type", "value"]
+    )
+
+    def window_key(batch: pa.Table) -> pa.Table:
+        # floor to hour, expressed as epoch seconds (int64)
+        secs = pc.divide(pc.cast(batch.column("ts"), pa.int64()), 1_000_000)
+        hour = pc.multiply(pc.divide(secs, 3600), 3600)
+        batch = batch.append_column("window_start", pc.cast(hour, pa.int64()))
+        return batch.append_column(
+            "value_milli",
+            pc.cast(
+                pc.round(pc.multiply(batch.column("value"), 1000.0), 0,
+                         round_mode="half_towards_infinity"),
+                pa.int64(),
+            ),
+        )
+
+    return (
+        ds.map_batches(window_key, batch_format="pyarrow")
+        .groupby(["window_start", "event_type"])
+        .aggregate(Count(alias_name="n_events"), Sum("value_milli", alias_name="value_milli"))
+    )
+
+
 SESSION_GAP_S = 1800
 
 
