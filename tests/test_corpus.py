@@ -67,3 +67,17 @@ def test_determinism():
         t1, _, _, _ = run_fixture(name)
         t2, _, _, _ = run_fixture(name)
         assert t1 == t2
+
+
+def test_corpus_files_match_fixture_defs():
+    """The checked-in corpus files must be regenerated whenever
+    fixture_defs.py changes (python tests/gen_corpus.py)."""
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent))
+    from fixture_defs import BASE, FIXTURES
+
+    assert len(NAMES) == len(FIXTURES)
+    for name, markup, nt, meta in FIXTURES:
+        assert (CORPUS / f"{name}.html").read_text() == markup, name
+        assert (CORPUS / f"{name}.nt").read_text().rstrip("\n") == nt.rstrip("\n"), name

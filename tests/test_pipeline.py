@@ -213,3 +213,23 @@ def test_cosine_dup_pairs_planted(ray_session):
     got = cosine_dup_pairs(embs, threshold=0.95).to_pandas()
     pairs = set(zip(got["a"], got["b"]))
     assert (0, 50) in pairs and (1, 51) in pairs
+
+
+def test_bucketed_join_edges(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rdfa_ray.stages.join import bucketed_hash_join
+
+    left = rd.from_arrow(
+        pa.Table.from_pydict({"k": pa.array([1, 2, 3], pa.int64()), "lval": ["a", "b", "c"]})
+    )
+    right = rd.from_arrow(
+        pa.Table.from_pydict({"k": pa.array([2, 3, 4], pa.int64()), "rval": ["x", "y", "z"]})
+    )
+    inner = bucketed_hash_join(left, right, on="k", n_buckets=4).to_pandas()
+    assert sorted(zip(inner["k"], inner["lval"], inner["rval"])) == [
+        (2, "b", "x"), (3, "c", "y"),
+    ]
+    leftj = bucketed_hash_join(left, right, on="k", n_buckets=4, how="left").to_pandas()
+    assert len(leftj) == 3 and leftj[leftj["k"] == 1]["rval"].isna().all()
