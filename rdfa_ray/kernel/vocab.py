@@ -131,11 +131,11 @@ def process_rdfa_sem(graph: set, options) -> set:
         return graph
     prop_map, class_map = build_expansion_maps(vocab_graph)
     expanded = expand_data_graph(set(graph), prop_map, class_map)
-    # reference: add vocab triples, expand, then remove vocab triples
-    # (rdfs/process.py:293-299); with map-based expansion the schema
-    # triples never enter the data graph, so only the subtraction of any
-    # pre-existing overlap is needed.
-    expanded -= schema_closure(vocab_graph)
+    # reference: add vocab triples, expand, then remove ONLY the literal
+    # vocab triples it merged in (rdfs/process.py:293-299) — NOT their
+    # closure; a schema triple asserted by the document itself (even if
+    # derivable from the vocab) stays in the output.
+    expanded -= set(vocab_graph)
     graph.clear()
     graph |= expanded
     return graph

@@ -25,12 +25,16 @@ _RDFA_ATTRS_1_1 = (
 )
 _RDFA_ATTRS_1_0 = ("href", "resource", "about", "property", "rel", "rev", "typeof", "src")
 
-# substring fast-path: if none of these appear in the raw text, the
-# document cannot yield triples (engine analogue of the per-node
-# attribute skip, parse.py:133-137, lifted to the whole document).
+# substring fast-path: if none of these appear in the LOWERCASED raw
+# text, the document cannot yield triples (engine analogue of the
+# per-node attribute skip, parse.py:133-137, lifted to the whole
+# document).  Scanned against text.lower() with bare attribute names
+# (no '=' suffix): legal HTML allows uppercase attribute names and
+# whitespace around '=' — a false positive only costs one parse, a
+# false negative silently drops data.
 FASTPATH_MARKERS = (
-    "about", "resource", "typeof", "property", "rel=", "rev=", "vocab", "prefix",
-    "href", "src=", "role=", "text/turtle", "rdf:RDF", "datetime", "<time",
+    "about", "resource", "typeof", "property", "rel", "rev", "vocab", "prefix",
+    "href", "src", "role", "text/turtle", "rdf:rdf", "datetime", "<time",
 )
 
 
@@ -428,7 +432,8 @@ def distill(
     bnodes = BnodeGen()
 
     # whole-document fast path: no RDFa-ish markers -> no triples
-    if not any(marker in text for marker in FASTPATH_MARKERS):
+    low = text.lower()
+    if not any(marker in low for marker in FASTPATH_MARKERS):
         return graph, options.diagnostics
 
     try:
@@ -442,6 +447,9 @@ def distill(
     options.host_language = host_language if host_language is not None else sniffed_host
     from .context import REQUIRE_EMBEDDED_RDF
 
+    # options objects are reused across rows (hoisted to actor
+    # __init__); restore the host-driven embedded_rdf flip on exit
+    _embedded0 = options.embedded_rdf
     if options.host_language in REQUIRE_EMBEDDED_RDF:
         options.embedded_rdf = True
 
@@ -468,6 +476,7 @@ def distill(
     except Exception as e:  # never crash a batch; record and move on
         options.add_error("RDFa processing failure: %s" % e, NonConformantMarkup)
 
+    options.embedded_rdf = _embedded0
     return graph, options.diagnostics
 
 
@@ -490,7 +499,7 @@ def extract_hturtle(text: str, base: str = "", options: KernelOptions | None = N
     options = options if options is not None else KO()
     options.diagnostics = []
     graph: set = set()
-    if "text/turtle" not in text:
+    if "text/turtle" not in text.lower():
         return graph, options.diagnostics
     try:
         doc, host, version = parse_document(text)

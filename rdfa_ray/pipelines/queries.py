@@ -189,9 +189,9 @@ def q_rdfa_distinct_triples(sf_dir: str):
         split_triples, batch_format="pyarrow"
     )
     both = t1.union(t2).select_columns(["subj", "pred", "obj_value"])
-    return both.groupby(["subj", "pred", "obj_value"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    from ..stages.distinct import distinct
+
+    return distinct(both, ["subj", "pred", "obj_value"])
 
 
 def q_rdfa_hturtle(sf_dir: str):
@@ -369,7 +369,9 @@ def q_dedup_minhash(sf_dir: str):
         idx = batch.schema.get_field_index("jaccard")
         return batch.set_column(idx, "jaccard", pc.round(batch.column("jaccard"), 3))
 
-    return pairs.map_batches(round_j, batch_format="pyarrow")
+    return pairs.map_batches(round_j, batch_format="pyarrow").select_columns(
+        ["a", "b", "jaccard"]
+    )
 
 
 def q_dedup_simhash(sf_dir: str):
@@ -378,7 +380,7 @@ def q_dedup_simhash(sf_dir: str):
     from ..stages.dedup import simhash_dedup
 
     docs = rd.read_parquet("%s/documents.parquet" % sf_dir, columns=["doc_id", "text"])
-    return simhash_dedup(docs)
+    return simhash_dedup(docs).select_columns(["a", "b", "hamming"])
 
 
 def q_text_metrics(sf_dir: str):

@@ -73,9 +73,14 @@ def orders_by_segment(sf_dir: str):
             self.seg = ray.get(seg_map_ref)  # once per actor
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            keys = batch.column("o_custkey").to_pylist()
-            segs = [self.seg.get(k, "") for k in keys]
-            batch = batch.append_column("c_mktsegment", pa.array(segs))
+            # vectorized broadcast lookup (pandas hash-map join) — the
+            # per-row dict.get list-comp this replaces was the only
+            # Python inner loop in the plan
+            import pandas as pd
+
+            keys = batch.column("o_custkey").to_pandas()
+            segs = keys.map(self.seg).fillna("")
+            batch = batch.append_column("c_mktsegment", pa.array(segs, pa.string()))
             return batch.append_column(
                 "total_cents",
                 pc.cast(

@@ -391,13 +391,25 @@ def wrap_documents_vocab(batch: pa.Table) -> pa.Table:
     return _mk_turn_rows(conv_ids, texts)
 
 
-def view_from_documents(sf_dir: str, wrapper):
+# per-wrapper column needs: read ONLY what the view uses (a read that
+# loads all 5 document columns for a 2-column wrapper is wrong at scale)
+_WRAPPER_COLUMNS = {
+    "wrap_documents_turtle": ["doc_id", "n_chars"],
+    "wrap_documents_svg": ["doc_id", "source"],
+    "wrap_documents_rdfa10": ["doc_id", "source"],
+    "wrap_documents_vocab": ["doc_id", "source"],
+}
+
+
+def view_from_documents(sf_dir: str, wrapper, columns=None):
     import ray.data as rd
 
-    ds = rd.read_parquet(
-        "%s/documents.parquet" % sf_dir,
-        columns=["doc_id", "text", "lang", "source", "n_chars"],
-    )
+    if columns is None:
+        columns = _WRAPPER_COLUMNS.get(
+            getattr(wrapper, "__name__", ""),
+            ["doc_id", "text", "lang", "source", "n_chars"],
+        )
+    ds = rd.read_parquet("%s/documents.parquet" % sf_dir, columns=columns)
     return ds.map_batches(wrapper, batch_format="pyarrow", batch_size=2048)
 
 

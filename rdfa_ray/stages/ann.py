@@ -232,36 +232,70 @@ def cosine_dup_pairs(embeddings_ds, threshold: float = 0.95, n_planes: int = 16,
 
         return bucketer
 
-    import ray.data as rd
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame(
+            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+             "sim": pd.Series(dtype="float64"),
+             "pair_mode": pd.Series(dtype="string")}
+        )
+
+    def bucket_pairs(g: pd.DataFrame, cap: int = 100) -> pd.DataFrame:
+        """Pairs within ONE sign-LSH bucket (>=2 members)."""
+        ids = g["vec_id"].to_numpy()
+        m = _normalize(np.array(g["embedding"].tolist(), dtype=np.float64))
+        if len(ids) <= cap:
+            mode = "full"
+            sims = m @ m.T
+            ii, jj = np.triu_indices(len(ids), k=1)
+            hit = sims[ii, jj] >= threshold
+            a_out = ids[ii[hit]].tolist()
+            b_out = ids[jj[hit]].tolist()
+            s_out = sims[ii[hit], jj[hit]].tolist()
+        else:
+            # degenerate bucket: star-compare against the min vec_id
+            # (O(n), keeps every member connected to the group's keeper
+            # instead of silently truncating at `cap`)
+            mode = "star"
+            sims = m[1:] @ m[0]
+            hit = sims >= threshold
+            a_out = [int(ids[0])] * int(hit.sum())
+            b_out = ids[1:][hit].tolist()
+            s_out = sims[hit].tolist()
+        return pd.DataFrame(
+            {"a": a_out, "b": b_out, "sim": s_out,
+             "pair_mode": pd.Series([mode] * len(a_out), dtype="object")}
+        )
+
+    def pairs_block(group: pd.DataFrame) -> pd.DataFrame:
+        # one coarse group holds many LSH buckets; drop singletons
+        # vectorized, loop only over buckets that actually collide
+        g = group.drop_duplicates(["bucket", "vec_id"]).sort_values(["bucket", "vec_id"])
+        sizes = g.groupby("bucket")["vec_id"].transform("size")
+        g = g[sizes >= 2]
+        if len(g) == 0:
+            return _empty()
+        outs = [bucket_pairs(sub) for _, sub in g.groupby("bucket", sort=False)]
+        return pd.concat(outs, ignore_index=True)
 
     results = []
     for t in range(2):
         bucketed = embeddings_ds.map_batches(make_bucketer(t), batch_format="pyarrow")
 
-        def pairs(group: pd.DataFrame) -> pd.DataFrame:
-            g = group.drop_duplicates("vec_id").sort_values("vec_id").head(100)
-            ids = g["vec_id"].to_numpy()
-            if len(ids) < 2:
-                return pd.DataFrame(
-                    {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
-                     "sim": pd.Series(dtype="float64")}
-                )
-            m = _normalize(np.array(g["embedding"].tolist(), dtype=np.float64))
-            sims = m @ m.T
-            a_out, b_out, s_out = [], [], []
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    if sims[i, j] >= threshold:
-                        a_out.append(ids[i])
-                        b_out.append(ids[j])
-                        s_out.append(sims[i, j])
-            return pd.DataFrame({"a": a_out, "b": b_out, "sim": s_out})
+        def add_coarse(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            coarse = pc.cast(
+                pc.bit_wise_and(batch.column("bucket"), 63), pa.int32()
+            )
+            return batch.append_column("__g", coarse)
 
         results.append(
-            bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas")
+            bucketed.map_batches(add_coarse, batch_format="pyarrow")
+            .groupby("__g")
+            .map_groups(pairs_block, batch_format="pandas")
         )
 
+    from .distinct import distinct
+
     merged = results[0].union(results[1])
-    return merged.groupby(["a", "b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    return distinct(merged, ["a", "b"], extra=["sim", "pair_mode"])

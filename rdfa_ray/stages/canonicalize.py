@@ -26,8 +26,6 @@ alternative used for algebraic aggregates).
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -44,10 +42,14 @@ def _add_bucket(batch: pa.Table, n_buckets: int) -> pa.Table:
     # whole triple set, which both the subject- and the object-position
     # rewrites need; per-graph size is bounded by document size, so the
     # key is uniform (hot ENTITIES only emerge after rewrite, in
-    # downstream aggregates — see stages.aggregate combiners)
-    graphs = batch.column("graph").to_pylist()
-    buckets = [zlib.crc32(g.encode()) % n_buckets for g in graphs]
-    return batch.append_column("bucket", pa.array(buckets, pa.int32()))
+    # downstream aggregates — see stages.aggregate combiners).
+    # crc32 over batch-unique graphs (vectorized broadcast), identical
+    # assignment to the per-row list-comp it replaces.
+    from ..functions.hashing import crc32_bucket
+
+    return batch.append_column(
+        "bucket", crc32_bucket(batch.column("graph"), n_buckets)
+    )
 
 
 def _canonicalize_bucket(bucket_df: pd.DataFrame) -> pd.DataFrame:

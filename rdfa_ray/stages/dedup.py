@@ -114,18 +114,53 @@ class MinHasher:
         )
 
 
-def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+BUCKET_CAP = 50
+
+
+def _empty_pairs() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "a": pd.Series(dtype="int64"),
+            "b": pd.Series(dtype="int64"),
+            "pair_mode": pd.Series(dtype="string"),
+        }
+    )
+
+
+def _bucket_pairs(group: pd.DataFrame, cap: int = BUCKET_CAP) -> pd.DataFrame:
+    """Candidate pairs for one LSH bucket.
+
+    Small buckets emit all pairs (``pair_mode='full'``).  Degenerate
+    buckets (> cap ids — boilerplate-heavy corpora collapse whole
+    duplicate groups into one bucket) emit STAR pairs against the min
+    doc_id instead of truncating: O(n) rows, and every member stays
+    connected to the group's keeper, so duplicate-group recall is
+    preserved (round-1 truncated to the first 50 ids, silently
+    dropping docs 51+ from every bucket).  ``pair_mode='star'`` makes
+    the degradation observable downstream.
+    """
     ids = sorted(set(group["doc_id"]))
     if len(ids) < 2:
-        return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
-    a_out, b_out = [], []
-    # buckets are tiny (same 8-minhash band); cap degenerate buckets
-    ids = ids[:50]
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a_out.append(ids[i])
-            b_out.append(ids[j])
-    return pd.DataFrame({"a": a_out, "b": b_out})
+        return _empty_pairs()
+    if len(ids) <= cap:
+        a_out, b_out = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a_out.append(ids[i])
+                b_out.append(ids[j])
+        mode = "full"
+    else:
+        keeper = ids[0]
+        a_out = [keeper] * (len(ids) - 1)
+        b_out = ids[1:]
+        mode = "star"
+    return pd.DataFrame(
+        {
+            "a": pd.Series(a_out, dtype="int64"),
+            "b": pd.Series(b_out, dtype="int64"),
+            "pair_mode": pd.Series([mode] * len(a_out), dtype="object"),
+        }
+    )
 
 
 def jaccard(t1: str, t2: str, k: int = 3) -> float:
@@ -136,53 +171,87 @@ def jaccard(t1: str, t2: str, k: int = 3) -> float:
     return inter / (len(s1) + len(s2) - inter) if (s1 or s2) else 0.0
 
 
-def minhash_dedup(docs_ds, threshold: float = 0.8, concurrency=(2, 8)):
-    """Near-duplicate pairs (a, b, jaccard>=threshold).
+def minhash_dedup(docs_ds, threshold: float = 0.8, concurrency=(2, 8), n_buckets: int = 64):
+    """Near-duplicate pairs (a, b, jaccard >= threshold) — fully
+    distributed; nothing materializes on the driver.
 
-    shingle->minhash->band (actor pool) -> groupby(band, band_hash)
-    -> candidate pairs -> distinct -> exact-Jaccard verify with the
-    texts joined in via a broadcast of candidate ids (candidate sets
-    are small relative to the corpus; the verify re-reads only the
-    needed texts)."""
-    import ray
+    shingle -> minhash -> band rows (map_batches) -> groupby(band,
+    band_hash) candidate pairs (star-capped, see ``_bucket_pairs``) ->
+    distributed distinct on (a, b) -> candidate texts joined in via TWO
+    ``bucketed_hash_join`` passes (on ``a`` then ``b``) -> exact-Jaccard
+    verify inside ``map_batches``.  At 100-TB scale the candidate set is
+    O(corpus) — round-1's driver-side ``to_pandas()`` + whole-text
+    broadcast is exactly what this replaces.
+    """
+    from .distinct import distinct
+    from .join import bucketed_hash_join
+
+    from ..functions.hashing import crc32_bucket_concat
 
     banded = docs_ds.map_batches(
         MinHasher, batch_format="pyarrow", batch_size=1024, concurrency=concurrency
     )
+
+    # coarse-bucket the band rows (ONE shuffle, B groups) instead of
+    # grouping by (band, band_hash) directly — that would pay one
+    # Python map_groups call per LSH bucket (16 x n_docs groups, mostly
+    # singletons).  Inside a coarse group, singleton LSH buckets are
+    # dropped vectorized; the pair loop touches only colliding buckets
+    # (proportional to actual duplicates, not corpus size).
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__g", crc32_bucket_concat(batch, ["band", "band_hash"], n_buckets)
+        )
+
+    def pairs_block(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(["band", "band_hash", "doc_id"])
+        sizes = g.groupby(["band", "band_hash"])["doc_id"].transform("size")
+        g = g[sizes >= 2]
+        if len(g) == 0:
+            return _empty_pairs()
+        outs = [
+            _bucket_pairs(sub)
+            for _, sub in g.groupby(["band", "band_hash"], sort=False)
+        ]
+        return pd.concat(outs, ignore_index=True)
+
     pairs = (
-        banded.groupby(["band", "band_hash"])
-        .map_groups(_bucket_pairs, batch_format="pandas")
-        .groupby(["a", "b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        banded.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__g")
+        .map_groups(pairs_block, batch_format="pandas")
     )
+    # distinct on the pair key; 'full' deterministically preferred over
+    # 'star' when the same pair shows up in both kinds of bucket
+    pairs = distinct(pairs, ["a", "b"], n_buckets=n_buckets, extra=["pair_mode"])
 
-    # verify: broadcast texts of candidate ids only
-    cand = pairs.to_pandas()
-    if len(cand) == 0:
-        return pairs
-    needed = set(cand["a"]) | set(cand["b"])
-
-    def collect_texts(batch: pa.Table) -> pa.Table:
-        mask = pc.is_in(batch.column("doc_id"), value_set=pa.array(list(needed)))
-        return batch.filter(mask).select(["doc_id", "text"])
-
-    texts_df = docs_ds.map_batches(collect_texts, batch_format="pyarrow").to_pandas()
-    text_map = dict(zip(texts_df["doc_id"], texts_df["text"]))
-    text_ref = ray.put(text_map)
+    texts_a = docs_ds.map_batches(
+        lambda b: pa.Table.from_pydict(
+            {"a": b.column("doc_id"), "text_a": b.column("text")}
+        ),
+        batch_format="pyarrow",
+    )
+    texts_b = docs_ds.map_batches(
+        lambda b: pa.Table.from_pydict(
+            {"b": b.column("doc_id"), "text_b": b.column("text")}
+        ),
+        batch_format="pyarrow",
+    )
+    with_a = bucketed_hash_join(pairs, texts_a, on="a", n_buckets=n_buckets)
+    with_ab = bucketed_hash_join(with_a, texts_b, on="b", n_buckets=n_buckets)
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        tm = ray.get(text_ref)
         sims = [
-            jaccard(tm.get(a, ""), tm.get(b, ""))
-            for a, b in zip(batch["a"], batch["b"])
+            jaccard(ta, tb)
+            for ta, tb in zip(batch["text_a"], batch["text_b"])
         ]
         batch = batch.copy()
         batch["jaccard"] = sims
-        return batch[batch["jaccard"] >= threshold][["a", "b", "jaccard"]]
+        out = batch[batch["jaccard"] >= threshold]
+        return out[["a", "b", "jaccard", "pair_mode"]].astype(
+            {"a": "int64", "b": "int64"}
+        )
 
-    import ray.data as rd
-
-    return rd.from_pandas(cand).map_batches(verify, batch_format="pandas")
+    return with_ab.map_batches(verify, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -233,16 +302,30 @@ class SimHasher:
         )
 
 
-def _sim_pairs(group: pd.DataFrame, max_hamming: int = 3) -> pd.DataFrame:
+def _sim_pairs(group: pd.DataFrame, max_hamming: int = 3, cap: int = BUCKET_CAP) -> pd.DataFrame:
+    """Hamming-verified pairs for one simhash band bucket.  Oversized
+    buckets compare every id against the min doc_id only (star mode, no
+    silent truncation — same rationale as ``_bucket_pairs``)."""
     rows = group.drop_duplicates("doc_id").sort_values("doc_id")
-    ids = rows["doc_id"].tolist()[:50]
-    sims = rows["simhash"].tolist()[:50]
+    ids = rows["doc_id"].tolist()
+    sims = rows["simhash"].tolist()
     a_out, b_out, d_out = [], [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            d = bin(int(sims[i]) ^ int(sims[j])).count("1")
+    if len(ids) <= cap:
+        mode = "full"
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                d = bin(int(sims[i]) ^ int(sims[j])).count("1")
+                if d <= max_hamming:
+                    a_out.append(ids[i])
+                    b_out.append(ids[j])
+                    d_out.append(d)
+    else:
+        mode = "star"
+        s0 = int(sims[0])
+        for j in range(1, len(ids)):
+            d = bin(s0 ^ int(sims[j])).count("1")
             if d <= max_hamming:
-                a_out.append(ids[i])
+                a_out.append(ids[0])
                 b_out.append(ids[j])
                 d_out.append(d)
     return pd.DataFrame(
@@ -250,17 +333,43 @@ def _sim_pairs(group: pd.DataFrame, max_hamming: int = 3) -> pd.DataFrame:
             "a": pd.Series(a_out, dtype="int64"),
             "b": pd.Series(b_out, dtype="int64"),
             "hamming": pd.Series(d_out, dtype="int32"),
+            "pair_mode": pd.Series([mode] * len(a_out), dtype="object"),
         }
     )
 
 
-def simhash_dedup(docs_ds, max_hamming: int = 3, concurrency=(2, 8)):
+def simhash_dedup(docs_ds, max_hamming: int = 3, concurrency=(2, 8), n_buckets: int = 64):
+    from ..functions.hashing import crc32_bucket_concat
+    from .distinct import distinct
+
     banded = docs_ds.map_batches(
         SimHasher, batch_format="pyarrow", batch_size=1024, concurrency=concurrency
     )
-    pairs = banded.groupby(["band", "key"]).map_groups(
-        lambda g: _sim_pairs(g, max_hamming), batch_format="pandas"
+
+    # same coarse-bucket pattern as minhash_dedup: one shuffle into B
+    # groups, vectorized singleton drop, pair loop only over collisions
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__g", crc32_bucket_concat(batch, ["band", "key"], n_buckets)
+        )
+
+    def pairs_block(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(["band", "key", "doc_id"])
+        sizes = g.groupby(["band", "key"])["doc_id"].transform("size")
+        g = g[sizes >= 2]
+        if len(g) == 0:
+            return _sim_pairs(g.head(0), max_hamming)
+        outs = [
+            _sim_pairs(sub, max_hamming)
+            for _, sub in g.groupby(["band", "key"], sort=False)
+        ]
+        return pd.concat(outs, ignore_index=True)
+
+    pairs = (
+        banded.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__g")
+        .map_groups(pairs_block, batch_format="pandas")
     )
-    return pairs.groupby(["a", "b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    # distributed distinct on the pair key (was per-pair head(1));
+    # hamming rides along (identical for every occurrence of a pair)
+    return distinct(pairs, ["a", "b"], extra=["hamming", "pair_mode"])

@@ -71,6 +71,10 @@ class RdfaDistiller:
         if vocab_graphs:
             kwargs["vocab_graphs"] = vocab_graphs
         self._options_kwargs = kwargs
+        # one options object per actor, reused across rows (distill()
+        # resets diagnostics and restores embedded_rdf per document);
+        # round-1 rebuilt the dataclass inside the per-turn loop
+        self._options = KernelOptions(**kwargs)
         if mode == "rdfa10":
             from ..kernel.walk import distill_rdfa10 as _fn
         elif mode == "hturtle":
@@ -91,8 +95,7 @@ class RdfaDistiller:
             if not text:
                 continue
             g_iri = graph_iri(conv_id, turn_idx)
-            options = KernelOptions(**self._options_kwargs)
-            triples, diags = self._distill(text, base=g_iri, options=options)
+            triples, diags = self._distill(text, base=g_iri, options=self._options)
             for (s, p, o) in triples:
                 app["conv_id"](conv_id)
                 app["turn_idx"](turn_idx)

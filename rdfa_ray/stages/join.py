@@ -11,10 +11,24 @@ bucket's cost is O(rows_in_bucket)).
 
 from __future__ import annotations
 
-import zlib
-
 import pandas as pd
 import pyarrow as pa
+
+_PY_TO_PA = {str: pa.string(), int: pa.int64(), float: pa.float64(),
+             bool: pa.bool_(), bytes: pa.binary()}
+
+
+def _pa_type(t):
+    """Ray Schema.types may hold Python types (pandas-produced
+    datasets) instead of Arrow DataTypes; normalize."""
+    if isinstance(t, pa.DataType):
+        return t
+    if t in _PY_TO_PA:
+        return _PY_TO_PA[t]
+    try:
+        return pa.from_numpy_dtype(t)
+    except (TypeError, pa.ArrowNotImplementedError):
+        return pa.string()
 
 
 def bucketed_hash_join(
@@ -26,7 +40,16 @@ def bucketed_hash_join(
     suffix: str = "_r",
 ):
     """Join two Datasets on a single key column; right-side name
-    collisions (other than the key) get ``suffix``."""
+    collisions (other than the key) get ``suffix``.
+
+    Only ``how='inner'`` and ``how='left'`` are supported: any other
+    mode would silently drop right-side rows in buckets whose left
+    side is empty (the per-bucket early-out below).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            "bucketed_hash_join supports how='inner'/'left' only, got %r" % how
+        )
     left_schema = left_ds.schema()
     right_schema = right_ds.schema()
     left_cols = list(left_schema.names)
@@ -35,16 +58,19 @@ def bucketed_hash_join(
         for c in right_schema.names
     }
     right_cols = [rename[c] for c in right_schema.names if c != on]
-    left_types = {n: t for n, t in zip(left_schema.names, left_schema.types)}
+    left_types = {n: _pa_type(t) for n, t in zip(left_schema.names, left_schema.types)}
     right_types = {
-        rename[n]: t for n, t in zip(right_schema.names, right_schema.types) if n != on
+        rename[n]: _pa_type(t)
+        for n, t in zip(right_schema.names, right_schema.types)
+        if n != on
     }
     all_cols = left_cols + right_cols  # key stays in left position
 
     def tag(side):
         def fn(batch: pa.Table) -> pa.Table:
+            from ..functions.hashing import crc32_bucket
+
             n = batch.num_rows
-            keys = batch.column(on).to_pylist()
             out = {}
             if side == "l":
                 for c in left_cols:
@@ -60,9 +86,7 @@ def bucketed_hash_join(
                 inv = {v: k for k, v in rename.items()}
                 for c in right_cols:
                     out[c] = batch.column(inv[c])
-            out["__bucket"] = pa.array(
-                [zlib.crc32(str(k).encode()) % n_buckets for k in keys], pa.int32()
-            )
+            out["__bucket"] = crc32_bucket(batch.column(on), n_buckets)
             out["__side"] = pa.array([side] * n)
             return pa.Table.from_pydict(out)
 
@@ -75,11 +99,20 @@ def bucketed_hash_join(
     join_cols_l = left_cols
     join_cols_r = [on] + right_cols
 
+    # typed empty-frame template: an all-object empty DataFrame would
+    # risk Arrow schema-unification failures against typed groups
+    empty_template = pa.table(
+        {
+            c: pa.array([], type={**left_types, **right_types}[c])
+            for c in all_cols
+        }
+    ).to_pandas()
+
     def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
         l = group[group["__side"] == "l"][join_cols_l]
         r = group[group["__side"] == "r"][join_cols_r]
         if len(l) == 0 or (len(r) == 0 and how == "inner"):
-            return pd.DataFrame(columns=all_cols)
+            return empty_template.copy()
         return l.merge(r, on=on, how=how)
 
     return tagged.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")

@@ -41,6 +41,11 @@ class EntityLinker:
 
             alias_table = ray.get(alias_ref)
         self.aliases = alias_table
+        if not alias_table:
+            # an empty alternation would match the empty string between
+            # non-word chars and KeyError on aliases[''] — emit nothing
+            self.rx = None
+            return
         # longest-first so overlapping aliases match maximally
         pattern = "|".join(
             re.escape(a) for a in sorted(alias_table, key=len, reverse=True)
@@ -50,6 +55,10 @@ class EntityLinker:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        if self.rx is None:
+            return pa.Table.from_pydict(
+                {name: [] for name in LINKS_SCHEMA.names}, schema=LINKS_SCHEMA
+            )
         mask = pc.and_(
             pc.equal(batch.column("kind"), "triple"),
             pc.equal(batch.column("obj_kind"), "literal"),

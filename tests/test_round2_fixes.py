@@ -1,0 +1,219 @@
+"""Regression tests for the round-2 correctness/scale fixes
+(VERDICT.md "Next round" + ADVICE.md items)."""
+
+import zlib
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from rdfa_ray.functions.hashing import crc32_bucket, crc32_bucket_concat
+from rdfa_ray.kernel import KernelOptions, distill
+from rdfa_ray.kernel.walk import extract_hturtle
+from rdfa_ray.rdf.terms import iri
+
+
+# ---------------------------------------------------------------------------
+# ADVICE high: fast-path must not drop uppercase / spaced-attribute markup
+
+
+def test_fastpath_uppercase_attributes():
+    triples, _ = distill(
+        '<DIV VOCAB="http://schema.org/" ABOUT="#x">'
+        '<SPAN PROPERTY="name">Alpha</SPAN></DIV>',
+        base="http://b.example/",
+    )
+    assert any(p == iri("http://schema.org/name") for (_, p, _) in triples)
+
+
+def test_fastpath_spaced_equals():
+    # legal HTML: whitespace around '='; round-1 markers required 'rel='
+    triples, _ = distill(
+        '<div prefix = "cc: http://creativecommons.org/ns#" about = "#w">'
+        '<a rel = "cc:license" href = "http://l.example/x">l</a></div>',
+        base="http://b.example/",
+    )
+    assert any(p == iri("http://creativecommons.org/ns#license") for (_, p, _) in triples)
+
+
+def test_fastpath_uppercase_turtle_script():
+    # prefilter is case-insensitive; the attribute-value match itself
+    # stays case-sensitive (reference embeddedRDF.py semantics)
+    text = (
+        '<SCRIPT type="text/turtle">@prefix ex: <http://e/> .'
+        " <http://s/> ex:p 1 .</SCRIPT>"
+    )
+    triples, _ = extract_hturtle(text, base="http://b.example/")
+    assert len(triples) == 1
+
+
+def test_plain_prose_still_fastpaths():
+    triples, diags = distill("just some plain prose with no markup", base="http://b/")
+    assert triples == set() and diags == []
+
+
+# ---------------------------------------------------------------------------
+# ADVICE medium: join how-validation
+
+
+def test_bucketed_join_rejects_outer(ray_session):
+    import ray.data as rd
+
+    from rdfa_ray.stages.join import bucketed_hash_join
+
+    l = rd.from_items([{"k": 1, "x": "a"}])
+    r = rd.from_items([{"k": 1, "y": "b"}])
+    with pytest.raises(ValueError):
+        bucketed_hash_join(l, r, on="k", how="outer")
+
+
+# ---------------------------------------------------------------------------
+# ADVICE low: empty alias table must not crash the linker
+
+
+def test_entity_linker_empty_aliases():
+    from rdfa_ray.stages.link import EntityLinker
+
+    linker = EntityLinker(alias_table={})
+    batch = pa.Table.from_pydict(
+        {
+            "conv_id": ["c"], "turn_idx": pa.array([0], pa.int32()),
+            "kind": ["triple"], "subj": pa.array(["http://s/"], pa.large_string()),
+            "subj_kind": ["iri"], "pred": pa.array(["http://p/"], pa.large_string()),
+            "obj_value": pa.array(["Hello, world! (punctuated)"], pa.large_string()),
+            "obj_kind": ["literal"], "obj_lang": pa.array([None], pa.string()),
+            "obj_datatype": pa.array([None], pa.string()), "graph": ["g"],
+        }
+    )
+    out = linker(batch)
+    assert out.num_rows == 0
+
+
+# ---------------------------------------------------------------------------
+# ADVICE low: vocab expansion keeps document-asserted schema triples
+
+
+def test_vocab_expansion_keeps_doc_asserted_schema_triple():
+    from rdfa_ray.kernel.vocab import SUB_PROP, USES_VOCAB, process_rdfa_sem
+
+    p1, p2, p3 = iri("http://v/p1"), iri("http://v/p2"), iri("http://v/p3")
+    vocab = {(p1, SUB_PROP, p2), (p2, SUB_PROP, p3)}
+    opts = KernelOptions(vocab_expansion=True, vocab_graphs={"http://v/": vocab})
+    opts.diagnostics = []
+    s = iri("http://d/s")
+    # the document asserts (p1 subPropertyOf p3) — derivable from the
+    # vocab closure, but NOT a vocab triple: it must survive
+    graph = {
+        (s, USES_VOCAB, iri("http://v/")),
+        (s, p1, iri("http://d/o")),
+        (p1, SUB_PROP, p3),
+    }
+    out = process_rdfa_sem(graph, opts)
+    assert (p1, SUB_PROP, p3) in out
+    # expansion itself still runs: p1 edge implies p2 and p3 edges
+    assert (s, p2, iri("http://d/o")) in out
+    assert (s, p3, iri("http://d/o")) in out
+
+
+# ---------------------------------------------------------------------------
+# vectorized bucket keys: bit-identical to the per-row crc32 list-comp
+
+
+def test_crc32_bucket_matches_per_row():
+    vals = ["conv%08d" % (i % 7) for i in range(100)] + [""]
+    col = pa.array(vals)
+    got = crc32_bucket(col, 64).to_pylist()
+    want = [zlib.crc32(v.encode()) % 64 for v in vals]
+    assert got == want
+
+
+def test_crc32_bucket_int_matches_str_of():
+    col = pa.array([1, 22, 333], pa.int64())
+    got = crc32_bucket(col, 16).to_pylist()
+    want = [zlib.crc32(str(v).encode()) % 16 for v in [1, 22, 333]]
+    assert got == want
+
+
+def test_crc32_bucket_concat_deterministic():
+    t = pa.table({"a": ["x", "y"], "b": [1, 2]})
+    one = crc32_bucket_concat(t, ["a", "b"], 32).to_pylist()
+    two = crc32_bucket_concat(t, ["a", "b"], 32).to_pylist()
+    assert one == two and len(one) == 2
+
+
+# ---------------------------------------------------------------------------
+# distributed distinct helper
+
+
+def test_distinct_matches_set(ray_session):
+    import ray.data as rd
+
+    from rdfa_ray.stages.distinct import distinct
+
+    rows = [{"x": "k%d" % (i % 13), "y": i % 5} for i in range(200)]
+    ds = rd.from_items(rows, override_num_blocks=8)
+    got = distinct(ds, ["x", "y"]).to_pandas()
+    want = {(r["x"], r["y"]) for r in rows}
+    assert set(zip(got["x"], got["y"])) == want
+    assert len(got) == len(want)
+
+
+def test_distinct_extra_min_semantics(ray_session):
+    import ray.data as rd
+
+    from rdfa_ray.stages.distinct import distinct
+
+    rows = [
+        {"k": "a", "m": "star"},
+        {"k": "a", "m": "full"},
+        {"k": "b", "m": "star"},
+    ]
+    ds = rd.from_items(rows, override_num_blocks=3)
+    got = distinct(ds, ["k"], extra=["m"]).to_pandas().sort_values("k")
+    assert list(got["k"]) == ["a", "b"]
+    assert list(got["m"]) == ["full", "star"]  # 'full' < 'star' wins
+
+
+# ---------------------------------------------------------------------------
+# star pairs for degenerate LSH buckets (no silent truncation)
+
+
+def test_bucket_pairs_star_mode_covers_all_ids():
+    from rdfa_ray.stages.dedup import BUCKET_CAP, _bucket_pairs
+
+    n = BUCKET_CAP + 25
+    group = pd.DataFrame({"doc_id": list(range(n))})
+    out = _bucket_pairs(group)
+    assert set(out["pair_mode"]) == {"star"}
+    assert len(out) == n - 1  # O(n), not O(n^2), and nobody dropped
+    assert set(out["b"]) == set(range(1, n))
+    assert (out["a"] == 0).all()
+
+
+def test_bucket_pairs_full_mode_small_bucket():
+    from rdfa_ray.stages.dedup import _bucket_pairs
+
+    out = _bucket_pairs(pd.DataFrame({"doc_id": [3, 1, 2]}))
+    assert set(out["pair_mode"]) == {"full"}
+    assert set(zip(out["a"], out["b"])) == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_minhash_dedup_large_duplicate_group(ray_session):
+    """60 identical docs (> BUCKET_CAP): every doc must stay connected
+    to the keeper — round-1 truncated docs 51+ out of every bucket."""
+    import ray.data as rd
+
+    from rdfa_ray.stages.dedup import minhash_dedup
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [{"doc_id": i, "text": text} for i in range(60)]
+    rows += [{"doc_id": 1000 + i, "text": "totally different content %d here" % i}
+             for i in range(20)]
+    ds = rd.from_items(rows, override_num_blocks=4)
+    pairs = minhash_dedup(ds, threshold=0.8).to_pandas()
+    linked = set(pairs["a"]) | set(pairs["b"])
+    assert set(range(60)) <= linked
+    assert (pairs["jaccard"] >= 0.8).all()
+    assert "star" in set(pairs["pair_mode"])
+    # no unrelated doc got pulled in
+    assert not ({1000 + i for i in range(20)} & linked)
