@@ -36,9 +36,6 @@ from ..sources.aliases import build_alias_table
 from ..stages.distill import DISTILL_BATCH_SIZE, RdfaDistiller
 from ..stages.link import link_batch_augmenting
 
-DEFAULT_PARTITIONS = 64
-
-
 def _filter_nonempty(batch: pa.Table) -> pa.Table:
     text = batch.column("text")
     mask = pc.and_(text.is_valid(), pc.not_equal(text, ""))
@@ -125,8 +122,7 @@ class PartitionWriter:
             from ..stages.canonicalize import _canonicalize_bucket
 
             group = _canonicalize_bucket(group)
-        table = pa.Table.from_pandas(group, preserve_index=False)
-        data = table
+        data = pa.Table.from_pandas(group, preserve_index=False)
 
         os.makedirs("%s/parquet" % self.out_dir, exist_ok=True)
         os.makedirs("%s/nt" % self.out_dir, exist_ok=True)
@@ -137,45 +133,19 @@ class PartitionWriter:
         pq.write_table(data, pq_tmp)
         os.replace(pq_tmp, pq_final)
 
-        # vectorized N-Quads formatting (pandas string kernels, no
-        # Python per-row loop — this is the hot path of the sink)
-        import numpy as np
-        import pandas as pd
+        # N-Quads formatting straight from Arrow (pyarrow.compute
+        # kernels — no pandas round-trip, no per-row Python; this is
+        # the hot path of the sink)
+        from ..rdf.ntriples import nquads_lines_arrow
 
-        df = data.to_pandas()
-        is_triple = df["kind"].to_numpy() == "triple"
-        n_triples = int(is_triple.sum())
-        n_diags = int(len(df) - n_triples)
-        t = df[is_triple]
-        if len(t):
-            subj_s = np.where(
-                t["subj_kind"].to_numpy() == "bnode",
-                "_:" + t["subj"],
-                "<" + t["subj"] + ">",
-            )
-            ok = t["obj_kind"].to_numpy()
-            esc = (
-                t["obj_value"]
-                .str.replace("\\", "\\\\", regex=False)
-                .str.replace('"', '\\"', regex=False)
-                .str.replace("\n", "\\n", regex=False)
-                .str.replace("\r", "\\r", regex=False)
-                .str.replace("\t", "\\t", regex=False)
-            )
-            lang = t["obj_lang"].fillna("")
-            dt = t["obj_datatype"].fillna("")
-            lit = (
-                '"' + esc + '"'
-                + np.where(dt != "", "^^<" + dt + ">", np.where(lang != "", "@" + lang, ""))
-            )
-            obj_s = np.where(
-                ok == "literal", lit, np.where(ok == "bnode", "_:" + t["obj_value"], "<" + t["obj_value"] + ">")
-            )
-            lines = (
-                subj_s + " <" + t["pred"] + "> " + obj_s + " <" + t["graph"] + "> ."
-            )
-            arr = np.sort(lines.to_numpy())
-            nt_text = "\n".join(arr) + "\n"
+        is_triple = pc.equal(data.column("kind"), "triple")
+        t = data.filter(is_triple)
+        n_triples = t.num_rows
+        n_diags = data.num_rows - n_triples
+        if n_triples:
+            lines = nquads_lines_arrow(t)
+            lines = lines.take(pc.sort_indices(lines))
+            nt_text = "\n".join(lines.to_pylist()) + "\n"
         else:
             nt_text = ""
         nt_tmp = "%s/nt/part-%05d.nq.tmp" % (self.out_dir, part)
@@ -219,28 +189,86 @@ def completed_parts(out_dir: str) -> set[int]:
         return set()
     done = set()
     for name in os.listdir(mdir):
-        if name.endswith(".json"):
+        if name.endswith(".json") and name != "meta.json":
             with open(os.path.join(mdir, name)) as f:
                 done.add(json.load(f)["part"])
     return done
 
 
+# partition sizing: bounded rows per output partition regardless of
+# input size — a fixed partition count OOMs the writer task when the
+# input grows 100x (round-1 finding: whole-partition materialization
+# with n_parts=64)
+DEFAULT_TURNS_PER_PARTITION = 25_000
+MIN_PARTITIONS = 16
+MAX_PARTITIONS = 65_536
+
+
+def _run_meta_path(out_dir: str) -> str:
+    return "%s/_manifest/meta.json" % out_dir
+
+
+def load_run_meta(out_dir: str) -> dict | None:
+    path = _run_meta_path(out_dir)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def _write_run_meta(out_dir: str, meta: dict):
+    os.makedirs("%s/_manifest" % out_dir, exist_ok=True)
+    tmp = _run_meta_path(out_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, _run_meta_path(out_dir))
+
+
+def resolve_n_parts(turns_ds, out_dir, n_parts, resume, rows_per_partition):
+    """Pick the partition count and pin it in the run manifest.
+
+    Resume REQUIRES the same n_parts as the original run (part ids are
+    conv-hash % n_parts); a pinned meta.json wins over both the
+    argument and the count-based estimate.  Fresh runs with
+    n_parts=None size from ``turns_ds.count()`` (metadata-only for
+    parquet inputs) so each partition stays bounded at
+    ``rows_per_partition`` turns.
+    """
+    meta = load_run_meta(out_dir) if resume else None
+    if meta is not None:
+        return int(meta["n_parts"])
+    if n_parts is None:
+        n_turns = turns_ds.count()
+        n_parts = -(-n_turns // rows_per_partition)
+        n_parts = max(MIN_PARTITIONS, min(MAX_PARTITIONS, n_parts))
+    _write_run_meta(out_dir, {"n_parts": int(n_parts)})
+    return int(n_parts)
+
+
 def run_flagship(
     turns_ds,
     out_dir: str,
-    n_parts: int = DEFAULT_PARTITIONS,
+    n_parts: int | None = None,
     resume: bool = True,
     link: bool = True,
     options_kwargs=None,
     concurrency=None,
+    rows_per_partition: int = DEFAULT_TURNS_PER_PARTITION,
 ):
     """Run the full pipeline; returns the manifest summary as pandas.
+
+    ``n_parts=None`` sizes partitions from the input so each writer
+    task holds a bounded slice (``rows_per_partition`` turns); the
+    chosen count is pinned in ``_manifest/meta.json`` and reused on
+    resume (part ids are conv-hash % n_parts — they must not change
+    between runs).
 
     Resume: partitions listed in ``out_dir/_manifest`` are complete
     (they were written atomically); their conversations are filtered
     OUT of the input before any expensive work happens, so a rerun
     only processes the missing key ranges.
     """
+    n_parts = resolve_n_parts(turns_ds, out_dir, n_parts, resume, rows_per_partition)
     done = completed_parts(out_dir) if resume else set()
 
     def drop_done(batch: pa.Table) -> pa.Table:

@@ -62,6 +62,72 @@ def graph_to_ntriples(triples) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Vectorized N-Quads formatting from an Arrow triples table (the
+# flagship sink's hot path — no pandas round-trip, no per-row Python).
+
+
+def _ls(s: str):
+    import pyarrow as pa
+
+    return pa.scalar(s, pa.large_string())
+
+
+def nquads_lines_arrow(table):
+    """``pa.Table`` (subj, subj_kind, pred, obj_value, obj_kind,
+    obj_lang, obj_datatype, graph) -> large_string array of N-Quads
+    lines, one per row, unsorted.  Pure pyarrow.compute kernels."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def col(name):
+        c = table.column(name)
+        c = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+        if not pa.types.is_large_string(c.type):
+            c = pc.cast(c, pa.large_string())
+        return c
+
+    subj, subj_kind = col("subj"), col("subj_kind")
+    pred, graph = col("pred"), col("graph")
+    ov, ok = col("obj_value"), col("obj_kind")
+    lang = pc.fill_null(col("obj_lang"), "")
+    dt = pc.fill_null(col("obj_datatype"), "")
+    sep = _ls("")
+
+    subj_s = pc.if_else(
+        pc.equal(subj_kind, "bnode"),
+        pc.binary_join_element_wise(_ls("_:"), subj, sep),
+        pc.binary_join_element_wise(_ls("<"), subj, _ls(">"), sep),
+    )
+    esc = ov
+    for raw, escd in _ESCAPES.items():
+        esc = pc.replace_substring(esc, raw, escd)
+    suffix = pc.if_else(
+        pc.not_equal(dt, ""),
+        pc.binary_join_element_wise(_ls("^^<"), dt, _ls(">"), sep),
+        pc.if_else(
+            pc.not_equal(lang, ""),
+            pc.binary_join_element_wise(_ls("@"), lang, sep),
+            sep,
+        ),
+    )
+    lit = pc.binary_join_element_wise(_ls('"'), esc, _ls('"'), suffix, sep)
+    obj_s = pc.if_else(
+        pc.equal(ok, "literal"),
+        lit,
+        pc.if_else(
+            pc.equal(ok, "bnode"),
+            pc.binary_join_element_wise(_ls("_:"), ov, sep),
+            pc.binary_join_element_wise(_ls("<"), ov, _ls(">"), sep),
+        ),
+    )
+    return pc.binary_join_element_wise(
+        subj_s, pc.binary_join_element_wise(_ls("<"), pred, _ls(">"), sep),
+        obj_s, pc.binary_join_element_wise(_ls("<"), graph, _ls(">"), sep),
+        _ls("."), _ls(" "),
+    )
+
+
+# ---------------------------------------------------------------------------
 # A small N-Triples *reader* for test fixtures (tests/corpus/*.nt).
 
 def _parse_term(s: str, pos: int):

@@ -147,6 +147,7 @@ def ivf_topk(
     qdf = qdf.sort_values("vec_id")
     qmat = _normalize(np.array(qdf["embedding"].tolist(), dtype=np.float64))
     probe_cells = np.argsort(-(qmat @ cents.T), axis=1)[:, :n_probe]
+    probed_union = np.unique(probe_cells)
     state_ref = ray.put(
         {
             "ids": qdf["vec_id"].to_numpy(),
@@ -156,43 +157,57 @@ def ivf_topk(
         }
     )
 
-    class CellScorer:
-        def __init__(self):
-            st = ray.get(state_ref)
-            self.qids, self.qmat, self.cents, self.probe = (
-                st["ids"], st["mat"], st["cents"], st["probe"],
-            )
-            self.k = k
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids, embs = _stack(batch)
-            out_q, out_v, out_s = [], [], []
-            if len(ids):
-                nembs = _normalize(embs)
-                cells = (nembs @ self.cents.T).argmax(axis=1)
-                for qi in range(len(self.qids)):
-                    mask = np.isin(cells, self.probe[qi])
-                    if not mask.any():
-                        continue
-                    sims = nembs[mask] @ self.qmat[qi]
-                    sel_ids = ids[mask]
-                    kk = min(self.k, len(sims))
-                    top = np.argpartition(-sims, kk - 1)[:kk]
-                    for ci in top:
-                        out_q.append(self.qids[qi])
-                        out_v.append(sel_ids[ci])
-                        out_s.append(sims[ci])
+    # cell-partitioned plan (the 100-TB path): assign each vector its
+    # cell ONCE in map_batches, drop vectors in never-probed cells at
+    # the map side (scan fraction ~ n_probe/n_cells), then ONE shuffle
+    # by cell so each per-cell task scores only the queries probing it.
+    # Round-1 instead re-scanned and re-filtered every batch for every
+    # query.
+    def assign_cells(batch: pa.Table) -> pa.Table:
+        ids, embs = _stack(batch)
+        if len(ids) == 0:
             return pa.Table.from_pydict(
-                {
-                    "query_id": pa.array(out_q, pa.int64()),
-                    "vec_id": pa.array(out_v, pa.int64()),
-                    "sim": pa.array(out_s, pa.float64()),
-                }
+                {"vec_id": pa.array([], pa.int64()),
+                 "cell": pa.array([], pa.int32()),
+                 "embedding": batch.column("embedding")}
             )
+        cells = (_normalize(embs) @ cents.T).argmax(axis=1).astype(np.int32)
+        keep = np.isin(cells, probed_union)
+        idx = np.flatnonzero(keep)
+        return pa.Table.from_pydict(
+            {
+                "vec_id": pa.array(ids[idx], pa.int64()),
+                "cell": pa.array(cells[idx], pa.int32()),
+                "embedding": batch.column("embedding").take(pa.array(idx, pa.int64())),
+            }
+        )
 
-    partials = embeddings_ds.map_batches(
-        CellScorer, batch_format="pyarrow", batch_size=4096, concurrency=concurrency
-    )
+    celled = embeddings_ds.map_batches(assign_cells, batch_format="pyarrow")
+
+    def score_cell(group: pd.DataFrame) -> pd.DataFrame:
+        st = ray.get(state_ref)
+        cell = int(group["cell"].iloc[0])
+        probing = np.flatnonzero((st["probe"] == cell).any(axis=1))
+        if len(probing) == 0 or len(group) == 0:
+            return pd.DataFrame(
+                {"query_id": pd.Series(dtype="int64"),
+                 "vec_id": pd.Series(dtype="int64"),
+                 "sim": pd.Series(dtype="float64")}
+            )
+        ids = group["vec_id"].to_numpy()
+        m = _normalize(np.array(group["embedding"].tolist(), dtype=np.float64))
+        sims = st["mat"][probing] @ m.T  # (n_probing, n_members)
+        kk = min(k, sims.shape[1])
+        out = []
+        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        for row, qi in enumerate(probing):
+            sel = top[row]
+            out.append(pd.DataFrame(
+                {"query_id": st["ids"][qi], "vec_id": ids[sel], "sim": sims[row, sel]}
+            ))
+        return pd.concat(out, ignore_index=True)
+
+    partials = celled.groupby("cell").map_groups(score_cell, batch_format="pandas")
 
     def merge(group: pd.DataFrame) -> pd.DataFrame:
         return group.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)

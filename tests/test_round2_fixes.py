@@ -217,3 +217,61 @@ def test_minhash_dedup_large_duplicate_group(ray_session):
     assert "star" in set(pairs["pair_mode"])
     # no unrelated doc got pulled in
     assert not ({1000 + i for i in range(20)} & linked)
+
+
+# ---------------------------------------------------------------------------
+# flagship sink: Arrow-native N-Quads + input-sized partitions
+
+
+def test_nquads_arrow_matches_row_formatter():
+    from rdfa_ray.rdf.ntriples import nquads_lines_arrow, term_to_nt
+
+    rows = [
+        ("http://s/1", "iri", "http://p/", 'va"l\\ue\nx\tb', "literal", None, None, "http://g/"),
+        ("http://s/2", "iri", "http://p/", "plain", "literal", "en", None, "http://g/"),
+        ("http://s/3", "iri", "http://p/", "42", "literal", None,
+         "http://www.w3.org/2001/XMLSchema#integer", "http://g/"),
+        ("b0", "bnode", "http://p/", "http://o/", "iri", None, None, "http://g/"),
+        ("http://s/4", "iri", "http://p/", "b1", "bnode", None, None, "http://g/"),
+    ]
+    t = pa.table(
+        {
+            "subj": pa.array([r[0] for r in rows], pa.large_string()),
+            "subj_kind": [r[1] for r in rows],
+            "pred": pa.array([r[2] for r in rows], pa.large_string()),
+            "obj_value": pa.array([r[3] for r in rows], pa.large_string()),
+            "obj_kind": [r[4] for r in rows],
+            "obj_lang": pa.array([r[5] for r in rows], pa.string()),
+            "obj_datatype": pa.array([r[6] for r in rows], pa.string()),
+            "graph": [r[7] for r in rows],
+        }
+    )
+    got = nquads_lines_arrow(t).to_pylist()
+    for line, r in zip(got, rows):
+        subj = ("iri", r[0]) if r[1] == "iri" else ("bnode", r[0])
+        obj = ("lit", r[3], r[5], r[6]) if r[4] == "literal" else ((r[4] if r[4] != "literal" else "lit", r[3]))
+        want = "%s <%s> %s <%s> ." % (
+            term_to_nt(subj), r[2], term_to_nt(obj), r[7]
+        )
+        assert line == want, (line, want)
+
+
+def test_flagship_auto_partitions_and_meta_pinning(ray_session, tmp_path_factory):
+    import os, shutil
+
+    from rdfa_ray.pipelines.flagship import load_run_meta, run_flagship
+    from rdfa_ray.sources.transcripts import transcripts_dataset
+
+    out = os.path.join(str(tmp_path_factory.getbasetemp()), "flag_auto")
+    shutil.rmtree(out, ignore_errors=True)
+    ds = transcripts_dataset(300, override_num_blocks=4)
+    summary = run_flagship(ds, out, n_parts=None, rows_per_partition=100)
+    meta = load_run_meta(out)
+    # 300 turns / 100 per part = 3, clamped to MIN_PARTITIONS=16
+    assert meta["n_parts"] == 16
+    assert set(summary["part"]) <= set(range(16))
+    # resume reuses the pinned count even with a conflicting argument
+    s2 = run_flagship(
+        transcripts_dataset(300, override_num_blocks=4), out, n_parts=99
+    )
+    assert len(s2) == 0  # nothing re-ran => same partition ids resolved
