@@ -487,6 +487,42 @@ def distill_rdfa10(text: str, base: str = "", options: KernelOptions | None = No
     return distill(text, base=base, options=options, rdfa_version="1.0")
 
 
+class _MicrodataBnodes:
+    """Bnode factory with an 'md'-prefixed label space so microdata
+    items never collide with the RDFa walk's b*/n* skolem labels when
+    the two graphs are unioned."""
+
+    __slots__ = ("n",)
+
+    def __init__(self):
+        self.n = 0
+
+    def new(self):
+        from ..rdf.terms import BNODE
+
+        label = "md%d" % self.n
+        self.n += 1
+        return (BNODE, label)
+
+
+def distill_structured(text: str, base: str = "", options: KernelOptions | None = None):
+    """``StructuredDataParser`` analogue (reference
+    rdflibparsers.py:213-269): RDFa + microdata + embedded turtle,
+    unioned into one graph.  The RDFa leg (incl. embedded turtle /
+    RDF-XML) is ``distill``; the microdata leg is
+    :mod:`rdfa_ray.kernel.microdata`."""
+    triples, diags = distill(text, base=base, options=options)
+    if "itemscope" in text.lower():
+        from .microdata import extract_microdata
+
+        try:
+            doc, _host, _version = parse_document(text)
+            triples |= extract_microdata(doc.root, base, _MicrodataBnodes())
+        except Exception:
+            pass  # parse failures already diagnosed by distill()
+    return triples, diags
+
+
 def extract_hturtle(text: str, base: str = "", options: KernelOptions | None = None):
     """Extract ONLY embedded ``<script type="text/turtle">`` content,
     skipping all RDFa attribute processing — the ``HTurtleParser``

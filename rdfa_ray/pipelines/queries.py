@@ -179,6 +179,47 @@ def q_rdfa_vocab_expansion(sf_dir: str):
     return triples.select_columns(["subj", "pred", "obj_value"])
 
 
+def _roundtrip_query(sf_dir: str, fmt: str):
+    """Serialize each turn's graph (Turtle or JSON-LD), parse it BACK
+    with the engine's own reader, and return the recovered triples —
+    the serializer is thereby SQL-oracle-checked end to end (S5)."""
+    from ..stages.serialize import serialize_graphs
+
+    turns = typed_transcripts_from_documents(sf_dir)
+    triples = build_triples(turns).map_batches(split_triples, batch_format="pyarrow")
+    docs = serialize_graphs(triples, fmt)
+
+    def parse_back(batch: pa.Table) -> pa.Table:
+        from ..kernel.embedded import parse_turtle
+        from ..kernel.state import BnodeGen
+        from ..rdf.jsonld import jsonld_to_graph
+
+        subs, preds, objs = [], [], []
+        for text in batch.column("text").to_pylist():
+            if fmt == "turtle":
+                graph = parse_turtle(text, "", BnodeGen())
+            else:
+                graph = jsonld_to_graph(text, BnodeGen())
+            for (s, p, o) in graph:
+                subs.append(s[1])
+                preds.append(p[1])
+                objs.append(o[1])
+        return pa.Table.from_pydict(
+            {"subj": pa.array(subs), "pred": pa.array(preds),
+             "obj_value": pa.array(objs)}
+        )
+
+    return docs.map_batches(parse_back, batch_format="pyarrow")
+
+
+def q_rdfa_turtle_roundtrip(sf_dir: str):
+    return _roundtrip_query(sf_dir, "turtle")
+
+
+def q_rdfa_jsonld_roundtrip(sf_dir: str):
+    return _roundtrip_query(sf_dir, "jsonld")
+
+
 def q_rdfa_distinct_triples(sf_dir: str):
     """Multi-source union + global exact triple dedup (S6/A1): the same
     source distilled twice, unioned, then distinct across the whole
@@ -211,6 +252,28 @@ def q_rdfa_hturtle(sf_dir: str):
         concurrency=(2, 4),
     ).map_batches(split_triples, batch_format="pyarrow")
     return triples.select_columns(["subj", "pred", "obj_value", "obj_datatype"])
+
+
+def q_rdfa_structured(sf_dir: str):
+    """StructuredDataParser chain: RDFa + microdata + embedded turtle
+    in one pass (reference rdflibparsers.py:213-269)."""
+    from ..sources.transcripts import view_from_documents, wrap_documents_microdata
+    from ..stages.distill import distill_batch_task
+    from .flagship import _filter_nonempty
+
+    turns = view_from_documents(sf_dir, wrap_documents_microdata)
+    triples = (
+        turns.map_batches(_filter_nonempty, batch_format="pyarrow")
+        .map_batches(
+            distill_batch_task,
+            fn_kwargs={"mode": "structured"},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=4096,
+        )
+        .map_batches(split_triples, batch_format="pyarrow")
+    )
+    return triples.select_columns(["subj", "pred", "obj_value"])
 
 
 def q_rdfa_processor_graph(sf_dir: str):
@@ -480,9 +543,12 @@ QUERIES = {
     "rdfa_embedded_svg": q_rdfa_embedded_svg,
     "rdfa_10_literals": q_rdfa_10_literals,
     "rdfa_vocab_expansion": q_rdfa_vocab_expansion,
+    "rdfa_turtle_roundtrip": q_rdfa_turtle_roundtrip,
+    "rdfa_jsonld_roundtrip": q_rdfa_jsonld_roundtrip,
     "rdfa_distinct_triples": q_rdfa_distinct_triples,
     "rdfa_diagnostics_rollup": q_rdfa_diagnostics_rollup,
     "rdfa_hturtle": q_rdfa_hturtle,
+    "rdfa_structured": q_rdfa_structured,
     "rdfa_processor_graph": q_rdfa_processor_graph,
     "lineitem_agg": q_lineitem_agg,
     "orders_by_segment": q_orders_by_segment,
@@ -575,6 +641,27 @@ ORACLE_SQL = {
         " || '/turn/0', 'http://www.w3.org/ns/rdfa#usesVocabulary',"
         " 'http://vocab.local/' FROM documents)" % (_SUBJ, _SUBJ)
     ),
+    # serializer round-trips recover exactly the typed-view triples
+    "rdfa_turtle_roundtrip": (
+        "SELECT subj, pred, obj_value FROM ("
+        "SELECT %s AS subj, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,"
+        " 'http://schema.org/Document' AS obj_value FROM documents "
+        "UNION ALL SELECT %s, 'http://schema.org/inLanguage', lang FROM documents "
+        "UNION ALL SELECT %s, 'http://schema.org/source', source FROM documents "
+        "UNION ALL SELECT %s, 'http://schema.org/characterCount',"
+        " CAST(n_chars AS VARCHAR) FROM documents)"
+        % (_SUBJ, _SUBJ, _SUBJ, _SUBJ)
+    ),
+    "rdfa_jsonld_roundtrip": (
+        "SELECT subj, pred, obj_value FROM ("
+        "SELECT %s AS subj, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,"
+        " 'http://schema.org/Document' AS obj_value FROM documents "
+        "UNION ALL SELECT %s, 'http://schema.org/inLanguage', lang FROM documents "
+        "UNION ALL SELECT %s, 'http://schema.org/source', source FROM documents "
+        "UNION ALL SELECT %s, 'http://schema.org/characterCount',"
+        " CAST(n_chars AS VARCHAR) FROM documents)"
+        % (_SUBJ, _SUBJ, _SUBJ, _SUBJ)
+    ),
     "rdfa_distinct_triples": (
         "SELECT DISTINCT subj, pred, obj_value FROM ("
         "SELECT %s AS subj, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,"
@@ -594,6 +681,18 @@ ORACLE_SQL = {
         " CAST(n_chars AS VARCHAR) AS obj_value,"
         " 'http://www.w3.org/2001/XMLSchema#integer' AS obj_datatype FROM documents"
         % _SUBJ
+    ),
+    "rdfa_structured": (
+        "SELECT subj, pred, obj_value FROM ("
+        "SELECT %s AS subj, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,"
+        " 'http://schema.org/Dataset' AS obj_value FROM documents "
+        "UNION ALL SELECT %s, 'http://schema.org/name', source FROM documents "
+        "UNION ALL SELECT %s, 'http://schema.org/inLanguage', lang FROM documents "
+        "UNION ALL SELECT %s, 'http://schema.org/sameAs',"
+        " %s || '-alt' FROM documents "
+        "UNION ALL SELECT %s, 'http://purl.org/dc/terms/identifier',"
+        " CAST(doc_id AS VARCHAR) FROM documents)"
+        % (_SUBJ, _SUBJ, _SUBJ, _SUBJ, _SUBJ, _SUBJ)
     ),
     "rdfa_processor_graph": (
         "SELECT dclass, n FROM ("

@@ -391,9 +391,36 @@ def wrap_documents_vocab(batch: pa.Table) -> pa.Table:
     return _mk_turn_rows(conv_ids, texts)
 
 
+def wrap_documents_microdata(batch: pa.Table) -> pa.Table:
+    """StructuredDataParser-chain view: a microdata item (typed,
+    itemid'd, url/meta/text props) PLUS one RDFa triple in the same
+    document — exercises the RDFa+microdata union
+    (reference rdflibparsers.py:213-269)."""
+    conv_ids, texts = [], []
+    for doc_id, lang, source in zip(
+        batch.column("doc_id").to_pylist(),
+        batch.column("lang").to_pylist(),
+        batch.column("source").to_pylist(),
+    ):
+        conv_ids.append("doc%08d" % doc_id)
+        texts.append(
+            '<div itemscope="" itemtype="http://schema.org/Dataset"'
+            ' itemid="%(ns)s%(id)d">'
+            '<span itemprop="name">%(src)s</span>'
+            '<meta itemprop="inLanguage" content="%(lang)s">'
+            '<a itemprop="sameAs" href="%(ns)s%(id)d-alt">alt</a>'
+            '<span about="%(ns)s%(id)d"'
+            ' property="http://purl.org/dc/terms/identifier">%(id)d</span>'
+            "</div>"
+            % {"ns": DOC_NS, "id": doc_id, "src": source, "lang": lang}
+        )
+    return _mk_turn_rows(conv_ids, texts)
+
+
 # per-wrapper column needs: read ONLY what the view uses (a read that
 # loads all 5 document columns for a 2-column wrapper is wrong at scale)
 _WRAPPER_COLUMNS = {
+    "wrap_documents_microdata": ["doc_id", "lang", "source"],
     "wrap_documents_turtle": ["doc_id", "n_chars"],
     "wrap_documents_svg": ["doc_id", "source"],
     "wrap_documents_rdfa10": ["doc_id", "source"],

@@ -79,6 +79,8 @@ class RdfaDistiller:
             from ..kernel.walk import distill_rdfa10 as _fn
         elif mode == "hturtle":
             from ..kernel.walk import extract_hturtle as _fn
+        elif mode == "structured":
+            from ..kernel.walk import distill_structured as _fn
         else:
             _fn = distill
         self._distill = _fn

@@ -1,0 +1,75 @@
+"""Turtle + JSON-LD serializer tests: corpus-wide round-trip through
+the engine's own readers (graph isomorphism), plus the Ray stage."""
+
+import glob
+
+import pytest
+
+from rdfa_ray.kernel.embedded import parse_turtle
+from rdfa_ray.kernel.state import BnodeGen
+from rdfa_ray.rdf.isomorphism import isomorphic
+from rdfa_ray.rdf.jsonld import graph_to_jsonld, jsonld_to_graph
+from rdfa_ray.rdf.ntriples import parse_ntriples
+from rdfa_ray.rdf.terms import iri, literal
+from rdfa_ray.rdf.turtle import graph_to_turtle
+
+CORPUS_NT = sorted(glob.glob("tests/corpus/*.nt"))
+
+
+@pytest.mark.parametrize("nt_path", CORPUS_NT, ids=lambda p: p.split("/")[-1])
+def test_turtle_roundtrip_corpus(nt_path):
+    golden = parse_ntriples(open(nt_path).read())
+    back = parse_turtle(graph_to_turtle(golden), "", BnodeGen())
+    assert isomorphic(back, golden)
+
+
+def test_jsonld_roundtrip_corpus_aggregate():
+    assert CORPUS_NT, "corpus goldens missing"
+    for nt_path in CORPUS_NT:
+        golden = parse_ntriples(open(nt_path).read())
+        back = jsonld_to_graph(graph_to_jsonld(golden), BnodeGen())
+        assert isomorphic(back, golden), nt_path
+
+
+def test_turtle_uses_prefixes_and_a():
+    g = {
+        (iri("http://schema.org/x"),
+         iri("http://www.w3.org/1999/02/22-rdf-syntax-ns#type"),
+         iri("http://schema.org/Thing")),
+        (iri("http://schema.org/x"), iri("http://schema.org/name"),
+         literal("A \"quoted\"\nname")),
+    }
+    ttl = graph_to_turtle(g)
+    assert "@prefix schema: <http://schema.org/> ." in ttl
+    assert "a schema:Thing" in ttl
+    assert '\\"quoted\\"\\n' in ttl
+    # round-trips
+    assert isomorphic(parse_turtle(ttl, "", BnodeGen()), g)
+
+
+def test_turtle_full_iri_when_local_unsafe():
+    # local parts outside the subset tokenizer's PN_LOCAL (dots, query
+    # strings) must fall back to <full-iri> and still round-trip
+    g = {(iri("http://schema.org/name.x"), iri("http://p.example/q?x=1"),
+          literal("v"))}
+    ttl = graph_to_turtle(g)
+    assert "<http://schema.org/name.x>" in ttl
+    assert "<http://p.example/q?x=1>" in ttl
+    assert isomorphic(parse_turtle(ttl, "", BnodeGen()), g)
+
+
+def test_serialize_stage_per_graph(ray_session):
+    from rdfa_ray.pipelines.flagship import build_triples
+    from rdfa_ray.stages.distill import split_triples
+    from rdfa_ray.stages.serialize import serialize_graphs
+    from rdfa_ray.sources.transcripts import transcripts_dataset
+
+    turns = transcripts_dataset(100, override_num_blocks=2)
+    triples = build_triples(turns).map_batches(split_triples, batch_format="pyarrow")
+    docs = serialize_graphs(triples, "turtle").to_pandas()
+    assert len(docs) > 0
+    assert (docs["n_triples"] > 0).all()
+    # every doc parses back to exactly n_triples triples
+    for _, row in docs.head(20).iterrows():
+        back = parse_turtle(row["text"], "", BnodeGen())
+        assert len(back) == row["n_triples"]
