@@ -23,7 +23,15 @@ def main(argv=None):
     p = argparse.ArgumentParser(description="rdfa_ray KG-construction pipeline")
     p.add_argument("--input", required=True, help="transcripts parquet file/dir")
     p.add_argument("--output", required=True, help="output directory")
-    p.add_argument("--parts", type=int, default=64)
+    p.add_argument(
+        "--parts", type=int, default=None,
+        help="output partitions (default: sized from the input row count)",
+    )
+    p.add_argument(
+        "--serialize", choices=["turtle", "jsonld", "pretty-xml"], default=None,
+        help="additionally write one serialized document per graph "
+        "(reference CLI output formats; N-Quads+Parquet always written)",
+    )
     p.add_argument("--no-link", action="store_true", help="skip entity linking/canonicalization")
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--rdfa-version", choices=["1.0", "1.1"], default=None)
@@ -71,6 +79,17 @@ def main(argv=None):
         link=not args.no_link,
         options_kwargs=options_kwargs,
     )
+    if args.serialize:
+        from rdfa_ray.pipelines.flagship import build_triples
+        from rdfa_ray.stages.distill import split_triples
+        from rdfa_ray.stages.serialize import serialize_graphs
+
+        triples = build_triples(
+            rd.read_parquet(args.input), options_kwargs=options_kwargs
+        ).map_batches(split_triples, batch_format="pyarrow")
+        serialize_graphs(triples, args.serialize).write_parquet(
+            os.path.join(args.output, "serialized_%s" % args.serialize)
+        )
     print(
         json.dumps(
             {

@@ -194,10 +194,14 @@ def _roundtrip_query(sf_dir: str, fmt: str):
         from ..kernel.state import BnodeGen
         from ..rdf.jsonld import jsonld_to_graph
 
+        from ..rdf.rdfxml import rdfxml_to_graph
+
         subs, preds, objs = [], [], []
         for text in batch.column("text").to_pylist():
             if fmt == "turtle":
                 graph = parse_turtle(text, "", BnodeGen())
+            elif fmt == "pretty-xml":
+                graph = rdfxml_to_graph(text, BnodeGen())
             else:
                 graph = jsonld_to_graph(text, BnodeGen())
             for (s, p, o) in graph:
@@ -218,6 +222,10 @@ def q_rdfa_turtle_roundtrip(sf_dir: str):
 
 def q_rdfa_jsonld_roundtrip(sf_dir: str):
     return _roundtrip_query(sf_dir, "jsonld")
+
+
+def q_rdfa_rdfxml_roundtrip(sf_dir: str):
+    return _roundtrip_query(sf_dir, "pretty-xml")
 
 
 def q_rdfa_distinct_triples(sf_dir: str):
@@ -545,6 +553,7 @@ QUERIES = {
     "rdfa_vocab_expansion": q_rdfa_vocab_expansion,
     "rdfa_turtle_roundtrip": q_rdfa_turtle_roundtrip,
     "rdfa_jsonld_roundtrip": q_rdfa_jsonld_roundtrip,
+    "rdfa_rdfxml_roundtrip": q_rdfa_rdfxml_roundtrip,
     "rdfa_distinct_triples": q_rdfa_distinct_triples,
     "rdfa_diagnostics_rollup": q_rdfa_diagnostics_rollup,
     "rdfa_hturtle": q_rdfa_hturtle,
@@ -653,6 +662,16 @@ ORACLE_SQL = {
         % (_SUBJ, _SUBJ, _SUBJ, _SUBJ)
     ),
     "rdfa_jsonld_roundtrip": (
+        "SELECT subj, pred, obj_value FROM ("
+        "SELECT %s AS subj, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,"
+        " 'http://schema.org/Document' AS obj_value FROM documents "
+        "UNION ALL SELECT %s, 'http://schema.org/inLanguage', lang FROM documents "
+        "UNION ALL SELECT %s, 'http://schema.org/source', source FROM documents "
+        "UNION ALL SELECT %s, 'http://schema.org/characterCount',"
+        " CAST(n_chars AS VARCHAR) FROM documents)"
+        % (_SUBJ, _SUBJ, _SUBJ, _SUBJ)
+    ),
+    "rdfa_rdfxml_roundtrip": (
         "SELECT subj, pred, obj_value FROM ("
         "SELECT %s AS subj, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,"
         " 'http://schema.org/Document' AS obj_value FROM documents "

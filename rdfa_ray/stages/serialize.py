@@ -18,6 +18,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..rdf.jsonld import JsonLdSerializer
+from ..rdf.rdfxml import RdfXmlSerializer
 from ..rdf.terms import BNODE, IRI, literal
 from ..rdf.turtle import TurtleSerializer
 
@@ -48,7 +49,11 @@ def rows_to_terms(df: pd.DataFrame):
         yield (subj, (IRI, p), obj)
 
 
-_SERIALIZERS = {"turtle": TurtleSerializer, "jsonld": JsonLdSerializer}
+_SERIALIZERS = {
+    "turtle": TurtleSerializer,
+    "jsonld": JsonLdSerializer,
+    "pretty-xml": RdfXmlSerializer,
+}
 _CACHE: dict = {}
 
 

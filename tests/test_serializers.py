@@ -73,3 +73,24 @@ def test_serialize_stage_per_graph(ray_session):
     for _, row in docs.head(20).iterrows():
         back = parse_turtle(row["text"], "", BnodeGen())
         assert len(back) == row["n_triples"]
+
+
+def test_rdfxml_roundtrip_corpus_aggregate():
+    from rdfa_ray.rdf.rdfxml import graph_to_rdfxml, rdfxml_to_graph
+
+    assert CORPUS_NT, "corpus goldens missing"
+    for nt_path in CORPUS_NT:
+        golden = parse_ntriples(open(nt_path).read())
+        back = rdfxml_to_graph(graph_to_rdfxml(golden), BnodeGen())
+        assert isomorphic(back, golden), nt_path
+
+
+def test_rdfxml_split_uri_limitation():
+    import pytest as _pytest
+
+    from rdfa_ray.rdf.rdfxml import split_uri
+
+    assert split_uri("http://schema.org/name") == ("http://schema.org/", "name")
+    assert split_uri("http://e/v#count2") == ("http://e/v#", "count2")
+    with _pytest.raises(ValueError):
+        split_uri("12345")  # no namespace part
