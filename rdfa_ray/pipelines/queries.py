@@ -433,7 +433,12 @@ def q_dedup_minhash(sf_dir: str):
 
     from ..stages.dedup import minhash_dedup
 
-    docs = rd.read_parquet("%s/documents.parquet" % sf_dir, columns=["doc_id", "text"])
+    # a single parquet file reads as very few blocks; split it so the
+    # signature stage actually fans out across the pool
+    docs = rd.read_parquet(
+        "%s/documents.parquet" % sf_dir, columns=["doc_id", "text"],
+        override_num_blocks=32,
+    )
     pairs = minhash_dedup(docs, threshold=0.8)
 
     def round_j(batch: pa.Table) -> pa.Table:

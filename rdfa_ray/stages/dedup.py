@@ -114,6 +114,16 @@ class MinHasher:
         )
 
 
+_MINHASHER_SINGLETON: list = []
+
+
+def _minhash_batch_task(batch: pa.Table) -> pa.Table:
+    """Task-based MinHasher (per-worker cached instance)."""
+    if not _MINHASHER_SINGLETON:
+        _MINHASHER_SINGLETON.append(MinHasher())
+    return _MINHASHER_SINGLETON[0](batch)
+
+
 BUCKET_CAP = 50
 
 
@@ -142,6 +152,12 @@ def _bucket_pairs(group: pd.DataFrame, cap: int = BUCKET_CAP) -> pd.DataFrame:
     ids = sorted(set(group["doc_id"]))
     if len(ids) < 2:
         return _empty_pairs()
+    if len(ids) == 2:  # the overwhelmingly common collision size
+        return pd.DataFrame(
+            {"a": pd.Series([ids[0]], dtype="int64"),
+             "b": pd.Series([ids[1]], dtype="int64"),
+             "pair_mode": pd.Series(["full"], dtype="object")}
+        )
     if len(ids) <= cap:
         a_out, b_out = [], []
         for i in range(len(ids)):
@@ -183,13 +199,15 @@ def minhash_dedup(docs_ds, threshold: float = 0.8, concurrency=(2, 8), n_buckets
     O(corpus) — round-1's driver-side ``to_pandas()`` + whole-text
     broadcast is exactly what this replaces.
     """
-    from .distinct import distinct
     from .join import bucketed_hash_join
 
     from ..functions.hashing import crc32_bucket_concat
 
+    # elastic tasks (per-worker cached hasher) rather than an actor
+    # pool: the hasher state is two numpy arrays, and a pool pays
+    # spin-up + CPU reservation against the rest of the chain
     banded = docs_ds.map_batches(
-        MinHasher, batch_format="pyarrow", batch_size=1024, concurrency=concurrency
+        _minhash_batch_task, batch_format="pyarrow", batch_size=1024
     )
 
     # coarse-bucket the band rows (ONE shuffle, B groups) instead of
@@ -220,9 +238,15 @@ def minhash_dedup(docs_ds, threshold: float = 0.8, concurrency=(2, 8), n_buckets
         .groupby("__g")
         .map_groups(pairs_block, batch_format="pandas")
     )
-    # distinct on the pair key; 'full' deterministically preferred over
-    # 'star' when the same pair shows up in both kinds of bucket
-    pairs = distinct(pairs, ["a", "b"], n_buckets=n_buckets, extra=["pair_mode"])
+    # map-side partial dedup shrinks the shuffle; the GLOBAL distinct on
+    # (a, b) is folded into the first text join below (its bucket key is
+    # `a`, so every duplicate of a pair co-locates there — no separate
+    # distinct shuffle).  Sorting puts 'full' before 'star', so 'full'
+    # deterministically survives for pairs seen in both bucket kinds.
+    def partial_dedup(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(["a", "b", "pair_mode"], kind="mergesort").drop_duplicates(["a", "b"])
+
+    pairs = pairs.map_batches(partial_dedup, batch_format="pandas")
 
     texts_a = docs_ds.map_batches(
         lambda b: pa.Table.from_pydict(
@@ -236,7 +260,10 @@ def minhash_dedup(docs_ds, threshold: float = 0.8, concurrency=(2, 8), n_buckets
         ),
         batch_format="pyarrow",
     )
-    with_a = bucketed_hash_join(pairs, texts_a, on="a", n_buckets=n_buckets)
+    with_a = bucketed_hash_join(
+        pairs, texts_a, on="a", n_buckets=n_buckets,
+        left_distinct=["a", "b"],
+    )
     with_ab = bucketed_hash_join(with_a, texts_b, on="b", n_buckets=n_buckets)
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:

@@ -38,6 +38,7 @@ def bucketed_hash_join(
     n_buckets: int = 64,
     how: str = "inner",
     suffix: str = "_r",
+    left_distinct: list | None = None,
 ):
     """Join two Datasets on a single key column; right-side name
     collisions (other than the key) get ``suffix``.
@@ -45,6 +46,14 @@ def bucketed_hash_join(
     Only ``how='inner'`` and ``how='left'`` are supported: any other
     mode would silently drop right-side rows in buckets whose left
     side is empty (the per-bucket early-out below).
+
+    ``left_distinct``: optional key-column list including ``on`` — dedup the
+    left side on those columns inside each bucket before merging
+    (deterministic: rows sorted on all left columns, first kept).
+    Because the bucket key is ``on``, every duplicate of a
+    ``left_distinct`` group lands in the same bucket, so this equals a
+    global distinct WITHOUT paying a separate shuffle — used by
+    ``minhash_dedup`` to fold its candidate-pair dedup into the join.
     """
     if how not in ("inner", "left"):
         raise ValueError(
@@ -113,6 +122,10 @@ def bucketed_hash_join(
         r = group[group["__side"] == "r"][join_cols_r]
         if len(l) == 0 or (len(r) == 0 and how == "inner"):
             return empty_template.copy()
+        if left_distinct:
+            l = l.sort_values(join_cols_l, kind="mergesort").drop_duplicates(
+                left_distinct
+            )
         return l.merge(r, on=on, how=how)
 
     return tagged.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
