@@ -431,10 +431,14 @@ def distill(
     graph: set = set()
     bnodes = BnodeGen()
 
-    # whole-document fast path: no RDFa-ish markers -> no triples
-    low = text.lower()
-    if not any(marker in low for marker in FASTPATH_MARKERS):
-        return graph, options.diagnostics
+    # whole-document fast path: no RDFa-ish markers -> no triples.
+    # Two-phase scan: raw text first (normal lowercase markup hits on
+    # the first marker, no allocation); the lowercased copy is built
+    # only when the raw scan misses (prose / uppercase markup).
+    if not any(marker in text for marker in FASTPATH_MARKERS):
+        low = text.lower()
+        if not any(marker in low for marker in FASTPATH_MARKERS):
+            return graph, options.diagnostics
 
     try:
         doc, sniffed_host, version = parse_document(

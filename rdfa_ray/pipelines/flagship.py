@@ -110,6 +110,13 @@ class PartitionWriter:
     def __call__(self, group) -> pa.Table:
         import pandas as pd
 
+        # pyarrow's compute kernels use a process-global thread pool
+        # sized to ALL hardware cores; with one writer task per Ray CPU
+        # that oversubscribes the node ~32x and measurably throttles
+        # the reduce stage (Ray already allots this task exactly 1 CPU)
+        if pa.cpu_count() != 1:
+            pa.set_cpu_count(1)
+
         if not isinstance(group, pd.DataFrame):
             group = group.to_pandas()
         part = int(group["part"].iloc[0])

@@ -395,6 +395,45 @@ def q_top_orders(sf_dir: str):
     return top_orders(sf_dir, 10)
 
 
+def q_events_asof(sf_dir: str):
+    """As-of attribution: each purchase joined to the user's most
+    recent prior click (custom operator; DuckDB ASOF JOIN oracle)."""
+    import ray.data as rd
+
+    from ..stages.asof import asof_join
+
+    events = rd.read_parquet(
+        "%s/events.parquet" % sf_dir,
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+
+    def pick(kind):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.equal(batch.column("event_type"), kind)
+            ).select(["event_id", "ts", "user_id"])
+
+        return fn
+
+    purchases = events.map_batches(pick("purchase"), batch_format="pyarrow")
+    clicks = events.map_batches(pick("click"), batch_format="pyarrow")
+    joined = asof_join(purchases, clicks, on="ts", by="user_id")
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        import pandas as _pd
+
+        out = _pd.DataFrame(
+            {
+                "event_id": batch["event_id"].astype("int64"),
+                "user_id": batch["user_id"].astype("int64"),
+                "click_event_id": batch["event_id_r"].fillna(-1).astype("int64"),
+            }
+        )
+        return out
+
+    return joined.map_batches(project, batch_format="pandas")
+
+
 def q_sessionize_events(sf_dir: str):
     from .relational import sessionize_events
 
@@ -516,6 +555,33 @@ def q_ann_ivf(sf_dir: str):
     return ds.map_batches(project, batch_format="pyarrow")
 
 
+def q_ann_ivf_indexed(sf_dir: str):
+    """Persisted cell-partitioned IVF: build once (idempotent), then a
+    partition-pruned search touching only probed cells (the standing-
+    corpus ANN path; not SQL-expressible -> rows-only)."""
+    import hashlib as _hl
+
+    import ray.data as rd
+
+    from ..stages.ann_index import build_ivf_index, ivf_search
+
+    index_dir = "/tmp/graft_ivf_%s" % _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    embs = rd.read_parquet("%s/embeddings.parquet" % sf_dir)
+    import os as _os
+
+    if not _os.path.exists("%s/centroids.npy" % index_dir):
+        build_ivf_index(embs, index_dir)
+    queries_df = (
+        embs.filter(expr="vec_id < 8").to_pandas()
+    )
+    ds = ivf_search(index_dir, queries_df, k=10)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["query_id", "vec_id"])
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
 def q_embedding_dups(sf_dir: str):
     import ray.data as rd
 
@@ -570,6 +636,7 @@ QUERIES = {
     "top_orders": q_top_orders,
     "sessionize_events": q_sessionize_events,
     "events_hourly": q_events_hourly,
+    "events_asof": q_events_asof,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
@@ -578,6 +645,7 @@ QUERIES = {
     "fingerprints_rolling": q_fingerprints_rolling,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_ivf": q_ann_ivf,
+    "ann_ivf_indexed": q_ann_ivf_indexed,
     "embedding_dups": q_embedding_dups,
     "multimodal_features": q_multimodal_features,
 }
@@ -768,6 +836,14 @@ ORACLE_SQL = {
         " event_type, COUNT(*) AS n_events,"
         " CAST(SUM(CAST(ROUND(value * 1000.0) AS BIGINT)) AS BIGINT) AS value_milli "
         "FROM events GROUP BY 1, 2"
+    ),
+    "events_asof": (
+        "SELECT CAST(p.event_id AS BIGINT) AS event_id,"
+        " CAST(p.user_id AS BIGINT) AS user_id,"
+        " CAST(COALESCE(c.event_id, -1) AS BIGINT) AS click_event_id "
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
+        "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c "
+        "ON p.user_id = c.user_id AND p.ts >= c.ts"
     ),
     "dedup_exact": (
         "SELECT md5(text) AS h, MIN(doc_id) AS keeper, COUNT(*) AS n "

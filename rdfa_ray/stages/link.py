@@ -135,26 +135,26 @@ class AugmentingLinker(EntityLinker):
             "_row_kind", batch.column("kind").cast(pa.string())
         )
         passthrough = passthrough.append_column(
-            "entity", pa.array([""] * n, pa.string())
+            "entity", pa.repeat(pa.scalar("", pa.string()), n)
         )
         passthrough = passthrough.append_column(
-            "score", pa.array([0.0] * n, pa.float64())
+            "score", pa.repeat(pa.scalar(0.0, pa.float64()), n)
         )
         m = links.num_rows
         link_rows = pa.Table.from_pydict(
             {
                 "conv_id": links.column("conv_id"),
                 "turn_idx": links.column("turn_idx"),
-                "kind": pa.array(["link"] * m),
+                "kind": pa.repeat(pa.scalar("link", pa.string()), m),
                 "subj": links.column("subj").cast(pa.large_string()),
                 "subj_kind": links.column("subj_kind"),
                 "pred": links.column("pred").cast(pa.large_string()),
-                "obj_value": pa.array([""] * m, pa.large_string()),
-                "obj_kind": pa.array([""] * m),
-                "obj_lang": pa.array([None] * m, pa.string()),
-                "obj_datatype": pa.array([None] * m, pa.string()),
+                "obj_value": pa.repeat(pa.scalar("", pa.large_string()), m),
+                "obj_kind": pa.repeat(pa.scalar("", pa.string()), m),
+                "obj_lang": pa.nulls(m, pa.string()),
+                "obj_datatype": pa.nulls(m, pa.string()),
                 "graph": links.column("graph"),
-                "_row_kind": pa.array(["link"] * m),
+                "_row_kind": pa.repeat(pa.scalar("link", pa.string()), m),
                 "entity": links.column("entity"),
                 "score": links.column("score"),
             },

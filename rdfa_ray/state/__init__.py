@@ -9,9 +9,11 @@
 * broadcast: alias dictionaries and query matrices via ``ray.put``,
   fetched once per actor/worker.
 * durable: the per-partition checkpoint manifest
-  (:func:`~rdfa_ray.pipelines.flagship.completed_parts`) — the only
+  (:func:`~rdfa_ray.pipelines.flagship.completed_parts`) plus the
+  pinned run meta (:func:`~rdfa_ray.pipelines.flagship.load_run_meta`
+  — records n_parts so resume reuses identical part ids) — the only
   cross-run state; everything else is recomputable and idempotent.
 """
 
 from ..kernel.state import BnodeGen, EvalState, TermContext  # noqa: F401
-from ..pipelines.flagship import completed_parts  # noqa: F401
+from ..pipelines.flagship import completed_parts, load_run_meta, resolve_n_parts  # noqa: F401

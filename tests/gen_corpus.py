@@ -21,7 +21,7 @@ def main():
         (CORPUS / f"{name}.html").write_text(markup)
         (CORPUS / f"{name}.nt").write_text(nt + "\n" if nt else "")
         meta_out = {"base": meta.get("base", BASE)}
-        for k in ("expect_diags", "options", "vocab_graphs"):
+        for k in ("expect_diags", "options", "vocab_graphs", "mode"):
             if k in meta:
                 meta_out[k] = meta[k]
         (CORPUS / f"{name}.json").write_text(json.dumps(meta_out, indent=1))

@@ -29,7 +29,12 @@ def run_fixture(name):
         uri: parse_ntriples(nt) for uri, nt in meta.get("vocab_graphs", {}).items()
     }
     options = KernelOptions(vocab_graphs=vocab_graphs, **opt_kwargs)
-    triples, diags = distill(markup, base=meta["base"], options=options)
+    if meta.get("mode") == "structured":
+        from rdfa_ray.kernel.walk import distill_structured
+
+        triples, diags = distill_structured(markup, base=meta["base"], options=options)
+    else:
+        triples, diags = distill(markup, base=meta["base"], options=options)
     return triples, diags, expected, meta
 
 
