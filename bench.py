@@ -42,7 +42,10 @@ def _headline_and_queries(sf_dir: str, num_cpus: int, n_turns: int) -> dict:
     # small local cluster the default 0.5 ratio fragments the CPU
     # budget and caps the fused map stage at ~3 of 8 cores (measured);
     # with 0.0 the streaming executor shares CPUs demand-driven.
-    ctx.op_resource_reservation_ratio = 0.0
+    # Below 8 cpus, ratio 0.0 instead serializes the fused map behind
+    # the sort's queued objects (observed: 1 in-flight task, map
+    # "backpressured:tasks"); a small reservation measures +15% there.
+    ctx.op_resource_reservation_ratio = 0.0 if num_cpus >= 8 else 0.25
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import ray.data as rd
@@ -116,12 +119,17 @@ def _headline_and_queries(sf_dir: str, num_cpus: int, n_turns: int) -> dict:
     timed("rdfa_text_triples", Q.q_rdfa_text_triples)
     timed("rdfa_typed_triples", Q.q_rdfa_typed_triples)
     timed("rdfa_canonical_subjects", Q.q_rdfa_canonical_subjects)
+    timed("rdfa_turtle_roundtrip", Q.q_rdfa_turtle_roundtrip)
+    timed("rdfa_structured", Q.q_rdfa_structured)
     timed("lineitem_agg", Q.q_lineitem_agg)
     timed("orders_by_segment", Q.q_orders_by_segment)
+    timed("events_asof", Q.q_events_asof)
     timed("dedup_exact", Q.q_dedup_exact)
     timed("dedup_minhash", Q.q_dedup_minhash)
+    timed("dedup_simhash", Q.q_dedup_simhash)
     timed("text_metrics", Q.q_text_metrics)
     timed("ann_bruteforce", Q.q_ann_bruteforce)
+    timed("ann_ivf_indexed", Q.q_ann_ivf_indexed)
 
     ray.shutdown()
     return {

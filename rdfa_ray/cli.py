@@ -57,8 +57,10 @@ def main(argv=None):
     ctx = rd.DataContext.get_current()
     ctx.enable_progress_bars = False
     # see bench.py: default per-operator CPU reservations fragment small
-    # local clusters and throttle the fused map stage
-    ctx.op_resource_reservation_ratio = 0.0
+    # local clusters and throttle the fused map stage; below 8 cpus a
+    # zero reservation instead serializes the map behind the shuffle
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    ctx.op_resource_reservation_ratio = 0.0 if ncpu >= 8 else 0.25
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from rdfa_ray.pipelines.flagship import run_flagship
