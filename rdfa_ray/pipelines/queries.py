@@ -509,6 +509,17 @@ def q_text_metrics(sf_dir: str):
     )
 
 
+def q_quality_counts(sf_dir: str):
+    """Integer-exact quality counts (token / stopword) — the SQL-
+    checkable core of the quality-scoring stage."""
+    import ray.data as rd
+
+    from ..stages.text import analyze_text
+
+    docs = rd.read_parquet("%s/documents.parquet" % sf_dir, columns=["doc_id", "text"])
+    return analyze_text(docs).select_columns(["doc_id", "n_tokens", "n_stopwords"])
+
+
 def q_quality_signals(sf_dir: str):
     import ray.data as rd
 
@@ -641,6 +652,7 @@ QUERIES = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "text_metrics": q_text_metrics,
+    "quality_counts": q_quality_counts,
     "quality_signals": q_quality_signals,
     "fingerprints_rolling": q_fingerprints_rolling,
     "ann_bruteforce": q_ann_bruteforce,
@@ -664,6 +676,8 @@ def _alias_values_sql() -> str:
 
 
 _SUBJ = "'%s' || CAST(doc_id AS VARCHAR)" % DOC_NS
+
+_STOP_LIST = "'the','a','an','and','or','of','to','in','is','are','was','were','be','been','it','this','that','with','for','on','as','at','by'"
 
 ORACLE_SQL = {
     "rdfa_text_triples": (
@@ -848,6 +862,13 @@ ORACLE_SQL = {
     "dedup_exact": (
         "SELECT md5(text) AS h, MIN(doc_id) AS keeper, COUNT(*) AS n "
         "FROM documents GROUP BY md5(text)"
+    ),
+    "quality_counts": (
+        "SELECT doc_id,"
+        " CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,"
+        " CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),"
+        " x -> x IN (%s))) AS BIGINT)"
+        " AS n_stopwords FROM documents" % _STOP_LIST
     ),
     "text_metrics": (
         "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,"

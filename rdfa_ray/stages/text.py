@@ -48,6 +48,7 @@ class TextAnalyzer:
         n_tokens = [0] * n
         n_bpe = [0] * n
         n_alpha = [0] * n
+        n_stop = [0] * n
         stop_ratio = [0.0] * n
         langs = [""] * n
         fps = [""] * n
@@ -60,7 +61,8 @@ class TextAnalyzer:
             n_alpha[i] = len(self.alpha_re.findall(t))
             if toks:
                 low = [w.lower() for w in toks]
-                stop_ratio[i] = sum(w in _STOPWORDS for w in low) / len(low)
+                n_stop[i] = sum(w in _STOPWORDS for w in low)
+                stop_ratio[i] = n_stop[i] / len(low)
             langs[i] = self.guess_lang(t)
             norm = _WS_COLLAPSE.sub(" ", t.lower())
             fps[i] = hashlib.md5(norm.encode()).hexdigest()
@@ -71,6 +73,7 @@ class TextAnalyzer:
                 "n_tokens": pa.array(n_tokens, pa.int64()),
                 "n_bpe_tokens": pa.array(n_bpe, pa.int64()),
                 "n_alpha": pa.array(n_alpha, pa.int64()),
+                "n_stopwords": pa.array(n_stop, pa.int64()),
                 "stopword_ratio": pa.array(stop_ratio, pa.float64()),
                 "lang_pred": pa.array(langs),
                 "fingerprint": pa.array(fps),

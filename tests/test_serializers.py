@@ -76,13 +76,28 @@ def test_serialize_stage_per_graph(ray_session):
 
 
 def test_rdfxml_roundtrip_corpus_aggregate():
-    from rdfa_ray.rdf.rdfxml import graph_to_rdfxml, rdfxml_to_graph
+    from rdfa_ray.rdf.rdfxml import graph_to_rdfxml, rdfxml_to_graph, split_uri
 
     assert CORPUS_NT, "corpus goldens missing"
+    skipped = 0
     for nt_path in CORPUS_NT:
         golden = parse_ntriples(open(nt_path).read())
+        try:
+            for (_, p, _) in golden:
+                split_uri(p[1])
+        except ValueError:
+            # documented RDF/XML expressivity limit: predicates with no
+            # NCName suffix (e.g. ending in '#') cannot be serialized —
+            # the serializer must raise rather than emit invalid XML
+            import pytest as _pytest
+
+            with _pytest.raises(ValueError):
+                graph_to_rdfxml(golden)
+            skipped += 1
+            continue
         back = rdfxml_to_graph(graph_to_rdfxml(golden), BnodeGen())
         assert isomorphic(back, golden), nt_path
+    assert skipped <= 1  # only 070-curie-empty-local today
 
 
 def test_rdfxml_split_uri_limitation():
