@@ -117,3 +117,28 @@ def test_rel_chain_count_oracle():
         triples, diags = distill(doc, base=BASE)
         got = [t for t in triples if t[1] == (IRI, "http://e/r")]
         assert len(got) == n_rel, (seed, doc)
+
+
+def test_randomized_serializer_roundtrip():
+    """Property: for ANY kernel output graph, Turtle and JSON-LD
+    serializations parse back (engine's own readers) to an isomorphic
+    graph — serializer correctness beyond the curated corpus."""
+    from rdfa_ray.kernel.embedded import parse_turtle
+    from rdfa_ray.kernel.state import BnodeGen
+    from rdfa_ray.rdf.isomorphism import isomorphic
+    from rdfa_ray.rdf.jsonld import graph_to_jsonld, jsonld_to_graph
+    from rdfa_ray.rdf.turtle import graph_to_turtle
+
+    checked = 0
+    for seed in range(40):
+        rng = random.Random(5000 + seed)
+        doc = '<div prefix="ex: http://e/">%s</div>' % _gen_adversarial(rng)
+        triples, _ = distill(doc, base=BASE)
+        if not triples:
+            continue
+        checked += 1
+        ttl = graph_to_turtle(triples)
+        assert isomorphic(parse_turtle(ttl, "", BnodeGen()), triples), (seed, ttl)
+        jd = graph_to_jsonld(triples)
+        assert isomorphic(jsonld_to_graph(jd, BnodeGen()), triples), (seed, jd)
+    assert checked >= 20  # the generator must actually produce graphs
