@@ -498,6 +498,21 @@ def q_dedup_simhash(sf_dir: str):
     return simhash_dedup(docs).select_columns(["a", "b", "hamming"])
 
 
+def q_dedup_clusters(sf_dir: str):
+    """Duplicate-group clustering: connected components over exact-dup
+    star edges -> (doc_id, cluster_id = component min doc_id), every
+    document labeled (singletons label themselves)."""
+    import ray.data as rd
+
+    from ..stages.cluster import exact_dup_clusters
+
+    docs = rd.read_parquet(
+        "%s/documents.parquet" % sf_dir, columns=["doc_id", "text"],
+        override_num_blocks=16,
+    )
+    return exact_dup_clusters(docs)
+
+
 def q_text_metrics(sf_dir: str):
     import ray.data as rd
 
@@ -651,6 +666,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_clusters": q_dedup_clusters,
     "text_metrics": q_text_metrics,
     "quality_counts": q_quality_counts,
     "quality_signals": q_quality_signals,
@@ -862,6 +878,10 @@ ORACLE_SQL = {
     "dedup_exact": (
         "SELECT md5(text) AS h, MIN(doc_id) AS keeper, COUNT(*) AS n "
         "FROM documents GROUP BY md5(text)"
+    ),
+    "dedup_clusters": (
+        "SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text))"
+        " AS cluster_id FROM documents"
     ),
     "quality_counts": (
         "SELECT doc_id,"

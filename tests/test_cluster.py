@@ -1,0 +1,47 @@
+"""Connected-components clustering tests (stages/cluster.py)."""
+
+import pandas as pd
+
+
+def test_cc_star_and_chain(ray_session):
+    import ray.data as rd
+
+    from rdfa_ray.stages.cluster import connected_components
+
+    # two components: star {1,2,3,4} and edge {10,11}; 20 isolated
+    edges = rd.from_items(
+        [{"a": 1, "b": 2}, {"a": 1, "b": 3}, {"a": 1, "b": 4}, {"a": 10, "b": 11}],
+        override_num_blocks=2,
+    )
+    nodes = rd.from_items([{"node": n} for n in [1, 2, 3, 4, 10, 11, 20]])
+    got = connected_components(edges, nodes, iters=2).to_pandas()
+    labels = dict(zip(got["node"], got["label"]))
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_cc_chain_needs_diameter_iters(ray_session):
+    import ray.data as rd
+
+    from rdfa_ray.stages.cluster import connected_components
+
+    # path 1-2-3-4: diameter 3 -> iters=3 reaches the full component
+    edges = rd.from_items([{"a": 1, "b": 2}, {"a": 2, "b": 3}, {"a": 3, "b": 4}])
+    nodes = rd.from_items([{"node": n} for n in [1, 2, 3, 4]])
+    got = connected_components(edges, nodes, iters=3).to_pandas()
+    assert set(got["label"]) == {1}
+
+
+def test_exact_dup_clusters_match_groups(ray_session):
+    import ray.data as rd
+
+    from rdfa_ray.stages.cluster import exact_dup_clusters
+
+    rows = (
+        [{"doc_id": i, "text": "dup A"} for i in (5, 2, 9)]
+        + [{"doc_id": i, "text": "dup B"} for i in (7, 3)]
+        + [{"doc_id": 100, "text": "unique"}]
+    )
+    ds = rd.from_items(rows, override_num_blocks=3)
+    got = exact_dup_clusters(ds).to_pandas()
+    labels = dict(zip(got["doc_id"], got["cluster_id"]))
+    assert labels == {5: 2, 2: 2, 9: 2, 7: 3, 3: 3, 100: 100}
