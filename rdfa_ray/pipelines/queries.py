@@ -636,6 +636,23 @@ def q_multimodal_features(sf_dir: str):
     return feats.map_batches(project, batch_format="pyarrow")
 
 
+
+def q_multimodal_frames(sf_dir: str):
+    """Video frame sampling: one media row explodes into N frame rows
+    (actor pool, small batches for wide binary; rows-only)."""
+    import ray.data as rd
+
+    from ..stages.multimodal import frame_samples
+
+    docs = rd.read_parquet("%s/documents.parquet" % sf_dir, columns=["doc_id", "text"])
+    frames = frame_samples(docs)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["media_id", "frame_idx", "ts_ms"])
+
+    return frames.map_batches(project, batch_format="pyarrow")
+
+
 QUERIES = {
     "rdfa_text_triples": q_rdfa_text_triples,
     "rdfa_typed_triples": q_rdfa_typed_triples,
@@ -676,6 +693,7 @@ QUERIES = {
     "ann_ivf_indexed": q_ann_ivf_indexed,
     "embedding_dups": q_embedding_dups,
     "multimodal_features": q_multimodal_features,
+    "multimodal_frames": q_multimodal_frames,
 }
 
 

@@ -124,3 +124,93 @@ def media_features(docs_ds, concurrency=(2, 4)):
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+FRAMES_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("frame_idx", pa.int32()),
+        ("ts_ms", pa.int64()),
+        ("frame", pa.large_binary()),
+        ("decode_error", pa.string()),
+    ]
+)
+
+
+class FakeFrameSampler:
+    """Actor-pool frame-sampling stage for video payloads: one input
+    row fans out to N frame rows (the row-expansion plumbing a real
+    ffmpeg `-vf fps=` stage needs — output rows outnumber input rows,
+    so batches must stay SMALL to bound the expanded block).
+
+    ``_sample`` is the deterministic fake: a real deployment seeks the
+    container and decodes keyframes; here each "frame" is a
+    deterministic slice of the payload so the byte path and the
+    exploded-row layout are exercised end to end.  Non-video payloads
+    emit a single diagnostic row (decode_error set) rather than being
+    silently dropped.
+    """
+
+    def __init__(self, n_frames: int = 4, frame_interval_ms: int = 1000):
+        # stand-in for codec init (once per actor)
+        self.n_frames = n_frames
+        self.interval = frame_interval_ms
+
+    def _sample(self, payload: bytes):
+        # NOTE real impl: ffmpeg/pyav keyframe extraction
+        n = max(1, len(payload) // self.n_frames)
+        return [payload[i * n : (i + 1) * n] for i in range(self.n_frames)]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {name: [] for name in FRAMES_SCHEMA.names}
+        for mid, payload, mtype in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("payload").to_pylist(),
+            batch.column("media_type").to_pylist(),
+        ):
+            if not mtype.startswith("video/"):
+                out["media_id"].append(mid)
+                out["frame_idx"].append(-1)
+                out["ts_ms"].append(0)
+                out["frame"].append(b"")
+                out["decode_error"].append("not a video: %s" % mtype)
+                continue
+            for i, frame in enumerate(self._sample(payload)):
+                out["media_id"].append(mid)
+                out["frame_idx"].append(i)
+                out["ts_ms"].append(i * self.interval)
+                out["frame"].append(frame)
+                out["decode_error"].append("")
+        return pa.Table.from_pydict(
+            {
+                "media_id": pa.array(out["media_id"], pa.int64()),
+                "frame_idx": pa.array(out["frame_idx"], pa.int32()),
+                "ts_ms": pa.array(out["ts_ms"], pa.int64()),
+                "frame": pa.array(out["frame"], pa.large_binary()),
+                "decode_error": pa.array(out["decode_error"]),
+            },
+            schema=FRAMES_SCHEMA,
+        )
+
+
+def frame_samples(docs_ds, n_frames: int = 4, concurrency=(2, 4)):
+    """documents -> synthetic media -> video rows exploded into frames."""
+    import pyarrow.compute as pc
+
+    media = docs_ds.map_batches(
+        synthesize_media_batch, batch_format="pyarrow", batch_size=512
+    )
+    videos = media.map_batches(
+        lambda b: b.filter(
+            pc.starts_with(b.column("media_type").cast(pa.string()), "video/")
+        ),
+        batch_format="pyarrow",
+    )
+    return videos.map_batches(
+        FakeFrameSampler,
+        fn_constructor_kwargs={"n_frames": n_frames},
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

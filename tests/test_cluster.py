@@ -45,3 +45,22 @@ def test_exact_dup_clusters_match_groups(ray_session):
     got = exact_dup_clusters(ds).to_pandas()
     labels = dict(zip(got["doc_id"], got["cluster_id"]))
     assert labels == {5: 2, 2: 2, 9: 2, 7: 3, 3: 3, 100: 100}
+
+
+def test_frame_sampler_explodes_videos_only(ray_session):
+    import ray.data as rd
+
+    from rdfa_ray.stages.multimodal import frame_samples
+
+    docs = rd.from_items(
+        [{"doc_id": i, "text": "t%d" % i} for i in range(12)], override_num_blocks=2
+    )
+    got = frame_samples(docs, n_frames=4).to_pandas()
+    # doc_id % 3 == 2 -> video/mp4 in the synthetic source
+    video_ids = {i for i in range(12) if i % 3 == 2}
+    assert set(got["media_id"]) == video_ids
+    for mid in video_ids:
+        sub = got[got["media_id"] == mid]
+        assert list(sub["frame_idx"]) == [0, 1, 2, 3]
+        assert list(sub["ts_ms"]) == [0, 1000, 2000, 3000]
+        assert (sub["decode_error"] == "").all()
