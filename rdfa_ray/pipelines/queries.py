@@ -458,6 +458,32 @@ def q_events_hourly(sf_dir: str):
 # Training-data ops
 
 
+def q_top_orders_per_segment(sf_dir: str):
+    """Per-group top-k window pattern (ROW_NUMBER() OVER equivalent)."""
+    import pandas as pd
+
+    from .relational import top_orders_per_segment
+
+    ds = top_orders_per_segment(sf_dir, 3)
+
+    def to_cents(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[["c_mktsegment", "o_orderkey"]].copy()
+        out["total_cents"] = (
+            (batch["o_totalprice"] * 100.0).round().astype("int64")
+        )
+        return out
+
+    return ds.map_batches(to_cents, batch_format="pandas")
+
+
+def q_events_distinct_users(sf_dir: str):
+    """Exact distinct-count via two-level aggregation."""
+    from .relational import events_distinct_users
+
+    return events_distinct_users(sf_dir)
+
+
+
 def q_dedup_exact(sf_dir: str):
     import ray.data as rd
 
@@ -680,6 +706,8 @@ QUERIES = {
     "sessionize_events": q_sessionize_events,
     "events_hourly": q_events_hourly,
     "events_asof": q_events_asof,
+    "top_orders_per_segment": q_top_orders_per_segment,
+    "events_distinct_users": q_events_distinct_users,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
@@ -884,6 +912,19 @@ ORACLE_SQL = {
         " event_type, COUNT(*) AS n_events,"
         " CAST(SUM(CAST(ROUND(value * 1000.0) AS BIGINT)) AS BIGINT) AS value_milli "
         "FROM events GROUP BY 1, 2"
+    ),
+    "top_orders_per_segment": (
+        "SELECT c_mktsegment, o_orderkey, total_cents FROM ("
+        "SELECT c.c_mktsegment AS c_mktsegment, o.o_orderkey AS o_orderkey,"
+        " CAST(ROUND(o.o_totalprice * 100.0) AS BIGINT) AS total_cents,"
+        " ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment"
+        " ORDER BY o.o_totalprice DESC, o.o_orderkey ASC) AS rn "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey) t "
+        "WHERE rn <= 3"
+    ),
+    "events_distinct_users": (
+        "SELECT event_type, COUNT(DISTINCT user_id) AS n_users"
+        " FROM events GROUP BY event_type"
     ),
     "events_asof": (
         "SELECT CAST(p.event_id AS BIGINT) AS event_id,"

@@ -165,3 +165,67 @@ def sessionize_events(sf_dir: str):
         )
 
     return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def top_orders_per_segment(sf_dir: str, k: int = 3):
+    """Per-group top-k (the ROW_NUMBER()-OVER window pattern):
+    broadcast the small customer->segment map, then ONE groupby whose
+    per-segment kernel is a vectorized nlargest.  Map-side partial
+    top-k first, so only k rows per (block, segment) shuffle."""
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    cust = rd.read_parquet(
+        "%s/customer.parquet" % sf_dir, columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas()
+    seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    def tag_and_prune(batch: pd.DataFrame) -> pd.DataFrame:
+        seg = ray.get(seg_ref)
+        batch = batch.copy()
+        batch["c_mktsegment"] = batch["o_custkey"].map(seg).fillna("")
+        # map-side partial: keep only each segment's local top-k
+        return (
+            batch.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+            .groupby("c_mktsegment", sort=False)
+            .head(k)
+        )
+
+    orders = rd.read_parquet(
+        "%s/orders.parquet" % sf_dir,
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    partials = orders.map_batches(tag_and_prune, batch_format="pandas")
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True]
+        ).head(k)[["c_mktsegment", "o_orderkey", "o_totalprice"]]
+
+    return partials.groupby("c_mktsegment").map_groups(final_topk, batch_format="pandas")
+
+
+def events_distinct_users(sf_dir: str):
+    """Exact distinct-count at scale: two-level aggregation — partial
+    per-block dedup in map_batches shrinks the shuffle to unique
+    (event_type, user_id) rows, one hash groupby dedups globally, a
+    second tiny groupby counts.  (The sketch-free exact pattern; an
+    approximate HLL would replace level 2 with a mergeable sketch.)"""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(
+        "%s/events.parquet" % sf_dir, columns=["event_type", "user_id"]
+    )
+
+    def partial_dedup(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["event_type", "user_id"]).aggregate([])
+
+    uniq = (
+        ds.map_batches(partial_dedup, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="_n"))
+    )
+    return uniq.groupby("event_type").aggregate(Count(alias_name="n_users"))
