@@ -484,6 +484,21 @@ def q_events_distinct_users(sf_dir: str):
 
 
 
+def q_events_distinct_users_approx(sf_dir: str):
+    """KMV sketch distinct-count (approximate, mergeable partials;
+    rows-only — the exact twin events_distinct_users carries the SQL
+    oracle, and a pytest bounds the sketch error against it)."""
+    import ray.data as rd
+
+    from ..stages.sketch import kmv_distinct
+
+    ds = rd.read_parquet(
+        "%s/events.parquet" % sf_dir, columns=["event_type", "user_id"]
+    )
+    return kmv_distinct(ds, "event_type", "user_id")
+
+
+
 def q_dedup_exact(sf_dir: str):
     import ray.data as rd
 
@@ -708,6 +723,7 @@ QUERIES = {
     "events_asof": q_events_asof,
     "top_orders_per_segment": q_top_orders_per_segment,
     "events_distinct_users": q_events_distinct_users,
+    "events_distinct_users_approx": q_events_distinct_users_approx,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,

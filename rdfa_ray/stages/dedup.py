@@ -191,13 +191,15 @@ def minhash_dedup(docs_ds, threshold: float = 0.8, concurrency=(2, 8), n_buckets
     """Near-duplicate pairs (a, b, jaccard >= threshold) — fully
     distributed; nothing materializes on the driver.
 
-    shingle -> minhash -> band rows (map_batches) -> groupby(band,
-    band_hash) candidate pairs (star-capped, see ``_bucket_pairs``) ->
-    distributed distinct on (a, b) -> candidate texts joined in via TWO
-    ``bucketed_hash_join`` passes (on ``a`` then ``b``) -> exact-Jaccard
-    verify inside ``map_batches``.  At 100-TB scale the candidate set is
-    O(corpus) — round-1's driver-side ``to_pandas()`` + whole-text
-    broadcast is exactly what this replaces.
+    shingle -> minhash -> band rows (map_batches) -> coarse-bucketed
+    candidate pairs (star-capped, see ``_bucket_pairs``) -> map-side
+    partial pair dedup -> candidate texts joined in via TWO
+    ``bucketed_hash_join`` passes (on ``a`` then ``b``; the GLOBAL
+    (a, b) distinct is folded into the first join's buckets, saving a
+    shuffle) -> exact-Jaccard verify inside ``map_batches``.  At
+    100-TB scale the candidate set is O(corpus) — round-1's
+    driver-side ``to_pandas()`` + whole-text broadcast is exactly what
+    this replaces.
     """
     from .join import bucketed_hash_join
 

@@ -64,3 +64,38 @@ def test_frame_sampler_explodes_videos_only(ray_session):
         assert list(sub["frame_idx"]) == [0, 1, 2, 3]
         assert list(sub["ts_ms"]) == [0, 1000, 2000, 3000]
         assert (sub["decode_error"] == "").all()
+
+
+def test_kmv_sketch_accuracy_and_exact_path(ray_session):
+    import ray.data as rd
+
+    from rdfa_ray.stages.sketch import kmv_distinct
+
+    # group "small": 40 distinct keys (< K -> exact); "big": 5000 distinct
+    rows = [{"g": "small", "key": "s%d" % (i % 40)} for i in range(400)]
+    rows += [{"g": "big", "key": "b%d" % i} for i in range(5000)]
+    ds = rd.from_items(rows, override_num_blocks=8)
+    got = kmv_distinct(ds, "g", "key", k=256).to_pandas().set_index("g")
+    assert got.loc["small", "n_distinct_est"] == 40
+    assert bool(got.loc["small", "exactish"])
+    est = got.loc["big", "n_distinct_est"]
+    assert abs(est - 5000) / 5000 < 0.2  # ~1/sqrt(256) error regime
+    assert not bool(got.loc["big", "exactish"])
+
+
+def test_kmv_against_events_exact(ray_session):
+    import ray.data as rd
+
+    from rdfa_ray.pipelines.relational import events_distinct_users
+    from rdfa_ray.stages.sketch import kmv_distinct
+
+    sf = "/root/testdata/sf0.001"
+    exact = events_distinct_users(sf).to_pandas().set_index("event_type")["n_users"]
+    ds = rd.read_parquet("%s/events.parquet" % sf, columns=["event_type", "user_id"])
+    approx = (
+        kmv_distinct(ds, "event_type", "user_id", k=256)
+        .to_pandas()
+        .set_index("event_type")["n_distinct_est"]
+    )
+    for et, n in exact.items():
+        assert abs(int(approx[et]) - int(n)) <= max(1, int(0.2 * n)), (et, n, approx[et])
