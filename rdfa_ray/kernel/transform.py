@@ -88,7 +88,44 @@ def vocab_for_role(node, options, state) -> None:
             el.setAttribute("role", new_values.strip())
 
 
-BUILTIN_TRANSFORMERS = (empty_safe_curie, top_about, vocab_for_role)
+def fused_builtin_scan(root, options, state) -> None:
+    """One tree pass applying ``empty_safe_curie`` + ``vocab_for_role``
+    (their per-element effects are independent and order-free); the
+    separate transformers each walked the whole tree — this halves the
+    always-run pre-walk traversals.  ``top_about`` stays separate: its
+    hot path touches only the root (full scans only for the rare
+    RDFa-1.0 html head/body case)."""
+
+    def prune(el, name):
+        if el.getAttribute(name) == "[]":
+            el.removeAttribute(name)
+            el.setAttribute(name + "_pruned", "")
+            options.add_warning(
+                "Attribute @%s uses an empty safe CURIE; the attribute is ignored" % name,
+                node=el.tag,
+            )
+
+    for el in root.iter_elements():
+        attrs = el.attrs
+        if "about" in attrs:
+            prune(el, "about")
+        if "resource" in attrs:
+            prune(el, "resource")
+        role = attrs.get("role")
+        if role:
+            new_values = ""
+            for val in role.strip().split():
+                if TERMNAME.match(val):
+                    new_values += XHTML_URI + val + " "
+                else:
+                    new_values += val + " "
+            el.setAttribute("role", new_values.strip())
+
+
+# the fused scan preserves the reference's transformer ORDER semantics
+# (empty_safe_curie -> top_about -> vocab_for_role): top_about only
+# touches root/head/body attributes none of the fused effects read.
+BUILTIN_TRANSFORMERS = (fused_builtin_scan, top_about)
 
 
 # ---------------------------------------------------------------------------
