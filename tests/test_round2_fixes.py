@@ -275,3 +275,48 @@ def test_flagship_auto_partitions_and_meta_pinning(ray_session, tmp_path_factory
         transcripts_dataset(300, override_num_blocks=4), out, n_parts=99
     )
     assert len(s2) == 0  # nothing re-ran => same partition ids resolved
+
+
+# ---------------------------------------------------------------------------
+# design claim: the iterative walk survives nesting far beyond Python's
+# recursion limit (SURVEY §4.3 — recursive reference would blow the stack)
+
+
+def test_deep_nesting_beyond_recursion_limit():
+    import sys
+
+    depth = sys.getrecursionlimit() * 3
+    doc = (
+        '<div prefix="ex: http://e/">'
+        + "<div>" * depth
+        + '<span about="#leaf" property="ex:p">v</span>'
+        + "</div>" * depth
+        + "</div>"
+    )
+    triples, diags = distill(doc, base="http://deep.example/")
+    assert (
+        iri("http://deep.example/#leaf"),
+        iri("http://e/p"),
+        ("lit", "v", None, None),
+    ) in triples
+    assert not any(d.severity == "error" for d in diags)
+
+
+def test_deep_nesting_xml_path():
+    import sys
+
+    depth = sys.getrecursionlimit() * 2
+    doc = (
+        '<?xml version="1.0"?><svg xmlns="http://www.w3.org/2000/svg">'
+        + "<g>" * depth
+        + '<text about="#t" property="http://e/p">v</text>'
+        + "</g>" * depth
+        + "</svg>"
+    )
+    triples, diags = distill(doc, base="http://deep.example/")
+    # either parses fine (iterative converter) or fails SOFT with a
+    # diagnostic — never a crash / RecursionError escape
+    if triples:
+        assert any(p == iri("http://e/p") for (_, p, _) in triples)
+    else:
+        assert any(d.severity == "error" for d in diags)
