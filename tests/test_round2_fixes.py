@@ -320,3 +320,50 @@ def test_deep_nesting_xml_path():
         assert any(p == iri("http://e/p") for (_, p, _) in triples)
     else:
         assert any(d.severity == "error" for d in diags)
+
+
+def test_resume_after_partial_failure_with_stray_tmps(ray_session, tmp_path_factory):
+    """Crash simulation: several partitions missing their manifests plus
+    stray .tmp files from an interrupted write — resume must rebuild
+    exactly the missing partitions, byte-identical, and the strays must
+    not leak into the final layout."""
+    import os
+    import shutil
+
+    from rdfa_ray.pipelines.flagship import run_flagship
+    from rdfa_ray.sources.transcripts import transcripts_dataset
+
+    out = os.path.join(str(tmp_path_factory.getbasetemp()), "flag_crash")
+    shutil.rmtree(out, ignore_errors=True)
+    summary = run_flagship(
+        transcripts_dataset(600, override_num_blocks=4), out, n_parts=8
+    )
+    parts = sorted(int(p) for p in summary["part"])
+    assert len(parts) >= 4
+    before = {
+        p: open("%s/nt/part-%05d.nq" % (out, p)).read() for p in parts
+    }
+
+    victims = parts[:3]
+    for p in victims:
+        os.remove("%s/_manifest/part-%05d.json" % (out, p))
+        # half-written artifacts of the "crashed" attempt
+        with open("%s/nt/part-%05d.nq.tmp" % (out, p), "w") as f:
+            f.write("GARBAGE")
+        with open("%s/parquet/part-%05d.parquet.tmp" % (out, p), "w") as f:
+            f.write("GARBAGE")
+
+    s2 = run_flagship(
+        transcripts_dataset(600, override_num_blocks=4), out, n_parts=8
+    )
+    assert sorted(int(p) for p in s2["part"]) == victims
+    for p in parts:
+        assert open("%s/nt/part-%05d.nq" % (out, p)).read() == before[p]
+    # the atomic rename consumed the garbage tmps for the victims and
+    # the final files are valid again
+    import pyarrow.parquet as pq
+
+    for p in victims:
+        assert not os.path.exists("%s/nt/part-%05d.nq.tmp" % (out, p))
+        assert not os.path.exists("%s/parquet/part-%05d.parquet.tmp" % (out, p))
+        pq.read_table("%s/parquet/part-%05d.parquet" % (out, p))
