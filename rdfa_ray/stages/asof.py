@@ -61,8 +61,9 @@ def asof_join(
                     out[c] = pa.nulls(n, left_types[c])
                 for c in right_cols:
                     out[c] = batch.column(inv[c])
-            key = batch.column(by if side == "l" else by)
-            out["__bucket"] = crc32_bucket(key, n_buckets)
+            # `by` is the ORIGINAL column name on both input sides
+            # (rename applies to output columns only)
+            out["__bucket"] = crc32_bucket(batch.column(by), n_buckets)
             out["__side"] = pa.repeat(pa.scalar(side, pa.string()), n)
             return pa.Table.from_pydict(out)
 
