@@ -31,19 +31,18 @@ def entry() -> Any:
     from rdfa_ray.sources.aliases import build_alias_table
     from rdfa_ray.sources.transcripts import typed_transcripts_from_documents
     from rdfa_ray.stages.canonicalize import canonicalize
-    from rdfa_ray.stages.link import AugmentingLinker
+    from rdfa_ray.stages.link import link_batch_augmenting
 
     sf_dir = "/root/testdata/sf0.001"
     turns = typed_transcripts_from_documents(sf_dir, with_alias=True)
     triples = build_triples(turns)
     alias_ref = ray.put(build_alias_table())
     augmented = triples.map_batches(
-        AugmentingLinker,
-        fn_constructor_kwargs={"alias_ref": alias_ref},
+        link_batch_augmenting,
+        fn_kwargs={"alias_ref": alias_ref},
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=4096,
-        concurrency=(2, 4),
     )
     return canonicalize(augmented)
 

@@ -23,7 +23,7 @@ from ..sources.transcripts import (
     transcripts_dataset,
 )
 from ..stages.distill import split_diags, split_triples
-from ..stages.link import AugmentingLinker, EntityLinker
+from ..stages.link import link_batch, link_batch_augmenting
 from ..stages.canonicalize import canonicalize
 from .flagship import build_triples
 
@@ -73,12 +73,14 @@ def q_rdfa_entity_links(sf_dir: str):
     turns = typed_transcripts_from_documents(sf_dir, with_alias=True)
     triples = build_triples(turns)
     alias_ref = ray.put(build_alias_table())
+    # elastic tasks, not a capped actor pool: the (2,4) pool starved
+    # this stage at 32 CPUs (round-2 verdict #1)
     links = triples.map_batches(
-        EntityLinker,
-        fn_constructor_kwargs={"alias_ref": alias_ref},
+        link_batch,
+        fn_kwargs={"alias_ref": alias_ref},
         batch_format="pyarrow",
+        zero_copy_batch=True,
         batch_size=4096,
-        concurrency=(2, 4),
     )
     return links.select_columns(["conv_id", "entity", "surface"])
 
@@ -90,11 +92,11 @@ def q_rdfa_canonical_subjects(sf_dir: str):
     triples = build_triples(turns)
     alias_ref = ray.put(build_alias_table())
     augmented = triples.map_batches(
-        AugmentingLinker,
-        fn_constructor_kwargs={"alias_ref": alias_ref},
+        link_batch_augmenting,
+        fn_kwargs={"alias_ref": alias_ref},
         batch_format="pyarrow",
+        zero_copy_batch=True,
         batch_size=4096,
-        concurrency=(2, 4),
     )
     canon = canonicalize(augmented)
 
@@ -120,11 +122,11 @@ def q_rdfa_flagship_synthetic(sf_dir: str):
     triples = build_triples(turns)
     alias_ref = ray.put(build_alias_table())
     augmented = triples.map_batches(
-        AugmentingLinker,
-        fn_constructor_kwargs={"alias_ref": alias_ref},
+        link_batch_augmenting,
+        fn_kwargs={"alias_ref": alias_ref},
         batch_format="pyarrow",
+        zero_copy_batch=True,
         batch_size=4096,
-        concurrency=(2, 4),
     )
     return canonicalize(augmented)
 
@@ -247,17 +249,16 @@ def q_rdfa_hturtle(sf_dir: str):
     """HTurtleParser variant: turtle-only extraction, RDFa attributes
     ignored (reference rdflibparsers.py:273-351)."""
     from ..sources.transcripts import view_from_documents, wrap_documents_turtle
-    from ..stages.distill import RdfaDistiller
+    from ..stages.distill import distill_batch_task
     from .flagship import _filter_nonempty
 
     turns = view_from_documents(sf_dir, wrap_documents_turtle)
     triples = turns.map_batches(_filter_nonempty, batch_format="pyarrow").map_batches(
-        RdfaDistiller,
-        fn_constructor_kwargs={"mode": "hturtle"},
+        distill_batch_task,
+        fn_kwargs={"mode": "hturtle"},
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=512,
-        concurrency=(2, 4),
     ).map_batches(split_triples, batch_format="pyarrow")
     return triples.select_columns(["subj", "pred", "obj_value", "obj_datatype"])
 

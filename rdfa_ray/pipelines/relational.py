@@ -56,6 +56,43 @@ def lineitem_agg(sf_dir: str):
     )
 
 
+_BCAST_CACHE: dict = {}
+
+
+def _bcast_cached(ref):
+    """Per-worker-process cache of a ``ray.put`` broadcast object so
+    elastic map_batches tasks don't re-deserialize it every batch."""
+    import ray
+
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    obj = _BCAST_CACHE.get(key)
+    if obj is None:
+        obj = ray.get(ref)
+        _BCAST_CACHE.clear()
+        _BCAST_CACHE[key] = obj
+    return obj
+
+
+def _segment_join_batch(batch: pa.Table, seg_ref=None) -> pa.Table:
+    # vectorized broadcast lookup (pandas hash-map join) — no per-row
+    # Python inner loop
+    seg = _bcast_cached(seg_ref)
+    keys = batch.column("o_custkey").to_pandas()
+    segs = keys.map(seg).fillna("")
+    batch = batch.append_column("c_mktsegment", pa.array(segs, pa.string()))
+    return batch.append_column(
+        "total_cents",
+        pc.cast(
+            pc.round(
+                pc.multiply(batch.column("o_totalprice"), 100.0),
+                0,
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        ),
+    )
+
+
 def orders_by_segment(sf_dir: str):
     """Broadcast hash join: customer (small side) shipped once via
     ray.put, looked up inside map_batches — no shuffle."""
@@ -68,31 +105,17 @@ def orders_by_segment(sf_dir: str):
     ).to_pandas()
     seg_map_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
 
-    class SegmentJoiner:
-        def __init__(self):
-            self.seg = ray.get(seg_map_ref)  # once per actor
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            # vectorized broadcast lookup (pandas hash-map join) — the
-            # per-row dict.get list-comp this replaces was the only
-            # Python inner loop in the plan
-            import pandas as pd
-
-            keys = batch.column("o_custkey").to_pandas()
-            segs = keys.map(self.seg).fillna("")
-            batch = batch.append_column("c_mktsegment", pa.array(segs, pa.string()))
-            return batch.append_column(
-                "total_cents",
-                pc.cast(
-                    pc.round(pc.multiply(batch.column("o_totalprice"), 100.0), 0, round_mode="half_towards_infinity"), pa.int64()
-                ),
-            )
-
     orders = rd.read_parquet(
         "%s/orders.parquet" % sf_dir, columns=["o_custkey", "o_totalprice"]
     )
+    # elastic tasks (not a capped actor pool): the broadcast dict is
+    # fetched once per worker process via _bcast_cached
     joined = orders.map_batches(
-        SegmentJoiner, batch_format="pyarrow", batch_size=8192, concurrency=(2, 4)
+        _segment_join_batch,
+        fn_kwargs={"seg_ref": seg_map_ref},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=8192,
     )
     return joined.groupby("c_mktsegment").aggregate(
         Count(alias_name="n_orders"), Sum("total_cents", alias_name="total_cents")
@@ -144,27 +167,61 @@ def events_hourly(sf_dir: str):
 SESSION_GAP_S = 1800
 
 
-def sessionize_events(sf_dir: str):
-    """Session windows per user: groupby(user).map_groups over
-    ts-sorted events; gap > 30 min starts a new session.  Returns
-    (user_id, n_sessions, n_events)."""
+def sessionize_events(sf_dir: str, n_buckets: int = 64):
+    """Session windows per user: gap > 30 min starts a new session.
+    Returns (user_id, n_sessions, n_events).
+
+    Two-level pattern (the ``stages/distinct.py`` shape): coarse-bucket
+    users with the vectorized crc32 kernel, ONE shuffle on the bucket,
+    then a fully vectorized per-bucket kernel — sort by (user, ts),
+    numpy diff + boundary mask, pandas C-level groupby-sum.  No
+    per-user Python calls (round-1's ``groupby(user).map_groups`` paid
+    one pandas call per user — thousands of tiny groups)."""
+    import numpy as np
     import ray.data as rd
+
+    from ..functions.hashing import crc32_bucket
 
     ds = rd.read_parquet("%s/events.parquet" % sf_dir, columns=["user_id", "ts"])
 
-    def sessions(group: pd.DataFrame) -> pd.DataFrame:
-        ts = group["ts"].sort_values()
-        gaps = ts.diff().dt.total_seconds().fillna(0)
-        n_sessions = int((gaps > SESSION_GAP_S).sum()) + (1 if len(ts) else 0)
-        return pd.DataFrame(
-            {
-                "user_id": [group["user_id"].iloc[0]],
-                "n_sessions": [n_sessions],
-                "n_events": [len(ts)],
-            }
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_bucket", crc32_bucket(batch.column("user_id"), n_buckets)
         )
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    def bucket_sessions(group: pd.DataFrame) -> pd.DataFrame:
+        if not len(group):
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "n_sessions": pd.Series([], dtype="int64"),
+                    "n_events": pd.Series([], dtype="int64"),
+                }
+            )
+        g = group.sort_values(["user_id", "ts"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        secs = g["ts"].astype("int64").to_numpy() / 1e6  # epoch seconds
+        new_session = np.empty(len(g), dtype=bool)
+        new_session[0] = True
+        # a session boundary: first event of a user, or gap > 30 min
+        new_session[1:] = (uid[1:] != uid[:-1]) | (
+            (secs[1:] - secs[:-1]) > SESSION_GAP_S
+        )
+        agg = (
+            pd.DataFrame({"user_id": uid, "_s": new_session})
+            .groupby("user_id", sort=False)
+            .agg(n_sessions=("_s", "sum"), n_events=("_s", "size"))
+            .reset_index()
+        )
+        agg["n_sessions"] = agg["n_sessions"].astype("int64")
+        agg["n_events"] = agg["n_events"].astype("int64")
+        return agg
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(bucket_sessions, batch_format="pandas")
+    )
 
 
 def top_orders_per_segment(sf_dir: str, k: int = 3):

@@ -107,18 +107,30 @@ def link_triples(triples_ds, alias_table: dict, concurrency=(2, 8)):
 _LINKER_CACHE: dict = {}
 
 
+def _cached_linker(cls, alias_ref):
+    ref = alias_ref.hex() if hasattr(alias_ref, "hex") else id(alias_ref)
+    key = (cls.__name__, ref)
+    linker = _LINKER_CACHE.get(key)
+    if linker is None:
+        linker = cls(alias_ref=alias_ref)
+        _LINKER_CACHE.clear()
+        _LINKER_CACHE[key] = linker
+    return linker
+
+
+def link_batch(batch: pa.Table, alias_ref=None) -> pa.Table:
+    """Task-based EntityLinker: elastic map_batches tasks with the
+    compiled alias regex cached per worker process (see
+    ``link_batch_augmenting`` for why tasks beat an actor pool here)."""
+    return _cached_linker(EntityLinker, alias_ref)(batch)
+
+
 def link_batch_augmenting(batch: pa.Table, alias_ref=None) -> pa.Table:
     """Task-based AugmentingLinker: a plain function for elastic
     map_batches tasks (an actor pool here would RESERVE CPUs and fight
     the distiller pool for the node; the linker's per-task state — the
     compiled alias regex — is cached per worker process instead)."""
-    key = alias_ref.hex() if hasattr(alias_ref, "hex") else id(alias_ref)
-    linker = _LINKER_CACHE.get(key)
-    if linker is None:
-        linker = AugmentingLinker(alias_ref=alias_ref)
-        _LINKER_CACHE.clear()
-        _LINKER_CACHE[key] = linker
-    return linker(batch)
+    return _cached_linker(AugmentingLinker, alias_ref)(batch)
 
 
 class AugmentingLinker(EntityLinker):
