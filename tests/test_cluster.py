@@ -31,6 +31,43 @@ def test_cc_chain_needs_diameter_iters(ray_session):
     assert set(got["label"]) == {1}
 
 
+def test_cc_converges_on_long_chain(ray_session):
+    import ray.data as rd
+
+    from rdfa_ray.stages.cluster import connected_components
+
+    # 10-hop chain with node ids scattered so consecutive nodes hash to
+    # DIFFERENT crc32 buckets (the round-2 cross-bucket mislabel case);
+    # default convergence loop must find the single component with no
+    # iters hint
+    ids = [1, 997, 23, 511, 88, 402, 666, 315, 74, 209, 1000]
+    edges = rd.from_items(
+        [{"a": ids[i], "b": ids[i + 1]} for i in range(len(ids) - 1)],
+        override_num_blocks=3,
+    )
+    nodes = rd.from_items([{"node": n} for n in ids + [5000]])
+    got = connected_components(edges, nodes, n_buckets=8).to_pandas()
+    labels = dict(zip(got["node"], got["label"]))
+    assert all(labels[n] == 1 for n in ids), labels
+    assert labels[5000] == 5000
+
+
+def test_cc_convergence_without_pointer_doubling(ray_session):
+    import ray.data as rd
+
+    from rdfa_ray.stages.cluster import connected_components
+
+    # plain propagation (no doubling) must still converge via the
+    # changed-row check, just in more supersteps
+    ids = list(range(1, 9))
+    edges = rd.from_items([{"a": i, "b": i + 1} for i in ids[:-1]])
+    nodes = rd.from_items([{"node": n} for n in ids])
+    got = connected_components(
+        edges, nodes, n_buckets=4, pointer_double=False
+    ).to_pandas()
+    assert set(got["label"]) == {1}
+
+
 def test_exact_dup_clusters_match_groups(ray_session):
     import ray.data as rd
 
