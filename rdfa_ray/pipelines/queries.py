@@ -631,13 +631,14 @@ def q_ann_ivf_indexed(sf_dir: str):
 
     import ray.data as rd
 
-    from ..stages.ann_index import build_ivf_index, ivf_search
+    from ..stages.ann_index import build_ivf_index, index_is_complete, ivf_search
 
     index_dir = "/tmp/graft_ivf_%s" % _hl.md5(sf_dir.encode()).hexdigest()[:8]
     embs = rd.read_parquet("%s/embeddings.parquet" % sf_dir)
-    import os as _os
 
-    if not _os.path.exists("%s/centroids.npy" % index_dir):
+    # the sentinel is written AFTER the vectors dataset, so a crashed
+    # build is invisible and rebuilt here
+    if not index_is_complete(index_dir):
         build_ivf_index(embs, index_dir)
     queries_df = (
         embs.filter(expr="vec_id < 8").to_pandas()

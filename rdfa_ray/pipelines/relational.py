@@ -56,27 +56,12 @@ def lineitem_agg(sf_dir: str):
     )
 
 
-_BCAST_CACHE: dict = {}
-
-
-def _bcast_cached(ref):
-    """Per-worker-process cache of a ``ray.put`` broadcast object so
-    elastic map_batches tasks don't re-deserialize it every batch."""
-    import ray
-
-    key = ref.hex() if hasattr(ref, "hex") else id(ref)
-    obj = _BCAST_CACHE.get(key)
-    if obj is None:
-        obj = ray.get(ref)
-        _BCAST_CACHE.clear()
-        _BCAST_CACHE[key] = obj
-    return obj
-
-
 def _segment_join_batch(batch: pa.Table, seg_ref=None) -> pa.Table:
     # vectorized broadcast lookup (pandas hash-map join) — no per-row
     # Python inner loop
-    seg = _bcast_cached(seg_ref)
+    from ..functions.broadcast import bcast_cached
+
+    seg = bcast_cached(seg_ref)
     keys = batch.column("o_custkey").to_pandas()
     segs = keys.map(seg).fillna("")
     batch = batch.append_column("c_mktsegment", pa.array(segs, pa.string()))
@@ -109,7 +94,7 @@ def orders_by_segment(sf_dir: str):
         "%s/orders.parquet" % sf_dir, columns=["o_custkey", "o_totalprice"]
     )
     # elastic tasks (not a capped actor pool): the broadcast dict is
-    # fetched once per worker process via _bcast_cached
+    # fetched once per worker process via bcast_cached
     joined = orders.map_batches(
         _segment_join_batch,
         fn_kwargs={"seg_ref": seg_map_ref},

@@ -2,12 +2,22 @@
 
 * ``brute_force_topk`` — the exact baseline: per-batch numpy matmul
   against a broadcast query matrix, batch-local top-k partials, then a
-  tiny groupby merge.  The broadcast matrix is ``ray.put`` once.
+  coalesced vectorized merge.  The broadcast matrix is ``ray.put`` once.
 * ``ivf_topk`` — the scale path: k-means-ish coarse quantizer (sampled,
-  driver-side, deterministic), assign batches to cells, search only the
-  ``n_probe`` nearest cells per query.
+  driver-side, deterministic); vectors in never-probed cells are
+  dropped at the map side (scan fraction ~ n_probe/n_cells) and the
+  survivors are scored IN PLACE against a per-query probe mask — the
+  embedding payloads are never shuffled.  (Round 2 shuffled the kept
+  vectors by cell to score each cell only against its probing queries;
+  that saves matmul FLOPs but moves every surviving embedding through
+  an all-to-all — at 100 TB the shuffle dwarfs the vectorized matmul,
+  and the sort-based ``map_groups`` emitted schema-less empty blocks.)
 * ``cosine_dup_pairs`` — near-duplicate detection by sign-LSH buckets
   + in-bucket exact cosine.
+
+No stage in this module shuffles embedding payloads; the only
+all-to-all anywhere is the LSH-bucket groupby in ``cosine_dup_pairs``
+(hash rows, not vectors, dominate that exchange's input).
 """
 
 from __future__ import annotations
@@ -15,6 +25,20 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+TOPK_SCHEMA = pa.schema(
+    [
+        ("query_id", pa.int64()),
+        ("vec_id", pa.int64()),
+        ("sim", pa.float64()),
+    ]
+)
+
+
+def _empty_topk() -> pa.Table:
+    return pa.Table.from_pydict(
+        {name: [] for name in TOPK_SCHEMA.names}, schema=TOPK_SCHEMA
+    )
 
 
 def _stack(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
@@ -29,47 +53,98 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+def _topk_rows(qids: np.ndarray, ids: np.ndarray, sims: np.ndarray, k: int) -> pa.Table:
+    """Batch-local top-k per query from a (n_query, n_batch) sim matrix
+    — fully vectorized (np.repeat/ravel, no per-row Python).  Rows with
+    sim == -inf (masked-out candidates) are dropped."""
+    if sims.shape[1] == 0:
+        return _empty_topk()
+    k = min(k, sims.shape[1])
+    top = np.argpartition(-sims, k - 1, axis=1)[:, :k]  # (n_query, k)
+    rows = np.repeat(np.arange(sims.shape[0]), k)
+    cols = top.ravel()
+    vals = sims[rows, cols]
+    keep = np.isfinite(vals)
+    return pa.Table.from_pydict(
+        {
+            "query_id": pa.array(qids[rows[keep]], pa.int64()),
+            "vec_id": pa.array(ids[cols[keep]], pa.int64()),
+            "sim": pa.array(vals[keep], pa.float64()),
+        },
+        schema=TOPK_SCHEMA,
+    )
+
+
+def merge_topk(partials_ds, k: int):
+    """Final per-query top-k merge WITHOUT a shuffle: the partials are
+    already bounded (<= k rows per (block, query)), so the merge input
+    is tiny relative to the corpus — coalesce into one block and run a
+    single vectorized grouped head-k.  (A groupby here would sort-range
+    partition a tiny table into mostly-empty blocks; Ray forwards
+    empty map_groups outputs as schema-less bundles.)  For query sets
+    too large for one task, raise the partial bound instead: the merge
+    input scales as n_blocks x n_queries x k, independent of corpus
+    bytes."""
+
+    def grouped_head(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pa.Table.from_pydict(
+                {n: [] for n in TOPK_SCHEMA.names}, schema=TOPK_SCHEMA
+            ).to_pandas()
+        return (
+            batch.sort_values(["query_id", "sim", "vec_id"], ascending=[True, False, True])
+            .groupby("query_id", sort=False)
+            .head(k)
+            .reset_index(drop=True)
+        )
+
+    return partials_ds.repartition(1).map_batches(
+        grouped_head, batch_format="pandas", batch_size=None
+    )
+
+
 class BruteForceScorer:
-    """Actor: scores each batch against the broadcast query matrix and
-    emits batch-local top-k candidate rows."""
+    """Scores each batch against the broadcast query matrix and emits
+    batch-local top-k candidate rows.  Usable as an actor class or via
+    ``score_batch_brute`` as a cached elastic task."""
 
-    def __init__(self, query_ref, k: int):
-        import ray
+    def __init__(self, query_ref=None, k: int = 10, state: dict | None = None):
+        if state is None:
+            import ray
 
-        q = ray.get(query_ref)  # fetched once per actor
-        self.qids = q["ids"]
-        self.qmat = _normalize(q["mat"])
+            state = ray.get(query_ref)  # fetched once per actor/worker
+        self.qids = state["ids"]
+        self.qmat = _normalize(state["mat"])
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, embs = _stack(batch)
         if len(ids) == 0:
-            return pa.Table.from_pydict(
-                {
-                    "query_id": pa.array([], pa.int64()),
-                    "vec_id": pa.array([], pa.int64()),
-                    "sim": pa.array([], pa.float64()),
-                }
-            )
+            return _empty_topk()
         sims = self.qmat @ _normalize(embs).T  # (n_query, n_batch)
-        k = min(self.k, sims.shape[1])
-        top = np.argpartition(-sims, k - 1, axis=1)[:, :k]
-        out_q, out_v, out_s = [], [], []
-        for qi in range(sims.shape[0]):
-            for ci in top[qi]:
-                out_q.append(self.qids[qi])
-                out_v.append(ids[ci])
-                out_s.append(sims[qi, ci])
-        return pa.Table.from_pydict(
-            {
-                "query_id": pa.array(out_q, pa.int64()),
-                "vec_id": pa.array(out_v, pa.int64()),
-                "sim": pa.array(out_s, pa.float64()),
-            }
-        )
+        return _topk_rows(self.qids, ids, sims, self.k)
 
 
-def brute_force_topk(embeddings_ds, query_ids: list[int], k: int = 10, concurrency=(2, 8)):
+_SCORER_CACHE: dict = {}
+
+
+def _cached_scorer(cls, ref, **kwargs):
+    from ..functions.broadcast import bcast_cached
+
+    key = (cls.__name__, ref.hex() if hasattr(ref, "hex") else id(ref), repr(sorted(kwargs.items())))
+    scorer = _SCORER_CACHE.get(key)
+    if scorer is None:
+        scorer = cls(state=bcast_cached(ref), **kwargs)
+        _SCORER_CACHE.clear()
+        _SCORER_CACHE[key] = scorer
+    return scorer
+
+
+def score_batch_brute(batch: pa.Table, query_ref=None, k: int = 10) -> pa.Table:
+    return _cached_scorer(BruteForceScorer, query_ref, k=k)(batch)
+
+
+def brute_force_topk(embeddings_ds, query_ids: list[int], k: int = 10):
     """Exact cosine top-k for the given query vec_ids."""
     import pyarrow.compute as pc
     import ray
@@ -89,22 +164,19 @@ def brute_force_topk(embeddings_ds, query_ids: list[int], k: int = 10, concurren
     )
 
     partials = embeddings_ds.map_batches(
-        BruteForceScorer,
-        fn_constructor_kwargs={"query_ref": query_ref, "k": k},
+        score_batch_brute,
+        fn_kwargs={"query_ref": query_ref, "k": k},
         batch_format="pyarrow",
+        zero_copy_batch=True,
         batch_size=4096,
-        concurrency=concurrency,
     )
-
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
-
-    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return merge_topk(partials, k)
 
 
 # ---------------------------------------------------------------------------
 # IVF (coarse-quantized) variant — the 100 TB path: centroids from a
-# deterministic sample, each vector searched only within its cell.
+# deterministic sample, never-probed cells dropped map-side, survivors
+# scored in place against each query's probe mask.
 
 
 def _kmeans(sample: np.ndarray, n_cells: int, iters: int = 10) -> np.ndarray:
@@ -121,13 +193,49 @@ def _kmeans(sample: np.ndarray, n_cells: int, iters: int = 10) -> np.ndarray:
     return cents
 
 
+class MaskedIVFScorer:
+    """Scores a batch's (already cell-filtered) vectors against the
+    broadcast queries, masking out candidates whose cell is not probed
+    by the query — IVF semantics with zero embedding shuffle.
+
+    ``state``: {ids, mat (normalized), probe (n_query, n_probe), n_cells}.
+    """
+
+    def __init__(self, state_ref=None, k: int = 10, state: dict | None = None):
+        if state is None:
+            import ray
+
+            state = ray.get(state_ref)
+        self.qids = state["ids"]
+        self.qmat = state["mat"]
+        self.k = k
+        probe = state["probe"]
+        n_cells = int(state["n_cells"])
+        self.probe_mask = np.zeros((len(self.qids), n_cells), dtype=bool)
+        rows = np.repeat(np.arange(probe.shape[0]), probe.shape[1])
+        self.probe_mask[rows, probe.ravel()] = True
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, embs = _stack(batch)
+        if len(ids) == 0:
+            return _empty_topk()
+        cells = np.asarray(batch.column("cell").to_pylist(), dtype=np.int64)
+        sims = self.qmat @ _normalize(embs).T  # (n_query, n_batch)
+        allowed = self.probe_mask[:, cells]  # (n_query, n_batch)
+        sims = np.where(allowed, sims, -np.inf)
+        return _topk_rows(self.qids, ids, sims, self.k)
+
+
+def score_batch_ivf(batch: pa.Table, state_ref=None, k: int = 10) -> pa.Table:
+    return _cached_scorer(MaskedIVFScorer, state_ref, k=k)(batch)
+
+
 def ivf_topk(
     embeddings_ds,
     query_ids: list[int],
     k: int = 10,
     n_cells: int = 16,
     n_probe: int = 4,
-    concurrency=(2, 8),
 ):
     """Approximate top-k: scores only vectors whose cell is among the
     query's n_probe nearest cells."""
@@ -152,24 +260,23 @@ def ivf_topk(
         {
             "ids": qdf["vec_id"].to_numpy(),
             "mat": qmat,
-            "cents": cents,
             "probe": probe_cells,
+            "n_cells": n_cells,
         }
     )
 
-    # cell-partitioned plan (the 100-TB path): assign each vector its
-    # cell ONCE in map_batches, drop vectors in never-probed cells at
-    # the map side (scan fraction ~ n_probe/n_cells), then ONE shuffle
-    # by cell so each per-cell task scores only the queries probing it.
-    # Round-1 instead re-scanned and re-filtered every batch for every
-    # query.
+    # map-side cell assignment + never-probed drop (scan fraction
+    # ~ n_probe/n_cells); the kept vectors are scored IN PLACE by the
+    # masked scorer — embeddings never shuffle
     def assign_cells(batch: pa.Table) -> pa.Table:
         ids, embs = _stack(batch)
         if len(ids) == 0:
             return pa.Table.from_pydict(
-                {"vec_id": pa.array([], pa.int64()),
-                 "cell": pa.array([], pa.int32()),
-                 "embedding": batch.column("embedding")}
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "cell": pa.array([], pa.int32()),
+                    "embedding": batch.column("embedding"),
+                }
             )
         cells = (_normalize(embs) @ cents.T).argmax(axis=1).astype(np.int32)
         keep = np.isin(cells, probed_union)
@@ -182,37 +289,16 @@ def ivf_topk(
             }
         )
 
-    celled = embeddings_ds.map_batches(assign_cells, batch_format="pyarrow")
-
-    def score_cell(group: pd.DataFrame) -> pd.DataFrame:
-        st = ray.get(state_ref)
-        cell = int(group["cell"].iloc[0])
-        probing = np.flatnonzero((st["probe"] == cell).any(axis=1))
-        if len(probing) == 0 or len(group) == 0:
-            return pd.DataFrame(
-                {"query_id": pd.Series(dtype="int64"),
-                 "vec_id": pd.Series(dtype="int64"),
-                 "sim": pd.Series(dtype="float64")}
-            )
-        ids = group["vec_id"].to_numpy()
-        m = _normalize(np.array(group["embedding"].tolist(), dtype=np.float64))
-        sims = st["mat"][probing] @ m.T  # (n_probing, n_members)
-        kk = min(k, sims.shape[1])
-        out = []
-        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-        for row, qi in enumerate(probing):
-            sel = top[row]
-            out.append(pd.DataFrame(
-                {"query_id": st["ids"][qi], "vec_id": ids[sel], "sim": sims[row, sel]}
-            ))
-        return pd.concat(out, ignore_index=True)
-
-    partials = celled.groupby("cell").map_groups(score_cell, batch_format="pandas")
-
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
-
-    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+    partials = embeddings_ds.map_batches(
+        assign_cells, batch_format="pyarrow"
+    ).map_batches(
+        score_batch_ivf,
+        fn_kwargs={"state_ref": state_ref, "k": k},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4096,
+    )
+    return merge_topk(partials, k)
 
 
 # ---------------------------------------------------------------------------

@@ -8,12 +8,16 @@ phases the way a production pipeline would:
 * ``build_ivf_index``: ONE pass — deterministic sampled k-means
   centroids (driver-side, tiny), then every vector is assigned its
   cell in ``map_batches`` and written as ``cell=NN/``-partitioned
-  Parquet.  Centroids are written atomically (tmp+rename), so a
-  partially-built index is never visible; the build is idempotent.
+  Parquet.  ``centroids.npy`` is the index's completeness sentinel,
+  so it is written (atomically, tmp+rename) only AFTER the vectors
+  dataset write finishes — a crash mid-build leaves no sentinel and
+  the next run rebuilds; a partially-built index is never visible.
 * ``ivf_search``: reads ONLY the probed cells' partitions
   (``read_parquet`` partition filter → directory pruning at the
-  storage layer; scan fraction ≈ n_probe/n_cells), scores each cell
-  group against the queries probing it, and merges per-query top-k.
+  storage layer; scan fraction ≈ n_probe/n_cells), scores the read
+  vectors in place against each query's probe mask (no shuffle of
+  embedding payloads — see stages/ann.py), and merges per-query top-k
+  in one coalesced vectorized pass.
 
 At cluster scale the index build is the only full-data pass; every
 search touches a bounded, partition-pruned subset.
@@ -27,7 +31,15 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .ann import _kmeans, _normalize, _stack
+from .ann import _kmeans, _normalize, _stack, merge_topk, score_batch_ivf
+
+CENTROIDS = "centroids.npy"
+
+
+def index_is_complete(index_dir: str) -> bool:
+    """The centroid file doubles as the build-complete sentinel: it is
+    the LAST artifact written (atomically)."""
+    return os.path.exists(os.path.join(index_dir, CENTROIDS))
 
 
 def build_ivf_index(embeddings_ds, index_dir: str, n_cells: int = 16, sample_limit: int = 2048):
@@ -37,9 +49,13 @@ def build_ivf_index(embeddings_ds, index_dir: str, n_cells: int = 16, sample_lim
     cents = _normalize(_kmeans(sample, n_cells))
 
     os.makedirs(index_dir, exist_ok=True)
-    tmp = os.path.join(index_dir, "centroids.tmp.npy")  # np.save appends .npy otherwise
-    np.save(tmp, cents)
-    os.replace(tmp, os.path.join(index_dir, "centroids.npy"))
+    # a previous crashed build (no sentinel) may have left partial
+    # vector files; clear them so the rebuild can't mix generations
+    vec_dir = os.path.join(index_dir, "vectors")
+    if os.path.isdir(vec_dir):
+        import shutil
+
+        shutil.rmtree(vec_dir)
 
     def assign(batch: pa.Table) -> pa.Table:
         ids, embs = _stack(batch)
@@ -59,6 +75,13 @@ def build_ivf_index(embeddings_ds, index_dir: str, n_cells: int = 16, sample_lim
     embeddings_ds.map_batches(assign, batch_format="pyarrow").write_parquet(
         os.path.join(index_dir, "vectors"), partition_cols=["cell"]
     )
+
+    # sentinel LAST: callers (e.g. q_ann_ivf_indexed) key "index
+    # already built" off this file, so it must not exist before the
+    # vectors write completed
+    tmp = os.path.join(index_dir, "centroids.tmp.npy")  # np.save appends .npy otherwise
+    np.save(tmp, cents)
+    os.replace(tmp, os.path.join(index_dir, CENTROIDS))
     return cents
 
 
@@ -68,16 +91,14 @@ def ivf_search(index_dir: str, queries_df: pd.DataFrame, k: int = 10, n_probe: i
     import ray
     import ray.data as rd
 
-    cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    cents = np.load(os.path.join(index_dir, CENTROIDS))
     qdf = queries_df.sort_values("vec_id")
     qmat = _normalize(np.array(qdf["embedding"].tolist(), dtype=np.float64))
     probe = np.argsort(-(qmat @ cents.T), axis=1)[:, :n_probe]
     probed_union = sorted(int(c) for c in np.unique(probe))
 
     # partition-pruned read: list ONLY the probed cells' hive
-    # directories — never-probed partitions are not even opened.  Ray's
-    # parquet reader recovers the `cell` column (as a string) from the
-    # `cell=N` path segment.
+    # directories — never-probed partitions are not even opened.
     import glob as _glob
 
     paths = [
@@ -92,35 +113,29 @@ def ivf_search(index_dir: str, queries_df: pd.DataFrame, k: int = 10, n_probe: i
     vectors = rd.read_parquet(paths)
 
     state_ref = ray.put(
-        {"ids": qdf["vec_id"].to_numpy(), "mat": qmat, "probe": probe}
+        {
+            "ids": qdf["vec_id"].to_numpy(),
+            "mat": qmat,
+            "probe": probe,
+            "n_cells": len(cents),
+        }
     )
 
-    def score_cell(group: pd.DataFrame) -> pd.DataFrame:
-        st = ray.get(state_ref)
-        cell = int(group["cell"].iloc[0])
-        probing = np.flatnonzero((st["probe"] == cell).any(axis=1))
-        if len(probing) == 0 or len(group) == 0:
-            return pd.DataFrame(
-                {"query_id": pd.Series(dtype="int64"),
-                 "vec_id": pd.Series(dtype="int64"),
-                 "sim": pd.Series(dtype="float64")}
-            )
-        ids = group["vec_id"].to_numpy()
-        m = _normalize(np.array(group["embedding"].tolist(), dtype=np.float64))
-        sims = st["mat"][probing] @ m.T
-        kk = min(k, sims.shape[1])
-        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-        out = []
-        for row, qi in enumerate(probing):
-            sel = top[row]
-            out.append(pd.DataFrame(
-                {"query_id": st["ids"][qi], "vec_id": ids[sel], "sim": sims[row, sel]}
-            ))
-        return pd.concat(out, ignore_index=True)
+    # Ray's parquet reader recovers `cell` from the `cell=N` path
+    # segment as a string — normalize to int for the probe mask
+    def cast_cell(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    partials = vectors.groupby("cell").map_groups(score_cell, batch_format="pandas")
+        idx = batch.schema.get_field_index("cell")
+        return batch.set_column(
+            idx, "cell", pc.cast(batch.column("cell"), pa.int32())
+        )
 
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
-
-    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+    partials = vectors.map_batches(cast_cell, batch_format="pyarrow").map_batches(
+        score_batch_ivf,
+        fn_kwargs={"state_ref": state_ref, "k": k},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4096,
+    )
+    return merge_topk(partials, k)
