@@ -194,19 +194,14 @@ class FakeFrameSampler:
 
 
 def frame_samples(docs_ds, n_frames: int = 4, concurrency=(2, 4)):
-    """documents -> synthetic media -> video rows exploded into frames."""
-    import pyarrow.compute as pc
-
+    """documents -> synthetic media -> video rows exploded into frames;
+    non-video media emit one diagnostic row each (frame_idx = -1,
+    decode_error set) so upstream mis-typing is observable rather than
+    silently dropped — the sampler's diag branch IS the filter."""
     media = docs_ds.map_batches(
         synthesize_media_batch, batch_format="pyarrow", batch_size=512
     )
-    videos = media.map_batches(
-        lambda b: b.filter(
-            pc.starts_with(b.column("media_type").cast(pa.string()), "video/")
-        ),
-        batch_format="pyarrow",
-    )
-    return videos.map_batches(
+    return media.map_batches(
         FakeFrameSampler,
         fn_constructor_kwargs={"n_frames": n_frames},
         batch_format="pyarrow",

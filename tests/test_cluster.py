@@ -84,7 +84,7 @@ def test_exact_dup_clusters_match_groups(ray_session):
     assert labels == {5: 2, 2: 2, 9: 2, 7: 3, 3: 3, 100: 100}
 
 
-def test_frame_sampler_explodes_videos_only(ray_session):
+def test_frame_sampler_explodes_videos_and_diags_rest(ray_session):
     import ray.data as rd
 
     from rdfa_ray.stages.multimodal import frame_samples
@@ -93,14 +93,19 @@ def test_frame_sampler_explodes_videos_only(ray_session):
         [{"doc_id": i, "text": "t%d" % i} for i in range(12)], override_num_blocks=2
     )
     got = frame_samples(docs, n_frames=4).to_pandas()
-    # doc_id % 3 == 2 -> video/mp4 in the synthetic source
+    # doc_id % 3 == 2 -> video/mp4 in the synthetic source; every other
+    # media row must surface as ONE diagnostic row, not vanish
     video_ids = {i for i in range(12) if i % 3 == 2}
-    assert set(got["media_id"]) == video_ids
+    assert set(got["media_id"]) == set(range(12))
     for mid in video_ids:
         sub = got[got["media_id"] == mid]
         assert list(sub["frame_idx"]) == [0, 1, 2, 3]
         assert list(sub["ts_ms"]) == [0, 1000, 2000, 3000]
         assert (sub["decode_error"] == "").all()
+    diags = got[~got["media_id"].isin(video_ids)]
+    assert (diags["frame_idx"] == -1).all()
+    assert diags["decode_error"].str.startswith("not a video:").all()
+    assert len(diags) == 12 - len(video_ids)
 
 
 def test_kmv_sketch_accuracy_and_exact_path(ray_session):
