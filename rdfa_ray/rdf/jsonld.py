@@ -8,6 +8,13 @@ compact IRIs where they split cleanly, ``@value``/``@language``/
 ``@type`` literal objects, ``@id`` object references and ``_:label``
 blank nodes.
 
+Well-formed rdf:List chains (bnode nodes carrying exactly one
+rdf:first + one rdf:rest, each referenced exactly once, ending in
+rdf:nil) are compacted to ``@list`` arrays — matching the reference
+serializer's list handling; ``rdf:nil`` objects become ``@list: []``.
+Shared or irregular list structure stays as plain first/rest triples
+(``@list`` cannot express sharing).
+
 Deviations (determinism): fully sorted output (``sort_keys`` + sorted
 subjects/values); every serialization round-trips through
 ``jsonld_to_graph`` to an isomorphic graph — the reference has no
@@ -22,6 +29,9 @@ from .terms import BNODE, IRI, LIT, RDF_NS
 from .turtle import TurtleSerializer
 
 RDF_TYPE_IRI = RDF_NS + "type"
+RDF_FIRST = RDF_NS + "first"
+RDF_REST = RDF_NS + "rest"
+RDF_NIL = RDF_NS + "nil"
 
 
 class JsonLdSerializer:
@@ -41,28 +51,107 @@ class JsonLdSerializer:
     def _node_ref(self, t) -> str:
         return "_:%s" % t[1] if t[0] == BNODE else t[1]
 
+    def _find_lists(self, triples):
+        """Detect well-formed rdf:List chains compactable to ``@list``.
+
+        Returns (items_of, consumed): ``items_of`` maps a chain head's
+        ``(kind, id)`` to its item terms; ``consumed`` is the set of
+        list-node keys whose first/rest triples must be dropped.  A
+        node qualifies only if it is a bnode with EXACTLY one
+        rdf:first + one rdf:rest (no other properties) and exactly one
+        incoming reference — anything irregular or shared keeps its
+        plain triples (reference list handling:
+        pyRdfaExtras/serializers/jsonserializer.py)."""
+        by_subj: dict = {}
+        refs: dict = {}
+        for (s, p, o) in triples:
+            by_subj.setdefault(s[:2], []).append((p, o))
+            if o[0] in (IRI, BNODE):
+                refs[o[:2]] = refs.get(o[:2], 0) + 1
+        candidates = {}
+        for skey, pos in by_subj.items():
+            if skey[0] != BNODE or len(pos) != 2:
+                continue
+            preds = sorted(p[1] for p, o in pos)
+            if preds != sorted([RDF_FIRST, RDF_REST]):
+                continue
+            if refs.get(skey, 0) != 1:
+                continue
+            first = next(o for p, o in pos if p[1] == RDF_FIRST)
+            rest = next(o for p, o in pos if p[1] == RDF_REST)
+            candidates[skey] = (first, rest)
+
+        items_of: dict = {}
+        consumed: set = set()
+        for head in candidates:
+            items, chain, cur, ok = [], [], head, True
+            seen: set = set()
+            while True:
+                if cur in seen:  # cycle
+                    ok = False
+                    break
+                seen.add(cur)
+                if cur not in candidates:
+                    ok = False
+                    break
+                first, rest = candidates[cur]
+                items.append(first)
+                chain.append(cur)
+                if rest[0] == IRI:
+                    ok = rest[1] == RDF_NIL
+                    break
+                if rest[0] != BNODE:
+                    ok = False
+                    break
+                cur = rest[:2]
+            if ok:
+                items_of[head] = items
+                consumed.update(chain)
+        # a head that is itself mid-chain of a longer valid list is
+        # already consumed by the outer chain; keep only maximal heads
+        # that are NOT another chain's non-head member
+        non_heads = set()
+        for head, items in items_of.items():
+            _, rest = candidates[head]
+            cur = rest
+            while cur[0] == BNODE and cur[:2] in candidates:
+                non_heads.add(cur[:2])
+                cur = candidates[cur[:2]][1]
+        for nh in non_heads:
+            items_of.pop(nh, None)
+        return items_of, consumed
+
     def to_obj(self, triples) -> dict:
         """Term-tuple triples -> JSON-LD dict (not yet a string)."""
         used: set = set()
+        triples = list(triples)
+        items_of, consumed = self._find_lists(triples)
+
+        def conv(o):
+            if o[0] == LIT:
+                _, value, lang, datatype = o
+                if datatype:
+                    return {"@value": value, "@type": self._compact(datatype, used)}
+                if lang:
+                    return {"@value": value, "@language": lang}
+                return {"@value": value}
+            if o[0] == IRI and o[1] == RDF_NIL:
+                return {"@list": []}
+            if o[0] == BNODE and o[:2] in items_of:
+                return {"@list": [conv(i) for i in items_of[o[:2]]]}
+            return {"@id": self._node_ref(o)}
+
         nodes: dict[str, dict] = {}
         for (s, p, o) in triples:
+            if s[:2] in consumed:
+                continue  # folded into an @list array
             sid = self._node_ref(s)
             node = nodes.setdefault(sid, {"@id": sid})
             if p[1] == RDF_TYPE_IRI and o[0] == IRI:
                 node.setdefault("@type", []).append(self._compact(o[1], used))
                 continue
             key = self._compact(p[1], used)
-            if o[0] == LIT:
-                _, value, lang, datatype = o
-                if datatype:
-                    val = {"@value": value, "@type": self._compact(datatype, used)}
-                elif lang:
-                    val = {"@value": value, "@language": lang}
-                else:
-                    val = {"@value": value}
-            else:
-                val = {"@id": self._node_ref(o)}
-            node.setdefault(key, []).append(val)
+            node.setdefault(key, []).append(conv(o))
 
         def _vkey(v):
             return json.dumps(v, sort_keys=True)
@@ -122,6 +211,27 @@ def jsonld_to_graph(text: str, bnodes) -> set:
         return iri(_expand(ref, ctx))
 
     triples: set = set()
+
+    def value_term(v):
+        """JSON value object -> term; @list arrays re-expand into
+        first/rest chains (fresh bnodes), [] -> rdf:nil."""
+        if "@list" in v:
+            items = [value_term(i) for i in v["@list"]]
+            nxt = iri(RDF_NIL)
+            for item in reversed(items):
+                node = bnodes.new()
+                triples.add((node, iri(RDF_FIRST), item))
+                triples.add((node, iri(RDF_REST), nxt))
+                nxt = node
+            return nxt
+        if "@id" in v:
+            return node_term(v["@id"])
+        if "@type" in v:
+            return literal(v["@value"], datatype=_expand(v["@type"], ctx))
+        if "@language" in v:
+            return literal(v["@value"], lang=v["@language"])
+        return literal(v["@value"])
+
     for node in doc.get("@graph", []):
         s = node_term(node["@id"])
         for k, vals in node.items():
@@ -133,14 +243,5 @@ def jsonld_to_graph(text: str, bnodes) -> set:
                 continue
             p = iri(_expand(k, ctx))
             for v in vals:
-                if "@id" in v:
-                    triples.add((s, p, node_term(v["@id"])))
-                elif "@type" in v:
-                    triples.add(
-                        (s, p, literal(v["@value"], datatype=_expand(v["@type"], ctx)))
-                    )
-                elif "@language" in v:
-                    triples.add((s, p, literal(v["@value"], lang=v["@language"])))
-                else:
-                    triples.add((s, p, literal(v["@value"])))
+                triples.add((s, p, value_term(v)))
     return triples

@@ -31,6 +31,76 @@ def test_jsonld_roundtrip_corpus_aggregate():
         assert isomorphic(back, golden), nt_path
 
 
+def test_jsonld_compacts_inlist_to_list_array():
+    # the @inlist corpus fixture must serialize as an @list ARRAY (the
+    # reference serializer's list compaction), not raw first/rest
+    import json
+
+    golden = parse_ntriples(open("tests/corpus/017-inlist-property.nt").read())
+    text = graph_to_jsonld(golden)
+    doc = json.loads(text)
+    assert "rdf-syntax-ns#first" not in text and "rdf-syntax-ns#rest" not in text
+    (node,) = doc["@graph"]
+    (val,) = node["http://e/p"]
+    assert val == {"@list": [{"@value": "one"}, {"@value": "two"}]}
+    assert isomorphic(jsonld_to_graph(text, BnodeGen()), golden)
+
+
+def test_jsonld_empty_list_is_nil():
+    import json
+
+    golden = parse_ntriples(open("tests/corpus/019-inlist-empty.nt").read())
+    text = graph_to_jsonld(golden)
+    (node,) = json.loads(text)["@graph"]
+    (val,) = node["http://e/p"]
+    assert val == {"@list": []}
+    assert isomorphic(jsonld_to_graph(text, BnodeGen()), golden)
+
+
+def test_jsonld_shared_list_stays_plain_triples():
+    # a chain referenced by TWO subjects cannot be expressed as @list
+    # (each @list array is its own structure) -> plain first/rest kept
+    RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    from rdfa_ray.rdf.terms import bnode
+
+    l1 = bnode("l1")
+    g = {
+        (iri("http://x/a"), iri("http://e/p"), l1),
+        (iri("http://x/b"), iri("http://e/p"), l1),
+        (l1, iri(RDF + "first"), literal("one")),
+        (l1, iri(RDF + "rest"), iri(RDF + "nil")),
+    }
+    import json
+
+    text = graph_to_jsonld(g)
+    nodes = {n["@id"]: n for n in json.loads(text)["@graph"]}
+    assert nodes["http://x/a"]["http://e/p"] == [{"@id": "_:l1"}]
+    assert nodes["http://x/b"]["http://e/p"] == [{"@id": "_:l1"}]
+    assert "_:l1" in nodes  # the chain node survives as plain triples
+    assert isomorphic(jsonld_to_graph(text, BnodeGen()), g)
+
+
+def test_jsonld_nested_list_roundtrip():
+    RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    from rdfa_ray.rdf.terms import bnode
+
+    outer, inner = bnode("o1"), bnode("i1")
+    g = {
+        (iri("http://x/a"), iri("http://e/p"), outer),
+        (outer, iri(RDF + "first"), inner),
+        (outer, iri(RDF + "rest"), iri(RDF + "nil")),
+        (inner, iri(RDF + "first"), literal("deep")),
+        (inner, iri(RDF + "rest"), iri(RDF + "nil")),
+    }
+    import json
+
+    text = graph_to_jsonld(g)
+    (node,) = json.loads(text)["@graph"]
+    (val,) = node["http://e/p"]
+    assert val == {"@list": [{"@list": [{"@value": "deep"}]}]}
+    assert isomorphic(jsonld_to_graph(text, BnodeGen()), g)
+
+
 def test_turtle_uses_prefixes_and_a():
     g = {
         (iri("http://schema.org/x"),
