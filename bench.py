@@ -190,21 +190,33 @@ def main():
                     cwd=os.path.dirname(os.path.abspath(__file__)),
                 ).stdout
                 runs[ncpu].append(json.loads(out.strip().splitlines()[-1]))
+        import statistics
+
         results = {n: max(rs, key=lambda r: r["turns_per_sec"]) for n, rs in runs.items()}
-        r_lo = results[lo]["turns_per_sec"]
-        r_hi = results[hi]["turns_per_sec"]
-        eff = (r_hi / r_lo) / (hi / lo)
+        med = {
+            n: statistics.median(r["turns_per_sec"] for r in rs)
+            for n, rs in runs.items()
+        }
+        eff_best = (results[hi]["turns_per_sec"] / results[lo]["turns_per_sec"]) / (hi / lo)
+        eff_median = (med[hi] / med[lo]) / (hi / lo)
         print(
             json.dumps(
                 {
                     "metric": "flagship scaling %d->%d cpus" % (lo, hi),
                     "sec_%d" % lo: results[lo]["value"],
                     "sec_%d" % hi: results[hi]["value"],
-                    "turns_per_sec_%d" % lo: r_lo,
-                    "turns_per_sec_%d" % hi: r_hi,
+                    "turns_per_sec_%d" % lo: results[lo]["turns_per_sec"],
+                    "turns_per_sec_%d" % hi: results[hi]["turns_per_sec"],
                     "triples_%d" % lo: results[lo]["triples"],
                     "triples_%d" % hi: results[hi]["triples"],
-                    "scaling_efficiency": round(eff, 3),
+                    # headline = MEDIAN-per-level efficiency (robust to a
+                    # single slow host window without being a best-case
+                    # figure); best-of-N reported alongside as the
+                    # noise-free capability estimate.  All raw runs follow.
+                    "scaling_efficiency": round(eff_median, 3),
+                    "scaling_efficiency_best": round(eff_best, 3),
+                    "selection": "median per level (headline); best-of-%d alongside"
+                    % repeats,
                     "all_runs_turns_per_sec": {
                         str(n): [r["turns_per_sec"] for r in rs]
                         for n, rs in runs.items()

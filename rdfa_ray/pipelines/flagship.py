@@ -244,6 +244,20 @@ def resolve_n_parts(turns_ds, out_dir, n_parts, resume, rows_per_partition):
     meta = load_run_meta(out_dir) if resume else None
     if meta is not None:
         return int(meta["n_parts"])
+    if resume and n_parts is None and completed_parts(out_dir):
+        # completed-part manifests but no pinned meta.json (pre-pinning
+        # run, or a deleted meta file): re-deriving n_parts here would
+        # assign NEW bucket ids, silently drop unprocessed conversations
+        # via drop_done, and mix two part numberings in one output dir.
+        # Refuse instead of guessing; an EXPLICIT n_parts (the caller
+        # asserting the original count) is accepted and re-pinned below.
+        raise RuntimeError(
+            "cannot resume %r: completed partition manifests exist but "
+            "_manifest/meta.json is missing, so the original n_parts is "
+            "unknown (part ids are conv-hash %% n_parts). Pass the "
+            "original n_parts explicitly to re-pin it, or start a fresh "
+            "output dir." % out_dir
+        )
     if n_parts is None:
         n_turns = turns_ds.count()
         n_parts = -(-n_turns // rows_per_partition)

@@ -26,10 +26,16 @@ import re
 from ..kernel.context import RDFA_11_NS
 from .terms import BNODE, IRI, LIT, RDF_NS
 
-# PN shapes accepted by the subset parser's pname token
-# (kernel/embedded.py _TOKEN_RE): keep strictly inside them.
+# PN shapes kept strictly inside BOTH the Turtle spec's PN_LOCAL and
+# the subset parser's pname token (kernel/embedded.py _TOKEN_RE):
+# leading word char, then word chars / '-' / %HH percent-escapes.
+# '/', '#' and bare '%' are ILLEGAL in standard PN_LOCAL ('#' even
+# starts a comment) — emitting them would produce documents only the
+# engine's lenient parser accepts, so such locals fall back to the
+# full <IRI> form.  No '.' either: a trailing one would eat the
+# statement dot.
 _PN_PREFIX_RE = re.compile(r"[A-Za-z_][\w.-]*\Z")
-_PN_LOCAL_RE = re.compile(r"[\w%\-/#]*\Z")  # no '.' — a trailing one would eat the statement dot
+_PN_LOCAL_RE = re.compile(r"\w(?:[\w\-]|%[0-9A-Fa-f]{2})*\Z")
 
 _ESCAPES = {
     "\\": "\\\\",

@@ -37,12 +37,22 @@ def distinct(ds, cols, n_buckets: int = N_BUCKETS, extra=()):
     def partial(batch: pa.Table) -> pa.Table:
         t = batch.select(out_cols)
         if extra:
-            g = t.group_by(cols).aggregate([(e, "min") for e in extra])
-            # aggregate output names are '<col>_min'; rebuild in order
+            # ROW-WISE min: sort by cols+extra, take the first extra
+            # tuple per key (single-threaded group_by preserves scan
+            # order).  Independent per-column mins here would fabricate
+            # (extra1_min, extra2_min) combinations that never
+            # co-occurred and make the survivor depend on block
+            # boundaries — the reduce side dedups on whole rows, so
+            # partial and final must agree on the same row.
+            t = t.sort_by([(c, "ascending") for c in out_cols])
+            g = t.group_by(cols, use_threads=False).aggregate(
+                [(e, "first") for e in extra]
+            )
+            # aggregate output names are '<col>_first'; rebuild in order
             g = pa.Table.from_pydict(
                 {
                     **{c: g.column(c) for c in cols},
-                    **{e: g.column(e + "_min") for e in extra},
+                    **{e: g.column(e + "_first") for e in extra},
                 }
             )
         else:

@@ -174,6 +174,24 @@ def test_distinct_extra_min_semantics(ray_session):
     assert list(got["m"]) == ["full", "star"]  # 'full' < 'star' wins
 
 
+def test_distinct_extra_min_is_row_wise(ray_session):
+    # two extras that differ WITHIN one block: the surviving pair must
+    # be an actual input row's tuple (row-wise lexicographic min), not
+    # independent per-column mins ('b','1' was never a row)
+    import ray.data as rd
+
+    from rdfa_ray.stages.distinct import distinct
+
+    rows = [
+        {"k": "a", "m": "z", "n": "1"},
+        {"k": "a", "m": "b", "n": "9"},
+    ]
+    ds = rd.from_items(rows, override_num_blocks=1)
+    got = distinct(ds, ["k"], extra=["m", "n"]).to_pandas()
+    assert len(got) == 1
+    assert (got["m"].iloc[0], got["n"].iloc[0]) == ("b", "9")
+
+
 # ---------------------------------------------------------------------------
 # star pairs for degenerate LSH buckets (no silent truncation)
 
@@ -367,3 +385,31 @@ def test_resume_after_partial_failure_with_stray_tmps(ray_session, tmp_path_fact
         assert not os.path.exists("%s/nt/part-%05d.nq.tmp" % (out, p))
         assert not os.path.exists("%s/parquet/part-%05d.parquet.tmp" % (out, p))
         pq.read_table("%s/parquet/part-%05d.parquet" % (out, p))
+
+
+def test_resume_refuses_without_pinned_meta(ray_session, tmp_path_factory):
+    """Completed manifests but no meta.json (pre-pinning run / deleted
+    meta): re-deriving n_parts would silently drop conversations, so
+    resume must refuse unless the caller re-asserts n_parts."""
+    import os
+    import shutil
+
+    import pytest
+
+    from rdfa_ray.pipelines.flagship import run_flagship
+    from rdfa_ray.sources.transcripts import transcripts_dataset
+
+    out = os.path.join(str(tmp_path_factory.getbasetemp()), "flag_nometa")
+    shutil.rmtree(out, ignore_errors=True)
+    run_flagship(transcripts_dataset(200, override_num_blocks=2), out, n_parts=4)
+    os.remove("%s/_manifest/meta.json" % out)
+
+    with pytest.raises(RuntimeError, match="meta.json is missing"):
+        run_flagship(transcripts_dataset(200, override_num_blocks=2), out)
+
+    # explicit n_parts re-pins and resumes cleanly (nothing left to do)
+    s2 = run_flagship(
+        transcripts_dataset(200, override_num_blocks=2), out, n_parts=4
+    )
+    assert len(s2) == 0
+    assert os.path.exists("%s/_manifest/meta.json" % out)
