@@ -59,7 +59,7 @@ def lineitem_agg(sf_dir: str):
 def _segment_join_batch(batch: pa.Table, seg_ref=None) -> pa.Table:
     # vectorized broadcast lookup (pandas hash-map join) — no per-row
     # Python inner loop
-    from ..functions.broadcast import bcast_cached
+    from ..state.broadcast import bcast_cached
 
     seg = bcast_cached(seg_ref)
     keys = batch.column("o_custkey").to_pandas()

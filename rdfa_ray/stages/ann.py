@@ -129,7 +129,7 @@ _SCORER_CACHE: dict = {}
 
 
 def _cached_scorer(cls, ref, **kwargs):
-    from ..functions.broadcast import bcast_cached
+    from ..state.broadcast import bcast_cached
 
     key = (cls.__name__, ref.hex() if hasattr(ref, "hex") else id(ref), repr(sorted(kwargs.items())))
     scorer = _SCORER_CACHE.get(key)
