@@ -394,6 +394,18 @@ class _RdfXmlParser:
             for sub in el.element_children():
                 self.parse_property_element(b, sub, lang)
             return
+        if parse_type == "Collection":
+            # each child node element is an item; build the rdf:List
+            # chain (fresh bnodes, rdf:first/rdf:rest/rdf:nil)
+            items = [self.parse_node_element(c, lang) for c in el.element_children()]
+            node = iri(RDF_NS + "nil")
+            for item in reversed(items):
+                b = self.bnodes.new()
+                self.triples.add((b, iri(RDF_NS + "first"), item))
+                self.triples.add((b, iri(RDF_NS + "rest"), node))
+                node = b
+            self.triples.add((subj, pred, node))
+            return
         if parse_type == "Literal":
             xml = "".join(
                 c.toxml() if isinstance(c, Element) else c.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")

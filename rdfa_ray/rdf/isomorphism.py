@@ -3,10 +3,15 @@
 This is the equivalence the P/R metric (BASELINE.md) uses: two RDF
 graphs are equal iff there is a bijection between their blank nodes
 making the triple sets identical.  The reference relies on rdflib's
-``isomorphic``; this is an independent implementation: signature-based
-partition refinement followed by backtracking over the (tiny)
-ambiguous classes.  Intended for test fixtures / per-turn graphs, not
-for billion-triple graphs.
+``isomorphic``; this is an independent implementation:
+Weisfeiler-Lehman-style color refinement (iterated neighborhood
+signatures, interned in a table shared by both graphs so equal
+structure gets equal color ids) followed by backtracking over the
+remaining ambiguous classes.  One-hop signatures alone cannot
+distinguish positions in long anonymous bnode chains (every interior
+node looks alike); refinement propagates the distinguishable ends
+inward.  Intended for test fixtures / per-turn graphs, not for
+billion-triple graphs.
 """
 
 from __future__ import annotations
@@ -32,18 +37,60 @@ def _ground(term, mapping):
     return term
 
 
-def _signature(triples, label):
-    """Structural signature of one bnode: its ground-context triples."""
-    sig = []
+class _Interner:
+    """Shared structure->small-int table: identical signatures computed
+    from either graph intern to the same color id."""
+
+    def __init__(self):
+        self._table: dict = {}
+
+    def __call__(self, key):
+        c = self._table.get(key)
+        if c is None:
+            c = len(self._table)
+            self._table[key] = c
+        return c
+
+
+def _refined_colors(triples, bnodes, intern: _Interner) -> dict:
+    """WL color refinement over the bnode-adjacency of ``triples``."""
+    # initial color: the ground-context one-hop signature
+    init_sigs = {lb: [] for lb in bnodes}
+    out_edges = {lb: [] for lb in bnodes}  # lb -> [(pred, neighbor)]
+    in_edges = {lb: [] for lb in bnodes}
     for s, p, o in triples:
-        s_is = s[0] == BNODE and s[1] == label
-        o_is = o[0] == BNODE and o[1] == label
-        if not (s_is or o_is):
-            continue
-        sk = ("*self*",) if s_is else (("?",) if s[0] == BNODE else s)
-        ok = ("*self*",) if o_is else (("?",) if o[0] == BNODE else o)
-        sig.append((sk, p, ok))
-    return tuple(sorted(map(repr, sig)))
+        s_b = s[0] == BNODE
+        o_b = o[0] == BNODE
+        if s_b:
+            sk = "*self*"
+            ok = "*self*" if (o_b and o[1] == s[1]) else ("?" if o_b else repr(o))
+            init_sigs[s[1]].append((sk, p[1], ok))
+            if o_b and o[1] != s[1]:
+                out_edges[s[1]].append((p[1], o[1]))
+        if o_b and not (s_b and s[1] == o[1]):
+            sk = "?" if s_b else repr(s)
+            init_sigs[o[1]].append((sk, p[1], "*self*"))
+            if s_b:
+                in_edges[o[1]].append((p[1], s[1]))
+
+    colors = {lb: intern(tuple(sorted(init_sigs[lb]))) for lb in bnodes}
+    n_classes = len(set(colors.values()))
+    for _ in range(len(bnodes)):
+        if n_classes == len(bnodes):
+            break  # fully discrete
+        new = {}
+        for lb in bnodes:
+            ctx = sorted(
+                [("out", p, colors[nb]) for (p, nb) in out_edges[lb]]
+                + [("in", p, colors[nb]) for (p, nb) in in_edges[lb]]
+            )
+            new[lb] = intern((colors[lb], tuple(ctx)))
+        new_n = len(set(new.values()))
+        colors = new
+        if new_n == n_classes:
+            break  # stable partition (classes only ever split)
+        n_classes = new_n
+    return colors
 
 
 def isomorphic(g1, g2) -> bool:
@@ -58,19 +105,24 @@ def isomorphic(g1, g2) -> bool:
     if not b1:
         return True
 
-    sig1: dict[str, list[str]] = {}
-    sig2: dict[str, list[str]] = {}
-    for lb in b1:
-        sig1.setdefault(_signature(g1, lb), []).append(lb)
-    for lb in b2:
-        sig2.setdefault(_signature(g2, lb), []).append(lb)
+    intern = _Interner()
+    col1 = _refined_colors(g1, b1, intern)
+    col2 = _refined_colors(g2, b2, intern)
+
+    sig1: dict[int, list[str]] = {}
+    sig2: dict[int, list[str]] = {}
+    for lb, c in col1.items():
+        sig1.setdefault(c, []).append(lb)
+    for lb, c in col2.items():
+        sig2.setdefault(c, []).append(lb)
     if set(sig1) != set(sig2):
         return False
     for k in sig1:
         if len(sig1[k]) != len(sig2[k]):
             return False
 
-    # Backtrack within signature classes (classes are almost always size 1).
+    # Backtrack within color classes (classes are almost always size 1
+    # after refinement).
     classes = [(sorted(sig1[k]), sorted(sig2[k])) for k in sorted(sig1)]
 
     def try_assign(idx, mapping):
@@ -79,8 +131,9 @@ def isomorphic(g1, g2) -> bool:
             return mapped == g2
         left, right = classes[idx]
         if len(left) > 6:
-            # Degenerate class: fall back to greedy identity-order mapping
-            # (fixtures never hit this; avoid factorial blowups).
+            # Degenerate class survives refinement only for genuinely
+            # interchangeable nodes (automorphic, e.g. N identical leaf
+            # bnodes); identity-order mapping is then valid.
             m = dict(mapping)
             m.update(zip(left, right))
             return try_assign(idx + 1, m)
@@ -113,23 +166,25 @@ def diff_report(got, expected) -> str:
 
 
 def precision_recall(got, expected) -> tuple[float, float]:
-    """Triple-set P/R after canonical bnode-signature relabeling.
+    """Triple-set P/R after canonical bnode relabeling by refined WL
+    color (shared intern table, so identical structures in the two
+    graphs canonicalize identically).
 
     Used for the aggregate corpus metric; exact graphs should score 1.0.
     """
-    def canon(triples):
-        triples = set(triples)
-        labels = {}
-        for lb in _bnodes_of(triples):
-            labels[lb] = _signature(triples, lb)
+    intern = _Interner()
+
+    def canon(triples, colors):
         out = set()
         for s, p, o in triples:
-            s2 = (BNODE, labels[s[1]]) if s[0] == BNODE else s
-            o2 = (BNODE, labels[o[1]]) if o[0] == BNODE else o
+            s2 = (BNODE, colors[s[1]]) if s[0] == BNODE else s
+            o2 = (BNODE, colors[o[1]]) if o[0] == BNODE else o
             out.add((s2, p, o2))
         return out
 
-    cg, ce = canon(got), canon(expected)
+    got, expected = set(got), set(expected)
+    cg = canon(got, _refined_colors(got, _bnodes_of(got), intern))
+    ce = canon(expected, _refined_colors(expected, _bnodes_of(expected), intern))
     inter = len(cg & ce)
     p = inter / len(cg) if cg else (1.0 if not ce else 0.0)
     r = inter / len(ce) if ce else 1.0

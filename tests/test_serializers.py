@@ -179,3 +179,171 @@ def test_rdfxml_split_uri_limitation():
     assert split_uri("http://e/v#count2") == ("http://e/v#", "count2")
     with _pytest.raises(ValueError):
         split_uri("12345")  # no namespace part
+
+
+# ---------------------------------------------------------------------------
+# Pretty RDF/XML shape tests (reference prettyXMLserializer.py behaviors)
+
+def _rt(g):
+    from rdfa_ray.rdf.rdfxml import graph_to_rdfxml, rdfxml_to_graph
+
+    xml = graph_to_rdfxml(g)
+    assert isomorphic(rdfxml_to_graph(xml, BnodeGen()), g), xml
+    return xml
+
+
+def test_rdfxml_typed_node_element():
+    g = {
+        (iri("http://e/x"),
+         iri("http://www.w3.org/1999/02/22-rdf-syntax-ns#type"),
+         iri("http://schema.org/Person")),
+        (iri("http://e/x"), iri("http://schema.org/name"), literal("Ada")),
+    }
+    xml = _rt(g)
+    # the first qname-able rdf:type becomes the element name...
+    assert '<schema:Person rdf:about="http://e/x">' in xml
+    # ...and is not repeated as an rdf:type property
+    assert "rdf:type" not in xml
+
+
+def test_rdfxml_nests_singly_referenced_bnode_without_nodeid():
+    from rdfa_ray.rdf.terms import bnode
+
+    b = bnode("b0")
+    g = {
+        (iri("http://e/x"), iri("http://schema.org/knows"), b),
+        (b, iri("http://schema.org/name"), literal("Grace")),
+    }
+    xml = _rt(g)
+    # the bnode is inlined inside the property element, anonymously
+    assert "nodeID" not in xml
+    assert "<schema:knows>" in xml
+    assert xml.index("<schema:knows>") < xml.index("<schema:name>")
+
+
+def test_rdfxml_nodeid_only_for_shared_bnodes():
+    from rdfa_ray.rdf.terms import bnode
+
+    b = bnode("b0")
+    g = {
+        (iri("http://e/x"), iri("http://schema.org/knows"), b),
+        (iri("http://e/y"), iri("http://schema.org/knows"), b),
+        (b, iri("http://schema.org/name"), literal("Grace")),
+    }
+    xml = _rt(g)
+    # referenced twice -> identity matters -> nodeID on the (inlined)
+    # definition plus the one non-inline reference
+    assert xml.count('rdf:nodeID="b0"') == 2
+
+
+def test_rdfxml_collection_parse_type():
+    from rdfa_ray.rdf.terms import RDF_FIRST, RDF_NIL, RDF_REST, bnode
+
+    c1, c2 = bnode("c1"), bnode("c2")
+    g = {
+        (iri("http://e/x"), iri("http://schema.org/items"), c1),
+        (c1, RDF_FIRST, iri("http://e/a")),
+        (c1, RDF_REST, c2),
+        (c2, RDF_FIRST, iri("http://e/b")),
+        (c2, RDF_REST, RDF_NIL),
+    }
+    xml = _rt(g)
+    assert 'rdf:parseType="Collection"' in xml
+    # the chain is compacted away entirely
+    assert "rdf:first" not in xml and "rdf:rest" not in xml
+
+
+def test_rdfxml_literal_list_falls_back_to_first_rest():
+    # RDF/XML Collections cannot hold literals (the reference's own
+    # comment, prettyXMLserializer.py:40-42) -> plain first/rest form
+    from rdfa_ray.rdf.terms import RDF_FIRST, RDF_NIL, RDF_REST, bnode
+
+    c1 = bnode("c1")
+    g = {
+        (iri("http://e/x"), iri("http://schema.org/items"), c1),
+        (c1, RDF_FIRST, literal("lit")),
+        (c1, RDF_REST, RDF_NIL),
+    }
+    xml = _rt(g)
+    assert "Collection" not in xml
+    assert "rdf:first" in xml
+
+
+def test_rdfxml_xmlliteral_parse_type_literal():
+    g = {
+        (iri("http://e/x"), iri("http://schema.org/desc"),
+         literal("a <b>bold</b> move",
+                 datatype="http://www.w3.org/1999/02/22-rdf-syntax-ns#XMLLiteral")),
+    }
+    xml = _rt(g)
+    assert 'rdf:parseType="Literal">a <b>bold</b> move<' in xml
+
+
+def test_rdfxml_cycle_terminates_with_consistent_refs():
+    from rdfa_ray.rdf.terms import bnode
+
+    a, b = bnode("a"), bnode("b")
+    g = {
+        (a, iri("http://schema.org/knows"), b),
+        (b, iri("http://schema.org/knows"), a),
+    }
+    _rt(g)
+
+
+def test_rdfxml_deep_chain_respects_max_depth():
+    from rdfa_ray.rdf.terms import bnode
+
+    nodes = [bnode("n%d" % i) for i in range(14)]
+    g = {(iri("http://e/root"), iri("http://schema.org/next"), nodes[0])}
+    for i in range(13):
+        g.add((nodes[i], iri("http://schema.org/next"), nodes[i + 1]))
+    g.add((nodes[13], iri("http://schema.org/name"), literal("end")))
+    _rt(g)
+
+
+# ---------------------------------------------------------------------------
+# Isomorphism checker: WL refinement must separate long anonymous chains
+
+def test_isomorphic_long_anonymous_chain():
+    from rdfa_ray.rdf.terms import bnode
+
+    def chain(prefix, n=14):
+        ns = [bnode("%s%d" % (prefix, i)) for i in range(n)]
+        g = {(iri("http://e/root"), iri("http://e/next"), ns[0])}
+        for i in range(n - 1):
+            g.add((ns[i], iri("http://e/next"), ns[i + 1]))
+        g.add((ns[-1], iri("http://e/name"), literal("end")))
+        return g
+
+    assert isomorphic(chain("a"), chain("zz"))
+
+
+def test_isomorphic_rejects_different_chain_lengths():
+    from rdfa_ray.rdf.terms import bnode
+
+    def chain(prefix, n):
+        ns = [bnode("%s%d" % (prefix, i)) for i in range(n)]
+        g = set()
+        for i in range(n - 1):
+            g.add((ns[i], iri("http://e/next"), ns[i + 1]))
+        return g
+
+    # same triple count: one 7-chain vs a 4-chain + 3-chain
+    g1 = chain("a", 7)
+    g2 = chain("b", 4) | chain("c", 4)
+    assert len(g1) == len(g2) == 6
+    assert not isomorphic(g1, g2)
+
+
+def test_isomorphic_interchangeable_leaves():
+    from rdfa_ray.rdf.terms import bnode
+
+    # 8 structurally identical leaf bnodes (one WL class > the
+    # backtracking bound) must map greedily and correctly
+    def star(prefix):
+        return {
+            (iri("http://e/hub"), iri("http://e/spoke"), bnode("%s%d" % (prefix, i)))
+            for i in range(8)
+        }
+
+    assert isomorphic(star("a"), star("z"))
