@@ -531,6 +531,18 @@ def q_dedup_minhash(sf_dir: str):
     )
 
 
+def q_dedup_ngram(sf_dir: str):
+    import ray.data as rd
+
+    from ..stages.dedup import ngram_jaccard_dedup
+
+    docs = rd.read_parquet(
+        "%s/documents.parquet" % sf_dir, columns=["doc_id", "text"],
+        override_num_blocks=32,
+    )
+    return ngram_jaccard_dedup(docs, threshold=0.8)
+
+
 def q_dedup_simhash(sf_dir: str):
     import ray.data as rd
 
@@ -728,6 +740,7 @@ QUERIES = {
     "events_distinct_users_approx": q_events_distinct_users_approx,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
+    "dedup_ngram": q_dedup_ngram,
     "dedup_simhash": q_dedup_simhash,
     "dedup_clusters": q_dedup_clusters,
     "text_metrics": q_text_metrics,
@@ -959,6 +972,25 @@ ORACLE_SQL = {
     "dedup_clusters": (
         "SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text))"
         " AS cluster_id FROM documents"
+    ),
+    # exact character-5-gram Jaccard >= 0.8 self-join; isect/uni kept as
+    # ints (value-hash stable), jaccard = isect/uni
+    "dedup_ngram": (
+        "WITH grams AS ("
+        " SELECT DISTINCT doc_id, substr(text, CAST(g AS INT), 5) AS gram FROM ("
+        "  SELECT doc_id, text,"
+        "   unnest(generate_series(1, greatest(length(text) - 4, 1))) AS g"
+        "  FROM documents)"
+        "), counts AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),"
+        " pairs AS ("
+        " SELECT a.doc_id AS left_id, b.doc_id AS right_id, count(*) AS isect"
+        " FROM grams a JOIN grams b USING (gram)"
+        " WHERE a.doc_id < b.doc_id GROUP BY 1, 2)"
+        " SELECT p.left_id, p.right_id, p.isect,"
+        "  ca.n + cb.n - p.isect AS uni"
+        " FROM pairs p JOIN counts ca ON ca.doc_id = p.left_id"
+        "  JOIN counts cb ON cb.doc_id = p.right_id"
+        " WHERE p.isect * 1.0 / (ca.n + cb.n - p.isect) >= 0.8"
     ),
     "quality_counts": (
         "SELECT doc_id,"

@@ -402,3 +402,236 @@ def simhash_dedup(docs_ds, max_hamming: int = 3, concurrency=(2, 8), n_buckets: 
     # distributed distinct on the pair key (was per-pair head(1));
     # hamming rides along (identical for every occurrence of a pair)
     return distinct(pairs, ["a", "b"], extra=["hamming", "pair_mode"])
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard set-similarity self-join (prefix filtering)
+
+N_GRAM = 5
+
+
+def char_grams(text: str, n: int = N_GRAM) -> set[str]:
+    """Distinct character n-grams; texts shorter than ``n`` contribute
+    themselves as the single gram (mirrors the SQL oracle's
+    ``substr(text, g, n)`` over ``generate_series(1, greatest(len-n+1, 1))``)."""
+    return {text[i : i + n] for i in range(max(len(text) - n + 1, 1))}
+
+
+def _gram_hash64(gram: str) -> int:
+    # 63-bit (int64-safe for Arrow/Ray groupby): two salted crc32s
+    b = gram.encode()
+    return ((zlib.crc32(b) << 32) | zlib.crc32(b, 0x9E3779)) & 0x7FFF_FFFF_FFFF_FFFF
+
+
+def ngram_jaccard_dedup(docs_ds, threshold: float = 0.8, n: int = N_GRAM, n_buckets: int = 64):
+    """EXACT near-duplicate pairs by character-n-gram Jaccard >= threshold.
+
+    Unlike ``minhash_dedup`` / ``simhash_dedup`` (probabilistic recall),
+    this is the exact set-similarity self-join, made tractable by
+    frequency-ordered PREFIX FILTERING (the PPJoin family): if
+    J(A, B) >= t, the first ``|S| - ceil(t*|S|) + 1`` grams of each
+    set under any shared total order must intersect.  Ordering grams
+    by ascending document frequency keeps common grams out of every
+    prefix, so candidate buckets stay small even for corpora full of
+    boilerplate ("the f" never generates candidates).
+
+    Stages (all streaming, nothing on the driver):
+      1. explode docs to distinct (doc_id, gram-hash64) rows
+      2. groupby(gram).count() -> per-gram document frequency (map-side
+         combinable)
+      3. bucketed join grams x frequencies on gram
+      4. regroup by doc (coarse-bucketed, vectorized): sort each doc's
+         grams by (df, gram), keep the prefix, emit
+         (gram, doc_id, size, pos)
+      5. candidates: group prefix rows by gram; per shared gram emit
+         pairs passing the size filter (t*|A| <= |B|) and PPJoin
+         position filter (1 + min(|A|-1-pa, |B|-1-pb) >=
+         ceil(t/(1+t)*(|A|+|B|)))
+      6. verify: two bucketed text joins (global pair-distinct folded
+         into the first), exact string-gram Jaccard in-map
+
+    Partitioning assumptions: gram hashes are 63-bit (within-doc
+    collisions that would perturb prefix lengths are ~|S|^2/2^64, i.e.
+    negligible at any realistic scale — verification is on exact
+    string sets either way, so collisions can only add candidates or,
+    vanishingly, drop one); candidate buckets are per-(rare-)gram and
+    small by construction — there is no star-mode cap here because the
+    op is exact.
+
+    Returns (left_id, right_id, isect, uni) with
+    isect/uni = |A∩B| / |A∪B| as int64 (float-free for stable value
+    hashing; jaccard = isect/uni).
+    """
+    import math
+
+    from .join import bucketed_hash_join
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        ids_out, grams_out = [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            if text is None:
+                continue  # SQL: length(NULL) -> no gram rows
+            hs = {_gram_hash64(g) for g in char_grams(text, n)}
+            ids_out.extend([doc_id] * len(hs))
+            grams_out.extend(hs)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "gram": pa.array(grams_out, pa.int64()),
+            }
+        )
+
+    import ray
+    from ray.data.aggregate import Count
+
+    # pass 1: per-gram document frequency; only the HEAVY tail (df >=
+    # heavy_df, capped) is kept and broadcast via ray.put.  The shared
+    # total order for prefix selection is (is-heavy, gram-hash):
+    # exactness does not depend on WHICH grams are in the set — any
+    # deterministic membership yields a valid shared order — so the
+    # cap is safe; pushing frequent grams to the back of every doc's
+    # order (where prefixes never reach) is purely the
+    # candidate-count optimization that makes PPJoin scale.
+    heavy_df, heavy_cap = 32, 1 << 16
+    heavy_rows = (
+        docs_ds.map_batches(gram_rows, batch_format="pyarrow")
+        .groupby("gram")
+        .aggregate(Count(alias_name="df"))
+        .map_batches(
+            lambda b: b.filter(pc.greater_equal(b.column("df"), heavy_df)),
+            batch_format="pyarrow",
+        )
+        .limit(heavy_cap)
+        .take_all()
+    )
+    heavy_ref = ray.put(frozenset(r["gram"] for r in heavy_rows))
+
+    # pass 2: prefixes are doc-local (no df join, no doc re-shuffle)
+    def prefix_rows(batch: pa.Table) -> pa.Table:
+        from ..state.broadcast import bcast_cached
+
+        hv = bcast_cached(heavy_ref)
+        ids_out, grams_out, sizes_out, pos_out = [], [], [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            if text is None:
+                continue
+            hs = {_gram_hash64(g) for g in char_grams(text, n)}
+            rare = sorted(h for h in hs if h not in hv)
+            common = sorted(h for h in hs if h in hv)
+            ordered = rare + common
+            size = len(ordered)
+            # epsilon-relaxed ceil: float error must only ever LENGTHEN
+            # the prefix (extra candidates are re-verified; a shortened
+            # prefix could lose a true boundary pair)
+            plen = size - math.ceil(threshold * size - 1e-9) + 1
+            ids_out.extend([doc_id] * plen)
+            grams_out.extend(ordered[:plen])
+            sizes_out.extend([size] * plen)
+            pos_out.extend(range(plen))
+        return pa.Table.from_pydict(
+            {
+                "gram": pa.array(grams_out, pa.int64()),
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "size": pa.array(sizes_out, pa.int64()),
+                "pos": pa.array(pos_out, pa.int64()),
+            }
+        )
+
+    prefixes = docs_ds.map_batches(prefix_rows, batch_format="pyarrow")
+
+    def add_gram_bucket(batch: pa.Table) -> pa.Table:
+        gs = batch.column("gram").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "__g", pa.array((gs % n_buckets).astype(np.int32))
+        )
+
+    def _empty_cand() -> pd.DataFrame:
+        return pd.DataFrame(
+            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")}
+        )
+
+    def candidates_block(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["gram", "doc_id"])
+        bucket_sizes = g.groupby("gram")["doc_id"].transform("size")
+        g = g[bucket_sizes >= 2]
+        if len(g) == 0:
+            return _empty_cand()
+        a_out, b_out = [], []
+        for _, sub in g.groupby("gram", sort=False):
+            rows = sub.sort_values("doc_id")[["doc_id", "size", "pos"]].to_numpy()
+            m = len(rows)
+            for i in range(m):
+                di, si, pi = rows[i]
+                for j in range(i + 1, m):
+                    dj, sj, pj = rows[j]
+                    lo, hi = (si, sj) if si <= sj else (sj, si)
+                    # size filter: J <= lo/hi, so lo/hi < t prunes; the
+                    # epsilon only ever ADMITS boundary candidates
+                    if lo / hi < threshold - 1e-12:
+                        continue
+                    alpha = math.ceil(
+                        threshold / (1.0 + threshold) * (si + sj) - 1e-9
+                    )
+                    if 1 + min(si - 1 - pi, sj - 1 - pj) < alpha:  # position filter
+                        continue
+                    a_out.append(di)
+                    b_out.append(dj)
+        return pd.DataFrame(
+            {"a": pd.Series(a_out, dtype="int64"), "b": pd.Series(b_out, dtype="int64")}
+        )
+
+    pairs = (
+        prefixes.map_batches(add_gram_bucket, batch_format="pyarrow")
+        .groupby("__g")
+        .map_groups(candidates_block, batch_format="pandas")
+    )
+
+    # map-side partial pair dedup; global distinct folds into join 1
+    pairs = pairs.map_batches(
+        lambda b: b.drop_duplicates(["a", "b"]), batch_format="pandas"
+    )
+
+    texts_a = docs_ds.map_batches(
+        lambda b: pa.Table.from_pydict(
+            {"a": b.column("doc_id"), "text_a": b.column("text")}
+        ),
+        batch_format="pyarrow",
+    )
+    texts_b = docs_ds.map_batches(
+        lambda b: pa.Table.from_pydict(
+            {"b": b.column("doc_id"), "text_b": b.column("text")}
+        ),
+        batch_format="pyarrow",
+    )
+    with_a = bucketed_hash_join(
+        pairs, texts_a, on="a", n_buckets=n_buckets, left_distinct=["a", "b"]
+    )
+    with_ab = bucketed_hash_join(with_a, texts_b, on="b", n_buckets=n_buckets)
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        isect_out, uni_out = [], []
+        for ta, tb in zip(batch["text_a"], batch["text_b"]):
+            sa, sb = char_grams(ta, n), char_grams(tb, n)
+            i = len(sa & sb)
+            isect_out.append(i)
+            uni_out.append(len(sa) + len(sb) - i)
+        out = pd.DataFrame(
+            {
+                "left_id": batch["a"].astype("int64").to_numpy(),
+                "right_id": batch["b"].astype("int64").to_numpy(),
+                "isect": pd.Series(isect_out, dtype="int64"),
+                "uni": pd.Series(uni_out, dtype="int64"),
+            }
+        )
+        # same double expression as the SQL oracle (isect*1.0/uni >= t):
+        # i >= t*u is NOT equivalent at exact-boundary ratios
+        keep = out["isect"].to_numpy(dtype=np.float64) / out["uni"].to_numpy(
+            dtype=np.float64
+        ) >= threshold
+        return out[keep].reset_index(drop=True)
+
+    return with_ab.map_batches(verify, batch_format="pandas")
