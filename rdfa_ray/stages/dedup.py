@@ -494,9 +494,12 @@ def ngram_jaccard_dedup(docs_ds, threshold: float = 0.8, n: int = N_GRAM, n_buck
     # cap is safe; pushing frequent grams to the back of every doc's
     # order (where prefixes never reach) is purely the
     # candidate-count optimization that makes PPJoin scale.
-    heavy_df, heavy_cap = 32, 1 << 16
+    heavy_df, heavy_cap, heavy_sample_docs = 32, 1 << 16, 20_000
     heavy_rows = (
-        docs_ds.map_batches(gram_rows, batch_format="pyarrow")
+        docs_ds.limit(heavy_sample_docs)  # bounded sample: the heavy set
+        # is a performance hint, not a correctness input, so a fixed-
+        # size document sample suffices at any corpus scale
+        .map_batches(gram_rows, batch_format="pyarrow")
         .groupby("gram")
         .aggregate(Count(alias_name="df"))
         .map_batches(
@@ -554,35 +557,56 @@ def ngram_jaccard_dedup(docs_ds, threshold: float = 0.8, n: int = N_GRAM, n_buck
             {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")}
         )
 
+    def _pairs_chunk(arrs: list) -> pd.DataFrame:
+        """Vectorized pair enumeration + filters for a chunk of per-gram
+        row arrays (each (m, 3): doc_id, size, pos)."""
+        ai, bi = [], []
+        for arr in arrs:
+            iu, ju = np.triu_indices(len(arr), 1)
+            ai.append(arr[iu])
+            bi.append(arr[ju])
+        left = np.concatenate(ai)
+        right = np.concatenate(bi)
+        # canonical orientation: a < b
+        swap = left[:, 0] > right[:, 0]
+        left[swap], right[swap] = right[swap], left[swap]
+        sl, sr = left[:, 1], right[:, 1]
+        pl, pr = left[:, 2], right[:, 2]
+        lo = np.minimum(sl, sr)
+        hi = np.maximum(sl, sr)
+        # size filter: J <= lo/hi, so lo/hi < t prunes; epsilon only
+        # ever ADMITS boundary candidates
+        keep = lo / hi >= threshold - 1e-12
+        # PPJoin position filter
+        alpha = np.ceil(threshold / (1.0 + threshold) * (sl + sr) - 1e-9)
+        keep &= 1 + np.minimum(sl - 1 - pl, sr - 1 - pr) >= alpha
+        return pd.DataFrame(
+            {
+                "a": pd.Series(left[keep, 0], dtype="int64"),
+                "b": pd.Series(right[keep, 0], dtype="int64"),
+            }
+        ).drop_duplicates()
+
+    CHUNK_VOL = 2_000_000  # max candidate rows materialized at once
+
     def candidates_block(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(["gram", "doc_id"])
         bucket_sizes = g.groupby("gram")["doc_id"].transform("size")
         g = g[bucket_sizes >= 2]
         if len(g) == 0:
             return _empty_cand()
-        a_out, b_out = [], []
+        outs, buf, vol = [], [], 0
         for _, sub in g.groupby("gram", sort=False):
-            rows = sub.sort_values("doc_id")[["doc_id", "size", "pos"]].to_numpy()
-            m = len(rows)
-            for i in range(m):
-                di, si, pi = rows[i]
-                for j in range(i + 1, m):
-                    dj, sj, pj = rows[j]
-                    lo, hi = (si, sj) if si <= sj else (sj, si)
-                    # size filter: J <= lo/hi, so lo/hi < t prunes; the
-                    # epsilon only ever ADMITS boundary candidates
-                    if lo / hi < threshold - 1e-12:
-                        continue
-                    alpha = math.ceil(
-                        threshold / (1.0 + threshold) * (si + sj) - 1e-9
-                    )
-                    if 1 + min(si - 1 - pi, sj - 1 - pj) < alpha:  # position filter
-                        continue
-                    a_out.append(di)
-                    b_out.append(dj)
-        return pd.DataFrame(
-            {"a": pd.Series(a_out, dtype="int64"), "b": pd.Series(b_out, dtype="int64")}
-        )
+            arr = sub[["doc_id", "size", "pos"]].to_numpy()
+            buf.append(arr)
+            vol += len(arr) * (len(arr) - 1) // 2
+            if vol >= CHUNK_VOL:
+                outs.append(_pairs_chunk(buf))
+                buf, vol = [], 0
+        if buf:
+            outs.append(_pairs_chunk(buf))
+        out = pd.concat(outs, ignore_index=True).drop_duplicates()
+        return out.reset_index(drop=True)
 
     pairs = (
         prefixes.map_batches(add_gram_bucket, batch_format="pyarrow")
@@ -613,9 +637,23 @@ def ngram_jaccard_dedup(docs_ds, threshold: float = 0.8, n: int = N_GRAM, n_buck
     with_ab = bucketed_hash_join(with_a, texts_b, on="b", n_buckets=n_buckets)
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        # docs repeat across many candidate pairs in a batch — build each
+        # gram set once per doc, pay only the C-level set intersection
+        # per pair
+        cache: dict = {}
+
+        def gset(doc_id, text):
+            s = cache.get(doc_id)
+            if s is None:
+                s = char_grams(text, n)
+                cache[doc_id] = s
+            return s
+
         isect_out, uni_out = [], []
-        for ta, tb in zip(batch["text_a"], batch["text_b"]):
-            sa, sb = char_grams(ta, n), char_grams(tb, n)
+        for da, db, ta, tb in zip(
+            batch["a"], batch["b"], batch["text_a"], batch["text_b"]
+        ):
+            sa, sb = gset(da, ta), gset(db, tb)
             i = len(sa & sb)
             isect_out.append(i)
             uni_out.append(len(sa) + len(sb) - i)
