@@ -108,24 +108,31 @@ def bucketed_hash_join(
     join_cols_l = left_cols
     join_cols_r = [on] + right_cols
 
-    # typed empty-frame template: an all-object empty DataFrame would
-    # risk Arrow schema-unification failures against typed groups
-    empty_template = pa.table(
-        {
-            c: pa.array([], type={**left_types, **right_types}[c])
-            for c in all_cols
-        }
-    ).to_pandas()
+    # Null-padding the union decays int64 columns to float64 inside each
+    # pandas group (NaN has no integer dtype), so a raw pandas return
+    # would give each bucket a dtype set depending on which side padded
+    # which column — unstable block schemas, and worse: a float64 key
+    # column feeding crc32_bucket in a downstream join would bucket ids
+    # above 2^53 differently than their int64 twins.  Emit Arrow with
+    # one explicit schema instead: from_pandas treats NaN as null, so
+    # integral-float columns convert back to int64 losslessly.
+    out_schema = pa.schema(
+        [(c, {**left_types, **right_types}[c]) for c in all_cols]
+    )
+    empty_table = out_schema.empty_table()
 
-    def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
+    def join_bucket(group: pd.DataFrame) -> pa.Table:
         l = group[group["__side"] == "l"][join_cols_l]
         r = group[group["__side"] == "r"][join_cols_r]
         if len(l) == 0 or (len(r) == 0 and how == "inner"):
-            return empty_template.copy()
+            return empty_table
         if left_distinct:
             l = l.sort_values(join_cols_l, kind="mergesort").drop_duplicates(
                 left_distinct
             )
-        return l.merge(r, on=on, how=how)
+        merged = l.merge(r, on=on, how=how)
+        return pa.Table.from_pandas(
+            merged[all_cols], schema=out_schema, preserve_index=False
+        )
 
     return tagged.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
