@@ -36,6 +36,8 @@ import pyarrow.compute as pc
 
 from .join import bucketed_hash_join
 
+_EDGES_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
 
 def _count_changed(t: pa.Table) -> pa.Table:
     changed = pc.sum(
@@ -96,7 +98,11 @@ def connected_components(
             ),
             batch_format="pyarrow",
         )
-        with_a = bucketed_hash_join(edges_ds, lab_a, on="a", n_buckets=n_buckets)
+        with_a = bucketed_hash_join(
+            edges_ds, lab_a, on="a", n_buckets=n_buckets,
+            left_schema=_EDGES_SCHEMA,
+            right_schema=pa.schema([("a", pa.int64()), ("label_a", pa.int64())]),
+        )
         msg_ab = with_a.map_batches(
             lambda t: pa.Table.from_pydict(
                 {
@@ -113,7 +119,11 @@ def connected_components(
             ),
             batch_format="pyarrow",
         )
-        with_b = bucketed_hash_join(edges_ds, lab_b, on="b", n_buckets=n_buckets)
+        with_b = bucketed_hash_join(
+            edges_ds, lab_b, on="b", n_buckets=n_buckets,
+            left_schema=_EDGES_SCHEMA,
+            right_schema=pa.schema([("b", pa.int64()), ("label_b", pa.int64())]),
+        )
         msg_ba = with_b.map_batches(
             lambda t: pa.Table.from_pydict(
                 {
@@ -154,7 +164,15 @@ def connected_components(
                 ),
                 batch_format="pyarrow",
             )
-            doubled = bucketed_hash_join(new_labels, hop, on="label", n_buckets=n_buckets)
+            doubled = bucketed_hash_join(
+                new_labels, hop, on="label", n_buckets=n_buckets,
+                left_schema=pa.schema(
+                    [("node", pa.int64()), ("label", pa.int64()), ("__old", pa.int64())]
+                ),
+                right_schema=pa.schema(
+                    [("label", pa.int64()), ("label2", pa.int64())]
+                ),
+            )
             new_labels = doubled.map_batches(
                 lambda t: pa.Table.from_pydict(
                     {

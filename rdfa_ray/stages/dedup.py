@@ -262,11 +262,23 @@ def minhash_dedup(docs_ds, threshold: float = 0.8, concurrency=(2, 8), n_buckets
         ),
         batch_format="pyarrow",
     )
+    pairs_schema = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("pair_mode", pa.string())]
+    )
+    texts_a_schema = pa.schema([("a", pa.int64()), ("text_a", pa.string())])
+    texts_b_schema = pa.schema([("b", pa.int64()), ("text_b", pa.string())])
     with_a = bucketed_hash_join(
         pairs, texts_a, on="a", n_buckets=n_buckets,
         left_distinct=["a", "b"],
+        left_schema=pairs_schema, right_schema=texts_a_schema,
     )
-    with_ab = bucketed_hash_join(with_a, texts_b, on="b", n_buckets=n_buckets)
+    with_a_schema = pa.schema(
+        list(pairs_schema) + [texts_a_schema.field("text_a")]
+    )
+    with_ab = bucketed_hash_join(
+        with_a, texts_b, on="b", n_buckets=n_buckets,
+        left_schema=with_a_schema, right_schema=texts_b_schema,
+    )
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
         sims = [
@@ -631,10 +643,20 @@ def ngram_jaccard_dedup(docs_ds, threshold: float = 0.8, n: int = N_GRAM, n_buck
         ),
         batch_format="pyarrow",
     )
+    pairs_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    texts_a_schema = pa.schema([("a", pa.int64()), ("text_a", pa.string())])
+    texts_b_schema = pa.schema([("b", pa.int64()), ("text_b", pa.string())])
     with_a = bucketed_hash_join(
-        pairs, texts_a, on="a", n_buckets=n_buckets, left_distinct=["a", "b"]
+        pairs, texts_a, on="a", n_buckets=n_buckets, left_distinct=["a", "b"],
+        left_schema=pairs_schema, right_schema=texts_a_schema,
     )
-    with_ab = bucketed_hash_join(with_a, texts_b, on="b", n_buckets=n_buckets)
+    with_ab = bucketed_hash_join(
+        with_a, texts_b, on="b", n_buckets=n_buckets,
+        left_schema=pa.schema(
+            list(pairs_schema) + [texts_a_schema.field("text_a")]
+        ),
+        right_schema=texts_b_schema,
+    )
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
         # docs repeat across many candidate pairs in a batch — build each

@@ -39,6 +39,8 @@ def bucketed_hash_join(
     how: str = "inner",
     suffix: str = "_r",
     left_distinct: list | None = None,
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
 ):
     """Join two Datasets on a single key column; right-side name
     collisions (other than the key) get ``suffix``.
@@ -46,6 +48,12 @@ def bucketed_hash_join(
     Only ``how='inner'`` and ``how='left'`` are supported: any other
     mode would silently drop right-side rows in buckets whose left
     side is empty (the per-bucket early-out below).
+
+    ``left_schema`` / ``right_schema``: optional ``pa.Schema`` for the
+    corresponding side.  ``Dataset.schema()`` on a lazy multi-stage
+    input EXECUTES the upstream pipeline (sorts included) just to see
+    one block — a caller that already knows its column types should
+    always pass them so plan construction stays free.
 
     ``left_distinct``: optional key-column list including ``on`` — dedup the
     left side on those columns inside each bucket before merging
@@ -59,8 +67,11 @@ def bucketed_hash_join(
         raise ValueError(
             "bucketed_hash_join supports how='inner'/'left' only, got %r" % how
         )
-    left_schema = left_ds.schema()
-    right_schema = right_ds.schema()
+    # pa.Schema and ray Schema expose the same .names/.types surface
+    left_schema = left_schema if left_schema is not None else left_ds.schema()
+    right_schema = (
+        right_schema if right_schema is not None else right_ds.schema()
+    )
     left_cols = list(left_schema.names)
     rename = {
         c: (c + suffix if c in left_cols and c != on else c)
