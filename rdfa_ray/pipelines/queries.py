@@ -484,6 +484,110 @@ def q_events_distinct_users(sf_dir: str):
     return events_distinct_users(sf_dir)
 
 
+def q_customers_semi(sf_dir: str):
+    """Semi join (EXISTS): customers with >= 1 urgent order."""
+    from .relational import customers_semi_anti
+
+    return customers_semi_anti(sf_dir, "semi", priority="1-URGENT")
+
+
+def q_customers_anti(sf_dir: str):
+    """Anti join (NOT EXISTS): customers with no order above 300k."""
+    from .relational import customers_semi_anti
+
+    return customers_semi_anti(sf_dir, "anti", price_floor=300000.0)
+
+
+def q_events_sliding(sf_dir: str):
+    """Sliding-window aggregate: 1 h windows hopping every 15 min."""
+    from .relational import events_sliding
+
+    return events_sliding(sf_dir)
+
+
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape: 3-table join + aggregate + top-k."""
+    from .relational import shipping_priority
+
+    return shipping_priority(sf_dir)
+
+
+def q_events_purchase_clicks(sf_dir: str):
+    """Windowed range join: clicks in the hour before each purchase."""
+    import ray.data as rd
+
+    from ..stages.rangejoin import range_join_count
+
+    purchases = rd.read_parquet(
+        "%s/events.parquet" % sf_dir, columns=["event_id", "user_id", "ts", "event_type"]
+    ).filter(expr="event_type == 'purchase'")
+    clicks = rd.read_parquet(
+        "%s/events.parquet" % sf_dir, columns=["user_id", "ts", "event_type"]
+    ).filter(expr="event_type == 'click'")
+    return range_join_count(
+        purchases,
+        clicks,
+        by="user_id",
+        lo_us=-3_600_000_000,
+        hi_us=0,
+        keep=["event_id", "user_id"],
+        count_col="n_clicks",
+    )
+
+
+def q_events_value_quantiles(sf_dir: str):
+    """Exact per-group quantiles via distinct-value histogram."""
+    import ray.data as rd
+
+    from ..stages.quantile import grouped_quantiles
+
+    ds = rd.read_parquet("%s/events.parquet" % sf_dir, columns=["event_type", "value"])
+
+    def to_milli(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "event_type": batch.column("event_type"),
+                "value_milli": pc.cast(
+                    pc.round(
+                        pc.multiply(batch.column("value"), 1000.0),
+                        0,
+                        round_mode="half_towards_infinity",
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return grouped_quantiles(
+        ds.map_batches(to_milli, batch_format="pyarrow"),
+        group="event_type",
+        value="value_milli",
+        qs=[0.5, 0.9, 0.99],
+    )
+
+
+def q_token_top20(sf_dir: str):
+    """Corpus heavy hitters: top-20 tokens by frequency."""
+    import ray.data as rd
+
+    from ..stages.tokens import token_topk
+
+    docs = rd.read_parquet("%s/documents.parquet" % sf_dir, columns=["text"])
+    return token_topk(docs, k=20)
+
+
+def q_inverted_index(sf_dir: str):
+    """Inverted index: token -> (df, sorted posting list), df >= 5."""
+    import ray.data as rd
+
+    from ..stages.tokens import inverted_index
+
+    docs = rd.read_parquet(
+        "%s/documents.parquet" % sf_dir, columns=["doc_id", "text"]
+    )
+    return inverted_index(docs, min_df=5)
+
+
 
 def q_events_distinct_users_approx(sf_dir: str):
     """KMV sketch distinct-count (approximate, mergeable partials;
@@ -738,6 +842,14 @@ QUERIES = {
     "top_orders_per_segment": q_top_orders_per_segment,
     "events_distinct_users": q_events_distinct_users,
     "events_distinct_users_approx": q_events_distinct_users_approx,
+    "customers_semi": q_customers_semi,
+    "customers_anti": q_customers_anti,
+    "events_sliding": q_events_sliding,
+    "shipping_priority": q_shipping_priority,
+    "events_purchase_clicks": q_events_purchase_clicks,
+    "events_value_quantiles": q_events_value_quantiles,
+    "token_top20": q_token_top20,
+    "inverted_index": q_inverted_index,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_ngram": q_dedup_ngram,
@@ -956,6 +1068,81 @@ ORACLE_SQL = {
     "events_distinct_users": (
         "SELECT event_type, COUNT(DISTINCT user_id) AS n_users"
         " FROM events GROUP BY event_type"
+    ),
+    "customers_semi": (
+        "SELECT c.c_custkey AS c_custkey, c.c_mktsegment AS c_mktsegment"
+        " FROM customer c WHERE EXISTS (SELECT 1 FROM orders o"
+        " WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')"
+    ),
+    "customers_anti": (
+        "SELECT c.c_custkey AS c_custkey, c.c_mktsegment AS c_mktsegment"
+        " FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o"
+        " WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)"
+    ),
+    "events_sliding": (
+        "SELECT window_start, event_type, COUNT(*) AS n_events FROM ("
+        "SELECT unnest(generate_series("
+        " CAST(FLOOR(epoch(ts) / 900) * 900 - 2700 AS BIGINT),"
+        " CAST(FLOOR(epoch(ts) / 900) * 900 AS BIGINT), 900)) AS window_start,"
+        " event_type FROM events) t GROUP BY 1, 2"
+    ),
+    "shipping_priority": (
+        "SELECT l_orderkey, o_epoch, o_orderpriority, revenue_cents FROM ("
+        "SELECT l.l_orderkey AS l_orderkey,"
+        " CAST(epoch(o.o_orderdate) AS BIGINT) AS o_epoch,"
+        " o.o_orderpriority AS o_orderpriority,"
+        " CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100.0)"
+        " AS BIGINT)) AS BIGINT) AS revenue_cents "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "JOIN customer c ON o.o_custkey = c.c_custkey "
+        "WHERE c.c_mktsegment = 'BUILDING'"
+        " AND o.o_orderdate < TIMESTAMP '1998-01-01'"
+        " AND l.l_shipdate > TIMESTAMP '1998-01-01' "
+        "GROUP BY 1, 2, 3) t "
+        "ORDER BY revenue_cents DESC, l_orderkey ASC LIMIT 10"
+    ),
+    "events_purchase_clicks": (
+        "SELECT CAST(p.event_id AS BIGINT) AS event_id,"
+        " CAST(p.user_id AS BIGINT) AS user_id,"
+        " COUNT(c.user_id) AS n_clicks "
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
+        "LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c "
+        "ON p.user_id = c.user_id"
+        " AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts "
+        "GROUP BY 1, 2"
+    ),
+    # quantile_disc commutes with the exact milli-unit discretization
+    # (value * 1000 is integral for every row in the table)
+    "events_value_quantiles": (
+        "SELECT event_type,"
+        " CAST(ROUND(quantile_disc(value, 0.5) * 1000) AS BIGINT) AS q50,"
+        " CAST(ROUND(quantile_disc(value, 0.9) * 1000) AS BIGINT) AS q90,"
+        " CAST(ROUND(quantile_disc(value, 0.99) * 1000) AS BIGINT) AS q99 "
+        "FROM events GROUP BY event_type"
+    ),
+    "token_top20": (
+        "SELECT token, COUNT(*) AS n FROM ("
+        "SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token"
+        " FROM documents) t GROUP BY token ORDER BY n DESC, token ASC LIMIT 20"
+    ),
+    "inverted_index": (
+        "SELECT token, CAST(COUNT(*) AS BIGINT) AS df,"
+        " string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings"
+        " FROM (SELECT DISTINCT doc_id,"
+        " unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token"
+        " FROM documents) t GROUP BY token HAVING COUNT(*) >= 5"
+    ),
+    # exact cosine top-10 (ties broken by vec_id asc) — rank flips need
+    # a similarity gap below double-eps, impossible for random vectors
+    "ann_bruteforce": (
+        "SELECT query_id, vec_id FROM ("
+        "SELECT q.vec_id AS query_id, d.vec_id AS vec_id,"
+        " ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY"
+        " list_cosine_similarity(d.embedding, q.embedding) DESC,"
+        " d.vec_id ASC) AS rn "
+        "FROM embeddings d CROSS JOIN"
+        " (SELECT * FROM embeddings WHERE vec_id < 8) q) t "
+        "WHERE rn <= 10"
     ),
     "events_asof": (
         "SELECT CAST(p.event_id AS BIGINT) AS event_id,"

@@ -248,6 +248,167 @@ def top_orders_per_segment(sf_dir: str, k: int = 3):
     return partials.groupby("c_mktsegment").map_groups(final_topk, batch_format="pandas")
 
 
+def customers_semi_anti(sf_dir: str, how: str, price_floor: float | None = None,
+                        priority: str | None = None):
+    """Semi/anti join (EXISTS / NOT EXISTS): customers against a
+    filtered orders view.  The filter runs map-side before the
+    exchange and only the 8-byte key column shuffles — at 100 TB the
+    probe side is |matching orders| keys, never order payloads."""
+    import ray.data as rd
+
+    from ..stages.join import bucketed_hash_join
+
+    cust = rd.read_parquet(
+        "%s/customer.parquet" % sf_dir, columns=["c_custkey", "c_mktsegment"]
+    )
+    cols = ["o_custkey"] + (
+        ["o_totalprice"] if price_floor is not None else ["o_orderpriority"]
+    )
+    orders = rd.read_parquet("%s/orders.parquet" % sf_dir, columns=cols)
+
+    def keys_only(batch: pa.Table) -> pa.Table:
+        if price_floor is not None:
+            batch = batch.filter(
+                pc.greater(batch.column("o_totalprice"), price_floor)
+            )
+        else:
+            batch = batch.filter(
+                pc.equal(batch.column("o_orderpriority"), priority)
+            )
+        return batch.select(["o_custkey"]).rename_columns(["c_custkey"])
+
+    probe = orders.map_batches(keys_only, batch_format="pyarrow")
+    return bucketed_hash_join(
+        cust, probe, on="c_custkey", how=how,
+        left_schema=pa.schema(
+            [("c_custkey", pa.int64()), ("c_mktsegment", pa.string())]
+        ),
+        right_schema=pa.schema([("c_custkey", pa.int64())]),
+    )
+
+
+SLIDE_SIZE_S = 3600
+SLIDE_HOP_S = 900
+
+
+def events_sliding(sf_dir: str):
+    """Sliding (hopping) windows: 1 h windows every 15 min — each event
+    lands in exactly size/hop = 4 windows.  The expansion is a
+    vectorized numpy repeat/tile inside map_batches (rows x 4), then
+    the same grouped aggregate as the tumbling path; window membership
+    is content-derived so no ordering or state is needed."""
+    import numpy as np
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    n_win = SLIDE_SIZE_S // SLIDE_HOP_S
+    ds = rd.read_parquet("%s/events.parquet" % sf_dir, columns=["ts", "event_type"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        secs = pc.divide(pc.cast(batch.column("ts"), pa.int64()), 1_000_000)
+        base = np.asarray(
+            pc.multiply(pc.divide(secs, SLIDE_HOP_S), SLIDE_HOP_S)
+        )
+        offsets = np.arange(n_win, dtype=np.int64) * SLIDE_HOP_S
+        starts = np.repeat(base, n_win) - np.tile(offsets, len(base))
+        types = batch.column("event_type").take(
+            pa.array(np.repeat(np.arange(len(base), dtype=np.int64), n_win))
+        )
+        return pa.Table.from_pydict(
+            {"window_start": pa.array(starts, pa.int64()), "event_type": types}
+        )
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby(["window_start", "event_type"])
+        .aggregate(Count(alias_name="n_events"))
+    )
+
+
+def shipping_priority(sf_dir: str, segment: str = "BUILDING",
+                      cutoff: str = "1998-01-01", k: int = 10):
+    """TPC-H Q3 shape: 3-table join (customer |><| orders |><| lineitem)
+    + revenue aggregate + top-k.  Scale plan: the customer segment
+    filter broadcasts as a key set (no shuffle), lineitem revenue is
+    partially aggregated per block BEFORE the exchange, and the one
+    real all-to-all is the bucketed orders/lineitem join on
+    l_orderkey; the post-join aggregate and top-k run over
+    order-grained (already small) rows."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..stages.join import bucketed_hash_join
+
+    cutoff_ts = pd.Timestamp(cutoff)
+
+    cust = rd.read_parquet(
+        "%s/customer.parquet" % sf_dir, columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas()
+    keep_ref = ray.put(
+        set(cust.loc[cust["c_mktsegment"] == segment, "c_custkey"].tolist())
+    )
+
+    def orders_filter(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..state.broadcast import bcast_cached
+
+        keep = bcast_cached(keep_ref)
+        m = batch["o_custkey"].isin(keep) & (batch["o_orderdate"] < cutoff_ts)
+        out = batch.loc[m, ["o_orderkey", "o_orderdate", "o_orderpriority"]].copy()
+        # epoch SECONDS (unit-explicit; pandas int64 views are ns or us
+        # depending on the loaded resolution)
+        out["o_epoch"] = (
+            out.pop("o_orderdate").astype("datetime64[s]").astype("int64")
+        )
+        return out[["o_orderkey", "o_epoch", "o_orderpriority"]]
+
+    orders = rd.read_parquet(
+        "%s/orders.parquet" % sf_dir,
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(orders_filter, batch_format="pandas")
+
+    def line_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch["l_shipdate"] > cutoff_ts
+        b = batch.loc[m]
+        # floor(x+0.5) = round-half-away-from-zero for positive prices,
+        # matching DuckDB ROUND (np.round is half-even and would drift)
+        rev = np.floor(
+            b["l_extendedprice"].to_numpy() * (1.0 - b["l_discount"].to_numpy()) * 100.0
+            + 0.5
+        ).astype("int64")
+        return (
+            pd.DataFrame({"l_orderkey": b["l_orderkey"].to_numpy(), "revenue_cents": rev})
+            .groupby("l_orderkey", as_index=False)["revenue_cents"]
+            .sum()
+        )
+
+    line = rd.read_parquet(
+        "%s/lineitem.parquet" % sf_dir,
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(line_partial, batch_format="pandas")
+
+    joined = bucketed_hash_join(
+        line,
+        orders.map_batches(
+            lambda t: t.rename_columns(["l_orderkey", "o_epoch", "o_orderpriority"]),
+            batch_format="pyarrow",
+        ),
+        on="l_orderkey",
+        left_schema=pa.schema(
+            [("l_orderkey", pa.int64()), ("revenue_cents", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("l_orderkey", pa.int64()), ("o_epoch", pa.int64()),
+             ("o_orderpriority", pa.string())]
+        ),
+    )
+    agg = joined.groupby(["l_orderkey", "o_epoch", "o_orderpriority"]).aggregate(
+        Sum("revenue_cents", alias_name="revenue_cents")
+    )
+    return agg.sort(["revenue_cents", "l_orderkey"], descending=[True, False]).limit(k)
+
+
 def events_distinct_users(sf_dir: str):
     """Exact distinct-count at scale: two-level aggregation — partial
     per-block dedup in map_batches shrinks the shuffle to unique

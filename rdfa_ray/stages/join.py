@@ -45,9 +45,13 @@ def bucketed_hash_join(
     """Join two Datasets on a single key column; right-side name
     collisions (other than the key) get ``suffix``.
 
-    Only ``how='inner'`` and ``how='left'`` are supported: any other
-    mode would silently drop right-side rows in buckets whose left
-    side is empty (the per-bucket early-out below).
+    ``how``: ``'inner'``, ``'left'``, ``'semi'`` (left rows with >= 1
+    right match; left columns only, each left row at most once) or
+    ``'anti'`` (left rows with NO right match).  Right/full-outer modes
+    are rejected: they would silently drop right-side rows in buckets
+    whose left side is empty (the per-bucket early-out below).  For
+    semi/anti the right side only contributes its key column — callers
+    should pre-select it so only 8-byte keys shuffle.
 
     ``left_schema`` / ``right_schema``: optional ``pa.Schema`` for the
     corresponding side.  ``Dataset.schema()`` on a lazy multi-stage
@@ -63,9 +67,10 @@ def bucketed_hash_join(
     global distinct WITHOUT paying a separate shuffle — used by
     ``minhash_dedup`` to fold its candidate-pair dedup into the join.
     """
-    if how not in ("inner", "left"):
+    if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(
-            "bucketed_hash_join supports how='inner'/'left' only, got %r" % how
+            "bucketed_hash_join supports how='inner'/'left'/'semi'/'anti'"
+            " only, got %r" % how
         )
     # pa.Schema and ray Schema expose the same .names/.types surface
     left_schema = left_schema if left_schema is not None else left_ds.schema()
@@ -127,23 +132,28 @@ def bucketed_hash_join(
     # above 2^53 differently than their int64 twins.  Emit Arrow with
     # one explicit schema instead: from_pandas treats NaN as null, so
     # integral-float columns convert back to int64 losslessly.
+    out_cols = left_cols if how in ("semi", "anti") else all_cols
     out_schema = pa.schema(
-        [(c, {**left_types, **right_types}[c]) for c in all_cols]
+        [(c, {**left_types, **right_types}[c]) for c in out_cols]
     )
     empty_table = out_schema.empty_table()
 
     def join_bucket(group: pd.DataFrame) -> pa.Table:
         l = group[group["__side"] == "l"][join_cols_l]
         r = group[group["__side"] == "r"][join_cols_r]
-        if len(l) == 0 or (len(r) == 0 and how == "inner"):
+        if len(l) == 0 or (len(r) == 0 and how in ("inner", "semi")):
             return empty_table
         if left_distinct:
             l = l.sort_values(join_cols_l, kind="mergesort").drop_duplicates(
                 left_distinct
             )
-        merged = l.merge(r, on=on, how=how)
+        if how in ("semi", "anti"):
+            mask = l[on].isin(r[on].unique())
+            merged = l[mask] if how == "semi" else l[~mask]
+        else:
+            merged = l.merge(r, on=on, how=how)
         return pa.Table.from_pandas(
-            merged[all_cols], schema=out_schema, preserve_index=False
+            merged[out_cols], schema=out_schema, preserve_index=False
         )
 
     return tagged.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")

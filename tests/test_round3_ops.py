@@ -1,0 +1,138 @@
+"""Unit tests for the round-3 operators: semi/anti join modes, the
+windowed range join, exact grouped quantiles, token heavy hitters and
+the inverted index — each against a planted small input with a
+hand-computable expected result."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _ds(df):
+    import ray.data as rd
+
+    return rd.from_pandas(df)
+
+
+def test_semi_anti_join(ray_session):
+    from rdfa_ray.stages.join import bucketed_hash_join
+
+    left = pd.DataFrame({"k": [1, 2, 3, 4, 4], "v": [10, 20, 30, 40, 41]})
+    right = pd.DataFrame({"k": [2, 4, 4, 9]})
+    semi = (
+        bucketed_hash_join(_ds(left), _ds(right), on="k", how="semi", n_buckets=4)
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    # each matching left row exactly once, no right-side multiplication
+    assert semi["k"].tolist() == [2, 4, 4]
+    assert semi["v"].tolist() == [20, 40, 41]
+    assert list(semi.columns) == ["k", "v"]
+
+    anti = (
+        bucketed_hash_join(_ds(left), _ds(right), on="k", how="anti", n_buckets=4)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert anti["k"].tolist() == [1, 3]
+    # int64 preserved through the null-padded union
+    assert anti["k"].dtype == np.int64
+
+
+def test_range_join_count(ray_session):
+    from rdfa_ray.stages.rangejoin import range_join_count
+
+    us = 1_000_000
+    left = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "user_id": [7, 7, 8],
+            "ts": pd.to_datetime([100 * us, 200 * us, 100 * us], unit="us"),
+        }
+    )
+    # user 7 right rows at 40s (out), 50s (boundary: t-50 inclusive),
+    # 100s (boundary: t inclusive), 150s; user 8 none
+    right = pd.DataFrame(
+        {
+            "user_id": [7, 7, 7, 7],
+            "ts": pd.to_datetime([40 * us, 50 * us, 100 * us, 150 * us], unit="us"),
+        }
+    )
+    out = (
+        range_join_count(
+            _ds(left), _ds(right), by="user_id", lo_us=-50 * us, hi_us=0,
+            keep=["event_id", "user_id"], count_col="n", n_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # event 1 @100s window [50,100]: rows at 50,100 -> 2
+    # event 2 @200s window [150,200]: row at 150 -> 1
+    # event 3 user 8: no right rows -> 0
+    assert out["n"].tolist() == [2, 1, 0]
+    assert out["event_id"].dtype == np.int64
+
+
+def test_grouped_quantiles_exact(ray_session):
+    from rdfa_ray.stages.quantile import grouped_quantiles
+
+    rs = np.random.RandomState(5)
+    df = pd.DataFrame(
+        {
+            "g": np.repeat(["a", "b"], 500),
+            "v": np.concatenate(
+                [rs.randint(0, 50, 500), rs.randint(100, 1000, 500)]
+            ).astype("int64"),
+        }
+    )
+    out = (
+        grouped_quantiles(_ds(df), group="g", value="v", qs=[0.5, 0.9], n_buckets=4)
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    for _, row in out.iterrows():
+        vals = np.sort(df.loc[df["g"] == row["g"], "v"].to_numpy())
+        for q, col in [(0.5, "q50"), (0.9, "q90")]:
+            expect = vals[max(int(np.ceil(q * len(vals))), 1) - 1]
+            assert row[col] == expect, (row["g"], col)
+
+
+def test_token_topk_and_inverted_index(ray_session):
+    from rdfa_ray.stages.tokens import inverted_index, token_topk
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "apple banana apple",
+                "banana cherry BANANA",
+                "apple date",
+            ],
+        }
+    )
+    top = token_topk(_ds(docs), k=3).to_pandas()
+    # banana 3, apple 3 -> tie broken token asc: apple first
+    assert top["token"].tolist() == ["apple", "banana", "cherry"]
+    assert top["n"].tolist() == [3, 3, 1]
+
+    idx = (
+        inverted_index(_ds(docs), min_df=2, n_buckets=4)
+        .to_pandas()
+        .sort_values("token")
+        .reset_index(drop=True)
+    )
+    assert idx["token"].tolist() == ["apple", "banana"]
+    assert idx["postings"].tolist() == ["1,3", "1,2"]
+    assert idx["df"].tolist() == [2, 2]
+
+
+def test_join_rejects_outer_modes(ray_session):
+    from rdfa_ray.stages.join import bucketed_hash_join
+
+    with pytest.raises(ValueError):
+        bucketed_hash_join(None, None, on="k", how="outer")
