@@ -812,6 +812,152 @@ def q_multimodal_frames(sf_dir: str):
     return frames.map_batches(project, batch_format="pyarrow")
 
 
+# ---------------------------------------------------------------------------
+# KG query surface: SPARQL-style BGP matching, property paths, graph
+# analytics over the constructed graph
+
+_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def _typed_triples(sf_dir: str):
+    turns = typed_transcripts_from_documents(sf_dir)
+    triples = build_triples(turns).map_batches(split_triples, batch_format="pyarrow")
+    return triples.select_columns(["subj", "pred", "obj_value"])
+
+
+def q_kg_bgp_star(sf_dir: str):
+    """SPARQL BGP (star shape) over the distilled graph: Chinese
+    documents with their source and character count — 4 patterns, 3
+    self-joins on ?d, constants pushed into the scans."""
+    from ..stages.bgp import bgp_match
+
+    patterns = [
+        ("?d", "http://schema.org/inLanguage", "zh"),
+        ("?d", _RDF_TYPE, "http://schema.org/Document"),
+        ("?d", "http://schema.org/source", "?src"),
+        ("?d", "http://schema.org/characterCount", "?n"),
+    ]
+    return bgp_match(_typed_triples(sf_dir), patterns, select=["d", "src", "n"])
+
+
+def q_kg_bgp_chain(sf_dir: str):
+    """SPARQL BGP (chain via a shared OBJECT variable): pairs of
+    documents sharing a source where the first is Chinese — the join
+    key sits in object position on both sides."""
+    from ..stages.bgp import bgp_match
+
+    patterns = [
+        ("?d1", "http://schema.org/inLanguage", "zh"),
+        ("?d1", "http://schema.org/source", "?src"),
+        ("?d2", "http://schema.org/source", "?src"),
+    ]
+    return bgp_match(_typed_triples(sf_dir), patterns, select=["d1", "src", "d2"])
+
+
+def _doc_tree_edges(sf_dir: str):
+    """Deterministic category-tree edges over documents: each doc_id
+    >= 1 points at parent doc_id // 4 (root 0); depth O(log4 n)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet("%s/documents.parquet" % sf_dir, columns=["doc_id"])
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        mask = pc.greater_equal(ids, 1)
+        ids = ids.filter(mask) if isinstance(ids, pa.ChunkedArray) else pc.filter(ids, mask)
+        return pa.Table.from_pydict(
+            {"src": ids, "dst": pc.divide(ids, 4)}
+        )
+
+    return ds.map_batches(to_edges, batch_format="pyarrow")
+
+
+def q_kg_subclass_closure(sf_dir: str):
+    """Transitive closure (SPARQL p+ / rdfs:subClassOf*) of the
+    document category tree via semi-naive iteration; oracle is the
+    equivalent DuckDB WITH RECURSIVE."""
+    from ..stages.closure import transitive_closure
+
+    paths = transitive_closure(_doc_tree_edges(sf_dir))
+    return paths.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"node": t.column("src"), "anc": t.column("dst")}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_kg_degree_hist(sf_dir: str):
+    """Degree distribution of the canonicalized graph: how many
+    canonical subjects carry each in-document degree (entity-linked
+    subjects accumulate the degree of every doc that linked to them)."""
+    import ray
+    from ray.data.aggregate import Count
+
+    turns = typed_transcripts_from_documents(sf_dir, with_alias=True)
+    triples = build_triples(turns)
+    alias_ref = ray.put(build_alias_table())
+    augmented = triples.map_batches(
+        link_batch_augmenting,
+        fn_kwargs={"alias_ref": alias_ref},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4096,
+    )
+    canon = canonicalize(augmented)
+
+    def sources_only(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.equal(batch.column("pred"), "http://schema.org/source")
+        )
+        return pa.Table.from_pydict({"subj": batch.column("subj")})
+
+    deg = (
+        canon.map_batches(sources_only, batch_format="pyarrow")
+        .groupby("subj")
+        .aggregate(Count(alias_name="degree"))
+    )
+    return deg.groupby("degree").aggregate(Count(alias_name="n_subjects"))
+
+
+def q_kg_pagerank(sf_dir: str):
+    """PageRank over the category tree (iterative float workload —
+    rows-only at the driver; pytest bounds it against dense numpy)."""
+    from ..stages.pagerank import pagerank
+
+    ranks = pagerank(_doc_tree_edges(sf_dir), n_iters=10)
+    return ranks.sort(["rank", "node"], descending=[True, False]).limit(20)
+
+
+def q_orders_rollup(sf_dir: str):
+    """GROUP BY ROLLUP: leaf aggregate distributed, super-aggregates
+    derived from the tiny leaf table."""
+    from .relational import orders_rollup
+
+    return orders_rollup(sf_dir)
+
+
+def q_events_user_deltas(sf_dir: str):
+    """LAG window function: microseconds since the user's previous
+    event (-1 for the first)."""
+    from .relational import events_user_deltas
+
+    return events_user_deltas(sf_dir)
+
+
+def q_tfidf_top50(sf_dir: str):
+    """TF-IDF ranking over the corpus: global top-50 (doc, token)
+    pairs by integer-quantized score."""
+    import ray.data as rd
+
+    from ..stages.tfidf import tfidf_topk
+
+    docs = rd.read_parquet(
+        "%s/documents.parquet" % sf_dir, columns=["doc_id", "text"]
+    )
+    return tfidf_topk(docs, n_docs=docs.count(), k=50)
+
+
 QUERIES = {
     "rdfa_text_triples": q_rdfa_text_triples,
     "rdfa_typed_triples": q_rdfa_typed_triples,
@@ -865,6 +1011,14 @@ QUERIES = {
     "embedding_dups": q_embedding_dups,
     "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,
+    "kg_bgp_star": q_kg_bgp_star,
+    "kg_bgp_chain": q_kg_bgp_chain,
+    "kg_subclass_closure": q_kg_subclass_closure,
+    "kg_degree_hist": q_kg_degree_hist,
+    "kg_pagerank": q_kg_pagerank,
+    "orders_rollup": q_orders_rollup,
+    "events_user_deltas": q_events_user_deltas,
+    "tfidf_top50": q_tfidf_top50,
 }
 
 
@@ -883,6 +1037,22 @@ def _alias_values_sql() -> str:
 _SUBJ = "'%s' || CAST(doc_id AS VARCHAR)" % DOC_NS
 
 _STOP_LIST = "'the','a','an','and','or','of','to','in','is','are','was','were','be','been','it','this','that','with','for','on','as','at','by'"
+
+# the typed-view triples as a SQL relation (subj, pred, obj_value) —
+# the base table the BGP oracles self-join over
+_TYPED_TRIPLES_SQL = (
+    "SELECT %s AS subj, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,"
+    " 'http://schema.org/Document' AS obj_value FROM documents "
+    "UNION ALL SELECT %s, 'http://schema.org/inLanguage', lang FROM documents "
+    "UNION ALL SELECT %s, 'http://schema.org/source', source FROM documents "
+    "UNION ALL SELECT %s, 'http://schema.org/characterCount',"
+    " CAST(n_chars AS VARCHAR) FROM documents"
+) % (
+    "'%s' || CAST(doc_id AS VARCHAR)" % DOC_NS,
+    "'%s' || CAST(doc_id AS VARCHAR)" % DOC_NS,
+    "'%s' || CAST(doc_id AS VARCHAR)" % DOC_NS,
+    "'%s' || CAST(doc_id AS VARCHAR)" % DOC_NS,
+)
 
 ORACLE_SQL = {
     "rdfa_text_triples": (
@@ -1194,5 +1364,68 @@ ORACLE_SQL = {
         " CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,"
         " md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint "
         "FROM documents"
+    ),
+    # BGP oracles: rebuild the typed-view triples as a CTE, then join
+    # one CTE instance per pattern — the honest self-join formulation
+    # of SPARQL BGP semantics (not a shortcut over the base table)
+    "kg_bgp_star": (
+        "WITH t AS (%s) "
+        "SELECT t1.subj AS d, t3.obj_value AS src, t4.obj_value AS n "
+        "FROM t t1 JOIN t t2 ON t2.subj = t1.subj "
+        "JOIN t t3 ON t3.subj = t1.subj JOIN t t4 ON t4.subj = t1.subj "
+        "WHERE t1.pred = 'http://schema.org/inLanguage' AND t1.obj_value = 'zh' "
+        "AND t2.pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' "
+        "AND t2.obj_value = 'http://schema.org/Document' "
+        "AND t3.pred = 'http://schema.org/source' "
+        "AND t4.pred = 'http://schema.org/characterCount'" % _TYPED_TRIPLES_SQL
+    ),
+    "kg_bgp_chain": (
+        "WITH t AS (%s) "
+        "SELECT t1.subj AS d1, t2.obj_value AS src, t3.subj AS d2 "
+        "FROM t t1 JOIN t t2 ON t2.subj = t1.subj "
+        "JOIN t t3 ON t3.obj_value = t2.obj_value "
+        "WHERE t1.pred = 'http://schema.org/inLanguage' AND t1.obj_value = 'zh' "
+        "AND t2.pred = 'http://schema.org/source' "
+        "AND t3.pred = 'http://schema.org/source'" % _TYPED_TRIPLES_SQL
+    ),
+    "kg_subclass_closure": (
+        "WITH RECURSIVE anc(node, a) AS ("
+        " SELECT doc_id, doc_id // 4 FROM documents WHERE doc_id >= 1"
+        " UNION ALL SELECT node, a // 4 FROM anc WHERE a >= 1) "
+        "SELECT node, a AS anc FROM anc"
+    ),
+    "kg_degree_hist": (
+        "WITH %s, m AS ("
+        "SELECT CASE WHEN d.doc_id %% 5 = 0 THEN a.entity ELSE %s END AS subj "
+        "FROM documents d LEFT JOIN aliases a ON a.i = d.doc_id %% 50), "
+        "deg AS (SELECT subj, COUNT(*) AS degree FROM m GROUP BY subj) "
+        "SELECT degree, COUNT(*) AS n_subjects FROM deg GROUP BY degree"
+        % (_alias_values_sql(), _SUBJ.replace("doc_id", "d.doc_id"))
+    ),
+    "orders_rollup": (
+        "SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,"
+        " COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,"
+        " COUNT(*) AS n_orders,"
+        " CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)"
+        " AS total_cents "
+        "FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)"
+    ),
+    "events_user_deltas": (
+        "SELECT event_id, COALESCE(CAST(epoch_us(ts) - LAG(epoch_us(ts))"
+        " OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT), -1)"
+        " AS delta_us FROM events"
+    ),
+    "tfidf_top50": (
+        "WITH toks AS (SELECT doc_id,"
+        " unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token"
+        " FROM documents),"
+        " tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),"
+        " df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),"
+        " n AS (SELECT COUNT(*) AS n FROM documents) "
+        "SELECT tf.doc_id AS doc_id, tf.token AS token,"
+        " CAST(FLOOR(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) * 1e6 + 0.5)"
+        " AS BIGINT) AS score_micro "
+        "FROM tf JOIN df ON df.token = tf.token CROSS JOIN n "
+        "ORDER BY score_micro DESC, doc_id ASC, token ASC LIMIT 50"
     ),
 }

@@ -432,3 +432,121 @@ def events_distinct_users(sf_dir: str):
         .aggregate(Count(alias_name="_n"))
     )
     return uniq.groupby("event_type").aggregate(Count(alias_name="n_users"))
+
+
+def orders_rollup(sf_dir: str):
+    """GROUP BY ROLLUP (o_orderpriority, o_orderstatus): order counts
+    and total cents at every rollup level, rolled-up columns emitted as
+    the sentinel 'ALL' (hash-stable across engines, unlike NULL).
+
+    Two-phase shape: the heavy lift is ONE distributed hash aggregate
+    to the leaf grain (priority x status — a few dozen rows at any
+    scale); the super-aggregate levels are derived from that tiny leaf
+    table in a single-partition vectorized pass, never re-reading the
+    input.  This is how ROLLUP should decompose on any shuffle engine:
+    re-aggregating the input once per level would pay L full scans."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(
+        "%s/orders.parquet" % sf_dir,
+        columns=["o_orderpriority", "o_orderstatus", "o_totalprice"],
+    )
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "o_orderpriority": batch.column("o_orderpriority"),
+                "o_orderstatus": batch.column("o_orderstatus"),
+                "cents": pc.cast(
+                    pc.round(
+                        pc.multiply(batch.column("o_totalprice"), 100.0),
+                        0,
+                        round_mode="half_towards_infinity",
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    leaf = (
+        ds.map_batches(to_cents, batch_format="pyarrow")
+        .groupby(["o_orderpriority", "o_orderstatus"])
+        .aggregate(
+            Count(alias_name="n_orders"), Sum("cents", alias_name="total_cents")
+        )
+    )
+
+    def add_levels(batch: pd.DataFrame) -> pd.DataFrame:
+        lvl1 = (
+            batch.groupby("o_orderpriority", as_index=False)[
+                ["n_orders", "total_cents"]
+            ]
+            .sum()
+            .assign(o_orderstatus="ALL")
+        )
+        lvl0 = pd.DataFrame(
+            {
+                "o_orderpriority": ["ALL"],
+                "o_orderstatus": ["ALL"],
+                "n_orders": [batch["n_orders"].sum()],
+                "total_cents": [batch["total_cents"].sum()],
+            }
+        )
+        out = pd.concat([batch, lvl1, lvl0], ignore_index=True)
+        out["n_orders"] = out["n_orders"].astype("int64")
+        out["total_cents"] = out["total_cents"].astype("int64")
+        return out[["o_orderpriority", "o_orderstatus", "n_orders", "total_cents"]]
+
+    return leaf.repartition(1).map_batches(
+        add_levels, batch_format="pandas", batch_size=None
+    )
+
+
+def events_user_deltas(sf_dir: str, n_buckets: int = 64):
+    """LAG window function: per user ordered by (ts, event_id), the
+    microseconds since the user's previous event (-1 for the first).
+
+    Same two-level shape as ``sessionize_events``: coarse-bucket users
+    with the vectorized crc32 kernel (every row of a user lands in one
+    bucket), ONE shuffle, then a per-bucket vectorized kernel — sort by
+    (user, ts, event_id), numpy shift, mask the per-user first rows.
+    Returns (event_id, delta_us)."""
+    import numpy as np
+    import ray.data as rd
+
+    from ..functions.hashing import crc32_bucket
+
+    ds = rd.read_parquet(
+        "%s/events.parquet" % sf_dir, columns=["event_id", "user_id", "ts"]
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_bucket", crc32_bucket(batch.column("user_id"), n_buckets)
+        )
+
+    def bucket_deltas(group: pd.DataFrame) -> pd.DataFrame:
+        if not len(group):
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "delta_us": pd.Series([], dtype="int64"),
+                }
+            )
+        g = group.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        us = g["ts"].astype("int64").to_numpy()
+        delta = np.empty(len(g), dtype="int64")
+        delta[0] = -1
+        delta[1:] = us[1:] - us[:-1]
+        delta[1:][uid[1:] != uid[:-1]] = -1
+        return pd.DataFrame(
+            {"event_id": g["event_id"].to_numpy(), "delta_us": delta}
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(bucket_deltas, batch_format="pandas")
+    )

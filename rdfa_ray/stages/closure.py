@@ -1,0 +1,244 @@
+"""Distributed transitive closure — the SPARQL property-path ``p+``
+/ rdfs:subClassOf* reachability an RDFLib user gets from
+``graph.transitive_objects`` (rdflib/graph.py) or a ``p+`` path query,
+re-expressed as semi-naive iteration over Ray Datasets.
+
+Semi-naive datalog evaluation: only the LAST round's new pairs join
+against the base edges each round, so total work is O(|closure|)
+joins instead of O(|closure| * depth):
+
+    paths    := edges
+    frontier := edges
+    repeat:
+        step     = frontier JOIN edges ON frontier.dst = edges.src
+                   -> (frontier.src, edges.dst), deduped
+        frontier = step ANTI-JOIN paths   (drop already-known pairs)
+        if frontier is empty: stop
+        paths    = paths UNION frontier
+
+Two execution modes per round, chosen by measured frontier size:
+
+* **Broadcast round** (frontier fits the driver/object store —
+  ``broadcast_limit`` pairs): the frontier is ``ray.put`` once and the
+  step join is a vectorized pandas merge INSIDE ``map_batches`` over
+  the (arbitrarily large) edge set — no exchange.  The known-pair
+  check is likewise a broadcast-set membership scan over ``paths``
+  that returns only the (small) matched keys; ``paths`` itself NEVER
+  moves.  Per-round cost: one read pass over edges + one over paths,
+  zero all-to-all.  This is the common case for hierarchy/ontology
+  closures whose per-depth frontier is millions of pairs at most.
+
+* **Shuffle round** (frontier too big to broadcast): the general
+  bucketed-hash-join formulation — one exchange keyed on the join
+  column and one anti-join exchange keyed on the composite pair key.
+  Only (int64,int64) pairs plus the 16-byte-ish key shuffle, and the
+  anti right side ships ONLY the key column.  Block counts are
+  re-bounded every round (``repartition``) because each sort-based
+  exchange otherwise multiplies block counts geometrically across
+  rounds — the measured pathology that motivated this split.
+
+Cycle safety: a pair enters ``paths`` exactly once (anti-join /
+known-set check), so cycles saturate and the frontier empties.
+
+The per-round ``materialize()`` on the shuffle path is REQUIRED, not
+convenience: ``paths`` and ``frontier`` are each consumed by multiple
+later rounds and Ray re-executes dataset lineage per consumer.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .join import bucketed_hash_join
+
+_PAIR_SCHEMA = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+_EMPTY_PAIRS = _PAIR_SCHEMA.empty_table()
+_EMPTY_KK = pa.schema([("kk", pa.string())]).empty_table()
+
+
+def _pack_kk(tbl: pa.Table) -> pa.ChunkedArray:
+    """Composite '(src)US(dst)' string key for pair-set operations."""
+    return pc.binary_join_element_wise(
+        pc.cast(tbl.column("src"), pa.string()),
+        pc.cast(tbl.column("dst"), pa.string()),
+        "\x1f",
+    )
+
+
+def _broadcast_round(edges, paths, frontier_df: pd.DataFrame):
+    """One semi-naive round with the frontier broadcast.  Returns the
+    new-pairs DataFrame (deduped, unknown pairs only)."""
+    import ray
+
+    fr_ref = ray.put(frontier_df[["src", "dst"]])
+
+    def step_batch(batch: pa.Table) -> pa.Table:
+        fr = ray.get(fr_ref)
+        eb = batch.to_pandas()
+        m = fr.merge(eb, left_on="dst", right_on="src", suffixes=("_f", "_e"))
+        if not len(m):
+            return _EMPTY_PAIRS
+        out = m[["src_f", "dst_e"]].drop_duplicates()
+        return pa.Table.from_arrays(
+            [
+                pa.array(out["src_f"].to_numpy(), pa.int64()),
+                pa.array(out["dst_e"].to_numpy(), pa.int64()),
+            ],
+            schema=_PAIR_SCHEMA,
+        )
+
+    step = (
+        edges.map_batches(step_batch, batch_format="pyarrow")
+        .to_pandas()
+        .drop_duplicates(["src", "dst"])
+    )
+    if not len(step):
+        return step
+    step_keys = (
+        step["src"].astype(str) + "\x1f" + step["dst"].astype(str)
+    ).to_numpy()
+    keys_ref = ray.put(frozenset(step_keys.tolist()))
+
+    def known_batch(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        kk = _pack_kk(batch)
+        hit = [v for v in kk.to_pylist() if v in ks]
+        if not hit:
+            return _EMPTY_KK
+        return pa.Table.from_pydict({"kk": pa.array(hit, pa.string())})
+
+    known_df = paths.map_batches(known_batch, batch_format="pyarrow").to_pandas()
+    # an all-empty result can come back as a 0-column frame
+    known = set(known_df["kk"].tolist()) if "kk" in known_df.columns else set()
+    mask = [k not in known for k in step_keys]
+    return step[mask]
+
+
+def _shuffle_round(edges, paths, frontier, n_buckets: int):
+    """One semi-naive round as two bucketed exchanges.  Returns the
+    new-pairs Dataset (materialized, block count bounded)."""
+
+    def fr_key(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"src": batch.column("src"), "k": batch.column("dst")}
+        )
+
+    def ed_key(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"k": batch.column("src"), "dst2": batch.column("dst")}
+        )
+
+    step = bucketed_hash_join(
+        frontier.map_batches(fr_key, batch_format="pyarrow"),
+        edges.map_batches(ed_key, batch_format="pyarrow"),
+        on="k",
+        n_buckets=n_buckets,
+        how="inner",
+        left_schema=pa.schema([("src", pa.int64()), ("k", pa.int64())]),
+        right_schema=pa.schema([("k", pa.int64()), ("dst2", pa.int64())]),
+    )
+
+    def to_pairs(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows:
+            return _EMPTY_PAIRS
+        return pa.Table.from_pydict(
+            {"src": batch.column("src"), "dst": batch.column("dst2")}
+        )
+
+    def dedup_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.drop_duplicates(["src", "dst"])
+
+    step_pairs = step.map_batches(to_pairs, batch_format="pyarrow").map_batches(
+        dedup_pairs, batch_format="pandas"
+    )
+
+    pair_schema_k = pa.schema(
+        [("src", pa.int64()), ("dst", pa.int64()), ("kk", pa.string())]
+    )
+
+    def pack(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows:
+            return pair_schema_k.empty_table()
+        return batch.append_column("kk", _pack_kk(batch))
+
+    def pack_key_only(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows:
+            return _EMPTY_KK
+        return pa.Table.from_pydict({"kk": _pack_kk(batch)})
+
+    return (
+        bucketed_hash_join(
+            step_pairs.map_batches(pack, batch_format="pyarrow"),
+            # anti right side ships ONLY the 20-byte key, not the pairs
+            paths.map_batches(pack_key_only, batch_format="pyarrow"),
+            on="kk",
+            n_buckets=n_buckets,
+            how="anti",
+            left_distinct=["kk"],
+            left_schema=pair_schema_k,
+            right_schema=pa.schema([("kk", pa.string())]),
+        )
+        .drop_columns(["kk"])
+        # re-bound block counts: each sort exchange otherwise emits
+        # O(input blocks) blocks and rounds compound geometrically
+        .repartition(n_buckets)
+        .materialize()
+    )
+
+
+def transitive_closure(
+    edges_ds,
+    n_buckets: int = 32,
+    max_rounds: int = 64,
+    broadcast_limit: int = 500_000,
+):
+    """``edges_ds``: (src:int64, dst:int64).  Returns the Dataset of
+    all (src, dst) pairs where dst is reachable from src in >= 1 hop
+    (the closure INCLUDES the base edges).
+
+    ``broadcast_limit``: a frontier at or below this many pairs runs
+    the zero-shuffle broadcast round; above it, the general bucketed
+    exchange round.  ``max_rounds`` is a runaway bound (covers path
+    depth 64); hitting it raises rather than silently truncating.
+    """
+    import ray.data as rd
+
+    edges = edges_ds.materialize()
+    paths = edges
+    # frontier is EITHER a small driver DataFrame or a Dataset
+    frontier_df: pd.DataFrame | None = None
+    frontier = edges
+    frontier_rows = edges.count()
+
+    for _ in range(max_rounds):
+        if frontier_rows <= broadcast_limit:
+            if frontier_df is None:
+                frontier_df = frontier.to_pandas()
+            new_df = _broadcast_round(edges, paths, frontier_df)
+            if not len(new_df):
+                return paths
+            new = rd.from_arrow(
+                pa.Table.from_arrays(
+                    [
+                        pa.array(new_df["src"].to_numpy(), pa.int64()),
+                        pa.array(new_df["dst"].to_numpy(), pa.int64()),
+                    ],
+                    schema=_PAIR_SCHEMA,
+                )
+            )
+            frontier_df = new_df
+            frontier_rows = len(new_df)
+        else:
+            new = _shuffle_round(edges, paths, frontier, n_buckets)
+            frontier_rows = new.count()
+            if frontier_rows == 0:
+                return paths
+            frontier_df = None
+        paths = paths.union(new).materialize()
+        frontier = new
+    raise RuntimeError(
+        "transitive_closure did not converge in %d rounds (path depth "
+        "exceeds the bound — raise max_rounds)" % max_rounds
+    )
