@@ -958,6 +958,121 @@ def q_tfidf_top50(sf_dir: str):
     return tfidf_topk(docs, n_docs=docs.count(), k=50)
 
 
+# ---------------------------------------------------------------------------
+# SPARQL algebra beyond the BGP core: OPTIONAL / UNION / FILTER /
+# property paths (rdflib evalLeftJoin / evalUnion / evalFilter /
+# evalPath parity — rdflib/plugins/sparql/evaluate.py)
+
+_NARROWER = "http://www.w3.org/2004/02/skos/core#narrower"
+
+
+def _tree_triples(sf_dir: str):
+    """The document category tree as triples with URI endpoints:
+    child doc narrower parent doc (parent = doc_id // 4, root 0)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet("%s/documents.parquet" % sf_dir, columns=["doc_id"])
+
+    def to_triples(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        mask = pc.greater_equal(ids, 1)
+        ids = ids.filter(mask) if isinstance(ids, pa.ChunkedArray) else pc.filter(ids, mask)
+        child = pc.binary_join_element_wise(DOC_NS, pc.cast(ids, pa.string()), "")
+        parent = pc.binary_join_element_wise(
+            DOC_NS, pc.cast(pc.divide(ids, 4), pa.string()), ""
+        )
+        return pa.Table.from_pydict(
+            {
+                "subj": child,
+                "pred": pa.nulls(len(ids), pa.string()).fill_null(_NARROWER),
+                "obj_value": parent,
+            }
+        )
+
+    return ds.map_batches(to_triples, batch_format="pyarrow")
+
+
+def q_kg_path_plus(sf_dir: str):
+    """Property path ``skos:narrower+`` over the category tree —
+    string-keyed semi-naive closure (URI endpoints, unlike the int-id
+    kg_subclass_closure)."""
+    from ..stages.sparql import path_edges
+
+    edges = path_edges(_tree_triples(sf_dir), ("plus", _NARROWER))
+    return edges.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"node": t.column("src"), "anc": t.column("dst")}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_kg_path_seq_inv(sf_dir: str):
+    """Property path ``schema:source/^schema:source``: document pairs
+    sharing a source — one seq join over the forward and inverted
+    scans."""
+    from ..stages.sparql import path_edges
+
+    pairs = path_edges(
+        _typed_triples(sf_dir),
+        ("seq", "http://schema.org/source", ("inv", "http://schema.org/source")),
+    )
+    return pairs.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"d1": t.column("src"), "d2": t.column("dst")}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_kg_optional_lang(sf_dir: str):
+    """OPTIONAL with a nested FILTER: every document with its source,
+    plus its language ONLY when Chinese — unmatched rows keep the ''
+    unbound sentinel (SPARQL LeftJoin semantics)."""
+    from ..stages.sparql import optional_match
+
+    return optional_match(
+        _typed_triples(sf_dir),
+        [
+            ("?d", _RDF_TYPE, "http://schema.org/Document"),
+            ("?d", "http://schema.org/source", "?src"),
+        ],
+        [("?d", "http://schema.org/inLanguage", "?l")],
+        opt_filter=lambda t: pc.equal(t.column("l"), "zh"),
+        select=["d", "src", "l"],
+    )
+
+
+def q_kg_union_bgp(sf_dir: str):
+    """UNION of two BGP arms with different variables — columns align
+    to the union of the arms' variables ('' where an arm leaves a
+    variable unbound)."""
+    from ..stages.sparql import union_match
+
+    return union_match(
+        _typed_triples(sf_dir),
+        [
+            [("?d", "http://schema.org/inLanguage", "zh")],
+            [("?x", "http://schema.org/source", "src1")],
+        ],
+    )
+
+
+def q_kg_filter_numeric(sf_dir: str):
+    """FILTER over a numeric literal: documents whose characterCount
+    exceeds 400 — vectorized cast + compare, map-side only."""
+    from ..stages.bgp import bgp_match
+    from ..stages.sparql import filter_bindings
+
+    b = bgp_match(
+        _typed_triples(sf_dir),
+        [("?d", "http://schema.org/characterCount", "?n")],
+    )
+    return filter_bindings(
+        b, lambda t: pc.greater(pc.cast(t.column("n"), pa.int64()), 400)
+    )
+
+
 QUERIES = {
     "rdfa_text_triples": q_rdfa_text_triples,
     "rdfa_typed_triples": q_rdfa_typed_triples,
@@ -1013,6 +1128,11 @@ QUERIES = {
     "multimodal_frames": q_multimodal_frames,
     "kg_bgp_star": q_kg_bgp_star,
     "kg_bgp_chain": q_kg_bgp_chain,
+    "kg_path_plus": q_kg_path_plus,
+    "kg_path_seq_inv": q_kg_path_seq_inv,
+    "kg_optional_lang": q_kg_optional_lang,
+    "kg_union_bgp": q_kg_union_bgp,
+    "kg_filter_numeric": q_kg_filter_numeric,
     "kg_subclass_closure": q_kg_subclass_closure,
     "kg_degree_hist": q_kg_degree_hist,
     "kg_pagerank": q_kg_pagerank,
@@ -1387,6 +1507,47 @@ ORACLE_SQL = {
         "WHERE t1.pred = 'http://schema.org/inLanguage' AND t1.obj_value = 'zh' "
         "AND t2.pred = 'http://schema.org/source' "
         "AND t3.pred = 'http://schema.org/source'" % _TYPED_TRIPLES_SQL
+    ),
+    "kg_path_plus": (
+        "WITH RECURSIVE anc(node, a) AS ("
+        " SELECT doc_id, doc_id // 4 FROM documents WHERE doc_id >= 1"
+        " UNION ALL SELECT node, a // 4 FROM anc WHERE a >= 1) "
+        "SELECT '%s' || CAST(node AS VARCHAR) AS node,"
+        " '%s' || CAST(a AS VARCHAR) AS anc FROM anc" % (DOC_NS, DOC_NS)
+    ),
+    "kg_path_seq_inv": (
+        "SELECT %s AS d1, %s AS d2 "
+        "FROM documents a JOIN documents b ON a.source = b.source"
+        % (
+            "'%s' || CAST(a.doc_id AS VARCHAR)" % DOC_NS,
+            "'%s' || CAST(b.doc_id AS VARCHAR)" % DOC_NS,
+        )
+    ),
+    "kg_optional_lang": (
+        "WITH t AS (%s) "
+        "SELECT t1.subj AS d, t2.obj_value AS src,"
+        " COALESCE(t3.obj_value, '') AS l "
+        "FROM t t1 JOIN t t2 ON t2.subj = t1.subj "
+        "LEFT JOIN (SELECT subj, obj_value FROM t"
+        " WHERE pred = 'http://schema.org/inLanguage' AND obj_value = 'zh')"
+        " t3 ON t3.subj = t1.subj "
+        "WHERE t1.pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' "
+        "AND t1.obj_value = 'http://schema.org/Document' "
+        "AND t2.pred = 'http://schema.org/source'" % _TYPED_TRIPLES_SQL
+    ),
+    "kg_union_bgp": (
+        "WITH t AS (%s) "
+        "SELECT subj AS d, '' AS x FROM t"
+        " WHERE pred = 'http://schema.org/inLanguage' AND obj_value = 'zh' "
+        "UNION ALL SELECT '', subj FROM t"
+        " WHERE pred = 'http://schema.org/source' AND obj_value = 'src1'"
+        % _TYPED_TRIPLES_SQL
+    ),
+    "kg_filter_numeric": (
+        "WITH t AS (%s) "
+        "SELECT subj AS d, obj_value AS n FROM t"
+        " WHERE pred = 'http://schema.org/characterCount'"
+        " AND CAST(obj_value AS BIGINT) > 400" % _TYPED_TRIPLES_SQL
     ),
     "kg_subclass_closure": (
         "WITH RECURSIVE anc(node, a) AS ("

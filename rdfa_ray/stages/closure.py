@@ -53,8 +53,10 @@ import pyarrow.compute as pc
 
 from .join import bucketed_hash_join
 
-_PAIR_SCHEMA = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
-_EMPTY_PAIRS = _PAIR_SCHEMA.empty_table()
+def _pair_schema(kt: pa.DataType) -> pa.Schema:
+    return pa.schema([("src", kt), ("dst", kt)])
+
+
 _EMPTY_KK = pa.schema([("kk", pa.string())]).empty_table()
 
 
@@ -67,11 +69,13 @@ def _pack_kk(tbl: pa.Table) -> pa.ChunkedArray:
     )
 
 
-def _broadcast_round(edges, paths, frontier_df: pd.DataFrame):
+def _broadcast_round(edges, paths, frontier_df: pd.DataFrame, kt: pa.DataType):
     """One semi-naive round with the frontier broadcast.  Returns the
     new-pairs DataFrame (deduped, unknown pairs only)."""
     import ray
 
+    schema = _pair_schema(kt)
+    empty = schema.empty_table()
     fr_ref = ray.put(frontier_df[["src", "dst"]])
 
     def step_batch(batch: pa.Table) -> pa.Table:
@@ -79,14 +83,14 @@ def _broadcast_round(edges, paths, frontier_df: pd.DataFrame):
         eb = batch.to_pandas()
         m = fr.merge(eb, left_on="dst", right_on="src", suffixes=("_f", "_e"))
         if not len(m):
-            return _EMPTY_PAIRS
+            return empty
         out = m[["src_f", "dst_e"]].drop_duplicates()
         return pa.Table.from_arrays(
             [
-                pa.array(out["src_f"].to_numpy(), pa.int64()),
-                pa.array(out["dst_e"].to_numpy(), pa.int64()),
+                pa.array(out["src_f"].to_numpy(), kt),
+                pa.array(out["dst_e"].to_numpy(), kt),
             ],
-            schema=_PAIR_SCHEMA,
+            schema=schema,
         )
 
     step = (
@@ -116,9 +120,10 @@ def _broadcast_round(edges, paths, frontier_df: pd.DataFrame):
     return step[mask]
 
 
-def _shuffle_round(edges, paths, frontier, n_buckets: int):
+def _shuffle_round(edges, paths, frontier, n_buckets: int, kt: pa.DataType):
     """One semi-naive round as two bucketed exchanges.  Returns the
     new-pairs Dataset (materialized, block count bounded)."""
+    empty = _pair_schema(kt).empty_table()
 
     def fr_key(batch: pa.Table) -> pa.Table:
         return pa.Table.from_pydict(
@@ -136,13 +141,13 @@ def _shuffle_round(edges, paths, frontier, n_buckets: int):
         on="k",
         n_buckets=n_buckets,
         how="inner",
-        left_schema=pa.schema([("src", pa.int64()), ("k", pa.int64())]),
-        right_schema=pa.schema([("k", pa.int64()), ("dst2", pa.int64())]),
+        left_schema=pa.schema([("src", kt), ("k", kt)]),
+        right_schema=pa.schema([("k", kt), ("dst2", kt)]),
     )
 
     def to_pairs(batch: pa.Table) -> pa.Table:
         if not batch.num_rows:
-            return _EMPTY_PAIRS
+            return empty
         return pa.Table.from_pydict(
             {"src": batch.column("src"), "dst": batch.column("dst2")}
         )
@@ -154,9 +159,7 @@ def _shuffle_round(edges, paths, frontier, n_buckets: int):
         dedup_pairs, batch_format="pandas"
     )
 
-    pair_schema_k = pa.schema(
-        [("src", pa.int64()), ("dst", pa.int64()), ("kk", pa.string())]
-    )
+    pair_schema_k = pa.schema([("src", kt), ("dst", kt), ("kk", pa.string())])
 
     def pack(batch: pa.Table) -> pa.Table:
         if not batch.num_rows:
@@ -193,9 +196,11 @@ def transitive_closure(
     n_buckets: int = 32,
     max_rounds: int = 64,
     broadcast_limit: int = 500_000,
+    key_type: pa.DataType = pa.int64(),
 ):
-    """``edges_ds``: (src:int64, dst:int64).  Returns the Dataset of
-    all (src, dst) pairs where dst is reachable from src in >= 1 hop
+    """``edges_ds``: (src, dst) of ``key_type`` (int64 node ids, or
+    string IRIs for SPARQL ``p+`` property paths).  Returns the Dataset
+    of all (src, dst) pairs where dst is reachable from src in >= 1 hop
     (the closure INCLUDES the base edges).
 
     ``broadcast_limit``: a frontier at or below this many pairs runs
@@ -205,6 +210,7 @@ def transitive_closure(
     """
     import ray.data as rd
 
+    kt = key_type
     edges = edges_ds.materialize()
     paths = edges
     # frontier is EITHER a small driver DataFrame or a Dataset
@@ -216,22 +222,22 @@ def transitive_closure(
         if frontier_rows <= broadcast_limit:
             if frontier_df is None:
                 frontier_df = frontier.to_pandas()
-            new_df = _broadcast_round(edges, paths, frontier_df)
+            new_df = _broadcast_round(edges, paths, frontier_df, kt)
             if not len(new_df):
                 return paths
             new = rd.from_arrow(
                 pa.Table.from_arrays(
                     [
-                        pa.array(new_df["src"].to_numpy(), pa.int64()),
-                        pa.array(new_df["dst"].to_numpy(), pa.int64()),
+                        pa.array(new_df["src"].to_numpy(), kt),
+                        pa.array(new_df["dst"].to_numpy(), kt),
                     ],
-                    schema=_PAIR_SCHEMA,
+                    schema=_pair_schema(kt),
                 )
             )
             frontier_df = new_df
             frontier_rows = len(new_df)
         else:
-            new = _shuffle_round(edges, paths, frontier, n_buckets)
+            new = _shuffle_round(edges, paths, frontier, n_buckets, kt)
             frontier_rows = new.count()
             if frontier_rows == 0:
                 return paths

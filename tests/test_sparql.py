@@ -1,0 +1,140 @@
+"""Tests for the SPARQL algebra layer (OPTIONAL / UNION / FILTER /
+property paths) — semantics mirror rdflib's evalLeftJoin / evalUnion /
+evalFilter / evalPath (rdflib/plugins/sparql/evaluate.py)."""
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+import ray.data as rd
+
+from rdfa_ray.stages.sparql import (
+    UNBOUND,
+    filter_bindings,
+    optional_match,
+    path_edges,
+    union_match,
+)
+
+
+def _triples(rows):
+    subj, pred, obj = zip(*rows)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "subj": pa.array(subj, pa.string()),
+                "pred": pa.array(pred, pa.string()),
+                "obj_value": pa.array(obj, pa.string()),
+            }
+        )
+    )
+
+
+GRAPH = _triples(
+    [
+        ("a", "type", "Doc"),
+        ("b", "type", "Doc"),
+        ("c", "type", "Doc"),
+        ("a", "lang", "zh"),
+        ("b", "lang", "en"),
+        # c has no lang
+        ("a", "next", "b"),
+        ("b", "next", "c"),
+        ("x", "alias", "a"),
+    ]
+)
+
+
+def _rows(ds, cols):
+    df = ds.to_pandas()
+    return sorted(map(tuple, df[cols].to_records(index=False).tolist()))
+
+
+def test_optional_basic(ray_session):
+    out = optional_match(
+        GRAPH,
+        [("?d", "type", "Doc")],
+        [("?d", "lang", "?l")],
+        n_buckets=4,
+    )
+    assert _rows(out, ["d", "l"]) == [("a", "zh"), ("b", "en"), ("c", UNBOUND)]
+
+
+def test_optional_with_inner_filter(ray_session):
+    # OPTIONAL { ?d lang ?l FILTER(?l = 'zh') }: b keeps its row with
+    # l unbound (the filter lives INSIDE the optional group)
+    out = optional_match(
+        GRAPH,
+        [("?d", "type", "Doc")],
+        [("?d", "lang", "?l")],
+        opt_filter=lambda t: pc.equal(t.column("l"), "zh"),
+        n_buckets=4,
+    )
+    assert _rows(out, ["d", "l"]) == [
+        ("a", "zh"),
+        ("b", UNBOUND),
+        ("c", UNBOUND),
+    ]
+
+
+def test_optional_requires_shared_var(ray_session):
+    with pytest.raises(ValueError):
+        optional_match(GRAPH, [("?d", "type", "Doc")], [("?x", "alias", "?y")])
+
+
+def test_union_aligns_columns(ray_session):
+    out = union_match(
+        GRAPH,
+        [
+            [("?d", "lang", "zh")],
+            [("?x", "alias", "?d")],
+        ],
+    )
+    assert _rows(out, ["d", "x"]) == [("a", UNBOUND), ("a", "x")]
+
+
+def test_filter_bindings(ray_session):
+    from rdfa_ray.stages.bgp import bgp_match
+
+    b = bgp_match(GRAPH, [("?d", "lang", "?l")], n_buckets=4)
+    out = filter_bindings(b, lambda t: pc.not_equal(t.column("l"), "en"))
+    assert _rows(out, ["d", "l"]) == [("a", "zh")]
+
+
+def test_path_iri_inv_alt(ray_session):
+    assert _rows(path_edges(GRAPH, "next", 4), ["src", "dst"]) == [
+        ("a", "b"),
+        ("b", "c"),
+    ]
+    assert _rows(path_edges(GRAPH, ("inv", "next"), 4), ["src", "dst"]) == [
+        ("b", "a"),
+        ("c", "b"),
+    ]
+    got = _rows(path_edges(GRAPH, ("alt", "next", "alias"), 4), ["src", "dst"])
+    assert got == [("a", "b"), ("b", "c"), ("x", "a")]
+
+
+def test_path_seq(ray_session):
+    # alias/next: x -> a -> b
+    got = _rows(path_edges(GRAPH, ("seq", "alias", "next"), 4), ["src", "dst"])
+    assert got == [("x", "b")]
+    # next/next: a -> c
+    got = _rows(path_edges(GRAPH, ("seq", "next", "next"), 4), ["src", "dst"])
+    assert got == [("a", "c")]
+
+
+def test_path_plus_string_keys(ray_session):
+    got = _rows(path_edges(GRAPH, ("plus", "next"), 4), ["src", "dst"])
+    assert got == [("a", "b"), ("a", "c"), ("b", "c")]
+
+
+def test_path_star_includes_zero_length(ray_session):
+    got = set(_rows(path_edges(GRAPH, ("star", "next"), 4), ["src", "dst"]))
+    # every graph term matches the zero-length path
+    terms = {"a", "b", "c", "x", "Doc", "zh", "en", "next", "type"} - {
+        "next",
+        "type",
+    }
+    terms = {"a", "b", "c", "x", "Doc", "zh", "en"}
+    assert {(t, t) for t in terms} <= got
+    assert {("a", "b"), ("a", "c"), ("b", "c")} <= got
+    assert len(got) == len(terms) + 3
