@@ -945,6 +945,74 @@ def q_events_user_deltas(sf_dir: str):
     return events_user_deltas(sf_dir)
 
 
+def q_pii_scrub(sf_dir: str):
+    """PII redaction over documents with deterministically planted
+    emails / phones / IPs (the synthetic corpus is PII-free, so the
+    query injects the same expression the SQL oracle does — the
+    redaction itself is what's being checked)."""
+    import ray.data as rd
+
+    from ..stages.scrub import scrub_documents
+
+    docs = rd.read_parquet(
+        "%s/documents.parquet" % sf_dir, columns=["doc_id", "text"]
+    )
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column("doc_id"), pa.string())
+        planted = pc.binary_join_element_wise(
+            batch.column("text"),
+            " contact user",
+            ids,
+            "@example.com or +1-555-01",
+            ids,
+            " from 10.0.0.",
+            ids,
+            "",
+        )
+        return pa.Table.from_pydict(
+            {"doc_id": batch.column("doc_id"), "text": planted}
+        )
+
+    return scrub_documents(docs.map_batches(plant, batch_format="pyarrow"))
+
+
+def q_kmeans_sizes(sf_dir: str):
+    """Distributed Lloyd's k-means over the embedding table; returns
+    the per-cluster sizes (rows-only at the driver — assignments are
+    verified by pytest against a single-process numpy twin)."""
+    import ray.data as rd
+
+    from ..stages.kmeans import kmeans_cluster_sizes
+
+    emb = rd.read_parquet(
+        "%s/embeddings.parquet" % sf_dir, columns=["vec_id", "embedding"]
+    )
+    return kmeans_cluster_sizes(emb, k=8, n_iters=10)
+
+
+def q_lineitem_corr(sf_dir: str):
+    """Pearson correlation per group via mergeable sufficient
+    statistics (micro-quantized)."""
+    from .relational import lineitem_corr
+
+    return lineitem_corr(sf_dir)
+
+
+def q_events_pivot(sf_dir: str):
+    """PIVOT events by event_type into per-user count columns."""
+    from .relational import events_pivot
+
+    return events_pivot(sf_dir)
+
+
+def q_orders_topk_concat(sf_dir: str):
+    """Ordered STRING_AGG of each priority's top-5 order keys."""
+    from .relational import orders_topk_concat
+
+    return orders_topk_concat(sf_dir)
+
+
 def q_tfidf_top50(sf_dir: str):
     """TF-IDF ranking over the corpus: global top-50 (doc, token)
     pairs by integer-quantized score."""
@@ -1137,6 +1205,11 @@ QUERIES = {
     "kg_degree_hist": q_kg_degree_hist,
     "kg_pagerank": q_kg_pagerank,
     "orders_rollup": q_orders_rollup,
+    "lineitem_corr": q_lineitem_corr,
+    "pii_scrub": q_pii_scrub,
+    "kmeans_sizes": q_kmeans_sizes,
+    "events_pivot": q_events_pivot,
+    "orders_topk_concat": q_orders_topk_concat,
     "events_user_deltas": q_events_user_deltas,
     "tfidf_top50": q_tfidf_top50,
 }
@@ -1562,6 +1635,49 @@ ORACLE_SQL = {
         "deg AS (SELECT subj, COUNT(*) AS degree FROM m GROUP BY subj) "
         "SELECT degree, COUNT(*) AS n_subjects FROM deg GROUP BY degree"
         % (_alias_values_sql(), _SUBJ.replace("doc_id", "d.doc_id"))
+    ),
+    "pii_scrub": (
+        "WITH planted AS (SELECT doc_id,"
+        " text || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com or +1-555-01' || CAST(doc_id AS VARCHAR)"
+        " || ' from 10.0.0.' || CAST(doc_id AS VARCHAR) AS t FROM documents),"
+        " s1 AS (SELECT doc_id,"
+        "  CAST(len(regexp_extract_all(t, '%(em)s')) AS BIGINT) AS n_email,"
+        "  regexp_replace(t, '%(em)s', '[EMAIL]', 'g') AS t FROM planted),"
+        " s2 AS (SELECT doc_id, n_email,"
+        "  CAST(len(regexp_extract_all(t, '%(ph)s')) AS BIGINT) AS n_phone,"
+        "  regexp_replace(t, '%(ph)s', '[PHONE]', 'g') AS t FROM s1),"
+        " s3 AS (SELECT doc_id, n_email, n_phone,"
+        "  CAST(len(regexp_extract_all(t, '%(ip)s')) AS BIGINT) AS n_ip,"
+        "  regexp_replace(t, '%(ip)s', '[IP]', 'g') AS t FROM s2) "
+        "SELECT doc_id, t AS text_clean, n_email, n_phone, n_ip FROM s3"
+        % {
+            "em": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+            "ph": r"\+\d[\d\- ]{6,}\d",
+            "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+        }
+    ),
+    "lineitem_corr": (
+        "SELECT l_returnflag,"
+        " CAST(FLOOR(corr(l_extendedprice, l_quantity) * 1e6 + 0.5) AS BIGINT)"
+        " AS corr_micro FROM lineitem GROUP BY l_returnflag"
+    ),
+    "events_pivot": (
+        "SELECT user_id,"
+        + ",".join(
+            " CAST(SUM(CASE WHEN event_type = '%s' THEN 1 ELSE 0 END) AS BIGINT)"
+            " AS n_%s" % (t, t)
+            for t in ("click", "view", "purchase", "signup", "error")
+        )
+        + " FROM events GROUP BY user_id"
+    ),
+    "orders_topk_concat": (
+        "WITH ranked AS (SELECT o_orderpriority, o_orderkey,"
+        " ROW_NUMBER() OVER (PARTITION BY o_orderpriority"
+        " ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders) "
+        "SELECT o_orderpriority,"
+        " STRING_AGG(CAST(o_orderkey AS VARCHAR), ',' ORDER BY rn) AS top_keys "
+        "FROM ranked WHERE rn <= 5 GROUP BY o_orderpriority"
     ),
     "orders_rollup": (
         "SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,"

