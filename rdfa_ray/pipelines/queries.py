@@ -768,15 +768,44 @@ def q_ann_ivf_indexed(sf_dir: str):
 
 
 def q_embedding_dups(sf_dir: str):
+    """Embedding near-dup pairs via sign-LSH, with DUPLICATE VECTORS
+    PLANTED deterministically (every 10th vec_id gets an exact copy at
+    vec_id + 1000000): the synthetic embeddings are near-dup-free (max
+    pairwise cosine ~0.51), so without planting the op would return 0
+    rows and prove nothing.  Exact copies hash to identical sign
+    buckets by construction, so LSH recall is exactly 1 and the result
+    is SQL-expressible; NOISY near-dups (probabilistic recall) are
+    covered by the planted-pair pytest instead."""
     import ray.data as rd
 
     from ..stages.ann import cosine_dup_pairs
 
-    embs = rd.read_parquet("%s/embeddings.parquet" % sf_dir)
-    ds = cosine_dup_pairs(embs, threshold=0.95)
+    embs = rd.read_parquet(
+        "%s/embeddings.parquet" % sf_dir, columns=["vec_id", "embedding"]
+    )
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id")
+        sel = pc.equal(pc.subtract(ids, pc.multiply(pc.divide(ids, 10), 10)), 0)
+        copies = batch.filter(sel)
+        copies = pa.Table.from_pydict(
+            {
+                "vec_id": pc.add(copies.column("vec_id"), 1000000),
+                "embedding": copies.column("embedding"),
+            }
+        )
+        return pa.concat_tables([batch.select(["vec_id", "embedding"]), copies])
+
+    planted = embs.map_batches(plant, batch_format="pyarrow")
+    ds = cosine_dup_pairs(planted, threshold=0.95)
 
     def project(batch: pa.Table) -> pa.Table:
-        return batch.select(["a", "b"])
+        return pa.Table.from_pydict(
+            {
+                "a": pc.cast(batch.column("a"), pa.int64()),
+                "b": pc.cast(batch.column("b"), pa.int64()),
+            }
+        )
 
     return ds.map_batches(project, batch_format="pyarrow")
 
@@ -1635,6 +1664,10 @@ ORACLE_SQL = {
         "deg AS (SELECT subj, COUNT(*) AS degree FROM m GROUP BY subj) "
         "SELECT degree, COUNT(*) AS n_subjects FROM deg GROUP BY degree"
         % (_alias_values_sql(), _SUBJ.replace("doc_id", "d.doc_id"))
+    ),
+    "embedding_dups": (
+        "SELECT vec_id AS a, vec_id + 1000000 AS b FROM embeddings"
+        " WHERE vec_id % 10 = 0"
     ),
     "pii_scrub": (
         "WITH planted AS (SELECT doc_id,"
