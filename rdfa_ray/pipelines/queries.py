@@ -1155,6 +1155,37 @@ def q_kg_union_bgp(sf_dir: str):
     )
 
 
+def q_kg_graph_diff(sf_dir: str):
+    """rdflib.compare.graph_diff analogue between two graph versions:
+    v2 retags Chinese documents 'zh' -> 'zh-Hans' (a simulated vocab
+    migration); the diff labels triples both / only_a / only_b via two
+    anti joins and one semi join on the packed triple key."""
+    from ..stages.graphops import graph_diff
+
+    v1 = _typed_triples(sf_dir)
+    lang_pred = "http://schema.org/inLanguage"
+
+    def migrate(batch: pa.Table) -> pa.Table:
+        is_zh = pc.and_(
+            pc.equal(batch.column("pred"), lang_pred),
+            pc.equal(batch.column("obj_value"), "zh"),
+        )
+        return pa.Table.from_pydict(
+            {
+                "subj": batch.column("subj"),
+                "pred": batch.column("pred"),
+                "obj_value": pc.if_else(
+                    is_zh,
+                    pa.nulls(batch.num_rows, pa.string()).fill_null("zh-Hans"),
+                    batch.column("obj_value"),
+                ),
+            }
+        )
+
+    v2 = v1.map_batches(migrate, batch_format="pyarrow")
+    return graph_diff(v1, v2)
+
+
 def q_kg_filter_numeric(sf_dir: str):
     """FILTER over a numeric literal: documents whose characterCount
     exceeds 400 — vectorized cast + compare, map-side only."""
@@ -1230,6 +1261,7 @@ QUERIES = {
     "kg_optional_lang": q_kg_optional_lang,
     "kg_union_bgp": q_kg_union_bgp,
     "kg_filter_numeric": q_kg_filter_numeric,
+    "kg_graph_diff": q_kg_graph_diff,
     "kg_subclass_closure": q_kg_subclass_closure,
     "kg_degree_hist": q_kg_degree_hist,
     "kg_pagerank": q_kg_pagerank,
@@ -1643,6 +1675,16 @@ ORACLE_SQL = {
         " WHERE pred = 'http://schema.org/inLanguage' AND obj_value = 'zh' "
         "UNION ALL SELECT '', subj FROM t"
         " WHERE pred = 'http://schema.org/source' AND obj_value = 'src1'"
+        % _TYPED_TRIPLES_SQL
+    ),
+    "kg_graph_diff": (
+        "WITH a AS (%s), b AS (SELECT subj, pred,"
+        " CASE WHEN pred = 'http://schema.org/inLanguage'"
+        " AND obj_value = 'zh' THEN 'zh-Hans' ELSE obj_value END AS obj_value"
+        " FROM a) "
+        "SELECT *, 'both' AS region FROM (SELECT * FROM a INTERSECT SELECT * FROM b) "
+        "UNION ALL SELECT *, 'only_a' FROM (SELECT * FROM a EXCEPT SELECT * FROM b) "
+        "UNION ALL SELECT *, 'only_b' FROM (SELECT * FROM b EXCEPT SELECT * FROM a)"
         % _TYPED_TRIPLES_SQL
     ),
     "kg_filter_numeric": (
