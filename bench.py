@@ -130,6 +130,15 @@ def _headline_and_queries(sf_dir: str, num_cpus: int, n_turns: int) -> dict:
     timed("text_metrics", Q.q_text_metrics)
     timed("ann_bruteforce", Q.q_ann_bruteforce)
     timed("ann_ivf_indexed", Q.q_ann_ivf_indexed)
+    timed("kg_bgp_star", Q.q_kg_bgp_star)
+    timed("kg_subclass_closure", Q.q_kg_subclass_closure)
+    timed("kg_pagerank", Q.q_kg_pagerank)
+    timed("kg_graph_diff", Q.q_kg_graph_diff)
+    timed("tfidf_top50", Q.q_tfidf_top50)
+    timed("pii_scrub", Q.q_pii_scrub)
+    timed("kmeans_sizes", Q.q_kmeans_sizes)
+    timed("events_pivot", Q.q_events_pivot)
+    timed("events_user_deltas", Q.q_events_user_deltas)
 
     ray.shutdown()
     return {

@@ -624,11 +624,17 @@ def events_pivot(sf_dir: str):
 
     Conditional-aggregation decomposition: each batch pre-pivots to at
     most one row per user (vectorized pandas crosstab), then ONE
-    Ray-native groupby sums the per-type columns — the shuffle carries
-    user-bounded partials, never raw events."""
+    bucketed exchange and a vectorized per-bucket groupby-sum — the
+    shuffle carries user-bounded partials, never raw events.  (A
+    Ray-native ``aggregate(Sum x 5)`` here measured 180 s of CPU for
+    62k partial rows — the multi-AggregateFn sort path is Python-rate;
+    the crc32-bucket + pandas C groupby does the same reduce in
+    milliseconds.)"""
     import ray.data as rd
-    from ray.data.aggregate import Sum
 
+    from ..functions.hashing import crc32_bucket
+
+    n_buckets = 32
     ds = rd.read_parquet(
         "%s/events.parquet" % sf_dir, columns=["user_id", "event_type"]
     )
@@ -643,12 +649,25 @@ def events_pivot(sf_dir: str):
             )
         for c in cols:
             out[c] = out[c].astype("int64")
+        tbl = pa.Table.from_pandas(out, preserve_index=False)
+        return tbl.append_column(
+            "_bucket", crc32_bucket(tbl.column("user_id"), n_buckets)
+        ).to_pandas()
+
+    def bucket_sum(group: pd.DataFrame) -> pd.DataFrame:
+        if not len(group):
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64") for c in ["user_id"] + cols}
+            )
+        out = group.groupby("user_id", as_index=False)[cols].sum()
+        for c in cols:
+            out[c] = out[c].astype("int64")
         return out
 
     return (
         ds.map_batches(partial, batch_format="pandas")
-        .groupby("user_id")
-        .aggregate(*[Sum(c, alias_name=c) for c in cols])
+        .groupby("_bucket")
+        .map_groups(bucket_sum, batch_format="pandas")
     )
 
 

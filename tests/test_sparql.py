@@ -127,6 +127,22 @@ def test_path_plus_string_keys(ray_session):
     assert got == [("a", "b"), ("a", "c"), ("b", "c")]
 
 
+@pytest.mark.parametrize(
+    "mode",
+    [{"local_limit": 0}, {"local_limit": 0, "broadcast_limit": 0}],
+)
+def test_string_closure_distributed_modes(ray_session, mode):
+    # the p+ building block with string IRIs through BOTH distributed
+    # execution modes (the default path above is driver-local)
+    import pyarrow as pa
+
+    from rdfa_ray.stages.closure import transitive_closure
+
+    edges = path_edges(GRAPH, "next", 4)
+    out = transitive_closure(edges, n_buckets=4, key_type=pa.string(), **mode)
+    assert _rows(out, ["src", "dst"]) == [("a", "b"), ("a", "c"), ("b", "c")]
+
+
 def test_path_star_includes_zero_length(ray_session):
     got = set(_rows(path_edges(GRAPH, ("star", "next"), 4), ["src", "dst"]))
     # every graph term matches the zero-length path
