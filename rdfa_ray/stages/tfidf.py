@@ -11,8 +11,10 @@ Distribution shape:
   ``groupby(token).count()``; only vocabulary-sized rows shuffle.
 * tf JOIN df is a ``bucketed_hash_join`` on token (df can be larger
   than a broadcast side at web scale: vocabulary grows with corpus).
-* the global top-k is a distributed sort + limit with a total-order
-  tie-break (score desc, doc_id asc, token asc).
+* the global top-k is map-side partial top-k per block (k rows leave
+  each block) merged in one single-partition pass with a total-order
+  tie-break (score desc, doc_id asc, token asc) — no all-to-all sort
+  for a k-row answer.
 
 Scores are emitted as ``score_micro = floor(tf * ln(N/df) * 1e6 +
 0.5)`` — an integer, so the SQL oracle (DuckDB ``ln``) compares
@@ -21,15 +23,11 @@ hash-exact instead of float-fuzzy.
 
 from __future__ import annotations
 
-import math
-import re
-from collections import Counter
-
+import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .join import bucketed_hash_join
-
-_TOKEN_RE = re.compile(r"[a-z0-9]+")
 
 _TF_SCHEMA = pa.schema(
     [("doc_id", pa.int64()), ("token", pa.string()), ("tf", pa.int64())]
@@ -37,61 +35,132 @@ _TF_SCHEMA = pa.schema(
 
 
 def _tf_partial(batch: pa.Table) -> pa.Table:
-    doc_ids, tokens, tfs = [], [], []
-    ids = batch.column("doc_id").to_pylist()
-    texts = batch.column("text").to_pylist()
-    for doc_id, text in zip(ids, texts):
-        counts = Counter(_TOKEN_RE.findall((text or "").lower()))
-        for token, tf in counts.items():
-            doc_ids.append(doc_id)
-            tokens.append(token)
-            tfs.append(tf)
-    return pa.Table.from_pydict(
-        {
-            "doc_id": pa.array(doc_ids, pa.int64()),
-            "token": pa.array(tokens, pa.string()),
-            "tf": pa.array(tfs, pa.int64()),
-        }
+    """(doc_id, text) -> (doc_id, token, tf), fully vectorized: Arrow
+    lower + regex split to a list column, flatten with parent indices,
+    pandas C-level groupby-size for the counts (equivalent to the
+    ``[a-z0-9]+`` findall the SQL oracle uses)."""
+    ids = pc.cast(batch.column("doc_id"), pa.int64())
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(pc.cast(batch.column("text"), pa.string())), "[^a-z0-9]+"
+    )
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks)
+    doc_of = pc.take(ids, parents)
+    # the split emits '' fragments at leading/trailing separators
+    keep = pc.not_equal(flat, "")
+    flat = flat.filter(keep)
+    doc_of = doc_of.filter(keep)
+    counts = (
+        pd.DataFrame(
+            {
+                "doc_id": doc_of.to_numpy(zero_copy_only=False),
+                "token": flat.to_pandas(),
+            }
+        )
+        .groupby(["doc_id", "token"], sort=False)
+        .size()
+        .reset_index(name="tf")
+    )
+    return pa.Table.from_arrays(
+        [
+            pa.array(counts["doc_id"].to_numpy(), pa.int64()),
+            pa.array(counts["token"].to_numpy(), pa.string()),
+            pa.array(counts["tf"].to_numpy(), pa.int64()),
+        ],
+        schema=_TF_SCHEMA,
     )
 
 
-def tfidf_topk(docs_ds, n_docs: int, k: int = 50, n_buckets: int = 32):
+def tfidf_topk(
+    docs_ds,
+    n_docs: int,
+    k: int = 50,
+    n_buckets: int = 32,
+    broadcast_vocab_limit: int = 2_000_000,
+):
     """Top-k (doc_id, token, score_micro) rows by TF-IDF.
 
     ``n_docs``: total corpus size (callers know it from read metadata:
     ``ds.count()`` on a parquet read is a metadata lookup, not a scan).
+
+    Adaptive tf-x-df join: a vocabulary at or below
+    ``broadcast_vocab_limit`` tokens is broadcast (``ray.put`` once,
+    vectorized pandas map per batch — zero shuffle); larger
+    vocabularies fall back to the bucketed hash join.
     """
+    import numpy as np
     from ray.data.aggregate import Count
 
     tf = docs_ds.map_batches(_tf_partial, batch_format="pyarrow").materialize()
     # per-doc-distinct pairs are exactly the tf rows -> df by token
-    df = tf.groupby("token").aggregate(Count(alias_name="df"))
+    df = tf.groupby("token").aggregate(Count(alias_name="df")).materialize()
 
-    joined = bucketed_hash_join(
-        tf,
-        df,
-        on="token",
-        n_buckets=n_buckets,
-        left_schema=_TF_SCHEMA,
-        right_schema=pa.schema([("token", pa.string()), ("df", pa.int64())]),
-    )
-
-    def score(batch: pa.Table) -> pa.Table:
-        import numpy as np
-
-        tf_v = batch.column("tf").to_numpy(zero_copy_only=False).astype("float64")
-        df_v = batch.column("df").to_numpy(zero_copy_only=False).astype("float64")
-        idf = np.log(float(n_docs) / df_v)
-        micro = np.floor(tf_v * idf * 1e6 + 0.5).astype("int64")
-        return pa.Table.from_pydict(
-            {
-                "doc_id": batch.column("doc_id"),
-                "token": batch.column("token"),
-                "score_micro": pa.array(micro, pa.int64()),
-            }
+    def score_arrays(batch_tf, batch_df):
+        idf = np.log(float(n_docs) / batch_df.astype("float64"))
+        return np.floor(batch_tf.astype("float64") * idf * 1e6 + 0.5).astype(
+            "int64"
         )
 
-    scored = joined.map_batches(score, batch_format="pyarrow")
-    return scored.sort(
-        ["score_micro", "doc_id", "token"], descending=[True, False, False]
-    ).limit(k)
+    if df.count() <= broadcast_vocab_limit:
+        import ray
+
+        df_pd = df.to_pandas()
+        df_ref = ray.put(
+            pd.Series(df_pd["df"].to_numpy(), index=df_pd["token"])
+        )
+
+        def lookup_score(batch: pa.Table) -> pa.Table:
+            dfs = ray.get(df_ref)
+            toks = batch.column("token").to_pandas()
+            df_v = dfs.reindex(toks).to_numpy()
+            tf_v = batch.column("tf").to_numpy(zero_copy_only=False)
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": batch.column("doc_id"),
+                    "token": batch.column("token"),
+                    "score_micro": pa.array(
+                        score_arrays(tf_v, df_v), pa.int64()
+                    ),
+                }
+            )
+
+        scored = tf.map_batches(lookup_score, batch_format="pyarrow")
+    else:
+        joined = bucketed_hash_join(
+            tf,
+            df,
+            on="token",
+            n_buckets=n_buckets,
+            left_schema=_TF_SCHEMA,
+            right_schema=pa.schema([("token", pa.string()), ("df", pa.int64())]),
+        )
+
+        def score(batch: pa.Table) -> pa.Table:
+            tf_v = batch.column("tf").to_numpy(zero_copy_only=False)
+            df_v = batch.column("df").to_numpy(zero_copy_only=False)
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": batch.column("doc_id"),
+                    "token": batch.column("token"),
+                    "score_micro": pa.array(
+                        score_arrays(tf_v, df_v), pa.int64()
+                    ),
+                }
+            )
+
+        scored = joined.map_batches(score, batch_format="pyarrow")
+
+    def topk_block(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(
+            ["score_micro", "doc_id", "token"],
+            ascending=[False, True, True],
+            kind="mergesort",
+        ).head(k)
+
+    # partial top-k per block (k rows leave each block), final merge in
+    # one partition — an all-to-all sort for a k-row answer is waste
+    return (
+        scored.map_batches(topk_block, batch_format="pandas")
+        .repartition(1)
+        .map_batches(topk_block, batch_format="pandas", batch_size=None)
+    )

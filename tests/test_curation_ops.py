@@ -67,7 +67,8 @@ def _numpy_lloyd(vecs, k, n_iters):
     return cents
 
 
-def test_kmeans_matches_numpy_twin(ray_session):
+@pytest.mark.parametrize("local_limit", [200_000, 0])
+def test_kmeans_matches_numpy_twin(ray_session, local_limit):
     ids, vecs, _ = _blobs()
     ds = rd.from_arrow(
         pa.table(
@@ -77,7 +78,7 @@ def test_kmeans_matches_numpy_twin(ray_session):
             }
         )
     ).repartition(8)
-    cents = kmeans_fit(ds, k=4, n_iters=15)
+    cents = kmeans_fit(ds, k=4, n_iters=15, local_limit=local_limit)
     want = _numpy_lloyd(vecs, 4, 15)
     assert np.allclose(cents, want, atol=1e-8)
 

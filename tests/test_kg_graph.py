@@ -193,3 +193,8 @@ def test_tfidf_topk_small_corpus(ray_session):
     assert got == exp
     # descending by score
     assert list(out["score_micro"]) == sorted(out["score_micro"], reverse=True)
+    # the bucketed-join fallback (giant-vocabulary path) agrees
+    forced = tfidf_topk(
+        docs, n_docs=3, k=3, n_buckets=2, broadcast_vocab_limit=0
+    ).to_pandas()
+    assert forced.reset_index(drop=True).equals(out.reset_index(drop=True))
