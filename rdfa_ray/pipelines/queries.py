@@ -198,12 +198,16 @@ def _roundtrip_query(sf_dir: str, fmt: str):
 
         from ..rdf.rdfxml import rdfxml_to_graph
 
+        from ..rdf.ntriples import parse_ntriples
+
         subs, preds, objs = [], [], []
         for text in batch.column("text").to_pylist():
             if fmt == "turtle":
                 graph = parse_turtle(text, "", BnodeGen())
             elif fmt == "pretty-xml":
                 graph = rdfxml_to_graph(text, BnodeGen())
+            elif fmt == "nt":
+                graph = parse_ntriples(text)
             else:
                 graph = jsonld_to_graph(text, BnodeGen())
             for (s, p, o) in graph:
@@ -228,6 +232,13 @@ def q_rdfa_jsonld_roundtrip(sf_dir: str):
 
 def q_rdfa_rdfxml_roundtrip(sf_dir: str):
     return _roundtrip_query(sf_dir, "pretty-xml")
+
+
+def q_rdfa_ntriples_roundtrip(sf_dir: str):
+    """N-Triples writer -> distributed N-Triples source: each graph is
+    serialized to N-Triples text and re-read through the same parser
+    the ``sources/ntfiles.py`` reader uses per line block."""
+    return _roundtrip_query(sf_dir, "nt")
 
 
 def q_rdfa_distinct_triples(sf_dir: str):
@@ -1216,6 +1227,7 @@ QUERIES = {
     "rdfa_turtle_roundtrip": q_rdfa_turtle_roundtrip,
     "rdfa_jsonld_roundtrip": q_rdfa_jsonld_roundtrip,
     "rdfa_rdfxml_roundtrip": q_rdfa_rdfxml_roundtrip,
+    "rdfa_ntriples_roundtrip": q_rdfa_ntriples_roundtrip,
     "rdfa_distinct_triples": q_rdfa_distinct_triples,
     "rdfa_diagnostics_rollup": q_rdfa_diagnostics_rollup,
     "rdfa_hturtle": q_rdfa_hturtle,
@@ -1368,6 +1380,16 @@ ORACLE_SQL = {
     ),
     # serializer round-trips recover exactly the typed-view triples
     "rdfa_turtle_roundtrip": (
+        "SELECT subj, pred, obj_value FROM ("
+        "SELECT %s AS subj, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,"
+        " 'http://schema.org/Document' AS obj_value FROM documents "
+        "UNION ALL SELECT %s, 'http://schema.org/inLanguage', lang FROM documents "
+        "UNION ALL SELECT %s, 'http://schema.org/source', source FROM documents "
+        "UNION ALL SELECT %s, 'http://schema.org/characterCount',"
+        " CAST(n_chars AS VARCHAR) FROM documents)"
+        % (_SUBJ, _SUBJ, _SUBJ, _SUBJ)
+    ),
+    "rdfa_ntriples_roundtrip": (
         "SELECT subj, pred, obj_value FROM ("
         "SELECT %s AS subj, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,"
         " 'http://schema.org/Document' AS obj_value FROM documents "

@@ -49,10 +49,21 @@ def rows_to_terms(df: pd.DataFrame):
         yield (subj, (IRI, p), obj)
 
 
+class NTriplesSerializer:
+    """Adapter giving the line-oriented N-Triples writer the same
+    ``.serialize(triples)`` surface as the structured serializers."""
+
+    def serialize(self, triples) -> str:
+        from ..rdf.ntriples import graph_to_ntriples
+
+        return graph_to_ntriples(triples)
+
+
 _SERIALIZERS = {
     "turtle": TurtleSerializer,
     "jsonld": JsonLdSerializer,
     "pretty-xml": RdfXmlSerializer,
+    "nt": NTriplesSerializer,
 }
 _CACHE: dict = {}
 

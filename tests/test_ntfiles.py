@@ -1,0 +1,44 @@
+"""Tests for the distributed N-Triples file source
+(rdflib/plugins/parsers/ntriples.py parity at the wire-format level)."""
+
+import os
+
+import pyarrow as pa
+import ray.data as rd
+
+from rdfa_ray.rdf.ntriples import graph_to_ntriples
+from rdfa_ray.rdf.terms import BNODE, IRI, LIT
+from rdfa_ray.sources.ntfiles import read_ntriples
+
+TRIPLES = {
+    ((IRI, "http://ex/s"), (IRI, "http://ex/p"), (IRI, "http://ex/o")),
+    ((IRI, "http://ex/s"), (IRI, "http://ex/p"), (LIT, 'esc "q\\t\n', None, None)),
+    ((BNODE, "b0"), (IRI, "http://ex/p"), (LIT, "de", "de", None)),
+    (
+        (IRI, "http://ex/s2"),
+        (IRI, "http://ex/p"),
+        (LIT, "42", None, "http://www.w3.org/2001/XMLSchema#integer"),
+    ),
+}
+
+
+def test_read_ntriples_roundtrip(ray_session, tmp_path):
+    text = graph_to_ntriples(TRIPLES)
+    # split across two files: any line partitioning is valid
+    lines = [ln for ln in text.splitlines() if ln.strip()]
+    (tmp_path / "a.nt").write_text("\n".join(lines[:2]) + "\n# comment\n")
+    (tmp_path / "b.nt").write_text("\n".join(lines[2:]) + "\n")
+
+    ds = read_ntriples([str(tmp_path / "a.nt"), str(tmp_path / "b.nt")])
+    df = ds.to_pandas()
+    assert len(df) == len(TRIPLES)
+
+    got = set()
+    for r in df.itertuples(index=False):
+        if r.obj_kind == "literal":
+            o = (LIT, r.obj_value, r.obj_lang or None, r.obj_datatype or None)
+        else:
+            o = (BNODE if r.obj_kind == "bnode" else IRI, r.obj_value)
+        s = (BNODE if r.subj_kind == "bnode" else IRI, r.subj)
+        got.add((s, (IRI, r.pred), o))
+    assert got == TRIPLES
