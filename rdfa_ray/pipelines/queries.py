@@ -1053,6 +1053,20 @@ def q_orders_topk_concat(sf_dir: str):
     return orders_topk_concat(sf_dir)
 
 
+def q_events_running_total(sf_dir: str):
+    """Cumulative SUM window per user (exact milli-units)."""
+    from .relational import events_running_total
+
+    return events_running_total(sf_dir)
+
+
+def q_docs_stratified_sample(sf_dir: str):
+    """Deterministic stratified systematic sampling (map-side mask)."""
+    from .relational import docs_stratified_sample
+
+    return docs_stratified_sample(sf_dir)
+
+
 def q_tfidf_top50(sf_dir: str):
     """TF-IDF ranking over the corpus: global top-50 (doc, token)
     pairs by integer-quantized score."""
@@ -1284,6 +1298,8 @@ QUERIES = {
     "events_pivot": q_events_pivot,
     "orders_topk_concat": q_orders_topk_concat,
     "events_user_deltas": q_events_user_deltas,
+    "events_running_total": q_events_running_total,
+    "docs_stratified_sample": q_docs_stratified_sample,
     "tfidf_top50": q_tfidf_top50,
 }
 
@@ -1783,6 +1799,16 @@ ORACLE_SQL = {
         " CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)"
         " AS total_cents "
         "FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)"
+    ),
+    "events_running_total": (
+        "SELECT event_id, CAST(SUM(CAST(ROUND(value * 1000.0) AS BIGINT))"
+        " OVER (PARTITION BY user_id ORDER BY ts, event_id"
+        " ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_milli FROM events"
+    ),
+    "docs_stratified_sample": (
+        "SELECT doc_id, lang, source FROM documents"
+        " WHERE CASE WHEN lang = 'zh' THEN doc_id % 2 = 0"
+        " ELSE doc_id % 10 = 0 END"
     ),
     "events_user_deltas": (
         "SELECT event_id, COALESCE(CAST(epoch_us(ts) - LAG(epoch_us(ts))"

@@ -710,3 +710,83 @@ def orders_topk_concat(sf_dir: str, k: int = 5):
         .groupby("o_orderpriority")
         .map_groups(concat, batch_format="pandas")
     )
+
+
+def events_running_total(sf_dir: str, n_buckets: int = 64):
+    """Running total (SUM OVER ... ROWS UNBOUNDED PRECEDING): per user
+    ordered by (ts, event_id), the cumulative sum of `value` in exact
+    milli-units.  Same bucketed-window shape as ``events_user_deltas``:
+    ONE shuffle on the user bucket, then a vectorized per-bucket kernel
+    (sort + pandas C-level grouped cumsum).  Returns (event_id,
+    cum_milli)."""
+    import numpy as np
+    import ray.data as rd
+
+    from ..functions.hashing import crc32_bucket
+
+    ds = rd.read_parquet(
+        "%s/events.parquet" % sf_dir,
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        milli = pc.cast(
+            pc.round(pc.multiply(batch.column("value"), 1000.0), 0,
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        return pa.Table.from_pydict(
+            {
+                "event_id": batch.column("event_id"),
+                "user_id": batch.column("user_id"),
+                "ts": batch.column("ts"),
+                "milli": milli,
+                "_bucket": crc32_bucket(batch.column("user_id"), n_buckets),
+            }
+        )
+
+    def bucket_cumsum(group: pd.DataFrame) -> pd.DataFrame:
+        if not len(group):
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "cum_milli": pd.Series([], dtype="int64"),
+                }
+            )
+        g = group.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        cum = g.groupby("user_id", sort=False)["milli"].cumsum()
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "cum_milli": cum.to_numpy().astype("int64"),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(bucket_cumsum, batch_format="pandas")
+    )
+
+
+def docs_stratified_sample(sf_dir: str):
+    """Deterministic stratified systematic sample: Chinese documents at
+    1-in-2, everything else at 1-in-10 (content-keyed selection — no
+    RNG, so the sample is identical at every parallelism level and
+    resumable runs re-select the same rows).  Pure map-side: a
+    vectorized mask, zero shuffles."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        "%s/documents.parquet" % sf_dir, columns=["doc_id", "lang", "source"]
+    )
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        mod2 = pc.equal(pc.subtract(ids, pc.multiply(pc.divide(ids, 2), 2)), 0)
+        mod10 = pc.equal(pc.subtract(ids, pc.multiply(pc.divide(ids, 10), 10)), 0)
+        is_zh = pc.equal(batch.column("lang"), "zh")
+        keep = pc.if_else(is_zh, mod2, mod10)
+        return batch.filter(pc.fill_null(keep, False))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
