@@ -1180,6 +1180,60 @@ def q_kg_union_bgp(sf_dir: str):
     )
 
 
+def q_kg_construct(sf_dir: str):
+    """SPARQL CONSTRUCT: derive a new graph from the matched bindings
+    — every Chinese document gets (doc, dcterms:source-ish, src) and a
+    type triple, set-deduped (CONSTRUCT emits a graph)."""
+    from ..stages.sparql import construct
+
+    return construct(
+        _typed_triples(sf_dir),
+        [
+            ("?d", "http://schema.org/inLanguage", "zh"),
+            ("?d", "http://schema.org/source", "?src"),
+        ],
+        [
+            ("?d", "http://purl.org/dc/terms/source", "?src"),
+            ("?d", _RDF_TYPE, "http://example.org/ZhDocument"),
+        ],
+    )
+
+
+def q_kg_ask(sf_dir: str):
+    """SPARQL ASK (one True row, one False row): existence probes via
+    limit(1) — the streaming executor stops at the first solution."""
+    import ray.data as rd
+
+    from ..stages.sparql import ask
+
+    t = _typed_triples(sf_dir)
+    yes = ask(t, [("?d", "http://schema.org/inLanguage", "zh")])
+    no = ask(t, [("?d", "http://schema.org/inLanguage", "tlh")])
+    return rd.from_arrow(
+        pa.table(
+            {
+                "probe": pa.array(["zh", "tlh"], pa.string()),
+                "answer": pa.array([yes, no], pa.bool_()),
+            }
+        )
+    )
+
+
+def q_kg_group_count(sf_dir: str):
+    """SPARQL GROUP BY + COUNT over BGP bindings: documents per source
+    among Chinese documents."""
+    from ..stages.sparql import aggregate_bindings
+
+    return aggregate_bindings(
+        _typed_triples(sf_dir),
+        [
+            ("?d", "http://schema.org/inLanguage", "zh"),
+            ("?d", "http://schema.org/source", "?src"),
+        ],
+        ["src"],
+    )
+
+
 def q_kg_graph_diff(sf_dir: str):
     """rdflib.compare.graph_diff analogue between two graph versions:
     v2 retags Chinese documents 'zh' -> 'zh-Hans' (a simulated vocab
@@ -1287,6 +1341,9 @@ QUERIES = {
     "kg_optional_lang": q_kg_optional_lang,
     "kg_union_bgp": q_kg_union_bgp,
     "kg_filter_numeric": q_kg_filter_numeric,
+    "kg_construct": q_kg_construct,
+    "kg_ask": q_kg_ask,
+    "kg_group_count": q_kg_group_count,
     "kg_graph_diff": q_kg_graph_diff,
     "kg_subclass_closure": q_kg_subclass_closure,
     "kg_degree_hist": q_kg_degree_hist,
@@ -1713,6 +1770,36 @@ ORACLE_SQL = {
         " WHERE pred = 'http://schema.org/inLanguage' AND obj_value = 'zh' "
         "UNION ALL SELECT '', subj FROM t"
         " WHERE pred = 'http://schema.org/source' AND obj_value = 'src1'"
+        % _TYPED_TRIPLES_SQL
+    ),
+    "kg_construct": (
+        "WITH t AS (%s) "
+        "SELECT DISTINCT subj, pred, obj_value FROM ("
+        "SELECT t2.subj AS subj, 'http://purl.org/dc/terms/source' AS pred,"
+        " t2.obj_value AS obj_value"
+        " FROM t t1 JOIN t t2 ON t2.subj = t1.subj"
+        " WHERE t1.pred = 'http://schema.org/inLanguage' AND t1.obj_value = 'zh'"
+        " AND t2.pred = 'http://schema.org/source' "
+        "UNION ALL "
+        "SELECT subj, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',"
+        " 'http://example.org/ZhDocument' FROM t"
+        " WHERE pred = 'http://schema.org/inLanguage' AND obj_value = 'zh')"
+        % _TYPED_TRIPLES_SQL
+    ),
+    "kg_ask": (
+        "WITH t AS (%s) "
+        "SELECT 'zh' AS probe, EXISTS(SELECT 1 FROM t WHERE"
+        " pred = 'http://schema.org/inLanguage' AND obj_value = 'zh') AS answer "
+        "UNION ALL SELECT 'tlh', EXISTS(SELECT 1 FROM t WHERE"
+        " pred = 'http://schema.org/inLanguage' AND obj_value = 'tlh')"
+        % _TYPED_TRIPLES_SQL
+    ),
+    "kg_group_count": (
+        "WITH t AS (%s) "
+        "SELECT t2.obj_value AS src, COUNT(*) AS n"
+        " FROM t t1 JOIN t t2 ON t2.subj = t1.subj"
+        " WHERE t1.pred = 'http://schema.org/inLanguage' AND t1.obj_value = 'zh'"
+        " AND t2.pred = 'http://schema.org/source' GROUP BY t2.obj_value"
         % _TYPED_TRIPLES_SQL
     ),
     "kg_graph_diff": (

@@ -277,3 +277,54 @@ def path_edges(triples_ds, path, n_buckets: int = 64):
 
         return distinct(plus.union(zero), ["src", "dst"])
     raise ValueError("unknown path operator %r" % (op,))
+
+
+# ---------------------------------------------------------------------------
+# Query forms beyond SELECT: CONSTRUCT / ASK (rdflib evalConstruct /
+# evalAsk — rdflib/plugins/sparql/evaluate.py), and bindings
+# aggregation (evalAggregateJoin)
+
+
+def construct(triples_ds, patterns, template, n_buckets: int = 64):
+    """SPARQL CONSTRUCT: match the BGP, instantiate ``template`` (a
+    list of (s, p, o) patterns over the bound variables / constants)
+    once per binding, and return the constructed triples, set-deduped
+    (CONSTRUCT emits a GRAPH, not a bag).  Template instantiation is a
+    vectorized map-side projection; the only exchanges are the BGP's
+    own joins plus one distinct."""
+    from .distinct import distinct
+
+    bindings = bgp_match(triples_ds, patterns, n_buckets=n_buckets)
+
+    def instantiate(batch: pa.Table) -> pa.Table:
+        outs = []
+        n = batch.num_rows
+        for (s, p, o) in template:
+            cols = {}
+            for name, term in zip(("subj", "pred", "obj_value"), (s, p, o)):
+                if isinstance(term, str) and term.startswith("?"):
+                    cols[name] = pc.cast(batch.column(term[1:]), pa.string())
+                else:
+                    cols[name] = pa.nulls(n, pa.string()).fill_null(term)
+            outs.append(pa.Table.from_pydict(cols))
+        return pa.concat_tables(outs)
+
+    made = bindings.map_batches(instantiate, batch_format="pyarrow")
+    return distinct(made, ["subj", "pred", "obj_value"], n_buckets=n_buckets)
+
+
+def ask(triples_ds, patterns, n_buckets: int = 64):
+    """SPARQL ASK: True iff the BGP has at least one solution.  Short
+    single-binding probe: ``limit(1)`` stops the streaming executor as
+    soon as one row materializes."""
+    got = bgp_match(triples_ds, patterns, n_buckets=n_buckets).limit(1).count()
+    return got > 0
+
+
+def aggregate_bindings(triples_ds, patterns, group_vars, n_buckets: int = 64):
+    """SPARQL ``SELECT ?g (COUNT(*) AS ?n) WHERE {...} GROUP BY ?g``:
+    one Ray-native grouped count over the BGP's bindings."""
+    from ray.data.aggregate import Count
+
+    bindings = bgp_match(triples_ds, patterns, n_buckets=n_buckets)
+    return bindings.groupby(list(group_vars)).aggregate(Count(alias_name="n"))

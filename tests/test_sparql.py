@@ -154,3 +154,42 @@ def test_path_star_includes_zero_length(ray_session):
     assert {(t, t) for t in terms} <= got
     assert {("a", "b"), ("a", "c"), ("b", "c")} <= got
     assert len(got) == len(terms) + 3
+
+
+def test_construct_dedups_to_graph(ray_session):
+    from rdfa_ray.stages.sparql import construct
+
+    out = construct(
+        GRAPH,
+        [("?d", "type", "Doc"), ("?d", "lang", "?l")],
+        [("?d", "hasLang", "?l"), ("?d", "type", "Tagged")],
+        n_buckets=4,
+    )
+    got = _rows(out, ["subj", "pred", "obj_value"])
+    assert got == sorted(
+        [
+            ("a", "hasLang", "zh"),
+            ("a", "type", "Tagged"),
+            ("b", "hasLang", "en"),
+            ("b", "type", "Tagged"),
+        ]
+    )
+
+
+def test_ask(ray_session):
+    from rdfa_ray.stages.sparql import ask
+
+    assert ask(GRAPH, [("?d", "lang", "zh")], n_buckets=4) is True
+    assert ask(GRAPH, [("?d", "lang", "xx")], n_buckets=4) is False
+
+
+def test_aggregate_bindings(ray_session):
+    from rdfa_ray.stages.sparql import aggregate_bindings
+
+    out = aggregate_bindings(
+        GRAPH, [("?d", "type", "Doc"), ("?d", "lang", "?l")], ["l"], n_buckets=4
+    ).to_pandas()
+    assert sorted(map(tuple, out.to_records(index=False).tolist())) == [
+        ("en", 1),
+        ("zh", 1),
+    ]
