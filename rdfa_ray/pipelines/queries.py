@@ -502,6 +502,40 @@ def q_customers_semi(sf_dir: str):
     return customers_semi_anti(sf_dir, "semi", priority="1-URGENT")
 
 
+def q_customers_semi_bloom(sf_dir: str):
+    """The customers_semi plan with a Bloom pre-filter on the probe
+    side: identical result (false positives are removed by the exact
+    join), but only probe keys that pass the broadcast bitset reach
+    the exchange."""
+    import ray.data as rd
+
+    from ..stages.bloom import bloom_semi_join
+
+    cust = rd.read_parquet(
+        "%s/customer.parquet" % sf_dir, columns=["c_custkey", "c_mktsegment"]
+    )
+    orders = rd.read_parquet(
+        "%s/orders.parquet" % sf_dir, columns=["o_custkey", "o_orderpriority"]
+    )
+
+    def keys_only(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.equal(batch.column("o_orderpriority"), "1-URGENT")
+        )
+        return batch.select(["o_custkey"]).rename_columns(["c_custkey"])
+
+    probe = orders.map_batches(keys_only, batch_format="pyarrow")
+    return bloom_semi_join(
+        cust,
+        probe,
+        on="c_custkey",
+        left_schema=pa.schema(
+            [("c_custkey", pa.int64()), ("c_mktsegment", pa.string())]
+        ),
+        right_schema=pa.schema([("c_custkey", pa.int64())]),
+    )
+
+
 def q_customers_anti(sf_dir: str):
     """Anti join (NOT EXISTS): customers with no order above 300k."""
     from .relational import customers_semi_anti
@@ -1053,6 +1087,34 @@ def q_orders_topk_concat(sf_dir: str):
     return orders_topk_concat(sf_dir)
 
 
+def q_heavy_tokens(sf_dir: str):
+    """Misra-Gries heavy hitters over the corpus token stream — the
+    skew-detection sketch (SURVEY §2.6): at most k counters leave each
+    block.  The synthetic vocabulary (~31 tokens) stays under k=128, so
+    no eviction fires and the sketch is EXACT — which is what makes the
+    SQL oracle valid; the eviction regime (undercount <= n/(k+1),
+    never over) is pinned by pytest with adversarial data."""
+    import ray.data as rd
+
+    from ..stages.sketch import heavy_hitters
+
+    docs = rd.read_parquet(
+        "%s/documents.parquet" % sf_dir, columns=["doc_id", "text"]
+    )
+
+    def flat_tokens(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.cast(batch.column("text"), pa.string())),
+            "[^a-z0-9]+",
+        )
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        return pa.table({"token": flat})
+
+    stream = docs.map_batches(flat_tokens, batch_format="pyarrow")
+    return heavy_hitters(stream, "token", k=128)
+
+
 def q_events_running_total(sf_dir: str):
     """Cumulative SUM window per user (exact milli-units)."""
     from .relational import events_running_total
@@ -1312,6 +1374,7 @@ QUERIES = {
     "events_distinct_users": q_events_distinct_users,
     "events_distinct_users_approx": q_events_distinct_users_approx,
     "customers_semi": q_customers_semi,
+    "customers_semi_bloom": q_customers_semi_bloom,
     "customers_anti": q_customers_anti,
     "events_sliding": q_events_sliding,
     "shipping_priority": q_shipping_priority,
@@ -1355,6 +1418,7 @@ QUERIES = {
     "events_pivot": q_events_pivot,
     "orders_topk_concat": q_orders_topk_concat,
     "events_user_deltas": q_events_user_deltas,
+    "heavy_tokens": q_heavy_tokens,
     "events_running_total": q_events_running_total,
     "docs_stratified_sample": q_docs_stratified_sample,
     "tfidf_top50": q_tfidf_top50,
@@ -1589,6 +1653,11 @@ ORACLE_SQL = {
         " FROM events GROUP BY event_type"
     ),
     "customers_semi": (
+        "SELECT c.c_custkey AS c_custkey, c.c_mktsegment AS c_mktsegment"
+        " FROM customer c WHERE EXISTS (SELECT 1 FROM orders o"
+        " WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')"
+    ),
+    "customers_semi_bloom": (
         "SELECT c.c_custkey AS c_custkey, c.c_mktsegment AS c_mktsegment"
         " FROM customer c WHERE EXISTS (SELECT 1 FROM orders o"
         " WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')"
@@ -1886,6 +1955,11 @@ ORACLE_SQL = {
         " CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)"
         " AS total_cents "
         "FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)"
+    ),
+    "heavy_tokens": (
+        "SELECT token AS key, COUNT(*) AS est_count FROM ("
+        "SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token"
+        " FROM documents) GROUP BY token"
     ),
     "events_running_total": (
         "SELECT event_id, CAST(SUM(CAST(ROUND(value * 1000.0) AS BIGINT))"

@@ -112,3 +112,59 @@ def kmv_distinct(ds, group_col: str, key_col: str, k: int = 256):
         )
 
     return partials.groupby("g").map_groups(merge, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters — the approximate top-K frequency sketch
+# SURVEY §2.6 earmarks for skew detection (finding the hot subjects
+# that need salting before a groupby).
+
+
+def _mg_compress(counts: "pd.Series", k: int) -> "pd.Series":
+    """Keep at most k counters: subtract the (k+1)-th largest count
+    from every counter and drop the non-positive ones (the batched
+    Misra-Gries eviction).  Each subtraction is accounted against
+    EVERY surviving counter, preserving the classic guarantee
+    ``true_count - n/(k+1) <= est <= true_count``."""
+    if len(counts) <= k:
+        return counts
+    top = counts.nlargest(k + 1)
+    dec = int(top.iloc[k])
+    kept = top.iloc[:k] - dec
+    return kept[kept > 0]
+
+
+def heavy_hitters(ds, key_col: str, k: int = 128):
+    """Approximate per-key counts of the k most frequent values of
+    ``key_col`` (Misra-Gries): per-block C-level value_counts
+    compressed to k counters (a mergeable partial), one single-
+    partition merge of the <= k-counter summaries, one final compress.
+
+    Guarantee: estimated count is within ``n/(k+1)`` below the true
+    count, never above; EXACT whenever the block-level distinct key
+    count stays <= k (no eviction ever fires).  The shuffle carries at
+    most k rows per block regardless of input size.  Returns (key,
+    est_count) for the surviving counters, largest first.
+    """
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        counts = batch[key_col].value_counts()  # C-level
+        kept = _mg_compress(counts, k)
+        return pd.DataFrame(
+            {"key": kept.index.to_numpy(), "est_count": kept.to_numpy()}
+        )
+
+    def merge(batch: pd.DataFrame) -> pd.DataFrame:
+        summed = batch.groupby("key", sort=False)["est_count"].sum()
+        kept = _mg_compress(summed, k).sort_values(ascending=False)
+        out = pd.DataFrame(
+            {"key": kept.index.to_numpy(), "est_count": kept.to_numpy()}
+        )
+        out["est_count"] = out["est_count"].astype("int64")
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .repartition(1)
+        .map_batches(merge, batch_format="pandas", batch_size=None)
+    )

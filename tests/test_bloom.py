@@ -1,0 +1,61 @@
+"""Tests for the Bloom-prefiltered semi join."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from rdfa_ray.stages.bloom import _hash2_u64, bloom_semi_join, build_bloom
+
+
+def test_bloom_semi_matches_exact_int_keys(ray_session):
+    left = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(list(range(1000)), pa.int64()),
+                "val": pa.array([str(i) for i in range(1000)], pa.string()),
+            }
+        )
+    ).repartition(4)
+    right = rd.from_arrow(
+        pa.table({"k": pa.array(list(range(0, 1000, 7)), pa.int64())})
+    ).repartition(2)
+    out = bloom_semi_join(
+        left,
+        right,
+        on="k",
+        n_buckets=4,
+        left_schema=pa.schema([("k", pa.int64()), ("val", pa.string())]),
+        right_schema=pa.schema([("k", pa.int64())]),
+    ).to_pandas()
+    assert sorted(out["k"]) == list(range(0, 1000, 7))
+
+
+def test_bloom_semi_string_keys_and_tiny_filter_fp(ray_session):
+    # a deliberately tiny filter (64 bits) forces false positives; the
+    # exact join must still remove every one of them
+    left = rd.from_arrow(
+        pa.table({"k": pa.array(["x%d" % i for i in range(500)], pa.string())})
+    ).repartition(4)
+    right = rd.from_arrow(
+        pa.table({"k": pa.array(["x7", "x42", "x499"], pa.string())})
+    )
+    out = bloom_semi_join(
+        left, right, on="k", n_buckets=4, m_bits=64, n_hashes=2,
+        left_schema=pa.schema([("k", pa.string())]),
+        right_schema=pa.schema([("k", pa.string())]),
+    ).to_pandas()
+    assert sorted(out["k"]) == ["x42", "x499", "x7"]
+
+
+def test_bloom_filter_has_no_false_negatives(ray_session):
+    keys = np.arange(0, 100_000, 13, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"k": pa.array(keys, pa.int64())})).repartition(8)
+    bits = build_bloom(ds, "k", m_bits=1 << 20, n_hashes=4)
+    h1, h2 = _hash2_u64(keys)
+    for i in range(4):
+        idx = ((h1 + np.uint64(i) * h2) & np.uint64(0xFFFFFFFFFFFFFFFF)) % np.uint64(
+            1 << 20
+        )
+        words = (idx >> np.uint64(6)).astype(np.int64)
+        hit = (bits[words] >> (idx & np.uint64(63))) & np.uint64(1)
+        assert hit.all()

@@ -108,3 +108,37 @@ def test_kmeans_sizes_and_k_too_large(ray_session):
     assert 1 <= len(sizes) <= 3
     with pytest.raises(ValueError):
         kmeans_fit(ds, k=100)
+
+
+def test_heavy_hitters_eviction_bound(ray_session):
+    from rdfa_ray.stages.sketch import heavy_hitters
+
+    # zipf-ish stream: value v appears (40 - v) times, v in [0, 40)
+    vals = [v for v in range(40) for _ in range(40 - v)]
+    rng = np.random.default_rng(5)
+    rng.shuffle(vals)
+    n = len(vals)
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals, pa.int64())})).repartition(8)
+
+    k = 8  # far below the 40 distinct values: eviction fires
+    out = heavy_hitters(ds, "v", k=k).to_pandas().set_index("key")["est_count"]
+    assert len(out) <= k
+    true = {v: 40 - v for v in range(40)}
+    # guarantee: never over, under by at most n/(k+1)
+    for v, est in out.items():
+        assert est <= true[v]
+        assert est >= true[v] - n // (k + 1)
+    # the undisputed heaviest keys (true count > 2n/(k+1)) must survive
+    for v in range(40):
+        if true[v] > 2 * n / (k + 1):
+            assert v in out.index
+
+
+def test_heavy_hitters_exact_when_under_k(ray_session):
+    from rdfa_ray.stages.sketch import heavy_hitters
+
+    vals = ["a"] * 5 + ["b"] * 3 + ["c"] * 1
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals, pa.string())})).repartition(4)
+    out = heavy_hitters(ds, "v", k=16).to_pandas()
+    got = dict(zip(out["key"], out["est_count"]))
+    assert got == {"a": 5, "b": 3, "c": 1}
