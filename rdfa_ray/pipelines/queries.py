@@ -1296,6 +1296,44 @@ def q_kg_group_count(sf_dir: str):
     )
 
 
+def q_kg_describe(sf_dir: str):
+    """SPARQL DESCRIBE: every triple about the Chinese documents — the
+    fourth and last query form (SELECT / CONSTRUCT / ASK / DESCRIBE)."""
+    from ..stages.sparql import describe
+
+    return describe(
+        _typed_triples(sf_dir),
+        [("?d", "http://schema.org/inLanguage", "zh")],
+        "d",
+    )
+
+
+def q_kg_order_limit(sf_dir: str):
+    """SPARQL ORDER BY ... OFFSET ... LIMIT: the 10 largest documents
+    by characterCount (zero-padded string sort key for a total order),
+    skipping the top 5 — map-side partial top-(offset+limit)."""
+    from ..stages.bgp import bgp_match
+    from ..stages.sparql import order_limit
+
+    b = bgp_match(
+        _typed_triples(sf_dir),
+        [("?d", "http://schema.org/characterCount", "?n")],
+    )
+
+    def pad(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "d": batch.column("d"),
+                "n": pc.utf8_lpad(batch.column("n"), 8, "0"),
+            }
+        )
+
+    padded = b.map_batches(pad, batch_format="pyarrow")
+    return order_limit(
+        padded, ["n", "d"], descending=[True, False], limit=10, offset=5
+    )
+
+
 def q_kg_graph_diff(sf_dir: str):
     """rdflib.compare.graph_diff analogue between two graph versions:
     v2 retags Chinese documents 'zh' -> 'zh-Hans' (a simulated vocab
@@ -1407,6 +1445,8 @@ QUERIES = {
     "kg_construct": q_kg_construct,
     "kg_ask": q_kg_ask,
     "kg_group_count": q_kg_group_count,
+    "kg_describe": q_kg_describe,
+    "kg_order_limit": q_kg_order_limit,
     "kg_graph_diff": q_kg_graph_diff,
     "kg_subclass_closure": q_kg_subclass_closure,
     "kg_degree_hist": q_kg_degree_hist,
@@ -1870,6 +1910,19 @@ ORACLE_SQL = {
         " WHERE t1.pred = 'http://schema.org/inLanguage' AND t1.obj_value = 'zh'"
         " AND t2.pred = 'http://schema.org/source' GROUP BY t2.obj_value"
         % _TYPED_TRIPLES_SQL
+    ),
+    "kg_describe": (
+        "WITH t AS (%s) "
+        "SELECT DISTINCT t.subj, t.pred, t.obj_value FROM t JOIN"
+        " (SELECT DISTINCT subj FROM t WHERE"
+        " pred = 'http://schema.org/inLanguage' AND obj_value = 'zh') m"
+        " ON m.subj = t.subj" % _TYPED_TRIPLES_SQL
+    ),
+    "kg_order_limit": (
+        "WITH t AS (%s) "
+        "SELECT subj AS d, lpad(obj_value, 8, '0') AS n FROM t"
+        " WHERE pred = 'http://schema.org/characterCount'"
+        " ORDER BY n DESC, d ASC LIMIT 10 OFFSET 5" % _TYPED_TRIPLES_SQL
     ),
     "kg_graph_diff": (
         "WITH a AS (%s), b AS (SELECT subj, pred,"

@@ -328,3 +328,85 @@ def aggregate_bindings(triples_ds, patterns, group_vars, n_buckets: int = 64):
 
     bindings = bgp_match(triples_ds, patterns, n_buckets=n_buckets)
     return bindings.groupby(list(group_vars)).aggregate(Count(alias_name="n"))
+
+
+def describe(triples_ds, patterns, var, n_buckets: int = 64):
+    """SPARQL DESCRIBE ?v: every triple whose SUBJECT is a solution of
+    ?v under the BGP (the simple-subject description rdflib's
+    describe implementation emits).  One exact semi join of the triples
+    against the distinct solution set — only solution keys shuffle on
+    the right."""
+    from .distinct import distinct
+
+    triples_ds = triples_ds.materialize()
+    bindings = bgp_match(triples_ds, patterns, n_buckets=n_buckets)
+
+    def keys(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"subj": pc.cast(batch.column(var), pa.string())}
+        )
+
+    subjects = distinct(
+        bindings.map_batches(keys, batch_format="pyarrow"), ["subj"]
+    )
+
+    def typed(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "subj": pc.cast(batch.column("subj"), pa.string()),
+                "pred": pc.cast(batch.column("pred"), pa.string()),
+                "obj_value": pc.cast(batch.column("obj_value"), pa.string()),
+            }
+        )
+
+    return bucketed_hash_join(
+        triples_ds.map_batches(typed, batch_format="pyarrow"),
+        subjects,
+        on="subj",
+        n_buckets=n_buckets,
+        how="semi",
+        left_schema=pa.schema(
+            [("subj", pa.string()), ("pred", pa.string()),
+             ("obj_value", pa.string())]
+        ),
+        right_schema=pa.schema([("subj", pa.string())]),
+    )
+
+
+def order_limit(bindings, sort_vars, descending=False, limit: int | None = None,
+                offset: int = 0):
+    """SPARQL solution modifiers ORDER BY / OFFSET / LIMIT over a
+    bindings Dataset.  With a LIMIT, the heavy lift is map-side partial
+    top-(offset+limit) per block — only offset+limit rows leave each
+    block — followed by a one-partition exact head; without one it is a
+    full distributed sort."""
+    import pandas as pd
+
+    sort_vars = list(sort_vars)
+    if isinstance(descending, bool):
+        descending = [descending] * len(sort_vars)
+    if limit is None:
+        out = bindings.sort(sort_vars, descending=descending)
+        if offset:
+            raise ValueError("OFFSET without LIMIT needs a full sort + skip; "
+                             "pass a LIMIT")
+        return out
+    keep = offset + limit
+    ascending = [not d for d in descending]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(
+            sort_vars, ascending=ascending, kind="mergesort"
+        ).head(keep)
+
+    def final(batch: pd.DataFrame) -> pd.DataFrame:
+        return (
+            batch.sort_values(sort_vars, ascending=ascending, kind="mergesort")
+            .iloc[offset:keep]
+        )
+
+    return (
+        bindings.map_batches(partial, batch_format="pandas")
+        .repartition(1)
+        .map_batches(final, batch_format="pandas", batch_size=None)
+    )

@@ -193,3 +193,25 @@ def test_aggregate_bindings(ray_session):
         ("en", 1),
         ("zh", 1),
     ]
+
+
+def test_describe(ray_session):
+    from rdfa_ray.stages.sparql import describe
+
+    out = describe(GRAPH, [("?d", "lang", "zh")], "d", n_buckets=4)
+    assert _rows(out, ["subj", "pred", "obj_value"]) == sorted(
+        [("a", "type", "Doc"), ("a", "lang", "zh"), ("a", "next", "b")]
+    )
+
+
+def test_order_limit(ray_session):
+    from rdfa_ray.stages.bgp import bgp_match
+    from rdfa_ray.stages.sparql import order_limit
+
+    b = bgp_match(GRAPH, [("?d", "type", "Doc")], n_buckets=4).repartition(3)
+    top = order_limit(b, ["d"], descending=True, limit=2).to_pandas()
+    assert top["d"].tolist() == ["c", "b"]
+    mid = order_limit(b, ["d"], descending=True, limit=1, offset=1).to_pandas()
+    assert mid["d"].tolist() == ["b"]
+    with pytest.raises(ValueError):
+        order_limit(b, ["d"], offset=1)
