@@ -1,0 +1,119 @@
+"""Empty-input robustness for the round-3 operator families: a 100-TB
+pipeline routinely produces empty partitions and occasionally empty
+intermediate datasets (a filter that matches nothing); every operator
+must return an EMPTY, correctly-typed result — not crash, not emit a
+schema-less block."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+EMPTY_TRIPLES = pa.schema(
+    [("subj", pa.string()), ("pred", pa.string()), ("obj_value", pa.string())]
+)
+EMPTY_EDGES = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+
+
+def _empty(schema):
+    return rd.from_arrow(schema.empty_table())
+
+
+def test_bgp_empty_triples(ray_session):
+    from rdfa_ray.stages.bgp import bgp_match
+
+    out = bgp_match(
+        _empty(EMPTY_TRIPLES), [("?s", "p", "?o")], n_buckets=2
+    ).to_pandas()
+    assert len(out) == 0
+
+
+def test_sparql_ops_empty(ray_session):
+    from rdfa_ray.stages.sparql import ask, optional_match, path_edges
+
+    e = _empty(EMPTY_TRIPLES)
+    assert ask(e, [("?s", "p", "?o")], n_buckets=2) is False
+    out = optional_match(
+        e, [("?s", "p", "?o")], [("?s", "q", "?v")], n_buckets=2
+    ).to_pandas()
+    assert len(out) == 0
+    assert len(path_edges(e, ("plus", "p"), 2).to_pandas()) == 0
+
+
+def test_closure_and_pagerank_empty(ray_session):
+    from rdfa_ray.stages.closure import transitive_closure
+    from rdfa_ray.stages.pagerank import pagerank
+
+    assert len(transitive_closure(_empty(EMPTY_EDGES), n_buckets=2).to_pandas()) == 0
+    pr = pagerank(_empty(EMPTY_EDGES), n_buckets=2).to_pandas()
+    assert len(pr) == 0 and list(pr.columns) == ["node", "rank"]
+
+
+def test_graphops_empty_sides(ray_session):
+    from rdfa_ray.stages.graphops import (
+        graph_difference,
+        graph_intersection,
+        graph_union,
+    )
+
+    e = _empty(EMPTY_TRIPLES)
+    g = rd.from_arrow(
+        pa.table(
+            {
+                "subj": pa.array(["s"], pa.string()),
+                "pred": pa.array(["p"], pa.string()),
+                "obj_value": pa.array(["o"], pa.string()),
+            }
+        )
+    )
+    assert len(graph_intersection(g, e, 2).to_pandas()) == 0
+    assert len(graph_difference(e, g, 2).to_pandas()) == 0
+    diff = graph_difference(g, e, 2).to_pandas()
+    assert len(diff) == 1
+    assert len(graph_union(e, e, 2).to_pandas()) == 0
+    assert len(graph_union(g, e, 2).to_pandas()) == 1
+
+
+def test_heavy_hitters_empty(ray_session):
+    from rdfa_ray.stages.sketch import heavy_hitters
+
+    e = rd.from_arrow(pa.schema([("v", pa.string())]).empty_table())
+    out = heavy_hitters(e, "v", k=4).to_pandas()
+    assert len(out) == 0
+
+
+def test_bloom_empty_sides(ray_session):
+    from rdfa_ray.stages.bloom import bloom_semi_join
+
+    sch = pa.schema([("k", pa.int64())])
+    e = rd.from_arrow(sch.empty_table())
+    g = rd.from_arrow(pa.table({"k": pa.array([1, 2], pa.int64())}))
+    out = bloom_semi_join(
+        g, e, on="k", n_buckets=2, left_schema=sch, right_schema=sch
+    ).to_pandas()
+    assert len(out) == 0
+    out = bloom_semi_join(
+        e, g, on="k", n_buckets=2, left_schema=sch, right_schema=sch
+    ).to_pandas()
+    assert len(out) == 0
+
+
+def test_scrub_empty(ray_session):
+    from rdfa_ray.stages.scrub import scrub_documents
+
+    e = rd.from_arrow(
+        pa.schema([("doc_id", pa.int64()), ("text", pa.string())]).empty_table()
+    )
+    out = scrub_documents(e).to_pandas()
+    assert len(out) == 0
+
+
+def test_tfidf_empty(ray_session):
+    from rdfa_ray.stages.tfidf import tfidf_topk
+
+    e = rd.from_arrow(
+        pa.schema([("doc_id", pa.int64()), ("text", pa.string())]).empty_table()
+    )
+    out = tfidf_topk(e, n_docs=1, k=5, n_buckets=2).to_pandas()
+    assert len(out) == 0
