@@ -76,10 +76,11 @@ def build_bloom(right_ds, on: str, m_bits: int = 1 << 23, n_hashes: int = 4):
         return pa.table({"bits": pa.array([bits.tobytes()], pa.large_binary())})
 
     merged = np.zeros(n_words, dtype=np.uint64)
-    for part in right_ds.map_batches(
-        partial, batch_format="pyarrow"
-    ).to_pandas()["bits"]:
-        merged |= np.frombuffer(part, dtype=np.uint64)
+    parts = right_ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    # an empty build side yields a schema-less 0-row frame
+    if "bits" in parts.columns:
+        for part in parts["bits"]:
+            merged |= np.frombuffer(part, dtype=np.uint64)
     return merged
 
 

@@ -247,7 +247,12 @@ def transitive_closure(
 
     kt = key_type
     edges = edges_ds.materialize()
-    if edges.count() <= local_limit:
+    n_edges = edges.count()
+    if n_edges == 0:
+        # to_pandas() on an empty Dataset loses the schema (0-column
+        # frame); return the typed empty closure directly
+        return rd.from_arrow(_pair_schema(kt).empty_table())
+    if n_edges <= local_limit:
         out = _local_closure(edges.to_pandas(), max_rounds)
         return rd.from_arrow(
             pa.Table.from_arrays(

@@ -92,6 +92,15 @@ def tfidf_topk(
     from ray.data.aggregate import Count
 
     tf = docs_ds.map_batches(_tf_partial, batch_format="pyarrow").materialize()
+    if tf.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.schema(
+                [("doc_id", pa.int64()), ("token", pa.string()),
+                 ("score_micro", pa.int64())]
+            ).empty_table()
+        )
     # per-doc-distinct pairs are exactly the tf rows -> df by token
     df = tf.groupby("token").aggregate(Count(alias_name="df")).materialize()
 
