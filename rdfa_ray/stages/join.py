@@ -93,24 +93,32 @@ def bucketed_hash_join(
 
     def tag(side):
         def fn(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
             from ..functions.hashing import crc32_bucket
+
+            def typed(col, want):
+                # align actual to declared (e.g. a large_string block
+                # meeting a string declaration) so the union's blocks
+                # share ONE schema; no-op when they already match
+                return col if col.type == want else pc.cast(col, want)
 
             n = batch.num_rows
             out = {}
             if side == "l":
                 for c in left_cols:
-                    out[c] = batch.column(c)
+                    out[c] = typed(batch.column(c), left_types[c])
                 for c in right_cols:
                     out[c] = pa.nulls(n, right_types[c])
             else:
                 for c in left_cols:
                     if c == on:
-                        out[c] = batch.column(on)
+                        out[c] = typed(batch.column(on), left_types[on])
                     else:
                         out[c] = pa.nulls(n, left_types[c])
                 inv = {v: k for k, v in rename.items()}
                 for c in right_cols:
-                    out[c] = batch.column(inv[c])
+                    out[c] = typed(batch.column(inv[c]), right_types[c])
             out["__bucket"] = crc32_bucket(batch.column(on), n_buckets)
             out["__side"] = pa.array([side] * n)
             return pa.Table.from_pydict(out)
@@ -152,8 +160,10 @@ def bucketed_hash_join(
             merged = l[mask] if how == "semi" else l[~mask]
         else:
             merged = l.merge(r, on=on, how=how)
+        # strip the b'pandas' schema metadata: blocks must be
+        # byte-identical in schema to the metadata-less empty_table
         return pa.Table.from_pandas(
             merged[out_cols], schema=out_schema, preserve_index=False
-        )
+        ).replace_schema_metadata(None)
 
     return tagged.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
