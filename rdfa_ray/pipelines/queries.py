@@ -1380,6 +1380,67 @@ def q_kg_filter_numeric(sf_dir: str):
     )
 
 
+def q_kg_minus(sf_dir: str):
+    """SPARQL MINUS: documents with their source, minus the Chinese
+    ones — one anti-join exchange, only the minus side's keys ship."""
+    from ..stages.sparql import minus_match
+
+    return minus_match(
+        _typed_triples(sf_dir),
+        [
+            ("?d", _RDF_TYPE, "http://schema.org/Document"),
+            ("?d", "http://schema.org/source", "?src"),
+        ],
+        [("?d", "http://schema.org/inLanguage", "zh")],
+        select=["d", "src"],
+    )
+
+
+def q_kg_not_exists(sf_dir: str):
+    """FILTER NOT EXISTS correlated on a shared OBJECT variable:
+    (document, source) pairs whose source hosts no Chinese document."""
+    from ..stages.sparql import exists_filter
+
+    return exists_filter(
+        _typed_triples(sf_dir),
+        [("?d", "http://schema.org/source", "?src")],
+        [
+            ("?d2", "http://schema.org/inLanguage", "zh"),
+            ("?d2", "http://schema.org/source", "?src"),
+        ],
+        negate=True,
+        select=["d", "src"],
+    )
+
+
+def q_kg_values_bind(sf_dir: str):
+    """VALUES + BIND: language rows restricted to the inline set
+    {zh, en} (map-side is_in — inline data never shuffles), then
+    BIND(UPPER(?l) AS ?lu) appended map-side."""
+    from ..stages.bgp import bgp_match
+    from ..stages.sparql import bind_var, values_filter
+
+    b = bgp_match(
+        _typed_triples(sf_dir),
+        [("?d", "http://schema.org/inLanguage", "?l")],
+    )
+    b = values_filter(b, "l", ["zh", "en"])
+    return bind_var(b, "lu", lambda t: pc.utf8_upper(t.column("l")))
+
+
+def q_kg_distinct_src(sf_dir: str):
+    """SELECT DISTINCT ?src: two-level distinct over the bindings
+    (map-side dedup, one exchange)."""
+    from ..stages.bgp import bgp_match
+    from ..stages.sparql import distinct_bindings
+
+    b = bgp_match(
+        _typed_triples(sf_dir),
+        [("?d", "http://schema.org/source", "?src")],
+    )
+    return distinct_bindings(b, ["src"])
+
+
 QUERIES = {
     "rdfa_text_triples": q_rdfa_text_triples,
     "rdfa_typed_triples": q_rdfa_typed_triples,
@@ -1442,6 +1503,10 @@ QUERIES = {
     "kg_optional_lang": q_kg_optional_lang,
     "kg_union_bgp": q_kg_union_bgp,
     "kg_filter_numeric": q_kg_filter_numeric,
+    "kg_minus": q_kg_minus,
+    "kg_not_exists": q_kg_not_exists,
+    "kg_values_bind": q_kg_values_bind,
+    "kg_distinct_src": q_kg_distinct_src,
     "kg_construct": q_kg_construct,
     "kg_ask": q_kg_ask,
     "kg_group_count": q_kg_group_count,
@@ -1939,6 +2004,37 @@ ORACLE_SQL = {
         "SELECT subj AS d, obj_value AS n FROM t"
         " WHERE pred = 'http://schema.org/characterCount'"
         " AND CAST(obj_value AS BIGINT) > 400" % _TYPED_TRIPLES_SQL
+    ),
+    "kg_minus": (
+        "WITH t AS (%s) "
+        "SELECT t1.subj AS d, t2.obj_value AS src "
+        "FROM t t1 JOIN t t2 ON t2.subj = t1.subj "
+        "WHERE t1.pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' "
+        "AND t1.obj_value = 'http://schema.org/Document' "
+        "AND t2.pred = 'http://schema.org/source' "
+        "AND t1.subj NOT IN (SELECT subj FROM t WHERE"
+        " pred = 'http://schema.org/inLanguage' AND obj_value = 'zh')"
+        % _TYPED_TRIPLES_SQL
+    ),
+    "kg_not_exists": (
+        "WITH t AS (%s) "
+        "SELECT t1.subj AS d, t1.obj_value AS src FROM t t1 "
+        "WHERE t1.pred = 'http://schema.org/source' "
+        "AND NOT EXISTS (SELECT 1 FROM t a JOIN t b ON b.subj = a.subj"
+        " WHERE a.pred = 'http://schema.org/inLanguage' AND a.obj_value = 'zh'"
+        " AND b.pred = 'http://schema.org/source'"
+        " AND b.obj_value = t1.obj_value)" % _TYPED_TRIPLES_SQL
+    ),
+    "kg_values_bind": (
+        "WITH t AS (%s) "
+        "SELECT subj AS d, obj_value AS l, upper(obj_value) AS lu FROM t"
+        " WHERE pred = 'http://schema.org/inLanguage'"
+        " AND obj_value IN ('zh', 'en')" % _TYPED_TRIPLES_SQL
+    ),
+    "kg_distinct_src": (
+        "WITH t AS (%s) "
+        "SELECT DISTINCT obj_value AS src FROM t"
+        " WHERE pred = 'http://schema.org/source'" % _TYPED_TRIPLES_SQL
     ),
     "kg_subclass_closure": (
         "WITH RECURSIVE anc(node, a) AS ("

@@ -168,6 +168,130 @@ def filter_bindings(bindings, predicate):
     )
 
 
+def minus_match(
+    triples_ds, base_patterns, minus_patterns, select=None, n_buckets: int = 64
+):
+    """SPARQL ``{ base } MINUS { minus }`` (rdflib evalMinus): drop
+    base solutions compatible with some minus solution on their shared
+    variables — ONE anti-join exchange where only the minus side's
+    distinct keys ship.  Per SPARQL 1.1 §8.3, arms sharing NO variable
+    remove nothing: the base comes back unchanged."""
+    triples_ds = triples_ds.materialize()
+    base, base_vars = _match_with_vars(triples_ds, base_patterns)
+    minus, minus_vars = _match_with_vars(triples_ds, minus_patterns)
+    shared = [v for v in minus_vars if v in base_vars]
+    if not shared:
+        return base if select is None else base.select_columns(list(select))
+    left, left_schema = _with_key(base, shared, base_vars)
+
+    def key_only(batch: pa.Table) -> pa.Table:
+        if len(shared) == 1:
+            k = pc.cast(batch.column(shared[0]), pa.string())
+        else:
+            k = pc.binary_join_element_wise(
+                *[pc.cast(batch.column(v), pa.string()) for v in shared],
+                "\x1f",
+            )
+        return pa.Table.from_pydict({"__k": k})
+
+    out = bucketed_hash_join(
+        left,
+        minus.map_batches(key_only, batch_format="pyarrow"),
+        on="__k",
+        n_buckets=n_buckets,
+        how="anti",
+        left_schema=left_schema,
+        right_schema=pa.schema([("__k", pa.string())]),
+    ).drop_columns(["__k"])
+    return out if select is None else out.select_columns(list(select))
+
+
+def exists_filter(
+    triples_ds,
+    base_patterns,
+    exists_patterns,
+    negate: bool = False,
+    select=None,
+    n_buckets: int = 64,
+):
+    """SPARQL ``FILTER EXISTS { ... }`` / ``FILTER NOT EXISTS { ... }``
+    for the common correlated-on-shared-variables case: one semi
+    (EXISTS) or anti (NOT EXISTS) join exchange; only the probe BGP's
+    distinct keys ship on the right."""
+    triples_ds = triples_ds.materialize()
+    base, base_vars = _match_with_vars(triples_ds, base_patterns)
+    probe, probe_vars = _match_with_vars(triples_ds, exists_patterns)
+    shared = [v for v in probe_vars if v in base_vars]
+    if not shared:
+        raise ValueError(
+            "FILTER [NOT] EXISTS group shares no variable with the base "
+            "BGP — uncorrelated existence is a driver-side ask()"
+        )
+    left, left_schema = _with_key(base, shared, base_vars)
+
+    def key_only(batch: pa.Table) -> pa.Table:
+        if len(shared) == 1:
+            k = pc.cast(batch.column(shared[0]), pa.string())
+        else:
+            k = pc.binary_join_element_wise(
+                *[pc.cast(batch.column(v), pa.string()) for v in shared],
+                "\x1f",
+            )
+        return pa.Table.from_pydict({"__k": k})
+
+    out = bucketed_hash_join(
+        left,
+        probe.map_batches(key_only, batch_format="pyarrow"),
+        on="__k",
+        n_buckets=n_buckets,
+        how="anti" if negate else "semi",
+        left_schema=left_schema,
+        right_schema=pa.schema([("__k", pa.string())]),
+    ).drop_columns(["__k"])
+    return out if select is None else out.select_columns(list(select))
+
+
+def values_filter(bindings, var: str, values):
+    """SPARQL ``VALUES ?var { v1 v2 ... }`` joined onto the bindings:
+    inline data is by definition broadcast-small, so this is a
+    map-side ``is_in`` membership scan — never a shuffle."""
+    value_set = pa.array(list(values), pa.string())
+    return bindings.map_batches(
+        lambda t: t.filter(
+            pc.fill_null(
+                pc.is_in(pc.cast(t.column(var), pa.string()), value_set=value_set),
+                False,
+            )
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def bind_var(bindings, var: str, expr):
+    """SPARQL ``BIND(expr AS ?var)``: ``expr`` maps the bindings
+    pa.Table to the new column's Array (pyarrow.compute kernels) —
+    pure map-side column append."""
+
+    def add(batch: pa.Table) -> pa.Table:
+        col = expr(batch)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return batch.append_column(var, col)
+
+    return bindings.map_batches(add, batch_format="pyarrow")
+
+
+def distinct_bindings(bindings, on_vars, n_buckets: int = 64):
+    """SPARQL ``SELECT DISTINCT ?a ?b``: project then global distinct
+    (two-level: map-side dedup, one exchange on the key)."""
+    from .distinct import distinct
+
+    return distinct(
+        bindings.select_columns(list(on_vars)), list(on_vars),
+        n_buckets=n_buckets,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Property paths
 

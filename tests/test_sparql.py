@@ -215,3 +215,66 @@ def test_order_limit(ray_session):
     assert mid["d"].tolist() == ["b"]
     with pytest.raises(ValueError):
         order_limit(b, ["d"], offset=1)
+
+
+def test_minus_drops_compatible(ray_session):
+    from rdfa_ray.stages.sparql import minus_match
+
+    out = minus_match(
+        GRAPH,
+        [("?d", "type", "Doc")],
+        [("?d", "lang", "zh")],
+        n_buckets=4,
+    )
+    # a is Chinese -> removed; b and c stay
+    assert _rows(out, ["d"]) == [("b",), ("c",)]
+
+
+def test_minus_disjoint_domains_removes_nothing(ray_session):
+    from rdfa_ray.stages.sparql import minus_match
+
+    # SPARQL 1.1 §8.3: arms sharing no variable remove nothing
+    out = minus_match(
+        GRAPH,
+        [("?d", "type", "Doc")],
+        [("?x", "lang", "zh")],
+        n_buckets=4,
+    )
+    assert _rows(out, ["d"]) == [("a",), ("b",), ("c",)]
+
+
+def test_exists_and_not_exists(ray_session):
+    from rdfa_ray.stages.sparql import exists_filter
+
+    base = [("?d", "type", "Doc")]
+    probe = [("?d", "lang", "?l")]
+    has = exists_filter(GRAPH, base, probe, n_buckets=4)
+    assert _rows(has, ["d"]) == [("a",), ("b",)]
+    hasnt = exists_filter(GRAPH, base, probe, negate=True, n_buckets=4)
+    assert _rows(hasnt, ["d"]) == [("c",)]
+    with pytest.raises(ValueError):
+        exists_filter(GRAPH, base, [("?x", "lang", "?l")], n_buckets=4)
+
+
+def test_values_and_bind(ray_session):
+    from rdfa_ray.stages.bgp import bgp_match
+    from rdfa_ray.stages.sparql import bind_var, values_filter
+
+    b = bgp_match(GRAPH, [("?d", "lang", "?l")], n_buckets=4)
+    only_zh = values_filter(b, "l", ["zh"])
+    assert _rows(only_zh, ["d", "l"]) == [("a", "zh")]
+    bound = bind_var(only_zh, "lu", lambda t: pc.utf8_upper(t.column("l")))
+    assert _rows(bound, ["d", "l", "lu"]) == [("a", "zh", "ZH")]
+
+
+def test_distinct_bindings(ray_session):
+    from rdfa_ray.stages.sparql import distinct_bindings
+
+    dup = _triples(
+        [("a", "src", "s1"), ("b", "src", "s1"), ("c", "src", "s2")]
+    )
+    from rdfa_ray.stages.bgp import bgp_match
+
+    b = bgp_match(dup, [("?d", "src", "?s")], n_buckets=4)
+    out = distinct_bindings(b, ["s"], n_buckets=4)
+    assert _rows(out, ["s"]) == [("s1",), ("s2",)]
