@@ -1380,6 +1380,33 @@ def q_kg_filter_numeric(sf_dir: str):
     )
 
 
+def q_events_quantiles_sketch(sf_dir: str):
+    """Approximate quantiles of events.value via the mergeable
+    equi-weight summary (unbounded continuous domain — the sketch
+    complement of the exact histogram quantiles).  Approximate ->
+    rows-only; pytest bounds the rank error vs exact numpy."""
+    import ray.data as rd
+
+    from ..stages.sketch import quantile_sketch
+
+    ds = rd.read_parquet("%s/events.parquet" % sf_dir, columns=["value"])
+    return quantile_sketch(ds, "value", [0.5, 0.9, 0.99])
+
+
+def q_docs_train_split(sf_dir: str):
+    """Deterministic content-hash train/holdout assignment (25%
+    holdout): map-only, shuffle-free, reproducible at any parallelism;
+    oracle recomputes the identical md5-prefix rule in DuckDB."""
+    import ray.data as rd
+
+    from ..stages.split import assign_split
+
+    docs = rd.read_parquet(
+        "%s/documents.parquet" % sf_dir, columns=["doc_id", "text"]
+    )
+    return assign_split(docs)
+
+
 def q_kg_minus(sf_dir: str):
     """SPARQL MINUS: documents with their source, minus the Chinese
     ones — one anti-join exchange, only the minus side's keys ship."""
@@ -1503,6 +1530,8 @@ QUERIES = {
     "kg_optional_lang": q_kg_optional_lang,
     "kg_union_bgp": q_kg_union_bgp,
     "kg_filter_numeric": q_kg_filter_numeric,
+    "events_quantiles_sketch": q_events_quantiles_sketch,
+    "docs_train_split": q_docs_train_split,
     "kg_minus": q_kg_minus,
     "kg_not_exists": q_kg_not_exists,
     "kg_values_bind": q_kg_values_bind,
@@ -2004,6 +2033,10 @@ ORACLE_SQL = {
         "SELECT subj AS d, obj_value AS n FROM t"
         " WHERE pred = 'http://schema.org/characterCount'"
         " AND CAST(obj_value AS BIGINT) > 400" % _TYPED_TRIPLES_SQL
+    ),
+    "docs_train_split": (
+        "SELECT doc_id, CASE WHEN substr(md5(text), 1, 2) < '40'"
+        " THEN 'holdout' ELSE 'train' END AS split FROM documents"
     ),
     "kg_minus": (
         "WITH t AS (%s) "

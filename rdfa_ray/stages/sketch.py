@@ -168,3 +168,104 @@ def heavy_hitters(ds, key_col: str, k: int = 128):
         .repartition(1)
         .map_batches(merge, batch_format="pandas", batch_size=None)
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable approximate-quantile summary (equi-weight compression)
+
+_QSUMMARY_SCHEMA = pa.schema([("v", pa.float64()), ("w", pa.float64())])
+
+
+def _compress_summary(v: np.ndarray, w: np.ndarray, k: int):
+    """Compress a weighted value multiset to <= k (value, weight)
+    entries: sort by value, cut the cumulative-weight axis into k
+    equal-weight bins, keep one REAL data value per bin (the element
+    sitting at the bin's weight midpoint) carrying the bin's total
+    weight.  Each compression adds <= total/k rank error; summaries
+    merge by concatenation + recompression (fully mergeable, like the
+    KMV/Misra-Gries partials above)."""
+    order = np.argsort(v, kind="mergesort")
+    v, w = v[order], w[order]
+    if len(v) <= k:
+        return v, w
+    cw = np.cumsum(w)
+    total = cw[-1]
+    mid = cw - w / 2.0
+    centers = (np.arange(k) + 0.5) * (total / k)
+    idx = np.searchsorted(mid, centers, side="left")
+    idx = np.minimum(idx, len(v) - 1)
+    bin_of = np.minimum((mid * (k / total)).astype(np.int64), k - 1)
+    bin_w = np.bincount(bin_of, weights=w, minlength=k)
+    keep = bin_w > 0
+    return v[idx[keep]], bin_w[keep]
+
+
+def quantile_sketch(ds, value_col: str, qs, k: int = 512, n_buckets: int = 32):
+    """Approximate quantiles of a float column via a mergeable
+    equi-weight summary — the unbounded-continuous-domain complement
+    to ``quantile.grouped_quantiles`` (whose histogram needs a bounded
+    value domain).
+
+    Three compression levels (block partial -> per-bucket merge ->
+    final), so rank error <= 3/k (~0.6% at the default k=512) — the
+    pytest bounds it against exact numpy quantiles.  At most k rows
+    leave any block at any level: a 100-TB column costs one streaming
+    pass plus two k-row-per-partition exchanges.
+
+    Returns one row per requested quantile: (q: float64, value:
+    float64), q ascending.
+    """
+    qs = sorted(float(q) for q in qs)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column(value_col).to_numpy(zero_copy_only=False)
+        col = col[~np.isnan(col)].astype(np.float64)
+        if not len(col):
+            return _QSUMMARY_SCHEMA.empty_table()
+        cv, cw = _compress_summary(col, np.ones(len(col)), k)
+        return pa.Table.from_arrays(
+            [pa.array(cv, pa.float64()), pa.array(cw, pa.float64())],
+            schema=_QSUMMARY_SCHEMA,
+        )
+
+    def merge(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows:
+            return _QSUMMARY_SCHEMA.empty_table()
+        cv, cw = _compress_summary(
+            batch.column("v").to_numpy(zero_copy_only=False),
+            batch.column("w").to_numpy(zero_copy_only=False),
+            k,
+        )
+        return pa.Table.from_arrays(
+            [pa.array(cv, pa.float64()), pa.array(cw, pa.float64())],
+            schema=_QSUMMARY_SCHEMA,
+        )
+
+    out_schema = pa.schema([("q", pa.float64()), ("value", pa.float64())])
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows:
+            return out_schema.empty_table()
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        w = batch.column("w").to_numpy(zero_copy_only=False)
+        order = np.argsort(v, kind="mergesort")
+        v, w = v[order], w[order]
+        cw = np.cumsum(w)
+        total = cw[-1]
+        ranks = np.asarray(qs) * total
+        idx = np.minimum(np.searchsorted(cw, ranks, side="left"), len(v) - 1)
+        return pa.Table.from_arrays(
+            [pa.array(qs, pa.float64()), pa.array(v[idx], pa.float64())],
+            schema=out_schema,
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(n_buckets)
+        # batch_size=None: one merge per bucket block, keeping the
+        # advertised 3-compression-level error bound
+        .map_batches(merge, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(merge, batch_format="pyarrow", batch_size=None)
+        .map_batches(finalize, batch_format="pyarrow", batch_size=None)
+    )

@@ -136,3 +136,83 @@ def test_join_rejects_outer_modes(ray_session):
 
     with pytest.raises(ValueError):
         bucketed_hash_join(None, None, on="k", how="outer")
+
+
+def test_quantile_sketch_error_bound(ray_session):
+    """Mergeable equi-weight summary: rank error <= 3/k per the
+    3-compression-level construction; assert 2x slack on a skewed
+    (lognormal) distribution split across many blocks."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rdfa_ray.stages.sketch import quantile_sketch
+
+    rng = np.random.default_rng(7)
+    vals = rng.lognormal(mean=0.0, sigma=2.0, size=120_000)
+    ds = rd.from_arrow(
+        pa.table({"value": pa.array(vals, pa.float64())})
+    ).repartition(16)
+    k = 512
+    qs = [0.5, 0.9, 0.99]
+    out = (
+        quantile_sketch(ds, "value", qs, k=k, n_buckets=8)
+        .to_pandas()
+        .sort_values("q")
+    )
+    svals = np.sort(vals)
+    for q, est in zip(out["q"], out["value"]):
+        # rank of the estimate in the exact sorted data
+        rank = np.searchsorted(svals, est) / len(svals)
+        assert abs(rank - q) <= 2 * 3.0 / k, (q, est, rank)
+
+
+def test_quantile_sketch_small_exact(ray_session):
+    """Below k values, no compression fires: results are exact
+    order statistics."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rdfa_ray.stages.sketch import quantile_sketch
+
+    vals = [float(i) for i in range(1, 101)]
+    ds = rd.from_arrow(pa.table({"value": pa.array(vals, pa.float64())}))
+    out = (
+        quantile_sketch(ds, "value", [0.5, 0.9], k=512)
+        .to_pandas()
+        .sort_values("q")
+    )
+    assert out["value"].tolist() == [50.0, 90.0]
+
+
+def test_assign_split_deterministic_and_leak_free(ray_session):
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rdfa_ray.stages.split import assign_split
+
+    texts = ["doc %d" % i for i in range(50)] + ["doc 0", "doc 1"]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(52), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    ).repartition(4)
+    out = assign_split(ds).to_pandas().sort_values("doc_id")
+    # matches the rule exactly
+    for doc_id, split in zip(out["doc_id"], out["split"]):
+        want = (
+            "holdout"
+            if hashlib.md5(texts[doc_id].encode()).hexdigest()[:2] < "40"
+            else "train"
+        )
+        assert split == want
+    # exact duplicates land in the same split (no train/eval leakage)
+    assert out.iloc[0]["split"] == out.iloc[50]["split"]
+    assert out.iloc[1]["split"] == out.iloc[51]["split"]
+    # both splits are populated at this size
+    assert set(out["split"]) == {"train", "holdout"}
