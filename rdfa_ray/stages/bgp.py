@@ -117,7 +117,43 @@ def _with_key(ds, key_vars, all_vars):
     return ds.map_batches(add_key, batch_format="pyarrow"), schema
 
 
-def bgp_match(triples_ds, patterns, select=None, n_buckets: int = 64):
+def _broadcast_step(bindings, scan_df, shared, bound, p_vars):
+    """One BGP join step with the (measured-small) scan broadcast:
+    ``ray.put`` the scan's bindings once, vectorized pandas inner merge
+    on the shared variables INSIDE map_batches over the accumulated
+    bindings — zero exchange (the adaptive move a SPARQL engine's
+    optimizer makes for constants-heavy, highly selective patterns)."""
+    import pandas as pd
+    import ray
+
+    scan_ref = ray.put(scan_df)
+    new_vars = [v for v in p_vars if v not in bound]
+    out_vars = bound + new_vars
+    out_schema = pa.schema([(v, pa.string()) for v in out_vars])
+    empty = out_schema.empty_table()
+
+    def merge_batch(batch: pa.Table) -> pa.Table:
+        right = ray.get(scan_ref)
+        left = batch.to_pandas()
+        if not len(left):
+            return empty
+        m = left.merge(right, on=list(shared), how="inner")
+        if not len(m):
+            return empty
+        return pa.Table.from_pandas(
+            m[out_vars].astype(str), schema=out_schema, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    return bindings.map_batches(merge_batch, batch_format="pyarrow"), out_vars
+
+
+def bgp_match(
+    triples_ds,
+    patterns,
+    select=None,
+    n_buckets: int = 64,
+    broadcast_limit: int = 200_000,
+):
     """Match a list of triple patterns against a (subj, pred,
     obj_value[, ...]) Dataset; returns a Dataset of bindings with one
     string column per variable (bag semantics, like SPARQL BGP over a
@@ -126,6 +162,13 @@ def bgp_match(triples_ds, patterns, select=None, n_buckets: int = 64):
 
     ``select``: optional list of variable names to project at the end.
     Patterns are joined IN ORDER; put the most selective first.
+
+    Adaptive join choice per step: each pattern's scan is materialized
+    (one cheap pass over the already-materialized triples) and COUNTED;
+    a scan at or below ``broadcast_limit`` bindings is broadcast
+    (``ray.put`` once, map-side pandas merge — zero exchange), larger
+    scans take the general bucketed hash join.  Constants-first BGPs
+    therefore usually pay no exchange at all after the first scan.
     """
     if not patterns:
         raise ValueError("empty BGP")
@@ -141,7 +184,24 @@ def bgp_match(triples_ds, patterns, select=None, n_buckets: int = 64):
                 "pattern %r shares no variable with %r — cross products "
                 "are not supported (reorder the BGP)" % (pattern, bound)
             )
-        scan = _scan(triples_ds, pattern)
+        scan = _scan(triples_ds, pattern).materialize()
+        if scan.count() <= broadcast_limit:
+            scan_df = scan.to_pandas()
+            if not len(scan_df):
+                # typed empty result: no solution can extend
+                out_vars = bound + [v for v in p_vars if v not in bound]
+                import ray.data as rd
+
+                empty = pa.schema(
+                    [(v, pa.string()) for v in out_vars]
+                ).empty_table()
+                bindings, bound = rd.from_arrow(empty), out_vars
+                continue
+            scan_df = scan_df.astype(str)
+            bindings, bound = _broadcast_step(
+                bindings, scan_df, shared, bound, p_vars
+            )
+            continue
         left, left_schema = _with_key(bindings, shared, bound)
         right, right_schema = _with_key(scan, shared, p_vars)
         joined = bucketed_hash_join(
