@@ -1380,6 +1380,71 @@ def q_kg_filter_numeric(sf_dir: str):
     )
 
 
+def q_kg_triangles(sf_dir: str):
+    """Exact triangle count of the shared-source document graph
+    (degree-oriented wedge join — hub-safe O(m^1.5)).  The graph is a
+    disjoint union of per-source cliques, so the oracle counts
+    C(n_source, 3) combinatorially — an independent formulation, not
+    the same algorithm."""
+    import ray.data as rd
+
+    from ..stages.graphalgo import triangle_count
+    from ..stages.join import bucketed_hash_join
+
+    docs = rd.read_parquet(
+        "%s/documents.parquet" % sf_dir, columns=["doc_id", "source"]
+    )
+    left = docs.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"src": t.column("doc_id"), "source": t.column("source")}
+        ),
+        batch_format="pyarrow",
+    )
+    right = docs.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"source": t.column("source"), "dst": t.column("doc_id")}
+        ),
+        batch_format="pyarrow",
+    )
+    pairs = bucketed_hash_join(
+        left,
+        right,
+        on="source",
+        n_buckets=16,
+        left_schema=pa.schema([("src", pa.int64()), ("source", pa.string())]),
+        right_schema=pa.schema([("source", pa.string()), ("dst", pa.int64())]),
+    )
+
+    def ordered(batch: pa.Table) -> pa.Table:
+        keep = pc.less(batch.column("src"), batch.column("dst"))
+        batch = batch.filter(keep)
+        return pa.Table.from_pydict(
+            {"src": batch.column("src"), "dst": batch.column("dst")}
+        )
+
+    return triangle_count(pairs.map_batches(ordered, batch_format="pyarrow"))
+
+
+def q_kg_bfs_depth(sf_dir: str):
+    """Single-source BFS levels from the category-tree root (hop
+    distance per node); oracle is the equivalent DuckDB WITH
+    RECURSIVE."""
+    import ray.data as rd
+
+    from ..stages.graphalgo import bfs_levels
+
+    ds = rd.read_parquet("%s/documents.parquet" % sf_dir, columns=["doc_id"])
+
+    def parent_to_child(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        mask = pc.greater_equal(ids, 1)
+        ids = ids.filter(mask)
+        return pa.Table.from_pydict({"src": pc.divide(ids, 4), "dst": ids})
+
+    edges = ds.map_batches(parent_to_child, batch_format="pyarrow")
+    return bfs_levels(edges, source=0)
+
+
 def q_events_quantiles_sketch(sf_dir: str):
     """Approximate quantiles of events.value via the mergeable
     equi-weight summary (unbounded continuous domain — the sketch
@@ -1532,6 +1597,8 @@ QUERIES = {
     "kg_filter_numeric": q_kg_filter_numeric,
     "events_quantiles_sketch": q_events_quantiles_sketch,
     "docs_train_split": q_docs_train_split,
+    "kg_triangles": q_kg_triangles,
+    "kg_bfs_depth": q_kg_bfs_depth,
     "kg_minus": q_kg_minus,
     "kg_not_exists": q_kg_not_exists,
     "kg_values_bind": q_kg_values_bind,
@@ -2037,6 +2104,20 @@ ORACLE_SQL = {
     "docs_train_split": (
         "SELECT doc_id, CASE WHEN substr(md5(text), 1, 2) < '40'"
         " THEN 'holdout' ELSE 'train' END AS split FROM documents"
+    ),
+    # independent combinatorial formulation: the shared-source graph is
+    # a disjoint union of cliques, so triangles = sum C(n, 3)
+    "kg_triangles": (
+        "SELECT CAST(COALESCE(SUM(n * (n - 1) * (n - 2) / 6), 0) AS BIGINT)"
+        " AS n_triangles FROM"
+        " (SELECT COUNT(*) AS n FROM documents GROUP BY source)"
+    ),
+    "kg_bfs_depth": (
+        "WITH RECURSIVE d(node, depth) AS ("
+        " SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)"
+        " UNION ALL SELECT c.doc_id, d.depth + 1 FROM documents c"
+        "  JOIN d ON c.doc_id // 4 = d.node WHERE c.doc_id >= 1) "
+        "SELECT node, depth FROM d"
     ),
     "kg_minus": (
         "WITH t AS (%s) "
