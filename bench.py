@@ -139,6 +139,9 @@ def _headline_and_queries(sf_dir: str, num_cpus: int, n_turns: int) -> dict:
     timed("kmeans_sizes", Q.q_kmeans_sizes)
     timed("events_pivot", Q.q_events_pivot)
     timed("events_user_deltas", Q.q_events_user_deltas)
+    timed("kg_minus", Q.q_kg_minus)
+    timed("events_quantiles_sketch", Q.q_events_quantiles_sketch)
+    timed("docs_train_split", Q.q_docs_train_split)
 
     ray.shutdown()
     return {
