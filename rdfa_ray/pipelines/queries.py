@@ -1533,6 +1533,39 @@ def q_kg_distinct_src(sf_dir: str):
     return distinct_bindings(b, ["src"])
 
 
+def q_kg_store_group_count(sf_dir: str):
+    """The persisted-KG path end-to-end: construct the graph ONCE into
+    a predicate-partitioned Parquet store (idempotent; sentinel written
+    after the data, so a crashed build rebuilds), then answer the
+    group-count BGP from a PRUNED re-read that opens only the
+    inLanguage and source partitions — 2 of the store's 4 predicate
+    directories.  Same answer as kg_group_count, which recomputes the
+    graph from the raw documents per run; this is the standing-KG
+    shape a 100-TB deployment queries."""
+    import hashlib as _hl
+
+    from ..stages.kgstore import persist_kg, read_kg, store_is_complete
+    from ..stages.sparql import aggregate_bindings
+
+    store_dir = "/tmp/graft_kg_%s" % _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    if not store_is_complete(store_dir):
+        persist_kg(_typed_triples(sf_dir), store_dir)
+
+    triples = read_kg(
+        store_dir,
+        preds=["http://schema.org/inLanguage", "http://schema.org/source"],
+        columns=["subj", "pred", "obj_value"],
+    )
+    return aggregate_bindings(
+        triples,
+        [
+            ("?d", "http://schema.org/inLanguage", "zh"),
+            ("?d", "http://schema.org/source", "?src"),
+        ],
+        ["src"],
+    )
+
+
 QUERIES = {
     "rdfa_text_triples": q_rdfa_text_triples,
     "rdfa_typed_triples": q_rdfa_typed_triples,
@@ -1606,6 +1639,7 @@ QUERIES = {
     "kg_construct": q_kg_construct,
     "kg_ask": q_kg_ask,
     "kg_group_count": q_kg_group_count,
+    "kg_store_group_count": q_kg_store_group_count,
     "kg_describe": q_kg_describe,
     "kg_order_limit": q_kg_order_limit,
     "kg_graph_diff": q_kg_graph_diff,
@@ -2065,6 +2099,15 @@ ORACLE_SQL = {
         % _TYPED_TRIPLES_SQL
     ),
     "kg_group_count": (
+        "WITH t AS (%s) "
+        "SELECT t2.obj_value AS src, COUNT(*) AS n"
+        " FROM t t1 JOIN t t2 ON t2.subj = t1.subj"
+        " WHERE t1.pred = 'http://schema.org/inLanguage' AND t1.obj_value = 'zh'"
+        " AND t2.pred = 'http://schema.org/source' GROUP BY t2.obj_value"
+        % _TYPED_TRIPLES_SQL
+    ),
+    # same answer through the persisted predicate-partitioned store
+    "kg_store_group_count": (
         "WITH t AS (%s) "
         "SELECT t2.obj_value AS src, COUNT(*) AS n"
         " FROM t t1 JOIN t t2 ON t2.subj = t1.subj"
