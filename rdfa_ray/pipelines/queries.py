@@ -1533,6 +1533,69 @@ def q_kg_distinct_src(sf_dir: str):
     return distinct_bindings(b, ["src"])
 
 
+def q_kg_agg_stats(sf_dir: str):
+    """SPARQL 1.1 aggregate set over one GROUP BY: per-source COUNT /
+    SUM / AVG / MIN / MAX of the Chinese documents' character counts,
+    with HAVING COUNT(*) > 1 pruning singleton groups.  Algebraic
+    partials combine map-side; one bucketed exchange of partial rows."""
+    from ..stages.bgp import bgp_match
+    from ..stages.sparql import grouped_aggregate
+
+    b = bgp_match(
+        _typed_triples(sf_dir),
+        [
+            ("?d", "http://schema.org/inLanguage", "zh"),
+            ("?d", "http://schema.org/source", "?src"),
+            ("?d", "http://schema.org/characterCount", "?n"),
+        ],
+    )
+    return grouped_aggregate(
+        b,
+        ["src"],
+        [
+            ("count", None, "n_docs"),
+            ("sum", "n", "sum_chars"),
+            ("avg", "n", "avg_chars"),
+            ("min", "n", "min_chars", "num"),
+            ("max", "n", "max_chars", "num"),
+        ],
+        having=lambda df: df["n_docs"] > 1,
+    )
+
+
+def q_kg_group_concat(sf_dir: str):
+    """SPARQL GROUP_CONCAT + SAMPLE: per-source sorted ','-join of the
+    documents' languages plus a deterministic SAMPLE witness (the MIN
+    value — SPARQL permits any; fixing it keeps runs reproducible and
+    oracle-comparable)."""
+    import pandas as pd
+
+    from ..stages.bgp import bgp_match
+    from ..stages.sparql import grouped_aggregate
+
+    b = bgp_match(
+        _typed_triples(sf_dir),
+        [
+            ("?d", "http://schema.org/source", "?src"),
+            ("?d", "http://schema.org/inLanguage", "?l"),
+        ],
+    )
+    out = grouped_aggregate(
+        b,
+        ["src"],
+        [
+            ("group_concat", "l", "langs"),
+            ("sample", "l", "sample_lang"),
+        ],
+    )
+
+    def to_commas(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["langs"] = batch["langs"].str.replace("\x1f", ",")
+        return batch
+
+    return out.map_batches(to_commas, batch_format="pandas")
+
+
 def q_kg_store_group_count(sf_dir: str):
     """The persisted-KG path end-to-end: construct the graph ONCE into
     a predicate-partitioned Parquet store (idempotent; sentinel written
@@ -1640,6 +1703,8 @@ QUERIES = {
     "kg_ask": q_kg_ask,
     "kg_group_count": q_kg_group_count,
     "kg_store_group_count": q_kg_store_group_count,
+    "kg_agg_stats": q_kg_agg_stats,
+    "kg_group_concat": q_kg_group_concat,
     "kg_describe": q_kg_describe,
     "kg_order_limit": q_kg_order_limit,
     "kg_graph_diff": q_kg_graph_diff,
@@ -2105,6 +2170,30 @@ ORACLE_SQL = {
         " WHERE t1.pred = 'http://schema.org/inLanguage' AND t1.obj_value = 'zh'"
         " AND t2.pred = 'http://schema.org/source' GROUP BY t2.obj_value"
         % _TYPED_TRIPLES_SQL
+    ),
+    "kg_agg_stats": (
+        "WITH t AS (%s) "
+        "SELECT t2.obj_value AS src, COUNT(*) AS n_docs,"
+        " CAST(SUM(CAST(t3.obj_value AS BIGINT)) AS BIGINT) AS sum_chars,"
+        " AVG(CAST(t3.obj_value AS BIGINT)) AS avg_chars,"
+        " MIN(CAST(t3.obj_value AS BIGINT)) AS min_chars,"
+        " MAX(CAST(t3.obj_value AS BIGINT)) AS max_chars"
+        " FROM t t1 JOIN t t2 ON t2.subj = t1.subj"
+        " JOIN t t3 ON t3.subj = t1.subj"
+        " WHERE t1.pred = 'http://schema.org/inLanguage' AND t1.obj_value = 'zh'"
+        " AND t2.pred = 'http://schema.org/source'"
+        " AND t3.pred = 'http://schema.org/characterCount'"
+        " GROUP BY t2.obj_value HAVING COUNT(*) > 1" % _TYPED_TRIPLES_SQL
+    ),
+    "kg_group_concat": (
+        "WITH t AS (%s) "
+        "SELECT t1.obj_value AS src,"
+        " string_agg(t2.obj_value, ',' ORDER BY t2.obj_value) AS langs,"
+        " MIN(t2.obj_value) AS sample_lang"
+        " FROM t t1 JOIN t t2 ON t2.subj = t1.subj"
+        " WHERE t1.pred = 'http://schema.org/source'"
+        " AND t2.pred = 'http://schema.org/inLanguage'"
+        " GROUP BY t1.obj_value" % _TYPED_TRIPLES_SQL
     ),
     # same answer through the persisted predicate-partitioned store
     "kg_store_group_count": (

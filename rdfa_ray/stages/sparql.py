@@ -454,6 +454,114 @@ def aggregate_bindings(triples_ds, patterns, group_vars, n_buckets: int = 64):
     return bindings.groupby(list(group_vars)).aggregate(Count(alias_name="n"))
 
 
+def grouped_aggregate(bindings, group_vars, aggs, having=None, n_buckets: int = 64):
+    """SPARQL GROUP BY with the full 1.1 aggregate set (§18.5.1):
+    COUNT / SUM / AVG / MIN / MAX / SAMPLE / GROUP_CONCAT, plus HAVING.
+
+    ``aggs``: list of ``(fn, var, alias)`` or ``(fn, var, alias,
+    "num")`` — ``fn`` one of ``count`` (var ignored, COUNT(*)),
+    ``sum``/``avg``/``min``/``max`` (var cast to float64 for sum/avg;
+    min/max stay in the var's dtype unless the ``"num"`` flag casts
+    them — SPARQL compares literals by datatype, and bindings carry
+    lexical forms),
+    ``sample`` (deterministic: the MIN value — SPARQL allows any
+    witness, a fixed choice keeps runs reproducible), ``group_concat``
+    (values globally sorted then ``sep``-joined, the deterministic
+    order DuckDB's ``string_agg(... ORDER BY ...)`` mirrors).
+
+    Two-level plan: a vectorized per-batch pandas groupby emits ONE
+    partial row per (group, block) — algebraic partials (counts, sums,
+    mins, maxes, avg's sum+count pair) stay fixed-width; only
+    group_concat's partial grows with the batch's values (it is
+    holistic — callers should reserve it for bounded-cardinality
+    columns, same caveat as any engine's STRING_AGG).  Partials then
+    shuffle ONCE bucketed by group-key hash and reduce vectorized per
+    bucket.  A hot group contributes num_blocks partial rows, not its
+    row count.  ``having``: a callable final-frame -> boolean mask,
+    applied map-side after the reduce (SPARQL Having is a Filter over
+    the aggregated solutions)."""
+    import pandas as pd
+
+    from ..functions.hashing import crc32_bucket_concat
+
+    gvars = list(group_vars)
+    sep = "\x1f"
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame()
+        work = batch[gvars].copy()
+        named = {}
+        for fn, var, alias, *flags in aggs:
+            numeric = "num" in flags
+            if fn == "count":
+                named["c__" + alias] = (gvars[0], "size")
+            elif fn in ("sum", "avg"):
+                work["__num_" + alias] = pd.to_numeric(batch[var], errors="coerce")
+                named["s__" + alias] = ("__num_" + alias, "sum")
+                if fn == "avg":
+                    named["n__" + alias] = ("__num_" + alias, "count")
+            elif fn in ("min", "max", "sample"):
+                work["__v_" + alias] = (
+                    pd.to_numeric(batch[var], errors="coerce") if numeric else batch[var]
+                )
+                prefix = {"min": "m__", "max": "m__", "sample": "w__"}[fn]
+                named[prefix + alias] = ("__v_" + alias, "max" if fn == "max" else "min")
+            elif fn == "group_concat":
+                work["__v_" + alias] = batch[var].astype(str)
+                named["g__" + alias] = (
+                    "__v_" + alias,
+                    lambda s: sep.join(sorted(s)),
+                )
+            else:
+                raise ValueError("unknown aggregate %r" % fn)
+        res = work.groupby(gvars, sort=False).agg(**named).reset_index()
+        tbl = pa.Table.from_pandas(res, preserve_index=False)
+        return tbl.append_column(
+            "__bucket", crc32_bucket_concat(tbl, gvars, n_buckets)
+        ).to_pandas()
+
+    def reduce_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        if not len(group):
+            empty = {v: pd.Series([], dtype="object") for v in gvars}
+            for fn, _v, alias, *_ in aggs:
+                empty[alias] = pd.Series(
+                    [], dtype="int64" if fn == "count" else ("float64" if fn in ("sum", "avg") else "object")
+                )
+            return pd.DataFrame(empty)
+        gb = group.groupby(gvars, sort=False)
+        first = True
+        for fn, _var, alias, *_ in aggs:
+            if fn == "count":
+                s = gb["c__" + alias].sum()
+            elif fn == "sum":
+                s = gb["s__" + alias].sum()
+            elif fn == "avg":
+                s = gb["s__" + alias].sum() / gb["n__" + alias].sum()
+            elif fn in ("min", "sample"):
+                key = ("m__" if fn == "min" else "w__") + alias
+                s = gb[key].min()
+            elif fn == "max":
+                s = gb["m__" + alias].max()
+            else:  # group_concat: merge partials, re-sort tokens, re-join
+                s = gb["g__" + alias].agg(
+                    lambda ss: sep.join(sorted(x for v in ss for x in v.split(sep)))
+                )
+            if first:
+                out = s.reset_index()[gvars]
+                first = False
+            out[alias] = s.to_numpy()
+        if having is not None:
+            out = out[having(out)]
+        return out.reset_index(drop=True)
+
+    return (
+        bindings.map_batches(partial, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(reduce_bucket, batch_format="pandas")
+    )
+
+
 def describe(triples_ds, patterns, var, n_buckets: int = 64):
     """SPARQL DESCRIBE ?v: every triple whose SUBJECT is a solution of
     ?v under the BGP (the simple-subject description rdflib's

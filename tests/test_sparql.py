@@ -278,3 +278,73 @@ def test_distinct_bindings(ray_session):
     b = bgp_match(dup, [("?d", "src", "?s")], n_buckets=4)
     out = distinct_bindings(b, ["s"], n_buckets=4)
     assert _rows(out, ["s"]) == [("s1",), ("s2",)]
+
+
+def test_grouped_aggregate_full_set(ray_session):
+    """All SPARQL 1.1 aggregates in one GROUP BY, with partials forced
+    to merge across blocks (override_num_blocks splits the input)."""
+    from rdfa_ray.stages.bgp import bgp_match
+    from rdfa_ray.stages.sparql import grouped_aggregate
+
+    rows = []
+    for i, (src, n) in enumerate(
+        [("s1", 10), ("s1", 30), ("s1", 2), ("s2", 5), ("s2", 7), ("s3", 100)]
+    ):
+        d = "d%d" % i
+        rows += [(d, "src", src), (d, "chars", str(n))]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "subj": pa.array([r[0] for r in rows], pa.string()),
+                "pred": pa.array([r[1] for r in rows], pa.string()),
+                "obj_value": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+    ).repartition(5)
+
+    b = bgp_match(ds, [("?d", "src", "?s"), ("?d", "chars", "?n")], n_buckets=4)
+    out = grouped_aggregate(
+        b,
+        ["s"],
+        [
+            ("count", None, "n_docs"),
+            ("sum", "n", "sum_chars"),
+            ("avg", "n", "avg_chars"),
+            ("min", "n", "min_chars", "num"),
+            ("max", "n", "max_chars", "num"),
+            ("group_concat", "n", "all_chars"),
+            ("sample", "s", "witness"),
+        ],
+        n_buckets=4,
+    ).to_pandas().sort_values("s").reset_index(drop=True)
+
+    assert list(out["s"]) == ["s1", "s2", "s3"]
+    assert list(out["n_docs"]) == [3, 2, 1]
+    assert list(out["sum_chars"]) == [42, 12, 100]
+    assert list(out["avg_chars"]) == [14.0, 6.0, 100.0]
+    assert list(out["min_chars"]) == [2, 5, 100]
+    assert list(out["max_chars"]) == [30, 7, 100]
+    # group_concat merges partials then re-sorts tokens (string sort)
+    assert list(out["all_chars"]) == ["10\x1f2\x1f30", "5\x1f7", "100"]
+    assert list(out["witness"]) == ["s1", "s2", "s3"]
+
+
+def test_grouped_aggregate_having_and_lex_minmax(ray_session):
+    from rdfa_ray.stages.bgp import bgp_match
+    from rdfa_ray.stages.sparql import grouped_aggregate
+
+    b = bgp_match(GRAPH, [("?d", "lang", "?l")], n_buckets=4)
+    # lexicographic (default, no "num" flag) min over strings
+    out = grouped_aggregate(
+        b, ["l"], [("count", None, "n"), ("min", "d", "first_doc")], n_buckets=4
+    )
+    assert _rows(out, ["l", "n", "first_doc"]) == [("en", 1, "b"), ("zh", 1, "a")]
+    # HAVING prunes groups after the reduce
+    pruned = grouped_aggregate(
+        b,
+        ["l"],
+        [("count", None, "n")],
+        having=lambda df: df["n"] > 1,
+        n_buckets=4,
+    )
+    assert pruned.count() == 0
