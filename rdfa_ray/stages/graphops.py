@@ -96,25 +96,49 @@ def graph_union(a_ds, b_ds, n_buckets: int = 64):
 
 def graph_diff(a_ds, b_ds, n_buckets: int = 64):
     """rdflib.compare.graph_diff analogue: one Dataset labeled
-    ``region`` in ('both', 'only_a', 'only_b')."""
-    a_ds = a_ds.materialize()
-    b_ds = b_ds.materialize()
+    ``region`` in ('both', 'only_a', 'only_b').
 
-    def lab(region):
+    ONE exchange: both sides are tagged and bucketed by packed-key
+    hash, then each bucket labels its keys with a vectorized co-group
+    (hash-based ``groupby().transform`` presence flags — no per-key
+    Python).  Round 3 replaced the previous three bucketed joins
+    (semi + 2x anti), which shuffled both graphs three times each, with
+    this single pass — same output, one-third the exchange volume."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.hashing import crc32_bucket
+
+    def tag(side):
         def f(batch: pa.Table) -> pa.Table:
-            return batch.append_column(
-                "region", pa.nulls(batch.num_rows, pa.string()).fill_null(region)
+            keys = _pack(batch)
+            return pa.Table.from_pydict(
+                {**{c: pc.cast(batch.column(c), pa.string()) for c in _COLS},
+                 "__k": keys,
+                 "__side": pa.nulls(batch.num_rows, pa.string()).fill_null(side),
+                 "__bucket": crc32_bucket(keys, n_buckets)}
             )
 
         return f
 
-    both = graph_intersection(a_ds, b_ds, n_buckets).map_batches(
-        lab("both"), batch_format="pyarrow"
+    merged = a_ds.map_batches(tag("a"), batch_format="pyarrow").union(
+        b_ds.map_batches(tag("b"), batch_format="pyarrow")
     )
-    only_a = graph_difference(a_ds, b_ds, n_buckets).map_batches(
-        lab("only_a"), batch_format="pyarrow"
-    )
-    only_b = graph_difference(b_ds, a_ds, n_buckets).map_batches(
-        lab("only_b"), batch_format="pyarrow"
-    )
-    return both.union(only_a).union(only_b)
+
+    out_cols = [*_COLS, "region"]
+
+    def label(group: pd.DataFrame) -> pd.DataFrame:
+        if not len(group):
+            return pd.DataFrame({c: pd.Series([], dtype="object") for c in out_cols})
+        d = group.drop_duplicates(["__k", "__side"])
+        by_key = d.groupby("__k", sort=False)
+        in_a = d["__side"].eq("a").groupby(d["__k"], sort=False).transform("max")
+        in_b = d["__side"].eq("b").groupby(d["__k"], sort=False).transform("max")
+        del by_key
+        region = np.where(in_a & in_b, "both", np.where(in_a, "only_a", "only_b"))
+        d = d.assign(region=region)
+        # one row per triple key; sides carry identical triple columns
+        d = d[~d["__k"].duplicated()]
+        return d[out_cols].reset_index(drop=True)
+
+    return merged.groupby("__bucket").map_groups(label, batch_format="pandas")
