@@ -1533,6 +1533,23 @@ def q_kg_distinct_src(sf_dir: str):
     return distinct_bindings(b, ["src"])
 
 
+def q_contamination(sf_dir: str):
+    """Benchmark-contamination sweep: a deterministic synthetic
+    benchmark set (one 8-word passage from every 97th document) is
+    broadcast, and every document containing any passage as a
+    consecutive word sequence is flagged — one streaming shingle pass
+    over the corpus, key-sized distinct at the end."""
+    import ray.data as rd
+
+    from ..stages.contamination import extract_needles, flag_contaminated
+
+    docs = rd.read_parquet(
+        "%s/documents.parquet" % sf_dir, columns=["doc_id", "text"]
+    )
+    needles = extract_needles(docs)
+    return flag_contaminated(docs, needles)
+
+
 def q_kg_agg_stats(sf_dir: str):
     """SPARQL 1.1 aggregate set over one GROUP BY: per-source COUNT /
     SUM / AVG / MIN / MAX of the Chinese documents' character counts,
@@ -1704,6 +1721,7 @@ QUERIES = {
     "kg_group_count": q_kg_group_count,
     "kg_store_group_count": q_kg_store_group_count,
     "kg_agg_stats": q_kg_agg_stats,
+    "contamination": q_contamination,
     "kg_group_concat": q_kg_group_concat,
     "kg_describe": q_kg_describe,
     "kg_order_limit": q_kg_order_limit,
@@ -2170,6 +2188,14 @@ ORACLE_SQL = {
         " WHERE t1.pred = 'http://schema.org/inLanguage' AND t1.obj_value = 'zh'"
         " AND t2.pred = 'http://schema.org/source' GROUP BY t2.obj_value"
         % _TYPED_TRIPLES_SQL
+    ),
+    "contamination": (
+        "WITH needles AS ("
+        " SELECT array_to_string(array_slice(string_split(text, ' '), 11, 18), ' ')"
+        " AS needle FROM documents"
+        " WHERE doc_id % 97 = 0 AND len(string_split(text, ' ')) >= 18) "
+        "SELECT DISTINCT d.doc_id FROM documents d JOIN needles n"
+        " ON position(' ' || n.needle || ' ' IN ' ' || d.text || ' ') > 0"
     ),
     "kg_agg_stats": (
         "WITH t AS (%s) "

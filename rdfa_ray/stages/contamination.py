@@ -1,0 +1,87 @@
+"""Benchmark-contamination detection — flag corpus documents that
+contain any benchmark passage verbatim (the pre-training hygiene step
+run before every LLM data release; same shape as the n-gram overlap
+checks in the GPT-3/PaLM appendices).
+
+Distribution shape: the benchmark side is SMALL by definition (a test
+set), so it is broadcast — ``ray.put`` of a frozen needle set once,
+read inside every ``map_batches`` task — and the corpus side streams:
+each batch is shingled into word n-grams VECTORIZED (one explode +
+n-1 shifted concatenations over the flattened token array; windows
+crossing document boundaries masked out), and membership is one
+C-level hash-set ``isin`` per batch.  No shuffle touches document
+text; the only exchange is the final distinct over flagged doc_ids
+(key-sized rows).  At 100 TB this is a single streaming pass.
+
+Matching is word-boundary-exact: a needle hits only where its full
+word sequence appears (the SQL-oracle equivalent is
+``position(' '||needle||' ' IN ' '||text||' ')``), never mid-token.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def extract_needles(docs_ds, every: int = 97, start: int = 10, n_words: int = 8):
+    """Deterministic synthetic benchmark set: from every ``every``-th
+    document with at least ``start + n_words`` words, the ``n_words``-word
+    window beginning at word ``start``.  Returns a small list of needle
+    strings (the broadcast side).  In production this is the real
+    benchmark corpus, read once."""
+
+    def pick(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = pc.cast(batch.column("doc_id"), pa.int64())
+        keep = pc.equal(
+            pc.subtract(ids, pc.multiply(pc.divide(ids, every), every)), 0
+        )
+        sel = batch.filter(keep)
+        needles = []
+        for text in sel.column("text").to_pylist():
+            words = (text or "").split(" ")
+            if len(words) >= start + n_words:
+                needles.append(" ".join(words[start : start + n_words]))
+        return pa.Table.from_pydict({"needle": pa.array(needles, pa.string())})
+
+    # tiny by construction (1 row per `every` docs) -> driver collect
+    return [r["needle"] for r in docs_ds.map_batches(pick, batch_format="pyarrow").take_all()]
+
+
+def flag_contaminated(docs_ds, needles, n_words: int = 8):
+    """(doc_id, text) -> distinct (doc_id) rows for every document
+    containing at least one needle as a consecutive word sequence."""
+    import ray
+
+    from .distinct import distinct
+
+    needle_ref = ray.put(frozenset(needles))
+
+    def flag(batch: pd.DataFrame) -> pd.DataFrame:
+        needle_set = ray.get(needle_ref)
+        if not len(batch) or not needle_set:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+        toks = batch["text"].fillna("").str.split(" ")
+        flat = toks.explode()
+        parents = flat.index.to_numpy()
+        words = flat.to_numpy(dtype=object)
+        n = len(words)
+        if n < n_words:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+        m = n - n_words + 1
+        # windows whose first and last token share a document
+        valid = parents[:m] == parents[n_words - 1 :]
+        win = words[:m].copy()
+        for k in range(1, n_words):
+            win = win + " "
+            win = win + words[k : m + k]
+        hits = pd.Series(win[valid]).isin(needle_set).to_numpy()
+        hit_parents = parents[:m][valid][hits]
+        doc_ids = batch["doc_id"].to_numpy()[np.unique(hit_parents)]
+        return pd.DataFrame({"doc_id": pd.Series(doc_ids, dtype="int64")})
+
+    flagged = docs_ds.map_batches(flag, batch_format="pandas")
+    return distinct(flagged, ["doc_id"])

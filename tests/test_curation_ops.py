@@ -142,3 +142,56 @@ def test_heavy_hitters_exact_when_under_k(ray_session):
     out = heavy_hitters(ds, "v", k=16).to_pandas()
     got = dict(zip(out["key"], out["est_count"]))
     assert got == {"a": 5, "b": 3, "c": 1}
+
+
+def test_contamination_planted(ray_session):
+    """A benchmark passage planted mid-document is flagged; word-
+    boundary matching rejects the mid-token lookalike."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rdfa_ray.stages.contamination import flag_contaminated
+
+    needle = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": pa.array(
+                    [
+                        "clean words only here nothing shared with anything",
+                        "prefix words %s suffix words" % needle,
+                        # mid-token: 'xalpha' != word 'alpha'
+                        "prefix xalpha beta gamma delta epsilon zeta eta theta tail",
+                        needle,  # exact-document match
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+    ).repartition(3)
+
+    out = flag_contaminated(docs, [needle]).to_pandas()
+    assert sorted(out["doc_id"]) == [2, 4]
+
+    # empty needle set flags nothing
+    assert flag_contaminated(docs, []).count() == 0
+
+
+def test_extract_needles_deterministic(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rdfa_ray.stages.contamination import extract_needles
+
+    words = " ".join("w%d" % i for i in range(30))
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 5, 97, 194], pa.int64()),
+                "text": pa.array([words] * 4, pa.string()),
+            }
+        )
+    )
+    needles = extract_needles(docs, every=97, start=10, n_words=8)
+    assert needles == [" ".join("w%d" % i for i in range(10, 18))] * 3
