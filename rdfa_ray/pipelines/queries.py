@@ -1550,6 +1550,30 @@ def q_contamination(sf_dir: str):
     return flag_contaminated(docs, needles)
 
 
+def q_kg_path_neg(sf_dir: str):
+    """Negated property set !(rdf:type|schema:characterCount): every
+    edge reached through any OTHER predicate — one map-side scan,
+    zero shuffle."""
+    from ..stages.sparql import path_edges
+
+    return path_edges(
+        _typed_triples(sf_dir),
+        (
+            "neg",
+            _RDF_TYPE,
+            "http://schema.org/characterCount",
+        ),
+    )
+
+
+def q_kg_path_opt(sf_dir: str):
+    """Zero-or-one path source?: the source edges plus the zero-length
+    identity over every graph term (SPARQL 1.1 ZeroOrOnePath)."""
+    from ..stages.sparql import path_edges
+
+    return path_edges(_typed_triples(sf_dir), ("opt", "http://schema.org/source"))
+
+
 def q_kg_agg_stats(sf_dir: str):
     """SPARQL 1.1 aggregate set over one GROUP BY: per-source COUNT /
     SUM / AVG / MIN / MAX of the Chinese documents' character counts,
@@ -1722,6 +1746,8 @@ QUERIES = {
     "kg_store_group_count": q_kg_store_group_count,
     "kg_agg_stats": q_kg_agg_stats,
     "contamination": q_contamination,
+    "kg_path_neg": q_kg_path_neg,
+    "kg_path_opt": q_kg_path_opt,
     "kg_group_concat": q_kg_group_concat,
     "kg_describe": q_kg_describe,
     "kg_order_limit": q_kg_order_limit,
@@ -2188,6 +2214,19 @@ ORACLE_SQL = {
         " WHERE t1.pred = 'http://schema.org/inLanguage' AND t1.obj_value = 'zh'"
         " AND t2.pred = 'http://schema.org/source' GROUP BY t2.obj_value"
         % _TYPED_TRIPLES_SQL
+    ),
+    "kg_path_neg": (
+        "WITH t AS (%s) "
+        "SELECT subj AS src, obj_value AS dst FROM t WHERE pred NOT IN"
+        " ('http://www.w3.org/1999/02/22-rdf-syntax-ns#type',"
+        " 'http://schema.org/characterCount')" % _TYPED_TRIPLES_SQL
+    ),
+    "kg_path_opt": (
+        "WITH t AS (%s), terms AS ("
+        " SELECT subj AS t FROM t UNION SELECT obj_value FROM t) "
+        "SELECT subj AS src, obj_value AS dst FROM t"
+        " WHERE pred = 'http://schema.org/source'"
+        " UNION SELECT t, t FROM terms" % _TYPED_TRIPLES_SQL
     ),
     "contamination": (
         "WITH needles AS ("

@@ -329,7 +329,9 @@ def path_edges(triples_ds, path, n_buckets: int = 64):
 
     ``path``: an IRI string, or a tuple ``("seq", p1, p2, ...)``,
     ``("alt", p1, p2, ...)``, ``("inv", p)``, ``("plus", p)``,
-    ``("star", p)``.
+    ``("star", p)``, ``("opt", p)`` (zero-or-one), or
+    ``("neg", iri1, iri2, ...)`` (negated property set — every edge
+    whose predicate is NOT in the set; map-side scan, zero shuffle).
     """
     if isinstance(path, str):
         scan = _scan(triples_ds, ("?src", path, "?dst"))
@@ -400,6 +402,35 @@ def path_edges(triples_ds, path, n_buckets: int = 64):
         from .distinct import distinct
 
         return distinct(plus.union(zero), ["src", "dst"])
+    if op == "opt":  # p? — zero-or-one (SPARQL 1.1 §9.1 ZeroOrOnePath)
+        one = path_edges(triples_ds, args[0], n_buckets)
+        zero = _graph_terms(triples_ds).map_batches(
+            lambda t: pa.Table.from_pydict(
+                {"src": t.column("t"), "dst": t.column("t")}
+            ),
+            batch_format="pyarrow",
+        )
+        # a reflexive p-edge (n -p-> n) coincides with its zero-length
+        # pair, so distinct the union (same reasoning as star)
+        from .distinct import distinct
+
+        return distinct(one.union(zero), ["src", "dst"])
+    if op == "neg":  # !(p1|...|pn) — negated property set (§9.1)
+        # map-side only: one scan keeping edges whose predicate is
+        # OUTSIDE the excluded set — no join, no shuffle
+        excluded = pa.array(sorted(set(args)), pa.string())
+
+        def keep(batch: pa.Table) -> pa.Table:
+            mask = pc.invert(pc.is_in(batch.column("pred"), excluded))
+            kept = batch.filter(mask)
+            return pa.Table.from_pydict(
+                {
+                    "src": pc.cast(kept.column("subj"), pa.string()),
+                    "dst": pc.cast(kept.column("obj_value"), pa.string()),
+                }
+            )
+
+        return triples_ds.map_batches(keep, batch_format="pyarrow")
     raise ValueError("unknown path operator %r" % (op,))
 
 

@@ -348,3 +348,23 @@ def test_grouped_aggregate_having_and_lex_minmax(ray_session):
         n_buckets=4,
     )
     assert pruned.count() == 0
+
+
+def test_path_opt_zero_or_one(ray_session):
+    from rdfa_ray.stages.sparql import path_edges
+
+    out = _rows(path_edges(GRAPH, ("opt", "next"), n_buckets=4), ["src", "dst"])
+    # one-step next edges ...
+    assert ("a", "b") in out and ("b", "c") in out
+    # ... plus the zero-length identity over EVERY graph term
+    for t in ("a", "b", "c", "x", "Doc", "zh"):
+        assert (t, t) in out
+    # but no two-step pair (that would be plus/star)
+    assert ("a", "c") not in out
+
+
+def test_path_negated_property_set(ray_session):
+    from rdfa_ray.stages.sparql import path_edges
+
+    out = _rows(path_edges(GRAPH, ("neg", "type", "lang"), n_buckets=4), ["src", "dst"])
+    assert out == sorted([("a", "b"), ("b", "c"), ("x", "a")])
