@@ -747,6 +747,17 @@ def q_quality_signals(sf_dir: str):
     return analyze_text(docs).select_columns(["doc_id", "stopword_ratio", "lang_pred"])
 
 
+def q_repetition_signals(sf_dir: str):
+    """Duplicate-3-gram counts per document (the Gopher repetition
+    rule's inputs) — one map-side shingle pass, no shuffle."""
+    import ray.data as rd
+
+    from ..stages.text import repetition_signals
+
+    docs = rd.read_parquet("%s/documents.parquet" % sf_dir, columns=["doc_id", "text"])
+    return repetition_signals(docs)
+
+
 def q_fingerprints_rolling(sf_dir: str):
     import ray.data as rd
 
@@ -1747,6 +1758,7 @@ QUERIES = {
     "kg_agg_stats": q_kg_agg_stats,
     "contamination": q_contamination,
     "kg_path_neg": q_kg_path_neg,
+    "repetition_signals": q_repetition_signals,
     "kg_path_opt": q_kg_path_opt,
     "kg_group_concat": q_kg_group_concat,
     "kg_describe": q_kg_describe,
@@ -2214,6 +2226,16 @@ ORACLE_SQL = {
         " WHERE t1.pred = 'http://schema.org/inLanguage' AND t1.obj_value = 'zh'"
         " AND t2.pred = 'http://schema.org/source' GROUP BY t2.obj_value"
         % _TYPED_TRIPLES_SQL
+    ),
+    "repetition_signals": (
+        "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),"
+        " g AS (SELECT doc_id,"
+        "  array_to_string(array_slice(ws, i, i + 2), ' ') AS gram"
+        "  FROM w, LATERAL unnest(generate_series(1, len(ws) - 2)) AS s(i)"
+        "  WHERE len(ws) >= 3) "
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,"
+        " CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_distinct"
+        " FROM g GROUP BY doc_id"
     ),
     "kg_path_neg": (
         "WITH t AS (%s) "

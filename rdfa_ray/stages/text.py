@@ -97,6 +97,55 @@ def analyze_text(docs_ds, concurrency=(2, 8)):
     )
 
 
+def repetition_signals(docs_ds, n: int = 3):
+    """Within-document repetition (the Gopher-rule family: drop docs
+    whose duplicate-n-gram fraction is high): per doc, the total and
+    distinct word-``n``-gram counts.  Entirely map-side — a document's
+    text lives in one row, so its n-grams are complete within the
+    block; the shingling is one explode + ``n-1`` shifted
+    concatenations (no per-row Python), and the counts are one
+    C-level pandas groupby (size + nunique).  Emits integers, not a
+    ratio, so the SQL oracle compares hash-exact."""
+    import numpy as np
+    import pandas as pd
+
+    def signals(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "n_grams": pd.Series([], dtype="int64"),
+                "n_distinct": pd.Series([], dtype="int64"),
+            }
+        )
+        if not len(batch):
+            return empty
+        toks = batch["text"].fillna("").str.split(" ")
+        flat = toks.explode()
+        parents = flat.index.to_numpy()
+        words = flat.to_numpy(dtype=object)
+        total = len(words)
+        if total < n:
+            return empty
+        m = total - n + 1
+        valid = parents[:m] == parents[n - 1 :]
+        win = words[:m].copy()
+        for k in range(1, n):
+            win = win + " "
+            win = win + words[k : m + k]
+        keep = pd.DataFrame({"p": parents[:m][valid], "g": win[valid]})
+        agg = keep.groupby("p")["g"].agg(["size", "nunique"])
+        doc_ids = batch["doc_id"].to_numpy()[agg.index.to_numpy()]
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc_ids, dtype="int64"),
+                "n_grams": agg["size"].to_numpy().astype(np.int64),
+                "n_distinct": agg["nunique"].to_numpy().astype(np.int64),
+            }
+        )
+
+    return docs_ds.map_batches(signals, batch_format="pandas")
+
+
 def rolling_fingerprints(docs_ds, window: int = 8):
     """Document fingerprinting via winnowed rolling hashes: for each doc,
     the min-sampled set of rolling word-window hashes (one row per

@@ -195,3 +195,30 @@ def test_extract_needles_deterministic(ray_session):
     )
     needles = extract_needles(docs, every=97, start=10, n_words=8)
     assert needles == [" ".join("w%d" % i for i in range(10, 18))] * 3
+
+
+def test_repetition_signals(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rdfa_ray.stages.text import repetition_signals
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [
+                        "a b c a b c a b c",  # 7 grams, 3 distinct
+                        "x y z w",            # 2 grams, 2 distinct
+                        "q r",                # too short: no grams
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+    ).repartition(2)
+    out = repetition_signals(docs).to_pandas().set_index("doc_id").sort_index()
+    assert list(out.index) == [1, 2]
+    assert out.loc[1, "n_grams"] == 7 and out.loc[1, "n_distinct"] == 3
+    assert out.loc[2, "n_grams"] == 2 and out.loc[2, "n_distinct"] == 2
