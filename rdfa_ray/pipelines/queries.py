@@ -1585,6 +1585,52 @@ def q_kg_path_opt(sf_dir: str):
     return path_edges(_typed_triples(sf_dir), ("opt", "http://schema.org/source"))
 
 
+def q_kg_graph_scoped(sf_dir: str):
+    """SPARQL ``GRAPH ?g { ?d schema:source 'src1' ; schema:inLanguage
+    ?l }`` over the distilled QUADS: the named-graph variable rides the
+    subject join key (every distilled quad's (graph, subj) pair is
+    atomic — the flagship partitions on exactly this co-location), so
+    the BGP machinery runs unchanged and ?g unpacks afterwards
+    map-side.  No extra shuffle versus the triple-pattern plan."""
+    from ..stages.bgp import bgp_match
+
+    turns = typed_transcripts_from_documents(sf_dir)
+    quads = build_triples(turns).map_batches(split_triples, batch_format="pyarrow")
+
+    def pack(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "subj": pc.binary_join_element_wise(
+                    pc.cast(batch.column("graph"), pa.string()),
+                    pc.cast(batch.column("subj"), pa.string()),
+                    "\x1f",
+                ),
+                "pred": pc.cast(batch.column("pred"), pa.string()),
+                "obj_value": pc.cast(batch.column("obj_value"), pa.string()),
+            }
+        )
+
+    b = bgp_match(
+        quads.map_batches(pack, batch_format="pyarrow"),
+        [
+            ("?gs", "http://schema.org/source", "src1"),
+            ("?gs", "http://schema.org/inLanguage", "?l"),
+        ],
+    )
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(pc.cast(batch.column("gs"), pa.string()), "\x1f")
+        return pa.Table.from_pydict(
+            {
+                "g": pc.list_element(parts, 0),
+                "d": pc.list_element(parts, 1),
+                "l": pc.cast(batch.column("l"), pa.string()),
+            }
+        )
+
+    return b.map_batches(unpack, batch_format="pyarrow")
+
+
 def q_kg_agg_stats(sf_dir: str):
     """SPARQL 1.1 aggregate set over one GROUP BY: per-source COUNT /
     SUM / AVG / MIN / MAX of the Chinese documents' character counts,
@@ -1759,6 +1805,7 @@ QUERIES = {
     "contamination": q_contamination,
     "kg_path_neg": q_kg_path_neg,
     "repetition_signals": q_repetition_signals,
+    "kg_graph_scoped": q_kg_graph_scoped,
     "kg_path_opt": q_kg_path_opt,
     "kg_group_concat": q_kg_group_concat,
     "kg_describe": q_kg_describe,
@@ -2226,6 +2273,12 @@ ORACLE_SQL = {
         " WHERE t1.pred = 'http://schema.org/inLanguage' AND t1.obj_value = 'zh'"
         " AND t2.pred = 'http://schema.org/source' GROUP BY t2.obj_value"
         % _TYPED_TRIPLES_SQL
+    ),
+    "kg_graph_scoped": (
+        "SELECT 'http://graft.local/conv/' || printf('doc%08d', doc_id)"
+        " || '/turn/0' AS g,"
+        " 'http://docs.local/d' || CAST(doc_id AS VARCHAR) AS d,"
+        " lang AS l FROM documents WHERE source = 'src1'"
     ),
     "repetition_signals": (
         "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),"
