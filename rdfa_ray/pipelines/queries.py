@@ -1631,6 +1631,61 @@ def q_kg_graph_scoped(sf_dir: str):
     return b.map_batches(unpack, batch_format="pyarrow")
 
 
+def q_kg_store_update(sf_dir: str):
+    """SPARQL-Update analogue against the persisted store: DELETE the
+    'zh' language triples, INSERT their 'zh-Hans' retags (a vocabulary
+    migration), then answer language counts from the updated store.
+    Only the inLanguage partition is rewritten — the manifest
+    re-points the untouched predicates at their existing generation
+    directories.  Idempotent: a second run deletes nothing and
+    re-inserts triples already present (set semantics)."""
+    import hashlib as _hl
+
+    from ..stages.kgstore import persist_kg, read_kg, store_is_complete, update_kg
+    from ..stages.sparql import grouped_aggregate
+
+    lang_pred = "http://schema.org/inLanguage"
+    store_dir = "/tmp/graft_kgu_%s" % _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    if not store_is_complete(store_dir):
+        persist_kg(_typed_triples(sf_dir), store_dir)
+
+    langs = read_kg(store_dir, preds=[lang_pred])
+    zh = langs.filter(expr="obj_value == 'zh'")
+
+    def retag(batch: pa.Table) -> pa.Table:
+        if "subj" not in batch.column_names:  # schemaless empty block
+            return pa.Table.from_pydict(
+                {c: pa.array([], pa.string()) for c in ("subj", "pred", "obj_value")}
+            )
+        return pa.Table.from_pydict(
+            {
+                "subj": batch.column("subj"),
+                "pred": batch.column("pred"),
+                "obj_value": pc.replace_substring(
+                    pc.cast(batch.column("obj_value"), pa.string()), "zh", "zh-Hans"
+                ),
+            }
+        )
+
+    update_kg(
+        store_dir,
+        insert_ds=zh.map_batches(retag, batch_format="pyarrow"),
+        delete_ds=zh,
+    )
+
+    after = read_kg(store_dir, preds=[lang_pred], columns=["subj", "pred", "obj_value"])
+    return grouped_aggregate(
+        after.map_batches(
+            lambda t: pa.Table.from_pydict(
+                {"l": pc.cast(t.column("obj_value"), pa.string())}
+            ),
+            batch_format="pyarrow",
+        ),
+        ["l"],
+        [("count", None, "n")],
+    )
+
+
 def q_kg_agg_stats(sf_dir: str):
     """SPARQL 1.1 aggregate set over one GROUP BY: per-source COUNT /
     SUM / AVG / MIN / MAX of the Chinese documents' character counts,
@@ -1806,6 +1861,7 @@ QUERIES = {
     "kg_path_neg": q_kg_path_neg,
     "repetition_signals": q_repetition_signals,
     "kg_graph_scoped": q_kg_graph_scoped,
+    "kg_store_update": q_kg_store_update,
     "kg_path_opt": q_kg_path_opt,
     "kg_group_concat": q_kg_group_concat,
     "kg_describe": q_kg_describe,
@@ -2273,6 +2329,10 @@ ORACLE_SQL = {
         " WHERE t1.pred = 'http://schema.org/inLanguage' AND t1.obj_value = 'zh'"
         " AND t2.pred = 'http://schema.org/source' GROUP BY t2.obj_value"
         % _TYPED_TRIPLES_SQL
+    ),
+    "kg_store_update": (
+        "SELECT CASE WHEN lang = 'zh' THEN 'zh-Hans' ELSE lang END AS l,"
+        " COUNT(*) AS n FROM documents GROUP BY 1"
     ),
     "kg_graph_scoped": (
         "SELECT 'http://graft.local/conv/' || printf('doc%08d', doc_id)"

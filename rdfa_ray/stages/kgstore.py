@@ -5,26 +5,33 @@ documents per run; that is the right shape for one-shot pipelines but
 wrong for a standing knowledge graph that is queried many times.  This
 module splits construction from querying the way a production triple
 store would (vertical partitioning by predicate — the classic SW-Store
-/ property-table layout):
+/ property-table layout), and supports in-place evolution the way a
+table format would (manifest-swapped partition generations):
 
 * ``persist_kg``: ONE construction pass — each triple gets a
   deterministic ``pred_key`` partition token in ``map_batches`` and the
-  table is written as ``pred_key=…/``-partitioned Parquet.  The
-  ``_META`` json is the store's completeness sentinel, so it is written
-  (atomically, tmp+rename) only AFTER the triples dataset write
-  finishes — a crash mid-build leaves no sentinel and the next run
-  rebuilds; a partially-built store is never visible (same contract as
-  stages/ann_index.py).
+  table is written as one Parquet directory per predicate token.
 * ``read_kg``: reads ONLY the requested predicates' partitions
   (directory pruning at the storage layer; scan fraction ≈
   |preds| / |distinct preds|), with a residual equality filter because
   sanitization may collide distinct predicate IRIs into one token.
+* ``update_kg``: SPARQL-Update analogue (INSERT DATA / DELETE DATA,
+  rdflib Graph.update / add / remove): ONLY the partitions named by
+  the delta are rewritten, each as a new generation directory; the
+  manifest — rewritten atomically LAST — maps every predicate token to
+  its current generation's directory, so untouched partitions are
+  re-pointed, never copied, and a crash mid-update leaves the old
+  manifest reading the old snapshot (snapshot isolation for free).
+
+The ``_meta.json`` manifest doubles as the completeness sentinel: it
+is the LAST artifact written (atomically, tmp+rename) on both build
+and update — a store without it is invisible and gets rebuilt; stale
+generation directories are unreferenced, not corrupting (same contract
+as stages/ann_index.py).
 
 At cluster scale the store build is the only full-data pass; a BGP
-whose patterns bind 2 of 40 predicates opens 2/40ths of the files.
-Reference parity: rdflib persists graphs through its Store plugin API
-(rdflib/graph.py Graph.open/commit); this is that capability expressed
-as partitioned Parquet + pruned ``read_parquet``.
+whose patterns bind 2 of 40 predicates opens 2/40ths of the files, and
+a vocabulary-migration update touching one predicate rewrites 1/40th.
 """
 
 from __future__ import annotations
@@ -37,22 +44,106 @@ import pyarrow as pa
 
 _META = "_meta.json"
 _PRED_TOKEN_RE = re.compile(r"[^A-Za-z0-9]+")
+_COLS = ("subj", "pred", "obj_value")
 
 
 def pred_key(pred: str) -> str:
     """Deterministic partition token for a predicate IRI: the last two
     path/fragment segments, sanitized to [A-Za-z0-9_] and length-capped
-    (hive directory names must stay filesystem-safe).  Collisions are
-    allowed — readers re-filter on the full IRI."""
+    (partition directory names must stay filesystem-safe).  Collisions
+    are allowed — readers re-filter on the full IRI."""
     tail = re.split(r"[/#]", pred.rstrip("/#"))
     token = _PRED_TOKEN_RE.sub("_", "_".join(tail[-2:])).strip("_")
     return (token or "p")[:48]
 
 
 def store_is_complete(store_dir: str) -> bool:
-    """The meta file doubles as the build-complete sentinel: it is the
-    LAST artifact written (atomically)."""
-    return os.path.exists(os.path.join(store_dir, _META))
+    """The manifest doubles as the build/update-complete sentinel: it
+    is the LAST artifact written (atomically).  A manifest of an older
+    layout format counts as incomplete — callers rebuild rather than
+    silently misread a foreign generation scheme (the same fail-loud
+    rule the flagship's resume meta guard follows)."""
+    path = os.path.join(store_dir, _META)
+    if not os.path.exists(path):
+        return False
+    try:
+        with open(path) as f:
+            return json.load(f).get("format") == 2
+    except (OSError, ValueError):
+        return False
+
+
+def _read_meta(store_dir: str) -> dict:
+    with open(os.path.join(store_dir, _META)) as f:
+        return json.load(f)
+
+
+def _write_meta(store_dir: str, meta: dict) -> None:
+    tmp = os.path.join(store_dir, _META + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(store_dir, _META))
+
+
+def _add_key(batch: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    preds = batch.column("pred")
+    # vectorized via dictionary-encode: one pred_key() call per
+    # DISTINCT predicate in the block, not per row
+    enc = (
+        preds.combine_chunks().dictionary_encode()
+        if isinstance(preds, pa.ChunkedArray)
+        else preds.dictionary_encode()
+    )
+    keys = pa.array([pred_key(p) for p in enc.dictionary.to_pylist()], pa.string())
+    col = pa.DictionaryArray.from_arrays(enc.indices, keys).cast(pa.string())
+    return pa.Table.from_pydict(
+        {
+            **{c: pc.cast(batch.column(c), pa.string()) for c in _COLS},
+            "pred_key": col,
+        }
+    )
+
+
+def _write_generation(keyed_ds, store_dir: str, gen: int) -> dict:
+    """Write one hive pass under a staging dir, then move each
+    partition to its generation directory.  Returns {token: relpath}."""
+    import shutil
+
+    staging = os.path.join(store_dir, "_stage_g%d" % gen)
+    if os.path.isdir(staging):
+        shutil.rmtree(staging)
+    keyed_ds.write_parquet(staging, partition_cols=["pred_key"])
+
+    parts = {}
+    for d in sorted(os.listdir(staging)):
+        if not d.startswith("pred_key="):
+            continue
+        token = d.split("=", 1)[1]
+        rel = os.path.join("parts", "%s-g%d" % (token, gen))
+        dst = os.path.join(store_dir, rel)
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.replace(os.path.join(staging, d), dst)
+        parts[token] = rel
+    shutil.rmtree(staging)
+    return parts
+
+
+def _partition_files(store_dir: str, partitions: dict, tokens) -> list:
+    """Expand partition directories to their Parquet files (the pruned
+    read takes explicit file lists)."""
+    import glob as _glob
+
+    return [
+        f
+        for t in tokens
+        for f in sorted(
+            _glob.glob(os.path.join(store_dir, partitions[t], "*.parquet"))
+        )
+    ]
 
 
 def persist_kg(triples_ds, store_dir: str) -> dict:
@@ -60,79 +151,136 @@ def persist_kg(triples_ds, store_dir: str) -> dict:
     Returns the meta dict.  Predicate-partitioned so later reads prune;
     within a partition Ray writes one file per block, so reads
     parallelize without a repartition."""
+    import shutil
+
     os.makedirs(store_dir, exist_ok=True)
-    # a previous crashed build (no sentinel) may have left partial
-    # triple files; clear them so the rebuild can't mix generations
-    tri_dir = os.path.join(store_dir, "triples")
-    if os.path.isdir(tri_dir):
-        import shutil
+    # a previous crashed build (no manifest) may have left partial
+    # generation dirs; clear them so the rebuild can't mix generations
+    if not store_is_complete(store_dir):
+        for d in ("parts", "triples"):
+            p = os.path.join(store_dir, d)
+            if os.path.isdir(p):
+                shutil.rmtree(p)
 
-        shutil.rmtree(tri_dir)
-
-    def add_key(batch: pa.Table) -> pa.Table:
-        preds = batch.column("pred")
-        # vectorized via dictionary-encode: one pred_key() call per
-        # DISTINCT predicate in the block, not per row
-        enc = preds.combine_chunks().dictionary_encode() if isinstance(
-            preds, pa.ChunkedArray
-        ) else preds.dictionary_encode()
-        keys = pa.array([pred_key(p) for p in enc.dictionary.to_pylist()], pa.string())
-        col = pa.DictionaryArray.from_arrays(enc.indices, keys).cast(pa.string())
-        return batch.append_column("pred_key", col)
-
-    triples_ds.map_batches(add_key, batch_format="pyarrow").write_parquet(
-        tri_dir, partition_cols=["pred_key"]
+    parts = _write_generation(
+        triples_ds.map_batches(_add_key, batch_format="pyarrow"), store_dir, 1
     )
+    meta = {"format": 2, "generation": 1, "partitions": parts}
+    # manifest LAST: callers key "store already built" off this file,
+    # so it must not exist before the partition writes completed
+    _write_meta(store_dir, meta)
+    return meta
 
-    parts = sorted(
-        d.split("=", 1)[1]
-        for d in os.listdir(tri_dir)
-        if d.startswith("pred_key=")
+
+def update_kg(store_dir: str, insert_ds=None, delete_ds=None) -> dict:
+    """INSERT DATA / DELETE DATA against the store (deletes apply
+    first, matching SPARQL Update's single-request semantics).  Only
+    partitions whose predicate appears in the delta are rewritten —
+    each as a NEW generation directory, with the manifest re-pointed
+    atomically at the end.  Untouched partitions are carried by
+    reference.  A crash before the manifest write leaves the previous
+    snapshot fully readable."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from .distinct import distinct
+    from .graphops import graph_difference
+
+    meta = _read_meta(store_dir)
+    gen = meta["generation"] + 1
+
+    def delta_keys(ds):
+        if ds is None:
+            return set()
+
+        def uniq(b: pa.Table) -> pa.Table:
+            # an empty upstream block may arrive schemaless
+            if "pred" not in b.column_names:
+                return pa.Table.from_pydict({"pred": pa.array([], pa.string())})
+            return pa.Table.from_pydict(
+                {"pred": pc.unique(pc.cast(b.column("pred"), pa.string()))}
+            )
+
+        df = ds.map_batches(uniq, batch_format="pyarrow").to_pandas()
+        if "pred" not in df.columns:  # zero-block dataset
+            return set()
+        return {pred_key(p) for p in df["pred"].unique()}
+
+    touched = sorted(delta_keys(insert_ds) | delta_keys(delete_ds))
+    if not touched:
+        return meta
+
+    # current rows of ONLY the touched partitions (pruned read)
+    paths = _partition_files(
+        store_dir, meta["partitions"], [t for t in touched if t in meta["partitions"]]
     )
-    meta = {"format": 1, "partitions": parts}
-    # sentinel LAST: callers key "store already built" off this file,
-    # so it must not exist before the triples write completed
-    tmp = os.path.join(store_dir, _META + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, os.path.join(store_dir, _META))
+    if paths:
+        current = rd.read_parquet(paths, columns=list(_COLS))
+    else:
+        current = rd.from_arrow(
+            pa.Table.from_pydict({c: pa.array([], pa.string()) for c in _COLS})
+        )
+
+    updated = current
+    if delete_ds is not None:
+        # one bucketed anti join, key-sized rows on the delete side
+        updated = graph_difference(updated, delete_ds)
+    if insert_ds is not None:
+        ins = insert_ds.map_batches(
+            lambda b: pa.Table.from_pydict(
+                {c: pc.cast(b.column(c), pa.string()) for c in _COLS}
+            ),
+            batch_format="pyarrow",
+        )
+        updated = distinct(updated.union(ins), list(_COLS))
+
+    new_parts = _write_generation(
+        updated.map_batches(_add_key, batch_format="pyarrow"), store_dir, gen
+    )
+    partitions = dict(meta["partitions"])
+    for t in touched:
+        partitions.pop(t, None)  # delta may have emptied the partition
+    partitions.update(new_parts)
+    meta = {"format": 2, "generation": gen, "partitions": partitions}
+    _write_meta(store_dir, meta)
     return meta
 
 
 def read_kg(store_dir: str, preds=None, columns=None):
     """Read the store back as a Dataset; ``preds`` (list of predicate
-    IRIs) prunes to only those predicates' hive directories and applies
-    the residual exact filter.  ``columns`` prunes at the Parquet
-    reader (pred is added transparently when a residual filter needs
-    it, then dropped)."""
-    import glob as _glob
-
+    IRIs) prunes to only those predicates' partition directories and
+    applies the residual exact filter.  ``columns`` prunes at the
+    Parquet reader (pred is added transparently when a residual filter
+    needs it, then dropped)."""
     import pyarrow.compute as pc
     import ray.data as rd
 
     if not store_is_complete(store_dir):
         raise FileNotFoundError("KG store at %s is absent or incomplete" % store_dir)
-    tri_dir = os.path.join(store_dir, "triples")
-    if preds is None:
-        return rd.read_parquet(tri_dir, columns=columns)
+    meta = _read_meta(store_dir)
+    partitions = meta["partitions"]
 
-    keys = sorted({pred_key(p) for p in preds})
-    paths = [
-        f
-        for k in keys
-        for f in sorted(_glob.glob(os.path.join(tri_dir, "pred_key=%s" % k, "*.parquet")))
-    ]
     want = list(columns) if columns is not None else None
     read_cols = want if want is None or "pred" in want else [*want, "pred"]
-    if not paths:  # no partition for any requested predicate
-        empty = {c: pa.array([], pa.string()) for c in (read_cols or ["subj", "pred", "obj_value"])}
-        ds = rd.from_arrow(pa.Table.from_pydict(empty))
-    else:
-        ds = rd.read_parquet(paths, columns=read_cols)
-    pred_set = set(preds)
+    tokens = (
+        sorted(partitions)
+        if preds is None
+        else sorted({pred_key(p) for p in preds} & set(partitions))
+    )
+    paths = _partition_files(store_dir, partitions, tokens)
+    if not paths:
+        empty = {
+            c: pa.array([], pa.string())
+            for c in (read_cols or list(_COLS))
+        }
+        return rd.from_arrow(pa.Table.from_pydict(empty))
+    ds = rd.read_parquet(paths, columns=read_cols)
+    if preds is None:
+        return ds
+    pred_arr = pa.array(sorted(set(preds)))
 
     def residual(batch: pa.Table) -> pa.Table:
-        out = batch.filter(pc.is_in(batch.column("pred"), pa.array(sorted(pred_set))))
+        out = batch.filter(pc.is_in(batch.column("pred"), pred_arr))
         if want is not None and "pred" not in want:
             out = out.select(want)
         return out

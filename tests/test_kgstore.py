@@ -1,5 +1,6 @@
 """Persisted predicate-partitioned triple store (stages/kgstore.py):
-layout, pruned reads, residual filtering, and crash-resume semantics."""
+layout, pruned reads, residual filtering, generational updates, and
+crash/snapshot semantics."""
 
 import json
 import os
@@ -12,6 +13,7 @@ from rdfa_ray.stages.kgstore import (
     pred_key,
     read_kg,
     store_is_complete,
+    update_kg,
 )
 
 SRC = "http://schema.org/source"
@@ -19,16 +21,24 @@ LANG = "http://schema.org/inLanguage"
 TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
 
-def _triples_ds():
+def _ds(rows):
     import ray.data as rd
 
+    return rd.from_arrow(
+        pa.Table.from_pylist(
+            [{"subj": s, "pred": p, "obj_value": o} for s, p, o in rows]
+        )
+    )
+
+
+def _triples_ds():
     rows = []
     for i in range(40):
         s = "http://example.org/doc/%d" % i
-        rows.append({"subj": s, "pred": SRC, "obj_value": "src%d" % (i % 3)})
-        rows.append({"subj": s, "pred": LANG, "obj_value": ("zh", "en")[i % 2]})
-        rows.append({"subj": s, "pred": TYPE, "obj_value": "http://schema.org/Document"})
-    return rd.from_arrow(pa.Table.from_pylist(rows))
+        rows.append((s, SRC, "src%d" % (i % 3)))
+        rows.append((s, LANG, ("zh", "en")[i % 2]))
+        rows.append((s, TYPE, "http://schema.org/Document"))
+    return _ds(rows)
 
 
 def test_pred_key_deterministic_and_safe():
@@ -42,14 +52,14 @@ def test_persist_prune_and_residual(ray_session, tmp_path):
     store = str(tmp_path / "kg")
     meta = persist_kg(_triples_ds(), store)
     assert store_is_complete(store)
+    assert meta["generation"] == 1
     assert sorted(meta["partitions"]) == sorted(
         {pred_key(p) for p in (SRC, LANG, TYPE)}
     )
-    # hive layout on disk: one directory per predicate token
-    tri = os.path.join(store, "triples")
-    assert sorted(os.listdir(tri)) == sorted(
-        "pred_key=%s" % p for p in meta["partitions"]
-    )
+    # generation layout on disk: one directory per predicate token
+    for token, rel in meta["partitions"].items():
+        assert rel == os.path.join("parts", "%s-g1" % token)
+        assert os.path.isdir(os.path.join(store, rel))
 
     # pruned read returns exactly the requested predicates' rows
     df = read_kg(store, preds=[LANG]).to_pandas()
@@ -57,7 +67,7 @@ def test_persist_prune_and_residual(ray_session, tmp_path):
 
     # column pruning keeps the residual filter working, drops pred after
     df2 = read_kg(store, preds=[SRC], columns=["subj", "obj_value"]).to_pandas()
-    assert list(sorted(df2.columns)) == ["obj_value", "subj"] and len(df2) == 40
+    assert sorted(df2.columns) == ["obj_value", "subj"] and len(df2) == 40
 
     # full read (no preds) sees everything
     assert read_kg(store).count() == 120
@@ -66,13 +76,48 @@ def test_persist_prune_and_residual(ray_session, tmp_path):
     assert read_kg(store, preds=["http://example.org/absent"]).count() == 0
 
 
+def test_update_rewrites_only_touched_partitions(ray_session, tmp_path):
+    store = str(tmp_path / "kg")
+    persist_kg(_triples_ds(), store)
+
+    # vocabulary migration: zh -> zh-Hans (deletes + inserts, one pred)
+    zh_docs = ["http://example.org/doc/%d" % i for i in range(0, 40, 2)]
+    meta = update_kg(
+        store,
+        insert_ds=_ds([(d, LANG, "zh-Hans") for d in zh_docs]),
+        delete_ds=_ds([(d, LANG, "zh") for d in zh_docs]),
+    )
+    assert meta["generation"] == 2
+    # ONLY the language partition moved to g2; the others still point
+    # at their g1 directories (carried by reference, not rewritten)
+    assert meta["partitions"][pred_key(LANG)].endswith("-g2")
+    assert meta["partitions"][pred_key(SRC)].endswith("-g1")
+    assert meta["partitions"][pred_key(TYPE)].endswith("-g1")
+
+    langs = read_kg(store, preds=[LANG]).to_pandas()
+    assert set(langs["obj_value"]) == {"zh-Hans", "en"}
+    assert len(langs) == 40
+    assert read_kg(store).count() == 120
+
+    # empty delta is a no-op returning the current manifest
+    assert update_kg(store)["generation"] == 2
+
+    # inserting a NEW predicate creates a partition without touching others
+    meta3 = update_kg(
+        store, insert_ds=_ds([("http://example.org/doc/0", "http://schema.org/about", "e1")])
+    )
+    assert meta3["partitions"][pred_key("http://schema.org/about")].endswith("-g3")
+    assert read_kg(store, preds=["http://schema.org/about"]).count() == 1
+    assert read_kg(store).count() == 121
+
+
 def test_crashed_build_is_invisible_and_rebuilt(ray_session, tmp_path):
     store = str(tmp_path / "kg")
     persist_kg(_triples_ds(), store)
 
-    # simulate a crash mid-rebuild: stale partial data, NO sentinel
+    # simulate a crash mid-rebuild: stale partial data, NO manifest
     os.remove(os.path.join(store, "_meta.json"))
-    stray = os.path.join(store, "triples", "pred_key=zzz_stale")
+    stray = os.path.join(store, "parts", "zzz_stale-g9")
     os.makedirs(stray)
     with open(os.path.join(stray, "junk.parquet"), "w") as f:
         f.write("not parquet")
@@ -86,5 +131,20 @@ def test_crashed_build_is_invisible_and_rebuilt(ray_session, tmp_path):
     assert "zzz_stale" not in meta["partitions"]
     assert not os.path.exists(stray)
     assert read_kg(store).count() == 120
-    with open(os.path.join(store, "_meta.json")) as f:
-        assert json.load(f) == meta
+
+
+def test_crashed_update_preserves_snapshot(ray_session, tmp_path):
+    store = str(tmp_path / "kg")
+    persist_kg(_triples_ds(), store)
+    before = json.load(open(os.path.join(store, "_meta.json")))
+
+    # a crashed update leaves new generation dirs but the OLD manifest
+    stray = os.path.join(store, "parts", "%s-g2" % pred_key(LANG))
+    os.makedirs(stray)
+    with open(os.path.join(stray, "halfwritten.parquet"), "w") as f:
+        f.write("not parquet")
+
+    after = json.load(open(os.path.join(store, "_meta.json")))
+    assert after == before  # manifest untouched -> old snapshot intact
+    langs = read_kg(store, preds=[LANG]).to_pandas()
+    assert set(langs["obj_value"]) == {"zh", "en"} and len(langs) == 40
