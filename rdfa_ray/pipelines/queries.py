@@ -1631,6 +1631,43 @@ def q_kg_graph_scoped(sf_dir: str):
     return b.map_batches(unpack, batch_format="pyarrow")
 
 
+def q_kg_subquery(sf_dir: str):
+    """SPARQL 1.1 subquery (§12): documents whose characterCount
+    exceeds their source's average — the inner ``SELECT ?src
+    (AVG(?n) AS ?avg)`` feeds the outer BGP.  The aggregated inner
+    result is group-cardinality-sized, so it broadcasts (``ray.put``
+    once, vectorized lookup per batch) instead of joining — the
+    standard small-side plan for aggregation subqueries."""
+    import ray
+
+    from ..stages.bgp import bgp_match
+    from ..stages.sparql import grouped_aggregate
+
+    b = bgp_match(
+        _typed_triples(sf_dir),
+        [
+            ("?d", "http://schema.org/source", "?src"),
+            ("?d", "http://schema.org/characterCount", "?n"),
+        ],
+    )
+    inner = grouped_aggregate(b, ["src"], [("avg", "n", "avg_chars")]).to_pandas()
+    avg_ref = ray.put(inner.set_index("src")["avg_chars"])
+
+    def above_avg(batch):
+        import pandas as pd
+
+        if not len(batch):
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="object") for c in ("d", "src")}
+            )
+        avgs = ray.get(avg_ref)
+        n = pd.to_numeric(batch["n"], errors="coerce")
+        keep = n > avgs.reindex(batch["src"]).to_numpy()
+        return batch.loc[keep, ["d", "src"]]
+
+    return b.map_batches(above_avg, batch_format="pandas")
+
+
 def q_kg_store_update(sf_dir: str):
     """SPARQL-Update analogue against the persisted store: DELETE the
     'zh' language triples, INSERT their 'zh-Hans' retags (a vocabulary
@@ -1862,6 +1899,7 @@ QUERIES = {
     "repetition_signals": q_repetition_signals,
     "kg_graph_scoped": q_kg_graph_scoped,
     "kg_store_update": q_kg_store_update,
+    "kg_subquery": q_kg_subquery,
     "kg_path_opt": q_kg_path_opt,
     "kg_group_concat": q_kg_group_concat,
     "kg_describe": q_kg_describe,
@@ -2329,6 +2367,17 @@ ORACLE_SQL = {
         " WHERE t1.pred = 'http://schema.org/inLanguage' AND t1.obj_value = 'zh'"
         " AND t2.pred = 'http://schema.org/source' GROUP BY t2.obj_value"
         % _TYPED_TRIPLES_SQL
+    ),
+    "kg_subquery": (
+        "WITH t AS (%s),"
+        " b AS (SELECT t1.subj AS d, t1.obj_value AS src,"
+        "  CAST(t2.obj_value AS BIGINT) AS n"
+        "  FROM t t1 JOIN t t2 ON t2.subj = t1.subj"
+        "  WHERE t1.pred = 'http://schema.org/source'"
+        "  AND t2.pred = 'http://schema.org/characterCount'),"
+        " inner_q AS (SELECT src, AVG(n) AS avg_chars FROM b GROUP BY src) "
+        "SELECT b.d, b.src FROM b JOIN inner_q USING (src)"
+        " WHERE b.n > inner_q.avg_chars" % _TYPED_TRIPLES_SQL
     ),
     "kg_store_update": (
         "SELECT CASE WHEN lang = 'zh' THEN 'zh-Hans' ELSE lang END AS l,"
