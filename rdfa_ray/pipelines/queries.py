@@ -1631,6 +1631,71 @@ def q_kg_graph_scoped(sf_dir: str):
     return b.map_batches(unpack, batch_format="pyarrow")
 
 
+def q_curation_pipeline(sf_dir: str):
+    """The composed pre-training curation pipeline, end-to-end and
+    oracle-checked: repetition-quality gate (map-side) -> exact dedup
+    keep-first (hash-sized shuffle + semi join) -> benchmark
+    decontamination (broadcast needles, anti join on key-sized flags)
+    -> deterministic content-hash split -> per-(split, lang) counts.
+    Every exchange ships keys, never text; the only text passes are
+    map-side."""
+    import ray.data as rd
+
+    from ..stages.contamination import extract_needles, flag_contaminated
+    from ..stages.dedup import exact_dedup
+    from ..stages.join import bucketed_hash_join
+    from ..stages.split import assign_split
+    from ..stages.text import quality_gate
+
+    docs = rd.read_parquet(
+        "%s/documents.parquet" % sf_dir, columns=["doc_id", "text", "lang"]
+    )
+    doc_schema = pa.schema(
+        [("doc_id", pa.int64()), ("text", pa.string()), ("lang", pa.string())]
+    )
+
+    # 1. quality: drop high-repetition docs (map-side, zero shuffle)
+    q = quality_gate(docs).materialize()  # consumed by 2 AND joined in 3
+
+    # 2. exact dedup: keep the smallest doc_id per content hash
+    keepers = exact_dedup(q).map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"doc_id": pc.cast(t.column("keeper"), pa.int64())}
+        )
+        if "keeper" in t.column_names
+        else pa.Table.from_pydict({"doc_id": pa.array([], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    kept = bucketed_hash_join(
+        q,
+        keepers,
+        on="doc_id",
+        how="semi",
+        left_schema=doc_schema,
+        right_schema=pa.schema([("doc_id", pa.int64())]),
+    )
+
+    # 3. decontaminate: needles from the FULL corpus, flags are
+    # key-sized; anti join removes flagged docs
+    needles = extract_needles(docs)
+    flagged = flag_contaminated(kept, needles)
+    clean = bucketed_hash_join(
+        kept,
+        flagged,
+        on="doc_id",
+        how="anti",
+        left_schema=doc_schema,
+        right_schema=pa.schema([("doc_id", pa.int64())]),
+    )
+
+    # 4+5. split assignment rides the same map (lang passes through),
+    # then one grouped count of (split, lang) label pairs
+    labeled = assign_split(clean, keep_cols=["lang"])
+    from ray.data.aggregate import Count
+
+    return labeled.groupby(["split", "lang"]).aggregate(Count(alias_name="n"))
+
+
 def q_kg_subquery(sf_dir: str):
     """SPARQL 1.1 subquery (§12): documents whose characterCount
     exceeds their source's average — the inner ``SELECT ?src
@@ -1900,6 +1965,7 @@ QUERIES = {
     "kg_graph_scoped": q_kg_graph_scoped,
     "kg_store_update": q_kg_store_update,
     "kg_subquery": q_kg_subquery,
+    "curation_pipeline": q_curation_pipeline,
     "kg_path_opt": q_kg_path_opt,
     "kg_group_concat": q_kg_group_concat,
     "kg_describe": q_kg_describe,
@@ -2367,6 +2433,28 @@ ORACLE_SQL = {
         " WHERE t1.pred = 'http://schema.org/inLanguage' AND t1.obj_value = 'zh'"
         " AND t2.pred = 'http://schema.org/source' GROUP BY t2.obj_value"
         % _TYPED_TRIPLES_SQL
+    ),
+    "curation_pipeline": (
+        "WITH sig AS ("
+        " SELECT doc_id, COUNT(*) AS n_grams, COUNT(DISTINCT gram) AS n_distinct"
+        " FROM (SELECT doc_id,"
+        "  array_to_string(array_slice(string_split(text, ' '), i, i + 2), ' ') AS gram"
+        "  FROM documents, LATERAL unnest(generate_series(1,"
+        "   len(string_split(text, ' ')) - 2)) AS s(i)"
+        "  WHERE len(string_split(text, ' ')) >= 3) GROUP BY doc_id),"
+        " q AS (SELECT d.doc_id, d.text, d.lang FROM documents d"
+        "  JOIN sig USING (doc_id) WHERE sig.n_distinct * 2 > sig.n_grams),"
+        " k AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5(text)),"
+        " kept AS (SELECT q.* FROM q JOIN k USING (doc_id)),"
+        " needles AS (SELECT array_to_string(array_slice("
+        "  string_split(text, ' '), 11, 18), ' ') AS needle FROM documents"
+        "  WHERE doc_id % 97 = 0 AND len(string_split(text, ' ')) >= 18),"
+        " clean AS (SELECT kept.* FROM kept WHERE NOT EXISTS ("
+        "  SELECT 1 FROM needles n"
+        "  WHERE position(' ' || n.needle || ' ' IN ' ' || kept.text || ' ') > 0)) "
+        "SELECT CASE WHEN substr(md5(text), 1, 2) < '40'"
+        " THEN 'holdout' ELSE 'train' END AS split, lang, COUNT(*) AS n"
+        " FROM clean GROUP BY 1, 2"
     ),
     "kg_subquery": (
         "WITH t AS (%s),"

@@ -24,13 +24,16 @@ import pyarrow as pa
 _FRACTION_DENOM = 256  # first two hex chars = one byte
 
 
-def assign_split(docs_ds, holdout_bytes: int = 64):
-    """(doc_id, text) -> (doc_id, split) with ``split`` ∈
-    {'train', 'holdout'}: holdout iff the first byte of md5(text) is
-    below ``holdout_bytes`` (64/256 = a 25% holdout)."""
+def assign_split(docs_ds, holdout_bytes: int = 64, keep_cols: list | None = None):
+    """(doc_id, text, ...) -> (doc_id, *keep_cols, split) with ``split``
+    ∈ {'train', 'holdout'}: holdout iff the first byte of md5(text) is
+    below ``holdout_bytes`` (64/256 = a 25% holdout).  ``keep_cols``:
+    extra columns to pass through unchanged (e.g. lang for a per-split
+    language census) — still map-only, zero shuffle."""
     if not 0 < holdout_bytes < _FRACTION_DENOM:
         raise ValueError("holdout_bytes must be in (0, 256)")
     limit = "%02x" % holdout_bytes
+    extra = list(keep_cols or [])
 
     def batch_assign(batch: pa.Table) -> pa.Table:
         splits = [
@@ -42,6 +45,7 @@ def assign_split(docs_ds, holdout_bytes: int = 64):
         return pa.Table.from_pydict(
             {
                 "doc_id": batch.column("doc_id"),
+                **{c: batch.column(c) for c in extra},
                 "split": pa.array(splits, pa.string()),
             }
         )

@@ -97,6 +97,53 @@ def analyze_text(docs_ds, concurrency=(2, 8)):
     )
 
 
+def _gram_counts(batch, n: int):
+    """Vectorized per-document n-gram (total, distinct) counts for a
+    pandas batch with (doc_id, text): one explode + ``n-1`` shifted
+    concatenations, one C-level groupby.  Returns a DataFrame indexed
+    by batch row position with columns (size, nunique); rows whose doc
+    has fewer than ``n`` words are absent."""
+    import pandas as pd
+
+    toks = batch["text"].fillna("").str.split(" ")
+    flat = toks.explode()
+    parents = flat.index.to_numpy()
+    words = flat.to_numpy(dtype=object)
+    total = len(words)
+    if total < n:
+        return pd.DataFrame({"size": [], "nunique": []})
+    m = total - n + 1
+    valid = parents[:m] == parents[n - 1 :]
+    win = words[:m].copy()
+    for k in range(1, n):
+        win = win + " "
+        win = win + words[k : m + k]
+    keep = pd.DataFrame({"p": parents[:m][valid], "g": win[valid]})
+    return keep.groupby("p")["g"].agg(["size", "nunique"])
+
+
+def quality_gate(docs_ds, min_chars: int = 0, n: int = 3):
+    """Gopher-style repetition filter, map-side: keep documents with at
+    least ``min_chars`` characters whose distinct-n-gram count exceeds
+    half the total (duplicate-gram fraction < 0.5).  Documents too
+    short to form an n-gram are dropped (no signal = no keep).  All
+    batch columns pass through unchanged; zero shuffle."""
+    import pandas as pd
+
+    def gate(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return batch
+        agg = _gram_counts(batch, n)
+        ok_pos = agg.index[agg["nunique"] * 2 > agg["size"]].to_numpy()
+        keep = pd.Series(False, index=range(len(batch)))
+        keep.iloc[ok_pos] = True
+        if min_chars:
+            keep &= batch["text"].fillna("").str.len().to_numpy() >= min_chars
+        return batch[keep.to_numpy()].reset_index(drop=True)
+
+    return docs_ds.map_batches(gate, batch_format="pandas")
+
+
 def repetition_signals(docs_ds, n: int = 3):
     """Within-document repetition (the Gopher-rule family: drop docs
     whose duplicate-n-gram fraction is high): per doc, the total and
@@ -119,21 +166,9 @@ def repetition_signals(docs_ds, n: int = 3):
         )
         if not len(batch):
             return empty
-        toks = batch["text"].fillna("").str.split(" ")
-        flat = toks.explode()
-        parents = flat.index.to_numpy()
-        words = flat.to_numpy(dtype=object)
-        total = len(words)
-        if total < n:
+        agg = _gram_counts(batch, n)
+        if not len(agg):
             return empty
-        m = total - n + 1
-        valid = parents[:m] == parents[n - 1 :]
-        win = words[:m].copy()
-        for k in range(1, n):
-            win = win + " "
-            win = win + words[k : m + k]
-        keep = pd.DataFrame({"p": parents[:m][valid], "g": win[valid]})
-        agg = keep.groupby("p")["g"].agg(["size", "nunique"])
         doc_ids = batch["doc_id"].to_numpy()[agg.index.to_numpy()]
         return pd.DataFrame(
             {

@@ -222,3 +222,35 @@ def test_repetition_signals(ray_session):
     assert list(out.index) == [1, 2]
     assert out.loc[1, "n_grams"] == 7 and out.loc[1, "n_distinct"] == 3
     assert out.loc[2, "n_grams"] == 2 and out.loc[2, "n_distinct"] == 2
+
+
+def test_quality_gate_and_split_keep_cols(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rdfa_ray.stages.split import assign_split
+    from rdfa_ray.stages.text import quality_gate
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [
+                        "a b c d e f g h",   # all grams distinct -> keep
+                        "a b a b a b a b",   # 2 distinct of 6 -> drop
+                        "x y",               # too short for a 3-gram -> drop
+                    ],
+                    pa.string(),
+                ),
+                "lang": pa.array(["en", "en", "zh"], pa.string()),
+            }
+        )
+    )
+    kept = quality_gate(docs).to_pandas()
+    assert list(kept["doc_id"]) == [1]
+    assert list(kept.columns) == ["doc_id", "text", "lang"]  # passthrough
+
+    labeled = assign_split(docs, keep_cols=["lang"]).to_pandas()
+    assert sorted(labeled.columns) == ["doc_id", "lang", "split"]
+    assert set(labeled["split"]) <= {"train", "holdout"}
