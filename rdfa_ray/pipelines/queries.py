@@ -1634,16 +1634,20 @@ def q_kg_graph_scoped(sf_dir: str):
 def q_curation_pipeline(sf_dir: str):
     """The composed pre-training curation pipeline, end-to-end and
     oracle-checked: repetition-quality gate (map-side) -> exact dedup
-    keep-first (hash-sized shuffle + semi join) -> benchmark
-    decontamination (broadcast needles, anti join on key-sized flags)
-    -> deterministic content-hash split -> per-(split, lang) counts.
-    Every exchange ships keys, never text; the only text passes are
-    map-side."""
+    keep-first -> benchmark decontamination -> deterministic
+    content-hash split -> per-(split, lang) counts.
+
+    Document TEXT never enters an exchange: both removal steps are
+    INVERTED to small drop-sets (non-keeper duplicates; contaminated
+    ids) and applied with Bloom-prefiltered anti joins — rows missing
+    the broadcast filter pass map-side, only Bloom hits visit the
+    exact anti join.  The shuffled bytes are (doc_id, md5) pairs, drop
+    ids, and the final census partials."""
     import ray.data as rd
 
+    from ..stages.bloom import bloom_anti_join
     from ..stages.contamination import extract_needles, flag_contaminated
-    from ..stages.dedup import exact_dedup
-    from ..stages.join import bucketed_hash_join
+    from ..stages.dedup import exact_dup_drops
     from ..stages.split import assign_split
     from ..stages.text import quality_gate
 
@@ -1653,47 +1657,67 @@ def q_curation_pipeline(sf_dir: str):
     doc_schema = pa.schema(
         [("doc_id", pa.int64()), ("text", pa.string()), ("lang", pa.string())]
     )
+    key_schema = pa.schema([("doc_id", pa.int64())])
 
     # 1. quality: drop high-repetition docs (map-side, zero shuffle)
-    q = quality_gate(docs).materialize()  # consumed by 2 AND joined in 3
+    q = quality_gate(docs).materialize()  # consumed by steps 2 AND 3
 
-    # 2. exact dedup: keep the smallest doc_id per content hash
-    keepers = exact_dedup(q).map_batches(
-        lambda t: pa.Table.from_pydict(
-            {"doc_id": pc.cast(t.column("keeper"), pa.int64())}
+    # 2. exact dedup: drop non-keeper duplicates (drop-set is the
+    # minority side -> Bloom anti join keeps text out of the exchange)
+    # The Bloom anti join's union (pass-through blocks + join buckets)
+    # fragments the block layout; compact before the next stage fans
+    # over it again (plain concat repartition, not a shuffle).
+    kept = (
+        bloom_anti_join(
+            q,
+            exact_dup_drops(q),
+            on="doc_id",
+            n_buckets=16,
+            left_schema=doc_schema,
+            right_schema=key_schema,
         )
-        if "keeper" in t.column_names
-        else pa.Table.from_pydict({"doc_id": pa.array([], pa.int64())}),
-        batch_format="pyarrow",
-    )
-    kept = bucketed_hash_join(
-        q,
-        keepers,
-        on="doc_id",
-        how="semi",
-        left_schema=doc_schema,
-        right_schema=pa.schema([("doc_id", pa.int64())]),
+        .repartition(16)
+        .materialize()  # consumed twice: flag pass + anti-join left
     )
 
-    # 3. decontaminate: needles from the FULL corpus, flags are
-    # key-sized; anti join removes flagged docs
+    # 3. decontaminate: needles from the FULL corpus; flagged ids are
+    # key-sized, same Bloom anti shape
     needles = extract_needles(docs)
-    flagged = flag_contaminated(kept, needles)
-    clean = bucketed_hash_join(
+    clean = bloom_anti_join(
         kept,
-        flagged,
+        flag_contaminated(kept, needles),
         on="doc_id",
-        how="anti",
+        n_buckets=16,
         left_schema=doc_schema,
-        right_schema=pa.schema([("doc_id", pa.int64())]),
+        right_schema=key_schema,
     )
 
-    # 4+5. split assignment rides the same map (lang passes through),
-    # then one grouped count of (split, lang) label pairs
+    # 4+5. split assignment rides the same map (lang passes through);
+    # the census is a map-side partial count + one single-partition
+    # merge — label-pair cardinality is tiny, a grouped shuffle of the
+    # fragmented blocks would be pure scheduling overhead
     labeled = assign_split(clean, keep_cols=["lang"])
-    from ray.data.aggregate import Count
+    import pandas as pd
 
-    return labeled.groupby(["split", "lang"]).aggregate(Count(alias_name="n"))
+    def partial_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame(
+                {"split": [], "lang": [], "n": pd.Series([], dtype="int64")}
+            )
+        return (
+            batch.groupby(["split", "lang"], sort=False).size().reset_index(name="n")
+        )
+
+    def merge_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.groupby(["split", "lang"], sort=False)["n"].sum().reset_index()
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return (
+        labeled.map_batches(partial_counts, batch_format="pandas")
+        .repartition(1)
+        .map_batches(merge_counts, batch_format="pandas", batch_size=None)
+    )
 
 
 def q_kg_subquery(sf_dir: str):

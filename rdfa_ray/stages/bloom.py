@@ -125,3 +125,59 @@ def bloom_semi_join(
         left_schema=left_schema,
         right_schema=right_schema,
     )
+
+
+def bloom_anti_join(
+    left_ds,
+    right_ds,
+    on: str,
+    n_buckets: int = 64,
+    m_bits: int = 1 << 23,
+    n_hashes: int = 4,
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
+):
+    """Exact ANTI join (left rows with no right match) with a Bloom
+    pre-filter: rows whose key misses the filter are DEFINITELY
+    unmatched — they pass through map-side with zero shuffle; only the
+    Bloom hits (true matches + false positives) go through the exact
+    bucketed anti join.  With a small right side (a drop-list of
+    duplicates or contaminated ids — the curation shape) the exchange
+    carries a sliver of the data while the result stays provably equal
+    to the unfiltered anti join."""
+    import ray
+
+    right_ds = right_ds.materialize()
+    bits_ref = ray.put(build_bloom(right_ds, on, m_bits, n_hashes))
+
+    def split_mask(batch: pa.Table):
+        bits = ray.get(bits_ref)
+        col = batch.column(on).to_numpy(zero_copy_only=False)
+        if not len(col):
+            return np.zeros(0, dtype=bool)
+        h1, h2 = _hash2_u64(col)
+        hit = np.ones(len(col), dtype=bool)
+        for idx in _bit_positions(h1, h2, m_bits, n_hashes):
+            words = (idx >> np.uint64(6)).astype(np.int64)
+            bit = (bits[words] >> (idx & np.uint64(63))) & np.uint64(1)
+            hit &= bit.astype(bool)
+        return hit
+
+    def keep_misses(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(~split_mask(batch)))
+
+    def keep_hits(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(split_mask(batch)))
+
+    definite = left_ds.map_batches(keep_misses, batch_format="pyarrow")
+    candidates = left_ds.map_batches(keep_hits, batch_format="pyarrow")
+    cleared = bucketed_hash_join(
+        candidates,
+        right_ds,
+        on=on,
+        n_buckets=n_buckets,
+        how="anti",
+        left_schema=left_schema,
+        right_schema=right_schema,
+    )
+    return definite.union(cleared)

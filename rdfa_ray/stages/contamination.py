@@ -53,34 +53,50 @@ def extract_needles(docs_ds, every: int = 97, start: int = 10, n_words: int = 8)
 
 def flag_contaminated(docs_ds, needles, n_words: int = 8):
     """(doc_id, text) -> distinct (doc_id) rows for every document
-    containing at least one needle as a consecutive word sequence."""
+    containing at least one needle as a consecutive word sequence.
+
+    Matching is two-phase so the hot path never builds window strings:
+    vectorized rolling-hash windows (functions/shingles.py) filtered by
+    a C-level ``isin`` against the broadcast needle-hash set, then the
+    handful of hash candidates are re-verified against the REAL window
+    string — the flag set is exact, collisions cost only a string
+    compare."""
     import ray
 
+    from ..functions.shingles import explode_tokens, phrase_hash, window_hashes
     from .distinct import distinct
 
-    needle_ref = ray.put(frozenset(needles))
+    usable = [p for p in needles if len(p.split(" ")) == n_words]
+    needle_ref = ray.put(
+        {
+            "hashes": np.array([phrase_hash(p, n_words) for p in usable], np.uint64),
+            "set": frozenset(usable),
+        }
+    )
+    empty = {"doc_id": pd.Series([], dtype="int64")}
 
     def flag(batch: pd.DataFrame) -> pd.DataFrame:
-        needle_set = ray.get(needle_ref)
-        if not len(batch) or not needle_set:
-            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
-        toks = batch["text"].fillna("").str.split(" ")
-        flat = toks.explode()
-        parents = flat.index.to_numpy()
-        words = flat.to_numpy(dtype=object)
-        n = len(words)
-        if n < n_words:
-            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
-        m = n - n_words + 1
-        # windows whose first and last token share a document
-        valid = parents[:m] == parents[n_words - 1 :]
-        win = words[:m].copy()
-        for k in range(1, n_words):
-            win = win + " "
-            win = win + words[k : m + k]
-        hits = pd.Series(win[valid]).isin(needle_set).to_numpy()
-        hit_parents = parents[:m][valid][hits]
-        doc_ids = batch["doc_id"].to_numpy()[np.unique(hit_parents)]
+        nd = ray.get(needle_ref)
+        if not len(batch) or not len(nd["hashes"]):
+            return pd.DataFrame(empty)
+        words, parents = explode_tokens(batch["text"].reset_index(drop=True))
+        hashes, win_parents = window_hashes(words, parents, n_words)
+        if not len(hashes):
+            return pd.DataFrame(empty)
+        cand = np.isin(hashes, nd["hashes"])
+        if not cand.any():
+            return pd.DataFrame(empty)
+        # exact confirm on the few candidates: rebuild just their strings
+        starts = np.flatnonzero(
+            (parents[: len(words) - n_words + 1] == parents[n_words - 1 :])
+        )[cand]
+        needle_set = nd["set"]
+        hit_rows = {
+            int(win_parents[i])
+            for i, s in zip(np.flatnonzero(cand), starts)
+            if " ".join(words[s : s + n_words]) in needle_set
+        }
+        doc_ids = batch["doc_id"].to_numpy()[sorted(hit_rows)]
         return pd.DataFrame({"doc_id": pd.Series(doc_ids, dtype="int64")})
 
     flagged = docs_ds.map_batches(flag, batch_format="pandas")

@@ -51,6 +51,38 @@ def exact_dedup(docs_ds):
     )
 
 
+def exact_dup_drops(docs_ds, n_buckets: int = 64):
+    """The DROP side of exact dedup: (doc_id) rows for every non-keeper
+    duplicate (keeper = min doc_id per content hash).  Duplicates are
+    usually a minority, so this inverted output is the side worth
+    broadcasting/Bloom-ing — an anti join of the corpus against it
+    keeps document text out of the exchange entirely (only the
+    (doc_id, 16-byte hash) pairs shuffle here)."""
+    import pandas as pd
+
+    from ..functions.hashing import crc32_bucket
+
+    hashed = docs_ds.map_batches(_text_md5_batch, batch_format="pyarrow")
+
+    def bucketed(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket", crc32_bucket(batch.column("h"), n_buckets)
+        )
+
+    def drops(group: pd.DataFrame) -> pd.DataFrame:
+        if not len(group):
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+        keeper = group.groupby("h", sort=False)["doc_id"].transform("min")
+        out = group.loc[group["doc_id"].to_numpy() != keeper.to_numpy(), ["doc_id"]]
+        return out.reset_index(drop=True)
+
+    return (
+        hashed.map_batches(bucketed, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(drops, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 

@@ -99,26 +99,22 @@ def analyze_text(docs_ds, concurrency=(2, 8)):
 
 def _gram_counts(batch, n: int):
     """Vectorized per-document n-gram (total, distinct) counts for a
-    pandas batch with (doc_id, text): one explode + ``n-1`` shifted
-    concatenations, one C-level groupby.  Returns a DataFrame indexed
-    by batch row position with columns (size, nunique); rows whose doc
-    has fewer than ``n`` words are absent."""
+    pandas batch with (doc_id, text): one explode + a rolling
+    polynomial hash per window (functions/shingles.py — no window
+    strings are built), one C-level groupby over uint64.  Returns a
+    DataFrame indexed by batch row position with columns
+    (size, nunique); rows whose doc has fewer than ``n`` words are
+    absent.  Distinctness is hash-distinctness (collision odds
+    ~2^-64/pair — see the shingles module)."""
     import pandas as pd
 
-    toks = batch["text"].fillna("").str.split(" ")
-    flat = toks.explode()
-    parents = flat.index.to_numpy()
-    words = flat.to_numpy(dtype=object)
-    total = len(words)
-    if total < n:
+    from ..functions.shingles import explode_tokens, window_hashes
+
+    words, parents = explode_tokens(batch["text"].reset_index(drop=True))
+    hashes, win_parents = window_hashes(words, parents, n)
+    if not len(hashes):
         return pd.DataFrame({"size": [], "nunique": []})
-    m = total - n + 1
-    valid = parents[:m] == parents[n - 1 :]
-    win = words[:m].copy()
-    for k in range(1, n):
-        win = win + " "
-        win = win + words[k : m + k]
-    keep = pd.DataFrame({"p": parents[:m][valid], "g": win[valid]})
+    keep = pd.DataFrame({"p": win_parents, "g": hashes})
     return keep.groupby("p")["g"].agg(["size", "nunique"])
 
 

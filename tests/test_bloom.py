@@ -59,3 +59,60 @@ def test_bloom_filter_has_no_false_negatives(ray_session):
         words = (idx >> np.uint64(6)).astype(np.int64)
         hit = (bits[words] >> (idx & np.uint64(63))) & np.uint64(1)
         assert hit.all()
+
+
+def test_bloom_anti_join_exact(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rdfa_ray.stages.bloom import bloom_anti_join
+
+    left = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(100)), pa.int64()),
+                "v": pa.array(["x%d" % i for i in range(100)], pa.string()),
+            }
+        )
+    ).repartition(4)
+    right = rd.from_arrow(
+        pa.table({"doc_id": pa.array([3, 17, 50, 999], pa.int64())})
+    )
+    out = bloom_anti_join(
+        left,
+        right,
+        on="doc_id",
+        n_buckets=4,
+        left_schema=pa.schema([("doc_id", pa.int64()), ("v", pa.string())]),
+        right_schema=pa.schema([("doc_id", pa.int64())]),
+    ).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(set(range(100)) - {3, 17, 50})
+    assert sorted(out.columns) == ["doc_id", "v"]
+
+    # empty right side -> everything passes map-side
+    empty = rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64())}))
+    assert bloom_anti_join(
+        left, empty, on="doc_id", n_buckets=4,
+        left_schema=pa.schema([("doc_id", pa.int64()), ("v", pa.string())]),
+        right_schema=pa.schema([("doc_id", pa.int64())]),
+    ).count() == 100
+
+
+def test_exact_dup_drops(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rdfa_ray.stages.dedup import exact_dup_drops
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "text": pa.array(["a", "b", "a", "a", "b"], pa.string()),
+            }
+        )
+    ).repartition(3)
+    out = exact_dup_drops(docs, n_buckets=4).to_pandas()
+    # keepers are min doc_id per content: 1 ('a'), 2 ('b')
+    assert sorted(out["doc_id"]) == [3, 4, 5]
