@@ -142,6 +142,9 @@ def _headline_and_queries(sf_dir: str, num_cpus: int, n_turns: int) -> dict:
     timed("kg_minus", Q.q_kg_minus)
     timed("events_quantiles_sketch", Q.q_events_quantiles_sketch)
     timed("docs_train_split", Q.q_docs_train_split)
+    timed("kg_agg_stats", Q.q_kg_agg_stats)
+    timed("contamination", Q.q_contamination)
+    timed("curation_pipeline", Q.q_curation_pipeline)
 
     ray.shutdown()
     return {
