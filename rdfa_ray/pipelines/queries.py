@@ -1720,6 +1720,41 @@ def q_curation_pipeline(sf_dir: str):
     )
 
 
+def q_kg_sparql_text(sf_dir: str):
+    """The textual SPARQL entry point end-to-end: a SELECT string
+    (PREFIX, predicate-object list, GROUP BY + aggregate alias) parsed
+    and compiled to the same distributed plan the programmatic
+    kg_group_count builds — what a reference user's
+    ``graph.query("SELECT ...")`` call becomes on this engine."""
+    from ..stages.sparql_text import execute
+
+    return execute(
+        _typed_triples(sf_dir),
+        """
+        PREFIX schema: <http://schema.org/>
+        SELECT ?src (COUNT(*) AS ?n) WHERE {
+          ?d schema:inLanguage "zh" ; schema:source ?src .
+        } GROUP BY ?src
+        """,
+    )
+
+
+def q_kg_sparql_text_filter(sf_dir: str):
+    """Textual SPARQL with a numeric FILTER — the string form of
+    kg_filter_numeric, down to identical output columns."""
+    from ..stages.sparql_text import execute
+
+    return execute(
+        _typed_triples(sf_dir),
+        """
+        PREFIX schema: <http://schema.org/>
+        SELECT ?d ?n WHERE {
+          ?d schema:characterCount ?n . FILTER (?n > 400)
+        }
+        """,
+    )
+
+
 def q_kg_subquery(sf_dir: str):
     """SPARQL 1.1 subquery (§12): documents whose characterCount
     exceeds their source's average — the inner ``SELECT ?src
@@ -1989,6 +2024,8 @@ QUERIES = {
     "kg_graph_scoped": q_kg_graph_scoped,
     "kg_store_update": q_kg_store_update,
     "kg_subquery": q_kg_subquery,
+    "kg_sparql_text": q_kg_sparql_text,
+    "kg_sparql_text_filter": q_kg_sparql_text_filter,
     "curation_pipeline": q_curation_pipeline,
     "kg_path_opt": q_kg_path_opt,
     "kg_group_concat": q_kg_group_concat,
@@ -2479,6 +2516,20 @@ ORACLE_SQL = {
         "SELECT CASE WHEN substr(md5(text), 1, 2) < '40'"
         " THEN 'holdout' ELSE 'train' END AS split, lang, COUNT(*) AS n"
         " FROM clean GROUP BY 1, 2"
+    ),
+    "kg_sparql_text": (
+        "WITH t AS (%s) "
+        "SELECT t2.obj_value AS src, COUNT(*) AS n"
+        " FROM t t1 JOIN t t2 ON t2.subj = t1.subj"
+        " WHERE t1.pred = 'http://schema.org/inLanguage' AND t1.obj_value = 'zh'"
+        " AND t2.pred = 'http://schema.org/source' GROUP BY t2.obj_value"
+        % _TYPED_TRIPLES_SQL
+    ),
+    "kg_sparql_text_filter": (
+        "WITH t AS (%s) "
+        "SELECT subj AS d, obj_value AS n FROM t"
+        " WHERE pred = 'http://schema.org/characterCount'"
+        " AND CAST(obj_value AS BIGINT) > 400" % _TYPED_TRIPLES_SQL
     ),
     "kg_subquery": (
         "WITH t AS (%s),"

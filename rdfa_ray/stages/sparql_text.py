@@ -1,0 +1,501 @@
+"""Textual SPARQL front-end — parse a SELECT query string and execute
+it against a (subj, pred, obj_value) triples Dataset with the
+distributed algebra operators this engine already provides.
+
+Reference parity: pyrdfa3's whole point is producing an rdflib Graph
+users then hit with ``graph.query("SELECT ...")`` (rdflib
+plugins/sparql/parser.py -> algebra.py -> evaluate.py).  This module
+is that entry point for the supported fragment, compiled to the same
+distributed plans the programmatic API builds — the parser only
+produces a plan; every byte of execution goes through
+``stages/bgp.py`` / ``stages/sparql.py``.
+
+Supported fragment (a deliberate, validated subset — anything outside
+it raises ``SparqlSyntaxError`` rather than mis-executing):
+
+* ``PREFIX`` declarations, ``a`` for rdf:type
+* ``SELECT [DISTINCT] ?v ... | *`` with aggregate projections
+  ``(COUNT(*) AS ?n)`` / ``(SUM|AVG|MIN|MAX|SAMPLE(?x) AS ?y)``
+* ``WHERE { ... }`` with triple patterns ('.'-separated, ';'
+  predicate-object lists), ``OPTIONAL { ... }``,
+  ``FILTER (expr)`` — comparisons over vars/literals/numbers,
+  ``REGEX(?v, "pat")``, ``&&`` / ``||`` / ``!``
+* ``GROUP BY ?v ...`` (+ ``HAVING`` over projected aggregate aliases)
+* ``ORDER BY [ASC|DESC](?v) ...``, ``LIMIT`` / ``OFFSET``
+
+Numbers in comparisons compare numerically (bindings hold lexical
+forms; the compiled mask casts vectorized, pyarrow kernels only).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+class SparqlSyntaxError(ValueError):
+    pass
+
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<comment>\#[^\n]*)
+  | (?P<iri><[^<>\s]*>)
+  | (?P<string>"(?:[^"\\]|\\.)*")
+  | (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<number>[+-]?\d+(?:\.\d+)?)
+  | (?P<pname>[A-Za-z_][A-Za-z0-9_-]*:[A-Za-z0-9_.-]*)
+  | (?P<kw>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<op><=|>=|!=|&&|\|\||[{}().;,*=<>!])
+    """,
+    re.VERBOSE,
+)
+
+
+def _tokenize(text: str):
+    out, pos = [], 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if m is None:
+            raise SparqlSyntaxError("cannot tokenize at %r" % text[pos : pos + 20])
+        pos = m.end()
+        kind = m.lastgroup
+        if kind in ("ws", "comment"):
+            continue
+        out.append((kind, m.group()))
+    return out
+
+
+class _Parser:
+    def __init__(self, tokens):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self, k=0):
+        j = self.i + k
+        return self.toks[j] if j < len(self.toks) else (None, None)
+
+    def next(self):
+        tok = self.peek()
+        self.i += 1
+        return tok
+
+    def expect_kw(self, word):
+        kind, val = self.next()
+        if kind != "kw" or val.upper() != word:
+            raise SparqlSyntaxError("expected %s, got %r" % (word, val))
+
+    def expect_op(self, op):
+        kind, val = self.next()
+        if kind != "op" or val != op:
+            raise SparqlSyntaxError("expected %r, got %r" % (op, val))
+
+    def at_kw(self, word):
+        kind, val = self.peek()
+        return kind == "kw" and val.upper() == word
+
+
+def _resolve(tok_kind, tok_val, prefixes):
+    """Map a term token to the engine's pattern notation: '?v' vars
+    stay, IRIs/literals become plain strings (bindings are lexical)."""
+    if tok_kind == "var":
+        return tok_val
+    if tok_kind == "iri":
+        return tok_val[1:-1]
+    if tok_kind == "string":
+        return tok_val[1:-1].replace('\\"', '"').replace("\\\\", "\\")
+    if tok_kind == "number":
+        return tok_val
+    if tok_kind == "pname":
+        pre, local = tok_val.split(":", 1)
+        if pre not in prefixes:
+            raise SparqlSyntaxError("undeclared prefix %r" % pre)
+        return prefixes[pre] + local
+    if tok_kind == "kw" and tok_val == "a":
+        return _RDF_TYPE
+    raise SparqlSyntaxError("unexpected term %r" % tok_val)
+
+
+# --------------------------------------------------------------------------
+# FILTER expression -> vectorized pyarrow predicate
+
+
+def _num(col):
+    return pc.cast(col, pa.float64())
+
+
+class _FilterCompiler:
+    """Parses a FILTER expression (already tokenized, shared cursor)
+    into a closure ``pa.Table -> BooleanArray``."""
+
+    def __init__(self, parser, prefixes):
+        self.p = parser
+        self.prefixes = prefixes
+
+    def parse_or(self):
+        left = self.parse_and()
+        while self.p.peek() == ("op", "||"):
+            self.p.next()
+            right = self.parse_and()
+            left = (lambda a, b: lambda t: pc.or_(a(t), b(t)))(left, right)
+        return left
+
+    def parse_and(self):
+        left = self.parse_unary()
+        while self.p.peek() == ("op", "&&"):
+            self.p.next()
+            right = self.parse_unary()
+            left = (lambda a, b: lambda t: pc.and_(a(t), b(t)))(left, right)
+        return left
+
+    def parse_unary(self):
+        if self.p.peek() == ("op", "!"):
+            self.p.next()
+            inner = self.parse_unary()
+            return lambda t: pc.invert(inner(t))
+        if self.p.peek() == ("op", "("):
+            self.p.next()
+            inner = self.parse_or()
+            self.p.expect_op(")")
+            return inner
+        if self.p.at_kw("REGEX"):
+            self.p.next()
+            self.p.expect_op("(")
+            kind, val = self.p.next()
+            if kind != "var":
+                raise SparqlSyntaxError("REGEX needs a variable first")
+            var = val[1:]
+            self.p.expect_op(",")
+            kind, pat = self.p.next()
+            if kind != "string":
+                raise SparqlSyntaxError("REGEX needs a string pattern")
+            pattern = pat[1:-1]
+            self.p.expect_op(")")
+            return lambda t: pc.match_substring_regex(
+                pc.cast(t.column(var), pa.string()), pattern
+            )
+        return self.parse_comparison()
+
+    def parse_comparison(self):
+        lk, lv = self.p.next()
+        kind, op = self.p.next()
+        if kind != "op" or op not in ("=", "!=", "<", "<=", ">", ">="):
+            raise SparqlSyntaxError("expected comparison operator, got %r" % op)
+        rk, rv = self.p.next()
+        numeric = lk == "number" or rk == "number"
+        fn = {
+            "=": pc.equal, "!=": pc.not_equal, "<": pc.less,
+            "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal,
+        }[op]
+
+        def side(kind, val):
+            if kind == "var":
+                name = val[1:]
+                if numeric:
+                    return lambda t: _num(t.column(name))
+                return lambda t: pc.cast(t.column(name), pa.string())
+            const = _resolve(kind, val, self.prefixes)
+            if numeric:
+                return lambda t: float(const)
+            return lambda t: const
+
+        ls, rs = side(lk, lv), side(rk, rv)
+        return lambda t: fn(ls(t), rs(t))
+
+
+# --------------------------------------------------------------------------
+# Query parsing
+
+
+def parse_query(text: str) -> dict:
+    """Parse the supported SELECT fragment to a plan dict (inspect it in
+    tests; ``execute`` consumes it)."""
+    p = _Parser(_tokenize(text))
+    prefixes = {}
+    while p.at_kw("PREFIX"):
+        p.next()
+        kind, pname = p.next()
+        if kind != "pname" or not pname.endswith(":"):
+            # tokenizer yields 'pre:' as pname with empty local
+            pre = pname.split(":", 1)[0]
+        else:
+            pre = pname[:-1]
+        kind, iri = p.next()
+        if kind != "iri":
+            raise SparqlSyntaxError("PREFIX needs an <iri>")
+        prefixes[pre] = iri[1:-1]
+
+    p.expect_kw("SELECT")
+    distinct = False
+    if p.at_kw("DISTINCT"):
+        p.next()
+        distinct = True
+
+    proj, aggs = [], []
+    star = False
+    while True:
+        kind, val = p.peek()
+        if kind == "var":
+            p.next()
+            proj.append(val[1:])
+        elif (kind, val) == ("op", "*"):
+            p.next()
+            star = True
+        elif (kind, val) == ("op", "("):  # (AGG(...) AS ?alias)
+            p.next()
+            kind, fn = p.next()
+            if kind != "kw" or fn.upper() not in (
+                "COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE",
+            ):
+                raise SparqlSyntaxError("unsupported aggregate %r" % fn)
+            p.expect_op("(")
+            kind, arg = p.next()
+            if (kind, arg) == ("op", "*"):
+                if fn.upper() != "COUNT":
+                    raise SparqlSyntaxError("* only valid in COUNT(*)")
+                argvar = None
+            elif kind == "var":
+                argvar = arg[1:]
+            else:
+                raise SparqlSyntaxError("aggregate needs ?var or *")
+            p.expect_op(")")
+            p.expect_kw("AS")
+            kind, alias = p.next()
+            if kind != "var":
+                raise SparqlSyntaxError("AS needs a ?variable")
+            p.expect_op(")")
+            aggs.append((fn.lower(), argvar, alias[1:]))
+        else:
+            break
+    if not star and not proj and not aggs:
+        raise SparqlSyntaxError("empty SELECT projection")
+
+    p.expect_kw("WHERE")
+    p.expect_op("{")
+    patterns, optionals, filters = [], [], []
+
+    def parse_triples_block(into):
+        """triple ('.'|';' lists) until '}' / OPTIONAL / FILTER."""
+        while True:
+            kind, val = p.peek()
+            if (kind, val) == ("op", "}") or p.at_kw("OPTIONAL") or p.at_kw("FILTER"):
+                return
+            sk, sv = p.next()
+            subj = _resolve(sk, sv, prefixes)
+            while True:
+                pk, pv = p.next()
+                pred = _resolve(pk, pv, prefixes)
+                ok, ov = p.next()
+                obj = _resolve(ok, ov, prefixes)
+                into.append((subj, pred, obj))
+                kind, val = p.peek()
+                if (kind, val) == ("op", ";"):
+                    p.next()
+                    continue
+                break
+            if p.peek() == ("op", "."):
+                p.next()
+
+    while True:
+        kind, val = p.peek()
+        if (kind, val) == ("op", "}"):
+            p.next()
+            break
+        if p.at_kw("OPTIONAL"):
+            p.next()
+            p.expect_op("{")
+            block = []
+            parse_triples_block(block)
+            p.expect_op("}")
+            optionals.append(block)
+        elif p.at_kw("FILTER"):
+            p.next()
+            p.expect_op("(")
+            filters.append(_FilterCompiler(p, prefixes).parse_or())
+            p.expect_op(")")
+        else:
+            parse_triples_block(patterns)
+
+    group_by, having = [], None
+    order_by, limit, offset = [], None, 0
+    while p.peek() != (None, None):
+        if p.at_kw("GROUP"):
+            p.next()
+            p.expect_kw("BY")
+            while p.peek()[0] == "var":
+                group_by.append(p.next()[1][1:])
+        elif p.at_kw("HAVING"):
+            p.next()
+            p.expect_op("(")
+            having = _FilterCompiler(p, prefixes).parse_or()
+            p.expect_op(")")
+        elif p.at_kw("ORDER"):
+            p.next()
+            p.expect_kw("BY")
+            while True:
+                desc = False
+                if p.at_kw("DESC") or p.at_kw("ASC"):
+                    desc = p.next()[1].upper() == "DESC"
+                    p.expect_op("(")
+                    var = p.next()
+                    p.expect_op(")")
+                elif p.peek()[0] == "var":
+                    var = p.next()
+                else:
+                    break
+                order_by.append((var[1][1:], desc))
+        elif p.at_kw("LIMIT"):
+            p.next()
+            limit = int(p.next()[1])
+        elif p.at_kw("OFFSET"):
+            p.next()
+            offset = int(p.next()[1])
+        else:
+            raise SparqlSyntaxError("unexpected trailing token %r" % (p.peek()[1],))
+
+    if not patterns:
+        raise SparqlSyntaxError("WHERE needs at least one triple pattern")
+    if aggs and not group_by and proj:
+        raise SparqlSyntaxError("aggregates need GROUP BY for the plain vars")
+    return {
+        "distinct": distinct,
+        "proj": proj,
+        "star": star,
+        "aggs": aggs,
+        "patterns": patterns,
+        "optionals": optionals,
+        "filters": filters,
+        "group_by": group_by,
+        "having": having,
+        "order_by": order_by,
+        "limit": limit,
+        "offset": offset,
+    }
+
+
+# --------------------------------------------------------------------------
+# Execution
+
+
+def execute(triples_ds, query: str, n_buckets: int = 64):
+    """Run a SPARQL SELECT string against a triples Dataset; returns a
+    bindings Dataset with the projected columns."""
+    from .bgp import bgp_match, pattern_vars
+    from .sparql import (
+        distinct_bindings,
+        filter_bindings,
+        grouped_aggregate,
+        optional_match,
+        order_limit,
+    )
+
+    plan = parse_query(query)
+
+    if plan["optionals"]:
+        b = optional_match(
+            triples_ds,
+            plan["patterns"],
+            # engine optional_match takes ONE optional group; apply in
+            # sequence for several
+            plan["optionals"][0],
+            n_buckets=n_buckets,
+        )
+        for extra in plan["optionals"][1:]:
+            b = optional_match_bindings(b, triples_ds, extra, n_buckets)
+    else:
+        b = bgp_match(triples_ds, plan["patterns"], n_buckets=n_buckets)
+
+    for f in plan["filters"]:
+        b = filter_bindings(b, f)
+
+    if plan["aggs"]:
+        having = plan["having"]
+        b = grouped_aggregate(
+            b,
+            plan["group_by"],
+            plan["aggs"],
+            having=(
+                (lambda df: having(pa.Table.from_pandas(df)).to_pandas())
+                if having is not None
+                else None
+            ),
+            n_buckets=n_buckets,
+        )
+        out_cols = plan["group_by"] + [a[2] for a in plan["aggs"]]
+    else:
+        all_vars = sorted(
+            {
+                v
+                for pat in plan["patterns"] + [p for g in plan["optionals"] for p in g]
+                for v in pattern_vars(pat)
+            }
+        )
+        out_cols = all_vars if plan["star"] else plan["proj"]
+
+    if plan["distinct"]:
+        b = distinct_bindings(b, out_cols, n_buckets=n_buckets)
+
+    if plan["order_by"]:
+        vars_, descs = zip(*plan["order_by"])
+        b = order_limit(
+            b,
+            list(vars_),
+            descending=list(descs),
+            limit=plan["limit"],
+            offset=plan["offset"],
+        )
+    elif plan["limit"] is not None or plan["offset"]:
+        b = order_limit(
+            b, out_cols, limit=plan["limit"], offset=plan["offset"]
+        )
+
+    def project(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 and set(out_cols) - set(batch.column_names):
+            return pa.Table.from_pydict(
+                {c: pa.array([], pa.string()) for c in out_cols}
+            )
+        return batch.select(out_cols)
+
+    return b.map_batches(project, batch_format="pyarrow")
+
+
+def optional_match_bindings(bindings, triples_ds, optional_patterns, n_buckets):
+    """Chain a further OPTIONAL group onto existing bindings (used when
+    a query has several OPTIONAL blocks)."""
+    from .bgp import bgp_match, pattern_vars
+    from .join import bucketed_hash_join
+    from .sparql import UNBOUND
+
+    opt = bgp_match(triples_ds, optional_patterns, n_buckets=n_buckets)
+    opt_vars = sorted(
+        {v for pat in optional_patterns for v in pattern_vars(pat)}
+    )
+    base_cols = bindings.schema().names
+    shared = [v for v in opt_vars if v in base_cols]
+    if len(shared) != 1:
+        raise SparqlSyntaxError(
+            "chained OPTIONAL needs exactly one shared variable, got %r" % shared
+        )
+    joined = bucketed_hash_join(
+        bindings,
+        opt,
+        on=shared[0],
+        how="left",
+        n_buckets=n_buckets,
+        left_schema=pa.schema([(c, pa.string()) for c in base_cols]),
+        right_schema=pa.schema([(c, pa.string()) for c in opt_vars]),
+    )
+
+    def fill(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for c in batch.column_names:
+            col = batch.column(c)
+            cols[c] = pc.fill_null(pc.cast(col, pa.string()), UNBOUND)
+        return pa.Table.from_pydict(cols)
+
+    return joined.map_batches(fill, batch_format="pyarrow")

@@ -1,0 +1,149 @@
+"""Textual SPARQL front-end (stages/sparql_text.py): parsing, the
+compiled filters, and end-to-end execution over a triples Dataset."""
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from rdfa_ray.stages.sparql_text import SparqlSyntaxError, execute, parse_query
+
+
+def _triples(rows):
+    subj, pred, obj = zip(*rows)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "subj": pa.array(subj, pa.string()),
+                "pred": pa.array(pred, pa.string()),
+                "obj_value": pa.array(obj, pa.string()),
+            }
+        )
+    )
+
+
+GRAPH_ROWS = [
+    ("a", "http://ex.org/lang", "zh"),
+    ("b", "http://ex.org/lang", "en"),
+    ("c", "http://ex.org/lang", "zh"),
+    ("a", "http://ex.org/size", "10"),
+    ("b", "http://ex.org/size", "200"),
+    ("c", "http://ex.org/size", "30"),
+    ("a", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "http://ex.org/Doc"),
+    ("b", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "http://ex.org/Doc"),
+]
+
+
+def _rows(ds, cols):
+    df = ds.to_pandas()
+    return sorted(map(tuple, df[cols].to_records(index=False).tolist()))
+
+
+def test_parse_plan_shape():
+    plan = parse_query(
+        """
+        PREFIX ex: <http://ex.org/>
+        SELECT DISTINCT ?d ?l WHERE {
+          ?d a ex:Doc ; ex:lang ?l .
+          FILTER (?l = "zh" || ?l = "en")
+        } ORDER BY DESC(?d) LIMIT 5 OFFSET 1
+        """
+    )
+    assert plan["distinct"] and plan["proj"] == ["d", "l"]
+    assert ("?d", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+            "http://ex.org/Doc") in plan["patterns"]
+    assert ("?d", "http://ex.org/lang", "?l") in plan["patterns"]
+    assert len(plan["filters"]) == 1
+    assert plan["order_by"] == [("d", True)]
+    assert plan["limit"] == 5 and plan["offset"] == 1
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "SELECT WHERE { ?s ?p ?o }",                      # empty projection
+        "SELECT ?s WHERE { }",                            # no patterns
+        "SELECT ?s WHERE { ?s ?p ?o } FROB 3",            # trailing junk
+        "SELECT ?s WHERE { ?s undeclared:x ?o }",         # unknown prefix
+        "SELECT (MEDIAN(?x) AS ?m) WHERE { ?s ?p ?x }",   # unknown aggregate
+    ],
+)
+def test_rejects_unsupported(bad):
+    with pytest.raises(SparqlSyntaxError):
+        parse_query(bad)
+
+
+def test_basic_select_and_filter(ray_session):
+    out = execute(
+        _triples(GRAPH_ROWS),
+        """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d ?n WHERE {
+          ?d ex:lang "zh" . ?d ex:size ?n .
+          FILTER (?n < 20)
+        }
+        """,
+        n_buckets=4,
+    )
+    assert _rows(out, ["d", "n"]) == [("a", "10")]
+
+
+def test_regex_and_predicate_list(ray_session):
+    out = execute(
+        _triples(GRAPH_ROWS),
+        """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d WHERE { ?d a ex:Doc ; ex:lang ?l . FILTER (REGEX(?l, "^z")) }
+        """,
+        n_buckets=4,
+    )
+    assert _rows(out, ["d"]) == [("a",)]
+
+
+def test_aggregate_group_having(ray_session):
+    out = execute(
+        _triples(GRAPH_ROWS),
+        """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?l (COUNT(*) AS ?n) (MIN(?d) AS ?first) WHERE {
+          ?d ex:lang ?l .
+        } GROUP BY ?l HAVING (?n > 1)
+        """,
+        n_buckets=4,
+    )
+    assert _rows(out, ["l", "n", "first"]) == [("zh", 2, "a")]
+
+
+def test_optional_and_star(ray_session):
+    rows = GRAPH_ROWS + [("d", "http://ex.org/lang", "fr")]
+    out = execute(
+        _triples(rows),
+        """
+        PREFIX ex: <http://ex.org/>
+        SELECT * WHERE { ?d ex:lang ?l . OPTIONAL { ?d ex:size ?n } }
+        """,
+        n_buckets=4,
+    ).to_pandas()
+    got = dict(zip(out["d"], out["n"]))
+    assert got == {"a": "10", "b": "200", "c": "30", "d": ""}
+
+
+def test_order_limit_offset(ray_session):
+    out = execute(
+        _triples(GRAPH_ROWS),
+        """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d ?n WHERE { ?d ex:size ?n } ORDER BY DESC(?n) LIMIT 2 OFFSET 1
+        """,
+        n_buckets=4,
+    ).to_pandas()
+    # lexical DESC over '10','200','30': '30','200','10' -> offset 1
+    assert list(out["d"]) == ["b", "a"]
+
+
+def test_distinct(ray_session):
+    out = execute(
+        _triples(GRAPH_ROWS),
+        "PREFIX ex: <http://ex.org/> SELECT DISTINCT ?l WHERE { ?d ex:lang ?l }",
+        n_buckets=4,
+    )
+    assert _rows(out, ["l"]) == [("en",), ("zh",)]
