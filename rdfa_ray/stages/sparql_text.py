@@ -14,14 +14,24 @@ Supported fragment (a deliberate, validated subset — anything outside
 it raises ``SparqlSyntaxError`` rather than mis-executing):
 
 * ``PREFIX`` declarations, ``a`` for rdf:type
+* query forms: ``SELECT`` / ``ASK { ... }`` / ``CONSTRUCT { tmpl }
+  WHERE { ... }``
 * ``SELECT [DISTINCT] ?v ... | *`` with aggregate projections
   ``(COUNT(*) AS ?n)`` / ``(SUM|AVG|MIN|MAX|SAMPLE(?x) AS ?y)``
 * ``WHERE { ... }`` with triple patterns ('.'-separated, ';'
   predicate-object lists), ``OPTIONAL { ... }``,
+  ``{ ... } UNION { ... }`` (top-level arms),
+  ``MINUS { ... }``, ``FILTER [NOT] EXISTS { ... }``,
+  ``VALUES ?v { ... }``, ``BIND(UCASE|LCASE|STR(?x) AS ?y)``,
   ``FILTER (expr)`` — comparisons over vars/literals/numbers,
   ``REGEX(?v, "pat")``, ``&&`` / ``||`` / ``!``
 * ``GROUP BY ?v ...`` (+ ``HAVING`` over projected aggregate aliases)
 * ``ORDER BY [ASC|DESC](?v) ...``, ``LIMIT`` / ``OFFSET``
+
+Compositional limits are explicit errors, never silent misreads:
+UNION arms exclude OPTIONAL/MINUS in the same group; MINUS and
+[NOT] EXISTS require a plain-BGP base (that is what the distributed
+minus/exists operators take).
 
 Numbers in comparisons compare numerically (bindings hold lexical
 forms; the compiled mask casts vectorized, pyarrow kernels only).
@@ -230,15 +240,23 @@ def parse_query(text: str) -> dict:
             raise SparqlSyntaxError("PREFIX needs an <iri>")
         prefixes[pre] = iri[1:-1]
 
-    p.expect_kw("SELECT")
+    form = "select"
+    template = []
     distinct = False
-    if p.at_kw("DISTINCT"):
-        p.next()
-        distinct = True
-
     proj, aggs = [], []
     star = False
-    while True:
+    if p.at_kw("ASK"):
+        p.next()
+        form = "ask"
+    elif p.at_kw("CONSTRUCT"):
+        p.next()
+        form = "construct"
+    else:
+        p.expect_kw("SELECT")
+        if p.at_kw("DISTINCT"):
+            p.next()
+            distinct = True
+    while form == "select":
         kind, val = p.peek()
         if kind == "var":
             p.next()
@@ -272,18 +290,23 @@ def parse_query(text: str) -> dict:
             aggs.append((fn.lower(), argvar, alias[1:]))
         else:
             break
-    if not star and not proj and not aggs:
+    if form == "select" and not star and not proj and not aggs:
         raise SparqlSyntaxError("empty SELECT projection")
 
-    p.expect_kw("WHERE")
-    p.expect_op("{")
     patterns, optionals, filters = [], [], []
+    union_arms, minus_groups, exists_groups = [], [], []
+    values, binds = [], []
 
     def parse_triples_block(into):
-        """triple ('.'|';' lists) until '}' / OPTIONAL / FILTER."""
+        """triple ('.'|';' lists) until '}' / a keyword clause."""
         while True:
             kind, val = p.peek()
-            if (kind, val) == ("op", "}") or p.at_kw("OPTIONAL") or p.at_kw("FILTER"):
+            if (kind, val) == ("op", "}") or (
+                kind == "kw"
+                and val.upper() in (
+                    "OPTIONAL", "FILTER", "MINUS", "VALUES", "BIND", "UNION",
+                )
+            ):
                 return
             sk, sv = p.next()
             subj = _resolve(sk, sv, prefixes)
@@ -301,6 +324,30 @@ def parse_query(text: str) -> dict:
             if p.peek() == ("op", "."):
                 p.next()
 
+    def parse_braced_block():
+        p.expect_op("{")
+        block = []
+        parse_triples_block(block)
+        p.expect_op("}")
+        return block
+
+    if form == "construct":
+        template = parse_braced_block()
+
+    if form == "ask":
+        if p.at_kw("WHERE"):  # ASK WHERE { } and bare ASK { } both valid
+            p.next()
+    else:
+        p.expect_kw("WHERE")
+    p.expect_op("{")
+
+    # top-level `{ arm } UNION { arm } ...`
+    if p.peek() == ("op", "{"):
+        union_arms.append(parse_braced_block())
+        while p.at_kw("UNION"):
+            p.next()
+            union_arms.append(parse_braced_block())
+
     while True:
         kind, val = p.peek()
         if (kind, val) == ("op", "}"):
@@ -308,18 +355,66 @@ def parse_query(text: str) -> dict:
             break
         if p.at_kw("OPTIONAL"):
             p.next()
-            p.expect_op("{")
-            block = []
-            parse_triples_block(block)
-            p.expect_op("}")
-            optionals.append(block)
+            optionals.append(parse_braced_block())
+        elif p.at_kw("MINUS"):
+            p.next()
+            minus_groups.append(parse_braced_block())
         elif p.at_kw("FILTER"):
             p.next()
+            if p.at_kw("EXISTS") or (
+                p.at_kw("NOT") and p.peek(1)[1] and p.peek(1)[1].upper() == "EXISTS"
+            ):
+                negate = p.at_kw("NOT")
+                p.next()
+                if negate:
+                    p.next()
+                exists_groups.append((parse_braced_block(), negate))
+            else:
+                p.expect_op("(")
+                filters.append(_FilterCompiler(p, prefixes).parse_or())
+                p.expect_op(")")
+        elif p.at_kw("VALUES"):
+            p.next()
+            kind, var = p.next()
+            if kind != "var":
+                raise SparqlSyntaxError("VALUES needs a ?variable")
+            p.expect_op("{")
+            vals = []
+            while p.peek() != ("op", "}"):
+                vk, vv = p.next()
+                vals.append(_resolve(vk, vv, prefixes))
+            p.next()
+            values.append((var[1:], vals))
+        elif p.at_kw("BIND"):
+            p.next()
             p.expect_op("(")
-            filters.append(_FilterCompiler(p, prefixes).parse_or())
+            kind, fn = p.next()
+            if kind != "kw" or fn.upper() not in ("UCASE", "LCASE", "STR"):
+                raise SparqlSyntaxError("unsupported BIND function %r" % fn)
+            p.expect_op("(")
+            kind, var = p.next()
+            if kind != "var":
+                raise SparqlSyntaxError("BIND function needs a ?variable")
             p.expect_op(")")
+            p.expect_kw("AS")
+            kind, alias = p.next()
+            if kind != "var":
+                raise SparqlSyntaxError("AS needs a ?variable")
+            p.expect_op(")")
+            binds.append((alias[1:], fn.upper(), var[1:]))
+            if p.peek() == ("op", "."):
+                p.next()
         else:
             parse_triples_block(patterns)
+
+    if union_arms and (patterns or optionals or minus_groups or exists_groups):
+        raise SparqlSyntaxError(
+            "UNION arms cannot mix with other top-level patterns in this fragment"
+        )
+    if (minus_groups or exists_groups) and optionals:
+        raise SparqlSyntaxError(
+            "MINUS / FILTER EXISTS need a plain-BGP base in this fragment"
+        )
 
     group_by, having = [], None
     order_by, limit, offset = [], None, 0
@@ -358,11 +453,13 @@ def parse_query(text: str) -> dict:
         else:
             raise SparqlSyntaxError("unexpected trailing token %r" % (p.peek()[1],))
 
-    if not patterns:
+    if not patterns and not union_arms:
         raise SparqlSyntaxError("WHERE needs at least one triple pattern")
     if aggs and not group_by and proj:
         raise SparqlSyntaxError("aggregates need GROUP BY for the plain vars")
     return {
+        "form": form,
+        "template": template,
         "distinct": distinct,
         "proj": proj,
         "star": star,
@@ -370,6 +467,11 @@ def parse_query(text: str) -> dict:
         "patterns": patterns,
         "optionals": optionals,
         "filters": filters,
+        "union": union_arms,
+        "minus": minus_groups,
+        "exists": exists_groups,
+        "values": values,
+        "binds": binds,
         "group_by": group_by,
         "having": having,
         "order_by": order_by,
@@ -383,20 +485,59 @@ def parse_query(text: str) -> dict:
 
 
 def execute(triples_ds, query: str, n_buckets: int = 64):
-    """Run a SPARQL SELECT string against a triples Dataset; returns a
-    bindings Dataset with the projected columns."""
+    """Run a SPARQL query string against a triples Dataset.  SELECT and
+    CONSTRUCT return a Dataset (bindings / constructed triples); ASK
+    returns a one-row (answer: bool) Dataset so every form flows
+    through the same Dataset-shaped API."""
     from .bgp import bgp_match, pattern_vars
     from .sparql import (
+        ask,
+        bind_var,
+        construct,
         distinct_bindings,
+        exists_filter,
         filter_bindings,
         grouped_aggregate,
+        minus_match,
         optional_match,
         order_limit,
+        union_match,
+        values_filter,
     )
 
     plan = parse_query(query)
 
-    if plan["optionals"]:
+    if plan["form"] == "ask":
+        import ray.data as rd
+
+        answer = ask(triples_ds, plan["patterns"], n_buckets=n_buckets)
+        return rd.from_arrow(pa.table({"answer": pa.array([answer], pa.bool_())}))
+
+    if plan["form"] == "construct":
+        out = construct(
+            triples_ds, plan["patterns"], plan["template"], n_buckets=n_buckets
+        )
+        if plan["limit"] is not None:
+            out = out.limit(plan["limit"])
+        return out
+
+    if plan["union"]:
+        b = union_match(triples_ds, plan["union"])
+    elif plan["minus"] or plan["exists"]:
+        if len(plan["minus"]) + len(plan["exists"]) > 1:
+            raise SparqlSyntaxError(
+                "one MINUS or one [NOT] EXISTS group per query in this fragment"
+            )
+        if plan["minus"]:
+            b = minus_match(
+                triples_ds, plan["patterns"], plan["minus"][0], n_buckets=n_buckets
+            )
+        else:
+            eg, negate = plan["exists"][0]
+            b = exists_filter(
+                triples_ds, plan["patterns"], eg, negate=negate, n_buckets=n_buckets
+            )
+    elif plan["optionals"]:
         b = optional_match(
             triples_ds,
             plan["patterns"],
@@ -409,6 +550,17 @@ def execute(triples_ds, query: str, n_buckets: int = 64):
             b = optional_match_bindings(b, triples_ds, extra, n_buckets)
     else:
         b = bgp_match(triples_ds, plan["patterns"], n_buckets=n_buckets)
+
+    for var, vals in plan["values"]:
+        b = values_filter(b, var, vals)
+
+    for alias, fn, src in plan["binds"]:
+        expr = {
+            "UCASE": lambda t, s=src: pc.utf8_upper(pc.cast(t.column(s), pa.string())),
+            "LCASE": lambda t, s=src: pc.utf8_lower(pc.cast(t.column(s), pa.string())),
+            "STR": lambda t, s=src: pc.cast(t.column(s), pa.string()),
+        }[fn]
+        b = bind_var(b, alias, expr)
 
     for f in plan["filters"]:
         b = filter_bindings(b, f)
@@ -428,12 +580,14 @@ def execute(triples_ds, query: str, n_buckets: int = 64):
         )
         out_cols = plan["group_by"] + [a[2] for a in plan["aggs"]]
     else:
+        all_pats = (
+            plan["patterns"]
+            + [p for g in plan["optionals"] for p in g]
+            + [p for arm in plan["union"] for p in arm]
+        )
         all_vars = sorted(
-            {
-                v
-                for pat in plan["patterns"] + [p for g in plan["optionals"] for p in g]
-                for v in pattern_vars(pat)
-            }
+            {v for pat in all_pats for v in pattern_vars(pat)}
+            | {alias for alias, _, _ in plan["binds"]}
         )
         out_cols = all_vars if plan["star"] else plan["proj"]
 

@@ -147,3 +147,83 @@ def test_distinct(ray_session):
         n_buckets=4,
     )
     assert _rows(out, ["l"]) == [("en",), ("zh",)]
+
+
+def test_union_form(ray_session):
+    out = execute(
+        _triples(GRAPH_ROWS),
+        """
+        PREFIX ex: <http://ex.org/>
+        SELECT * WHERE {
+          { ?d ex:lang "zh" } UNION { ?d ex:size "200" }
+        }
+        """,
+        n_buckets=4,
+    )
+    assert _rows(out, ["d"]) == [("a",), ("b",), ("c",)]
+
+
+def test_minus_and_not_exists(ray_session):
+    q_minus = """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d WHERE { ?d ex:lang ?l . MINUS { ?d ex:size "200" } }
+        """
+    out = execute(_triples(GRAPH_ROWS), q_minus, n_buckets=4)
+    assert _rows(out, ["d"]) == [("a",), ("c",)]
+
+    q_ne = """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d WHERE { ?d ex:lang ?l . FILTER NOT EXISTS { ?d a ex:Doc } }
+        """
+    out = execute(_triples(GRAPH_ROWS), q_ne, n_buckets=4)
+    assert _rows(out, ["d"]) == [("c",)]
+
+
+def test_values_and_bind_text(ray_session):
+    out = execute(
+        _triples(GRAPH_ROWS),
+        """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d ?lu WHERE {
+          ?d ex:lang ?l . VALUES ?l { "zh" } BIND(UCASE(?l) AS ?lu) .
+        }
+        """,
+        n_buckets=4,
+    )
+    assert _rows(out, ["d", "lu"]) == [("a", "ZH"), ("c", "ZH")]
+
+
+def test_ask_and_construct_forms(ray_session):
+    yes = execute(
+        _triples(GRAPH_ROWS),
+        'PREFIX ex: <http://ex.org/> ASK { ?d ex:lang "zh" }',
+        n_buckets=4,
+    ).to_pandas()
+    assert list(yes["answer"]) == [True]
+    no = execute(
+        _triples(GRAPH_ROWS),
+        'PREFIX ex: <http://ex.org/> ASK WHERE { ?d ex:lang "tlh" }',
+        n_buckets=4,
+    ).to_pandas()
+    assert list(no["answer"]) == [False]
+
+    built = execute(
+        _triples(GRAPH_ROWS),
+        """
+        PREFIX ex: <http://ex.org/>
+        CONSTRUCT { ?d ex:tag "zh-doc" } WHERE { ?d ex:lang "zh" }
+        """,
+        n_buckets=4,
+    )
+    assert _rows(built, ["subj", "pred", "obj_value"]) == [
+        ("a", "http://ex.org/tag", "zh-doc"),
+        ("c", "http://ex.org/tag", "zh-doc"),
+    ]
+
+
+def test_union_mixing_rejected():
+    with pytest.raises(SparqlSyntaxError):
+        parse_query(
+            "PREFIX ex: <http://ex.org/> SELECT * WHERE {"
+            ' { ?d ex:lang "zh" } UNION { ?d ex:size "1" } ?d ex:other ?x }'
+        )
