@@ -40,6 +40,12 @@ def main(argv=None):
     p.add_argument("--check-lite", action="store_true")
     p.add_argument("--vocab-expansion", action="store_true")
     p.add_argument("--num-cpus", type=int, default=None)
+    p.add_argument(
+        "--query",
+        default=None,
+        help="SPARQL SELECT/ASK/CONSTRUCT string to run over the distilled"
+        " triples (results land in <output>/query_result)",
+    )
     args = p.parse_args(argv)
 
     import ray
@@ -91,6 +97,19 @@ def main(argv=None):
         ).map_batches(split_triples, batch_format="pyarrow")
         serialize_graphs(triples, args.serialize).write_parquet(
             os.path.join(args.output, "serialized_%s" % args.serialize)
+        )
+    if args.query:
+        from rdfa_ray.pipelines.flagship import build_triples
+        from rdfa_ray.stages.distill import split_triples
+        from rdfa_ray.stages.sparql_text import execute
+
+        triples = (
+            build_triples(rd.read_parquet(args.input), options_kwargs=options_kwargs)
+            .map_batches(split_triples, batch_format="pyarrow")
+            .select_columns(["subj", "pred", "obj_value"])
+        )
+        execute(triples, args.query).write_parquet(
+            os.path.join(args.output, "query_result")
         )
     print(
         json.dumps(
