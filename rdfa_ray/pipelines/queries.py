@@ -1755,6 +1755,29 @@ def q_kg_sparql_text_filter(sf_dir: str):
     )
 
 
+def q_kg_store_sparql(sf_dir: str):
+    """Textual SPARQL against the persisted store with predicate
+    pushdown: the query's two constant predicates prune the scan to
+    2 of the store's 4 partitions before a byte is read."""
+    import hashlib as _hl
+
+    from ..stages.kgstore import persist_kg, store_is_complete
+    from ..stages.sparql_text import execute_on_store
+
+    store_dir = "/tmp/graft_kg_%s" % _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    if not store_is_complete(store_dir):
+        persist_kg(_typed_triples(sf_dir), store_dir)
+    return execute_on_store(
+        store_dir,
+        """
+        PREFIX schema: <http://schema.org/>
+        SELECT ?src (COUNT(*) AS ?n) WHERE {
+          ?d schema:inLanguage "zh" ; schema:source ?src .
+        } GROUP BY ?src
+        """,
+    )
+
+
 def q_kg_subquery(sf_dir: str):
     """SPARQL 1.1 subquery (§12): documents whose characterCount
     exceeds their source's average — the inner ``SELECT ?src
@@ -2025,6 +2048,7 @@ QUERIES = {
     "kg_store_update": q_kg_store_update,
     "kg_subquery": q_kg_subquery,
     "kg_sparql_text": q_kg_sparql_text,
+    "kg_store_sparql": q_kg_store_sparql,
     "kg_sparql_text_filter": q_kg_sparql_text_filter,
     "curation_pipeline": q_curation_pipeline,
     "kg_path_opt": q_kg_path_opt,
@@ -2518,6 +2542,14 @@ ORACLE_SQL = {
         " FROM clean GROUP BY 1, 2"
     ),
     "kg_sparql_text": (
+        "WITH t AS (%s) "
+        "SELECT t2.obj_value AS src, COUNT(*) AS n"
+        " FROM t t1 JOIN t t2 ON t2.subj = t1.subj"
+        " WHERE t1.pred = 'http://schema.org/inLanguage' AND t1.obj_value = 'zh'"
+        " AND t2.pred = 'http://schema.org/source' GROUP BY t2.obj_value"
+        % _TYPED_TRIPLES_SQL
+    ),
+    "kg_store_sparql": (
         "WITH t AS (%s) "
         "SELECT t2.obj_value AS src, COUNT(*) AS n"
         " FROM t t1 JOIN t t2 ON t2.subj = t1.subj"

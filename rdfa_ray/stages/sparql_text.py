@@ -618,6 +618,42 @@ def execute(triples_ds, query: str, n_buckets: int = 64):
     return b.map_batches(project, batch_format="pyarrow")
 
 
+def execute_on_store(store_dir: str, query: str, n_buckets: int = 64):
+    """Run a SPARQL string against a persisted predicate-partitioned KG
+    store (stages/kgstore.py) with PREDICATE PUSHDOWN: the parsed
+    plan's constant predicates (across the base BGP, OPTIONAL / UNION /
+    MINUS / EXISTS groups and the CONSTRUCT template's WHERE) become
+    the store read's partition filter, so the scan opens only the
+    partitions the query can touch.  A variable in any predicate
+    position disables pruning for correctness (it can match anything).
+    This is the storage-layer payoff of vertical partitioning: the
+    query text itself declares its scan set."""
+    from .kgstore import read_kg
+
+    plan = parse_query(query)
+    groups = (
+        [plan["patterns"]]
+        + plan["optionals"]
+        + plan["union"]
+        + plan["minus"]
+        + [g for g, _ in plan["exists"]]
+    )
+    preds = set()
+    prunable = True
+    for g in groups:
+        for _s, p, _o in g:
+            if p.startswith("?"):
+                prunable = False
+            else:
+                preds.add(p)
+    triples = read_kg(
+        store_dir,
+        preds=sorted(preds) if prunable else None,
+        columns=["subj", "pred", "obj_value"],
+    )
+    return execute(triples, query, n_buckets=n_buckets)
+
+
 def optional_match_bindings(bindings, triples_ds, optional_patterns, n_buckets):
     """Chain a further OPTIONAL group onto existing bindings (used when
     a query has several OPTIONAL blocks)."""

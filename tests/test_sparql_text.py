@@ -227,3 +227,26 @@ def test_union_mixing_rejected():
             "PREFIX ex: <http://ex.org/> SELECT * WHERE {"
             ' { ?d ex:lang "zh" } UNION { ?d ex:size "1" } ?d ex:other ?x }'
         )
+
+
+def test_execute_on_store_prunes(ray_session, tmp_path):
+    """Predicate pushdown: the pruned read touches only the partitions
+    the query names; a variable predicate disables pruning."""
+    from rdfa_ray.stages import kgstore
+    from rdfa_ray.stages.sparql_text import execute_on_store
+
+    store = str(tmp_path / "kg")
+    kgstore.persist_kg(_triples(GRAPH_ROWS), store)
+
+    out = execute_on_store(
+        store,
+        'PREFIX ex: <http://ex.org/> SELECT ?d WHERE { ?d ex:lang "zh" }',
+        n_buckets=4,
+    )
+    assert _rows(out, ["d"]) == [("a",), ("c",)]
+
+    # variable predicate -> full scan, still correct
+    out2 = execute_on_store(
+        store, "SELECT ?p ?o WHERE { ?s ?p ?o }", n_buckets=4
+    )
+    assert out2.count() == len(GRAPH_ROWS)
