@@ -27,6 +27,10 @@ it raises ``SparqlSyntaxError`` rather than mis-executing):
   ``REGEX(?v, "pat")``, ``&&`` / ``||`` / ``!``
 * ``GROUP BY ?v ...`` (+ ``HAVING`` over projected aggregate aliases)
 * ``ORDER BY [ASC|DESC](?v) ...``, ``LIMIT`` / ``OFFSET``
+* property paths in predicate position: ``^p``, ``p/q``, ``p|q``,
+  ``p+``, ``p*``, ``p?``, ``!(p|q)``, parenthesised combinations —
+  compiled to ``stages/sparql.path_edges`` plans and joined into the
+  surrounding BGP on their shared variables
 
 Compositional limits are explicit errors, never silent misreads:
 UNION arms exclude OPTIONAL/MINUS in the same group; MINUS and
@@ -61,7 +65,7 @@ _TOKEN_RE = re.compile(
   | (?P<number>[+-]?\d+(?:\.\d+)?)
   | (?P<pname>[A-Za-z_][A-Za-z0-9_-]*:[A-Za-z0-9_.-]*)
   | (?P<kw>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op><=|>=|!=|&&|\|\||[{}().;,*=<>!])
+  | (?P<op><=|>=|!=|&&|\|\||[{}().;,*=<>!+/^|?])
     """,
     re.VERBOSE,
 )
@@ -129,6 +133,86 @@ def _resolve(tok_kind, tok_val, prefixes):
     if tok_kind == "kw" and tok_val == "a":
         return _RDF_TYPE
     raise SparqlSyntaxError("unexpected term %r" % tok_val)
+
+
+# --------------------------------------------------------------------------
+# Property-path parsing (predicate position) -> stages/sparql.path_edges
+# expression tuples: ("seq"/"alt"/"inv"/"plus"/"star"/"opt", ...) and
+# ("neg", iri, ...)
+
+
+def _parse_path(p: _Parser, prefixes) -> object:
+    """Parse a path at the '|' precedence level.  Returns a plain IRI
+    string for a trivial path, else a path_edges expression tuple."""
+    left = _parse_path_seq(p, prefixes)
+    alts = [left]
+    while p.peek() == ("op", "|"):
+        p.next()
+        alts.append(_parse_path_seq(p, prefixes))
+    return alts[0] if len(alts) == 1 else ("alt", *alts)
+
+
+def _parse_path_seq(p: _Parser, prefixes):
+    steps = [_parse_path_elt(p, prefixes)]
+    while p.peek() == ("op", "/"):
+        p.next()
+        steps.append(_parse_path_elt(p, prefixes))
+    return steps[0] if len(steps) == 1 else ("seq", *steps)
+
+
+def _parse_path_elt(p: _Parser, prefixes):
+    inverted = False
+    if p.peek() == ("op", "^"):
+        p.next()
+        inverted = True
+    if p.peek() == ("op", "!"):
+        p.next()
+        p.expect_op("(")
+        iris = [_parse_path_primary_iri(p, prefixes)]
+        while p.peek() == ("op", "|"):
+            p.next()
+            iris.append(_parse_path_primary_iri(p, prefixes))
+        p.expect_op(")")
+        elt = ("neg", *iris)
+    elif p.peek() == ("op", "("):
+        p.next()
+        elt = _parse_path(p, prefixes)
+        p.expect_op(")")
+    else:
+        elt = _parse_path_primary_iri(p, prefixes)
+    kind, val = p.peek()
+    if (kind, val) in (("op", "+"), ("op", "*"), ("op", "?")):
+        p.next()
+        elt = ({"+": "plus", "*": "star", "?": "opt"}[val], elt)
+    if inverted:
+        elt = ("inv", elt)
+    return elt
+
+
+def _parse_path_primary_iri(p: _Parser, prefixes) -> str:
+    kind, val = p.next()
+    iri = _resolve(kind, val, prefixes)
+    if kind == "var" or not isinstance(iri, str):
+        raise SparqlSyntaxError("property path needs IRIs, got %r" % val)
+    return iri
+
+
+def _path_iris(expr, out: set, prunable: list) -> None:
+    """Collect constant predicate IRIs a path can touch (for store
+    pruning).  A negated set matches ANY predicate outside it, and
+    star/opt paths include the zero-length identity over EVERY graph
+    term — both make a pruned read unsound, so they clear the flag."""
+    if isinstance(expr, str):
+        out.add(expr)
+        return
+    op, *args = expr
+    if op == "neg":
+        prunable[0] = False
+        return
+    if op in ("star", "opt"):
+        prunable[0] = False
+    for a in args:
+        _path_iris(a, out, prunable)
 
 
 # --------------------------------------------------------------------------
@@ -311,8 +395,10 @@ def parse_query(text: str) -> dict:
             sk, sv = p.next()
             subj = _resolve(sk, sv, prefixes)
             while True:
-                pk, pv = p.next()
-                pred = _resolve(pk, pv, prefixes)
+                if p.peek()[0] == "var":
+                    pred = p.next()[1]  # variable predicate: plain pattern
+                else:
+                    pred = _parse_path(p, prefixes)  # str, or a path tuple
                 ok, ov = p.next()
                 obj = _resolve(ok, ov, prefixes)
                 into.append((subj, pred, obj))
@@ -507,6 +593,23 @@ def execute(triples_ds, query: str, n_buckets: int = 64):
 
     plan = parse_query(query)
 
+    path_pats = [pt for pt in plan["patterns"] if isinstance(pt[1], tuple)]
+    plain_pats = [pt for pt in plan["patterns"] if not isinstance(pt[1], tuple)]
+    other_groups = (
+        plan["optionals"]
+        + plan["union"]
+        + plan["minus"]
+        + [g for g, _ in plan["exists"]]
+    )
+    if path_pats and (other_groups or plan["form"] != "select"):
+        raise SparqlSyntaxError(
+            "property paths are supported in the base BGP of a SELECT only"
+        )
+    if any(isinstance(pt[1], tuple) for g in other_groups for pt in g):
+        raise SparqlSyntaxError(
+            "property paths are supported in the base BGP only"
+        )
+
     if plan["form"] == "ask":
         import ray.data as rd
 
@@ -548,6 +651,19 @@ def execute(triples_ds, query: str, n_buckets: int = 64):
         )
         for extra in plan["optionals"][1:]:
             b = optional_match_bindings(b, triples_ds, extra, n_buckets)
+    elif path_pats:
+        b, bound = None, []
+        if plain_pats:
+            b = bgp_match(triples_ds, plain_pats, n_buckets=n_buckets)
+            bound = sorted({v for pt in plain_pats for v in pattern_vars(pt)})
+        for subj, expr, obj in path_pats:
+            pb, pvars = _path_pattern_bindings(
+                triples_ds, subj, expr, obj, n_buckets
+            )
+            if b is None:
+                b, bound = pb, pvars
+            else:
+                b, bound = _join_binding_tables(b, bound, pb, pvars, n_buckets)
     else:
         b = bgp_match(triples_ds, plan["patterns"], n_buckets=n_buckets)
 
@@ -618,6 +734,76 @@ def execute(triples_ds, query: str, n_buckets: int = 64):
     return b.map_batches(project, batch_format="pyarrow")
 
 
+def _path_pattern_bindings(triples_ds, subj, expr, obj, n_buckets):
+    """Evaluate one path pattern (?s <path> ?o) to a bindings table:
+    the path's (src, dst) edges with constant endpoints filtered
+    map-side and variable endpoints renamed to their binding columns."""
+    from .sparql import path_edges
+
+    if not (subj.startswith("?") or obj.startswith("?")):
+        raise SparqlSyntaxError("path pattern needs at least one variable endpoint")
+    edges = path_edges(triples_ds, expr, n_buckets=n_buckets)
+    pvars = [t[1:] for t in (subj, obj) if t.startswith("?")]
+
+    def xf(batch: pa.Table) -> pa.Table:
+        src = pc.cast(batch.column("src"), pa.string())
+        dst = pc.cast(batch.column("dst"), pa.string())
+        mask = None
+        if not subj.startswith("?"):
+            mask = pc.equal(src, subj)
+        if not obj.startswith("?"):
+            m2 = pc.equal(dst, obj)
+            mask = m2 if mask is None else pc.and_(mask, m2)
+        tbl = pa.Table.from_pydict({"src": src, "dst": dst})
+        if mask is not None:
+            tbl = tbl.filter(mask)
+        cols = {}
+        if subj.startswith("?"):
+            cols[subj[1:]] = tbl.column("src")
+        if obj.startswith("?"):
+            cols[obj[1:]] = tbl.column("dst")
+        return pa.Table.from_pydict(cols)
+
+    return edges.map_batches(xf, batch_format="pyarrow"), pvars
+
+
+def _join_binding_tables(b, bound, other, ovars, n_buckets):
+    """Inner-join two binding tables on their shared variables — the
+    same composite-key bucketed exchange bgp_match's pattern loop pays
+    (used to fold path-pattern bindings into the BGP)."""
+    from .bgp import _with_key
+    from .join import bucketed_hash_join
+
+    shared = [v for v in ovars if v in bound]
+    if not shared:
+        raise SparqlSyntaxError(
+            "path pattern shares no variable with the rest of the BGP"
+        )
+    left, left_schema = _with_key(b, shared, bound)
+    right, right_schema = _with_key(other, shared, ovars)
+    joined = bucketed_hash_join(
+        left,
+        right,
+        on="__k",
+        n_buckets=n_buckets,
+        how="inner",
+        suffix="__r",
+        left_schema=left_schema,
+        right_schema=right_schema,
+    )
+    new_vars = [v for v in ovars if v not in bound]
+    keep = list(bound) + new_vars
+
+    def project(batch: pa.Table, _keep=tuple(keep)) -> pa.Table:
+        if batch.num_rows == 0 and set(_keep) - set(batch.column_names):
+            return pa.Table.from_pydict(
+                {c: pa.array([], pa.string()) for c in _keep}
+            )
+        return pa.Table.from_pydict({v: batch.column(v) for v in _keep})
+
+    return joined.map_batches(project, batch_format="pyarrow"), keep
+
+
 def execute_on_store(store_dir: str, query: str, n_buckets: int = 64):
     """Run a SPARQL string against a persisted predicate-partitioned KG
     store (stages/kgstore.py) with PREDICATE PUSHDOWN: the parsed
@@ -639,13 +825,16 @@ def execute_on_store(store_dir: str, query: str, n_buckets: int = 64):
         + [g for g, _ in plan["exists"]]
     )
     preds = set()
-    prunable = True
+    prunable_box = [True]
     for g in groups:
         for _s, p, _o in g:
-            if p.startswith("?"):
-                prunable = False
+            if isinstance(p, tuple):
+                _path_iris(p, preds, prunable_box)
+            elif p.startswith("?"):
+                prunable_box[0] = False
             else:
                 preds.add(p)
+    prunable = prunable_box[0]
     triples = read_kg(
         store_dir,
         preds=sorted(preds) if prunable else None,

@@ -250,3 +250,81 @@ def test_execute_on_store_prunes(ray_session, tmp_path):
         store, "SELECT ?p ?o WHERE { ?s ?p ?o }", n_buckets=4
     )
     assert out2.count() == len(GRAPH_ROWS)
+
+
+PATH_ROWS = [
+    ("n1", "http://ex.org/next", "n2"),
+    ("n2", "http://ex.org/next", "n3"),
+    ("n3", "http://ex.org/next", "n4"),
+    ("n1", "http://ex.org/alias", "m1"),
+    ("n1", "http://ex.org/lang", "zh"),
+]
+
+
+def test_path_plus_in_text(ray_session):
+    out = execute(
+        _triples(PATH_ROWS),
+        'PREFIX ex: <http://ex.org/> SELECT ?a WHERE { "n1" ex:next+ ?a }',
+        n_buckets=4,
+    )
+    assert _rows(out, ["a"]) == [("n2",), ("n3",), ("n4",)]
+
+
+def test_path_alt_inv_seq_in_text(ray_session):
+    # ^next from n3 is n2; next/next from n1 is n3
+    out = execute(
+        _triples(PATH_ROWS),
+        'PREFIX ex: <http://ex.org/> SELECT ?x WHERE { "n3" ^ex:next ?x }',
+        n_buckets=4,
+    )
+    assert _rows(out, ["x"]) == [("n2",)]
+    out2 = execute(
+        _triples(PATH_ROWS),
+        "PREFIX ex: <http://ex.org/> SELECT ?x WHERE { \"n1\" ex:next/ex:next ?x }",
+        n_buckets=4,
+    )
+    assert _rows(out2, ["x"]) == [("n3",)]
+    out3 = execute(
+        _triples(PATH_ROWS),
+        'PREFIX ex: <http://ex.org/> SELECT ?x WHERE { "n1" (ex:next|ex:alias) ?x }',
+        n_buckets=4,
+    )
+    assert _rows(out3, ["x"]) == [("m1",), ("n2",)]
+
+
+def test_path_joined_with_bgp(ray_session):
+    # path bindings join the plain BGP on ?d
+    out = execute(
+        _triples(PATH_ROWS),
+        """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d ?a WHERE { ?d ex:lang "zh" . ?d ex:next+ ?a }
+        """,
+        n_buckets=4,
+    )
+    assert _rows(out, ["d", "a"]) == [("n1", "n2"), ("n1", "n3"), ("n1", "n4")]
+
+
+def test_path_negated_set_in_text(ray_session):
+    out = execute(
+        _triples(PATH_ROWS),
+        'PREFIX ex: <http://ex.org/> SELECT ?s ?o WHERE { ?s !(ex:next|ex:lang) ?o }',
+        n_buckets=4,
+    )
+    assert _rows(out, ["s", "o"]) == [("n1", "m1")]
+
+
+def test_store_pruning_disabled_for_star(ray_session, tmp_path):
+    from rdfa_ray.stages import kgstore
+    from rdfa_ray.stages.sparql_text import execute_on_store
+
+    store = str(tmp_path / "kg")
+    kgstore.persist_kg(_triples(PATH_ROWS), store)
+    # ex:next* includes zero-length pairs over terms of OTHER
+    # partitions (e.g. 'zh', 'm1') -> pruning must be disabled
+    out = execute_on_store(
+        store,
+        "PREFIX ex: <http://ex.org/> SELECT ?a WHERE { ?a ex:next* ?a }",
+        n_buckets=4,
+    ).to_pandas()
+    assert set(out["a"]) == {"n1", "n2", "n3", "n4", "m1", "zh"}
