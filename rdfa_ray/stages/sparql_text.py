@@ -329,12 +329,20 @@ def parse_query(text: str) -> dict:
     distinct = False
     proj, aggs = [], []
     star = False
+    describe_var = None
     if p.at_kw("ASK"):
         p.next()
         form = "ask"
     elif p.at_kw("CONSTRUCT"):
         p.next()
         form = "construct"
+    elif p.at_kw("DESCRIBE"):
+        p.next()
+        form = "describe"
+        kind, val = p.next()
+        if kind != "var":
+            raise SparqlSyntaxError("DESCRIBE needs a ?variable in this fragment")
+        describe_var = val[1:]
     else:
         p.expect_kw("SELECT")
         if p.at_kw("DISTINCT"):
@@ -545,6 +553,7 @@ def parse_query(text: str) -> dict:
         raise SparqlSyntaxError("aggregates need GROUP BY for the plain vars")
     return {
         "form": form,
+        "describe_var": describe_var,
         "template": template,
         "distinct": distinct,
         "proj": proj,
@@ -619,6 +628,16 @@ def execute(triples_ds, query: str, n_buckets: int = 64):
     if plan["form"] == "construct":
         out = construct(
             triples_ds, plan["patterns"], plan["template"], n_buckets=n_buckets
+        )
+        if plan["limit"] is not None:
+            out = out.limit(plan["limit"])
+        return out
+
+    if plan["form"] == "describe":
+        from .sparql import describe
+
+        out = describe(
+            triples_ds, plan["patterns"], plan["describe_var"], n_buckets=n_buckets
         )
         if plan["limit"] is not None:
             out = out.limit(plan["limit"])

@@ -328,3 +328,14 @@ def test_store_pruning_disabled_for_star(ray_session, tmp_path):
         n_buckets=4,
     ).to_pandas()
     assert set(out["a"]) == {"n1", "n2", "n3", "n4", "m1", "zh"}
+
+
+def test_describe_form(ray_session):
+    out = execute(
+        _triples(GRAPH_ROWS),
+        'PREFIX ex: <http://ex.org/> DESCRIBE ?d WHERE { ?d ex:lang "en" }',
+        n_buckets=4,
+    )
+    assert _rows(out, ["subj", "pred", "obj_value"]) == sorted(
+        [r for r in GRAPH_ROWS if r[0] == "b"]
+    )
