@@ -758,6 +758,18 @@ def q_repetition_signals(sf_dir: str):
     return repetition_signals(docs)
 
 
+def q_sequence_packing(sf_dir: str):
+    """Fixed-token-budget sequence packing (bin = exclusive prefix
+    token count // 2048 in doc_id order) — the two-level distributed
+    prefix sum; oracle is the equivalent SQL window function."""
+    import ray.data as rd
+
+    from ..stages.packing import pack_sequences
+
+    docs = rd.read_parquet("%s/documents.parquet" % sf_dir, columns=["doc_id", "text"])
+    return pack_sequences(docs, budget=2048)
+
+
 def q_fingerprints_rolling(sf_dir: str):
     import ray.data as rd
 
@@ -2044,6 +2056,7 @@ QUERIES = {
     "contamination": q_contamination,
     "kg_path_neg": q_kg_path_neg,
     "repetition_signals": q_repetition_signals,
+    "sequence_packing": q_sequence_packing,
     "kg_graph_scoped": q_kg_graph_scoped,
     "kg_store_update": q_kg_store_update,
     "kg_subquery": q_kg_subquery,
@@ -2583,6 +2596,14 @@ ORACLE_SQL = {
         " || '/turn/0' AS g,"
         " 'http://docs.local/d' || CAST(doc_id AS VARCHAR) AS d,"
         " lang AS l FROM documents WHERE source = 'src1'"
+    ),
+    "sequence_packing": (
+        "SELECT doc_id,"
+        " CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,"
+        " CAST(COALESCE(SUM(len(string_split(text, ' ')))"
+        "  OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING"
+        "  AND 1 PRECEDING), 0) // 2048 AS BIGINT) AS bin_id"
+        " FROM documents"
     ),
     "repetition_signals": (
         "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),"

@@ -254,3 +254,32 @@ def test_quality_gate_and_split_keep_cols(ray_session):
     labeled = assign_split(docs, keep_cols=["lang"]).to_pandas()
     assert sorted(labeled.columns) == ["doc_id", "lang", "split"]
     assert set(labeled["split"]) <= {"train", "holdout"}
+
+
+def test_sequence_packing_two_level_scan(ray_session):
+    """Bin = exclusive global prefix // budget, independent of
+    partitioning and exercising multiple ranges."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rdfa_ray.stages.packing import pack_sequences
+
+    sizes = [5, 7, 3, 10, 2, 8, 6, 4]  # 45 tokens total
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(8)), pa.int64()),
+                "text": pa.array([" ".join(["w"] * s) for s in sizes], pa.string()),
+            }
+        )
+    ).repartition(3)
+    # range_size=2 -> 4 ranges; budget=10
+    out = (
+        pack_sequences(docs, budget=10, range_size=2)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    excl = np.cumsum([0] + sizes[:-1])
+    assert list(out["n_tokens"]) == sizes
+    assert list(out["bin_id"]) == [int(e // 10) for e in excl]
