@@ -1732,6 +1732,65 @@ def q_curation_pipeline(sf_dir: str):
     )
 
 
+def q_customers_orders_outer(sf_dir: str):
+    """FULL OUTER join (round-3 join-mode completion): high-balance
+    customers against per-customer order counts — unmatched rows
+    survive on BOTH sides, null-padded then sentinel-filled (-1) so
+    the SQL oracle hash-compares exactly."""
+    import ray.data as rd
+
+    from ..stages.aggregate import salted_count
+    from ..stages.join import bucketed_hash_join
+
+    cust = rd.read_parquet(
+        "%s/customer.parquet" % sf_dir, columns=["c_custkey", "c_acctbal"]
+    )
+
+    def rich(batch: pa.Table) -> pa.Table:
+        keep = pc.greater(batch.column("c_acctbal"), 5000.0)
+        sel = batch.filter(keep)
+        return pa.Table.from_pydict(
+            {
+                "c_custkey": pc.cast(sel.column("c_custkey"), pa.int64()),
+                "acct_cents": pc.cast(
+                    pc.round(pc.multiply(sel.column("c_acctbal"), 100.0), 0),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    orders = rd.read_parquet("%s/orders.parquet" % sf_dir, columns=["o_custkey"])
+    counts = salted_count(
+        orders.map_batches(
+            lambda t: pa.Table.from_pydict(
+                {"c_custkey": pc.cast(t.column("o_custkey"), pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ),
+        "c_custkey",
+    )
+
+    joined = bucketed_hash_join(
+        cust.map_batches(rich, batch_format="pyarrow"),
+        counts,
+        on="c_custkey",
+        how="outer",
+        left_schema=pa.schema([("c_custkey", pa.int64()), ("acct_cents", pa.int64())]),
+        right_schema=pa.schema([("c_custkey", pa.int64()), ("n", pa.int64())]),
+    )
+
+    def fill(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "c_custkey": batch.column("c_custkey"),
+                "acct_cents": pc.fill_null(batch.column("acct_cents"), -1),
+                "n_orders": pc.fill_null(batch.column("n"), -1),
+            }
+        )
+
+    return joined.map_batches(fill, batch_format="pyarrow")
+
+
 def q_kg_sparql_text(sf_dir: str):
     """The textual SPARQL entry point end-to-end: a SELECT string
     (PREFIX, predicate-object list, GROUP BY + aggregate alias) parsed
@@ -2062,6 +2121,7 @@ QUERIES = {
     "kg_subquery": q_kg_subquery,
     "kg_sparql_text": q_kg_sparql_text,
     "kg_store_sparql": q_kg_store_sparql,
+    "customers_orders_outer": q_customers_orders_outer,
     "kg_sparql_text_filter": q_kg_sparql_text_filter,
     "curation_pipeline": q_curation_pipeline,
     "kg_path_opt": q_kg_path_opt,
@@ -2561,6 +2621,17 @@ ORACLE_SQL = {
         " WHERE t1.pred = 'http://schema.org/inLanguage' AND t1.obj_value = 'zh'"
         " AND t2.pred = 'http://schema.org/source' GROUP BY t2.obj_value"
         % _TYPED_TRIPLES_SQL
+    ),
+    "customers_orders_outer": (
+        "WITH rich AS (SELECT c_custkey,"
+        "  CAST(round(c_acctbal * 100, 0) AS BIGINT) AS acct_cents"
+        "  FROM customer WHERE c_acctbal > 5000),"
+        " cnt AS (SELECT o_custkey AS c_custkey, COUNT(*) AS n"
+        "  FROM orders GROUP BY o_custkey) "
+        "SELECT COALESCE(rich.c_custkey, cnt.c_custkey) AS c_custkey,"
+        " COALESCE(acct_cents, -1) AS acct_cents,"
+        " CAST(COALESCE(n, -1) AS BIGINT) AS n_orders"
+        " FROM rich FULL OUTER JOIN cnt ON rich.c_custkey = cnt.c_custkey"
     ),
     "kg_store_sparql": (
         "WITH t AS (%s) "

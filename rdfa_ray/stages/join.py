@@ -45,13 +45,15 @@ def bucketed_hash_join(
     """Join two Datasets on a single key column; right-side name
     collisions (other than the key) get ``suffix``.
 
-    ``how``: ``'inner'``, ``'left'``, ``'semi'`` (left rows with >= 1
-    right match; left columns only, each left row at most once) or
-    ``'anti'`` (left rows with NO right match).  Right/full-outer modes
-    are rejected: they would silently drop right-side rows in buckets
-    whose left side is empty (the per-bucket early-out below).  For
-    semi/anti the right side only contributes its key column — callers
-    should pre-select it so only 8-byte keys shuffle.
+    ``how``: ``'inner'``, ``'left'``, ``'right'``, ``'outer'`` (full),
+    ``'semi'`` (left rows with >= 1 right match; left columns only,
+    each left row at most once) or ``'anti'`` (left rows with NO right
+    match).  The tagged-union design co-locates BOTH sides of a key in
+    one bucket, so right/full-outer are exact — the per-bucket
+    early-out is mode-aware (a bucket empty on the preserved side
+    still emits the other side's rows, null-padded).  For semi/anti
+    the right side only contributes its key column — callers should
+    pre-select it so only 8-byte keys shuffle.
 
     ``left_schema`` / ``right_schema``: optional ``pa.Schema`` for the
     corresponding side.  ``Dataset.schema()`` on a lazy multi-stage
@@ -67,10 +69,10 @@ def bucketed_hash_join(
     global distinct WITHOUT paying a separate shuffle — used by
     ``minhash_dedup`` to fold its candidate-pair dedup into the join.
     """
-    if how not in ("inner", "left", "semi", "anti"):
+    if how not in ("inner", "left", "right", "outer", "semi", "anti"):
         raise ValueError(
-            "bucketed_hash_join supports how='inner'/'left'/'semi'/'anti'"
-            " only, got %r" % how
+            "bucketed_hash_join supports how='inner'/'left'/'right'/"
+            "'outer'/'semi'/'anti' only, got %r" % how
         )
     # pa.Schema and ray Schema expose the same .names/.types surface
     left_schema = left_schema if left_schema is not None else left_ds.schema()
@@ -149,7 +151,14 @@ def bucketed_hash_join(
     def join_bucket(group: pd.DataFrame) -> pa.Table:
         l = group[group["__side"] == "l"][join_cols_l]
         r = group[group["__side"] == "r"][join_cols_r]
-        if len(l) == 0 or (len(r) == 0 and how in ("inner", "semi")):
+        # mode-aware early-out: empty only when the preserved side(s)
+        # cannot produce a row
+        if (
+            (how in ("inner", "semi") and (len(l) == 0 or len(r) == 0))
+            or (how in ("left", "anti") and len(l) == 0)
+            or (how == "right" and len(r) == 0)
+            or (how == "outer" and len(l) == 0 and len(r) == 0)
+        ):
             return empty_table
         if left_distinct:
             l = l.sort_values(join_cols_l, kind="mergesort").drop_duplicates(

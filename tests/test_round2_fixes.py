@@ -56,15 +56,16 @@ def test_plain_prose_still_fastpaths():
 # ADVICE medium: join how-validation
 
 
-def test_bucketed_join_rejects_outer(ray_session):
+def test_bucketed_join_rejects_unknown_mode(ray_session):
     import ray.data as rd
 
     from rdfa_ray.stages.join import bucketed_hash_join
 
     l = rd.from_items([{"k": 1, "x": "a"}])
     r = rd.from_items([{"k": 1, "y": "b"}])
+    # outer/right became supported in round 3; unknown modes still fail
     with pytest.raises(ValueError):
-        bucketed_hash_join(l, r, on="k", how="outer")
+        bucketed_hash_join(l, r, on="k", how="cross")
 
 
 # ---------------------------------------------------------------------------

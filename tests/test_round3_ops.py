@@ -131,11 +131,52 @@ def test_token_topk_and_inverted_index(ray_session):
     assert idx["df"].tolist() == [2, 2]
 
 
-def test_join_rejects_outer_modes(ray_session):
+def test_join_rejects_unknown_modes(ray_session):
     from rdfa_ray.stages.join import bucketed_hash_join
 
     with pytest.raises(ValueError):
-        bucketed_hash_join(None, None, on="k", how="outer")
+        bucketed_hash_join(None, None, on="k", how="cross")
+
+
+def test_full_and_right_outer_join(ray_session):
+    """Round 3: outer/right are exact — a bucket empty on one side
+    still emits the other side's rows, null-padded."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rdfa_ray.stages.join import bucketed_hash_join
+
+    l = rd.from_arrow(
+        pa.table({"k": pa.array([1, 2], pa.int64()),
+                  "x": pa.array(["a", "b"], pa.string())})
+    )
+    r = rd.from_arrow(
+        pa.table({"k": pa.array([2, 3], pa.int64()),
+                  "y": pa.array(["B", "C"], pa.string())})
+    )
+    schemas = dict(
+        left_schema=pa.schema([("k", pa.int64()), ("x", pa.string())]),
+        right_schema=pa.schema([("k", pa.int64()), ("y", pa.string())]),
+    )
+    full = (
+        bucketed_hash_join(l, r, on="k", how="outer", n_buckets=4, **schemas)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert list(full["k"]) == [1, 2, 3]
+    assert list(full["x"].fillna("-")) == ["a", "b", "-"]
+    assert list(full["y"].fillna("-")) == ["-", "B", "C"]
+
+    right = (
+        bucketed_hash_join(l, r, on="k", how="right", n_buckets=4, **schemas)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert list(right["k"]) == [2, 3]
+    assert list(right["x"].fillna("-")) == ["b", "-"]
 
 
 def test_quantile_sketch_error_bound(ray_session):
