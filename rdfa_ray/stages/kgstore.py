@@ -115,6 +115,8 @@ def _write_generation(keyed_ds, store_dir: str, gen: int) -> dict:
     if os.path.isdir(staging):
         shutil.rmtree(staging)
     keyed_ds.write_parquet(staging, partition_cols=["pred_key"])
+    if not os.path.isdir(staging):  # empty dataset writes nothing
+        return {}
 
     parts = {}
     for d in sorted(os.listdir(staging)):

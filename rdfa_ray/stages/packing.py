@@ -65,8 +65,17 @@ def pack_sequences(docs_ds, budget: int = 2048, range_size: int = 4096):
         .groupby("rng")
         .aggregate(Sum("part", alias_name="total"))
         .to_pandas()
-        .sort_values("rng")
     )
+    if "rng" not in totals.columns or not len(totals):  # empty corpus
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.schema(
+                [("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+                 ("bin_id", pa.int64())]
+            ).empty_table()
+        )
+    totals = totals.sort_values("rng")
     rngs = totals["rng"].to_numpy()
     tots = totals["total"].to_numpy(dtype=np.int64)
     offsets = np.concatenate([[0], np.cumsum(tots)[:-1]])

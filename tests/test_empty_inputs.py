@@ -120,3 +120,68 @@ def test_tfidf_empty(ray_session):
     )
     out = tfidf_topk(e, n_docs=1, k=5, n_buckets=2).to_pandas()
     assert len(out) == 0
+
+
+EMPTY_DOCS = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+
+
+def test_round3_curation_ops_empty(ray_session):
+    from rdfa_ray.stages.contamination import extract_needles, flag_contaminated
+    from rdfa_ray.stages.dedup import exact_dup_drops
+    from rdfa_ray.stages.packing import pack_sequences
+    from rdfa_ray.stages.text import quality_gate, repetition_signals
+
+    e = _empty(EMPTY_DOCS)
+    assert extract_needles(e) == []
+    assert flag_contaminated(e, ["a b c d e f g h"]).count() == 0
+    assert exact_dup_drops(e, n_buckets=2).count() == 0
+    assert quality_gate(e).count() == 0
+    assert repetition_signals(e).count() == 0
+    assert pack_sequences(e, budget=8, range_size=2).count() == 0
+
+
+def test_grouped_aggregate_empty(ray_session):
+    from rdfa_ray.stages.bgp import bgp_match
+    from rdfa_ray.stages.sparql import grouped_aggregate
+
+    b = bgp_match(_empty(EMPTY_TRIPLES), [("?s", "p", "?o")], n_buckets=2)
+    out = grouped_aggregate(
+        b, ["s"], [("count", None, "n"), ("sum", "o", "t")], n_buckets=2
+    ).to_pandas()
+    assert len(out) == 0
+
+
+def test_kgstore_empty_build(ray_session, tmp_path):
+    from rdfa_ray.stages.kgstore import persist_kg, read_kg
+
+    store = str(tmp_path / "kg")
+    meta = persist_kg(_empty(EMPTY_TRIPLES), store)
+    assert meta["partitions"] == {}
+    assert read_kg(store).count() == 0
+    assert read_kg(store, preds=["http://x/p"]).count() == 0
+
+
+def test_sparql_text_empty_graph(ray_session):
+    from rdfa_ray.stages.sparql_text import execute
+
+    out = execute(
+        _empty(EMPTY_TRIPLES),
+        "SELECT ?s WHERE { ?s <http://x/p> ?o }",
+        n_buckets=2,
+    ).to_pandas()
+    assert len(out) == 0 and list(out.columns) == ["s"]
+
+
+def test_outer_join_empty_sides(ray_session):
+    from rdfa_ray.stages.join import bucketed_hash_join
+
+    l = _empty(pa.schema([("k", pa.int64()), ("x", pa.string())]))
+    r = rd.from_arrow(
+        pa.table({"k": pa.array([1], pa.int64()), "y": pa.array(["Y"], pa.string())})
+    )
+    out = bucketed_hash_join(
+        l, r, on="k", how="outer", n_buckets=2,
+        left_schema=pa.schema([("k", pa.int64()), ("x", pa.string())]),
+        right_schema=pa.schema([("k", pa.int64()), ("y", pa.string())]),
+    ).to_pandas()
+    assert len(out) == 1 and out["y"].iloc[0] == "Y" and pd.isna(out["x"].iloc[0])
