@@ -15,3 +15,17 @@ is reproduced.  Reference anchors are cited per module as
 """
 
 __version__ = "0.1.0"
+
+
+def query(source, sparql: str, n_buckets: int = 64):
+    """Run a SPARQL string (SELECT / ASK / CONSTRUCT / DESCRIBE — see
+    ``rdfa_ray.stages.sparql_text`` for the supported fragment) against
+    either a (subj, pred, obj_value) ``ray.data.Dataset`` or a
+    persisted KG store directory (``rdfa_ray.stages.kgstore``; store
+    paths get predicate-pushdown partition pruning).  The rdflib
+    ``graph.query(...)`` analogue for this engine."""
+    from .stages.sparql_text import execute, execute_on_store
+
+    if isinstance(source, str):
+        return execute_on_store(source, sparql, n_buckets=n_buckets)
+    return execute(source, sparql, n_buckets=n_buckets)

@@ -339,3 +339,18 @@ def test_describe_form(ray_session):
     assert _rows(out, ["subj", "pred", "obj_value"]) == sorted(
         [r for r in GRAPH_ROWS if r[0] == "b"]
     )
+
+
+def test_top_level_query_api(ray_session, tmp_path):
+    """rdfa_ray.query dispatches Datasets to execute() and store paths
+    to execute_on_store()."""
+    import rdfa_ray
+    from rdfa_ray.stages import kgstore
+
+    ds = _triples(GRAPH_ROWS)
+    q = 'PREFIX ex: <http://ex.org/> SELECT ?d WHERE { ?d ex:lang "zh" }'
+    assert _rows(rdfa_ray.query(ds, q, n_buckets=4), ["d"]) == [("a",), ("c",)]
+
+    store = str(tmp_path / "kg")
+    kgstore.persist_kg(ds, store)
+    assert _rows(rdfa_ray.query(store, q, n_buckets=4), ["d"]) == [("a",), ("c",)]
