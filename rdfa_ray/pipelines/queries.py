@@ -812,12 +812,16 @@ def q_ann_ivf_indexed(sf_dir: str):
     partition-pruned search touching only probed cells (the standing-
     corpus ANN path; not SQL-expressible -> rows-only)."""
     import hashlib as _hl
+    import os as _os
 
     import ray.data as rd
 
     from ..stages.ann_index import build_ivf_index, index_is_complete, ivf_search
 
-    index_dir = "/tmp/graft_ivf_%s" % _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    st = _os.stat("%s/embeddings.parquet" % sf_dir)
+    index_dir = "/tmp/graft_ivf_%s" % _hl.md5(
+        ("%s|%d|%d" % (sf_dir, st.st_mtime_ns, st.st_size)).encode()
+    ).hexdigest()[:12]
     embs = rd.read_parquet("%s/embeddings.parquet" % sf_dir)
 
     # the sentinel is written AFTER the vectors dataset, so a crashed
@@ -914,6 +918,18 @@ def q_multimodal_frames(sf_dir: str):
 # analytics over the constructed graph
 
 _RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def _store_tag(sf_dir: str, prefix: str) -> str:
+    """Cache-dir tag for a persisted store derived from BOTH the input
+    path and the documents file's (mtime, size) identity — a
+    regenerated testdata tree must never hit a stale cached store."""
+    import hashlib as _hl
+    import os as _os
+
+    st = _os.stat("%s/documents.parquet" % sf_dir)
+    key = "%s|%d|%d" % (sf_dir, st.st_mtime_ns, st.st_size)
+    return "/tmp/%s_%s" % (prefix, _hl.md5(key.encode()).hexdigest()[:12])
 
 
 def _typed_triples(sf_dir: str):
@@ -1835,7 +1851,7 @@ def q_kg_store_sparql(sf_dir: str):
     from ..stages.kgstore import persist_kg, store_is_complete
     from ..stages.sparql_text import execute_on_store
 
-    store_dir = "/tmp/graft_kg_%s" % _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    store_dir = _store_tag(sf_dir, "graft_kg")
     if not store_is_complete(store_dir):
         persist_kg(_typed_triples(sf_dir), store_dir)
     return execute_on_store(
@@ -1900,7 +1916,7 @@ def q_kg_store_update(sf_dir: str):
     from ..stages.sparql import grouped_aggregate
 
     lang_pred = "http://schema.org/inLanguage"
-    store_dir = "/tmp/graft_kgu_%s" % _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    store_dir = _store_tag(sf_dir, "graft_kgu")
     if not store_is_complete(store_dir):
         persist_kg(_typed_triples(sf_dir), store_dir)
 
@@ -2018,7 +2034,7 @@ def q_kg_store_group_count(sf_dir: str):
     from ..stages.kgstore import persist_kg, read_kg, store_is_complete
     from ..stages.sparql import aggregate_bindings
 
-    store_dir = "/tmp/graft_kg_%s" % _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    store_dir = _store_tag(sf_dir, "graft_kg")
     if not store_is_complete(store_dir):
         persist_kg(_typed_triples(sf_dir), store_dir)
 
