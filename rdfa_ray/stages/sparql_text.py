@@ -668,8 +668,18 @@ def execute(triples_ds, query: str, n_buckets: int = 64):
             plan["optionals"][0],
             n_buckets=n_buckets,
         )
+        cols = sorted(
+            {
+                v
+                for pat in plan["patterns"] + plan["optionals"][0]
+                for v in pattern_vars(pat)
+            }
+        )
         for extra in plan["optionals"][1:]:
-            b = optional_match_bindings(b, triples_ds, extra, n_buckets)
+            b = optional_match_bindings(b, triples_ds, extra, n_buckets, cols)
+            cols = sorted(
+                set(cols) | {v for pat in extra for v in pattern_vars(pat)}
+            )
     elif path_pats:
         b, bound = None, []
         if plain_pats:
@@ -823,6 +833,95 @@ def _join_binding_tables(b, bound, other, ovars, n_buckets):
     return joined.map_batches(project, batch_format="pyarrow"), keep
 
 
+def _plan_pred_pushdown(plan):
+    """(preds, prunable) the store executor derives from a plan."""
+    groups = (
+        [plan["patterns"]]
+        + plan["optionals"]
+        + plan["union"]
+        + plan["minus"]
+        + [g for g, _ in plan["exists"]]
+    )
+    preds: set = set()
+    prunable_box = [True]
+    for g in groups:
+        for _s, p, _o in g:
+            if isinstance(p, tuple):
+                _path_iris(p, preds, prunable_box)
+            elif p.startswith("?"):
+                prunable_box[0] = False
+            else:
+                preds.add(p)
+    return preds, prunable_box[0]
+
+
+def explain(query: str, store_dir: str | None = None) -> str:
+    """Human-readable plan for a query string — what EXPLAIN is to a
+    SQL engine.  Shows the parsed algebra (form, patterns incl. path
+    expressions, groups, modifiers) and, with ``store_dir``, the
+    predicate-pushdown outcome: which of the store's partitions the
+    scan would open.  Pure planning — nothing executes."""
+    plan = parse_query(query)
+    lines = ["form: %s" % plan["form"].upper()]
+    if plan["form"] == "select":
+        proj = ["*"] if plan["star"] else [
+            "?%s" % v for v in plan["proj"]
+        ] + ["(%s(%s) AS ?%s)" % (f.upper(), "?%s" % v if v else "*", a)
+             for f, v, a in plan["aggs"]]
+        lines.append("project%s: %s" % (
+            " DISTINCT" if plan["distinct"] else "", " ".join(proj)))
+    if plan["describe_var"]:
+        lines.append("describe: ?%s" % plan["describe_var"])
+    for s, p, o in plan["patterns"]:
+        lines.append("  pattern: %s %s %s" % (s, p if isinstance(p, str) else repr(p), o))
+    for i, g in enumerate(plan["optionals"]):
+        lines.append("  optional[%d]: %d patterns" % (i, len(g)))
+    for i, g in enumerate(plan["union"]):
+        lines.append("  union arm[%d]: %d patterns" % (i, len(g)))
+    for g in plan["minus"]:
+        lines.append("  minus: %d patterns" % len(g))
+    for g, neg in plan["exists"]:
+        lines.append("  filter %sexists: %d patterns" % ("not " if neg else "", len(g)))
+    if plan["filters"]:
+        lines.append("  filters: %d" % len(plan["filters"]))
+    if plan["values"]:
+        lines.append("  values: %s" % ", ".join("?%s(%d)" % (v, len(vs)) for v, vs in plan["values"]))
+    if plan["binds"]:
+        lines.append("  binds: %s" % ", ".join("?%s=%s(?%s)" % (a, f, v) for a, f, v in plan["binds"]))
+    if plan["group_by"]:
+        lines.append("group by: %s" % " ".join("?%s" % v for v in plan["group_by"]))
+    if plan["order_by"]:
+        lines.append("order by: %s" % " ".join(
+            "%s(?%s)" % ("DESC" if d else "ASC", v) for v, d in plan["order_by"]))
+    if plan["limit"] is not None or plan["offset"]:
+        lines.append("slice: limit=%s offset=%d" % (plan["limit"], plan["offset"]))
+
+    preds, prunable = _plan_pred_pushdown(plan)
+    if store_dir is not None:
+        from .kgstore import _read_meta, pred_key, store_is_complete
+
+        if not store_is_complete(store_dir):
+            lines.append("store: %s (absent/incomplete)" % store_dir)
+        else:
+            parts = _read_meta(store_dir)["partitions"]
+            if prunable:
+                hit = sorted({pred_key(p) for p in preds} & set(parts))
+                lines.append(
+                    "store scan: %d of %d partitions [%s]"
+                    % (len(hit), len(parts), ", ".join(hit))
+                )
+            else:
+                lines.append(
+                    "store scan: ALL %d partitions (variable predicate or"
+                    " neg/star/opt path)" % len(parts)
+                )
+    elif prunable:
+        lines.append("pushdown predicates: %d" % len(preds))
+    else:
+        lines.append("pushdown: disabled (variable predicate or neg/star/opt path)")
+    return "\n".join(lines)
+
+
 def execute_on_store(store_dir: str, query: str, n_buckets: int = 64):
     """Run a SPARQL string against a persisted predicate-partitioned KG
     store (stages/kgstore.py) with PREDICATE PUSHDOWN: the parsed
@@ -836,24 +935,7 @@ def execute_on_store(store_dir: str, query: str, n_buckets: int = 64):
     from .kgstore import read_kg
 
     plan = parse_query(query)
-    groups = (
-        [plan["patterns"]]
-        + plan["optionals"]
-        + plan["union"]
-        + plan["minus"]
-        + [g for g, _ in plan["exists"]]
-    )
-    preds = set()
-    prunable_box = [True]
-    for g in groups:
-        for _s, p, _o in g:
-            if isinstance(p, tuple):
-                _path_iris(p, preds, prunable_box)
-            elif p.startswith("?"):
-                prunable_box[0] = False
-            else:
-                preds.add(p)
-    prunable = prunable_box[0]
+    preds, prunable = _plan_pred_pushdown(plan)
     triples = read_kg(
         store_dir,
         preds=sorted(preds) if prunable else None,
@@ -862,10 +944,16 @@ def execute_on_store(store_dir: str, query: str, n_buckets: int = 64):
     return execute(triples, query, n_buckets=n_buckets)
 
 
-def optional_match_bindings(bindings, triples_ds, optional_patterns, n_buckets):
+def optional_match_bindings(bindings, triples_ds, optional_patterns, n_buckets,
+                            base_cols):
     """Chain a further OPTIONAL group onto existing bindings (used when
-    a query has several OPTIONAL blocks)."""
-    from .bgp import bgp_match, pattern_vars
+    a query has several OPTIONAL blocks): one composite-key bucketed
+    LEFT join on ALL shared variables; optional-only variables of
+    unmatched rows carry the engine's '' unbound sentinel.
+    ``base_cols``: the bindings' known columns — passed by the caller
+    so plan construction never calls ``Dataset.schema()`` (which would
+    execute the upstream plan)."""
+    from .bgp import _with_key, bgp_match, pattern_vars
     from .join import bucketed_hash_join
     from .sparql import UNBOUND
 
@@ -873,27 +961,35 @@ def optional_match_bindings(bindings, triples_ds, optional_patterns, n_buckets):
     opt_vars = sorted(
         {v for pat in optional_patterns for v in pattern_vars(pat)}
     )
-    base_cols = bindings.schema().names
     shared = [v for v in opt_vars if v in base_cols]
-    if len(shared) != 1:
+    if not shared:
         raise SparqlSyntaxError(
-            "chained OPTIONAL needs exactly one shared variable, got %r" % shared
+            "chained OPTIONAL shares no variable with the bindings so far"
         )
+    left, left_schema = _with_key(bindings, shared, base_cols)
+    right, right_schema = _with_key(opt, shared, opt_vars)
     joined = bucketed_hash_join(
-        bindings,
-        opt,
-        on=shared[0],
+        left,
+        right,
+        on="__k",
         how="left",
+        suffix="__r",
         n_buckets=n_buckets,
-        left_schema=pa.schema([(c, pa.string()) for c in base_cols]),
-        right_schema=pa.schema([(c, pa.string()) for c in opt_vars]),
+        left_schema=left_schema,
+        right_schema=right_schema,
     )
+    keep = list(base_cols) + [v for v in opt_vars if v not in base_cols]
 
-    def fill(batch: pa.Table) -> pa.Table:
-        cols = {}
-        for c in batch.column_names:
-            col = batch.column(c)
-            cols[c] = pc.fill_null(pc.cast(col, pa.string()), UNBOUND)
-        return pa.Table.from_pydict(cols)
+    def fill(batch: pa.Table, _keep=tuple(keep)) -> pa.Table:
+        if batch.num_rows == 0 and set(_keep) - set(batch.column_names):
+            return pa.Table.from_pydict(
+                {c: pa.array([], pa.string()) for c in _keep}
+            )
+        return pa.Table.from_pydict(
+            {
+                c: pc.fill_null(pc.cast(batch.column(c), pa.string()), UNBOUND)
+                for c in _keep
+            }
+        )
 
     return joined.map_batches(fill, batch_format="pyarrow")

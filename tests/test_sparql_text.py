@@ -354,3 +354,47 @@ def test_top_level_query_api(ray_session, tmp_path):
     store = str(tmp_path / "kg")
     kgstore.persist_kg(ds, store)
     assert _rows(rdfa_ray.query(store, q, n_buckets=4), ["d"]) == [("a",), ("c",)]
+
+
+def test_two_optional_groups(ray_session):
+    rows = GRAPH_ROWS + [("a", "http://ex.org/note", "N")]
+    out = execute(
+        _triples(rows),
+        """
+        PREFIX ex: <http://ex.org/>
+        SELECT * WHERE {
+          ?d ex:lang ?l .
+          OPTIONAL { ?d ex:size ?n }
+          OPTIONAL { ?d ex:note ?m }
+        }
+        """,
+        n_buckets=4,
+    ).to_pandas()
+    got = {r.d: (r.n, r.m) for r in out.itertuples()}
+    assert got == {"a": ("10", "N"), "b": ("200", ""), "c": ("30", "")}
+
+
+def test_explain_plain_and_store(ray_session, tmp_path):
+    from rdfa_ray.stages import kgstore
+    from rdfa_ray.stages.sparql_text import explain
+
+    q = (
+        'PREFIX ex: <http://ex.org/> SELECT ?src (COUNT(*) AS ?n) WHERE'
+        ' { ?d ex:lang "zh" ; ex:size ?src } GROUP BY ?src LIMIT 3'
+    )
+    text = explain(q)
+    assert "form: SELECT" in text and "(COUNT(*) AS ?n)" in text
+    assert "pushdown predicates: 2" in text
+    assert "slice: limit=3" in text
+
+    store = str(tmp_path / "kg")
+    kgstore.persist_kg(_triples(GRAPH_ROWS), store)
+    stext = explain(q, store_dir=store)
+    assert "store scan: 2 of 3 partitions" in stext
+
+    # star path disables pruning in the explanation too
+    wild = explain(
+        "PREFIX ex: <http://ex.org/> SELECT ?a WHERE { ?a ex:next* ?a }",
+        store_dir=store,
+    )
+    assert "ALL 3 partitions" in wild
