@@ -46,7 +46,21 @@ def main(argv=None):
         help="SPARQL SELECT/ASK/CONSTRUCT string to run over the distilled"
         " triples (results land in <output>/query_result)",
     )
+    p.add_argument(
+        "--explain",
+        action="store_true",
+        help="with --query: print the parsed plan (EXPLAIN) instead of"
+        " executing it; nothing is distilled or written",
+    )
     args = p.parse_args(argv)
+
+    if args.explain:
+        if not args.query:
+            p.error("--explain requires --query")
+        from rdfa_ray.stages.sparql_text import explain
+
+        print(explain(args.query))
+        return
 
     import ray
 

@@ -248,6 +248,29 @@ def update_kg(store_dir: str, insert_ds=None, delete_ds=None) -> dict:
     return meta
 
 
+def vacuum_store(store_dir: str) -> list:
+    """Delete generation directories the current manifest no longer
+    references (superseded partitions left behind by ``update_kg`` for
+    crash safety / time travel).  Returns the removed relative paths.
+    Safe at any time: the manifest is the source of truth, and a
+    concurrent reader of the CURRENT snapshot only touches referenced
+    directories."""
+    import shutil
+
+    if not store_is_complete(store_dir):
+        raise FileNotFoundError("KG store at %s is absent or incomplete" % store_dir)
+    live = set(_read_meta(store_dir)["partitions"].values())
+    parts_dir = os.path.join(store_dir, "parts")
+    removed = []
+    if os.path.isdir(parts_dir):
+        for d in sorted(os.listdir(parts_dir)):
+            rel = os.path.join("parts", d)
+            if rel not in live:
+                shutil.rmtree(os.path.join(store_dir, rel))
+                removed.append(rel)
+    return removed
+
+
 def read_kg(store_dir: str, preds=None, columns=None):
     """Read the store back as a Dataset; ``preds`` (list of predicate
     IRIs) prunes to only those predicates' partition directories and

@@ -148,3 +148,25 @@ def test_crashed_update_preserves_snapshot(ray_session, tmp_path):
     assert after == before  # manifest untouched -> old snapshot intact
     langs = read_kg(store, preds=[LANG]).to_pandas()
     assert set(langs["obj_value"]) == {"zh", "en"} and len(langs) == 40
+
+
+def test_vacuum_removes_only_unreferenced(ray_session, tmp_path):
+    from rdfa_ray.stages.kgstore import vacuum_store
+
+    store = str(tmp_path / "kg")
+    persist_kg(_triples_ds(), store)
+    zh = ["http://example.org/doc/%d" % i for i in range(0, 40, 2)]
+    update_kg(
+        store,
+        insert_ds=_ds([(d, LANG, "zh-Hans") for d in zh]),
+        delete_ds=_ds([(d, LANG, "zh") for d in zh]),
+    )
+    # superseded g1 language partition exists until vacuumed
+    stale = os.path.join("parts", "%s-g1" % pred_key(LANG))
+    assert os.path.isdir(os.path.join(store, stale))
+    removed = vacuum_store(store)
+    assert removed == [stale]
+    assert not os.path.isdir(os.path.join(store, stale))
+    # current snapshot unaffected
+    assert read_kg(store).count() == 120
+    assert vacuum_store(store) == []
