@@ -98,9 +98,15 @@ def _add_key(batch: pa.Table) -> pa.Table:
     )
     keys = pa.array([pred_key(p) for p in enc.dictionary.to_pylist()], pa.string())
     col = pa.DictionaryArray.from_arrays(enc.indices, keys).cast(pa.string())
+    # extra columns (e.g. a named-graph column -> a quad store) pass
+    # through untouched; only the triple columns are canonicalized
+    extra = {
+        c: batch.column(c) for c in batch.column_names if c not in _COLS
+    }
     return pa.Table.from_pydict(
         {
             **{c: pc.cast(batch.column(c), pa.string()) for c in _COLS},
+            **extra,
             "pred_key": col,
         }
     )
@@ -216,6 +222,16 @@ def update_kg(store_dir: str, insert_ds=None, delete_ds=None) -> dict:
     paths = _partition_files(
         store_dir, meta["partitions"], [t for t in touched if t in meta["partitions"]]
     )
+    if paths:
+        import pyarrow.parquet as pq
+
+        extra = set(pq.read_schema(paths[0]).names) - set(_COLS)
+        if extra:
+            raise ValueError(
+                "update_kg supports plain triple stores; this store's"
+                " partitions carry extra columns %s (a quad store) —"
+                " rebuild via persist_kg instead" % sorted(extra)
+            )
     if paths:
         current = rd.read_parquet(paths, columns=list(_COLS))
     else:

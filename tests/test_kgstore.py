@@ -170,3 +170,25 @@ def test_vacuum_removes_only_unreferenced(ray_session, tmp_path):
     # current snapshot unaffected
     assert read_kg(store).count() == 120
     assert vacuum_store(store) == []
+
+
+def test_quad_store_passthrough(ray_session, tmp_path):
+    """Extra columns (named graph) persist and read back pruned; the
+    triple-only update path refuses quad stores loudly."""
+    import ray.data as rd
+
+    rows = [
+        {"subj": "s%d" % i, "pred": (SRC, LANG)[i % 2], "obj_value": "o%d" % i,
+         "graph": "g%d" % (i % 2)}
+        for i in range(10)
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    store = str(tmp_path / "kg")
+    persist_kg(ds, store)
+
+    back = read_kg(store, preds=[LANG]).to_pandas()
+    assert len(back) == 5 and set(back["graph"]) == {"g1"}
+    assert sorted(back.columns) == ["graph", "obj_value", "pred", "subj"]
+
+    with pytest.raises(ValueError, match="quad store"):
+        update_kg(store, delete_ds=_ds([("s1", LANG, "o1")]))
