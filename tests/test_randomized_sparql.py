@@ -1,0 +1,166 @@
+"""Randomized dual-oracle testing for the distributed SPARQL engine:
+seeded random graphs + random queries from the supported fragment,
+executed BOTH through the engine (text front-end -> distributed
+algebra) and through DuckDB SQL over the same triple table.  The same
+strategy tests/test_randomized.py applies to the RDFa kernel, applied
+to the query layer."""
+
+import random
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from rdfa_ray.stages.sparql_text import execute
+
+PREDS = ["http://ex.org/p%d" % i for i in range(4)]
+VALS = ["v%d" % i for i in range(6)]
+SUBJ = ["s%d" % i for i in range(8)]
+
+
+def _random_graph(rng):
+    rows = [
+        (rng.choice(SUBJ), rng.choice(PREDS), rng.choice(VALS))
+        for _ in range(rng.randrange(5, 40))
+    ]
+    return rows
+
+
+def _con(rows):
+    con = duckdb.connect()
+    df = pd.DataFrame(rows, columns=["subj", "pred", "obj_value"])
+    con.register("t", df)
+    return con
+
+
+def _ds(rows):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "subj": pa.array([r[0] for r in rows], pa.string()),
+                "pred": pa.array([r[1] for r in rows], pa.string()),
+                "obj_value": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+    ).repartition(3)
+
+
+def _norm(df):
+    df = df[sorted(df.columns)].astype(str)
+    return sorted(map(tuple, df.to_records(index=False).tolist()))
+
+
+def _same(got, want):
+    """Row-set equality; an all-empty engine result loses its column
+    schema at to_pandas (Ray behavior), so empties compare by length."""
+    if len(got) == 0 or len(want) == 0:
+        return len(got) == len(want)
+    return _norm(got) == _norm(want)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_two_pattern_bgp(ray_session, seed):
+    rng = random.Random(1000 + seed)
+    rows = _random_graph(rng)
+    p1, p2 = rng.choice(PREDS), rng.choice(PREDS)
+    v = rng.choice(VALS)
+
+    q = (
+        'SELECT ?d ?x WHERE { ?d <%s> "%s" . ?d <%s> ?x . }' % (p1, v, p2)
+    )
+    got = execute(_ds(rows), q, n_buckets=4).to_pandas()
+    want = _con(rows).execute(
+        "SELECT a.subj AS d, b.obj_value AS x FROM t a JOIN t b"
+        " ON b.subj = a.subj WHERE a.pred = ? AND a.obj_value = ?"
+        " AND b.pred = ?",
+        [p1, v, p2],
+    ).fetchdf()
+    assert _same(got, want), q
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_filter_and_group(ray_session, seed):
+    rng = random.Random(2000 + seed)
+    rows = _random_graph(rng)
+    p = rng.choice(PREDS)
+    cut = rng.choice(VALS)
+
+    q = (
+        "SELECT ?o (COUNT(*) AS ?n) WHERE { ?s <%s> ?o . "
+        'FILTER (?o >= "%s") } GROUP BY ?o' % (p, cut)
+    )
+    got = execute(_ds(rows), q, n_buckets=4).to_pandas()
+    want = _con(rows).execute(
+        "SELECT obj_value AS o, COUNT(*) AS n FROM t"
+        " WHERE pred = ? AND obj_value >= ? GROUP BY obj_value",
+        [p, cut],
+    ).fetchdf()
+    if len(want) == 0:
+        assert len(got) == 0
+    else:
+        assert _same(got, want), q
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_optional(ray_session, seed):
+    rng = random.Random(3000 + seed)
+    rows = _random_graph(rng)
+    p1, p2 = rng.sample(PREDS, 2)
+
+    q = "SELECT * WHERE { ?d <%s> ?a . OPTIONAL { ?d <%s> ?b } }" % (p1, p2)
+    got = execute(_ds(rows), q, n_buckets=4).to_pandas()
+    want = _con(rows).execute(
+        "SELECT a.subj AS d, a.obj_value AS a, COALESCE(b.obj_value, '') AS b"
+        " FROM t a LEFT JOIN (SELECT subj, obj_value FROM t WHERE pred = ?) b"
+        " ON b.subj = a.subj WHERE a.pred = ?",
+        [p2, p1],
+    ).fetchdf()
+    if len(want) == 0:
+        assert len(got) == 0
+    else:
+        assert _same(got, want), q
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_minus(ray_session, seed):
+    rng = random.Random(4000 + seed)
+    rows = _random_graph(rng)
+    p1, p2 = rng.sample(PREDS, 2)
+    v = rng.choice(VALS)
+
+    q = 'SELECT ?d WHERE { ?d <%s> ?a . MINUS { ?d <%s> "%s" } }' % (p1, p2, v)
+    got = execute(_ds(rows), q, n_buckets=4).to_pandas()
+    want = _con(rows).execute(
+        "SELECT subj AS d FROM t WHERE pred = ? AND subj NOT IN"
+        " (SELECT subj FROM t WHERE pred = ? AND obj_value = ?)",
+        [p1, p2, v],
+    ).fetchdf()
+    if len(want) == 0:
+        assert len(got) == 0
+    else:
+        assert _same(got, want), q
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_path_plus(ray_session, seed):
+    """p+ against DuckDB WITH RECURSIVE over the same random edges
+    (UNION distinct-dedups the recursion, matching path semantics)."""
+    rng = random.Random(5000 + seed)
+    p = "http://ex.org/next"
+    edges = sorted(
+        {(rng.choice(SUBJ), rng.choice(SUBJ)) for _ in range(rng.randrange(3, 10))}
+    )
+    rows = [(a, p, b) for a, b in edges]
+
+    q = "SELECT ?s ?o WHERE { ?s <%s>+ ?o }" % p
+    got = execute(_ds(rows), q, n_buckets=4).to_pandas()
+    want = _con(rows).execute(
+        "WITH RECURSIVE r(s, o) AS ("
+        " SELECT subj, obj_value FROM t"
+        " UNION"
+        " SELECT r.s, t.obj_value FROM r JOIN t ON t.subj = r.o) "
+        "SELECT DISTINCT s, o FROM r"
+    ).fetchdf()
+    assert _same(got, want)
