@@ -758,6 +758,34 @@ def q_repetition_signals(sf_dir: str):
     return repetition_signals(docs)
 
 
+def q_dedup_substrings(sf_dir: str):
+    """Approximate long-common-substring pairs via winnowed
+    fingerprint co-occurrence, with a 40-word span PLANTED into every
+    101st document (the synthetic corpus is span-collision-free, so
+    without planting the op returns 0 rows and proves nothing;
+    same rationale as embedding_dups).  Not SQL-expressible
+    (winnowing) -> rows-only; the guarantee is pinned by pytest."""
+    import ray.data as rd
+
+    from ..stages.dedup import substring_dup_pairs
+
+    docs = rd.read_parquet(
+        "%s/documents.parquet" % sf_dir, columns=["doc_id", "text"]
+    )
+    span = " ".join("planted%d" % i for i in range(40))
+
+    def plant(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas()
+        mark = (df["doc_id"] % 101 == 0) & (df["doc_id"] > 0)
+        df.loc[mark, "text"] = df.loc[mark, "text"] + " " + span
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = substring_dup_pairs(docs.map_batches(plant, batch_format="pyarrow"))
+    return out.select_columns(["a", "b", "n_shared"])
+
+
 def q_sequence_packing(sf_dir: str):
     """Fixed-token-budget sequence packing (bin = exclusive prefix
     token count // 2048 in doc_id order) — the two-level distributed
@@ -2132,6 +2160,7 @@ QUERIES = {
     "kg_path_neg": q_kg_path_neg,
     "repetition_signals": q_repetition_signals,
     "sequence_packing": q_sequence_packing,
+    "dedup_substrings": q_dedup_substrings,
     "kg_graph_scoped": q_kg_graph_scoped,
     "kg_store_update": q_kg_store_update,
     "kg_subquery": q_kg_subquery,

@@ -211,6 +211,89 @@ def _bucket_pairs(group: pd.DataFrame, cap: int = BUCKET_CAP) -> pd.DataFrame:
     )
 
 
+def substring_dup_pairs(docs_ds, window: int = 8, min_shared: int = 2, n_buckets: int = 64):
+    """Approximate long-common-substring dedup (the 'deduplicating
+    training data' substring family): candidate pairs of documents
+    sharing at least ``min_shared`` winnowed rolling fingerprints
+    (stages/text.rolling_fingerprints — any shared span of
+    ``window + 3`` words guarantees one shared fingerprint, so long
+    verbatim overlaps accumulate many).
+
+    Shape mirrors minhash_dedup: fingerprints bucket by fp hash, the
+    star-capped enumerator emits per-fp pairs (degenerate boilerplate
+    fps degrade observably to star pairs instead of truncating), one
+    map-side partial count shrinks the exchange, one bucketed sum per
+    (a, b) yields ``n_shared``, filtered map-side.  Returns
+    (a, b, n_shared, pair_mode); for star pairs ``n_shared`` is a
+    lower bound (documented, observable via pair_mode)."""
+    from ..functions.hashing import crc32_bucket, crc32_bucket_concat
+    from .text import rolling_fingerprints
+
+    fps = rolling_fingerprints(docs_ds, window)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__g", crc32_bucket(batch.column("fp"), n_buckets)
+        )
+
+    def pairs_block(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(["fp", "doc_id"])
+        sizes = g.groupby("fp")["doc_id"].transform("size")
+        g = g[sizes >= 2]
+        if len(g) == 0:
+            return _empty_pairs()
+        outs = [_bucket_pairs(sub) for _, sub in g.groupby("fp", sort=False)]
+        return pd.concat(outs, ignore_index=True)
+
+    pairs = (
+        fps.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__g")
+        .map_groups(pairs_block, batch_format="pandas")
+    )
+
+    def partial_count(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype="int64"),
+                 "b": pd.Series([], dtype="int64"),
+                 "n": pd.Series([], dtype="int64"),
+                 "pair_mode": pd.Series([], dtype="object")}
+            )
+        out = (
+            batch.groupby(["a", "b"], sort=False)
+            .agg(n=("a", "size"), pair_mode=("pair_mode", "min"))
+            .reset_index()
+        )
+        tbl = pa.Table.from_pandas(out, preserve_index=False)
+        return tbl.append_column(
+            "__bucket", crc32_bucket_concat(tbl, ["a", "b"], n_buckets)
+        ).to_pandas()
+
+    def reduce_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"a": pd.Series([], dtype="int64"),
+             "b": pd.Series([], dtype="int64"),
+             "n_shared": pd.Series([], dtype="int64"),
+             "pair_mode": pd.Series([], dtype="object")}
+        )
+        if not len(group):
+            return empty
+        out = (
+            group.groupby(["a", "b"], sort=False)
+            .agg(n_shared=("n", "sum"), pair_mode=("pair_mode", "min"))
+            .reset_index()
+        )
+        out = out[out["n_shared"] >= min_shared]
+        out["n_shared"] = out["n_shared"].astype("int64")
+        return out.reset_index(drop=True)
+
+    return (
+        pairs.map_batches(partial_count, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(reduce_pairs, batch_format="pandas")
+    )
+
+
 def jaccard(t1: str, t2: str, k: int = 3) -> float:
     s1, s2 = shingles(t1, k), shingles(t2, k)
     if not s1 and not s2:

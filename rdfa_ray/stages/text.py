@@ -12,6 +12,7 @@ import re
 import pyarrow as pa
 
 _TOKEN_RE = re.compile(r"[A-Za-z0-9]+")
+_TOKEN_RE_INV = re.compile(r"[^a-z0-9]+")  # post-lower complement
 _ALPHA_RE = re.compile(r"[A-Za-z]")
 _WS_COLLAPSE = re.compile(r"\s+")
 
@@ -180,29 +181,63 @@ def repetition_signals(docs_ds, n: int = 3):
 def rolling_fingerprints(docs_ds, window: int = 8):
     """Document fingerprinting via winnowed rolling hashes: for each doc,
     the min-sampled set of rolling word-window hashes (one row per
-    selected fingerprint) — usable for containment / plagiarism joins."""
-    import zlib
+    selected fingerprint) — usable for containment / plagiarism joins.
 
-    def fp(batch: pa.Table) -> pa.Table:
-        ids, hashes = [], []
-        for doc_id, text in zip(
-            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-        ):
-            words = _TOKEN_RE.findall((text or "").lower())
-            hs = [
-                zlib.crc32(" ".join(words[i : i + window]).encode())
-                for i in range(max(0, len(words) - window + 1))
-            ]
-            # winnow: keep local minima over a sliding window of 4
-            chosen = set()
-            for i in range(len(hs)):
-                lo = min(hs[max(0, i - 3) : i + 1])
-                chosen.add(lo)
-            for h in sorted(chosen):
-                ids.append(doc_id)
-                hashes.append(h)
-        return pa.Table.from_pydict(
-            {"doc_id": pa.array(ids, pa.int64()), "fp": pa.array(hashes, pa.uint32())}
+    Round 3 vectorized the whole pass on functions/shingles.py: token
+    hashes + polynomial window roll (no window strings), then the
+    winnow (min over each 4-run of window hashes) as a
+    ``np.minimum.reduce`` over 4 shifted slices — no per-document
+    Python.  Guarantee unchanged: any two documents sharing a
+    ``window + 3``-word span share at least one selected fingerprint
+    (standard winnowing, Schleimer et al. 2003)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.shingles import explode_tokens, window_hashes
+
+    def fp(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "fp": pd.Series([], dtype="uint64"),
+            }
         )
+        if not len(batch):
+            return empty
+        texts = batch["text"].fillna("").str.lower().str.replace(
+            _TOKEN_RE_INV, " ", regex=True
+        ).str.strip()
+        words, parents = explode_tokens(texts.reset_index(drop=True))
+        hashes, win_parents = window_hashes(words, parents, window)
+        if not len(hashes):
+            return empty
+        m = len(hashes)
+        w = min(4, m)
+        # local minimum over each run of w consecutive windows, masked
+        # to runs inside one document
+        mins = np.minimum.reduce([hashes[k : m - w + 1 + k] for k in range(w)])
+        run_ok = win_parents[: m - w + 1] == win_parents[w - 1 :]
+        sel = pd.DataFrame(
+            {"p": win_parents[: m - w + 1][run_ok], "fp": mins[run_ok]}
+        )
+        # short docs (< w windows) keep their global min so every doc
+        # with at least one window has a fingerprint
+        counts = pd.Series(win_parents).value_counts()
+        shorts = counts.index[counts < w].to_numpy()
+        if len(shorts):
+            short_mask = np.isin(win_parents, shorts)
+            short_min = (
+                pd.DataFrame({"p": win_parents[short_mask], "fp": hashes[short_mask]})
+                .groupby("p", sort=False)["fp"]
+                .min()
+                .reset_index()
+            )
+            sel = pd.concat([sel, short_min], ignore_index=True)
+        sel = sel.drop_duplicates()
+        doc_ids = batch["doc_id"].to_numpy()[sel["p"].to_numpy()]
+        out = pd.DataFrame(
+            {"doc_id": doc_ids, "fp": sel["fp"].to_numpy().astype("uint64")}
+        )
+        return out.sort_values(["doc_id", "fp"]).reset_index(drop=True)
 
-    return docs_ds.map_batches(fp, batch_format="pyarrow", batch_size=1024)
+    return docs_ds.map_batches(fp, batch_format="pandas", batch_size=1024)

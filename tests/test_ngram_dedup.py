@@ -69,3 +69,26 @@ def test_ngram_jaccard_matches_brute_force(ray_session, threshold):
     expected = brute_force_pairs(texts, threshold)
     assert got_pairs == expected
     assert expected, "test corpus must contain near-duplicate pairs"
+
+
+def test_substring_dup_pairs_planted(ray_session):
+    """Docs sharing a long verbatim span pair up; winnowing's guarantee
+    (shared span >= window+3 words -> >= 1 shared fingerprint) holds
+    across partitions; unrelated docs never pair."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rdfa_ray.stages.dedup import substring_dup_pairs
+
+    span = " ".join("shared%d" % i for i in range(40))
+    rows = [
+        {"doc_id": 1, "text": "alpha beta " + span + " gamma"},
+        {"doc_id": 2, "text": span + " delta epsilon"},
+        {"doc_id": 3, "text": " ".join("solo%d" % i for i in range(60))},
+        {"doc_id": 4, "text": "prefix words " + span},
+    ]
+    docs = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(3)
+    out = substring_dup_pairs(docs, min_shared=2).to_pandas()
+    got = {tuple(sorted((r.a, r.b))) for r in out.itertuples()}
+    assert got == {(1, 2), (1, 4), (2, 4)}
+    assert (out["n_shared"] >= 2).all()
