@@ -257,48 +257,72 @@ class _FilterCompiler:
             inner = self.parse_or()
             self.p.expect_op(")")
             return inner
-        if self.p.at_kw("REGEX"):
+        for name, kernel in (
+            ("REGEX", pc.match_substring_regex),
+            ("STRSTARTS", pc.starts_with),
+            ("STRENDS", pc.ends_with),
+            ("CONTAINS", pc.match_substring),
+        ):
+            if self.p.at_kw(name):
+                self.p.next()
+                self.p.expect_op("(")
+                kind, val = self.p.next()
+                if kind != "var":
+                    raise SparqlSyntaxError("%s needs a variable first" % name)
+                var = val[1:]
+                self.p.expect_op(",")
+                kind, pat = self.p.next()
+                if kind != "string":
+                    raise SparqlSyntaxError("%s needs a string argument" % name)
+                arg = pat[1:-1]
+                self.p.expect_op(")")
+                return lambda t, _v=var, _a=arg, _k=kernel: _k(
+                    pc.cast(t.column(_v), pa.string()), _a
+                )
+        return self.parse_comparison()
+
+    def _operand(self):
+        """One comparison side: ?var, a constant, or STRLEN(?var).
+        Returns (is_numeric_fn, producer_factory)."""
+        if self.p.at_kw("STRLEN"):
             self.p.next()
             self.p.expect_op("(")
             kind, val = self.p.next()
             if kind != "var":
-                raise SparqlSyntaxError("REGEX needs a variable first")
-            var = val[1:]
-            self.p.expect_op(",")
-            kind, pat = self.p.next()
-            if kind != "string":
-                raise SparqlSyntaxError("REGEX needs a string pattern")
-            pattern = pat[1:-1]
+                raise SparqlSyntaxError("STRLEN needs a ?variable")
             self.p.expect_op(")")
-            return lambda t: pc.match_substring_regex(
-                pc.cast(t.column(var), pa.string()), pattern
+            name = val[1:]
+            return True, lambda numeric, _n=name: (
+                lambda t: pc.cast(
+                    pc.utf8_length(pc.cast(t.column(_n), pa.string())), pa.float64()
+                )
             )
-        return self.parse_comparison()
+        kind, val = self.p.next()
+        if kind == "var":
+            name = val[1:]
+            return False, lambda numeric, _n=name: (
+                (lambda t: _num(t.column(_n)))
+                if numeric
+                else (lambda t: pc.cast(t.column(_n), pa.string()))
+            )
+        const = _resolve(kind, val, self.prefixes)
+        is_num = kind == "number"
+        return is_num, lambda numeric, _c=const: (
+            (lambda t: float(_c)) if numeric else (lambda t: _c)
+        )
 
     def parse_comparison(self):
-        lk, lv = self.p.next()
+        lnum, lfac = self._operand()
         kind, op = self.p.next()
         if kind != "op" or op not in ("=", "!=", "<", "<=", ">", ">="):
             raise SparqlSyntaxError("expected comparison operator, got %r" % op)
-        rk, rv = self.p.next()
-        numeric = lk == "number" or rk == "number"
+        rnum, rfac = self._operand()
+        numeric = lnum or rnum
         fn = {
             "=": pc.equal, "!=": pc.not_equal, "<": pc.less,
             "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal,
         }[op]
-
-        def side(kind, val):
-            if kind == "var":
-                name = val[1:]
-                if numeric:
-                    return lambda t: _num(t.column(name))
-                return lambda t: pc.cast(t.column(name), pa.string())
-            const = _resolve(kind, val, self.prefixes)
-            if numeric:
-                return lambda t: float(const)
-            return lambda t: const
-
-        ls, rs = side(lk, lv), side(rk, rv)
+        ls, rs = lfac(numeric), rfac(numeric)
         return lambda t: fn(ls(t), rs(t))
 
 

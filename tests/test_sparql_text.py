@@ -398,3 +398,24 @@ def test_explain_plain_and_store(ray_session, tmp_path):
         store_dir=store,
     )
     assert "ALL 3 partitions" in wild
+
+
+def test_filter_string_functions(ray_session):
+    q = """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d WHERE { ?d ex:lang ?l . FILTER (STRSTARTS(?l, "z")) }
+        """
+    assert _rows(execute(_triples(GRAPH_ROWS), q, n_buckets=4), ["d"]) == [
+        ("a",), ("c",)]
+
+    q2 = """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d ?n WHERE { ?d ex:size ?n . FILTER (STRLEN(?n) >= 3) }
+        """
+    assert _rows(execute(_triples(GRAPH_ROWS), q2, n_buckets=4), ["d"]) == [("b",)]
+
+    q3 = """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d WHERE { ?d ex:lang ?l . FILTER (CONTAINS(?l, "n") && !STRENDS(?l, "h")) }
+        """
+    assert _rows(execute(_triples(GRAPH_ROWS), q3, n_buckets=4), ["d"]) == [("b",)]
