@@ -283,3 +283,87 @@ def test_sequence_packing_two_level_scan(ray_session):
     excl = np.cumsum([0] + sizes[:-1])
     assert list(out["n_tokens"]) == sizes
     assert list(out["bin_id"]) == [int(e // 10) for e in excl]
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_packing_matches_numpy_reference(ray_session, seed):
+    """Random sizes, random partitioning, random budget/range_size:
+    bin assignment equals the exclusive-cumsum reference exactly."""
+    import random
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rdfa_ray.stages.packing import pack_sequences
+
+    rng = random.Random(seed)
+    n = rng.randrange(1, 60)
+    sizes = [rng.randrange(1, 30) for _ in range(n)]
+    budget = rng.randrange(5, 50)
+    range_size = rng.choice([1, 2, 5, 100])
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(n)), pa.int64()),
+                "text": pa.array([" ".join(["w"] * s) for s in sizes], pa.string()),
+            }
+        )
+    ).repartition(rng.randrange(1, 6))
+    out = (
+        pack_sequences(docs, budget=budget, range_size=range_size)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    excl = np.cumsum([0] + sizes[:-1])
+    assert list(out["bin_id"]) == [int(e // budget) for e in excl]
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_grouped_aggregate_matches_pandas(ray_session, seed):
+    """Random bindings vs a single-node pandas reference for every
+    algebraic aggregate."""
+    import random
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rdfa_ray.stages.sparql import grouped_aggregate
+
+    rng = random.Random(100 + seed)
+    n = rng.randrange(3, 80)
+    df = pd.DataFrame(
+        {
+            "g": [rng.choice("abc") for _ in range(n)],
+            "v": [str(rng.randrange(0, 50)) for _ in range(n)],
+        }
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(
+        rng.randrange(1, 5)
+    )
+    out = (
+        grouped_aggregate(
+            ds,
+            ["g"],
+            [
+                ("count", None, "n"),
+                ("sum", "v", "s"),
+                ("avg", "v", "m"),
+                ("min", "v", "lo", "num"),
+                ("max", "v", "hi", "num"),
+            ],
+            n_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    nums = df.assign(x=pd.to_numeric(df["v"]))
+    ref = nums.groupby("g")["x"].agg(["size", "sum", "mean", "min", "max"])
+    for _, row in out.iterrows():
+        r = ref.loc[row["g"]]
+        assert row["n"] == r["size"] and row["s"] == r["sum"]
+        assert row["m"] == pytest.approx(r["mean"])
+        assert row["lo"] == r["min"] and row["hi"] == r["max"]
+    assert len(out) == len(ref)
