@@ -13,7 +13,36 @@ dropped (the engine's sinks do not do prefix-based serialization).
 from __future__ import annotations
 
 import re
-from urllib.parse import quote, urljoin, urlparse, urlsplit, urlunparse
+from urllib.parse import quote, urlparse, urlsplit as _urlsplit, urlunparse
+from urllib.parse import urljoin as _urljoin
+
+# Pure-function memos for the two hottest calls of the walk (profiled:
+# ~139k getURI calls / 8k turns, ~0.7s of 4.6s in urljoin+urlsplit).
+# Attribute values and bases repeat heavily in any real corpus, so a
+# bounded per-process dict turns the RFC-3986 join into a lookup.
+# Both functions are pure; the caches never change results.
+_JOIN_CACHE: dict = {}
+_SPLIT_CACHE: dict = {}
+_URI_CACHE_CAP = 1 << 16
+
+
+def urljoin(base: str, v: str) -> str:
+    key = (base, v)
+    hit = _JOIN_CACHE.get(key)
+    if hit is None:
+        if len(_JOIN_CACHE) >= _URI_CACHE_CAP:
+            _JOIN_CACHE.clear()
+        hit = _JOIN_CACHE[key] = _urljoin(base, v)
+    return hit
+
+
+def urlsplit(v: str):
+    hit = _SPLIT_CACHE.get(v)
+    if hit is None:
+        if len(_SPLIT_CACHE) >= _URI_CACHE_CAP:
+            _SPLIT_CACHE.clear()
+        hit = _SPLIT_CACHE[v] = _urlsplit(v)
+    return hit
 
 from ..rdf.terms import BNODE, IRI, RDFA_NS, iri
 from .context import (
