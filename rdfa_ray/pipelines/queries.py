@@ -2048,6 +2048,24 @@ def q_kg_group_concat(sf_dir: str):
     return out.map_batches(to_commas, batch_format="pandas")
 
 
+def q_multimodal_resize(sf_dir: str):
+    """Image resize/transcode plumbing (binary in -> binary out,
+    actor pool, small batches): image payloads shrink deterministically,
+    non-image payloads pass through flagged (rows-only; the byte-path
+    invariants are pinned by pytest)."""
+    import ray.data as rd
+
+    from ..stages.multimodal import resized_media
+
+    docs = rd.read_parquet("%s/documents.parquet" % sf_dir, columns=["doc_id", "text"])
+    out = resized_media(docs)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["media_id", "n_bytes", "target_px", "decode_error"])
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
 def q_kg_store_group_count(sf_dir: str):
     """The persisted-KG path end-to-end: construct the graph ONCE into
     a predicate-partitioned Parquet store (idempotent; sentinel written
@@ -2161,6 +2179,7 @@ QUERIES = {
     "repetition_signals": q_repetition_signals,
     "sequence_packing": q_sequence_packing,
     "dedup_substrings": q_dedup_substrings,
+    "multimodal_resize": q_multimodal_resize,
     "kg_graph_scoped": q_kg_graph_scoped,
     "kg_store_update": q_kg_store_update,
     "kg_subquery": q_kg_subquery,

@@ -209,3 +209,85 @@ def frame_samples(docs_ds, n_frames: int = 4, concurrency=(2, 4)):
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+RESIZED_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("payload", pa.large_binary()),
+        ("media_type", pa.string()),
+        ("n_bytes", pa.int64()),
+        ("target_px", pa.int32()),
+        ("decode_error", pa.string()),
+    ]
+)
+
+
+class FakeImageResizer:
+    """Actor-pool resize/transcode stage: binary in -> binary out, the
+    remaining member of the decode / feature / resize / frame-sample
+    quartet.  A real deployment decodes, resizes to ``target_px`` on
+    the long edge, and re-encodes (PIL `thumbnail` + `save`); the fake
+    derives a deterministic smaller payload (content-addressed header +
+    proportional byte slice) so the binary-in/binary-out path, the
+    payload-size contraction, and the error branch are all exercised.
+    Non-image payloads pass through UNCHANGED with decode_error set —
+    a resize stage must never corrupt media it cannot parse.
+    """
+
+    def __init__(self, target_px: int = 256):
+        # stand-in for codec init (once per actor)
+        self.target_px = target_px
+
+    def _resize(self, payload: bytes) -> bytes:
+        # NOTE real impl: PIL Image.open(...).thumbnail((t, t)); save
+        header = hashlib.md5(b"resized:" + payload[:32]).digest()
+        keep = max(1, len(payload) * self.target_px // 1024)
+        return header + payload[:keep]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {k: [] for k in (
+            "media_id", "payload", "media_type", "n_bytes", "target_px",
+            "decode_error")}
+        for mid, payload, mtype in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("payload").to_pylist(),
+            batch.column("media_type").to_pylist(),
+        ):
+            if not mtype.startswith("image/"):
+                body, err = payload, "not an image: %s" % mtype
+            else:
+                body, err = self._resize(payload), ""
+            out["media_id"].append(mid)
+            out["payload"].append(body)
+            out["media_type"].append(mtype)
+            out["n_bytes"].append(len(body))
+            out["target_px"].append(self.target_px)
+            out["decode_error"].append(err)
+        return pa.Table.from_pydict(
+            {
+                "media_id": pa.array(out["media_id"], pa.int64()),
+                "payload": pa.array(out["payload"], pa.large_binary()),
+                "media_type": pa.array(out["media_type"]),
+                "n_bytes": pa.array(out["n_bytes"], pa.int64()),
+                "target_px": pa.array(out["target_px"], pa.int32()),
+                "decode_error": pa.array(out["decode_error"]),
+            },
+            schema=RESIZED_SCHEMA,
+        )
+
+
+def resized_media(docs_ds, target_px: int = 256, concurrency=(2, 4)):
+    """documents -> synthetic media -> actor-pool resize; image rows
+    shrink, non-image rows pass through flagged."""
+    media = docs_ds.map_batches(
+        synthesize_media_batch, batch_format="pyarrow", batch_size=512
+    )
+    return media.map_batches(
+        FakeImageResizer,
+        fn_constructor_kwargs={"target_px": target_px},
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

@@ -141,3 +141,46 @@ def test_kmv_against_events_exact(ray_session):
     )
     for et, n in exact.items():
         assert abs(int(approx[et]) - int(n)) <= max(1, int(0.2 * n)), (et, n, approx[et])
+
+
+def test_resized_media_invariants(ray_session):
+    """Images shrink deterministically; non-images pass through
+    byte-identical with the error flag set."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rdfa_ray.stages.multimodal import resized_media, synthesize_media_batch
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(9)), pa.int64()),
+                "text": pa.array(["body %d" % i for i in range(9)], pa.string()),
+            }
+        )
+    )
+    src = synthesize_media_batch(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(9)), pa.int64()),
+                "text": pa.array(["body %d" % i for i in range(9)], pa.string()),
+            }
+        )
+    ).to_pandas().set_index("media_id")
+    out = resized_media(docs, target_px=256).to_pandas().set_index("media_id")
+    assert len(out) == 9
+    for mid, row in out.iterrows():
+        orig = src.loc[mid]
+        if orig["media_type"].startswith("image/"):
+            assert row["decode_error"] == ""
+            assert row["n_bytes"] < orig["n_bytes"]  # contraction
+        else:
+            assert row["decode_error"].startswith("not an image")
+            assert bytes(row["payload"]) == bytes(orig["payload"])  # untouched
+
+    # determinism: second run yields identical payload bytes
+    again = resized_media(docs, target_px=256).to_pandas().set_index("media_id")
+    assert all(
+        bytes(again.loc[m, "payload"]) == bytes(out.loc[m, "payload"])
+        for m in out.index
+    )
