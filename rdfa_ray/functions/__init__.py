@@ -10,10 +10,14 @@ functions"), collected for reuse inside batch kernels:
   N-Quads line formatter used by the flagship sink)
 * shuffle-key hashing: :mod:`rdfa_ray.functions.hashing` — the
   dictionary-encoded crc32 bucket kernels every all-to-all keys on
+* word shingling: :mod:`rdfa_ray.functions.shingles` — stable token
+  hashes + vectorized polynomial window rolls (contamination sweep,
+  repetition signals, quality gate, winnowed fingerprints)
 """
 
 from ..kernel.embedded import _resolve_iri as resolve_iri  # noqa: F401
 from .hashing import crc32_bucket, crc32_bucket_concat  # noqa: F401
+from .shingles import explode_tokens, phrase_hash, token_hashes, window_hashes  # noqa: F401
 from ..kernel.state import NCNAME, TERMNAME, quote_uri  # noqa: F401
 from ..kernel.transform import format_test  # noqa: F401
 from ..rdf.ntriples import nquads_lines_arrow, term_to_nt, triple_to_ntriples  # noqa: F401
