@@ -2048,6 +2048,19 @@ def q_kg_group_concat(sf_dir: str):
     return out.map_batches(to_commas, batch_format="pandas")
 
 
+def q_unigram_logppl(sf_dir: str):
+    """CCNet-style LM filtering signal: mean negative log-likelihood of
+    each document under the corpus's own unigram model — one counts
+    exchange, broadcast table, one scoring map; integer-quantized so
+    DuckDB ln hash-matches."""
+    import ray.data as rd
+
+    from ..stages.lmscore import unigram_logppl
+
+    docs = rd.read_parquet("%s/documents.parquet" % sf_dir, columns=["doc_id", "text"])
+    return unigram_logppl(docs)
+
+
 def q_multimodal_resize(sf_dir: str):
     """Image resize/transcode plumbing (binary in -> binary out,
     actor pool, small batches): image payloads shrink deterministically,
@@ -2180,6 +2193,7 @@ QUERIES = {
     "sequence_packing": q_sequence_packing,
     "dedup_substrings": q_dedup_substrings,
     "multimodal_resize": q_multimodal_resize,
+    "unigram_logppl": q_unigram_logppl,
     "kg_graph_scoped": q_kg_graph_scoped,
     "kg_store_update": q_kg_store_update,
     "kg_subquery": q_kg_subquery,
@@ -2731,6 +2745,16 @@ ORACLE_SQL = {
         " || '/turn/0' AS g,"
         " 'http://docs.local/d' || CAST(doc_id AS VARCHAR) AS d,"
         " lang AS l FROM documents WHERE source = 'src1'"
+    ),
+    "unigram_logppl": (
+        "WITH tok AS (SELECT doc_id,"
+        "  unnest(string_split(lower(text), ' ')) AS token FROM documents),"
+        " freq AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),"
+        " tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM freq) "
+        "SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,"
+        " CAST(floor(-AVG(ln(f.n / tot.total)) * 1000000 + 0.5) AS BIGINT)"
+        " AS logppl_micro"
+        " FROM tok t JOIN freq f USING (token), tot GROUP BY t.doc_id"
     ),
     "sequence_packing": (
         "SELECT doc_id,"

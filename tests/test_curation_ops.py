@@ -367,3 +367,33 @@ def test_grouped_aggregate_matches_pandas(ray_session, seed):
         assert row["m"] == pytest.approx(r["mean"])
         assert row["lo"] == r["min"] and row["hi"] == r["max"]
     assert len(out) == len(ref)
+
+
+def test_unigram_logppl_reference(ray_session):
+    """Engine scores match a direct numpy computation; rare-word docs
+    score worse (higher -log p), the filtering property CCNet uses."""
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rdfa_ray.stages.lmscore import unigram_logppl
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(
+                    ["common common common", "common rare"], pa.string()
+                ),
+            }
+        )
+    ).repartition(2)
+    out = unigram_logppl(docs).to_pandas().set_index("doc_id").sort_index()
+    # counts: common=4, rare=1, total=5
+    lp_common, lp_rare = math.log(4 / 5), math.log(1 / 5)
+    exp1 = math.floor(-lp_common * 1e6 + 0.5)
+    exp2 = math.floor(-(lp_common + lp_rare) / 2 * 1e6 + 0.5)
+    assert list(out["n_tokens"]) == [3, 2]
+    assert list(out["logppl_micro"]) == [exp1, exp2]
+    assert out.loc[2, "logppl_micro"] > out.loc[1, "logppl_micro"]
