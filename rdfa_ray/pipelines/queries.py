@@ -1893,6 +1893,22 @@ def q_kg_store_sparql(sf_dir: str):
     )
 
 
+def q_kg_count_distinct(sf_dir: str):
+    """COUNT(DISTINCT ?l) per source through the text front-end —
+    two-level distinct-then-count (distinct pairs ship, never rows)."""
+    from ..stages.sparql_text import execute
+
+    return execute(
+        _typed_triples(sf_dir),
+        """
+        PREFIX schema: <http://schema.org/>
+        SELECT ?src (COUNT(DISTINCT ?l) AS ?n) WHERE {
+          ?d schema:source ?src ; schema:inLanguage ?l .
+        } GROUP BY ?src
+        """,
+    )
+
+
 def q_kg_subquery(sf_dir: str):
     """SPARQL 1.1 subquery (§12): documents whose characterCount
     exceeds their source's average — the inner ``SELECT ?src
@@ -2197,6 +2213,7 @@ QUERIES = {
     "kg_graph_scoped": q_kg_graph_scoped,
     "kg_store_update": q_kg_store_update,
     "kg_subquery": q_kg_subquery,
+    "kg_count_distinct": q_kg_count_distinct,
     "kg_sparql_text": q_kg_sparql_text,
     "kg_store_sparql": q_kg_store_sparql,
     "customers_orders_outer": q_customers_orders_outer,
@@ -2724,6 +2741,14 @@ ORACLE_SQL = {
         "SELECT subj AS d, obj_value AS n FROM t"
         " WHERE pred = 'http://schema.org/characterCount'"
         " AND CAST(obj_value AS BIGINT) > 400" % _TYPED_TRIPLES_SQL
+    ),
+    "kg_count_distinct": (
+        "WITH t AS (%s) "
+        "SELECT t1.obj_value AS src, COUNT(DISTINCT t2.obj_value) AS n"
+        " FROM t t1 JOIN t t2 ON t2.subj = t1.subj"
+        " WHERE t1.pred = 'http://schema.org/source'"
+        " AND t2.pred = 'http://schema.org/inLanguage'"
+        " GROUP BY t1.obj_value" % _TYPED_TRIPLES_SQL
     ),
     "kg_subquery": (
         "WITH t AS (%s),"

@@ -485,6 +485,47 @@ def aggregate_bindings(triples_ds, patterns, group_vars, n_buckets: int = 64):
     return bindings.groupby(list(group_vars)).aggregate(Count(alias_name="n"))
 
 
+def grouped_count_distinct(bindings, group_vars, var, alias, n_buckets: int = 64):
+    """SPARQL ``(COUNT(DISTINCT ?var) AS ?alias) ... GROUP BY`` — the
+    one SPARQL aggregate whose partial is not fixed-width.  Two-level
+    distinct-then-count: map-side drop_duplicates on (group, value)
+    bounds each block's contribution by its distinct pairs, ONE
+    bucketed exchange of those pairs, then a vectorized per-bucket
+    nunique.  A hot group ships its distinct values once per block,
+    never its row count."""
+    import pandas as pd
+
+    from ..functions.hashing import crc32_bucket_concat
+
+    gvars = list(group_vars)
+    cols = [*gvars, var]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame()
+        out = batch[cols].drop_duplicates()
+        tbl = pa.Table.from_pandas(out, preserve_index=False)
+        return tbl.append_column(
+            "__bucket", crc32_bucket_concat(tbl, gvars, n_buckets)
+        ).to_pandas()
+
+    def reduce_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        if not len(group):
+            empty = {v: pd.Series([], dtype="object") for v in gvars}
+            empty[alias] = pd.Series([], dtype="int64")
+            return pd.DataFrame(empty)
+        s = group.drop_duplicates(cols).groupby(gvars, sort=False)[var].nunique()
+        out = s.reset_index()[gvars]
+        out[alias] = s.to_numpy().astype("int64")
+        return out
+
+    return (
+        bindings.map_batches(partial, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(reduce_bucket, batch_format="pandas")
+    )
+
+
 def grouped_aggregate(bindings, group_vars, aggs, having=None, n_buckets: int = 64):
     """SPARQL GROUP BY with the full 1.1 aggregate set (§18.5.1):
     COUNT / SUM / AVG / MIN / MAX / SAMPLE / GROUP_CONCAT, plus HAVING.

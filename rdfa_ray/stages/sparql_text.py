@@ -388,9 +388,15 @@ def parse_query(text: str) -> dict:
             ):
                 raise SparqlSyntaxError("unsupported aggregate %r" % fn)
             p.expect_op("(")
+            distinct_arg = False
+            if p.at_kw("DISTINCT"):
+                if fn.upper() != "COUNT":
+                    raise SparqlSyntaxError("DISTINCT only supported in COUNT")
+                p.next()
+                distinct_arg = True
             kind, arg = p.next()
             if (kind, arg) == ("op", "*"):
-                if fn.upper() != "COUNT":
+                if fn.upper() != "COUNT" or distinct_arg:
                     raise SparqlSyntaxError("* only valid in COUNT(*)")
                 argvar = None
             elif kind == "var":
@@ -398,6 +404,8 @@ def parse_query(text: str) -> dict:
             else:
                 raise SparqlSyntaxError("aggregate needs ?var or *")
             p.expect_op(")")
+            if distinct_arg:
+                fn = "count_distinct"
             p.expect_kw("AS")
             kind, alias = p.next()
             if kind != "var":
@@ -734,7 +742,21 @@ def execute(triples_ds, query: str, n_buckets: int = 64):
     for f in plan["filters"]:
         b = filter_bindings(b, f)
 
-    if plan["aggs"]:
+    if any(fn == "count_distinct" for fn, _v, _a in plan["aggs"]):
+        from .sparql import grouped_count_distinct
+
+        if len(plan["aggs"]) != 1:
+            raise SparqlSyntaxError(
+                "COUNT(DISTINCT ?v) must be the only aggregate in this fragment"
+            )
+        if plan["having"] is not None:
+            raise SparqlSyntaxError("HAVING with COUNT(DISTINCT) is unsupported")
+        _fn, dvar, alias = plan["aggs"][0]
+        b = grouped_count_distinct(
+            b, plan["group_by"], dvar, alias, n_buckets=n_buckets
+        )
+        out_cols = plan["group_by"] + [alias]
+    elif plan["aggs"]:
         having = plan["having"]
         b = grouped_aggregate(
             b,

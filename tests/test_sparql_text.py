@@ -419,3 +419,20 @@ def test_filter_string_functions(ray_session):
         SELECT ?d WHERE { ?d ex:lang ?l . FILTER (CONTAINS(?l, "n") && !STRENDS(?l, "h")) }
         """
     assert _rows(execute(_triples(GRAPH_ROWS), q3, n_buckets=4), ["d"]) == [("b",)]
+
+
+def test_count_distinct(ray_session):
+    rows = GRAPH_ROWS + [("a", "http://ex.org/lang", "zh")]  # dup binding
+    out = execute(
+        _triples(rows),
+        """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?l (COUNT(DISTINCT ?d) AS ?n) WHERE { ?d ex:lang ?l }
+        GROUP BY ?l
+        """,
+        n_buckets=4,
+    )
+    assert _rows(out, ["l", "n"]) == [("en", 1), ("zh", 2)]
+
+    with pytest.raises(SparqlSyntaxError):
+        parse_query("SELECT (SUM(DISTINCT ?x) AS ?s) WHERE { ?a ?b ?x }")
