@@ -384,7 +384,7 @@ def parse_query(text: str) -> dict:
             p.next()
             kind, fn = p.next()
             if kind != "kw" or fn.upper() not in (
-                "COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE",
+                "COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT",
             ):
                 raise SparqlSyntaxError("unsupported aggregate %r" % fn)
             p.expect_op("(")
@@ -770,6 +770,20 @@ def execute(triples_ds, query: str, n_buckets: int = 64):
             n_buckets=n_buckets,
         )
         out_cols = plan["group_by"] + [a[2] for a in plan["aggs"]]
+        # engine group_concat joins on \x1f; SPARQL's default separator
+        # is a single space
+        gc_aliases = [a for f, _v, a in plan["aggs"] if f == "group_concat"]
+        if gc_aliases:
+
+            def space_join(batch: pa.Table, _als=tuple(gc_aliases)) -> pa.Table:
+                cols = {c: batch.column(c) for c in batch.column_names}
+                for alias in _als:
+                    cols[alias] = pc.replace_substring(
+                        pc.cast(cols[alias], pa.string()), "\x1f", " "
+                    )
+                return pa.Table.from_pydict(cols)
+
+            b = b.map_batches(space_join, batch_format="pyarrow")
     else:
         all_pats = (
             plan["patterns"]

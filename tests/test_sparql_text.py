@@ -436,3 +436,19 @@ def test_count_distinct(ray_session):
 
     with pytest.raises(SparqlSyntaxError):
         parse_query("SELECT (SUM(DISTINCT ?x) AS ?s) WHERE { ?a ?b ?x }")
+
+
+def test_group_concat_and_order_by_alias(ray_session):
+    out = execute(
+        _triples(GRAPH_ROWS),
+        """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?l (COUNT(*) AS ?n) (GROUP_CONCAT(?d) AS ?docs) WHERE {
+          ?d ex:lang ?l .
+        } GROUP BY ?l ORDER BY DESC(?n) LIMIT 1
+        """,
+        n_buckets=4,
+    ).to_pandas()
+    assert len(out) == 1
+    assert out["l"].iloc[0] == "zh" and out["n"].iloc[0] == 2
+    assert out["docs"].iloc[0] == "a c"  # sorted, space-joined (SPARQL default)
