@@ -131,10 +131,8 @@ def graph_diff(a_ds, b_ds, n_buckets: int = 64):
         if not len(group):
             return pd.DataFrame({c: pd.Series([], dtype="object") for c in out_cols})
         d = group.drop_duplicates(["__k", "__side"])
-        by_key = d.groupby("__k", sort=False)
         in_a = d["__side"].eq("a").groupby(d["__k"], sort=False).transform("max")
         in_b = d["__side"].eq("b").groupby(d["__k"], sort=False).transform("max")
-        del by_key
         region = np.where(in_a & in_b, "both", np.where(in_a, "only_a", "only_b"))
         d = d.assign(region=region)
         # one row per triple key; sides carry identical triple columns
