@@ -192,3 +192,42 @@ def test_quad_store_passthrough(ray_session, tmp_path):
 
     with pytest.raises(ValueError, match="quad store"):
         update_kg(store, delete_ds=_ds([("s1", LANG, "o1")]))
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_randomized_store_roundtrip_and_update(ray_session, tmp_path, seed):
+    """Random triple sets: persist -> read is the identity; a random
+    update equals set algebra ((current - deletes) | inserts)."""
+    import random
+
+    import ray.data as rd
+
+    rng = random.Random(9000 + seed)
+    preds = ["http://ex.org/p%d" % i for i in range(3)]
+
+    def rand_rows(n):
+        return sorted(
+            {
+                ("s%d" % rng.randrange(6), rng.choice(preds), "v%d" % rng.randrange(5))
+                for _ in range(n)
+            }
+        )
+
+    base = rand_rows(rng.randrange(4, 25))
+    store = str(tmp_path / ("kg%d" % seed))
+    persist_kg(_ds(base), store)
+    back = sorted(
+        map(tuple, read_kg(store).to_pandas()[["subj", "pred", "obj_value"]]
+            .to_records(index=False).tolist())
+    )
+    assert back == base
+
+    deletes = rand_rows(rng.randrange(1, 8))
+    inserts = rand_rows(rng.randrange(1, 8))
+    update_kg(store, insert_ds=_ds(inserts), delete_ds=_ds(deletes))
+    want = sorted((set(base) - set(deletes)) | set(inserts))
+    got = sorted(
+        map(tuple, read_kg(store).to_pandas()[["subj", "pred", "obj_value"]]
+            .to_records(index=False).tolist())
+    )
+    assert got == want
