@@ -2001,6 +2001,54 @@ def q_kg_store_update(sf_dir: str):
     )
 
 
+def q_kg_store_quads(sf_dir: str):
+    """Quad persistence end-to-end: the distilled quads (named-graph
+    column riding along) persist into the predicate-partitioned store,
+    and a pruned read of 2 of 4 partitions answers a per-predicate
+    census with graphs intact."""
+    from ..stages.kgstore import persist_kg, read_kg, store_is_complete
+    from ray.data.aggregate import Count
+
+    store_dir = _store_tag(sf_dir, "graft_kgq")
+    if not store_is_complete(store_dir):
+        turns = typed_transcripts_from_documents(sf_dir)
+        quads = (
+            build_triples(turns)
+            .map_batches(split_triples, batch_format="pyarrow")
+            .map_batches(
+                lambda t: pa.Table.from_pydict(
+                    {
+                        "subj": pc.cast(t.column("subj"), pa.string()),
+                        "pred": pc.cast(t.column("pred"), pa.string()),
+                        "obj_value": pc.cast(t.column("obj_value"), pa.string()),
+                        "graph": pc.cast(t.column("graph"), pa.string()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        persist_kg(quads, store_dir)
+
+    quads = read_kg(
+        store_dir,
+        preds=["http://schema.org/inLanguage", "http://schema.org/source"],
+    )
+
+    def per_pred_graphs(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "pred": batch.column("pred"),
+                "graph": pc.cast(batch.column("graph"), pa.string()),
+            }
+        )
+
+    return (
+        quads.map_batches(per_pred_graphs, batch_format="pyarrow")
+        .groupby("pred")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
 def q_kg_agg_stats(sf_dir: str):
     """SPARQL 1.1 aggregate set over one GROUP BY: per-source COUNT /
     SUM / AVG / MIN / MAX of the Chinese documents' character counts,
@@ -2212,6 +2260,7 @@ QUERIES = {
     "unigram_logppl": q_unigram_logppl,
     "kg_graph_scoped": q_kg_graph_scoped,
     "kg_store_update": q_kg_store_update,
+    "kg_store_quads": q_kg_store_quads,
     "kg_subquery": q_kg_subquery,
     "kg_count_distinct": q_kg_count_distinct,
     "kg_sparql_text": q_kg_sparql_text,
@@ -2819,6 +2868,11 @@ ORACLE_SQL = {
         " WHERE doc_id % 97 = 0 AND len(string_split(text, ' ')) >= 18) "
         "SELECT DISTINCT d.doc_id FROM documents d JOIN needles n"
         " ON position(' ' || n.needle || ' ' IN ' ' || d.text || ' ') > 0"
+    ),
+    "kg_store_quads": (
+        "SELECT 'http://schema.org/inLanguage' AS pred,"
+        " COUNT(*) AS n FROM documents"
+        " UNION ALL SELECT 'http://schema.org/source', COUNT(*) FROM documents"
     ),
     "kg_agg_stats": (
         "WITH t AS (%s) "
