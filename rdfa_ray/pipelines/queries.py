@@ -786,6 +786,21 @@ def q_dedup_substrings(sf_dir: str):
     return out.select_columns(["a", "b", "n_shared"])
 
 
+def q_mixture_sample(sf_dir: str):
+    """Dataset mixing: src1 upweighted to 1.5 epochs, src2 kept at
+    0.25, everything else 1.0 — deterministic content-hash sampling
+    with duplication for weights > 1; the oracle replays the identical
+    hex-threshold rule in SQL."""
+    import ray.data as rd
+
+    from ..stages.split import mixture_sample
+
+    docs = rd.read_parquet(
+        "%s/documents.parquet" % sf_dir, columns=["doc_id", "text", "source"]
+    )
+    return mixture_sample(docs, {"src1": 1.5, "src2": 0.25})
+
+
 def q_sequence_packing(sf_dir: str):
     """Fixed-token-budget sequence packing (bin = exclusive prefix
     token count // 2048 in doc_id order) — the two-level distributed
@@ -2255,6 +2270,7 @@ QUERIES = {
     "kg_path_neg": q_kg_path_neg,
     "repetition_signals": q_repetition_signals,
     "sequence_packing": q_sequence_packing,
+    "mixture_sample": q_mixture_sample,
     "dedup_substrings": q_dedup_substrings,
     "multimodal_resize": q_multimodal_resize,
     "unigram_logppl": q_unigram_logppl,
@@ -2829,6 +2845,18 @@ ORACLE_SQL = {
         " CAST(floor(-AVG(ln(f.n / tot.total)) * 1000000 + 0.5) AS BIGINT)"
         " AS logppl_micro"
         " FROM tok t JOIN freq f USING (token), tot GROUP BY t.doc_id"
+    ),
+    "mixture_sample": (
+        "WITH f AS (SELECT doc_id, source, substr(md5(text), 1, 4) AS h"
+        " FROM documents),"
+        " c AS (SELECT doc_id, source,"
+        "  (CASE source WHEN 'src1' THEN 1 WHEN 'src2' THEN 0 ELSE 1 END)"
+        "  + (CASE WHEN h < (CASE source WHEN 'src1' THEN '8000'"
+        "     WHEN 'src2' THEN '4000' ELSE '0000' END)"
+        "     THEN 1 ELSE 0 END) AS n FROM f) "
+        "SELECT doc_id, source, CAST(i AS BIGINT) AS copy_idx"
+        " FROM c, LATERAL unnest(generate_series(0, n - 1)) AS s(i)"
+        " WHERE n > 0"
     ),
     "sequence_packing": (
         "SELECT doc_id,"

@@ -51,3 +51,59 @@ def assign_split(docs_ds, holdout_bytes: int = 64, keep_cols: list | None = None
         )
 
     return docs_ds.map_batches(batch_assign, batch_format="pyarrow")
+
+
+def mixture_sample(docs_ds, weights: dict, default: float = 1.0):
+    """Deterministic dataset mixing / epoching — the sampling step that
+    turns per-source target weights into the training stream: a
+    document from source ``s`` with weight ``w`` appears
+    ``floor(w) + [md5_frac(text) < frac(w)]`` times (w > 1 duplicates —
+    extra epochs of a prized source; w < 1 downsamples).
+
+    Content-hashed like ``assign_split``: the decision is a pure
+    function of (text, weight) — reproducible at any parallelism,
+    duplicates of a document sample identically (no mixture skew from
+    dup groups), and the fractional comparison is a fixed-width hex
+    string compare so a SQL oracle reproduces it exactly.  Map-only,
+    zero shuffle; row expansion happens inside the batch.
+
+    Returns (doc_id, source, copy_idx) with copy_idx in [0, n)."""
+    import pandas as pd
+
+    thresholds = {
+        s: (int(w), "%04x" % min(65535, int(round((w - int(w)) * 65536))))
+        for s, w in weights.items()
+    }
+    default_thr = (int(default), "%04x" % min(65535, int(round((default - int(default)) * 65536))))
+
+    def expand(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "source": pd.Series([], dtype="object"),
+                "copy_idx": pd.Series([], dtype="int64"),
+            }
+        )
+        if not len(batch):
+            return empty
+        counts = []
+        for text, src in zip(batch["text"], batch["source"]):
+            n_full, thr = thresholds.get(src, default_thr)
+            h = hashlib.md5((text or "").encode()).hexdigest()[:4]
+            counts.append(n_full + (1 if h < thr else 0))
+        counts = pd.Series(counts, dtype="int64")
+        keep = counts > 0
+        reps = counts[keep]
+        out = batch.loc[keep, ["doc_id", "source"]].loc[
+            batch.loc[keep].index.repeat(reps)
+        ]
+        copy_idx = [i for n in reps for i in range(n)]
+        return pd.DataFrame(
+            {
+                "doc_id": out["doc_id"].to_numpy(),
+                "source": out["source"].to_numpy(),
+                "copy_idx": pd.Series(copy_idx, dtype="int64"),
+            }
+        )
+
+    return docs_ds.map_batches(expand, batch_format="pandas")

@@ -397,3 +397,33 @@ def test_unigram_logppl_reference(ray_session):
     assert list(out["n_tokens"]) == [3, 2]
     assert list(out["logppl_micro"]) == [exp1, exp2]
     assert out.loc[2, "logppl_micro"] > out.loc[1, "logppl_micro"]
+
+
+def test_mixture_sample_semantics(ray_session):
+    """Weights > 1 duplicate deterministically, weights < 1 downsample,
+    duplicates of a document sample identically (content-hashed)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rdfa_ray.stages.split import mixture_sample
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": pa.array(["same text", "same text", "other", "third"], pa.string()),
+                "source": pa.array(["a", "a", "b", "c"], pa.string()),
+            }
+        )
+    ).repartition(2)
+    out = mixture_sample(docs, {"a": 2.0, "b": 0.0}, default=1.0).to_pandas()
+    per_doc = out.groupby("doc_id")["copy_idx"].count().to_dict()
+    # a @ 2.0 -> exactly 2 copies each; b @ 0.0 -> dropped; default 1.0 -> 1
+    assert per_doc == {1: 2, 2: 2, 4: 1}
+    assert sorted(out[out["doc_id"] == 1]["copy_idx"]) == [0, 1]
+
+    # identical text -> identical decision at any weight
+    out2 = mixture_sample(docs, {"a": 1.5}, default=1.0).to_pandas()
+    c1 = (out2["doc_id"] == 1).sum()
+    c2 = (out2["doc_id"] == 2).sum()
+    assert c1 == c2 and c1 in (1, 2)
