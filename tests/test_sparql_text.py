@@ -452,3 +452,49 @@ def test_group_concat_and_order_by_alias(ray_session):
     assert len(out) == 1
     assert out["l"].iloc[0] == "zh" and out["n"].iloc[0] == 2
     assert out["docs"].iloc[0] == "a c"  # sorted, space-joined (SPARQL default)
+
+
+def test_query_over_distilled_markup(ray_session):
+    """Kernel -> query integration: distill real RDFa markup, then ask
+    the triples a question through the text engine."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    import rdfa_ray
+    from rdfa_ray.pipelines.flagship import build_triples
+    from rdfa_ray.stages.distill import split_triples
+
+    html = (
+        '<div about="http://ex.org/book" typeof="http://schema.org/Book">'
+        '<span property="http://schema.org/name">Moby Dick</span>'
+        '<span property="http://schema.org/isbn">12345</span></div>'
+    )
+    turns = rd.from_arrow(
+        pa.table(
+            {
+                "conv_id": pa.array(["c1"], pa.string()),
+                "turn_idx": pa.array([0], pa.int32()),
+                "role": pa.array(["user"], pa.string()),
+                "text": pa.array([html], pa.string()),
+                "tool": pa.array([""], pa.string()),
+                "ts": pa.array([0], pa.int64()),
+            }
+        )
+    )
+    triples = (
+        build_triples(turns)
+        .map_batches(split_triples, batch_format="pyarrow")
+        .select_columns(["subj", "pred", "obj_value"])
+    )
+    out = rdfa_ray.query(
+        triples,
+        """
+        PREFIX schema: <http://schema.org/>
+        SELECT ?name ?isbn WHERE {
+          ?b a schema:Book ; schema:name ?name ; schema:isbn ?isbn .
+        }
+        """,
+        n_buckets=2,
+    ).to_pandas()
+    assert len(out) == 1
+    assert out["name"].iloc[0] == "Moby Dick" and out["isbn"].iloc[0] == "12345"
