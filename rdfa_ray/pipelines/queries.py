@@ -1850,6 +1850,60 @@ def q_customers_orders_outer(sf_dir: str):
     return joined.map_batches(fill, batch_format="pyarrow")
 
 
+def _typed_quads(sf_dir: str):
+    """Distilled quads — like ``_typed_triples`` but keeping the
+    per-turn named-graph column (one graph per transcript turn,
+    ``stages/distill.graph_iri``)."""
+    turns = typed_transcripts_from_documents(sf_dir)
+    quads = build_triples(turns).map_batches(split_triples, batch_format="pyarrow")
+
+    def pick(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                c: pc.cast(t.column(c), pa.string())
+                for c in ("subj", "pred", "obj_value", "graph")
+            }
+        )
+
+    return quads.map_batches(pick, batch_format="pyarrow")
+
+
+def q_kg_sparql_graph(sf_dir: str):
+    """SPARQL 1.1 named-graph pattern (``GRAPH ?g { ... }``) through
+    the text front-end: the graph variable binds the per-turn graph
+    IRI and the two patterns inside the group must co-occur in the
+    SAME graph — quad semantics rdflib users get from a
+    ConjunctiveGraph, here one bucketed self-join where the graph
+    term simply rides in the composite key."""
+    from ..stages.sparql_text import execute
+
+    return execute(
+        _typed_quads(sf_dir),
+        """
+        PREFIX schema: <http://schema.org/>
+        SELECT ?g ?src WHERE {
+          GRAPH ?g { ?d schema:inLanguage "zh" ; schema:source ?src }
+        }
+        """,
+    )
+
+
+def q_kg_graph_census(sf_dir: str):
+    """Per-named-graph triple census: ``GRAPH ?g { ?s ?p ?o } GROUP BY
+    ?g`` — the quad-store analogue of rdflib's
+    ``ConjunctiveGraph.contexts()`` enumeration, one map-side scan and
+    one aggregate exchange."""
+    from ..stages.sparql_text import execute
+
+    return execute(
+        _typed_quads(sf_dir),
+        """
+        SELECT ?g (COUNT(*) AS ?n) WHERE { GRAPH ?g { ?s ?p ?o } }
+        GROUP BY ?g
+        """,
+    )
+
+
 def q_kg_sparql_text(sf_dir: str):
     """The textual SPARQL entry point end-to-end: a SELECT string
     (PREFIX, predicate-object list, GROUP BY + aggregate alias) parsed
@@ -2280,6 +2334,8 @@ QUERIES = {
     "kg_subquery": q_kg_subquery,
     "kg_count_distinct": q_kg_count_distinct,
     "kg_sparql_text": q_kg_sparql_text,
+    "kg_sparql_graph": q_kg_sparql_graph,
+    "kg_graph_census": q_kg_graph_census,
     "kg_store_sparql": q_kg_store_sparql,
     "customers_orders_outer": q_customers_orders_outer,
     "kg_sparql_text_filter": q_kg_sparql_text_filter,
@@ -2806,6 +2862,14 @@ ORACLE_SQL = {
         "SELECT subj AS d, obj_value AS n FROM t"
         " WHERE pred = 'http://schema.org/characterCount'"
         " AND CAST(obj_value AS BIGINT) > 400" % _TYPED_TRIPLES_SQL
+    ),
+    "kg_sparql_graph": (
+        "SELECT 'http://graft.local/conv/doc' || printf('%08d', doc_id)"
+        " || '/turn/0' AS g, source AS src FROM documents WHERE lang = 'zh'"
+    ),
+    "kg_graph_census": (
+        "SELECT 'http://graft.local/conv/doc' || printf('%08d', doc_id)"
+        " || '/turn/0' AS g, CAST(4 AS BIGINT) AS n FROM documents"
     ),
     "kg_count_distinct": (
         "WITH t AS (%s) "

@@ -3,7 +3,10 @@ Dataset — the query surface an RDFLib user gets from
 ``graph.query("SELECT ... WHERE { ?s :p ?o . ... }")`` for the
 conjunctive (BGP) core, re-expressed as distributed self-joins.
 
-A pattern is a 3-tuple over (subj, pred, obj_value); each term is
+A pattern is a 3-tuple over (subj, pred, obj_value) — or a 4-tuple
+with a fourth **graph** term for named-graph (quad) patterns, matched
+against the input's ``graph`` column (SPARQL ``GRAPH g { ... }``;
+rdflib's ConjunctiveGraph/Dataset quad semantics).  Each term is
 either a constant string or a variable spelled ``?name``.  Matching a
 BGP of P patterns is the classic chain of P-1 self-joins on the shared
 variables:
@@ -43,7 +46,9 @@ import pyarrow.compute as pc
 
 from .join import bucketed_hash_join
 
-_POSITIONS = ("subj", "pred", "obj_value")
+# zip() truncates to the pattern's own length, so 3-tuples never touch
+# the graph column and run unchanged on plain triples datasets
+_POSITIONS = ("subj", "pred", "obj_value", "graph")
 _SEP = "\x1f"
 
 
@@ -80,6 +85,11 @@ def _scan(triples_ds, pattern):
         raise ValueError("pattern %r binds no variables" % (pattern,))
 
     def scan_batch(batch: pa.Table) -> pa.Table:
+        if len(pattern) > 3 and "graph" not in batch.column_names:
+            raise ValueError(
+                "graph pattern %r needs a 'graph' column in the input "
+                "(a quad dataset / quad store)" % (pattern,)
+            )
         mask = None
         for col, value in consts:
             m = pc.equal(batch.column(col), value)

@@ -25,6 +25,21 @@ it raises ``SparqlSyntaxError`` rather than mis-executing):
   ``VALUES ?v { ... }``, ``BIND(UCASE|LCASE|STR(?x) AS ?y)``,
   ``FILTER (expr)`` — comparisons over vars/literals/numbers,
   ``REGEX(?v, "pat")``, ``&&`` / ``||`` / ``!``
+* ``GRAPH ?g { ... }`` / ``GRAPH <iri> { ... }`` — named-graph (quad)
+  patterns against the input's ``graph`` column (the flagship emits
+  one named graph per transcript turn; the KG store persists it).
+  Patterns inside one GRAPH group must co-occur in the SAME graph
+  (they share the graph term); patterns outside GRAPH match across
+  the union of all graphs — rdflib's ConjunctiveGraph default-union
+  semantics, which is what ``rdf_from_sources`` merging several
+  documents into one graph gives a reference user.  Union matching
+  is a BAG over the quads (a triple asserted in k graphs yields k
+  solutions — consistent with this engine's documented bag-BGP
+  stance); use ``SELECT DISTINCT`` or a deduplicated triples view
+  for the deduplicated default graph.  GRAPH groups
+  compose with the base BGP and with each other; they are not
+  supported inside OPTIONAL/UNION/MINUS/EXISTS groups and exclude
+  property paths (explicit errors).
 * ``GROUP BY ?v ...`` (+ ``HAVING`` over projected aggregate aliases)
 * ``ORDER BY [ASC|DESC](?v) ...``, ``LIMIT`` / ``OFFSET``
 * property paths in predicate position: ``^p``, ``p/q``, ``p|q``,
@@ -429,6 +444,7 @@ def parse_query(text: str) -> dict:
                 kind == "kw"
                 and val.upper() in (
                     "OPTIONAL", "FILTER", "MINUS", "VALUES", "BIND", "UNION",
+                    "GRAPH",
                 )
             ):
                 return
@@ -499,6 +515,19 @@ def parse_query(text: str) -> dict:
                 p.expect_op("(")
                 filters.append(_FilterCompiler(p, prefixes).parse_or())
                 p.expect_op(")")
+        elif p.at_kw("GRAPH"):
+            p.next()
+            gk, gv = p.next()
+            gterm = _resolve(gk, gv, prefixes)  # vars stay '?g'
+            block = parse_braced_block()
+            if not block:
+                raise SparqlSyntaxError("GRAPH group needs triple patterns")
+            for s, pr, o in block:
+                if isinstance(pr, tuple):
+                    raise SparqlSyntaxError(
+                        "property paths inside GRAPH are unsupported"
+                    )
+                patterns.append((s, pr, o, gterm))
         elif p.at_kw("VALUES"):
             p.next()
             kind, var = p.next()
@@ -905,7 +934,8 @@ def _plan_pred_pushdown(plan):
     preds: set = set()
     prunable_box = [True]
     for g in groups:
-        for _s, p, _o in g:
+        for pt in g:
+            p = pt[1]
             if isinstance(p, tuple):
                 _path_iris(p, preds, prunable_box)
             elif p.startswith("?"):
@@ -932,8 +962,12 @@ def explain(query: str, store_dir: str | None = None) -> str:
             " DISTINCT" if plan["distinct"] else "", " ".join(proj)))
     if plan["describe_var"]:
         lines.append("describe: ?%s" % plan["describe_var"])
-    for s, p, o in plan["patterns"]:
-        lines.append("  pattern: %s %s %s" % (s, p if isinstance(p, str) else repr(p), o))
+    for pt in plan["patterns"]:
+        s, p, o = pt[0], pt[1], pt[2]
+        line = "  pattern: %s %s %s" % (s, p if isinstance(p, str) else repr(p), o)
+        if len(pt) > 3:
+            line += " GRAPH %s" % pt[3]
+        lines.append(line)
     for i, g in enumerate(plan["optionals"]):
         lines.append("  optional[%d]: %d patterns" % (i, len(g)))
     for i, g in enumerate(plan["union"]):
@@ -996,10 +1030,15 @@ def execute_on_store(store_dir: str, query: str, n_buckets: int = 64):
 
     plan = parse_query(query)
     preds, prunable = _plan_pred_pushdown(plan)
+    cols = ["subj", "pred", "obj_value"]
+    if any(len(pt) > 3 for pt in plan["patterns"]):
+        # GRAPH patterns need the quad store's graph column; a triple
+        # store without one fails loudly at the parquet read
+        cols.append("graph")
     triples = read_kg(
         store_dir,
         preds=sorted(preds) if prunable else None,
-        columns=["subj", "pred", "obj_value"],
+        columns=cols,
     )
     return execute(triples, query, n_buckets=n_buckets)
 

@@ -498,3 +498,132 @@ def test_query_over_distilled_markup(ray_session):
     ).to_pandas()
     assert len(out) == 1
     assert out["name"].iloc[0] == "Moby Dick" and out["isbn"].iloc[0] == "12345"
+
+
+# ---------------------------------------------------------------- GRAPH
+
+def _quads(rows):
+    subj, pred, obj, graph = zip(*rows)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "subj": pa.array(subj, pa.string()),
+                "pred": pa.array(pred, pa.string()),
+                "obj_value": pa.array(obj, pa.string()),
+                "graph": pa.array(graph, pa.string()),
+            }
+        )
+    )
+
+
+QUAD_ROWS = [
+    ("a", "http://ex.org/lang", "zh", "urn:g1"),
+    ("a", "http://ex.org/size", "10", "urn:g1"),
+    ("b", "http://ex.org/lang", "en", "urn:g2"),
+    ("b", "http://ex.org/size", "200", "urn:g2"),
+    # same subject re-described in a second graph with a DIFFERENT size:
+    # co-graph semantics must pair lang/size within one graph only
+    ("a", "http://ex.org/lang", "zh", "urn:g3"),
+    ("a", "http://ex.org/size", "999", "urn:g3"),
+    ("c", "http://ex.org/lang", "zh", "urn:g4"),
+]
+
+
+def test_graph_constant(ray_session):
+    out = execute(
+        _quads(QUAD_ROWS),
+        """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d ?n WHERE { GRAPH <urn:g1> { ?d ex:size ?n } }
+        """,
+    )
+    assert _rows(out, ["d", "n"]) == [("a", "10")]
+
+
+def test_graph_variable_binds_and_projects(ray_session):
+    out = execute(
+        _quads(QUAD_ROWS),
+        """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?g ?n WHERE { GRAPH ?g { ?d ex:lang "zh" ; ex:size ?n } }
+        """,
+    )
+    # co-graph: g1 pairs with 10, g3 with 999 — never cross-graph
+    assert _rows(out, ["g", "n"]) == [("urn:g1", "10"), ("urn:g3", "999")]
+
+
+def test_graph_group_with_base_bgp(ray_session):
+    # base (union-of-graphs) pattern joined with a GRAPH-scoped one.
+    # (a, lang, zh) is asserted in TWO graphs, so the union match is a
+    # bag of 2 solutions; DISTINCT gives the deduplicated default graph
+    q = """
+        PREFIX ex: <http://ex.org/>
+        SELECT %s ?d ?g WHERE {
+          ?d ex:lang "zh" .
+          GRAPH ?g { ?d ex:size "999" }
+        }
+        """
+    bag = execute(_quads(QUAD_ROWS), q % "")
+    assert _rows(bag, ["d", "g"]) == [("a", "urn:g3")] * 2
+    dedup = execute(_quads(QUAD_ROWS), q % "DISTINCT")
+    assert _rows(dedup, ["d", "g"]) == [("a", "urn:g3")]
+
+
+def test_graph_aggregate_per_graph(ray_session):
+    out = execute(
+        _quads(QUAD_ROWS),
+        """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?g (COUNT(*) AS ?n) WHERE { GRAPH ?g { ?d ex:lang ?l } }
+        GROUP BY ?g
+        """,
+    )
+    assert _rows(out, ["g", "n"]) == [
+        ("urn:g1", 1), ("urn:g2", 1), ("urn:g3", 1), ("urn:g4", 1),
+    ]
+
+
+def test_graph_errors(ray_session):
+    with pytest.raises(SparqlSyntaxError):
+        parse_query("SELECT ?s WHERE { GRAPH ?g { } }")  # empty group
+    with pytest.raises(SparqlSyntaxError):
+        parse_query(
+            "PREFIX ex: <http://ex.org/> "
+            "SELECT ?s WHERE { GRAPH ?g { ?s ex:p+ ?o } }"
+        )  # path inside GRAPH
+    with pytest.raises(SparqlSyntaxError):
+        parse_query(
+            "PREFIX ex: <http://ex.org/> "
+            "SELECT ?s WHERE { OPTIONAL { GRAPH ?g { ?s ex:p ?o } } }"
+        )  # GRAPH nested in OPTIONAL
+    # quad pattern against a plain triples dataset: loud error
+    import re as _re
+    with pytest.raises(Exception, match=_re.compile("graph", _re.I)):
+        execute(
+            _triples(GRAPH_ROWS),
+            "PREFIX ex: <http://ex.org/> "
+            "SELECT ?g WHERE { GRAPH ?g { ?d ex:lang ?l } }",
+        ).to_pandas()
+
+
+def test_graph_on_quad_store(ray_session, tmp_path):
+    from rdfa_ray.stages.kgstore import persist_kg
+    from rdfa_ray.stages.sparql_text import execute_on_store, explain
+
+    store = str(tmp_path / "quadstore")
+    persist_kg(_quads(QUAD_ROWS), store)
+    out = execute_on_store(
+        store,
+        """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?g ?n WHERE { GRAPH ?g { ?d ex:lang "zh" ; ex:size ?n } }
+        """,
+    )
+    assert _rows(out, ["g", "n"]) == [("urn:g1", "10"), ("urn:g3", "999")]
+    # pushdown still applies: both predicates constant -> pruned scan
+    txt = explain(
+        "PREFIX ex: <http://ex.org/> "
+        "SELECT ?g WHERE { GRAPH ?g { ?d ex:lang ?l } }",
+        store_dir=store,
+    )
+    assert "store scan: 1 of" in txt
