@@ -146,6 +146,7 @@ def _headline_and_queries(sf_dir: str, num_cpus: int, n_turns: int) -> dict:
     timed("contamination", Q.q_contamination)
     timed("curation_pipeline", Q.q_curation_pipeline)
     timed("kg_sparql_text", Q.q_kg_sparql_text)
+    timed("kg_sparql_graph", Q.q_kg_sparql_graph)
     timed("sequence_packing", Q.q_sequence_packing)
     timed("unigram_logppl", Q.q_unigram_logppl)
     timed("mixture_sample", Q.q_mixture_sample)

@@ -17,6 +17,7 @@ import argparse
 import json
 import os
 import sys
+from .sources.io import read_parquet as read_parquet_clean
 
 
 def main(argv=None):
@@ -92,7 +93,7 @@ def main(argv=None):
         "vocab_expansion": args.vocab_expansion,
     }
 
-    turns = rd.read_parquet(args.input)
+    turns = read_parquet_clean(args.input)
     summary = run_flagship(
         turns,
         args.output,
@@ -107,7 +108,7 @@ def main(argv=None):
         from rdfa_ray.stages.serialize import serialize_graphs
 
         triples = build_triples(
-            rd.read_parquet(args.input), options_kwargs=options_kwargs
+            read_parquet_clean(args.input), options_kwargs=options_kwargs
         ).map_batches(split_triples, batch_format="pyarrow")
         serialize_graphs(triples, args.serialize).write_parquet(
             os.path.join(args.output, "serialized_%s" % args.serialize)
@@ -118,7 +119,7 @@ def main(argv=None):
         from rdfa_ray.stages.sparql_text import execute
 
         triples = (
-            build_triples(rd.read_parquet(args.input), options_kwargs=options_kwargs)
+            build_triples(read_parquet_clean(args.input), options_kwargs=options_kwargs)
             .map_batches(split_triples, batch_format="pyarrow")
             .select_columns(["subj", "pred", "obj_value"])
         )

@@ -11,6 +11,7 @@ from __future__ import annotations
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+from ..sources.io import read_parquet as read_parquet_clean
 
 
 def lineitem_agg(sf_dir: str):
@@ -23,7 +24,7 @@ def lineitem_agg(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         "%s/lineitem.parquet" % sf_dir,
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
@@ -85,12 +86,12 @@ def orders_by_segment(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
-    cust = rd.read_parquet(
+    cust = read_parquet_clean(
         "%s/customer.parquet" % sf_dir, columns=["c_custkey", "c_mktsegment"]
     ).to_pandas()
     seg_map_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
 
-    orders = rd.read_parquet(
+    orders = read_parquet_clean(
         "%s/orders.parquet" % sf_dir, columns=["o_custkey", "o_totalprice"]
     )
     # elastic tasks (not a capped actor pool): the broadcast dict is
@@ -110,7 +111,7 @@ def orders_by_segment(sf_dir: str):
 def top_orders(sf_dir: str, k: int = 10):
     import ray.data as rd
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         "%s/orders.parquet" % sf_dir, columns=["o_orderkey", "o_totalprice"]
     )
     return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k)
@@ -124,7 +125,7 @@ def events_hourly(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         "%s/events.parquet" % sf_dir, columns=["ts", "event_type", "value"]
     )
 
@@ -167,7 +168,7 @@ def sessionize_events(sf_dir: str, n_buckets: int = 64):
 
     from ..functions.hashing import crc32_bucket
 
-    ds = rd.read_parquet("%s/events.parquet" % sf_dir, columns=["user_id", "ts"])
+    ds = read_parquet_clean("%s/events.parquet" % sf_dir, columns=["user_id", "ts"])
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         return batch.append_column(
@@ -218,7 +219,7 @@ def top_orders_per_segment(sf_dir: str, k: int = 3):
     import ray
     import ray.data as rd
 
-    cust = rd.read_parquet(
+    cust = read_parquet_clean(
         "%s/customer.parquet" % sf_dir, columns=["c_custkey", "c_mktsegment"]
     ).to_pandas()
     seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
@@ -234,7 +235,7 @@ def top_orders_per_segment(sf_dir: str, k: int = 3):
             .head(k)
         )
 
-    orders = rd.read_parquet(
+    orders = read_parquet_clean(
         "%s/orders.parquet" % sf_dir,
         columns=["o_orderkey", "o_custkey", "o_totalprice"],
     )
@@ -258,13 +259,13 @@ def customers_semi_anti(sf_dir: str, how: str, price_floor: float | None = None,
 
     from ..stages.join import bucketed_hash_join
 
-    cust = rd.read_parquet(
+    cust = read_parquet_clean(
         "%s/customer.parquet" % sf_dir, columns=["c_custkey", "c_mktsegment"]
     )
     cols = ["o_custkey"] + (
         ["o_totalprice"] if price_floor is not None else ["o_orderpriority"]
     )
-    orders = rd.read_parquet("%s/orders.parquet" % sf_dir, columns=cols)
+    orders = read_parquet_clean("%s/orders.parquet" % sf_dir, columns=cols)
 
     def keys_only(batch: pa.Table) -> pa.Table:
         if price_floor is not None:
@@ -302,7 +303,7 @@ def events_sliding(sf_dir: str):
     from ray.data.aggregate import Count
 
     n_win = SLIDE_SIZE_S // SLIDE_HOP_S
-    ds = rd.read_parquet("%s/events.parquet" % sf_dir, columns=["ts", "event_type"])
+    ds = read_parquet_clean("%s/events.parquet" % sf_dir, columns=["ts", "event_type"])
 
     def explode(batch: pa.Table) -> pa.Table:
         secs = pc.divide(pc.cast(batch.column("ts"), pa.int64()), 1_000_000)
@@ -343,7 +344,7 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
 
     cutoff_ts = pd.Timestamp(cutoff)
 
-    cust = rd.read_parquet(
+    cust = read_parquet_clean(
         "%s/customer.parquet" % sf_dir, columns=["c_custkey", "c_mktsegment"]
     ).to_pandas()
     keep_ref = ray.put(
@@ -363,7 +364,7 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
         )
         return out[["o_orderkey", "o_epoch", "o_orderpriority"]]
 
-    orders = rd.read_parquet(
+    orders = read_parquet_clean(
         "%s/orders.parquet" % sf_dir,
         columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
     ).map_batches(orders_filter, batch_format="pandas")
@@ -383,7 +384,7 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
             .sum()
         )
 
-    line = rd.read_parquet(
+    line = read_parquet_clean(
         "%s/lineitem.parquet" % sf_dir,
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
     ).map_batches(line_partial, batch_format="pandas")
@@ -419,7 +420,7 @@ def events_distinct_users(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         "%s/events.parquet" % sf_dir, columns=["event_type", "user_id"]
     )
 
@@ -448,7 +449,7 @@ def orders_rollup(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         "%s/orders.parquet" % sf_dir,
         columns=["o_orderpriority", "o_orderstatus", "o_totalprice"],
     )
@@ -517,7 +518,7 @@ def events_user_deltas(sf_dir: str, n_buckets: int = 64):
 
     from ..functions.hashing import crc32_bucket
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         "%s/events.parquet" % sf_dir, columns=["event_id", "user_id", "ts"]
     )
 
@@ -566,7 +567,7 @@ def lineitem_corr(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         "%s/lineitem.parquet" % sf_dir,
         columns=["l_returnflag", "l_quantity", "l_extendedprice"],
     )
@@ -635,7 +636,7 @@ def events_pivot(sf_dir: str):
     from ..functions.hashing import crc32_bucket
 
     n_buckets = 32
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         "%s/events.parquet" % sf_dir, columns=["user_id", "event_type"]
     )
     cols = ["n_%s" % t for t in EVENT_TYPES]
@@ -682,7 +683,7 @@ def orders_topk_concat(sf_dir: str, k: int = 5):
     a naive STRING_AGG of a whole group."""
     import ray.data as rd
 
-    orders = rd.read_parquet(
+    orders = read_parquet_clean(
         "%s/orders.parquet" % sf_dir,
         columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
     )
@@ -724,7 +725,7 @@ def events_running_total(sf_dir: str, n_buckets: int = 64):
 
     from ..functions.hashing import crc32_bucket
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         "%s/events.parquet" % sf_dir,
         columns=["event_id", "user_id", "ts", "value"],
     )
@@ -777,7 +778,7 @@ def docs_stratified_sample(sf_dir: str):
     vectorized mask, zero shuffles."""
     import ray.data as rd
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         "%s/documents.parquet" % sf_dir, columns=["doc_id", "lang", "source"]
     )
 

@@ -24,6 +24,7 @@ import zlib
 import pyarrow as pa
 
 from .aliases import entity_iri, entity_surface
+from .io import read_parquet as read_parquet_clean
 
 TURNS_PER_CONV = 20
 EPOCH_US = 1_767_225_600_000_000  # 2026-01-01T00:00:00Z in microseconds
@@ -269,7 +270,7 @@ def wrap_documents_batch(batch: pa.Table) -> pa.Table:
 def transcripts_from_documents(sf_dir: str):
     import ray.data as rd
 
-    ds = rd.read_parquet("%s/documents.parquet" % sf_dir, columns=["doc_id", "text"])
+    ds = read_parquet_clean("%s/documents.parquet" % sf_dir, columns=["doc_id", "text"])
     return ds.map_batches(wrap_documents_batch, batch_format="pyarrow", batch_size=2048)
 
 
@@ -436,14 +437,14 @@ def view_from_documents(sf_dir: str, wrapper, columns=None):
             getattr(wrapper, "__name__", ""),
             ["doc_id", "text", "lang", "source", "n_chars"],
         )
-    ds = rd.read_parquet("%s/documents.parquet" % sf_dir, columns=columns)
+    ds = read_parquet_clean("%s/documents.parquet" % sf_dir, columns=columns)
     return ds.map_batches(wrapper, batch_format="pyarrow", batch_size=2048)
 
 
 def typed_transcripts_from_documents(sf_dir: str, with_alias=False, with_broken=False):
     import ray.data as rd
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         "%s/documents.parquet" % sf_dir,
         columns=["doc_id", "text", "lang", "source", "n_chars"],
     )

@@ -32,6 +32,7 @@ import pandas as pd
 import pyarrow as pa
 
 from .ann import _kmeans, _normalize, _stack, merge_topk, score_batch_ivf
+from ..sources.io import read_parquet as read_parquet_clean
 
 CENTROIDS = "centroids.npy"
 
@@ -110,7 +111,7 @@ def ivf_search(index_dir: str, queries_df: pd.DataFrame, k: int = 10, n_probe: i
     ]
     if not paths:
         return rd.from_items([])
-    vectors = rd.read_parquet(paths)
+    vectors = read_parquet_clean(paths)
 
     state_ref = ray.put(
         {

@@ -41,6 +41,7 @@ import os
 import re
 
 import pyarrow as pa
+from ..sources.io import read_parquet as read_parquet_clean
 
 _META = "_meta.json"
 _PRED_TOKEN_RE = re.compile(r"[^A-Za-z0-9]+")
@@ -233,7 +234,7 @@ def update_kg(store_dir: str, insert_ds=None, delete_ds=None) -> dict:
                 " rebuild via persist_kg instead" % sorted(extra)
             )
     if paths:
-        current = rd.read_parquet(paths, columns=list(_COLS))
+        current = read_parquet_clean(paths, columns=list(_COLS))
     else:
         current = rd.from_arrow(
             pa.Table.from_pydict({c: pa.array([], pa.string()) for c in _COLS})
@@ -315,7 +316,7 @@ def read_kg(store_dir: str, preds=None, columns=None):
             for c in (read_cols or list(_COLS))
         }
         return rd.from_arrow(pa.Table.from_pydict(empty))
-    ds = rd.read_parquet(paths, columns=read_cols)
+    ds = read_parquet_clean(paths, columns=read_cols)
     if preds is None:
         return ds
     pred_arr = pa.array(sorted(set(preds)))
