@@ -26,6 +26,7 @@ from ..stages.distill import split_diags, split_triples
 from ..stages.link import link_batch, link_batch_augmenting
 from ..stages.canonicalize import canonicalize
 from .flagship import build_triples
+from ..sources.io import read_parquet as read_parquet_clean
 
 _XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
 
@@ -360,7 +361,7 @@ def q_join_bucketed(sf_dir: str):
 
     from ..stages.join import bucketed_hash_join
 
-    orders = rd.read_parquet(
+    orders = read_parquet_clean(
         "%s/orders.parquet" % sf_dir, columns=["o_custkey", "o_totalprice"]
     )
 
@@ -380,7 +381,7 @@ def q_join_bucketed(sf_dir: str):
     orders = orders.map_batches(to_cents, batch_format="pyarrow").select_columns(
         ["o_custkey", "total_cents"]
     )
-    cust = rd.read_parquet(
+    cust = read_parquet_clean(
         "%s/customer.parquet" % sf_dir, columns=["c_custkey", "c_mktsegment"]
     ).map_batches(
         lambda b: b.rename_columns(["o_custkey", "c_mktsegment"]),
@@ -414,7 +415,7 @@ def q_events_asof(sf_dir: str):
 
     from ..stages.asof import asof_join
 
-    events = rd.read_parquet(
+    events = read_parquet_clean(
         "%s/events.parquet" % sf_dir,
         columns=["event_id", "ts", "user_id", "event_type"],
     )
@@ -511,10 +512,10 @@ def q_customers_semi_bloom(sf_dir: str):
 
     from ..stages.bloom import bloom_semi_join
 
-    cust = rd.read_parquet(
+    cust = read_parquet_clean(
         "%s/customer.parquet" % sf_dir, columns=["c_custkey", "c_mktsegment"]
     )
-    orders = rd.read_parquet(
+    orders = read_parquet_clean(
         "%s/orders.parquet" % sf_dir, columns=["o_custkey", "o_orderpriority"]
     )
 
@@ -563,10 +564,10 @@ def q_events_purchase_clicks(sf_dir: str):
 
     from ..stages.rangejoin import range_join_count
 
-    purchases = rd.read_parquet(
+    purchases = read_parquet_clean(
         "%s/events.parquet" % sf_dir, columns=["event_id", "user_id", "ts", "event_type"]
     ).filter(expr="event_type == 'purchase'")
-    clicks = rd.read_parquet(
+    clicks = read_parquet_clean(
         "%s/events.parquet" % sf_dir, columns=["user_id", "ts", "event_type"]
     ).filter(expr="event_type == 'click'")
     return range_join_count(
@@ -586,7 +587,7 @@ def q_events_value_quantiles(sf_dir: str):
 
     from ..stages.quantile import grouped_quantiles
 
-    ds = rd.read_parquet("%s/events.parquet" % sf_dir, columns=["event_type", "value"])
+    ds = read_parquet_clean("%s/events.parquet" % sf_dir, columns=["event_type", "value"])
 
     def to_milli(batch: pa.Table) -> pa.Table:
         return pa.Table.from_pydict(
@@ -617,7 +618,7 @@ def q_token_top20(sf_dir: str):
 
     from ..stages.tokens import token_topk
 
-    docs = rd.read_parquet("%s/documents.parquet" % sf_dir, columns=["text"])
+    docs = read_parquet_clean("%s/documents.parquet" % sf_dir, columns=["text"])
     return token_topk(docs, k=20)
 
 
@@ -627,7 +628,7 @@ def q_inverted_index(sf_dir: str):
 
     from ..stages.tokens import inverted_index
 
-    docs = rd.read_parquet(
+    docs = read_parquet_clean(
         "%s/documents.parquet" % sf_dir, columns=["doc_id", "text"]
     )
     return inverted_index(docs, min_df=5)
@@ -642,7 +643,7 @@ def q_events_distinct_users_approx(sf_dir: str):
 
     from ..stages.sketch import kmv_distinct
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         "%s/events.parquet" % sf_dir, columns=["event_type", "user_id"]
     )
     return kmv_distinct(ds, "event_type", "user_id")
@@ -654,7 +655,7 @@ def q_dedup_exact(sf_dir: str):
 
     from ..stages.dedup import exact_dedup
 
-    docs = rd.read_parquet("%s/documents.parquet" % sf_dir, columns=["doc_id", "text"])
+    docs = read_parquet_clean("%s/documents.parquet" % sf_dir, columns=["doc_id", "text"])
     return exact_dedup(docs)
 
 
@@ -665,7 +666,7 @@ def q_dedup_minhash(sf_dir: str):
 
     # a single parquet file reads as very few blocks; split it so the
     # signature stage actually fans out across the pool
-    docs = rd.read_parquet(
+    docs = read_parquet_clean(
         "%s/documents.parquet" % sf_dir, columns=["doc_id", "text"],
         override_num_blocks=32,
     )
@@ -685,7 +686,7 @@ def q_dedup_ngram(sf_dir: str):
 
     from ..stages.dedup import ngram_jaccard_dedup
 
-    docs = rd.read_parquet(
+    docs = read_parquet_clean(
         "%s/documents.parquet" % sf_dir, columns=["doc_id", "text"],
         override_num_blocks=32,
     )
@@ -697,7 +698,7 @@ def q_dedup_simhash(sf_dir: str):
 
     from ..stages.dedup import simhash_dedup
 
-    docs = rd.read_parquet("%s/documents.parquet" % sf_dir, columns=["doc_id", "text"])
+    docs = read_parquet_clean("%s/documents.parquet" % sf_dir, columns=["doc_id", "text"])
     return simhash_dedup(docs).select_columns(["a", "b", "hamming"])
 
 
@@ -709,7 +710,7 @@ def q_dedup_clusters(sf_dir: str):
 
     from ..stages.cluster import exact_dup_clusters
 
-    docs = rd.read_parquet(
+    docs = read_parquet_clean(
         "%s/documents.parquet" % sf_dir, columns=["doc_id", "text"],
         override_num_blocks=16,
     )
@@ -721,7 +722,7 @@ def q_text_metrics(sf_dir: str):
 
     from ..stages.text import analyze_text
 
-    docs = rd.read_parquet("%s/documents.parquet" % sf_dir, columns=["doc_id", "text"])
+    docs = read_parquet_clean("%s/documents.parquet" % sf_dir, columns=["doc_id", "text"])
     return analyze_text(docs).select_columns(
         ["doc_id", "n_chars", "n_tokens", "n_bpe_tokens", "n_alpha", "fingerprint"]
     )
@@ -734,7 +735,7 @@ def q_quality_counts(sf_dir: str):
 
     from ..stages.text import analyze_text
 
-    docs = rd.read_parquet("%s/documents.parquet" % sf_dir, columns=["doc_id", "text"])
+    docs = read_parquet_clean("%s/documents.parquet" % sf_dir, columns=["doc_id", "text"])
     return analyze_text(docs).select_columns(["doc_id", "n_tokens", "n_stopwords"])
 
 
@@ -743,7 +744,7 @@ def q_quality_signals(sf_dir: str):
 
     from ..stages.text import analyze_text
 
-    docs = rd.read_parquet("%s/documents.parquet" % sf_dir, columns=["doc_id", "text"])
+    docs = read_parquet_clean("%s/documents.parquet" % sf_dir, columns=["doc_id", "text"])
     return analyze_text(docs).select_columns(["doc_id", "stopword_ratio", "lang_pred"])
 
 
@@ -754,7 +755,7 @@ def q_repetition_signals(sf_dir: str):
 
     from ..stages.text import repetition_signals
 
-    docs = rd.read_parquet("%s/documents.parquet" % sf_dir, columns=["doc_id", "text"])
+    docs = read_parquet_clean("%s/documents.parquet" % sf_dir, columns=["doc_id", "text"])
     return repetition_signals(docs)
 
 
@@ -769,7 +770,7 @@ def q_dedup_substrings(sf_dir: str):
 
     from ..stages.dedup import substring_dup_pairs
 
-    docs = rd.read_parquet(
+    docs = read_parquet_clean(
         "%s/documents.parquet" % sf_dir, columns=["doc_id", "text"]
     )
     span = " ".join("planted%d" % i for i in range(40))
@@ -795,7 +796,7 @@ def q_mixture_sample(sf_dir: str):
 
     from ..stages.split import mixture_sample
 
-    docs = rd.read_parquet(
+    docs = read_parquet_clean(
         "%s/documents.parquet" % sf_dir, columns=["doc_id", "text", "source"]
     )
     return mixture_sample(docs, {"src1": 1.5, "src2": 0.25})
@@ -809,7 +810,7 @@ def q_sequence_packing(sf_dir: str):
 
     from ..stages.packing import pack_sequences
 
-    docs = rd.read_parquet("%s/documents.parquet" % sf_dir, columns=["doc_id", "text"])
+    docs = read_parquet_clean("%s/documents.parquet" % sf_dir, columns=["doc_id", "text"])
     return pack_sequences(docs, budget=2048)
 
 
@@ -818,7 +819,7 @@ def q_fingerprints_rolling(sf_dir: str):
 
     from ..stages.text import rolling_fingerprints
 
-    docs = rd.read_parquet("%s/documents.parquet" % sf_dir, columns=["doc_id", "text"])
+    docs = read_parquet_clean("%s/documents.parquet" % sf_dir, columns=["doc_id", "text"])
     return rolling_fingerprints(docs)
 
 
@@ -827,7 +828,7 @@ def q_ann_bruteforce(sf_dir: str):
 
     from ..stages.ann import brute_force_topk
 
-    embs = rd.read_parquet("%s/embeddings.parquet" % sf_dir)
+    embs = read_parquet_clean("%s/embeddings.parquet" % sf_dir)
     ds = brute_force_topk(embs, query_ids=list(range(8)), k=10)
 
     def project(batch: pa.Table) -> pa.Table:
@@ -841,7 +842,7 @@ def q_ann_ivf(sf_dir: str):
 
     from ..stages.ann import ivf_topk
 
-    embs = rd.read_parquet("%s/embeddings.parquet" % sf_dir)
+    embs = read_parquet_clean("%s/embeddings.parquet" % sf_dir)
     ds = ivf_topk(embs, query_ids=list(range(8)), k=10)
 
     def project(batch: pa.Table) -> pa.Table:
@@ -865,7 +866,7 @@ def q_ann_ivf_indexed(sf_dir: str):
     index_dir = "/tmp/graft_ivf_%s" % _hl.md5(
         ("%s|%d|%d" % (sf_dir, st.st_mtime_ns, st.st_size)).encode()
     ).hexdigest()[:12]
-    embs = rd.read_parquet("%s/embeddings.parquet" % sf_dir)
+    embs = read_parquet_clean("%s/embeddings.parquet" % sf_dir)
 
     # the sentinel is written AFTER the vectors dataset, so a crashed
     # build is invisible and rebuilt here
@@ -895,7 +896,7 @@ def q_embedding_dups(sf_dir: str):
 
     from ..stages.ann import cosine_dup_pairs
 
-    embs = rd.read_parquet(
+    embs = read_parquet_clean(
         "%s/embeddings.parquet" % sf_dir, columns=["vec_id", "embedding"]
     )
 
@@ -930,7 +931,7 @@ def q_multimodal_features(sf_dir: str):
 
     from ..stages.multimodal import media_features
 
-    docs = rd.read_parquet("%s/documents.parquet" % sf_dir, columns=["doc_id", "text"])
+    docs = read_parquet_clean("%s/documents.parquet" % sf_dir, columns=["doc_id", "text"])
     feats = media_features(docs)
 
     def project(batch: pa.Table) -> pa.Table:
@@ -947,7 +948,7 @@ def q_multimodal_frames(sf_dir: str):
 
     from ..stages.multimodal import frame_samples
 
-    docs = rd.read_parquet("%s/documents.parquet" % sf_dir, columns=["doc_id", "text"])
+    docs = read_parquet_clean("%s/documents.parquet" % sf_dir, columns=["doc_id", "text"])
     frames = frame_samples(docs)
 
     def project(batch: pa.Table) -> pa.Table:
@@ -1015,7 +1016,7 @@ def _doc_tree_edges(sf_dir: str):
     >= 1 points at parent doc_id // 4 (root 0); depth O(log4 n)."""
     import ray.data as rd
 
-    ds = rd.read_parquet("%s/documents.parquet" % sf_dir, columns=["doc_id"])
+    ds = read_parquet_clean("%s/documents.parquet" % sf_dir, columns=["doc_id"])
 
     def to_edges(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id")
@@ -1110,7 +1111,7 @@ def q_pii_scrub(sf_dir: str):
 
     from ..stages.scrub import scrub_documents
 
-    docs = rd.read_parquet(
+    docs = read_parquet_clean(
         "%s/documents.parquet" % sf_dir, columns=["doc_id", "text"]
     )
 
@@ -1141,7 +1142,7 @@ def q_kmeans_sizes(sf_dir: str):
 
     from ..stages.kmeans import kmeans_cluster_sizes
 
-    emb = rd.read_parquet(
+    emb = read_parquet_clean(
         "%s/embeddings.parquet" % sf_dir, columns=["vec_id", "embedding"]
     )
     return kmeans_cluster_sizes(emb, k=8, n_iters=10)
@@ -1180,7 +1181,7 @@ def q_heavy_tokens(sf_dir: str):
 
     from ..stages.sketch import heavy_hitters
 
-    docs = rd.read_parquet(
+    docs = read_parquet_clean(
         "%s/documents.parquet" % sf_dir, columns=["doc_id", "text"]
     )
 
@@ -1218,7 +1219,7 @@ def q_tfidf_top50(sf_dir: str):
 
     from ..stages.tfidf import tfidf_topk
 
-    docs = rd.read_parquet(
+    docs = read_parquet_clean(
         "%s/documents.parquet" % sf_dir, columns=["doc_id", "text"]
     )
     return tfidf_topk(docs, n_docs=docs.count(), k=50)
@@ -1237,7 +1238,7 @@ def _tree_triples(sf_dir: str):
     child doc narrower parent doc (parent = doc_id // 4, root 0)."""
     import ray.data as rd
 
-    ds = rd.read_parquet("%s/documents.parquet" % sf_dir, columns=["doc_id"])
+    ds = read_parquet_clean("%s/documents.parquet" % sf_dir, columns=["doc_id"])
 
     def to_triples(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id")
@@ -1473,7 +1474,7 @@ def q_kg_triangles(sf_dir: str):
     from ..stages.graphalgo import triangle_count
     from ..stages.join import bucketed_hash_join
 
-    docs = rd.read_parquet(
+    docs = read_parquet_clean(
         "%s/documents.parquet" % sf_dir, columns=["doc_id", "source"]
     )
     left = docs.map_batches(
@@ -1515,7 +1516,7 @@ def q_kg_bfs_depth(sf_dir: str):
 
     from ..stages.graphalgo import bfs_levels
 
-    ds = rd.read_parquet("%s/documents.parquet" % sf_dir, columns=["doc_id"])
+    ds = read_parquet_clean("%s/documents.parquet" % sf_dir, columns=["doc_id"])
 
     def parent_to_child(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id")
@@ -1536,7 +1537,7 @@ def q_events_quantiles_sketch(sf_dir: str):
 
     from ..stages.sketch import quantile_sketch
 
-    ds = rd.read_parquet("%s/events.parquet" % sf_dir, columns=["value"])
+    ds = read_parquet_clean("%s/events.parquet" % sf_dir, columns=["value"])
     return quantile_sketch(ds, "value", [0.5, 0.9, 0.99])
 
 
@@ -1548,7 +1549,7 @@ def q_docs_train_split(sf_dir: str):
 
     from ..stages.split import assign_split
 
-    docs = rd.read_parquet(
+    docs = read_parquet_clean(
         "%s/documents.parquet" % sf_dir, columns=["doc_id", "text"]
     )
     return assign_split(docs)
@@ -1625,7 +1626,7 @@ def q_contamination(sf_dir: str):
 
     from ..stages.contamination import extract_needles, flag_contaminated
 
-    docs = rd.read_parquet(
+    docs = read_parquet_clean(
         "%s/documents.parquet" % sf_dir, columns=["doc_id", "text"]
     )
     needles = extract_needles(docs)
@@ -1722,7 +1723,7 @@ def q_curation_pipeline(sf_dir: str):
     from ..stages.split import assign_split
     from ..stages.text import quality_gate
 
-    docs = rd.read_parquet(
+    docs = read_parquet_clean(
         "%s/documents.parquet" % sf_dir, columns=["doc_id", "text", "lang"]
     )
     doc_schema = pa.schema(
@@ -1801,7 +1802,7 @@ def q_customers_orders_outer(sf_dir: str):
     from ..stages.aggregate import salted_count
     from ..stages.join import bucketed_hash_join
 
-    cust = rd.read_parquet(
+    cust = read_parquet_clean(
         "%s/customer.parquet" % sf_dir, columns=["c_custkey", "c_acctbal"]
     )
 
@@ -1818,7 +1819,7 @@ def q_customers_orders_outer(sf_dir: str):
             }
         )
 
-    orders = rd.read_parquet("%s/orders.parquet" % sf_dir, columns=["o_custkey"])
+    orders = read_parquet_clean("%s/orders.parquet" % sf_dir, columns=["o_custkey"])
     counts = salted_count(
         orders.map_batches(
             lambda t: pa.Table.from_pydict(
@@ -1901,6 +1902,29 @@ def q_kg_graph_census(sf_dir: str):
         SELECT ?g (COUNT(*) AS ?n) WHERE { GRAPH ?g { ?s ?p ?o } }
         GROUP BY ?g
         """,
+    )
+
+
+def q_kg_from_named(sf_dir: str):
+    """SPARQL 1.1 dataset clauses (§13.2): ``FROM`` builds the default
+    graph from two per-turn named graphs and ``FROM NAMED`` exposes
+    only ONE of them to the GRAPH pattern — the join keeps just the
+    doc whose graph is in both.  All dataset construction is one
+    map-side row-tagging pass; no extra shuffle."""
+    from ..stages.sparql_text import execute
+
+    g = "http://graft.local/conv/doc%08d/turn/0"
+    return execute(
+        _typed_quads(sf_dir),
+        """
+        PREFIX schema: <http://schema.org/>
+        SELECT ?d ?g ?n FROM <%s> FROM <%s> FROM NAMED <%s>
+        WHERE {
+          ?d schema:source ?src .
+          GRAPH ?g { ?d schema:characterCount ?n }
+        }
+        """
+        % (g % 1, g % 2, g % 1),
     )
 
 
@@ -2190,7 +2214,7 @@ def q_unigram_logppl(sf_dir: str):
 
     from ..stages.lmscore import unigram_logppl
 
-    docs = rd.read_parquet("%s/documents.parquet" % sf_dir, columns=["doc_id", "text"])
+    docs = read_parquet_clean("%s/documents.parquet" % sf_dir, columns=["doc_id", "text"])
     return unigram_logppl(docs)
 
 
@@ -2203,7 +2227,7 @@ def q_multimodal_resize(sf_dir: str):
 
     from ..stages.multimodal import resized_media
 
-    docs = rd.read_parquet("%s/documents.parquet" % sf_dir, columns=["doc_id", "text"])
+    docs = read_parquet_clean("%s/documents.parquet" % sf_dir, columns=["doc_id", "text"])
     out = resized_media(docs)
 
     def project(batch: pa.Table) -> pa.Table:
@@ -2336,6 +2360,7 @@ QUERIES = {
     "kg_sparql_text": q_kg_sparql_text,
     "kg_sparql_graph": q_kg_sparql_graph,
     "kg_graph_census": q_kg_graph_census,
+    "kg_from_named": q_kg_from_named,
     "kg_store_sparql": q_kg_store_sparql,
     "customers_orders_outer": q_customers_orders_outer,
     "kg_sparql_text_filter": q_kg_sparql_text_filter,
@@ -2870,6 +2895,12 @@ ORACLE_SQL = {
     "kg_graph_census": (
         "SELECT 'http://graft.local/conv/doc' || printf('%08d', doc_id)"
         " || '/turn/0' AS g, CAST(4 AS BIGINT) AS n FROM documents"
+    ),
+    "kg_from_named": (
+        "SELECT 'http://docs.local/d' || CAST(doc_id AS VARCHAR) AS d,"
+        " 'http://graft.local/conv/doc' || printf('%08d', doc_id)"
+        " || '/turn/0' AS g, CAST(n_chars AS VARCHAR) AS n"
+        " FROM documents WHERE doc_id = 1"
     ),
     "kg_count_distinct": (
         "WITH t AS (%s) "

@@ -40,6 +40,19 @@ it raises ``SparqlSyntaxError`` rather than mis-executing):
   compose with the base BGP and with each other; they are not
   supported inside OPTIONAL/UNION/MINUS/EXISTS groups and exclude
   property paths (explicit errors).
+* ``FROM <iri>`` / ``FROM NAMED <iri>`` dataset clauses (SPARQL 1.1
+  §13.2): with any clause present, default-graph (non-GRAPH) patterns
+  match ONLY the union of the ``FROM`` graphs (bag, not merge — same
+  documented stance as above) and GRAPH patterns range ONLY over the
+  ``FROM NAMED`` graphs.  Implemented as one map-side row-tagging
+  view (zero extra shuffle): default rows are tagged, named rows
+  keep their (prefixed) graph IRI, patterns are rewritten to quads
+  against the tags, and variable graph bindings are un-prefixed
+  immediately after the BGP so FILTER/VALUES/aggregates downstream
+  see real IRIs.  Fragment limits (explicit errors): a graph
+  variable may not also bind in a non-graph position, and non-SELECT
+  forms take constant GRAPH terms only when dataset clauses are
+  present.
 * ``GROUP BY ?v ...`` (+ ``HAVING`` over projected aggregate aliases)
 * ``ORDER BY [ASC|DESC](?v) ...``, ``LIMIT`` / ``OFFSET``
 * property paths in predicate position: ``^p``, ``p/q``, ``p|q``,
@@ -476,6 +489,18 @@ def parse_query(text: str) -> dict:
     if form == "construct":
         template = parse_braced_block()
 
+    from_graphs, from_named = [], []
+    while p.at_kw("FROM"):
+        p.next()
+        named = p.at_kw("NAMED")
+        if named:
+            p.next()
+        fk, fv = p.next()
+        iri = _resolve(fk, fv, prefixes)
+        if fk not in ("iri", "pname"):
+            raise SparqlSyntaxError("FROM needs an IRI, got %r" % fv)
+        (from_named if named else from_graphs).append(iri)
+
     if form == "ask":
         if p.at_kw("WHERE"):  # ASK WHERE { } and bare ASK { } both valid
             p.next()
@@ -633,6 +658,8 @@ def parse_query(text: str) -> dict:
         "order_by": order_by,
         "limit": limit,
         "offset": offset,
+        "from_graphs": from_graphs,
+        "from_named": from_named,
     }
 
 
@@ -662,6 +689,10 @@ def execute(triples_ds, query: str, n_buckets: int = 64):
     )
 
     plan = parse_query(query)
+
+    graph_vars = []
+    if plan["from_graphs"] or plan["from_named"]:
+        triples_ds, graph_vars = _apply_dataset_clause(triples_ds, plan)
 
     path_pats = [pt for pt in plan["patterns"] if isinstance(pt[1], tuple)]
     plain_pats = [pt for pt in plan["patterns"] if not isinstance(pt[1], tuple)]
@@ -756,6 +787,32 @@ def execute(triples_ds, query: str, n_buckets: int = 64):
                 b, bound = _join_binding_tables(b, bound, pb, pvars, n_buckets)
     else:
         b = bgp_match(triples_ds, plan["patterns"], n_buckets=n_buckets)
+
+    if graph_vars:
+        # dataset-clause view tagged named rows with the 1-char prefix;
+        # un-prefix the graph bindings here so everything downstream
+        # (VALUES/BIND/FILTER/aggregates/projection) sees real IRIs
+        def unprefix(batch: pa.Table, _gv=tuple(graph_vars)) -> pa.Table:
+            # a variable graph term ranges over NAMED graphs only: drop
+            # solutions where it bound the default-graph tag row
+            mask = None
+            for v in _gv:
+                if v in batch.column_names:
+                    m = pc.not_equal(
+                        pc.cast(batch.column(v), pa.string()), _DEFAULT_TAG
+                    )
+                    mask = m if mask is None else pc.and_(mask, m)
+            if mask is not None:
+                batch = batch.filter(pc.fill_null(mask, True))
+            cols = {c: batch.column(c) for c in batch.column_names}
+            for v in _gv:
+                if v in cols:
+                    cols[v] = pc.utf8_slice_codeunits(
+                        pc.cast(cols[v], pa.string()), 1
+                    )
+            return pa.Table.from_pydict(cols)
+
+        b = b.map_batches(unprefix, batch_format="pyarrow")
 
     for var, vals in plan["values"]:
         b = values_filter(b, var, vals)
@@ -922,6 +979,94 @@ def _join_binding_tables(b, bound, other, ovars, n_buckets):
     return joined.map_batches(project, batch_format="pyarrow"), keep
 
 
+# dataset-clause row tags: no IRI is a lone \x1d, and no IRI starts
+# with \x1e, so tagged rows can never collide with real graph names
+_DEFAULT_TAG = "\x1d"
+_NAMED_PREFIX = "\x1e"
+
+
+def _apply_dataset_clause(triples_ds, plan):
+    """Rewrite the plan's pattern groups and build the FROM/FROM NAMED
+    dataset view (one map-side row-tagging pass, zero shuffle).
+    Returns (view_ds, graph_vars); mutates plan's pattern lists."""
+    from_graphs, from_named = plan["from_graphs"], plan["from_named"]
+
+    graph_vars: set = set()
+    other_vars: set = set()
+
+    def rewrite(group):
+        out = []
+        for pt in group:
+            for term in pt[:3]:
+                if isinstance(term, str) and term.startswith("?"):
+                    other_vars.add(term[1:])
+            if len(pt) == 3:
+                out.append((pt[0], pt[1], pt[2], _DEFAULT_TAG))
+            elif pt[3].startswith("?"):
+                graph_vars.add(pt[3][1:])
+                out.append(pt)
+            else:
+                out.append((pt[0], pt[1], pt[2], _NAMED_PREFIX + pt[3]))
+        return out
+
+    plan["patterns"] = rewrite(plan["patterns"])
+    plan["optionals"] = [rewrite(g) for g in plan["optionals"]]
+    plan["union"] = [rewrite(g) for g in plan["union"]]
+    plan["minus"] = [rewrite(g) for g in plan["minus"]]
+    plan["exists"] = [(rewrite(g), neg) for g, neg in plan["exists"]]
+
+    clash = graph_vars & other_vars
+    if clash:
+        raise SparqlSyntaxError(
+            "with FROM/FROM NAMED, graph variables cannot also bind in "
+            "subject/predicate/object position: %s" % sorted(clash)
+        )
+    if graph_vars and plan["form"] != "select":
+        raise SparqlSyntaxError(
+            "with FROM/FROM NAMED, %s takes constant GRAPH terms only"
+            % plan["form"].upper()
+        )
+
+    dflt = pa.array(from_graphs, pa.string()) if from_graphs else None
+    named = pa.array(from_named, pa.string()) if from_named else None
+
+    def view(batch: pa.Table) -> pa.Table:
+        if "graph" not in batch.column_names:
+            raise ValueError(
+                "FROM/FROM NAMED need a 'graph' column in the input "
+                "(a quad dataset / quad store)"
+            )
+        gi = batch.schema.get_field_index("graph")
+        g = pc.cast(batch.column("graph"), pa.string())
+        batch = batch.set_column(gi, "graph", g)
+        parts = []
+        if dflt is not None:
+            t = batch.filter(pc.is_in(g, dflt))
+            parts.append(
+                t.set_column(
+                    gi, "graph",
+                    pa.array([_DEFAULT_TAG] * t.num_rows, pa.string()),
+                )
+            )
+        if named is not None:
+            t = batch.filter(pc.is_in(g, named))
+            parts.append(
+                t.set_column(
+                    gi, "graph",
+                    pc.binary_join_element_wise(
+                        pa.array([_NAMED_PREFIX] * t.num_rows, pa.string()),
+                        t.column("graph"), "",
+                    ),
+                )
+            )
+        return pa.concat_tables(parts) if parts else batch.slice(0, 0)
+
+    return (
+        triples_ds.map_batches(view, batch_format="pyarrow"),
+        sorted(graph_vars),
+    )
+
+
 def _plan_pred_pushdown(plan):
     """(preds, prunable) the store executor derives from a plan."""
     groups = (
@@ -962,6 +1107,11 @@ def explain(query: str, store_dir: str | None = None) -> str:
             " DISTINCT" if plan["distinct"] else "", " ".join(proj)))
     if plan["describe_var"]:
         lines.append("describe: ?%s" % plan["describe_var"])
+    if plan["from_graphs"] or plan["from_named"]:
+        lines.append(
+            "dataset: FROM %d graph(s), FROM NAMED %d graph(s)"
+            % (len(plan["from_graphs"]), len(plan["from_named"]))
+        )
     for pt in plan["patterns"]:
         s, p, o = pt[0], pt[1], pt[2]
         line = "  pattern: %s %s %s" % (s, p if isinstance(p, str) else repr(p), o)
@@ -1031,9 +1181,13 @@ def execute_on_store(store_dir: str, query: str, n_buckets: int = 64):
     plan = parse_query(query)
     preds, prunable = _plan_pred_pushdown(plan)
     cols = ["subj", "pred", "obj_value"]
-    if any(len(pt) > 3 for pt in plan["patterns"]):
-        # GRAPH patterns need the quad store's graph column; a triple
-        # store without one fails loudly at the parquet read
+    if (
+        any(len(pt) > 3 for pt in plan["patterns"])
+        or plan["from_graphs"]
+        or plan["from_named"]
+    ):
+        # GRAPH patterns / dataset clauses need the quad store's graph
+        # column; a triple store without one fails loudly at the read
         cols.append("graph")
     triples = read_kg(
         store_dir,

@@ -627,3 +627,111 @@ def test_graph_on_quad_store(ray_session, tmp_path):
         store_dir=store,
     )
     assert "store scan: 1 of" in txt
+
+
+# ----------------------------------------------------- FROM / FROM NAMED
+
+def test_from_restricts_default_graph(ray_session):
+    out = execute(
+        _quads(QUAD_ROWS),
+        """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d ?n FROM <urn:g1> FROM <urn:g2> WHERE { ?d ex:size ?n }
+        """,
+    )
+    # g3's size=999 excluded by the dataset clause
+    assert _rows(out, ["d", "n"]) == [("a", "10"), ("b", "200")]
+
+
+def test_from_named_restricts_graph_patterns(ray_session):
+    out = execute(
+        _quads(QUAD_ROWS),
+        """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?g ?n FROM NAMED <urn:g1> FROM NAMED <urn:g2>
+        WHERE { GRAPH ?g { ?d ex:size ?n } }
+        """,
+    )
+    assert _rows(out, ["g", "n"]) == [("urn:g1", "10"), ("urn:g2", "200")]
+
+
+def test_from_only_empties_named_and_vice_versa(ray_session):
+    # FROM only: GRAPH patterns range over an EMPTY named set
+    out = execute(
+        _quads(QUAD_ROWS),
+        "PREFIX ex: <http://ex.org/> "
+        "SELECT ?g FROM <urn:g1> WHERE { GRAPH ?g { ?d ex:size ?n } }",
+    )
+    assert len(out.to_pandas()) == 0
+    # FROM NAMED only: the default graph is EMPTY
+    out = execute(
+        _quads(QUAD_ROWS),
+        "PREFIX ex: <http://ex.org/> "
+        "SELECT ?d FROM NAMED <urn:g1> WHERE { ?d ex:size ?n }",
+    )
+    assert len(out.to_pandas()) == 0
+
+
+def test_from_mixed_default_and_named(ray_session):
+    # default pattern over FROM g1; named pattern over FROM NAMED g3,
+    # joined on ?d — exercises tag rewriting + prefix stripping together
+    out = execute(
+        _quads(QUAD_ROWS),
+        """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d ?g ?big FROM <urn:g1> FROM NAMED <urn:g3> WHERE {
+          ?d ex:lang "zh" .
+          GRAPH ?g { ?d ex:size ?big }
+        }
+        """,
+    )
+    assert _rows(out, ["d", "g", "big"]) == [("a", "urn:g3", "999")]
+
+
+def test_from_constant_graph_and_aggregate(ray_session):
+    out = execute(
+        _quads(QUAD_ROWS),
+        """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?g (COUNT(*) AS ?n)
+        FROM NAMED <urn:g1> FROM NAMED <urn:g3> FROM NAMED <urn:g4>
+        WHERE { GRAPH ?g { ?d ex:lang "zh" } } GROUP BY ?g
+        """,
+    )
+    assert _rows(out, ["g", "n"]) == [
+        ("urn:g1", 1), ("urn:g3", 1), ("urn:g4", 1),
+    ]
+
+
+def test_from_errors(ray_session):
+    with pytest.raises(SparqlSyntaxError):
+        parse_query("SELECT ?s FROM ?g WHERE { ?s ?p ?o }")  # var in FROM
+    with pytest.raises(SparqlSyntaxError):
+        # graph var also in subject position
+        execute(
+            _quads(QUAD_ROWS),
+            "PREFIX ex: <http://ex.org/> SELECT ?g FROM NAMED <urn:g1> "
+            "WHERE { GRAPH ?g { ?g ex:size ?n } }",
+        )
+    with pytest.raises(SparqlSyntaxError):
+        # non-SELECT with a VARIABLE graph term under a dataset clause
+        execute(
+            _quads(QUAD_ROWS),
+            "PREFIX ex: <http://ex.org/> ASK FROM NAMED <urn:g1> "
+            "{ GRAPH ?g { ?d ex:size ?n } }",
+        )
+
+
+def test_ask_with_from(ray_session):
+    df = execute(
+        _quads(QUAD_ROWS),
+        "PREFIX ex: <http://ex.org/> "
+        "ASK FROM <urn:g1> { ?d ex:size \"999\" }",
+    ).to_pandas()
+    assert df["answer"].iloc[0] == False  # noqa: E712  (999 lives in g3)
+    df = execute(
+        _quads(QUAD_ROWS),
+        "PREFIX ex: <http://ex.org/> "
+        "ASK FROM <urn:g3> { ?d ex:size \"999\" }",
+    ).to_pandas()
+    assert df["answer"].iloc[0] == True  # noqa: E712
