@@ -926,6 +926,36 @@ def q_embedding_dups(sf_dir: str):
     return ds.map_batches(project, batch_format="pyarrow")
 
 
+def q_dedup_semantic(sf_dir: str):
+    """SemDeDup-style semantic dedup: k-means the embedding space,
+    then cosine near-dup pairs WITHIN each cluster only (the
+    clustering makes the pairwise step O((n/k)^2) per cell instead of
+    O(n^2) global).  Same deterministic planting as q_embedding_dups:
+    exact copies land in their original's cell (identical vector ->
+    identical argmin), so the result is SQL-expressible; noisy
+    near-dups are covered by the planted-pair pytest."""
+    from ..stages.dedup import semantic_dup_pairs
+
+    embs = read_parquet_clean(
+        "%s/embeddings.parquet" % sf_dir, columns=["vec_id", "embedding"]
+    )
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id")
+        sel = pc.equal(pc.subtract(ids, pc.multiply(pc.divide(ids, 10), 10)), 0)
+        copies = batch.filter(sel)
+        copies = pa.Table.from_pydict(
+            {
+                "vec_id": pc.add(copies.column("vec_id"), 1000000),
+                "embedding": copies.column("embedding"),
+            }
+        )
+        return pa.concat_tables([batch.select(["vec_id", "embedding"]), copies])
+
+    planted = embs.map_batches(plant, batch_format="pyarrow")
+    return semantic_dup_pairs(planted, k=16, threshold=0.95)
+
+
 def q_multimodal_features(sf_dir: str):
     import ray.data as rd
 
@@ -1219,10 +1249,14 @@ def q_tfidf_top50(sf_dir: str):
 
     from ..stages.tfidf import tfidf_topk
 
-    docs = read_parquet_clean(
-        "%s/documents.parquet" % sf_dir, columns=["doc_id", "text"]
-    )
-    return tfidf_topk(docs, n_docs=docs.count(), k=50)
+    import pyarrow.parquet as pq
+
+    path = "%s/documents.parquet" % sf_dir
+    docs = read_parquet_clean(path, columns=["doc_id", "text"])
+    # row count from the parquet footer — Dataset.count() would execute
+    # the whole read (incl. the text column) a second time
+    n_docs = pq.read_metadata(path).num_rows
+    return tfidf_topk(docs, n_docs=n_docs, k=50)
 
 
 # ---------------------------------------------------------------------------
@@ -2322,6 +2356,7 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "ann_ivf_indexed": q_ann_ivf_indexed,
     "embedding_dups": q_embedding_dups,
+    "dedup_semantic": q_dedup_semantic,
     "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,
     "kg_bgp_star": q_kg_bgp_star,
@@ -3124,6 +3159,11 @@ ORACLE_SQL = {
     ),
     "embedding_dups": (
         "SELECT vec_id AS a, vec_id + 1000000 AS b FROM embeddings"
+        " WHERE vec_id % 10 = 0"
+    ),
+    "dedup_semantic": (
+        "SELECT vec_id AS a, vec_id + 1000000 AS b,"
+        " CAST(1000000 AS BIGINT) AS sim_micro FROM embeddings"
         " WHERE vec_id % 10 = 0"
     ),
     "pii_scrub": (

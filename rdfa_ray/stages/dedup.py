@@ -810,3 +810,97 @@ def ngram_jaccard_dedup(docs_ds, threshold: float = 0.8, n: int = N_GRAM, n_buck
         return out[keep].reset_index(drop=True)
 
     return with_ab.map_batches(verify, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Semantic (embedding-cluster) dedup — the SemDeDup recipe: k-means the
+# embedding space, then search for near-duplicate pairs ONLY within
+# each cluster (Abbas et al., "SemDeDup: Data-efficient learning at
+# web-scale through semantic deduplication", arXiv:2303.09540).
+
+_SEM_PAIRS_SCHEMA = pa.schema(
+    [("a", pa.int64()), ("b", pa.int64()), ("sim_micro", pa.int64())]
+)
+
+
+def semantic_dup_pairs(
+    embeddings_ds,
+    k: int = 64,
+    threshold: float = 0.95,
+    n_iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Within-cluster cosine near-dup pairs over an embedding column.
+
+    Shape: ``kmeans_fit`` (broadcast supersteps, zero shuffle) ->
+    map-side cell assignment (the centroid matrix rides a single
+    ``ray.put``) -> ONE groupby(cell) exchange -> per-cell vectorized
+    pairwise cosine (one normalized matmul per cell).  Pairs that
+    straddle a cluster boundary are missed BY DESIGN — that is the
+    SemDeDup recall/cost trade: per-cell work is O((n/k)^2), so k
+    must grow with the corpus (k ~ n/2000 keeps cells matmul-sized at
+    any scale; boundary loss is the paper's documented ~O(1%) regime).
+
+    Returns (a, b, sim_micro): a < b by id, cosine quantized to
+    micro-units so results hash identically across parallelism levels.
+    """
+    import ray
+
+    from .kmeans import kmeans_fit
+
+    cents = kmeans_fit(embeddings_ds, k, n_iters=n_iters, id_col=id_col,
+                       vec_col=vec_col)
+    cref = ray.put(np.asarray(cents, dtype=np.float64))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        if not len(ids):
+            return pa.Table.from_pydict(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    vec_col: batch.column(vec_col),
+                    "cell": pa.array([], pa.int32()),
+                }
+            )
+        vecs = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        d2 = (
+            (vecs * vecs).sum(axis=1)[:, None]
+            - 2.0 * (vecs @ c.T)
+            + (c * c).sum(axis=1)[None, :]
+        )
+        return pa.Table.from_pydict(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                vec_col: batch.column(vec_col),
+                "cell": pa.array(d2.argmin(axis=1).astype("int32")),
+            }
+        )
+
+    assigned = embeddings_ds.map_batches(assign, batch_format="pyarrow")
+    empty = _SEM_PAIRS_SCHEMA.empty_table().to_pandas()
+
+    def cell_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        n = len(group)
+        if n < 2:
+            return empty
+        ids = group[id_col].to_numpy(dtype=np.int64)
+        vecs = np.asarray(group[vec_col].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0.0] = 1.0
+        normed = vecs / norms[:, None]
+        sims = normed @ normed.T
+        iu, ju = np.triu_indices(n, k=1)
+        keep = sims[iu, ju] >= threshold
+        if not keep.any():
+            return empty
+        ia, jb = ids[iu[keep]], ids[ju[keep]]
+        a = np.minimum(ia, jb)
+        b = np.maximum(ia, jb)
+        sim_micro = np.floor(sims[iu[keep], ju[keep]] * 1e6 + 0.5).astype(
+            "int64"
+        )
+        return pd.DataFrame({"a": a, "b": b, "sim_micro": sim_micro})
+
+    return assigned.groupby("cell").map_groups(cell_pairs, batch_format="pandas")

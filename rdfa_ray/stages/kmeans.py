@@ -11,11 +11,18 @@ combine is a tiny driver-side sum — the embedding table itself never
 moves, regardless of scale.  This is exactly the aggregation tree a
 100-TB run needs; no shuffle appears anywhere.
 
-Determinism: init takes the k vectors with the smallest ids (one
-bounded sort-limit), iteration order is fixed, and per-batch partials
-are summed after a driver-side sort by block — floating-point
-variation across parallelism levels stays below any sane tolerance
-(verified by the pytest against a single-process numpy twin).
+Determinism: init is greedy farthest-point (k-center) seeding over a
+bounded, hash-selected sample — start from the smallest-id vector,
+repeatedly add the vector farthest from the chosen set (ties break
+toward the smaller id).  The sample is chosen by a splitmix64 hash of
+the id with a fraction-of-keyspace threshold, so membership is a pure
+function of the id: identical at every parallelism level and at any
+partitioning.  Iteration order is fixed and per-batch partials are
+summed after a driver-side sort by cluster — floating-point variation
+across parallelism levels stays below any sane tolerance (verified by
+the pytest against a single-process numpy twin).  Farthest-point
+replaces round-2's smallest-k-ids init, which could drop every seed
+into one dense region and never separate well-spread clusters.
 
 Empty-cluster rule: a cluster that captures no points keeps its
 previous centroid (the standard Lloyd fallback; sklearn re-seeds
@@ -35,14 +42,49 @@ def _stack(batch: pa.Table, id_col: str, vec_col: str):
     return ids, vecs
 
 
-def _local_lloyd(vecs: np.ndarray, k: int, n_iters: int) -> np.ndarray:
+def _mix64(ids: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer over int64 ids — vectorized deterministic
+    uniform hash for seed-sample membership (wraps mod 2^64)."""
+    x = ids.astype(np.uint64, copy=True)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def farthest_point_seeds(ids: np.ndarray, vecs: np.ndarray, k: int) -> np.ndarray:
+    """Greedy k-center seeding: start from the smallest-id vector, then
+    repeatedly add the vector with the largest distance to the chosen
+    set.  Deterministic — ``np.argmax`` returns the first maximum, and
+    the rows are id-sorted first, so ties break toward the smaller id."""
+    order = np.argsort(ids, kind="stable")
+    vecs = np.asarray(vecs, dtype=np.float64)[order]
+    chosen = [0]
+    mind2 = ((vecs - vecs[0]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        nxt = int(np.argmax(mind2))
+        chosen.append(nxt)
+        d2 = ((vecs - vecs[nxt]) ** 2).sum(axis=1)
+        np.minimum(mind2, d2, out=mind2)
+    return vecs[np.asarray(chosen)].copy()
+
+
+def _local_lloyd(
+    vecs: np.ndarray, k: int, n_iters: int, init: np.ndarray
+) -> np.ndarray:
     """Driver-side Lloyd's for vector sets that fit in one heap — the
-    identical update rule / init / empty-cluster handling as the
-    distributed supersteps, without the ~0.5 s-per-iteration Ray
-    orchestration (adaptive small-input path)."""
-    cents = vecs[:k].astype(np.float64).copy()
+    identical update rule / empty-cluster handling as the distributed
+    supersteps, without the ~0.5 s-per-iteration Ray orchestration
+    (adaptive small-input path)."""
+    cents = np.asarray(init, dtype=np.float64).copy()
     for _ in range(n_iters):
-        d2 = (vecs * vecs).sum(axis=1)[:, None] - 2.0 * (vecs @ cents.T)
+        d2 = (
+            (vecs * vecs).sum(axis=1)[:, None]
+            - 2.0 * (vecs @ cents.T)
+            + (cents * cents).sum(axis=1)[None, :]
+        )
         assign = d2.argmin(axis=1)
         new = cents.copy()
         for c in range(k):
@@ -53,6 +95,38 @@ def _local_lloyd(vecs: np.ndarray, k: int, n_iters: int) -> np.ndarray:
             return new
         cents = new
     return cents
+
+
+_SEED_SAMPLE_TARGET = 20_000
+
+
+def _seed_sample(ds, n: int, k: int, id_col: str, vec_col: str) -> np.ndarray:
+    """Deterministic bounded seed sample for the distributed path:
+    keep rows whose splitmix64(id) falls below a fraction-of-keyspace
+    threshold (membership is a pure function of the id — identical at
+    any parallelism/partitioning), pull the ~O(target) survivors to
+    the driver, run farthest-point on them.  One map pass, no shuffle,
+    driver memory bounded by the target regardless of corpus size."""
+    target = max(_SEED_SAMPLE_TARGET, 4 * k)
+    frac = min(1.0, (1.3 * target) / max(n, 1))
+    thresh = np.uint64(min(int(frac * 2.0**64), 2**64 - 1))
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        if not len(ids):
+            return batch.select([id_col, vec_col])
+        keep = _mix64(ids.astype(np.int64)) <= thresh
+        return batch.select([id_col, vec_col]).filter(pa.array(keep))
+
+    rows = ds.map_batches(pick, batch_format="pyarrow").take_all()
+    if len(rows) < k:
+        # pathological hash underflow: fall back to the smallest-k-ids
+        # seed (bounded sort-limit) rather than failing
+        rows = ds.sort(id_col).limit(k).take_all()
+        return np.asarray([r[vec_col] for r in rows], dtype=np.float64)
+    ids = np.asarray([r[id_col] for r in rows], dtype=np.int64)
+    vecs = np.asarray([r[vec_col] for r in rows], dtype=np.float64)
+    return farthest_point_seeds(ids, vecs, k)
 
 
 def kmeans_fit(
@@ -72,21 +146,19 @@ def kmeans_fit(
     import ray
 
     ds = embeddings_ds.materialize()
-    if ds.count() <= local_limit:
+    n = ds.count()
+    if n <= local_limit:
         df = ds.to_pandas().sort_values(id_col)
         vecs = np.asarray(df[vec_col].tolist(), dtype=np.float64)
         if len(vecs) < k:
             raise ValueError(
                 "k=%d exceeds the %d input vectors" % (k, len(vecs))
             )
-        return _local_lloyd(vecs, k, n_iters)
-    seed_rows = ds.sort(id_col).limit(k).take_all()
-    cents = np.asarray(
-        [r[vec_col] for r in seed_rows], dtype=np.float64
-    )
-    if len(cents) < k:
-        raise ValueError("k=%d exceeds the %d input vectors" % (k, len(cents)))
-    d = cents.shape[1]
+        init = farthest_point_seeds(
+            df[id_col].to_numpy(dtype=np.int64), vecs, k
+        )
+        return _local_lloyd(vecs, k, n_iters, init)
+    cents = _seed_sample(ds, n, k, id_col, vec_col)
 
     for _ in range(n_iters):
         cref = ray.put(cents)
@@ -103,7 +175,11 @@ def kmeans_fit(
                     }
                 )
             # squared euclidean via the expanded form: one matmul
-            d2 = (vecs * vecs).sum(axis=1)[:, None] - 2.0 * (vecs @ c.T)
+            d2 = (
+                (vecs * vecs).sum(axis=1)[:, None]
+                - 2.0 * (vecs @ c.T)
+                + (c * c).sum(axis=1)[None, :]
+            )
             assign = d2.argmin(axis=1)
             uniq = np.unique(assign)
             sums = np.zeros((len(uniq), c.shape[1]))
@@ -155,7 +231,11 @@ def kmeans_assign(
                 {id_col: pa.array([], pa.int64()),
                  "cluster": pa.array([], pa.int32())}
             )
-        d2 = (vecs * vecs).sum(axis=1)[:, None] - 2.0 * (vecs @ c.T)
+        d2 = (
+            (vecs * vecs).sum(axis=1)[:, None]
+            - 2.0 * (vecs @ c.T)
+            + (c * c).sum(axis=1)[None, :]
+        )
         return pa.Table.from_pydict(
             {
                 id_col: pa.array(ids, pa.int64()),

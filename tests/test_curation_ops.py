@@ -49,12 +49,27 @@ def _blobs(k=4, per=50, d=8, seed=3):
     return ids, vecs, centers
 
 
+def _numpy_seeds(vecs, k):
+    """Twin of farthest-point seeding: vecs already id-ordered."""
+    chosen = [0]
+    mind2 = ((vecs - vecs[0]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        nxt = int(np.argmax(mind2))
+        chosen.append(nxt)
+        np.minimum(mind2, ((vecs - vecs[nxt]) ** 2).sum(axis=1), out=mind2)
+    return vecs[np.array(chosen)].astype(np.float64).copy()
+
+
 def _numpy_lloyd(vecs, k, n_iters):
-    """Single-process twin of kmeans_fit: same smallest-id init, same
-    empty-cluster rule."""
-    cents = vecs[:k].astype(np.float64).copy()
+    """Single-process twin of kmeans_fit: same farthest-point init,
+    same empty-cluster rule."""
+    cents = _numpy_seeds(vecs, k)
     for _ in range(n_iters):
-        d2 = (vecs * vecs).sum(axis=1)[:, None] - 2.0 * (vecs @ cents.T)
+        d2 = (
+            (vecs * vecs).sum(axis=1)[:, None]
+            - 2.0 * (vecs @ cents.T)
+            + (cents * cents).sum(axis=1)[None, :]
+        )
         assign = d2.argmin(axis=1)
         new = cents.copy()
         for c in range(k):
@@ -83,7 +98,11 @@ def test_kmeans_matches_numpy_twin(ray_session, local_limit):
     assert np.allclose(cents, want, atol=1e-8)
 
     assigns = kmeans_assign(ds, cents).to_pandas().set_index("vec_id")["cluster"]
-    d2 = (vecs * vecs).sum(axis=1)[:, None] - 2.0 * (vecs @ want.T)
+    d2 = (
+        (vecs * vecs).sum(axis=1)[:, None]
+        - 2.0 * (vecs @ want.T)
+        + (want * want).sum(axis=1)[None, :]
+    )
     exp = d2.argmin(axis=1)
     assert (assigns.sort_index().to_numpy() == exp).all()
     # blob structure recovered: each true blob lands in one cluster
@@ -427,3 +446,24 @@ def test_mixture_sample_semantics(ray_session):
     c1 = (out2["doc_id"] == 1).sum()
     c2 = (out2["doc_id"] == 2).sum()
     assert c1 == c2 and c1 in (1, 2)
+
+
+def test_kmeans_assign_is_nearest_centroid_not_max_dot(ray_session):
+    """Regression: the d2 expansion must include the ||c||^2 term.
+    Without it, argmin reduces to max dot product, which co-assigns
+    [10,0] and [20,0] even when [10,0] IS a centroid (round-3 bug)."""
+    vecs = np.array([[10.0, 0.0], [20.0, 0.0], [0.0, 10.0], [0.0, 20.0]])
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(4), pa.int64()),
+                "embedding": pa.array(vecs.tolist(), pa.list_(pa.float64())),
+            }
+        )
+    )
+    cents = kmeans_fit(ds, k=4, n_iters=5)
+    assigns = (
+        kmeans_assign(ds, cents).to_pandas().set_index("vec_id")["cluster"]
+    )
+    # with correct euclidean assignment every vector is its own cell
+    assert assigns.nunique() == 4
