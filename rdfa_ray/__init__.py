@@ -29,3 +29,15 @@ def query(source, sparql: str, n_buckets: int = 64):
     if isinstance(source, str):
         return execute_on_store(source, sparql, n_buckets=n_buckets)
     return execute(source, sparql, n_buckets=n_buckets)
+
+
+def update(store_dir: str, sparql: str, n_buckets: int = 64) -> dict:
+    """Run a SPARQL 1.1 Update string (INSERT/DELETE DATA, DELETE
+    WHERE, DELETE/INSERT WHERE, CLEAR; ';'-separated sequences) against
+    a persisted KG store directory — the rdflib ``graph.update(...)``
+    analogue.  Returns the final store manifest.  See
+    ``rdfa_ray.stages.sparql_update`` for the supported fragment and
+    the evaluate-then-mutate / generational-rewrite semantics."""
+    from .stages.sparql_update import execute_update
+
+    return execute_update(store_dir, sparql, n_buckets=n_buckets)

@@ -2128,6 +2128,42 @@ def q_kg_store_update(sf_dir: str):
     )
 
 
+def q_kg_sparql_update(sf_dir: str):
+    """SPARQL 1.1 Update text surface end-to-end (the rdflib
+    ``graph.update(...)`` analogue, ``rdfa_ray.update``): against the
+    persisted store, one request runs a modify (retag zh -> zh-Hans: a
+    pushdown-pruned WHERE, one partition rewritten), a DELETE WHERE
+    (drop the whole characterCount predicate), and an INSERT DATA
+    marker — then a text SELECT census per (predicate, object) proves
+    all three landed.  Idempotent across reruns on the cached store:
+    the modify's WHERE is empty the second time, DELETE WHERE finds
+    nothing, INSERT DATA is set-semantics."""
+    import rdfa_ray
+
+    from ..stages.kgstore import persist_kg, store_is_complete
+
+    store_dir = _store_tag(sf_dir, "graft_kgt")
+    if not store_is_complete(store_dir):
+        persist_kg(_typed_triples(sf_dir), store_dir)
+    rdfa_ray.update(
+        store_dir,
+        """
+        PREFIX schema: <http://schema.org/>
+        DELETE { ?d schema:inLanguage "zh" }
+        INSERT { ?d schema:inLanguage "zh-Hans" }
+        WHERE { ?d schema:inLanguage "zh" } ;
+        DELETE WHERE { ?d <http://schema.org/characterCount> ?c } ;
+        INSERT DATA {
+          <http://graft.local/meta> schema:updatePolicy "retag-zh"
+        }
+        """,
+    )
+    return rdfa_ray.query(
+        store_dir,
+        "SELECT ?p ?o (COUNT(*) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?p ?o",
+    )
+
+
 def q_kg_store_quads(sf_dir: str):
     """Quad persistence end-to-end: the distilled quads (named-graph
     column riding along) persist into the predicate-partitioned store,
@@ -2389,6 +2425,7 @@ QUERIES = {
     "unigram_logppl": q_unigram_logppl,
     "kg_graph_scoped": q_kg_graph_scoped,
     "kg_store_update": q_kg_store_update,
+    "kg_sparql_update": q_kg_sparql_update,
     "kg_store_quads": q_kg_store_quads,
     "kg_subquery": q_kg_subquery,
     "kg_count_distinct": q_kg_count_distinct,
@@ -2959,6 +2996,18 @@ ORACLE_SQL = {
     "kg_store_update": (
         "SELECT CASE WHEN lang = 'zh' THEN 'zh-Hans' ELSE lang END AS l,"
         " COUNT(*) AS n FROM documents GROUP BY 1"
+    ),
+    "kg_sparql_update": (
+        "WITH t AS ("
+        " SELECT 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p,"
+        "  'http://schema.org/Document' AS o FROM documents"
+        " UNION ALL SELECT 'http://schema.org/inLanguage',"
+        "  CASE WHEN lang = 'zh' THEN 'zh-Hans' ELSE lang END FROM documents"
+        " UNION ALL SELECT 'http://schema.org/source', source FROM documents"
+        ") "
+        "SELECT p, o, COUNT(*) AS n FROM t GROUP BY p, o"
+        " UNION ALL SELECT 'http://schema.org/updatePolicy', 'retag-zh',"
+        " CAST(1 AS BIGINT)"
     ),
     "kg_graph_scoped": (
         "SELECT 'http://graft.local/conv/' || printf('doc%08d', doc_id)"

@@ -265,6 +265,17 @@ def update_kg(store_dir: str, insert_ds=None, delete_ds=None) -> dict:
     return meta
 
 
+def clear_kg(store_dir: str) -> dict:
+    """SPARQL ``CLEAR DEFAULT`` analogue: swap in a manifest with no
+    partitions (a new, empty generation).  The old generation
+    directories stay on disk for crash safety / time travel until
+    ``vacuum_store``."""
+    meta = _read_meta(store_dir)
+    meta = {"format": 2, "generation": meta["generation"] + 1, "partitions": {}}
+    _write_meta(store_dir, meta)
+    return meta
+
+
 def vacuum_store(store_dir: str) -> list:
     """Delete generation directories the current manifest no longer
     references (superseded partitions left behind by ``update_kg`` for

@@ -1,0 +1,194 @@
+"""SPARQL 1.1 Update text front-end (stages/sparql_update.py) against
+the persisted KG store: every supported operation kind, sequences,
+evaluate-then-mutate semantics, and loud rejection of the documented
+non-goals."""
+
+import pyarrow as pa
+import pytest
+
+import rdfa_ray
+from rdfa_ray.stages.kgstore import persist_kg, read_kg
+from rdfa_ray.stages.sparql_update import SparqlSyntaxError, parse_update
+
+SRC = "http://schema.org/source"
+LANG = "http://schema.org/inLanguage"
+TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def _ds(rows):
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.Table.from_pylist(
+            [{"subj": s, "pred": p, "obj_value": o} for s, p, o in rows]
+        )
+    )
+
+
+def _store(tmp_path, n=12):
+    rows = []
+    for i in range(n):
+        s = "http://example.org/doc/%d" % i
+        rows.append((s, SRC, "src%d" % (i % 3)))
+        rows.append((s, LANG, ("zh", "en")[i % 2]))
+        rows.append((s, TYPE, "http://schema.org/Document"))
+    d = str(tmp_path / "store")
+    persist_kg(_ds(rows), d)
+    return d
+
+
+def _all(store_dir):
+    df = read_kg(store_dir).to_pandas()
+    if df.empty:  # Ray's to_pandas drops columns at zero rows
+        return set()
+    return set(zip(df["subj"], df["pred"], df["obj_value"]))
+
+
+def test_insert_and_delete_data(ray_session, tmp_path):
+    d = _store(tmp_path)
+    before = _all(d)
+    rdfa_ray.update(
+        d,
+        """
+        PREFIX ex: <http://example.org/>
+        INSERT DATA {
+          ex:doc99 <http://schema.org/source> "srcX" ;
+                   <http://schema.org/inLanguage> "fr" .
+        }
+        """,
+    )
+    after = _all(d)
+    assert after - before == {
+        ("http://example.org/doc99", SRC, "srcX"),
+        ("http://example.org/doc99", LANG, "fr"),
+    }
+    rdfa_ray.update(
+        d,
+        'DELETE DATA { <http://example.org/doc99>'
+        ' <http://schema.org/source> "srcX" }',
+    )
+    assert _all(d) == before | {("http://example.org/doc99", LANG, "fr")}
+
+
+def test_delete_where_variable_pattern(ray_session, tmp_path):
+    d = _store(tmp_path)
+    rdfa_ray.update(
+        d, "DELETE WHERE { ?d <http://schema.org/inLanguage> ?l }"
+    )
+    preds = {p for (_s, p, _o) in _all(d)}
+    assert LANG not in preds and SRC in preds and TYPE in preds
+
+
+def test_modify_retag_language(ray_session, tmp_path):
+    d = _store(tmp_path)
+    rdfa_ray.update(
+        d,
+        """
+        PREFIX schema: <http://schema.org/>
+        DELETE { ?d schema:inLanguage "zh" }
+        INSERT { ?d schema:inLanguage "zh-Hans" }
+        WHERE { ?d schema:inLanguage "zh" }
+        """,
+    )
+    langs = sorted(
+        o for (_s, p, o) in _all(d) if p == LANG
+    )
+    assert set(langs) == {"en", "zh-Hans"}
+    assert langs.count("zh-Hans") == 6
+
+
+def test_modify_insert_only_with_join(ray_session, tmp_path):
+    # INSERT { } WHERE { } with a two-pattern WHERE: tag every zh doc
+    # from src0 — exercises the full SELECT engine under the hood
+    d = _store(tmp_path)
+    rdfa_ray.update(
+        d,
+        """
+        PREFIX schema: <http://schema.org/>
+        INSERT { ?d schema:keywords "zh-src0" }
+        WHERE { ?d schema:inLanguage "zh" ; schema:source "src0" }
+        """,
+    )
+    tagged = {
+        s for (s, p, o) in _all(d)
+        if p == "http://schema.org/keywords" and o == "zh-src0"
+    }
+    assert tagged == {
+        "http://example.org/doc/%d" % i for i in range(12) if i % 2 == 0 and i % 3 == 0
+    }
+
+
+def test_sequence_and_clear(ray_session, tmp_path):
+    d = _store(tmp_path)
+    rdfa_ray.update(
+        d,
+        """
+        PREFIX ex: <http://example.org/>
+        INSERT DATA { ex:a ex:p "1" } ;
+        DELETE WHERE { ?s <http://schema.org/source> ?o } ;
+        INSERT DATA { ex:b ex:q "2" }
+        """,
+    )
+    trips = _all(d)
+    assert ("http://example.org/a", "http://example.org/p", "1") in trips
+    assert ("http://example.org/b", "http://example.org/q", "2") in trips
+    assert not any(p == SRC for (_s, p, _o) in trips)
+    rdfa_ray.update(d, "CLEAR DEFAULT")
+    assert _all(d) == set()
+
+
+def test_evaluate_then_mutate_snapshot(ray_session, tmp_path):
+    # the classic swap: with evaluate-then-mutate, a rename chain must
+    # NOT cascade (zh->en must not then match the en->de rule's
+    # pre-evaluated WHERE and double-rewrite within one op)
+    d = _store(tmp_path)
+    rdfa_ray.update(
+        d,
+        """
+        PREFIX schema: <http://schema.org/>
+        DELETE { ?d schema:inLanguage "zh" }
+        INSERT { ?d schema:inLanguage "en" }
+        WHERE { ?d schema:inLanguage "zh" } ;
+        DELETE { ?d schema:inLanguage "en" }
+        INSERT { ?d schema:inLanguage "de" }
+        WHERE { ?d schema:inLanguage "en" }
+        """,
+    )
+    langs = [o for (_s, p, o) in _all(d) if p == LANG]
+    # op 1: zh->en (all 12 now en); op 2 evaluates AFTER op 1: all -> de
+    assert set(langs) == {"de"} and len(langs) == 12
+
+
+def test_idempotent_rerun(ray_session, tmp_path):
+    d = _store(tmp_path)
+    text = """
+        PREFIX schema: <http://schema.org/>
+        DELETE { ?d schema:inLanguage "zh" }
+        INSERT { ?d schema:inLanguage "zh-Hans" }
+        WHERE { ?d schema:inLanguage "zh" }
+    """
+    rdfa_ray.update(d, text)
+    snap = _all(d)
+    rdfa_ray.update(d, text)  # no zh left: no-op
+    assert _all(d) == snap
+
+
+def test_parse_errors(ray_session):
+    with pytest.raises(SparqlSyntaxError):
+        parse_update('INSERT DATA { ?v <http://p> "x" }')  # var in DATA
+    with pytest.raises(SparqlSyntaxError):
+        parse_update("LOAD <http://remote/graph>")
+    with pytest.raises(SparqlSyntaxError):
+        parse_update("")
+    with pytest.raises(SparqlSyntaxError):
+        parse_update("CLEAR GRAPH <http://g>")
+
+
+def test_unbound_template_var_rejected(ray_session, tmp_path):
+    d = _store(tmp_path, n=2)
+    with pytest.raises(SparqlSyntaxError):
+        rdfa_ray.update(
+            d,
+            'INSERT { ?d <http://p> ?nope }'
+            ' WHERE { ?d <http://schema.org/source> "src0" }',
+        )
