@@ -956,6 +956,20 @@ def q_dedup_semantic(sf_dir: str):
     return semantic_dup_pairs(planted, k=16, threshold=0.95)
 
 
+def q_bm25_search(sf_dir: str):
+    """BM25 keyword retrieval (the lexical twin of the ANN queries):
+    top-20 documents for a three-term query, one tokenizing pass that
+    reduces map-side to query-hit rows + per-block length sentinels."""
+    import pyarrow.parquet as pq
+
+    from ..stages.bm25 import bm25_topk
+
+    path = "%s/documents.parquet" % sf_dir
+    docs = read_parquet_clean(path, columns=["doc_id", "text"])
+    n_docs = pq.read_metadata(path).num_rows
+    return bm25_topk(docs, "window merge stream", n_docs=n_docs, k=20)
+
+
 def q_multimodal_features(sf_dir: str):
     import ray.data as rd
 
@@ -2456,6 +2470,7 @@ QUERIES = {
     "events_running_total": q_events_running_total,
     "docs_stratified_sample": q_docs_stratified_sample,
     "tfidf_top50": q_tfidf_top50,
+    "bm25_search": q_bm25_search,
 }
 
 
@@ -3285,6 +3300,27 @@ ORACLE_SQL = {
         "SELECT event_id, COALESCE(CAST(epoch_us(ts) - LAG(epoch_us(ts))"
         " OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT), -1)"
         " AS delta_us FROM events"
+    ),
+    "bm25_search": (
+        "WITH toks AS (SELECT doc_id,"
+        " unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token"
+        " FROM documents),"
+        " dl AS (SELECT doc_id, COUNT(*) AS doc_len FROM toks GROUP BY 1),"
+        " stats AS (SELECT CAST(SUM(doc_len) AS DOUBLE)"
+        "  / (SELECT COUNT(*) FROM documents) AS avgdl,"
+        "  (SELECT COUNT(*) FROM documents) AS n FROM dl),"
+        " q(token) AS (VALUES ('window'), ('merge'), ('stream')),"
+        " tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks"
+        "  WHERE token IN (SELECT token FROM q) GROUP BY 1, 2),"
+        " df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),"
+        " contrib AS (SELECT tf.doc_id,"
+        "  CAST(FLOOR(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))"
+        "   * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doc_len"
+        "   / stats.avgdl)) * 1e6 + 0.5) AS BIGINT) AS c"
+        "  FROM tf JOIN df USING (token) JOIN dl USING (doc_id)"
+        "  CROSS JOIN stats) "
+        "SELECT doc_id, CAST(SUM(c) AS BIGINT) AS score_micro FROM contrib"
+        " GROUP BY doc_id ORDER BY score_micro DESC, doc_id ASC LIMIT 20"
     ),
     "tfidf_top50": (
         "WITH toks AS (SELECT doc_id,"
