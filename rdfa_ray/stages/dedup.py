@@ -417,13 +417,25 @@ _SIM_BANDS = 4  # 16 bits each; hamming<=3 guarantees one identical band
 
 
 class SimHasher:
-    """Actor: text -> 64-bit simhash + 4 16-bit LSH band keys."""
+    """text -> 64-bit simhash + 4 16-bit LSH band keys.
+
+    Hot path is fully vectorized: tokens come out of one Arrow
+    split-regex pass, md5 runs only once per UNIQUE vocabulary word
+    (Zipf — a tiny fraction of the token count) with the ±1 bit-vector
+    cached per worker process across batches, and the per-document
+    bit-vote sums are one ``np.add.reduceat`` over the (token, 64)
+    contribution matrix (token parent indices arrive pre-sorted from
+    ``list_parent_indices``).  Output is bit-identical to the scalar
+    ``simhash64`` reference kept below for tests."""
+
+    _MAX_VOCAB = 1 << 20  # ~80 MB of cached bit rows; reset beyond
 
     def __init__(self):
-        self._word = _WORD_RE
+        self._pm: dict = {}  # word -> np.ndarray(64, int8) in {-1,+1}
 
     @staticmethod
     def simhash64(words) -> int:
+        """Scalar reference twin (one doc's word list -> simhash)."""
         if not words:
             return 0
         v = np.zeros(64, dtype=np.int64)
@@ -437,23 +449,61 @@ class SimHasher:
             sum(1 << i for i in range(64) if v[i] > 0)
         )
 
+    def _rows(self, uniques) -> np.ndarray:
+        """(U, 64) ±1 contribution rows for unique words, md5 cached."""
+        if len(self._pm) > self._MAX_VOCAB:
+            self._pm.clear()
+        pm, out = self._pm, np.empty((len(uniques), 64), dtype=np.int32)
+        for i, w in enumerate(uniques):
+            v = pm.get(w)
+            if v is None:
+                bits = np.unpackbits(
+                    np.frombuffer(
+                        hashlib.md5(w.encode()).digest()[:8], dtype=np.uint8
+                    ),
+                    bitorder="little",
+                ).astype(np.int8)
+                v = 2 * bits - 1
+                pm[w] = v
+            out[i] = v
+        return out
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out_id, out_sim, out_band, out_key = [], [], [], []
-        for doc_id, text in zip(
-            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-        ):
-            sh = self.simhash64(self._word.findall((text or "").lower()))
-            for band in range(_SIM_BANDS):
-                out_id.append(doc_id)
-                out_sim.append(sh)
-                out_band.append(band)
-                out_key.append((sh >> (16 * band)) & 0xFFFF)
+        n = batch.num_rows
+        ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.cast(batch.column("text"), pa.string())),
+            "[^a-z0-9]+",
+        )
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        words = flat.filter(keep).to_pandas()
+        par = parents.filter(keep).to_numpy(zero_copy_only=False)
+
+        votes = np.zeros((n, 64), dtype=np.int64)
+        if len(par):
+            codes, uniques = pd.factorize(words, sort=False)
+            contrib = self._rows(uniques)[codes]  # (T, 64) int32
+            starts = np.flatnonzero(np.r_[True, par[1:] != par[:-1]])
+            votes[par[starts]] = np.add.reduceat(
+                contrib.astype(np.int64), starts, axis=0
+            )
+        packed = np.packbits(votes > 0, axis=1, bitorder="little")
+        sims = np.ascontiguousarray(packed).view(np.uint64).ravel()
+
+        shifts = 16 * np.arange(_SIM_BANDS, dtype=np.uint64)
+        keys = ((sims[:, None] >> shifts) & np.uint64(0xFFFF)).astype(np.int32)
         return pa.Table.from_pydict(
             {
-                "doc_id": pa.array(out_id, pa.int64()),
-                "simhash": pa.array(out_sim, pa.uint64()),
-                "band": pa.array(out_band, pa.int32()),
-                "key": pa.array(out_key, pa.int32()),
+                "doc_id": pa.array(np.repeat(ids, _SIM_BANDS), pa.int64()),
+                "simhash": pa.array(np.repeat(sims, _SIM_BANDS), pa.uint64()),
+                "band": pa.array(
+                    np.tile(np.arange(_SIM_BANDS, dtype=np.int32), n), pa.int32()
+                ),
+                "key": pa.array(keys.ravel(), pa.int32()),
             }
         )
 
@@ -494,12 +544,25 @@ def _sim_pairs(group: pd.DataFrame, max_hamming: int = 3, cap: int = BUCKET_CAP)
     )
 
 
-def simhash_dedup(docs_ds, max_hamming: int = 3, concurrency=(2, 8), n_buckets: int = 64):
+_SIMHASHER: list = []
+
+
+def simhash_batch(batch: pa.Table) -> pa.Table:
+    """Task-based SimHasher: elastic map_batches tasks with the word
+    bit-vector cache held per worker process (an actor pool here would
+    reserve CPUs against the rest of the pipeline — same rationale as
+    ``link.link_batch_augmenting``)."""
+    if not _SIMHASHER:
+        _SIMHASHER.append(SimHasher())
+    return _SIMHASHER[0](batch)
+
+
+def simhash_dedup(docs_ds, max_hamming: int = 3, n_buckets: int = 64):
     from ..functions.hashing import crc32_bucket_concat
     from .distinct import distinct
 
     banded = docs_ds.map_batches(
-        SimHasher, batch_format="pyarrow", batch_size=1024, concurrency=concurrency
+        simhash_batch, batch_format="pyarrow", batch_size=1024
     )
 
     # same coarse-bucket pattern as minhash_dedup: one shuffle into B

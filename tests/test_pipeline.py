@@ -233,3 +233,43 @@ def test_bucketed_join_edges(ray_session):
     ]
     leftj = bucketed_hash_join(left, right, on="k", n_buckets=4, how="left").to_pandas()
     assert len(leftj) == 3 and leftj[leftj["k"] == 1]["rval"].isna().all()
+
+
+def test_simhasher_vectorized_matches_scalar_twin():
+    """The vectorized batch SimHasher must be bit-identical to the
+    scalar simhash64 reference on every doc (incl. empty/None text,
+    repeated words, mixed case, punctuation-only)."""
+    import re
+
+    import numpy as np
+    import pyarrow as pa
+
+    from rdfa_ray.stages.dedup import SimHasher, _SIM_BANDS
+
+    rs = np.random.RandomState(11)
+    vocab = ["alpha", "Beta", "gamma2", "DELTA", "x", "longword" * 3]
+    texts = [
+        " ".join(rs.choice(vocab, rs.randint(0, 40)).tolist()) for _ in range(50)
+    ]
+    texts += ["", None, "!!! ... ---", "word", "a b a b a b"]
+    batch = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = SimHasher()(batch)
+    word_re = re.compile(r"[A-Za-z0-9]+")
+    got = dict(
+        zip(out.column("doc_id").to_pylist(), out.column("simhash").to_pylist())
+    )
+    for i, t in enumerate(texts):
+        want = SimHasher.simhash64(word_re.findall((t or "").lower()))
+        assert got[i] == want, (i, t)
+    # band keys are the 4 16-bit slices, doc-major band 0..3
+    df = out.to_pandas()
+    sims = df["simhash"].to_numpy(dtype=np.uint64)
+    bands = df["band"].to_numpy(dtype=np.uint64)
+    expect = (sims >> (np.uint64(16) * bands)) & np.uint64(0xFFFF)
+    assert (df["key"].to_numpy(dtype=np.int64) == expect.astype(np.int64)).all()
+    assert len(df) == len(texts) * _SIM_BANDS
