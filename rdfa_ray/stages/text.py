@@ -9,7 +9,9 @@ from __future__ import annotations
 import hashlib
 import re
 
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _TOKEN_RE = re.compile(r"[A-Za-z0-9]+")
 _TOKEN_RE_INV = re.compile(r"[^a-z0-9]+")  # post-lower complement
@@ -34,55 +36,90 @@ _LANG_TRIGRAMS = {
 
 
 class TextAnalyzer:
-    """Actor: per-doc quality metrics + language guess + fingerprint."""
+    """Per-doc quality metrics + language guess + fingerprint.
+
+    Counts (chars/tokens/BPE/alpha) and the whitespace-collapse all run
+    as RE2 Arrow kernels over the whole batch; stopword hits come from
+    one tokenize + ``is_in`` + ``bincount`` pass; the language guess is
+    a (batch x 40)-trigram count matrix with the reference's
+    first-strictly-greater tie rule (= ``np.argmax`` first-max over the
+    table's insertion order).  The only per-row Python left is one md5
+    per document over the normalized text (hashing is byte-bound).
+    ``guess_lang`` below is the scalar reference twin kept for tests."""
 
     def __init__(self):
-        self.token_re = _TOKEN_RE
-        self.alpha_re = _ALPHA_RE
-        self.bpe_re = _BPE_RE
+        self._stop_arr = pa.array(sorted(_STOPWORDS), pa.string())
+        self._langs = list(_LANG_TRIGRAMS)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids = batch.column("doc_id").to_pylist()
-        texts = batch.column("text").to_pylist()
-        n = len(texts)
-        n_chars = [0] * n
-        n_tokens = [0] * n
-        n_bpe = [0] * n
-        n_alpha = [0] * n
-        n_stop = [0] * n
-        stop_ratio = [0.0] * n
-        langs = [""] * n
-        fps = [""] * n
-        for i, t in enumerate(texts):
-            t = t or ""
-            n_chars[i] = len(t)
-            toks = self.token_re.findall(t)
-            n_tokens[i] = len(toks)
-            n_bpe[i] = len(self.bpe_re.findall(t))
-            n_alpha[i] = len(self.alpha_re.findall(t))
-            if toks:
-                low = [w.lower() for w in toks]
-                n_stop[i] = sum(w in _STOPWORDS for w in low)
-                stop_ratio[i] = n_stop[i] / len(low)
-            langs[i] = self.guess_lang(t)
-            norm = _WS_COLLAPSE.sub(" ", t.lower())
-            fps[i] = hashlib.md5(norm.encode()).hexdigest()
+        n = batch.num_rows
+        ids = pc.cast(batch.column("doc_id"), pa.int64())
+        text = pc.fill_null(pc.cast(batch.column("text"), pa.string()), "")
+        low = pc.utf8_lower(text)
+
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+        n_tokens = pc.cast(
+            pc.count_substring_regex(text, "[A-Za-z0-9]+"), pa.int64()
+        )
+        n_bpe = pc.cast(
+            pc.count_substring_regex(text, r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+"),
+            pa.int64(),
+        )
+        n_alpha = pc.cast(
+            pc.count_substring_regex(text, "[A-Za-z]"), pa.int64()
+        )
+
+        toks = pc.split_pattern_regex(low, "[^a-z0-9]+")
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks)
+        stop_mask = pc.and_(
+            pc.not_equal(flat, ""), pc.is_in(flat, value_set=self._stop_arr)
+        )
+        par = parents.filter(stop_mask).to_numpy(zero_copy_only=False)
+        n_stop = (
+            np.bincount(par, minlength=n).astype("int64")
+            if len(par)
+            else np.zeros(n, dtype="int64")
+        )
+        ntok = n_tokens.to_numpy(zero_copy_only=False)
+        ratio = np.divide(
+            n_stop,
+            ntok,
+            out=np.zeros(n, dtype="float64"),
+            where=ntok > 0,
+        )
+
+        head = pc.utf8_slice_codeunits(low, 0, 2000)
+        scores = np.zeros((n, len(self._langs)), dtype=np.int64)
+        for j, grams in enumerate(_LANG_TRIGRAMS.values()):
+            for g in grams:
+                scores[:, j] += pc.count_substring(head, g).to_numpy(
+                    zero_copy_only=False
+                )
+        best = np.argmax(scores, axis=1)
+        names = np.array(self._langs, dtype=object)
+        langs = np.where(scores[np.arange(n), best] > 0, names[best], "unk")
+
+        norm = pc.replace_substring_regex(low, r"\s+", " ")
+        fps = [hashlib.md5(s.encode()).hexdigest() for s in norm.to_pylist()]
+
         return pa.Table.from_pydict(
             {
-                "doc_id": pa.array(doc_ids, pa.int64()),
-                "n_chars": pa.array(n_chars, pa.int64()),
-                "n_tokens": pa.array(n_tokens, pa.int64()),
-                "n_bpe_tokens": pa.array(n_bpe, pa.int64()),
-                "n_alpha": pa.array(n_alpha, pa.int64()),
+                "doc_id": ids,
+                "n_chars": n_chars,
+                "n_tokens": n_tokens,
+                "n_bpe_tokens": n_bpe,
+                "n_alpha": n_alpha,
                 "n_stopwords": pa.array(n_stop, pa.int64()),
-                "stopword_ratio": pa.array(stop_ratio, pa.float64()),
-                "lang_pred": pa.array(langs),
-                "fingerprint": pa.array(fps),
+                "stopword_ratio": pa.array(ratio, pa.float64()),
+                "lang_pred": pa.array(langs.tolist(), pa.string()),
+                "fingerprint": pa.array(fps, pa.string()),
             }
         )
 
     @staticmethod
     def guess_lang(text: str) -> str:
+        """Scalar reference twin of the vectorized language scorer."""
         t = text.lower()[:2000]
         best, best_score = "unk", 0
         for lang, grams in _LANG_TRIGRAMS.items():
@@ -92,9 +129,21 @@ class TextAnalyzer:
         return best
 
 
-def analyze_text(docs_ds, concurrency=(2, 8)):
+_ANALYZER: list = []
+
+
+def analyze_batch(batch: pa.Table) -> pa.Table:
+    """Task-based TextAnalyzer (elastic tasks; the stopword array and
+    compiled RE2 programs cache per worker process — an actor pool here
+    would reserve CPUs against co-running stages)."""
+    if not _ANALYZER:
+        _ANALYZER.append(TextAnalyzer())
+    return _ANALYZER[0](batch)
+
+
+def analyze_text(docs_ds):
     return docs_ds.map_batches(
-        TextAnalyzer, batch_format="pyarrow", batch_size=2048, concurrency=concurrency
+        analyze_batch, batch_format="pyarrow", batch_size=2048
     )
 
 

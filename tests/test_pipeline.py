@@ -273,3 +273,40 @@ def test_simhasher_vectorized_matches_scalar_twin():
     expect = (sims >> (np.uint64(16) * bands)) & np.uint64(0xFFFF)
     assert (df["key"].to_numpy(dtype=np.int64) == expect.astype(np.int64)).all()
     assert len(df) == len(texts) * _SIM_BANDS
+
+
+def test_text_analyzer_vectorized_matches_scalar_lang():
+    """Vectorized language scorer + stopword ratio must match the
+    scalar reference twin (incl. ties, zero-score -> unk, None text)."""
+    import pyarrow as pa
+
+    from rdfa_ray.stages.text import _STOPWORDS, TextAnalyzer
+
+    texts = [
+        "the cat and the dog in the house",
+        "der einzige schoene ich und die schule",
+        "les questions que nous avons de la ville",
+        "de la que el los dias",
+        "zzz qqq xxx",
+        "",
+        None,
+        "ing and the der die ein que les",  # cross-language mix
+    ]
+    batch = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = TextAnalyzer()(batch).to_pandas()
+    import re
+
+    tok = re.compile(r"[A-Za-z0-9]+")
+    for i, t in enumerate(texts):
+        t0 = t or ""
+        assert out["lang_pred"][i] == TextAnalyzer.guess_lang(t0), (i, t)
+        toks = [w.lower() for w in tok.findall(t0)]
+        n_stop = sum(w in _STOPWORDS for w in toks)
+        assert out["n_stopwords"][i] == n_stop
+        want_ratio = n_stop / len(toks) if toks else 0.0
+        assert abs(out["stopword_ratio"][i] - want_ratio) < 1e-12
