@@ -2011,6 +2011,26 @@ def q_kg_sparql_text_filter(sf_dir: str):
     )
 
 
+def q_kg_sparql_expr(sf_dir: str):
+    """The SPARQL 1.1 expression library end-to-end (BIND over
+    CONCAT/UCASE/IF/FLOOR + a FILTER on the computed column) — what a
+    reference user's graph.query with functional forms becomes here."""
+    from ..stages.sparql_text import execute
+
+    return execute(
+        _typed_triples(sf_dir),
+        """
+        PREFIX schema: <http://schema.org/>
+        SELECT ?d ?tag ?hundreds WHERE {
+          ?d schema:source ?src ; schema:characterCount ?n .
+          BIND(CONCAT(UCASE(?src), "-", IF(?n >= 500, "long", "short")) AS ?tag)
+          BIND(FLOOR(?n / 100) AS ?hundreds)
+          FILTER (?hundreds >= 1)
+        }
+        """,
+    )
+
+
 def q_kg_store_sparql(sf_dir: str):
     """Textual SPARQL against the persisted store with predicate
     pushdown: the query's two constant predicates prune the scan to
@@ -2444,6 +2464,7 @@ QUERIES = {
     "kg_subquery": q_kg_subquery,
     "kg_count_distinct": q_kg_count_distinct,
     "kg_sparql_text": q_kg_sparql_text,
+    "kg_sparql_expr": q_kg_sparql_expr,
     "kg_sparql_graph": q_kg_sparql_graph,
     "kg_graph_census": q_kg_graph_census,
     "kg_from_named": q_kg_from_named,
@@ -2948,6 +2969,19 @@ ORACLE_SQL = {
         " FROM t t1 JOIN t t2 ON t2.subj = t1.subj"
         " WHERE t1.pred = 'http://schema.org/inLanguage' AND t1.obj_value = 'zh'"
         " AND t2.pred = 'http://schema.org/source' GROUP BY t2.obj_value"
+        % _TYPED_TRIPLES_SQL
+    ),
+    "kg_sparql_expr": (
+        "WITH t AS (%s) "
+        "SELECT t1.subj AS d,"
+        " upper(t1.obj_value) || '-' ||"
+        " CASE WHEN CAST(t2.obj_value AS DOUBLE) >= 500"
+        "  THEN 'long' ELSE 'short' END AS tag,"
+        " FLOOR(CAST(t2.obj_value AS DOUBLE) / 100) AS hundreds"
+        " FROM t t1 JOIN t t2 ON t2.subj = t1.subj"
+        " WHERE t1.pred = 'http://schema.org/source'"
+        " AND t2.pred = 'http://schema.org/characterCount'"
+        " AND FLOOR(CAST(t2.obj_value AS DOUBLE) / 100) >= 1"
         % _TYPED_TRIPLES_SQL
     ),
     "customers_orders_outer": (

@@ -22,9 +22,13 @@ it raises ``SparqlSyntaxError`` rather than mis-executing):
   predicate-object lists), ``OPTIONAL { ... }``,
   ``{ ... } UNION { ... }`` (top-level arms),
   ``MINUS { ... }``, ``FILTER [NOT] EXISTS { ... }``,
-  ``VALUES ?v { ... }``, ``BIND(UCASE|LCASE|STR(?x) AS ?y)``,
-  ``FILTER (expr)`` — comparisons over vars/literals/numbers,
-  ``REGEX(?v, "pat")``, ``&&`` / ``||`` / ``!``
+  ``VALUES ?v { ... }``, ``BIND(expr AS ?y)`` over the full value
+  fragment, ``FILTER (expr)`` — comparisons over value expressions
+  (vars/literals/numbers, ``+ - * /`` arithmetic, and the function
+  library: STR, UCASE, LCASE, STRLEN, SUBSTR, CONCAT, STRBEFORE,
+  STRAFTER, REPLACE, ABS, CEIL, FLOOR, ROUND, BOUND, COALESCE, IF —
+  see ``_FilterCompiler``), ``REGEX(?v, "pat")``, ``STRSTARTS`` /
+  ``STRENDS`` / ``CONTAINS``, ``&&`` / ``||`` / ``!``
 * ``GRAPH ?g { ... }`` / ``GRAPH <iri> { ... }`` — named-graph (quad)
   patterns against the input's ``graph`` column (the flagship emits
   one named graph per transcript turn; the KG store persists it).
@@ -93,7 +97,7 @@ _TOKEN_RE = re.compile(
   | (?P<number>[+-]?\d+(?:\.\d+)?)
   | (?P<pname>[A-Za-z_][A-Za-z0-9_-]*:[A-Za-z0-9_.-]*)
   | (?P<kw>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op><=|>=|!=|&&|\|\||[{}().;,*=<>!+/^|?])
+  | (?P<op><=|>=|!=|&&|\|\||[{}().;,*=<>!+/^|?-])
     """,
     re.VERBOSE,
 )
@@ -251,9 +255,88 @@ def _num(col):
     return pc.cast(col, pa.float64())
 
 
+def _as_str(v):
+    """Coerce an operand (Array / ChunkedArray / Scalar) to string."""
+    return pc.cast(v, pa.string())
+
+
+def _as_num(v):
+    """Lexical -> float64 with SPARQL type-error-as-unbound semantics:
+    non-numeric strings become null (the row fails FILTER comparisons
+    and BINDs to unbound) instead of poisoning the whole batch."""
+    if isinstance(v, pa.Scalar):
+        try:
+            return pa.scalar(float(v.as_py()), pa.float64())
+        except (TypeError, ValueError):
+            return pa.scalar(None, pa.float64())
+    t = v.type
+    if pa.types.is_floating(t) or pa.types.is_integer(t):
+        return pc.cast(v, pa.float64())
+    import pandas as pd
+
+    ser = pd.to_numeric(
+        pd.Series(_as_str(v).to_pandas()), errors="coerce"
+    )
+    return pa.array(ser, pa.float64(), from_pandas=True)
+
+
+def _scalar_series(v, sub_fn, default=""):
+    """Apply a per-row string->string pandas kernel ``sub_fn`` to an
+    operand; scalars stay scalar (pure fold)."""
+    import pandas as pd
+
+    if isinstance(v, pa.Scalar):
+        out = sub_fn(pd.Series([v.as_py() or ""]))
+        return pa.scalar(out.iloc[0], pa.string())
+    ser = pd.Series(_as_str(v).to_pandas()).fillna(default)
+    return pa.array(sub_fn(ser), pa.string(), from_pandas=True)
+
+
+def _str_before(v, sub):
+    def k(ser):
+        if sub == "":
+            return ser.str.slice(0, 0)
+        has = ser.str.contains(sub, regex=False)
+        return ser.str.split(sub, n=1, regex=False).str[0].where(has, "")
+
+    return _scalar_series(v, k)
+
+
+def _str_after(v, sub):
+    def k(ser):
+        if sub == "":
+            return ser
+        has = ser.str.contains(sub, regex=False)
+        return (
+            ser.str.split(sub, n=1, regex=False).str[1].fillna("").where(has, "")
+        )
+
+    return _scalar_series(v, k)
+
+
 class _FilterCompiler:
-    """Parses a FILTER expression (already tokenized, shared cursor)
-    into a closure ``pa.Table -> BooleanArray``."""
+    """Parses SPARQL expressions (already tokenized, shared cursor).
+
+    Two layers sharing one grammar object:
+
+    * boolean layer (``parse_or``) -> closure ``pa.Table ->
+      BooleanArray`` — FILTER / HAVING / the IF() condition;
+    * value layer (``parse_value``) -> ``(kind, closure)`` with kind in
+      {"num", "str"} and the closure mapping ``pa.Table`` to an Array
+      or Scalar — BIND and both sides of comparisons.
+
+    Value fragment: ?vars, string/IRI/number constants, ``+ - * /``
+    arithmetic (numeric, error->null), and the SPARQL 1.1 function
+    library: STR, UCASE, LCASE, STRLEN, SUBSTR (constant start/len,
+    1-based), CONCAT, STRBEFORE, STRAFTER (constant separators),
+    REPLACE (constant pattern/replacement), ABS, CEIL, FLOOR, ROUND
+    (XPath half-up: floor(x+0.5)), BOUND, COALESCE, IF.  Bindings are
+    lexical strings with ``""`` the engine's unbound sentinel, so
+    BOUND/COALESCE treat the empty string as unbound (documented
+    engine-wide stance), and numeric results surface as float64
+    columns.  Everything compiles to pyarrow kernels over whole
+    batches; the only pandas fallbacks (STRBEFORE/STRAFTER and the
+    error-coercing numeric parse) are C-level vectorized."""
 
     def __init__(self, parser, prefixes):
         self.p = parser
@@ -281,10 +364,18 @@ class _FilterCompiler:
             inner = self.parse_unary()
             return lambda t: pc.invert(inner(t))
         if self.p.peek() == ("op", "("):
-            self.p.next()
-            inner = self.parse_or()
-            self.p.expect_op(")")
-            return inner
+            # '(' is ambiguous: boolean group «(?a > 1 && ...)» vs value
+            # parens «(?a + 1) > 2».  Try the boolean read; on failure
+            # rewind and re-parse as a comparison over value parens.
+            save = self.p.i
+            try:
+                self.p.next()
+                inner = self.parse_or()
+                self.p.expect_op(")")
+                return inner
+            except SparqlSyntaxError:
+                self.p.i = save
+                return self.parse_comparison()
         for name, kernel in (
             ("REGEX", pc.match_substring_regex),
             ("STRSTARTS", pc.starts_with),
@@ -294,64 +385,249 @@ class _FilterCompiler:
             if self.p.at_kw(name):
                 self.p.next()
                 self.p.expect_op("(")
-                kind, val = self.p.next()
-                if kind != "var":
-                    raise SparqlSyntaxError("%s needs a variable first" % name)
-                var = val[1:]
+                _k0, arg1 = self.parse_value()
                 self.p.expect_op(",")
                 kind, pat = self.p.next()
                 if kind != "string":
                     raise SparqlSyntaxError("%s needs a string argument" % name)
                 arg = pat[1:-1]
                 self.p.expect_op(")")
-                return lambda t, _v=var, _a=arg, _k=kernel: _k(
-                    pc.cast(t.column(_v), pa.string()), _a
+                return lambda t, _f=arg1, _a=arg, _k=kernel: _k(
+                    _as_str(_f(t)), _a
                 )
-        return self.parse_comparison()
-
-    def _operand(self):
-        """One comparison side: ?var, a constant, or STRLEN(?var).
-        Returns (is_numeric_fn, producer_factory)."""
-        if self.p.at_kw("STRLEN"):
+        if self.p.at_kw("BOUND"):
             self.p.next()
             self.p.expect_op("(")
             kind, val = self.p.next()
             if kind != "var":
-                raise SparqlSyntaxError("STRLEN needs a ?variable")
+                raise SparqlSyntaxError("BOUND needs a ?variable")
             self.p.expect_op(")")
             name = val[1:]
-            return True, lambda numeric, _n=name: (
-                lambda t: pc.cast(
-                    pc.utf8_length(pc.cast(t.column(_n), pa.string())), pa.float64()
-                )
-            )
-        kind, val = self.p.next()
-        if kind == "var":
-            name = val[1:]
-            return False, lambda numeric, _n=name: (
-                (lambda t: _num(t.column(_n)))
-                if numeric
-                else (lambda t: pc.cast(t.column(_n), pa.string()))
-            )
-        const = _resolve(kind, val, self.prefixes)
-        is_num = kind == "number"
-        return is_num, lambda numeric, _c=const: (
-            (lambda t: float(_c)) if numeric else (lambda t: _c)
-        )
+
+            def bound(t, _n=name):
+                from .sparql import UNBOUND
+
+                if _n not in t.column_names:
+                    return pa.array([False] * t.num_rows, pa.bool_())
+                col = pc.fill_null(_as_str(t.column(_n)), UNBOUND)
+                return pc.not_equal(col, UNBOUND)
+
+            return bound
+        return self.parse_comparison()
 
     def parse_comparison(self):
-        lnum, lfac = self._operand()
+        lk, lf = self.parse_value()
         kind, op = self.p.next()
         if kind != "op" or op not in ("=", "!=", "<", "<=", ">", ">="):
             raise SparqlSyntaxError("expected comparison operator, got %r" % op)
-        rnum, rfac = self._operand()
-        numeric = lnum or rnum
+        rk, rf = self.parse_value()
+        numeric = "num" in (lk, rk)
         fn = {
             "=": pc.equal, "!=": pc.not_equal, "<": pc.less,
             "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal,
         }[op]
-        ls, rs = lfac(numeric), rfac(numeric)
-        return lambda t: fn(ls(t), rs(t))
+        if numeric:
+            return lambda t: fn(_as_num(lf(t)), _as_num(rf(t)))
+        return lambda t: fn(_as_str(lf(t)), _as_str(rf(t)))
+
+    # ---- value layer -----------------------------------------------------
+
+    def parse_value(self):
+        """Additive value expression -> (kind, closure)."""
+        k, f = self._parse_mul()
+        while self.p.peek() in (("op", "+"), ("op", "-")):
+            _, op = self.p.next()
+            _k2, f2 = self._parse_mul()
+            kern = pc.add if op == "+" else pc.subtract
+            f = (
+                lambda a, b, kk: lambda t: kk(_as_num(a(t)), _as_num(b(t)))
+            )(f, f2, kern)
+            k = "num"
+        return k, f
+
+    def _parse_mul(self):
+        k, f = self._parse_vunary()
+        while self.p.peek() in (("op", "*"), ("op", "/")):
+            _, op = self.p.next()
+            _k2, f2 = self._parse_vunary()
+            kern = pc.multiply if op == "*" else pc.divide
+            f = (
+                lambda a, b, kk: lambda t: kk(_as_num(a(t)), _as_num(b(t)))
+            )(f, f2, kern)
+            k = "num"
+        return k, f
+
+    def _parse_vunary(self):
+        if self.p.peek() == ("op", "-"):
+            self.p.next()
+            _k, f = self._parse_vunary()
+            return "num", (lambda a: lambda t: pc.negate(_as_num(a(t))))(f)
+        return self._parse_vprimary()
+
+    def _args(self, n_min, n_max=None):
+        """Parse '(' value, value, ... ')' -> list of (kind, closure)."""
+        n_max = n_min if n_max is None else n_max
+        self.p.expect_op("(")
+        out = []
+        while True:
+            out.append(self.parse_value())
+            if self.p.peek() == ("op", ","):
+                self.p.next()
+                continue
+            break
+        self.p.expect_op(")")
+        if not (n_min <= len(out) <= n_max):
+            raise SparqlSyntaxError(
+                "expected %d..%d arguments, got %d" % (n_min, n_max, len(out))
+            )
+        return out
+
+    def _const_arg(self, want="string"):
+        kind, val = self.p.next()
+        if kind != want:
+            raise SparqlSyntaxError("expected a %s constant, got %r" % (want, val))
+        return _resolve(kind, val, self.prefixes)
+
+    def _parse_vprimary(self):
+        pk, pv = self.p.peek()
+        if (pk, pv) == ("op", "("):
+            self.p.next()
+            k, f = self.parse_value()
+            self.p.expect_op(")")
+            return k, f
+        if pk == "kw":
+            u = pv.upper()
+            if u in ("STR", "UCASE", "LCASE"):
+                self.p.next()
+                ((_k, f),) = self._args(1)
+                kern = {
+                    "STR": lambda a: a,
+                    "UCASE": pc.utf8_upper,
+                    "LCASE": pc.utf8_lower,
+                }[u]
+                return "str", (lambda a, kk: lambda t: kk(_as_str(a(t))))(f, kern)
+            if u == "STRLEN":
+                self.p.next()
+                ((_k, f),) = self._args(1)
+                return "num", (
+                    lambda a: lambda t: pc.cast(
+                        pc.utf8_length(_as_str(a(t))), pa.float64()
+                    )
+                )(f)
+            if u in ("ABS", "CEIL", "FLOOR", "ROUND"):
+                self.p.next()
+                ((_k, f),) = self._args(1)
+                kern = {
+                    "ABS": pc.abs,
+                    "CEIL": pc.ceil,
+                    "FLOOR": pc.floor,
+                    # XPath fn:round: round half toward +inf
+                    "ROUND": lambda v: pc.floor(pc.add(v, 0.5)),
+                }[u]
+                return "num", (lambda a, kk: lambda t: kk(_as_num(a(t))))(f, kern)
+            if u == "CONCAT":
+                self.p.next()
+                parts = self._args(1, 64)
+
+                def concat(t, _ps=tuple(f for _k, f in parts)):
+                    vals = [_as_str(p(t)) for p in _ps]
+                    return pc.binary_join_element_wise(*vals, "")
+
+                return "str", concat
+            if u == "SUBSTR":
+                self.p.next()
+                self.p.expect_op("(")
+                _k, f = self.parse_value()
+                self.p.expect_op(",")
+                start = int(float(self._const_arg("number")))
+                length = None
+                if self.p.peek() == ("op", ","):
+                    self.p.next()
+                    length = int(float(self._const_arg("number")))
+                self.p.expect_op(")")
+                stop = None if length is None else start - 1 + length
+
+                def substr(t, _f=f, _a=start - 1, _b=stop):
+                    return pc.utf8_slice_codeunits(_as_str(_f(t)), _a, _b)
+
+                return "str", substr
+            if u in ("STRBEFORE", "STRAFTER"):
+                self.p.next()
+                self.p.expect_op("(")
+                _k, f = self.parse_value()
+                self.p.expect_op(",")
+                sub = self._const_arg("string")
+                self.p.expect_op(")")
+                kern = _str_before if u == "STRBEFORE" else _str_after
+                return "str", (lambda a, s, kk: lambda t: kk(a(t), s))(f, sub, kern)
+            if u == "REPLACE":
+                self.p.next()
+                self.p.expect_op("(")
+                _k, f = self.parse_value()
+                self.p.expect_op(",")
+                pat = self._const_arg("string")
+                self.p.expect_op(",")
+                rep = self._const_arg("string")
+                self.p.expect_op(")")
+                return "str", (
+                    lambda a, _p=pat, _r=rep: lambda t: pc.replace_substring_regex(
+                        _as_str(a(t)), _p, _r
+                    )
+                )(f)
+            if u == "COALESCE":
+                self.p.next()
+                parts = self._args(1, 64)
+
+                def coalesce(t, _ps=tuple(f for _k, f in parts)):
+                    from .sparql import UNBOUND
+
+                    out = None
+                    for p in _ps:
+                        v = pc.fill_null(_as_str(p(t)), UNBOUND)
+                        if out is None:
+                            out = v
+                        else:
+                            out = pc.if_else(pc.equal(out, UNBOUND), v, out)
+                    return out
+
+                return "str", coalesce
+            if u == "IF":
+                self.p.next()
+                self.p.expect_op("(")
+                cond = self.parse_or()
+                self.p.expect_op(",")
+                k1, f1 = self.parse_value()
+                self.p.expect_op(",")
+                k2, f2 = self.parse_value()
+                self.p.expect_op(")")
+                if k1 == k2 == "num":
+                    return "num", (
+                        lambda c, a, b: lambda t: pc.if_else(
+                            c(t), _as_num(a(t)), _as_num(b(t))
+                        )
+                    )(cond, f1, f2)
+                return "str", (
+                    lambda c, a, b: lambda t: pc.if_else(
+                        c(t), _as_str(a(t)), _as_str(b(t))
+                    )
+                )(cond, f1, f2)
+            raise SparqlSyntaxError("unsupported function %r" % pv)
+        kind, val = self.p.next()
+        if kind == "var":
+            name = val[1:]
+
+            def var_col(t, _n=name):
+                from .sparql import UNBOUND
+
+                if _n not in t.column_names:
+                    return pa.scalar(UNBOUND, pa.string())
+                return t.column(_n)
+
+            return "str", var_col
+        const = _resolve(kind, val, self.prefixes)
+        if kind == "number":
+            return "num", (lambda _c=float(const): lambda t: pa.scalar(_c, pa.float64()))()
+        return "str", (lambda _c=const: lambda t: pa.scalar(_c, pa.string()))()
 
 
 # --------------------------------------------------------------------------
@@ -568,20 +844,13 @@ def parse_query(text: str) -> dict:
         elif p.at_kw("BIND"):
             p.next()
             p.expect_op("(")
-            kind, fn = p.next()
-            if kind != "kw" or fn.upper() not in ("UCASE", "LCASE", "STR"):
-                raise SparqlSyntaxError("unsupported BIND function %r" % fn)
-            p.expect_op("(")
-            kind, var = p.next()
-            if kind != "var":
-                raise SparqlSyntaxError("BIND function needs a ?variable")
-            p.expect_op(")")
+            _kind, expr = _FilterCompiler(p, prefixes).parse_value()
             p.expect_kw("AS")
             kind, alias = p.next()
             if kind != "var":
                 raise SparqlSyntaxError("AS needs a ?variable")
             p.expect_op(")")
-            binds.append((alias[1:], fn.upper(), var[1:]))
+            binds.append((alias[1:], expr))
             if p.peek() == ("op", "."):
                 p.next()
         else:
@@ -817,13 +1086,15 @@ def execute(triples_ds, query: str, n_buckets: int = 64):
     for var, vals in plan["values"]:
         b = values_filter(b, var, vals)
 
-    for alias, fn, src in plan["binds"]:
-        expr = {
-            "UCASE": lambda t, s=src: pc.utf8_upper(pc.cast(t.column(s), pa.string())),
-            "LCASE": lambda t, s=src: pc.utf8_lower(pc.cast(t.column(s), pa.string())),
-            "STR": lambda t, s=src: pc.cast(t.column(s), pa.string()),
-        }[fn]
-        b = bind_var(b, alias, expr)
+    for alias, expr in plan["binds"]:
+
+        def bind_col(t, _e=expr):
+            v = _e(t)
+            if isinstance(v, pa.Scalar):
+                v = pa.array([v.as_py()] * t.num_rows, type=v.type)
+            return v
+
+        b = bind_var(b, alias, bind_col)
 
     for f in plan["filters"]:
         b = filter_bindings(b, f)
@@ -878,7 +1149,7 @@ def execute(triples_ds, query: str, n_buckets: int = 64):
         )
         all_vars = sorted(
             {v for pat in all_pats for v in pattern_vars(pat)}
-            | {alias for alias, _, _ in plan["binds"]}
+            | {alias for alias, _ in plan["binds"]}
         )
         out_cols = all_vars if plan["star"] else plan["proj"]
 
@@ -1131,7 +1402,7 @@ def explain(query: str, store_dir: str | None = None) -> str:
     if plan["values"]:
         lines.append("  values: %s" % ", ".join("?%s(%d)" % (v, len(vs)) for v, vs in plan["values"]))
     if plan["binds"]:
-        lines.append("  binds: %s" % ", ".join("?%s=%s(?%s)" % (a, f, v) for a, f, v in plan["binds"]))
+        lines.append("  binds: %s" % ", ".join("?%s=<expr>" % a for a, _ in plan["binds"]))
     if plan["group_by"]:
         lines.append("group by: %s" % " ".join("?%s" % v for v in plan["group_by"]))
     if plan["order_by"]:

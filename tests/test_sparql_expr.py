@@ -1,0 +1,203 @@
+"""SPARQL 1.1 expression / function library (sparql_text's
+_FilterCompiler value layer): arithmetic, string and numeric
+functions, BOUND/COALESCE/IF — in BIND and in FILTER comparisons."""
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from rdfa_ray.stages.sparql_text import SparqlSyntaxError, execute
+
+PREFIX = "PREFIX ex: <http://ex.org/>\n"
+
+
+def _triples(rows):
+    subj, pred, obj = zip(*rows)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "subj": pa.array(subj, pa.string()),
+                "pred": pa.array(pred, pa.string()),
+                "obj_value": pa.array(obj, pa.string()),
+            }
+        )
+    )
+
+
+ROWS = [
+    ("a", "http://ex.org/size", "10"),
+    ("b", "http://ex.org/size", "200"),
+    ("c", "http://ex.org/size", "30"),
+    ("a", "http://ex.org/name", "alpha:one"),
+    ("b", "http://ex.org/name", "beta:two"),
+    ("a", "http://ex.org/nick", "Al"),
+]
+
+
+def _run(q, rows=ROWS):
+    return execute(_triples(rows), PREFIX + q, n_buckets=4).to_pandas()
+
+
+def _col(df, var):
+    return dict(zip(df["d"], df[var]))
+
+
+def test_bind_arithmetic(ray_session):
+    df = _run(
+        "SELECT ?d ?x WHERE { ?d ex:size ?s . BIND(?s * 2 + 1 AS ?x) }"
+    )
+    assert _col(df, "x") == {"a": 21.0, "b": 401.0, "c": 61.0}
+
+
+def test_bind_precedence_and_parens(ray_session):
+    df = _run(
+        "SELECT ?d ?x WHERE { ?d ex:size ?s . BIND((?s + 2) * 10 AS ?x) }"
+    )
+    assert _col(df, "x") == {"a": 120.0, "b": 2020.0, "c": 320.0}
+
+
+def test_unary_minus_and_division(ray_session):
+    df = _run(
+        "SELECT ?d ?x WHERE { ?d ex:size ?s . BIND(- ?s / 4 AS ?x) }"
+    )
+    assert _col(df, "x") == {"a": -2.5, "b": -50.0, "c": -7.5}
+
+
+def test_filter_arithmetic_comparison(ray_session):
+    df = _run(
+        "SELECT ?d WHERE { ?d ex:size ?s . FILTER ((?s + 1) * 2 > 60) }"
+    )
+    assert sorted(df["d"]) == ["b", "c"]
+
+
+def test_numeric_functions(ray_session):
+    df = _run(
+        "SELECT ?d ?f ?c ?r ?ab WHERE { ?d ex:size ?s ."
+        " BIND(FLOOR(?s / 7) AS ?f) BIND(CEIL(?s / 7) AS ?c)"
+        " BIND(ROUND(?s / 7) AS ?r) BIND(ABS(10 - ?s) AS ?ab) }"
+    )
+    got = df.set_index("d")
+    # a: 10/7=1.428.. -> floor 1 ceil 2 round 1 ; abs(0)=0
+    assert got.loc["a", ["f", "c", "r", "ab"]].tolist() == [1.0, 2.0, 1.0, 0.0]
+    # b: 200/7=28.57 -> 28, 29, 29 ; abs(-190)=190
+    assert got.loc["b", ["f", "c", "r", "ab"]].tolist() == [28.0, 29.0, 29.0, 190.0]
+
+
+def test_round_half_up(ray_session):
+    # XPath fn:round: halves go toward +inf (2.5 -> 3, not banker's 2)
+    df = _run(
+        "SELECT ?d ?r WHERE { ?d ex:size ?s . FILTER (?s = 10)"
+        " BIND(ROUND(?s / 4) AS ?r) }"
+    )
+    assert df["r"].iloc[0] == 3.0
+
+
+def test_string_functions(ray_session):
+    df = _run(
+        'SELECT ?d ?u ?sub ?pre ?post ?rep ?n WHERE { ?d ex:name ?nm .'
+        " BIND(UCASE(?nm) AS ?u) BIND(SUBSTR(?nm, 1, 4) AS ?sub)"
+        ' BIND(STRBEFORE(?nm, ":") AS ?pre) BIND(STRAFTER(?nm, ":") AS ?post)'
+        ' BIND(REPLACE(?nm, "[aeiou]", "_") AS ?rep) BIND(STRLEN(?nm) AS ?n) }'
+    )
+    got = df.set_index("d")
+    assert got.loc["a", "u"] == "ALPHA:ONE"
+    assert got.loc["a", "sub"] == "alph"
+    assert got.loc["a", "pre"] == "alpha" and got.loc["a", "post"] == "one"
+    assert got.loc["b", "rep"] == "b_t_:tw_"
+    assert got.loc["a", "n"] == 9.0
+
+
+def test_strbefore_strafter_absent_separator(ray_session):
+    # SPARQL: no match -> ""
+    df = _run(
+        'SELECT ?d ?pre ?post WHERE { ?d ex:nick ?k .'
+        ' BIND(STRBEFORE(?k, ":") AS ?pre) BIND(STRAFTER(?k, ":") AS ?post) }'
+    )
+    assert df["pre"].iloc[0] == "" and df["post"].iloc[0] == ""
+
+
+def test_concat_mixed_expressions(ray_session):
+    df = _run(
+        'SELECT ?d ?tag WHERE { ?d ex:name ?nm .'
+        ' BIND(CONCAT(UCASE(STRBEFORE(?nm, ":")), "-", STRAFTER(?nm, ":")) AS ?tag) }'
+    )
+    assert _col(df, "tag") == {"a": "ALPHA-one", "b": "BETA-two"}
+
+
+def test_bound_and_coalesce_over_optional(ray_session):
+    q = (
+        "SELECT ?d ?has ?k2 WHERE { ?d ex:size ?s ."
+        " OPTIONAL { ?d ex:nick ?k }"
+        ' BIND(IF(BOUND(?k), "y", "n") AS ?has)'
+        ' BIND(COALESCE(?k, "anon") AS ?k2) }'
+    )
+    df = _run(q)
+    assert _col(df, "has") == {"a": "y", "b": "n", "c": "n"}
+    assert _col(df, "k2") == {"a": "Al", "b": "anon", "c": "anon"}
+
+
+def test_filter_bound_negation(ray_session):
+    q = (
+        "SELECT ?d WHERE { ?d ex:size ?s ."
+        " OPTIONAL { ?d ex:nick ?k } FILTER (!BOUND(?k)) }"
+    )
+    assert sorted(_run(q)["d"]) == ["b", "c"]
+
+
+def test_if_numeric_branches(ray_session):
+    df = _run(
+        "SELECT ?d ?band WHERE { ?d ex:size ?s ."
+        " BIND(IF(?s >= 100, ?s / 100, 0) AS ?band) }"
+    )
+    assert _col(df, "band") == {"a": 0.0, "b": 2.0, "c": 0.0}
+
+
+def test_bind_then_filter_on_bound_var(ray_session):
+    df = _run(
+        "SELECT ?d WHERE { ?d ex:size ?s . BIND(?s * 3 AS ?t)"
+        " FILTER (?t >= 90) }"
+    )
+    assert sorted(df["d"]) == ["b", "c"]
+
+
+def test_numeric_type_error_drops_row(ray_session):
+    # name is non-numeric: ?nm * 2 is a SPARQL type error -> row drops
+    df = _run(
+        "SELECT ?d WHERE { ?d ex:name ?nm . FILTER (?nm * 2 > 0) }"
+    )
+    assert len(df) == 0
+
+
+def test_contains_on_expression(ray_session):
+    df = _run(
+        'SELECT ?d WHERE { ?d ex:name ?nm . FILTER (CONTAINS(UCASE(?nm), "ALPHA")) }'
+    )
+    assert sorted(df["d"]) == ["a"]
+
+
+def test_unsupported_function_is_loud(ray_session):
+    with pytest.raises(SparqlSyntaxError):
+        _run("SELECT ?d WHERE { ?d ex:size ?s . BIND(MD5(?s) AS ?x) }")
+
+
+def test_expr_vs_duckdb_oracle(ray_session):
+    """Dual-oracle: the same expression pipeline in DuckDB SQL."""
+    import duckdb
+
+    q = (
+        "SELECT ?d ?score WHERE { ?d ex:size ?s ."
+        " BIND(FLOOR((?s + 5) / 3) AS ?score) FILTER (?score > 4) }"
+    )
+    got = _run(q).sort_values("d").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t(subj VARCHAR, pred VARCHAR, obj_value VARCHAR)"
+    )
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", ROWS)
+    want = con.execute(
+        "SELECT subj AS d, FLOOR((CAST(obj_value AS DOUBLE) + 5) / 3) AS score"
+        " FROM t WHERE pred = 'http://ex.org/size'"
+        " AND FLOOR((CAST(obj_value AS DOUBLE) + 5) / 3) > 4 ORDER BY d"
+    ).fetchdf()
+    assert got["d"].tolist() == want["d"].tolist()
+    assert got["score"].tolist() == want["score"].tolist()
