@@ -69,12 +69,14 @@ def exact_dup_drops(docs_ds, n_buckets: int = 64):
             "__bucket", crc32_bucket(batch.column("h"), n_buckets)
         )
 
-    def drops(group: pd.DataFrame) -> pd.DataFrame:
+    def drops(group: pd.DataFrame) -> pa.Table:
         if not len(group):
-            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+            return pa.Table.from_pydict({"doc_id": pa.array([], pa.int64())})
         keeper = group.groupby("h", sort=False)["doc_id"].transform("min")
-        out = group.loc[group["doc_id"].to_numpy() != keeper.to_numpy(), ["doc_id"]]
-        return out.reset_index(drop=True)
+        out = group.loc[group["doc_id"].to_numpy() != keeper.to_numpy(), "doc_id"]
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(out.to_numpy(dtype="int64"), pa.int64())}
+        )
 
     return (
         hashed.map_batches(bucketed, batch_format="pyarrow")

@@ -176,7 +176,7 @@ def quality_gate(docs_ds, min_chars: int = 0, n: int = 3):
     batch columns pass through unchanged; zero shuffle."""
     import pandas as pd
 
-    def gate(batch: pd.DataFrame) -> pd.DataFrame:
+    def gate(batch: pd.DataFrame):
         if not len(batch):
             return batch
         agg = _gram_counts(batch, n)
@@ -185,7 +185,16 @@ def quality_gate(docs_ds, min_chars: int = 0, n: int = 3):
         keep.iloc[ok_pos] = True
         if min_chars:
             keep &= batch["text"].fillna("").str.len().to_numpy() >= min_chars
-        return batch[keep.to_numpy()].reset_index(drop=True)
+        out = batch[keep.to_numpy()].reset_index(drop=True)
+        # emit Arrow with stripped metadata: pandas-origin schemas carry
+        # an unhashable metadata dict that defeats Ray's block-schema
+        # dedup in every downstream shuffle (see sources/io.py); empty
+        # batches stay pandas (object->null typing would skew the schema)
+        if not len(out):
+            return out
+        return pa.Table.from_pandas(
+            out, preserve_index=False
+        ).replace_schema_metadata(None)
 
     return docs_ds.map_batches(gate, batch_format="pandas")
 
