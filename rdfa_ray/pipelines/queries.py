@@ -781,7 +781,7 @@ def q_dedup_substrings(sf_dir: str):
         df = batch.to_pandas()
         mark = (df["doc_id"] % 101 == 0) & (df["doc_id"] > 0)
         df.loc[mark, "text"] = df.loc[mark, "text"] + " " + span
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     out = substring_dup_pairs(docs.map_batches(plant, batch_format="pyarrow"))
     return out.select_columns(["a", "b", "n_shared"])

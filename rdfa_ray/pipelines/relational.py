@@ -653,7 +653,7 @@ def events_pivot(sf_dir: str):
         tbl = pa.Table.from_pandas(out, preserve_index=False)
         return tbl.append_column(
             "_bucket", crc32_bucket(tbl.column("user_id"), n_buckets)
-        ).to_pandas()
+        ).replace_schema_metadata(None)
 
     def bucket_sum(group: pd.DataFrame) -> pd.DataFrame:
         if not len(group):

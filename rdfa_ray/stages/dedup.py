@@ -269,7 +269,7 @@ def substring_dup_pairs(docs_ds, window: int = 8, min_shared: int = 2, n_buckets
         tbl = pa.Table.from_pandas(out, preserve_index=False)
         return tbl.append_column(
             "__bucket", crc32_bucket_concat(tbl, ["a", "b"], n_buckets)
-        ).to_pandas()
+        ).replace_schema_metadata(None)
 
     def reduce_pairs(group: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(

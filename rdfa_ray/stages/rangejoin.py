@@ -108,6 +108,8 @@ def range_join_count(
         )
         out = l[keep].copy()
         out[count_col] = counts.astype("int64")
-        return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
+        return pa.Table.from_pandas(
+            out, schema=out_schema, preserve_index=False
+        ).replace_schema_metadata(None)
 
     return tagged.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")

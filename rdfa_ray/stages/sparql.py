@@ -507,7 +507,7 @@ def grouped_count_distinct(bindings, group_vars, var, alias, n_buckets: int = 64
         tbl = pa.Table.from_pandas(out, preserve_index=False)
         return tbl.append_column(
             "__bucket", crc32_bucket_concat(tbl, gvars, n_buckets)
-        ).to_pandas()
+        ).replace_schema_metadata(None)
 
     def reduce_bucket(group: pd.DataFrame) -> pd.DataFrame:
         if not len(group):
@@ -591,7 +591,7 @@ def grouped_aggregate(bindings, group_vars, aggs, having=None, n_buckets: int = 
         tbl = pa.Table.from_pandas(res, preserve_index=False)
         return tbl.append_column(
             "__bucket", crc32_bucket_concat(tbl, gvars, n_buckets)
-        ).to_pandas()
+        ).replace_schema_metadata(None)
 
     def reduce_bucket(group: pd.DataFrame) -> pd.DataFrame:
         if not len(group):
