@@ -559,6 +559,29 @@ def grouped_aggregate(bindings, group_vars, aggs, having=None, n_buckets: int = 
     gvars = list(group_vars)
     sep = "\x1f"
 
+    if not gvars:
+        # global (ungrouped) aggregate — SPARQL treats the whole
+        # solution set as one group: aggregate under a constant hidden
+        # key, then drop it.  Empty input still yields ONE row (the
+        # SPARQL §18.5 empty-group result: COUNT=0, others unbound) —
+        # handled by the caller's projection of the single reduce row.
+        hidden = "__all"
+
+        def add_key(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                hidden, pa.array(["0"] * t.num_rows, pa.string())
+            )
+
+        out = grouped_aggregate(
+            bindings.map_batches(add_key, batch_format="pyarrow"),
+            [hidden],
+            aggs,
+            having=having,
+            n_buckets=1,
+        )
+        keep = [a[2] for a in aggs]
+        return out.select_columns(keep)
+
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         if not len(batch):
             return pd.DataFrame()

@@ -17,7 +17,10 @@ it raises ``SparqlSyntaxError`` rather than mis-executing):
 * query forms: ``SELECT`` / ``ASK { ... }`` / ``CONSTRUCT { tmpl }
   WHERE { ... }``
 * ``SELECT [DISTINCT] ?v ... | *`` with aggregate projections
-  ``(COUNT(*) AS ?n)`` / ``(SUM|AVG|MIN|MAX|SAMPLE(?x) AS ?y)``
+  ``(COUNT(*) AS ?n)`` / ``(SUM|AVG|MIN|MAX|SAMPLE(expr) AS ?y)`` —
+  aggregates accept full value expressions (compiled to a hidden BIND
+  column), with or without GROUP BY (a global aggregate groups the
+  whole solution set)
 * ``WHERE { ... }`` with triple patterns ('.'-separated, ';'
   predicate-object lists), ``OPTIONAL { ... }``,
   ``{ ... } UNION { ... }`` (top-level arms),
@@ -417,6 +420,32 @@ class _FilterCompiler:
 
     def parse_comparison(self):
         lk, lf = self.parse_value()
+        nk, nv = self.p.peek(1)
+        if self.p.at_kw("IN") or (
+            self.p.at_kw("NOT") and nk == "kw" and nv.upper() == "IN"
+        ):
+            neg = False
+            if self.p.at_kw("NOT"):
+                self.p.next()
+                neg = True
+            self.p.next()  # IN
+            self.p.expect_op("(")
+            consts = []
+            while True:
+                k, v = self.p.next()
+                consts.append(str(_resolve(k, v, self.prefixes)))
+                if self.p.peek() == ("op", ","):
+                    self.p.next()
+                    continue
+                break
+            self.p.expect_op(")")
+            arr = pa.array(consts, pa.string())
+
+            def isin(t, _f=lf, _arr=arr, _n=neg):
+                m = pc.is_in(_as_str(_f(t)), value_set=_arr)
+                return pc.invert(m) if _n else m
+
+            return isin
         kind, op = self.p.next()
         if kind != "op" or op not in ("=", "!=", "<", "<=", ">", ">="):
             raise SparqlSyntaxError("expected comparison operator, got %r" % op)
@@ -653,6 +682,7 @@ def parse_query(text: str) -> dict:
         prefixes[pre] = iri[1:-1]
 
     form = "select"
+    agg_binds: list = []  # hidden (var, expr) for aggregates over expressions
     template = []
     distinct = False
     proj, aggs = [], []
@@ -698,15 +728,20 @@ def parse_query(text: str) -> dict:
                     raise SparqlSyntaxError("DISTINCT only supported in COUNT")
                 p.next()
                 distinct_arg = True
-            kind, arg = p.next()
-            if (kind, arg) == ("op", "*"):
+            if p.peek() == ("op", "*"):
+                p.next()
                 if fn.upper() != "COUNT" or distinct_arg:
                     raise SparqlSyntaxError("* only valid in COUNT(*)")
                 argvar = None
-            elif kind == "var":
-                argvar = arg[1:]
+            elif p.peek()[0] == "var" and p.peek(1) == ("op", ")"):
+                argvar = p.next()[1][1:]
             else:
-                raise SparqlSyntaxError("aggregate needs ?var or *")
+                # aggregate over an expression: compile it and feed the
+                # aggregate through a hidden BIND column (applied after
+                # user BINDs, before grouping)
+                _ek, expr = _FilterCompiler(p, prefixes).parse_value()
+                argvar = "__agg_expr_%d" % len(agg_binds)
+                agg_binds.append((argvar, expr))
             p.expect_op(")")
             if distinct_arg:
                 fn = "count_distinct"
@@ -855,6 +890,10 @@ def parse_query(text: str) -> dict:
                 p.next()
         else:
             parse_triples_block(patterns)
+
+    # hidden aggregate-expression binds run after every user BIND (they
+    # may reference user-bound variables), right before grouping
+    binds.extend(agg_binds)
 
     if union_arms and (patterns or optionals or minus_groups or exists_groups):
         raise SparqlSyntaxError(

@@ -201,3 +201,40 @@ def test_expr_vs_duckdb_oracle(ray_session):
     ).fetchdf()
     assert got["d"].tolist() == want["d"].tolist()
     assert got["score"].tolist() == want["score"].tolist()
+
+
+def test_filter_in_and_not_in(ray_session):
+    df = _run('SELECT ?d WHERE { ?d ex:size ?s . FILTER (?s IN ("10", "30")) }')
+    assert sorted(df["d"]) == ["a", "c"]
+    df = _run(
+        'SELECT ?d WHERE { ?d ex:size ?s . FILTER (?s NOT IN ("10", "30")) }'
+    )
+    assert sorted(df["d"]) == ["b"]
+
+
+def test_aggregate_over_expression(ray_session):
+    df = _run(
+        "SELECT (SUM(?s * 2) AS ?tot) (MAX(STRLEN(?nm)) AS ?mx) WHERE {"
+        " ?d ex:size ?s . ?d ex:name ?nm }"
+    )
+    # only a and b have names: sum = (10+200)*2 = 420; max len = 9
+    assert df["tot"].iloc[0] == 420.0
+    assert df["mx"].iloc[0] == 9.0
+
+
+def test_aggregate_expr_with_group_by(ray_session):
+    rows = ROWS + [("c", "http://ex.org/name", "gamma:three")]
+    df = _run(
+        "SELECT ?nm (SUM(?s + 1) AS ?t) WHERE {"
+        " ?d ex:size ?s . ?d ex:name ?nm } GROUP BY ?nm",
+        rows=rows,
+    ).sort_values("nm")
+    assert df["t"].tolist() == [11.0, 201.0, 31.0]
+
+
+def test_aggregate_expr_over_user_bind(ray_session):
+    df = _run(
+        "SELECT (SUM(?half) AS ?t) WHERE { ?d ex:size ?s ."
+        " BIND(?s / 2 AS ?half) }"
+    )
+    assert df["t"].iloc[0] == 120.0
