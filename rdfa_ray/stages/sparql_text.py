@@ -30,7 +30,8 @@ it raises ``SparqlSyntaxError`` rather than mis-executing):
   (vars/literals/numbers, ``+ - * /`` arithmetic, and the function
   library: STR, UCASE, LCASE, STRLEN, SUBSTR, CONCAT, STRBEFORE,
   STRAFTER, REPLACE, ABS, CEIL, FLOOR, ROUND, BOUND, COALESCE, IF —
-  see ``_FilterCompiler``), ``REGEX(?v, "pat")``, ``STRSTARTS`` /
+  see ``_FilterCompiler``), ``expr [NOT] IN (const, ...)``,
+  ``REGEX(?v, "pat")``, ``STRSTARTS`` /
   ``STRENDS`` / ``CONTAINS``, ``&&`` / ``||`` / ``!``
 * ``GRAPH ?g { ... }`` / ``GRAPH <iri> { ... }`` — named-graph (quad)
   patterns against the input's ``graph`` column (the flagship emits
