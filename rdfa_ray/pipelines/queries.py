@@ -956,6 +956,14 @@ def q_dedup_semantic(sf_dir: str):
     return semantic_dup_pairs(planted, k=16, threshold=0.95)
 
 
+def q_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5 shape: 6-table join with exactly two exchanges (see
+    relational.local_supplier_volume's scale plan)."""
+    from .relational import local_supplier_volume
+
+    return local_supplier_volume(sf_dir)
+
+
 def q_bm25_search(sf_dir: str):
     """BM25 keyword retrieval (the lexical twin of the ANN queries):
     top-20 documents for a three-term query, one tokenizing pass that
@@ -2541,6 +2549,7 @@ QUERIES = {
     "docs_stratified_sample": q_docs_stratified_sample,
     "tfidf_top50": q_tfidf_top50,
     "bm25_search": q_bm25_search,
+    "local_supplier_volume": q_local_supplier_volume,
 }
 
 
@@ -3383,6 +3392,20 @@ ORACLE_SQL = {
         "SELECT event_id, COALESCE(CAST(epoch_us(ts) - LAG(epoch_us(ts))"
         " OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT), -1)"
         " AS delta_us FROM events"
+    ),
+    "local_supplier_volume": (
+        "SELECT n.n_name AS n_name,"
+        " CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100.0)"
+        " AS BIGINT)) AS BIGINT) AS revenue_cents "
+        "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+        "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+        "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+        "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+        "JOIN region r ON n.n_regionkey = r.r_regionkey "
+        "WHERE r.r_name = 'ASIA' AND c.c_nationkey = s.s_nationkey"
+        " AND o.o_orderdate >= TIMESTAMP '1996-01-01'"
+        " AND o.o_orderdate < TIMESTAMP '1997-01-01' "
+        "GROUP BY 1 ORDER BY revenue_cents DESC"
     ),
     "bm25_search": (
         "WITH toks AS (SELECT doc_id,"

@@ -791,3 +791,174 @@ def docs_stratified_sample(sf_dir: str):
         return batch.filter(pc.fill_null(keep, False))
 
     return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def local_supplier_volume(
+    sf_dir: str,
+    region: str = "ASIA",
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+    n_buckets: int = 32,
+):
+    """TPC-H Q5 shape: the 6-table join (region |><| nation |><|
+    customer |><| orders |><| lineitem |><| supplier) -> revenue per
+    nation, for orders in a date window whose customer AND supplier
+    sit in the same nation of one region.
+
+    Scale plan — exactly TWO all-to-all exchanges for a 6-table join:
+
+    * region, nation, supplier are broadcast dimensions: read
+      driver-side (they are the tiny tables of the schema), shipped
+      once via ``ray.put`` as (nationkey -> name) and (suppkey ->
+      nationkey) dicts.
+    * customer is cut map-side to the region's nations and projected
+      to (custkey, nationkey) BEFORE its exchange — the join carries
+      9-byte rows, not customer rows.
+    * exchange 1: bucketed orders |><| customer on custkey (orders
+      pre-filtered to the date window map-side).
+    * exchange 2: bucketed lineitem |><| (orders x customer) on
+      orderkey — lineitem pre-projected to (orderkey, suppkey,
+      revenue_cents) with revenue quantized per row.
+    * the supplier-nation equality (the Q5 twist: c_nationkey =
+      s_nationkey) is a map-side broadcast-dict lookup right after
+      exchange 2, and the final per-nation sum is a map-side partial
+      + a 5-row groupby — no third shuffle.
+
+    Revenue quantizes per row (ROUND(ext*(1-disc)*100) as int64) so
+    the DuckDB oracle compares hash-exact."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..stages.join import bucketed_hash_join
+
+    nation = pq.read_table(
+        "%s/nation.parquet" % sf_dir,
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    ).to_pandas()
+    reg = pq.read_table(
+        "%s/region.parquet" % sf_dir, columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    rkeys = set(reg.loc[reg["r_name"] == region, "r_regionkey"])
+    nat = nation[nation["n_regionkey"].isin(rkeys)]
+    nat_name = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    supp = pq.read_table(
+        "%s/supplier.parquet" % sf_dir, columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    supp_nat = dict(
+        zip(supp["s_suppkey"].astype(int), supp["s_nationkey"].astype(int))
+    )
+    nat_ref = ray.put(nat_name)
+    supp_ref = ray.put(supp_nat)
+
+    def cust_project(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..state.broadcast import bcast_cached
+
+        nats = bcast_cached(nat_ref)
+        m = batch["c_nationkey"].isin(nats)
+        out = batch.loc[m, ["c_custkey", "c_nationkey"]].copy()
+        out.columns = ["o_custkey", "c_nationkey"]
+        return out.astype({"o_custkey": "int64", "c_nationkey": "int64"})
+
+    customer = read_parquet_clean(
+        "%s/customer.parquet" % sf_dir, columns=["c_custkey", "c_nationkey"]
+    ).map_batches(cust_project, batch_format="pandas")
+
+    t_from, t_to = pd.Timestamp(date_from), pd.Timestamp(date_to)
+
+    def orders_window(batch: pd.DataFrame) -> pd.DataFrame:
+        m = (batch["o_orderdate"] >= t_from) & (batch["o_orderdate"] < t_to)
+        out = batch.loc[m, ["o_orderkey", "o_custkey"]]
+        return out.astype({"o_orderkey": "int64", "o_custkey": "int64"})
+
+    orders = read_parquet_clean(
+        "%s/orders.parquet" % sf_dir,
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(orders_window, batch_format="pandas")
+
+    ord_cust = bucketed_hash_join(
+        orders,
+        customer,
+        on="o_custkey",
+        n_buckets=n_buckets,
+        left_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("o_custkey", pa.int64()), ("c_nationkey", pa.int64())]
+        ),
+    ).select_columns(["o_orderkey", "c_nationkey"])
+
+    def line_project(batch: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(
+            batch["l_extendedprice"].to_numpy()
+            * (1.0 - batch["l_discount"].to_numpy())
+            * 100.0
+        ).astype("int64")
+        return pd.DataFrame(
+            {
+                "o_orderkey": batch["l_orderkey"].astype("int64"),
+                "l_suppkey": batch["l_suppkey"].astype("int64"),
+                "cents": cents,
+            }
+        )
+
+    line = read_parquet_clean(
+        "%s/lineitem.parquet" % sf_dir,
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(line_project, batch_format="pandas")
+
+    joined = bucketed_hash_join(
+        line,
+        ord_cust,
+        on="o_orderkey",
+        n_buckets=n_buckets,
+        left_schema=pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("l_suppkey", pa.int64()),
+                ("cents", pa.int64()),
+            ]
+        ),
+        right_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("c_nationkey", pa.int64())]
+        ),
+    )
+
+    def nation_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..state.broadcast import bcast_cached
+
+        snat = bcast_cached(supp_ref)
+        names = bcast_cached(nat_ref)
+        empty = pd.DataFrame(
+            {
+                "n_name": pd.Series([], dtype="object"),
+                "revenue_cents": pd.Series([], dtype="int64"),
+            }
+        )
+        if not len(batch):
+            return empty
+        s_nat = batch["l_suppkey"].map(snat)
+        m = s_nat.to_numpy() == batch["c_nationkey"].to_numpy()
+        if not m.any():
+            return empty
+        b = pd.DataFrame(
+            {
+                "n_name": batch.loc[m, "c_nationkey"].map(names),
+                "cents": batch.loc[m, "cents"],
+            }
+        )
+        out = (
+            b.groupby("n_name", sort=False)["cents"].sum().reset_index()
+        )
+        out.columns = ["n_name", "revenue_cents"]
+        return out.astype({"revenue_cents": "int64"})
+
+    from ray.data.aggregate import Sum
+
+    partials = joined.map_batches(nation_partial, batch_format="pandas")
+    return (
+        partials.groupby("n_name")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+        .sort("revenue_cents", descending=True)
+    )

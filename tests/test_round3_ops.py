@@ -257,3 +257,46 @@ def test_assign_split_deterministic_and_leak_free(ray_session):
     assert out.iloc[1]["split"] == out.iloc[51]["split"]
     # both splits are populated at this size
     assert set(out["split"]) == {"train", "holdout"}
+
+
+def test_local_supplier_volume_q5(ray_session):
+    """Q5 shape vs a DuckDB twin at sf0.001, plus edge regions."""
+    import duckdb
+
+    from rdfa_ray.pipelines.relational import local_supplier_volume
+
+    sf = "/root/testdata/sf0.001"
+    got = local_supplier_volume(sf).to_pandas()
+    con = duckdb.connect()
+    for t in ["customer", "orders", "lineitem", "supplier", "nation", "region"]:
+        con.execute(
+            "CREATE VIEW %s AS SELECT * FROM read_parquet('%s/%s.parquet')"
+            % (t, sf, t)
+        )
+    want = con.execute(
+        "SELECT n.n_name AS n_name,"
+        " CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100.0)"
+        " AS BIGINT)) AS BIGINT) AS revenue_cents "
+        "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+        "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+        "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+        "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+        "JOIN region r ON n.n_regionkey = r.r_regionkey "
+        "WHERE r.r_name = 'ASIA' AND c.c_nationkey = s.s_nationkey"
+        " AND o.o_orderdate >= TIMESTAMP '1996-01-01'"
+        " AND o.o_orderdate < TIMESTAMP '1997-01-01' "
+        "GROUP BY 1 ORDER BY revenue_cents DESC, n_name"
+    ).fetchdf()
+    g = got.sort_values(["revenue_cents", "n_name"], ascending=[False, True])
+    assert g["n_name"].tolist() == want["n_name"].tolist()
+    assert g["revenue_cents"].tolist() == want["revenue_cents"].tolist()
+
+    # empty date window -> empty result, no error
+    empty = local_supplier_volume(
+        sf, date_from="1900-01-01", date_to="1900-01-02"
+    ).to_pandas()
+    assert len(empty) == 0
+
+    # unknown region -> empty
+    none = local_supplier_volume(sf, region="ATLANTIS").to_pandas()
+    assert len(none) == 0
