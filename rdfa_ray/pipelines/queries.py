@@ -635,6 +635,19 @@ def q_inverted_index(sf_dir: str):
 
 
 
+def q_events_distinct_users_hll(sf_dir: str):
+    """HyperLogLog distinct-count per event type (fixed 4-KiB register
+    partials, elementwise-max merge; rows-only — the exact twin
+    events_distinct_users carries the SQL oracle and a pytest bounds
+    the sketch error against it)."""
+    from ..stages.sketch import hll_distinct
+
+    ds = read_parquet_clean(
+        "%s/events.parquet" % sf_dir, columns=["event_type", "user_id"]
+    )
+    return hll_distinct(ds, "event_type", "user_id")
+
+
 def q_events_distinct_users_approx(sf_dir: str):
     """KMV sketch distinct-count (approximate, mergeable partials;
     rows-only — the exact twin events_distinct_users carries the SQL
@@ -2461,6 +2474,7 @@ QUERIES = {
     "top_orders_per_segment": q_top_orders_per_segment,
     "events_distinct_users": q_events_distinct_users,
     "events_distinct_users_approx": q_events_distinct_users_approx,
+    "events_distinct_users_hll": q_events_distinct_users_hll,
     "customers_semi": q_customers_semi,
     "customers_semi_bloom": q_customers_semi_bloom,
     "customers_anti": q_customers_anti,

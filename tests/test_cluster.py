@@ -184,3 +184,46 @@ def test_resized_media_invariants(ray_session):
         bytes(again.loc[m, "payload"]) == bytes(out.loc[m, "payload"])
         for m in out.index
     )
+
+
+def test_hll_sketch_accuracy(ray_session):
+    """HLL estimate within ~5 standard errors of exact at p=12, on
+    planted groups of known cardinality (incl. small-range regime)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rdfa_ray.stages.sketch import hll_distinct
+
+    rs = np.random.RandomState(3)
+    gs, keys = [], []
+    for g, n in (("small", 50), ("mid", 2000), ("big", 40000)):
+        vals = rs.randint(0, 1 << 40, size=n * 2)  # dups included
+        uniq = np.unique(vals)[:n]
+        draw = np.concatenate([uniq, rs.choice(uniq, n)])  # repeats
+        gs.extend([g] * len(draw))
+        keys.extend(draw.tolist())
+    ds = rd.from_arrow(
+        pa.table({"g": pa.array(gs), "key": pa.array(keys, pa.int64())})
+    ).repartition(8)
+    got = hll_distinct(ds, "g", "key", p=12).to_pandas().set_index("g")
+    se = 1.04 / np.sqrt(1 << 12)
+    for g, n in (("small", 50), ("mid", 2000), ("big", 40000)):
+        est = got.loc[g, "n_distinct_est"]
+        assert abs(est - n) <= max(5 * se * n, 3), (g, est, n)
+
+
+def test_hll_against_events_exact(ray_session):
+    """Same input as the exact distinct query: estimates within 10%."""
+    import ray.data as rd
+
+    from rdfa_ray.pipelines.relational import events_distinct_users
+    from rdfa_ray.stages.sketch import hll_distinct
+
+    sf = "/root/testdata/sf0.001"
+    exact = events_distinct_users(sf).to_pandas().set_index("event_type")
+    ds = rd.read_parquet("%s/events.parquet" % sf, columns=["event_type", "user_id"])
+    est = hll_distinct(ds, "event_type", "user_id").to_pandas().set_index("event_type")
+    for et, row in exact.iterrows():
+        e = est.loc[et, "n_distinct_est"]
+        assert abs(e - row.iloc[0]) <= max(0.10 * row.iloc[0], 3), (et, e, row.iloc[0])
