@@ -66,13 +66,16 @@ def main(argv=None):
     import ray
 
     if not ray.is_initialized():
-        ray.init(
-            address="local",
-            num_cpus=args.num_cpus,
-            include_dashboard=False,
-            ignore_reinit_error=True,
-            logging_level="ERROR",
-        )
+        # Under `ray job submit` the job runtime exports RAY_ADDRESS for
+        # the cluster; honor it.  Only a standalone local run gets the
+        # num_cpus cap (sizing an existing cluster is not ours to do).
+        addr = os.environ.get("RAY_ADDRESS", "local")
+        init_kwargs = dict(ignore_reinit_error=True, logging_level="ERROR")
+        if addr == "local":
+            init_kwargs.update(
+                num_cpus=args.num_cpus, include_dashboard=False
+            )
+        ray.init(address=addr, **init_kwargs)
     import ray.data as rd
 
     ctx = rd.DataContext.get_current()
