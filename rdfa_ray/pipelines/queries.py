@@ -1948,6 +1948,73 @@ def q_customers_orders_outer(sf_dir: str):
     return joined.map_batches(fill, batch_format="pyarrow")
 
 
+_META_TRIPLES_CACHE: dict = {}
+
+
+def _meta_triples(sf_dir: str):
+    """Distilled triples KEEPING literal metadata (obj_lang /
+    obj_datatype) — the view behind the LANG()/DATATYPE() queries.
+    Same session-scoped materialized cache as ``_typed_triples``."""
+    import os as _os
+
+    import ray as _ray
+
+    from ..sources.transcripts import meta_transcripts_from_documents
+
+    st = _os.stat("%s/documents.parquet" % sf_dir)
+    key = (
+        sf_dir,
+        st.st_mtime_ns,
+        st.st_size,
+        _ray.get_runtime_context().get_job_id(),
+    )
+    ds = _META_TRIPLES_CACHE.get(key)
+    if ds is None:
+        turns = meta_transcripts_from_documents(sf_dir)
+        triples = build_triples(turns).map_batches(
+            split_triples, batch_format="pyarrow"
+        )
+        ds = triples.select_columns(
+            ["subj", "pred", "obj_value", "obj_lang", "obj_datatype"]
+        ).materialize()
+        _META_TRIPLES_CACHE.clear()
+        _META_TRIPLES_CACHE[key] = ds
+    return ds
+
+
+def q_kg_lang_filter(sf_dir: str):
+    """SPARQL LANG() over language-tagged literals: the rdflib user's
+    ``FILTER (LANG(?name) = "zh")`` — literal metadata rides the BGP
+    scan as pseudo-columns (stages/bgp.meta_vars_for)."""
+    from ..stages.sparql_text import execute
+
+    return execute(
+        _meta_triples(sf_dir),
+        """
+        PREFIX schema: <http://schema.org/>
+        SELECT ?d ?name WHERE {
+          ?d schema:name ?name . FILTER (LANG(?name) = "zh")
+        }
+        """,
+    )
+
+
+def q_kg_datatype_census(sf_dir: str):
+    """SPARQL DATATYPE() census over every triple (variable predicate):
+    counts per object datatype ('' = IRI object or untyped/lang-tagged
+    literal — the engine stores exactly what the kernel emitted)."""
+    from ..stages.sparql_text import execute
+
+    return execute(
+        _meta_triples(sf_dir),
+        """
+        SELECT ?dt (COUNT(*) AS ?n) WHERE {
+          ?d ?p ?v . BIND(DATATYPE(?v) AS ?dt)
+        } GROUP BY ?dt
+        """,
+    )
+
+
 _TYPED_QUADS_CACHE: dict = {}
 
 
@@ -2536,6 +2603,8 @@ QUERIES = {
     "kg_count_distinct": q_kg_count_distinct,
     "kg_sparql_text": q_kg_sparql_text,
     "kg_sparql_expr": q_kg_sparql_expr,
+    "kg_lang_filter": q_kg_lang_filter,
+    "kg_datatype_census": q_kg_datatype_census,
     "kg_sparql_graph": q_kg_sparql_graph,
     "kg_graph_census": q_kg_graph_census,
     "kg_from_named": q_kg_from_named,
@@ -3042,6 +3111,18 @@ ORACLE_SQL = {
         " WHERE t1.pred = 'http://schema.org/inLanguage' AND t1.obj_value = 'zh'"
         " AND t2.pred = 'http://schema.org/source' GROUP BY t2.obj_value"
         % _TYPED_TRIPLES_SQL
+    ),
+    "kg_lang_filter": (
+        "SELECT 'http://docs.local/d' || CAST(doc_id AS VARCHAR) AS d,"
+        " 'doc ' || CAST(doc_id AS VARCHAR) AS name"
+        " FROM documents WHERE lang = 'zh'"
+    ),
+    "kg_datatype_census": (
+        # 3 triples/doc: rdf:type (IRI obj -> ''), name@lang (-> ''),
+        # characterCount^^xsd:integer
+        "SELECT '' AS dt, CAST(2 * COUNT(*) AS BIGINT) AS n FROM documents "
+        "UNION ALL SELECT 'http://www.w3.org/2001/XMLSchema#integer' AS dt,"
+        " CAST(COUNT(*) AS BIGINT) AS n FROM documents"
     ),
     "kg_sparql_expr": (
         "WITH t AS (%s) "

@@ -328,6 +328,45 @@ def wrap_documents_typed(batch: pa.Table, with_alias=False, with_broken=False) -
     return _mk_turn_rows(conv_ids, texts)
 
 
+def wrap_documents_meta(batch: pa.Table) -> pa.Table:
+    """Literal-metadata view: 3 triples per doc — rdf:type + a
+    language-TAGGED name literal ("doc {id}"@{lang} via @lang) + the
+    xsd:int-typed characterCount.  The view behind the LANG()/
+    DATATYPE() SPARQL queries (the typed view's literals are plain, so
+    it cannot exercise them)."""
+    conv_ids, texts = [], []
+    for doc_id, lang, n_chars in zip(
+        batch.column("doc_id").to_pylist(),
+        batch.column("lang").to_pylist(),
+        batch.column("n_chars").to_pylist(),
+    ):
+        conv_ids.append("doc%08d" % doc_id)
+        texts.append(
+            '<div about="%s%d" typeof="%sDocument">'
+            '<span property="%sname" lang="%s">doc %d</span>'
+            '<span property="%scharacterCount" datatype="%s">%d</span>'
+            "</div>"
+            % (
+                DOC_NS, doc_id, SCHEMA_NS,
+                SCHEMA_NS, lang, doc_id,
+                SCHEMA_NS, XSD_INT, n_chars,
+            )
+        )
+    return _mk_turn_rows(conv_ids, texts)
+
+
+def meta_transcripts_from_documents(sf_dir: str):
+    import ray.data as rd  # noqa: F401  (read_parquet_clean returns a Dataset)
+
+    ds = read_parquet_clean(
+        "%s/documents.parquet" % sf_dir,
+        columns=["doc_id", "lang", "n_chars"],
+    )
+    return ds.map_batches(
+        wrap_documents_meta, batch_format="pyarrow", batch_size=2048
+    )
+
+
 def wrap_documents_turtle(batch: pa.Table) -> pa.Table:
     """Embedded-Turtle view: one <script type="text/turtle"> per doc
     yielding (<doc>, ex:charCount, n_chars^^xsd:integer)."""

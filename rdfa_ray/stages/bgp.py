@@ -68,9 +68,28 @@ def pattern_vars(pattern) -> list:
     return seen
 
 
-def _scan(triples_ds, pattern):
+_META_COLS = (("obj_lang", "__lang"), ("obj_datatype", "__datatype"))
+
+
+def meta_vars_for(pattern) -> list:
+    """Pseudo-variable names a meta-carrying scan of ``pattern`` adds:
+    ``<objvar>__lang`` / ``<objvar>__datatype`` when the object
+    position is a variable (SPARQL LANG()/DATATYPE() read these)."""
+    if len(pattern) >= 3 and _is_var(pattern[2]):
+        v = pattern[2][1:]
+        return [v + suf for _src, suf in _META_COLS]
+    return []
+
+
+def _scan(triples_ds, pattern, carry_meta: bool = False):
     """One pattern -> Dataset of its variable bindings (all string
-    columns, named after the variables)."""
+    columns, named after the variables).
+
+    ``carry_meta``: when the object position is a variable, also emit
+    its ``__lang`` / ``__datatype`` pseudo-columns from the input's
+    ``obj_lang`` / ``obj_datatype`` (the per-TRIPLE literal metadata —
+    it must ride along from the scan; it cannot be joined back on the
+    lexical value later).  Requires those columns in the input."""
     consts = [
         (col, term)
         for col, term in zip(_POSITIONS, pattern)
@@ -83,8 +102,17 @@ def _scan(triples_ds, pattern):
     out_vars = pattern_vars(pattern)
     if not out_vars:
         raise ValueError("pattern %r binds no variables" % (pattern,))
+    metas = meta_vars_for(pattern) if carry_meta else []
 
     def scan_batch(batch: pa.Table) -> pa.Table:
+        if metas and any(
+            src not in batch.column_names for src, _suf in _META_COLS
+        ):
+            raise ValueError(
+                "carry_meta scan needs obj_lang/obj_datatype columns in "
+                "the input (got %r) — use a metadata-preserving triples "
+                "view" % (batch.column_names,)
+            )
         if len(pattern) > 3 and "graph" not in batch.column_names:
             raise ValueError(
                 "graph pattern %r needs a 'graph' column in the input "
@@ -104,9 +132,14 @@ def _scan(triples_ds, pattern):
                 first_pos[name] = col
         if mask is not None:
             batch = batch.filter(pc.fill_null(mask, False))
-        return pa.Table.from_pydict(
-            {name: batch.column(first_pos[name]) for name in out_vars}
-        )
+        cols = {name: batch.column(first_pos[name]) for name in out_vars}
+        if metas:
+            obj_var = pattern[2][1:]
+            for src, suf in _META_COLS:
+                cols[obj_var + suf] = pc.fill_null(
+                    pc.cast(batch.column(src), pa.string()), ""
+                )
+        return pa.Table.from_pydict(cols)
 
     return triples_ds.map_batches(scan_batch, batch_format="pyarrow")
 
@@ -163,6 +196,7 @@ def bgp_match(
     select=None,
     n_buckets: int = 64,
     broadcast_limit: int = 200_000,
+    carry_meta: bool = False,
 ):
     """Match a list of triple patterns against a (subj, pred,
     obj_value[, ...]) Dataset; returns a Dataset of bindings with one
@@ -184,8 +218,10 @@ def bgp_match(
         raise ValueError("empty BGP")
     triples_ds = triples_ds.materialize()
 
-    bindings = _scan(triples_ds, patterns[0])
-    bound = pattern_vars(patterns[0])
+    bindings = _scan(triples_ds, patterns[0], carry_meta=carry_meta)
+    bound = pattern_vars(patterns[0]) + (
+        meta_vars_for(patterns[0]) if carry_meta else []
+    )
     for pattern in patterns[1:]:
         p_vars = pattern_vars(pattern)
         shared = [v for v in p_vars if v in bound]
@@ -194,7 +230,16 @@ def bgp_match(
                 "pattern %r shares no variable with %r — cross products "
                 "are not supported (reorder the BGP)" % (pattern, bound)
             )
-        scan = _scan(triples_ds, pattern).materialize()
+        new_metas = []
+        if carry_meta:
+            # a var bound in two object positions keeps the FIRST
+            # binding's metadata (the engine joins on the lexical form;
+            # see the module stance on term identity)
+            new_metas = [m for m in meta_vars_for(pattern) if m not in bound]
+        scan = _scan(triples_ds, pattern, carry_meta=carry_meta).materialize()
+        if carry_meta:
+            scan = scan.select_columns(p_vars + new_metas)
+        p_vars = p_vars + new_metas
         if scan.count() <= broadcast_limit:
             scan_df = scan.to_pandas()
             if not len(scan_df):

@@ -30,7 +30,11 @@ it raises ``SparqlSyntaxError`` rather than mis-executing):
   (vars/literals/numbers, ``+ - * /`` arithmetic, and the function
   library: STR, UCASE, LCASE, STRLEN, SUBSTR, CONCAT, STRBEFORE,
   STRAFTER, REPLACE, ABS, CEIL, FLOOR, ROUND, BOUND, COALESCE, IF —
-  see ``_FilterCompiler``), ``expr [NOT] IN (const, ...)``,
+  see ``_FilterCompiler``; plus LANG()/DATATYPE() over a
+  metadata-preserving (subj, pred, obj_value, obj_lang, obj_datatype)
+  view — plain-BGP SELECTs only, the literal metadata rides the scan
+  as ``?v__lang``/``?v__datatype`` pseudo-columns),
+  ``expr [NOT] IN (const, ...)``,
   ``REGEX(?v, "pat")``, ``STRSTARTS`` /
   ``STRENDS`` / ``CONTAINS``, ``&&`` / ``||`` / ``!``
 * ``GRAPH ?g { ... }`` / ``GRAPH <iri> { ... }`` — named-graph (quad)
@@ -342,9 +346,12 @@ class _FilterCompiler:
     batches; the only pandas fallbacks (STRBEFORE/STRAFTER and the
     error-coercing numeric parse) are C-level vectorized."""
 
-    def __init__(self, parser, prefixes):
+    def __init__(self, parser, prefixes, meta_sink=None):
         self.p = parser
         self.prefixes = prefixes
+        # LANG()/DATATYPE() uses are recorded here (shared, plan-level
+        # list) so execute() knows to run a metadata-carrying BGP
+        self.meta_sink = meta_sink if meta_sink is not None else []
 
     def parse_or(self):
         left = self.parse_and()
@@ -536,6 +543,30 @@ class _FilterCompiler:
                     "LCASE": pc.utf8_lower,
                 }[u]
                 return "str", (lambda a, kk: lambda t: kk(_as_str(a(t))))(f, kern)
+            if u in ("LANG", "DATATYPE"):
+                # reads the BGP's carried literal metadata (pseudo
+                # column ?v__lang / ?v__datatype — see bgp.meta_vars_for);
+                # '' = plain literal / no tag, the engine-wide stance
+                self.p.next()
+                self.p.expect_op("(")
+                kind, val = self.p.next()
+                if kind != "var":
+                    raise SparqlSyntaxError("%s needs a ?variable" % u)
+                self.p.expect_op(")")
+                name = val[1:]
+                col = name + ("__lang" if u == "LANG" else "__datatype")
+                self.meta_sink.append(col)
+
+                def meta_col(t, _c=col, _u=u):
+                    if _c not in t.column_names:
+                        raise ValueError(
+                            "%s(): the input carries no literal metadata "
+                            "for ?%s — query a (subj, pred, obj_value, "
+                            "obj_lang, obj_datatype) view" % (_u, _c)
+                        )
+                    return pc.fill_null(pc.cast(t.column(_c), pa.string()), "")
+
+                return "str", meta_col
             if u == "STRLEN":
                 self.p.next()
                 ((_k, f),) = self._args(1)
@@ -684,6 +715,7 @@ def parse_query(text: str) -> dict:
 
     form = "select"
     agg_binds: list = []  # hidden (var, expr) for aggregates over expressions
+    meta_needed: list = []  # LANG()/DATATYPE() pseudo-columns used anywhere
     template = []
     distinct = False
     proj, aggs = [], []
@@ -740,7 +772,7 @@ def parse_query(text: str) -> dict:
                 # aggregate over an expression: compile it and feed the
                 # aggregate through a hidden BIND column (applied after
                 # user BINDs, before grouping)
-                _ek, expr = _FilterCompiler(p, prefixes).parse_value()
+                _ek, expr = _FilterCompiler(p, prefixes, meta_needed).parse_value()
                 argvar = "__agg_expr_%d" % len(agg_binds)
                 agg_binds.append((argvar, expr))
             p.expect_op(")")
@@ -850,7 +882,7 @@ def parse_query(text: str) -> dict:
                 exists_groups.append((parse_braced_block(), negate))
             else:
                 p.expect_op("(")
-                filters.append(_FilterCompiler(p, prefixes).parse_or())
+                filters.append(_FilterCompiler(p, prefixes, meta_needed).parse_or())
                 p.expect_op(")")
         elif p.at_kw("GRAPH"):
             p.next()
@@ -880,7 +912,7 @@ def parse_query(text: str) -> dict:
         elif p.at_kw("BIND"):
             p.next()
             p.expect_op("(")
-            _kind, expr = _FilterCompiler(p, prefixes).parse_value()
+            _kind, expr = _FilterCompiler(p, prefixes, meta_needed).parse_value()
             p.expect_kw("AS")
             kind, alias = p.next()
             if kind != "var":
@@ -916,7 +948,7 @@ def parse_query(text: str) -> dict:
         elif p.at_kw("HAVING"):
             p.next()
             p.expect_op("(")
-            having = _FilterCompiler(p, prefixes).parse_or()
+            having = _FilterCompiler(p, prefixes, meta_needed).parse_or()
             p.expect_op(")")
         elif p.at_kw("ORDER"):
             p.next()
@@ -969,6 +1001,7 @@ def parse_query(text: str) -> dict:
         "offset": offset,
         "from_graphs": from_graphs,
         "from_named": from_named,
+        "needs_meta": sorted(set(meta_needed)),
     }
 
 
@@ -1019,6 +1052,33 @@ def execute(triples_ds, query: str, n_buckets: int = 64):
         raise SparqlSyntaxError(
             "property paths are supported in the base BGP only"
         )
+    if plan["needs_meta"]:
+        # LANG()/DATATYPE() read per-triple literal metadata carried
+        # from the BGP scan — supported on the plain-BGP SELECT path
+        # (and the input must be a metadata-preserving view)
+        if (
+            path_pats
+            or other_groups
+            or graph_vars
+            or plan["from_graphs"]
+            or plan["from_named"]
+            or plan["form"] != "select"
+        ):
+            raise SparqlSyntaxError(
+                "LANG()/DATATYPE() are supported in plain-BGP SELECT "
+                "queries only in this fragment"
+            )
+        clash = [
+            v
+            for pt in plan["patterns"]
+            for v in pattern_vars(pt)
+            if v.endswith("__lang") or v.endswith("__datatype")
+        ]
+        if clash:
+            raise SparqlSyntaxError(
+                "variable names ending in __lang/__datatype collide with "
+                "the literal-metadata pseudo-columns: %r" % clash
+            )
 
     if plan["form"] == "ask":
         import ray.data as rd
@@ -1095,7 +1155,12 @@ def execute(triples_ds, query: str, n_buckets: int = 64):
             else:
                 b, bound = _join_binding_tables(b, bound, pb, pvars, n_buckets)
     else:
-        b = bgp_match(triples_ds, plan["patterns"], n_buckets=n_buckets)
+        b = bgp_match(
+            triples_ds,
+            plan["patterns"],
+            n_buckets=n_buckets,
+            carry_meta=bool(plan["needs_meta"]),
+        )
 
     if graph_vars:
         # dataset-clause view tagged named rows with the 1-char prefix;

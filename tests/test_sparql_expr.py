@@ -238,3 +238,84 @@ def test_aggregate_expr_over_user_bind(ray_session):
         " BIND(?s / 2 AS ?half) }"
     )
     assert df["t"].iloc[0] == 120.0
+
+
+def _meta_triples_ds(rows):
+    """rows: (subj, pred, obj_value, obj_lang, obj_datatype)."""
+    subj, pred, obj, lang, dt = zip(*rows)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "subj": pa.array(subj, pa.string()),
+                "pred": pa.array(pred, pa.string()),
+                "obj_value": pa.array(obj, pa.string()),
+                "obj_lang": pa.array(lang, pa.string()),
+                "obj_datatype": pa.array(dt, pa.string()),
+            }
+        )
+    )
+
+
+META_ROWS = [
+    ("a", "http://ex.org/name", "chat", "fr", ""),
+    ("b", "http://ex.org/name", "chat", "en", ""),
+    ("c", "http://ex.org/name", "42", "", "http://www.w3.org/2001/XMLSchema#int"),
+    ("a", "http://ex.org/size", "10", "", ""),
+    ("b", "http://ex.org/size", "20", "", ""),
+    ("c", "http://ex.org/size", "30", "", ""),
+]
+
+
+def test_lang_filter_and_bind(ray_session):
+    ds = _meta_triples_ds(META_ROWS)
+    df = execute(
+        ds,
+        PREFIX + 'SELECT ?d WHERE { ?d ex:name ?v . FILTER (LANG(?v) = "fr") }',
+        n_buckets=4,
+    ).to_pandas()
+    assert sorted(df["d"]) == ["a"]
+    df = execute(
+        ds,
+        PREFIX + "SELECT ?d ?l WHERE { ?d ex:name ?v . BIND(LANG(?v) AS ?l) }",
+        n_buckets=4,
+    ).to_pandas()
+    assert dict(zip(df["d"], df["l"])) == {"a": "fr", "b": "en", "c": ""}
+
+
+def test_datatype_survives_join(ray_session):
+    # meta must ride through the multi-pattern BGP join
+    ds = _meta_triples_ds(META_ROWS)
+    df = execute(
+        ds,
+        PREFIX
+        + "SELECT ?d ?dt WHERE { ?d ex:size ?s . ?d ex:name ?v ."
+        " BIND(DATATYPE(?v) AS ?dt) FILTER (?s > 15) }",
+        n_buckets=4,
+    ).to_pandas()
+    got = dict(zip(df["d"], df["dt"]))
+    assert got == {
+        "b": "",
+        "c": "http://www.w3.org/2001/XMLSchema#int",
+    }
+
+
+def test_lang_needs_meta_view_is_loud(ray_session):
+    ds = _triples([(s, p, o) for s, p, o, _l, _d in META_ROWS])
+    with pytest.raises(Exception):
+        execute(
+            ds,
+            PREFIX + 'SELECT ?d WHERE { ?d ex:name ?v . FILTER (LANG(?v) = "fr") }',
+            n_buckets=4,
+        ).to_pandas()
+
+
+def test_lang_outside_plain_bgp_is_loud(ray_session):
+    ds = _meta_triples_ds(META_ROWS)
+    with pytest.raises(SparqlSyntaxError):
+        execute(
+            ds,
+            PREFIX
+            + "SELECT ?d WHERE { ?d ex:name ?v . OPTIONAL { ?d ex:size ?s }"
+            ' FILTER (LANG(?v) = "fr") }',
+            n_buckets=4,
+        )
