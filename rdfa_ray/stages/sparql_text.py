@@ -406,6 +406,34 @@ class _FilterCompiler:
                 return lambda t, _f=arg1, _a=arg, _k=kernel: _k(
                     _as_str(_f(t)), _a
                 )
+        if self.p.at_kw("LANGMATCHES"):
+            # SPARQL langMatches(tag, range): '*' matches any non-empty
+            # tag; else case-insensitive prefix match on '-' boundaries
+            self.p.next()
+            self.p.expect_op("(")
+            _k, tag = self.parse_value()
+            self.p.expect_op(",")
+            rng = self._const_arg("string").lower()
+            self.p.expect_op(")")
+
+            def langmatches(t, _f=tag, _r=rng):
+                low = pc.utf8_lower(_as_str(_f(t)))
+                if _r == "*":
+                    return pc.not_equal(low, "")
+                return pc.or_(
+                    pc.equal(low, _r), pc.starts_with(low, _r + "-")
+                )
+
+            return langmatches
+        if self.p.at_kw("SAMETERM"):
+            # bindings are lexical: sameTerm == string equality here
+            self.p.next()
+            self.p.expect_op("(")
+            _k1, f1 = self.parse_value()
+            self.p.expect_op(",")
+            _k2, f2 = self.parse_value()
+            self.p.expect_op(")")
+            return lambda t, _a=f1, _b=f2: pc.equal(_as_str(_a(t)), _as_str(_b(t)))
         if self.p.at_kw("BOUND"):
             self.p.next()
             self.p.expect_op("(")
@@ -635,6 +663,39 @@ class _FilterCompiler:
                         _as_str(a(t)), _p, _r
                     )
                 )(f)
+            if u in ("MD5", "SHA1", "SHA256", "ENCODE_FOR_URI"):
+                # SPARQL 1.1 hash / URI-escape functions.  Per-row
+                # Python, but only over each batch's UNIQUE values
+                # (factorize + lut) — the same Zipf lever as SimHasher.
+                self.p.next()
+                ((_k, f),) = self._args(1)
+
+                def rowfn(t, _f=f, _u=u):
+                    import hashlib as _hl
+                    import urllib.parse as _up
+
+                    import numpy as np
+                    import pandas as pd
+
+                    v = _f(t)
+                    if isinstance(v, pa.Scalar):
+                        vals = pd.Series([v.as_py() or ""])
+                    else:
+                        vals = pd.Series(_as_str(v).to_pandas()).fillna("")
+                    codes, uniq = pd.factorize(vals, sort=False)
+                    if _u == "ENCODE_FOR_URI":
+                        fn = lambda s: _up.quote(s, safe="")  # noqa: E731
+                    else:
+                        algo = {"MD5": _hl.md5, "SHA1": _hl.sha1,
+                                "SHA256": _hl.sha256}[_u]
+                        fn = lambda s: algo(s.encode()).hexdigest()  # noqa: E731
+                    lut = np.array([fn(s) for s in uniq], dtype=object)
+                    out = pa.array(lut[codes], pa.string())
+                    if isinstance(v, pa.Scalar):
+                        return pa.scalar(out[0].as_py(), pa.string())
+                    return out
+
+                return "str", rowfn
             if u == "COALESCE":
                 self.p.next()
                 parts = self._args(1, 64)

@@ -177,7 +177,7 @@ def test_contains_on_expression(ray_session):
 
 def test_unsupported_function_is_loud(ray_session):
     with pytest.raises(SparqlSyntaxError):
-        _run("SELECT ?d WHERE { ?d ex:size ?s . BIND(MD5(?s) AS ?x) }")
+        _run("SELECT ?d WHERE { ?d ex:size ?s . BIND(STRUUID(?s) AS ?x) }")
 
 
 def test_expr_vs_duckdb_oracle(ray_session):
@@ -319,3 +319,49 @@ def test_lang_outside_plain_bgp_is_loud(ray_session):
             ' FILTER (LANG(?v) = "fr") }',
             n_buckets=4,
         )
+
+
+def test_langmatches_and_sameterm(ray_session):
+    ds = _meta_triples_ds(
+        META_ROWS
+        + [("d", "http://ex.org/name", "hello", "en-US", "")]
+    )
+    # '*' matches any tagged literal; prefix matching is on '-' bounds
+    df = execute(
+        ds,
+        PREFIX
+        + 'SELECT ?d WHERE { ?d ex:name ?v . FILTER (LANGMATCHES(LANG(?v), "*")) }',
+        n_buckets=4,
+    ).to_pandas()
+    assert sorted(df["d"]) == ["a", "b", "d"]
+    df = execute(
+        ds,
+        PREFIX
+        + 'SELECT ?d WHERE { ?d ex:name ?v . FILTER (LANGMATCHES(LANG(?v), "EN")) }',
+        n_buckets=4,
+    ).to_pandas()
+    assert sorted(df["d"]) == ["b", "d"]
+    df = execute(
+        ds,
+        PREFIX
+        + 'SELECT ?d WHERE { ?d ex:size ?s . ?d ex:name ?v .'
+        " FILTER (SAMETERM(?s, \"10\")) }",
+        n_buckets=4,
+    ).to_pandas()
+    assert sorted(df["d"]) == ["a"]
+
+
+def test_hash_and_encode_functions(ray_session):
+    import hashlib
+    import urllib.parse
+
+    df = _run(
+        'SELECT ?d ?m ?s1 ?s2 ?e WHERE { ?d ex:name ?nm .'
+        " BIND(MD5(?nm) AS ?m) BIND(SHA1(?nm) AS ?s1)"
+        " BIND(SHA256(?nm) AS ?s2) BIND(ENCODE_FOR_URI(?nm) AS ?e) }"
+    ).set_index("d")
+    for d, nm in (("a", "alpha:one"), ("b", "beta:two")):
+        assert df.loc[d, "m"] == hashlib.md5(nm.encode()).hexdigest()
+        assert df.loc[d, "s1"] == hashlib.sha1(nm.encode()).hexdigest()
+        assert df.loc[d, "s2"] == hashlib.sha256(nm.encode()).hexdigest()
+        assert df.loc[d, "e"] == urllib.parse.quote(nm, safe="")
