@@ -1975,7 +1975,7 @@ def _meta_triples(sf_dir: str):
             split_triples, batch_format="pyarrow"
         )
         ds = triples.select_columns(
-            ["subj", "pred", "obj_value", "obj_lang", "obj_datatype"]
+            ["subj", "pred", "obj_value", "obj_lang", "obj_datatype", "obj_kind"]
         ).materialize()
         _META_TRIPLES_CACHE.clear()
         _META_TRIPLES_CACHE[key] = ds
@@ -2011,6 +2011,61 @@ def q_kg_datatype_census(sf_dir: str):
         SELECT ?dt (COUNT(*) AS ?n) WHERE {
           ?d ?p ?v . BIND(DATATYPE(?v) AS ?dt)
         } GROUP BY ?dt
+        """,
+    )
+
+
+def q_kg_term_census(sf_dir: str):
+    """SPARQL term tests (isIRI/isNumeric) composed inside IF over an
+    all-variable BGP: counts object terms by kind — term kind rides
+    the scan as a ``?o__kind`` pseudo-column (stages/bgp._META_COLS),
+    numericness from the datatype column."""
+    from ..stages.sparql_text import execute
+
+    return execute(
+        _meta_triples(sf_dir),
+        """
+        SELECT ?k (COUNT(*) AS ?n) WHERE {
+          ?d ?p ?o .
+          BIND(IF(ISIRI(?o), "iri",
+               IF(ISNUMERIC(?o), "numeric", "other")) AS ?k)
+        } GROUP BY ?k
+        """,
+    )
+
+
+def q_kg_year_census(sf_dir: str):
+    """SPARQL datetime accessors: YEAR()/MONTH() over xsd:date
+    literals (vectorized ISO-8601 codeunit slices), grouped counts."""
+    from ..stages.sparql_text import execute
+
+    return execute(
+        _meta_triples(sf_dir),
+        """
+        PREFIX schema: <http://schema.org/>
+        SELECT ?y ?m (COUNT(*) AS ?n) WHERE {
+          ?d schema:dateCreated ?v .
+          BIND(YEAR(?v) AS ?y) BIND(MONTH(?v) AS ?m)
+        } GROUP BY ?y ?m
+        """,
+    )
+
+
+def q_kg_datetime_parts(sf_dir: str):
+    """SPARQL HOURS/MINUTES/SECONDS/TZ over xsd:dateTime literals,
+    with the accessors also composed inside the FILTER."""
+    from ..stages.sparql_text import execute
+
+    return execute(
+        _meta_triples(sf_dir),
+        """
+        PREFIX schema: <http://schema.org/>
+        SELECT ?d ?hh ?mi ?ss ?tz WHERE {
+          ?d schema:dateModified ?v .
+          BIND(HOURS(?v) AS ?hh) BIND(MINUTES(?v) AS ?mi)
+          BIND(SECONDS(?v) AS ?ss) BIND(TZ(?v) AS ?tz)
+          FILTER (HOURS(?v) >= 20 && MINUTES(?v) < 30)
+        }
         """,
     )
 
@@ -2605,6 +2660,9 @@ QUERIES = {
     "kg_sparql_expr": q_kg_sparql_expr,
     "kg_lang_filter": q_kg_lang_filter,
     "kg_datatype_census": q_kg_datatype_census,
+    "kg_term_census": q_kg_term_census,
+    "kg_year_census": q_kg_year_census,
+    "kg_datetime_parts": q_kg_datetime_parts,
     "kg_sparql_graph": q_kg_sparql_graph,
     "kg_graph_census": q_kg_graph_census,
     "kg_from_named": q_kg_from_named,
@@ -3118,11 +3176,42 @@ ORACLE_SQL = {
         " FROM documents WHERE lang = 'zh'"
     ),
     "kg_datatype_census": (
-        # 3 triples/doc: rdf:type (IRI obj -> ''), name@lang (-> ''),
-        # characterCount^^xsd:integer
+        # 5 triples/doc: rdf:type (IRI obj -> ''), name@lang (-> ''),
+        # characterCount^^xsd:integer, dateCreated^^xsd:date,
+        # dateModified^^xsd:dateTime
         "SELECT '' AS dt, CAST(2 * COUNT(*) AS BIGINT) AS n FROM documents "
         "UNION ALL SELECT 'http://www.w3.org/2001/XMLSchema#integer' AS dt,"
+        " CAST(COUNT(*) AS BIGINT) AS n FROM documents "
+        "UNION ALL SELECT 'http://www.w3.org/2001/XMLSchema#date' AS dt,"
+        " CAST(COUNT(*) AS BIGINT) AS n FROM documents "
+        "UNION ALL SELECT 'http://www.w3.org/2001/XMLSchema#dateTime' AS dt,"
         " CAST(COUNT(*) AS BIGINT) AS n FROM documents"
+    ),
+    "kg_term_census": (
+        # per doc: 1 IRI object (rdf:type), 1 numeric literal
+        # (characterCount^^xsd:integer), 3 other literals (name@lang,
+        # dateCreated, dateModified)
+        "SELECT 'iri' AS k, CAST(COUNT(*) AS BIGINT) AS n FROM documents "
+        "UNION ALL SELECT 'numeric', CAST(COUNT(*) AS BIGINT) FROM documents "
+        "UNION ALL SELECT 'other', CAST(3 * COUNT(*) AS BIGINT) FROM documents"
+    ),
+    "kg_year_census": (
+        # dateCreated = DATE '2020-01-01' + (doc_id % 1461) days
+        "SELECT CAST(EXTRACT(year FROM d) AS DOUBLE) AS y,"
+        " CAST(EXTRACT(month FROM d) AS DOUBLE) AS m,"
+        " CAST(COUNT(*) AS BIGINT) AS n FROM ("
+        " SELECT DATE '2020-01-01' + CAST(doc_id % 1461 AS INT) AS d"
+        " FROM documents) GROUP BY 1, 2"
+    ),
+    "kg_datetime_parts": (
+        # dateModified time parts are doc_id arithmetic (see
+        # sources/transcripts.wrap_documents_meta)
+        "SELECT 'http://docs.local/d' || CAST(doc_id AS VARCHAR) AS d,"
+        " CAST(doc_id % 24 AS DOUBLE) AS hh,"
+        " CAST((doc_id * 7) % 60 AS DOUBLE) AS mi,"
+        " CAST((doc_id * 13) % 60 AS DOUBLE) AS ss,"
+        " 'Z' AS tz FROM documents"
+        " WHERE doc_id % 24 >= 20 AND (doc_id * 7) % 60 < 30"
     ),
     "kg_sparql_expr": (
         "WITH t AS (%s) "

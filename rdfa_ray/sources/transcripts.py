@@ -277,7 +277,8 @@ def transcripts_from_documents(sf_dir: str):
 # Richer deterministic views used by the SQL-checked queries() entries.
 
 SCHEMA_NS = "http://schema.org/"
-XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+XSD_NS = "http://www.w3.org/2001/XMLSchema#"
+XSD_INT = XSD_NS + "integer"
 
 
 def _mk_turn_rows(conv_ids, texts):
@@ -329,11 +330,17 @@ def wrap_documents_typed(batch: pa.Table, with_alias=False, with_broken=False) -
 
 
 def wrap_documents_meta(batch: pa.Table) -> pa.Table:
-    """Literal-metadata view: 3 triples per doc — rdf:type + a
-    language-TAGGED name literal ("doc {id}"@{lang} via @lang) + the
-    xsd:int-typed characterCount.  The view behind the LANG()/
-    DATATYPE() SPARQL queries (the typed view's literals are plain, so
-    it cannot exercise them)."""
+    """Term-metadata view: 5 triples per doc — rdf:type (IRI object) +
+    a language-TAGGED name literal ("doc {id}"@{lang} via @lang) + the
+    xsd:int-typed characterCount + an xsd:date dateCreated (2020-01-01
+    plus doc_id%1461 days, spanning 4 years) + an xsd:dateTime
+    dateModified (same date, hh/mm/ss from doc_id, 'Z' zone).  The
+    view behind the LANG()/DATATYPE()/term-test/datetime-accessor
+    SPARQL queries (the typed view's literals are plain, so it cannot
+    exercise them)."""
+    import datetime as _dt
+
+    epoch = _dt.date(2020, 1, 1)
     conv_ids, texts = [], []
     for doc_id, lang, n_chars in zip(
         batch.column("doc_id").to_pylist(),
@@ -341,15 +348,24 @@ def wrap_documents_meta(batch: pa.Table) -> pa.Table:
         batch.column("n_chars").to_pylist(),
     ):
         conv_ids.append("doc%08d" % doc_id)
+        d = epoch + _dt.timedelta(days=doc_id % 1461)
+        date = d.isoformat()
+        dtime = "%sT%02d:%02d:%02dZ" % (
+            date, doc_id % 24, (doc_id * 7) % 60, (doc_id * 13) % 60
+        )
         texts.append(
             '<div about="%s%d" typeof="%sDocument">'
             '<span property="%sname" lang="%s">doc %d</span>'
             '<span property="%scharacterCount" datatype="%s">%d</span>'
+            '<span property="%sdateCreated" datatype="%sdate">%s</span>'
+            '<span property="%sdateModified" datatype="%sdateTime">%s</span>'
             "</div>"
             % (
                 DOC_NS, doc_id, SCHEMA_NS,
                 SCHEMA_NS, lang, doc_id,
                 SCHEMA_NS, XSD_INT, n_chars,
+                SCHEMA_NS, XSD_NS, date,
+                SCHEMA_NS, XSD_NS, dtime,
             )
         )
     return _mk_turn_rows(conv_ids, texts)

@@ -68,13 +68,19 @@ def pattern_vars(pattern) -> list:
     return seen
 
 
-_META_COLS = (("obj_lang", "__lang"), ("obj_datatype", "__datatype"))
+_META_COLS = (
+    ("obj_lang", "__lang"),
+    ("obj_datatype", "__datatype"),
+    ("obj_kind", "__kind"),
+)
 
 
 def meta_vars_for(pattern) -> list:
     """Pseudo-variable names a meta-carrying scan of ``pattern`` adds:
-    ``<objvar>__lang`` / ``<objvar>__datatype`` when the object
-    position is a variable (SPARQL LANG()/DATATYPE() read these)."""
+    ``<objvar>__lang`` / ``<objvar>__datatype`` / ``<objvar>__kind``
+    when the object position is a variable (SPARQL LANG()/DATATYPE()
+    and the term tests ISIRI/ISBLANK/ISLITERAL/ISNUMERIC read these;
+    ``__kind`` is "iri" | "bnode" | "literal")."""
     if len(pattern) >= 3 and _is_var(pattern[2]):
         v = pattern[2][1:]
         return [v + suf for _src, suf in _META_COLS]
@@ -86,10 +92,11 @@ def _scan(triples_ds, pattern, carry_meta: bool = False):
     columns, named after the variables).
 
     ``carry_meta``: when the object position is a variable, also emit
-    its ``__lang`` / ``__datatype`` pseudo-columns from the input's
-    ``obj_lang`` / ``obj_datatype`` (the per-TRIPLE literal metadata —
-    it must ride along from the scan; it cannot be joined back on the
-    lexical value later).  Requires those columns in the input."""
+    its ``__lang`` / ``__datatype`` / ``__kind`` pseudo-columns from
+    the input's ``obj_lang`` / ``obj_datatype`` / ``obj_kind`` (the
+    per-TRIPLE term metadata — it must ride along from the scan; it
+    cannot be joined back on the lexical value later).  Requires those
+    columns in the input."""
     consts = [
         (col, term)
         for col, term in zip(_POSITIONS, pattern)
@@ -109,9 +116,9 @@ def _scan(triples_ds, pattern, carry_meta: bool = False):
             src not in batch.column_names for src, _suf in _META_COLS
         ):
             raise ValueError(
-                "carry_meta scan needs obj_lang/obj_datatype columns in "
-                "the input (got %r) — use a metadata-preserving triples "
-                "view" % (batch.column_names,)
+                "carry_meta scan needs obj_lang/obj_datatype/obj_kind "
+                "columns in the input (got %r) — use a metadata-"
+                "preserving triples view" % (batch.column_names,)
             )
         if len(pattern) > 3 and "graph" not in batch.column_names:
             raise ValueError(

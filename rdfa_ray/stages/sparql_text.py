@@ -30,10 +30,14 @@ it raises ``SparqlSyntaxError`` rather than mis-executing):
   (vars/literals/numbers, ``+ - * /`` arithmetic, and the function
   library: STR, UCASE, LCASE, STRLEN, SUBSTR, CONCAT, STRBEFORE,
   STRAFTER, REPLACE, ABS, CEIL, FLOOR, ROUND, BOUND, COALESCE, IF —
-  see ``_FilterCompiler``; plus LANG()/DATATYPE() over a
-  metadata-preserving (subj, pred, obj_value, obj_lang, obj_datatype)
-  view — plain-BGP SELECTs only, the literal metadata rides the scan
-  as ``?v__lang``/``?v__datatype`` pseudo-columns),
+  see ``_FilterCompiler``; MD5/SHA1/SHA256/ENCODE_FOR_URI;
+  LANGMATCHES/SAMETERM; the datetime accessors YEAR/MONTH/DAY/HOURS/
+  MINUTES/SECONDS/TZ over ISO-8601 lexical forms; plus LANG()/
+  DATATYPE() and the term tests ISIRI/ISURI/ISBLANK/ISLITERAL/
+  ISNUMERIC over a metadata-preserving (subj, pred, obj_value,
+  obj_lang, obj_datatype, obj_kind) view — plain-BGP SELECTs only,
+  the term metadata rides the scan as ``?v__lang``/``?v__datatype``/
+  ``?v__kind`` pseudo-columns, object-position variables only),
   ``expr [NOT] IN (const, ...)``,
   ``REGEX(?v, "pat")``, ``STRSTARTS`` /
   ``STRENDS`` / ``CONTAINS``, ``&&`` / ``||`` / ``!``
@@ -89,6 +93,21 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 _RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+# the XSD numeric datatypes SPARQL isNumeric() recognizes
+_NUMERIC_DATATYPES = pa.array(
+    [
+        _XSD + n
+        for n in (
+            "integer", "decimal", "float", "double", "int", "long",
+            "short", "byte", "nonPositiveInteger", "negativeInteger",
+            "nonNegativeInteger", "positiveInteger", "unsignedInt",
+            "unsignedLong", "unsignedShort", "unsignedByte",
+        )
+    ],
+    pa.string(),
+)
 
 
 class SparqlSyntaxError(ValueError):
@@ -434,6 +453,56 @@ class _FilterCompiler:
             _k2, f2 = self.parse_value()
             self.p.expect_op(")")
             return lambda t, _a=f1, _b=f2: pc.equal(_as_str(_a(t)), _as_str(_b(t)))
+        for name in ("ISIRI", "ISURI", "ISBLANK", "ISLITERAL", "ISNUMERIC"):
+            if self.p.at_kw(name):
+                # SPARQL term tests.  Term kind rides the BGP scan as a
+                # ?v__kind pseudo-column ("iri"|"bnode"|"literal") from
+                # the input's obj_kind — object-position variables only
+                # (same metadata-view contract as LANG()/DATATYPE()).
+                # ISNUMERIC tests datatype membership in the XSD
+                # numeric types (a typed literal's datatype column).
+                self.p.next()
+                self.p.expect_op("(")
+                kind, val = self.p.next()
+                if kind != "var":
+                    raise SparqlSyntaxError(
+                        "%s needs a ?variable (object position)" % name
+                    )
+                self.p.expect_op(")")
+                var = val[1:]
+                if name == "ISNUMERIC":
+                    col = var + "__datatype"
+                    self.meta_sink.append(col)
+
+                    def isnumeric(t, _c=col):
+                        if _c not in t.column_names:
+                            raise ValueError(
+                                "ISNUMERIC(): no term metadata for ?%s — "
+                                "query a metadata-preserving view (object-"
+                                "position variables only)" % _c
+                            )
+                        dt = pc.fill_null(pc.cast(t.column(_c), pa.string()), "")
+                        return pc.is_in(dt, value_set=_NUMERIC_DATATYPES)
+
+                    return isnumeric
+                want = {
+                    "ISIRI": "iri", "ISURI": "iri",
+                    "ISBLANK": "bnode", "ISLITERAL": "literal",
+                }[name]
+                col = var + "__kind"
+                self.meta_sink.append(col)
+
+                def iskind(t, _c=col, _w=want, _n=name):
+                    if _c not in t.column_names:
+                        raise ValueError(
+                            "%s(): no term metadata for ?%s — query a "
+                            "metadata-preserving view (object-position "
+                            "variables only)" % (_n, _c)
+                        )
+                    k = pc.fill_null(pc.cast(t.column(_c), pa.string()), "")
+                    return pc.equal(k, _w)
+
+                return iskind
         if self.p.at_kw("BOUND"):
             self.p.next()
             self.p.expect_op("(")
@@ -696,6 +765,54 @@ class _FilterCompiler:
                     return out
 
                 return "str", rowfn
+            if u in ("YEAR", "MONTH", "DAY", "HOURS", "MINUTES"):
+                # SPARQL datetime accessors over the lexical form.
+                # xsd:date / xsd:dateTime lexical space is fixed-width
+                # ISO-8601 up to the seconds field, so these are pure
+                # vectorized codeunit slices + the error-coercing
+                # numeric parse (a non-date operand binds null ->
+                # unbound, the engine-wide type-error stance).
+                self.p.next()
+                ((_k, f),) = self._args(1)
+                a, b = {
+                    "YEAR": (0, 4), "MONTH": (5, 7), "DAY": (8, 10),
+                    "HOURS": (11, 13), "MINUTES": (14, 16),
+                }[u]
+
+                def dtpart(t, _f=f, _a=a, _b=b):
+                    return _as_num(
+                        pc.utf8_slice_codeunits(_as_str(_f(t)), _a, _b)
+                    )
+
+                return "num", dtpart
+            if u == "SECONDS":
+                # xsd:decimal per spec: keeps a fractional part
+                self.p.next()
+                ((_k, f),) = self._args(1)
+
+                def seconds(t, _f=f):
+                    ex = pc.extract_regex(
+                        _as_str(_f(t)), r"T\d\d:\d\d:(?P<s>\d\d(?:\.\d+)?)"
+                    )
+                    return _as_num(
+                        pc.fill_null(pc.struct_field(ex, "s"), "")
+                    )
+
+                return "num", seconds
+            if u == "TZ":
+                # timezone designator as a string: "Z", "+05:30", or
+                # "" when absent (the spec's TZ(); no TIMEZONE() —
+                # that would need xsd:dayTimeDuration values)
+                self.p.next()
+                ((_k, f),) = self._args(1)
+
+                def tz(t, _f=f):
+                    ex = pc.extract_regex(
+                        _as_str(_f(t)), r"(?P<tz>Z|[+-]\d\d:\d\d)$"
+                    )
+                    return pc.fill_null(pc.struct_field(ex, "tz"), "")
+
+                return "str", tz
             if u == "COALESCE":
                 self.p.next()
                 parts = self._args(1, 64)
@@ -1126,7 +1243,8 @@ def execute(triples_ds, query: str, n_buckets: int = 64):
             or plan["form"] != "select"
         ):
             raise SparqlSyntaxError(
-                "LANG()/DATATYPE() are supported in plain-BGP SELECT "
+                "term-metadata functions (LANG/DATATYPE/ISIRI/ISBLANK/"
+                "ISLITERAL/ISNUMERIC) are supported in plain-BGP SELECT "
                 "queries only in this fragment"
             )
         clash = [
@@ -1134,11 +1252,12 @@ def execute(triples_ds, query: str, n_buckets: int = 64):
             for pt in plan["patterns"]
             for v in pattern_vars(pt)
             if v.endswith("__lang") or v.endswith("__datatype")
+            or v.endswith("__kind")
         ]
         if clash:
             raise SparqlSyntaxError(
-                "variable names ending in __lang/__datatype collide with "
-                "the literal-metadata pseudo-columns: %r" % clash
+                "variable names ending in __lang/__datatype/__kind collide "
+                "with the term-metadata pseudo-columns: %r" % clash
             )
 
     if plan["form"] == "ask":

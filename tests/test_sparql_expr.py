@@ -241,8 +241,10 @@ def test_aggregate_expr_over_user_bind(ray_session):
 
 
 def _meta_triples_ds(rows):
-    """rows: (subj, pred, obj_value, obj_lang, obj_datatype)."""
-    subj, pred, obj, lang, dt = zip(*rows)
+    """rows: (subj, pred, obj_value, obj_lang, obj_datatype[, obj_kind])
+    — kind defaults to "literal"."""
+    rows = [r if len(r) == 6 else (*r, "literal") for r in rows]
+    subj, pred, obj, lang, dt, kind = zip(*rows)
     return rd.from_arrow(
         pa.table(
             {
@@ -251,6 +253,7 @@ def _meta_triples_ds(rows):
                 "obj_value": pa.array(obj, pa.string()),
                 "obj_lang": pa.array(lang, pa.string()),
                 "obj_datatype": pa.array(dt, pa.string()),
+                "obj_kind": pa.array(kind, pa.string()),
             }
         )
     )
@@ -365,3 +368,93 @@ def test_hash_and_encode_functions(ray_session):
         assert df.loc[d, "s1"] == hashlib.sha1(nm.encode()).hexdigest()
         assert df.loc[d, "s2"] == hashlib.sha256(nm.encode()).hexdigest()
         assert df.loc[d, "e"] == urllib.parse.quote(nm, safe="")
+
+
+TERM_ROWS = [
+    ("a", "http://ex.org/rel", "http://other.org/x", "", "", "iri"),
+    ("b", "http://ex.org/rel", "_:n1", "", "", "bnode"),
+    ("c", "http://ex.org/rel", "plain", "", "", "literal"),
+    (
+        "d", "http://ex.org/rel", "7", "",
+        "http://www.w3.org/2001/XMLSchema#integer", "literal",
+    ),
+]
+
+
+def test_term_tests(ray_session):
+    ds = _meta_triples_ds(TERM_ROWS)
+    for fn, want in (
+        ("ISIRI", ["a"]),
+        ("ISURI", ["a"]),
+        ("ISBLANK", ["b"]),
+        ("ISLITERAL", ["c", "d"]),
+        ("ISNUMERIC", ["d"]),
+    ):
+        df = execute(
+            ds,
+            PREFIX
+            + "SELECT ?s WHERE { ?s ex:rel ?o . FILTER (%s(?o)) }" % fn,
+            n_buckets=4,
+        ).to_pandas()
+        assert sorted(df["s"]) == want, (fn, df)
+
+
+def test_term_test_in_if_bind(ray_session):
+    ds = _meta_triples_ds(TERM_ROWS)
+    df = execute(
+        ds,
+        PREFIX
+        + 'SELECT ?s ?k WHERE { ?s ex:rel ?o .'
+        ' BIND(IF(ISIRI(?o), "i", IF(ISNUMERIC(?o), "n", "x")) AS ?k) }',
+        n_buckets=4,
+    ).to_pandas().set_index("s")
+    assert df.loc["a", "k"] == "i"
+    assert df.loc["d", "k"] == "n"
+    assert df.loc["b", "k"] == "x"
+    assert df.loc["c", "k"] == "x"
+
+
+DT_ROWS = [
+    ("a", "http://ex.org/at", "2021-03-05", "",
+     "http://www.w3.org/2001/XMLSchema#date"),
+    ("b", "http://ex.org/at", "2022-11-30T07:45:12Z", "",
+     "http://www.w3.org/2001/XMLSchema#dateTime"),
+    ("c", "http://ex.org/at", "1999-01-02T23:59:07.25+05:30", "",
+     "http://www.w3.org/2001/XMLSchema#dateTime"),
+    ("d", "http://ex.org/at", "not a date", "", ""),
+]
+
+
+def test_datetime_accessors(ray_session):
+    ds = _meta_triples_ds(DT_ROWS)
+    df = execute(
+        ds,
+        PREFIX
+        + "SELECT ?s ?y ?mo ?dd ?hh ?mi ?ss ?tz WHERE { ?s ex:at ?v ."
+        " BIND(YEAR(?v) AS ?y) BIND(MONTH(?v) AS ?mo)"
+        " BIND(DAY(?v) AS ?dd) BIND(HOURS(?v) AS ?hh)"
+        " BIND(MINUTES(?v) AS ?mi) BIND(SECONDS(?v) AS ?ss)"
+        " BIND(TZ(?v) AS ?tz) }",
+        n_buckets=4,
+    ).to_pandas().set_index("s")
+    assert (df.loc["a", ["y", "mo", "dd"]].astype(float) == [2021, 3, 5]).all()
+    assert df.loc["a", "tz"] == ""
+    assert (
+        df.loc["b", ["y", "mo", "dd", "hh", "mi", "ss"]].astype(float)
+        == [2022, 11, 30, 7, 45, 12]
+    ).all()
+    assert df.loc["b", "tz"] == "Z"
+    assert float(df.loc["c", "ss"]) == 59.07 or float(df.loc["c", "ss"]) == 7.25
+    assert df.loc["c", "tz"] == "+05:30"
+
+
+def test_datetime_filter_on_year(ray_session):
+    ds = _meta_triples_ds(DT_ROWS)
+    df = execute(
+        ds,
+        PREFIX
+        + "SELECT ?s WHERE { ?s ex:at ?v . FILTER (YEAR(?v) >= 2021) }",
+        n_buckets=4,
+    ).to_pandas()
+    # 'not a date' parses to null -> fails the comparison (unbound stance)
+    assert sorted(df["s"]) == ["a", "b"]
