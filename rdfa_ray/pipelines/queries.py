@@ -800,6 +800,34 @@ def q_dedup_substrings(sf_dir: str):
     return out.select_columns(["a", "b", "n_shared"])
 
 
+def q_dedup_lines(sf_dir: str):
+    """C4-style global line-level exact dedup: documents are line-ified
+    (a newline after every 8th word — one vectorized regex pass), every
+    line is kept only at its lexicographically-first (doc_id, line_idx)
+    occurrence corpus-wide, and docs are reassembled from surviving
+    lines (stages/dedup.dedup_lines; ' | '-joined output so the value
+    hash is newline-free)."""
+    from ..stages.dedup import dedup_lines
+
+    docs = read_parquet_clean(
+        "%s/documents.parquet" % sf_dir, columns=["doc_id", "text"]
+    )
+
+    def lineify(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch.column("text"), pa.string())
+        broken = pc.replace_substring_regex(
+            text, r"((?:\S+ ){7}\S+) ", "\\1\n"
+        )
+        return pa.table({"doc_id": batch.column("doc_id"), "text": broken})
+
+    out = dedup_lines(
+        docs.map_batches(lineify, batch_format="pyarrow"),
+        sep="\n",
+        out_sep=" | ",
+    )
+    return out
+
+
 def q_mixture_sample(sf_dir: str):
     """Dataset mixing: src1 upweighted to 1.5 epochs, src2 kept at
     0.25, everything else 1.0 — deterministic content-hash sampling
@@ -2648,6 +2676,7 @@ QUERIES = {
     "sequence_packing": q_sequence_packing,
     "mixture_sample": q_mixture_sample,
     "dedup_substrings": q_dedup_substrings,
+    "dedup_lines": q_dedup_lines,
     "multimodal_resize": q_multimodal_resize,
     "unigram_logppl": q_unigram_logppl,
     "kg_graph_scoped": q_kg_graph_scoped,
@@ -3161,6 +3190,20 @@ ORACLE_SQL = {
         "SELECT CASE WHEN substr(md5(text), 1, 2) < '40'"
         " THEN 'holdout' ELSE 'train' END AS split, lang, COUNT(*) AS n"
         " FROM clean GROUP BY 1, 2"
+    ),
+    "dedup_lines": (
+        "WITH broken AS (SELECT doc_id,"
+        " regexp_replace(text, '((\\S+ ){7}\\S+) ', '\\1' || chr(10), 'g') AS t"
+        " FROM documents),"
+        " lines AS (SELECT doc_id, i - 1 AS line_idx,"
+        "  string_split(t, chr(10))[i] AS line"
+        "  FROM broken, LATERAL unnest(generate_series(1,"
+        "   len(string_split(t, chr(10))))) AS s(i)),"
+        " kept AS (SELECT doc_id, line_idx, line FROM lines WHERE line <> ''"
+        "  QUALIFY ROW_NUMBER() OVER (PARTITION BY line"
+        "   ORDER BY doc_id, line_idx) = 1) "
+        "SELECT doc_id, string_agg(line, ' | ' ORDER BY line_idx) AS text,"
+        " CAST(COUNT(*) AS BIGINT) AS n_lines FROM kept GROUP BY doc_id"
     ),
     "kg_sparql_text": (
         "WITH t AS (%s) "

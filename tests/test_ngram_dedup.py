@@ -92,3 +92,77 @@ def test_substring_dup_pairs_planted(ray_session):
     got = {tuple(sorted((r.a, r.b))) for r in out.itertuples()}
     assert got == {(1, 2), (1, 4), (2, 4)}
     assert (out["n_shared"] >= 2).all()
+
+
+def test_dedup_lines_first_occurrence(ray_session):
+    """Global line dedup: first (doc_id, line_idx) occurrence wins,
+    empty lines drop, docs reassemble in line order."""
+    import ray.data as rd
+
+    from rdfa_ray.stages.dedup import dedup_lines
+
+    docs = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "alpha\nbeta\ngamma",
+                    "beta\ndelta\n\nalpha",   # beta+alpha dup, empty drops
+                    "delta\nepsilon",          # delta dup of (2,1)
+                    "alpha\nbeta\ngamma",      # fully duplicate doc -> vanishes
+                ],
+            }
+        )
+    )
+    out = (
+        dedup_lines(docs, n_buckets=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [1, 2, 3]
+    assert out["text"].tolist() == ["alpha\nbeta\ngamma", "delta", "epsilon"]
+    assert out["n_lines"].tolist() == [3, 1, 1]
+
+
+def test_dedup_lines_vs_duckdb(ray_session):
+    """Randomized oracle: same semantics in DuckDB window SQL."""
+    import duckdb
+    import ray.data as rd
+
+    from rdfa_ray.stages.dedup import dedup_lines
+
+    rng = random.Random(11)
+    vocab = ["w%d" % i for i in range(12)]
+    rows = []
+    for d in range(40):
+        n_lines = rng.randint(1, 6)
+        lines = [
+            " ".join(rng.choices(vocab, k=rng.randint(1, 3)))
+            for _ in range(n_lines)
+        ]
+        rows.append((d, "\n".join(lines)))
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+    got = (
+        dedup_lines(rd.from_pandas(df), n_buckets=8, out_sep=" | ")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("docs", df)
+    want = con.execute(
+        "WITH lines AS (SELECT doc_id, i - 1 AS line_idx,"
+        "  string_split(text, chr(10))[i] AS line"
+        "  FROM docs, LATERAL unnest(generate_series(1,"
+        "   len(string_split(text, chr(10))))) AS s(i)),"
+        " kept AS (SELECT * FROM lines WHERE line <> ''"
+        "  QUALIFY ROW_NUMBER() OVER (PARTITION BY line"
+        "   ORDER BY doc_id, line_idx) = 1) "
+        "SELECT doc_id, string_agg(line, ' | ' ORDER BY line_idx) AS text,"
+        " CAST(COUNT(*) AS BIGINT) AS n_lines"
+        " FROM kept GROUP BY doc_id ORDER BY doc_id"
+    ).fetchdf()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["text"].tolist() == want["text"].tolist()
+    assert got["n_lines"].tolist() == want["n_lines"].tolist()
