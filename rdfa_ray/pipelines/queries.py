@@ -1666,6 +1666,89 @@ def q_events_quantiles_sketch(sf_dir: str):
     return quantile_sketch(ds, "value", [0.5, 0.9, 0.99])
 
 
+def q_docs_source_quota(sf_dir: str, k: int = 50):
+    """Per-domain quota sampling (the RefinedWeb/Gopher move: cap any
+    one source's share of the corpus): keep at most ``k`` docs per
+    source, ranked by the deterministic (n_chars, doc_id) priority.
+    ONE shuffle on the source bucket; the per-bucket rank is a
+    cythonized sort + groupby-cumcount — no per-source Python."""
+    import pandas as pd
+
+    from ..functions.hashing import crc32_bucket
+
+    docs = read_parquet_clean(
+        "%s/documents.parquet" % sf_dir,
+        columns=["doc_id", "source", "n_chars"],
+    )
+    n_buckets = 32
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_bucket", crc32_bucket(batch.column("source"), n_buckets)
+        )
+
+    empty = pd.DataFrame(
+        {
+            "doc_id": pd.Series([], dtype="int64"),
+            "source": pd.Series([], dtype=str),
+            "n_chars": pd.Series([], dtype="int64"),
+        }
+    )
+
+    def take_quota(group: pd.DataFrame) -> pd.DataFrame:
+        if not len(group):
+            return empty
+        g = group.sort_values(["source", "n_chars", "doc_id"], kind="mergesort")
+        rank = g.groupby("source", sort=False).cumcount()
+        return g.loc[rank < k, ["doc_id", "source", "n_chars"]]
+
+    return (
+        docs.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(take_quota, batch_format="pandas")
+    )
+
+
+def q_docs_length_trim(sf_dir: str, lo_q: float = 0.05, hi_q: float = 0.95):
+    """Percentile length filter (drop the shortest/longest tails) with
+    EXACT distributed percentiles by the histogram method: one
+    ``groupby(n_chars).count()`` pass (the histogram is tiny — distinct
+    integer lengths, not rows), thresholds from its cumsum on the
+    driver, then a broadcast vectorized filter.  Threshold rule (both
+    sides): the smallest value whose cumulative count reaches
+    ``ceil(q * N)``."""
+    import math
+
+    import numpy as np
+
+    docs = read_parquet_clean(
+        "%s/documents.parquet" % sf_dir, columns=["doc_id", "n_chars"]
+    )
+    hist = (
+        docs.groupby("n_chars")
+        .count()
+        .to_pandas()
+        .sort_values("n_chars")
+        .reset_index(drop=True)
+    )
+    cc = np.cumsum(hist["count()"].to_numpy())
+    n = int(cc[-1]) if len(cc) else 0
+    vals = hist["n_chars"].to_numpy()
+
+    def thresh(q: float) -> int:
+        need = math.ceil(q * n)
+        return int(vals[np.searchsorted(cc, need, side="left")])
+
+    lo, hi = thresh(lo_q), thresh(hi_q)
+
+    def trim(batch: pa.Table) -> pa.Table:
+        v = batch.column("n_chars")
+        mask = pc.and_(pc.greater_equal(v, lo), pc.less_equal(v, hi))
+        return batch.filter(mask)
+
+    return docs.map_batches(trim, batch_format="pyarrow")
+
+
 def q_docs_train_split(sf_dir: str):
     """Deterministic content-hash train/holdout assignment (25%
     holdout): map-only, shuffle-free, reproducible at any parallelism;
@@ -2659,6 +2742,8 @@ QUERIES = {
     "kg_filter_numeric": q_kg_filter_numeric,
     "events_quantiles_sketch": q_events_quantiles_sketch,
     "docs_train_split": q_docs_train_split,
+    "docs_source_quota": q_docs_source_quota,
+    "docs_length_trim": q_docs_length_trim,
     "kg_triangles": q_kg_triangles,
     "kg_bfs_depth": q_kg_bfs_depth,
     "kg_minus": q_kg_minus,
@@ -3480,6 +3565,27 @@ ORACLE_SQL = {
     "docs_train_split": (
         "SELECT doc_id, CASE WHEN substr(md5(text), 1, 2) < '40'"
         " THEN 'holdout' ELSE 'train' END AS split FROM documents"
+    ),
+    "docs_source_quota": (
+        "SELECT doc_id, source, n_chars FROM"
+        " (SELECT doc_id, source, n_chars, ROW_NUMBER() OVER"
+        "  (PARTITION BY source ORDER BY n_chars, doc_id) AS rn"
+        "  FROM documents) WHERE rn <= 50"
+    ),
+    # ::DOUBLE casts force the same IEEE arithmetic math.ceil(q * n)
+    # uses on the engine side (DuckDB decimal literals are exact and
+    # would round ceil(0.05 * 1000) differently)
+    "docs_length_trim": (
+        "WITH h AS (SELECT n_chars AS v, COUNT(*) AS c FROM documents"
+        "  GROUP BY n_chars),"
+        " cum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cc FROM h),"
+        " n AS (SELECT COUNT(*) AS n FROM documents),"
+        " lo AS (SELECT MIN(v) AS lo FROM cum, n"
+        "  WHERE cc >= CEIL(CAST(0.05 AS DOUBLE) * n)),"
+        " hi AS (SELECT MIN(v) AS hi FROM cum, n"
+        "  WHERE cc >= CEIL(CAST(0.95 AS DOUBLE) * n)) "
+        "SELECT doc_id, n_chars FROM documents, lo, hi"
+        " WHERE n_chars >= lo AND n_chars <= hi"
     ),
     # independent combinatorial formulation: the shared-source graph is
     # a disjoint union of cliques, so triangles = sum C(n, 3)
