@@ -2314,6 +2314,27 @@ def q_kg_sparql_text_filter(sf_dir: str):
     )
 
 
+def q_kg_sparql_subquery(sf_dir: str):
+    """SPARQL 1.1 subqueries (§12): a ``{ SELECT ... GROUP BY }`` group
+    evaluated bottom-up and inner-joined into the enclosing BGP on its
+    shared variable — the window-function move (annotate every doc
+    with its source's doc count) a reference user writes as a nested
+    SELECT in ``graph.query``."""
+    from ..stages.sparql_text import execute
+
+    return execute(
+        _typed_triples(sf_dir),
+        """
+        PREFIX schema: <http://schema.org/>
+        SELECT ?d ?src ?nsrc WHERE {
+          ?d schema:source ?src .
+          { SELECT ?src (COUNT(*) AS ?nsrc)
+            WHERE { ?x schema:source ?src } GROUP BY ?src }
+        }
+        """,
+    )
+
+
 def q_kg_sparql_expr(sf_dir: str):
     """The SPARQL 1.1 expression library end-to-end (BIND over
     CONCAT/UCASE/IF/FLOOR + a FILTER on the computed column) — what a
@@ -2783,6 +2804,7 @@ QUERIES = {
     "kg_store_sparql": q_kg_store_sparql,
     "customers_orders_outer": q_customers_orders_outer,
     "kg_sparql_text_filter": q_kg_sparql_text_filter,
+    "kg_sparql_subquery": q_kg_sparql_subquery,
     "curation_pipeline": q_curation_pipeline,
     "kg_path_opt": q_kg_path_opt,
     "kg_group_concat": q_kg_group_concat,
@@ -3378,6 +3400,17 @@ ORACLE_SQL = {
         "SELECT subj AS d, obj_value AS n FROM t"
         " WHERE pred = 'http://schema.org/characterCount'"
         " AND CAST(obj_value AS BIGINT) > 400" % _TYPED_TRIPLES_SQL
+    ),
+    # subquery bindings are lexical forms (the engine casts the
+    # aggregate to its lexical string before the join), hence VARCHAR
+    "kg_sparql_subquery": (
+        "WITH t AS (%s),"
+        " s AS (SELECT subj AS d, obj_value AS src FROM t"
+        "  WHERE pred = 'http://schema.org/source'),"
+        " c AS (SELECT src, CAST(COUNT(*) AS VARCHAR) AS nsrc"
+        "  FROM s GROUP BY src) "
+        "SELECT s.d, s.src, c.nsrc FROM s JOIN c USING (src)"
+        % _TYPED_TRIPLES_SQL
     ),
     "kg_sparql_graph": (
         "SELECT 'http://graft.local/conv/doc' || printf('%08d', doc_id)"

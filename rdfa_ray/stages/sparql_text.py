@@ -69,6 +69,15 @@ it raises ``SparqlSyntaxError`` rather than mis-executing):
   variable may not also bind in a non-graph position, and non-SELECT
   forms take constant GRAPH terms only when dataset clauses are
   present.
+* subqueries: ``{ SELECT ... WHERE { ... } GROUP BY ... }`` groups
+  inside WHERE — evaluated bottom-up (SPARQL 1.1 §12) with the same
+  distributed plan, projected, cast to lexical form, and inner-joined
+  into the enclosing group's BGP on the shared variables (the same
+  bucketed exchange path patterns pay).  They compose with a
+  plain-BGP base (+ FILTER/BIND/VALUES, property paths); mixing with
+  OPTIONAL/UNION/MINUS/EXISTS, GRAPH, dataset clauses, or
+  term-metadata functions raises.  A subquery whose projection shares
+  no variable with the rest of the group (a cross product) raises.
 * ``GROUP BY ?v ...`` (+ ``HAVING`` over projected aggregate aliases)
 * ``ORDER BY [ASC|DESC](?v) ...``, ``LIMIT`` / ``OFFSET``
 * property paths in predicate position: ``^p``, ``p/q``, ``p|q``,
@@ -890,7 +899,16 @@ def parse_query(text: str) -> dict:
         if kind != "iri":
             raise SparqlSyntaxError("PREFIX needs an <iri>")
         prefixes[pre] = iri[1:-1]
+    return _parse_plan(p, prefixes, subquery=False)
 
+
+def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
+    """Parse one query body (form keyword onward) from an open parser.
+
+    ``subquery=True`` parses a nested ``{ SELECT ... }`` group: the
+    form must be SELECT, PREFIXes come from the enclosing query, and
+    the trailing solution modifiers stop at the group's closing ``}``
+    (left unconsumed for the caller)."""
     form = "select"
     agg_binds: list = []  # hidden (var, expr) for aggregates over expressions
     meta_needed: list = []  # LANG()/DATATYPE() pseudo-columns used anywhere
@@ -899,7 +917,12 @@ def parse_query(text: str) -> dict:
     proj, aggs = [], []
     star = False
     describe_var = None
-    if p.at_kw("ASK"):
+    if subquery:
+        p.expect_kw("SELECT")
+        if p.at_kw("DISTINCT"):
+            p.next()
+            distinct = True
+    elif p.at_kw("ASK"):
         p.next()
         form = "ask"
     elif p.at_kw("CONSTRUCT"):
@@ -970,12 +993,13 @@ def parse_query(text: str) -> dict:
     patterns, optionals, filters = [], [], []
     union_arms, minus_groups, exists_groups = [], [], []
     values, binds = [], []
+    subqueries: list = []
 
     def parse_triples_block(into):
         """triple ('.'|';' lists) until '}' / a keyword clause."""
         while True:
             kind, val = p.peek()
-            if (kind, val) == ("op", "}") or (
+            if (kind, val) in (("op", "}"), ("op", "{")) or (
                 kind == "kw"
                 and val.upper() in (
                     "OPTIONAL", "FILTER", "MINUS", "VALUES", "BIND", "UNION",
@@ -1030,8 +1054,23 @@ def parse_query(text: str) -> dict:
         p.expect_kw("WHERE")
     p.expect_op("{")
 
-    # top-level `{ arm } UNION { arm } ...`
-    if p.peek() == ("op", "{"):
+    def at_subquery() -> bool:
+        k1, v1 = p.peek(1)
+        return (
+            p.peek() == ("op", "{")
+            and k1 == "kw"
+            and v1.upper() == "SELECT"
+        )
+
+    def parse_subquery() -> dict:
+        p.expect_op("{")
+        sub = _parse_plan(p, prefixes, subquery=True)
+        p.expect_op("}")
+        return sub
+
+    # top-level `{ arm } UNION { arm } ...` (a brace that opens a
+    # nested SELECT is a subquery, not a union arm)
+    if p.peek() == ("op", "{") and not at_subquery():
         union_arms.append(parse_braced_block())
         while p.at_kw("UNION"):
             p.next()
@@ -1075,6 +1114,13 @@ def parse_query(text: str) -> dict:
                         "property paths inside GRAPH are unsupported"
                     )
                 patterns.append((s, pr, o, gterm))
+        elif at_subquery():
+            subqueries.append(parse_subquery())
+        elif p.peek() == ("op", "{"):
+            raise SparqlSyntaxError(
+                "nested group graph patterns are supported only as top-level"
+                " UNION arms or { SELECT ... } subqueries in this fragment"
+            )
         elif p.at_kw("VALUES"):
             p.next()
             kind, var = p.next()
@@ -1114,10 +1160,18 @@ def parse_query(text: str) -> dict:
         raise SparqlSyntaxError(
             "MINUS / FILTER EXISTS need a plain-BGP base in this fragment"
         )
+    if subqueries and (union_arms or minus_groups or exists_groups or optionals):
+        raise SparqlSyntaxError(
+            "subqueries compose with a plain-BGP base only in this fragment"
+        )
+    if subqueries and form != "select":
+        raise SparqlSyntaxError("subqueries are supported in SELECT queries only")
 
     group_by, having = [], None
     order_by, limit, offset = [], None, 0
-    while p.peek() != (None, None):
+    while p.peek() != (None, None) and not (
+        subquery and p.peek() == ("op", "}")
+    ):
         if p.at_kw("GROUP"):
             p.next()
             p.expect_kw("BY")
@@ -1152,12 +1206,13 @@ def parse_query(text: str) -> dict:
         else:
             raise SparqlSyntaxError("unexpected trailing token %r" % (p.peek()[1],))
 
-    if not patterns and not union_arms:
+    if not patterns and not union_arms and not subqueries:
         raise SparqlSyntaxError("WHERE needs at least one triple pattern")
     if aggs and not group_by and proj:
         raise SparqlSyntaxError("aggregates need GROUP BY for the plain vars")
     return {
         "form": form,
+        "subqueries": subqueries,
         "describe_var": describe_var,
         "template": template,
         "distinct": distinct,
@@ -1192,6 +1247,36 @@ def execute(triples_ds, query: str, n_buckets: int = 64):
     CONSTRUCT return a Dataset (bindings / constructed triples); ASK
     returns a one-row (answer: bool) Dataset so every form flows
     through the same Dataset-shaped API."""
+    return _execute_plan(triples_ds, parse_query(query), n_buckets)
+
+
+def _plan_out_cols(plan: dict) -> list:
+    """The output binding columns a plan's SELECT projection yields
+    (used to type a subquery's result when joining it into the
+    enclosing group)."""
+    from .bgp import pattern_vars
+
+    if any(fn == "count_distinct" for fn, _v, _a in plan["aggs"]):
+        return plan["group_by"] + [plan["aggs"][0][2]]
+    if plan["aggs"]:
+        return plan["group_by"] + [a[2] for a in plan["aggs"]]
+    if plan["star"]:
+        all_pats = (
+            plan["patterns"]
+            + [p for g in plan["optionals"] for p in g]
+            + [p for arm in plan["union"] for p in arm]
+        )
+        return sorted(
+            {v for pat in all_pats for v in pattern_vars(pat)}
+            | {alias for alias, _ in plan["binds"]}
+            | {c for sub in plan["subqueries"] for c in _plan_out_cols(sub)}
+        )
+    return plan["proj"]
+
+
+def _execute_plan(triples_ds, plan: dict, n_buckets: int = 64):
+    """Execute a parsed plan dict (see ``parse_query``) — the shared
+    engine behind ``execute`` and nested ``{ SELECT ... }`` subqueries."""
     from .bgp import bgp_match, pattern_vars
     from .sparql import (
         ask,
@@ -1207,8 +1292,6 @@ def execute(triples_ds, query: str, n_buckets: int = 64):
         union_match,
         values_filter,
     )
-
-    plan = parse_query(query)
 
     graph_vars = []
     if plan["from_graphs"] or plan["from_named"]:
@@ -1226,6 +1309,15 @@ def execute(triples_ds, query: str, n_buckets: int = 64):
         raise SparqlSyntaxError(
             "property paths are supported in the base BGP of a SELECT only"
         )
+    if plan["subqueries"] and (
+        plan["from_graphs"]
+        or plan["from_named"]
+        or any(len(pt) > 3 for pt in plan["patterns"])
+    ):
+        raise SparqlSyntaxError(
+            "subqueries do not compose with GRAPH patterns or dataset"
+            " clauses in this fragment"
+        )
     if any(isinstance(pt[1], tuple) for g in other_groups for pt in g):
         raise SparqlSyntaxError(
             "property paths are supported in the base BGP only"
@@ -1237,6 +1329,7 @@ def execute(triples_ds, query: str, n_buckets: int = 64):
         if (
             path_pats
             or other_groups
+            or plan["subqueries"]
             or graph_vars
             or plan["from_graphs"]
             or plan["from_named"]
@@ -1335,12 +1428,38 @@ def execute(triples_ds, query: str, n_buckets: int = 64):
             else:
                 b, bound = _join_binding_tables(b, bound, pb, pvars, n_buckets)
     else:
-        b = bgp_match(
-            triples_ds,
-            plan["patterns"],
-            n_buckets=n_buckets,
-            carry_meta=bool(plan["needs_meta"]),
-        )
+        if plan["patterns"]:
+            b = bgp_match(
+                triples_ds,
+                plan["patterns"],
+                n_buckets=n_buckets,
+                carry_meta=bool(plan["needs_meta"]),
+            )
+            bound = sorted(
+                {v for pt in plan["patterns"] for v in pattern_vars(pt)}
+            )
+        else:
+            b, bound = None, []  # subqueries only
+
+    for sub in plan["subqueries"]:
+        sub_b = _execute_plan(triples_ds, sub, n_buckets)
+        sub_cols = _plan_out_cols(sub)
+
+        # binding tables hold lexical forms everywhere in this engine;
+        # a subquery's aggregate columns come back typed, so cast them
+        # to their lexical form before the bucketed join
+        def to_lexical(batch: pa.Table, _cols=tuple(sub_cols)) -> pa.Table:
+            return pa.Table.from_pydict(
+                {c: pc.cast(batch.column(c), pa.string()) for c in _cols}
+            )
+
+        sub_b = sub_b.map_batches(to_lexical, batch_format="pyarrow")
+        if b is None:
+            b, bound = sub_b, list(sub_cols)
+        else:
+            b, bound = _join_binding_tables(
+                b, bound, sub_b, sub_cols, n_buckets, what="subquery"
+            )
 
     if graph_vars:
         # dataset-clause view tagged named rows with the 1-char prefix;
@@ -1427,16 +1546,7 @@ def execute(triples_ds, query: str, n_buckets: int = 64):
 
             b = b.map_batches(space_join, batch_format="pyarrow")
     else:
-        all_pats = (
-            plan["patterns"]
-            + [p for g in plan["optionals"] for p in g]
-            + [p for arm in plan["union"] for p in arm]
-        )
-        all_vars = sorted(
-            {v for pat in all_pats for v in pattern_vars(pat)}
-            | {alias for alias, _ in plan["binds"]}
-        )
-        out_cols = all_vars if plan["star"] else plan["proj"]
+        out_cols = _plan_out_cols(plan)
 
     if plan["distinct"]:
         b = distinct_bindings(b, out_cols, n_buckets=n_buckets)
@@ -1498,17 +1608,17 @@ def _path_pattern_bindings(triples_ds, subj, expr, obj, n_buckets):
     return edges.map_batches(xf, batch_format="pyarrow"), pvars
 
 
-def _join_binding_tables(b, bound, other, ovars, n_buckets):
+def _join_binding_tables(b, bound, other, ovars, n_buckets, what="path pattern"):
     """Inner-join two binding tables on their shared variables — the
     same composite-key bucketed exchange bgp_match's pattern loop pays
-    (used to fold path-pattern bindings into the BGP)."""
+    (used to fold path-pattern and subquery bindings into the BGP)."""
     from .bgp import _with_key
     from .join import bucketed_hash_join
 
     shared = [v for v in ovars if v in bound]
     if not shared:
         raise SparqlSyntaxError(
-            "path pattern shares no variable with the rest of the BGP"
+            "%s shares no variable with the rest of the BGP" % what
         )
     left, left_schema = _with_key(b, shared, bound)
     right, right_schema = _with_key(other, shared, ovars)

@@ -735,3 +735,100 @@ def test_ask_with_from(ray_session):
         "ASK FROM <urn:g3> { ?d ex:size \"999\" }",
     ).to_pandas()
     assert df["answer"].iloc[0] == True  # noqa: E712
+
+
+# ---------------------------------------------------------------- subqueries
+
+
+def test_subquery_joins_outer_bgp(ray_session):
+    """{ SELECT ... GROUP BY } evaluated bottom-up and joined into the
+    enclosing BGP on the shared variable (SPARQL 1.1 §12)."""
+    ds = _triples(GRAPH_ROWS)
+    out = execute(
+        ds,
+        """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d ?l ?n WHERE {
+          ?d ex:lang ?l .
+          { SELECT ?l (COUNT(*) AS ?n) WHERE { ?x ex:lang ?l } GROUP BY ?l }
+        }
+        """,
+    )
+    assert _rows(out, ["d", "l", "n"]) == [
+        ("a", "zh", "2"),
+        ("b", "en", "1"),
+        ("c", "zh", "2"),
+    ]
+
+
+def test_subquery_only_with_outer_filter(ray_session):
+    ds = _triples(GRAPH_ROWS)
+    out = execute(
+        ds,
+        """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?l ?n WHERE {
+          { SELECT ?l (COUNT(*) AS ?n) WHERE { ?x ex:lang ?l } GROUP BY ?l }
+          FILTER (?n >= 2)
+        }
+        """,
+    )
+    assert _rows(out, ["l", "n"]) == [("zh", "2")]
+
+
+def test_subquery_with_inner_modifiers(ray_session):
+    """DISTINCT / ORDER BY / LIMIT inside the subquery stay inside it —
+    the trailing-modifier parse stops at the group's closing brace."""
+    ds = _triples(GRAPH_ROWS)
+    out = execute(
+        ds,
+        """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d ?l WHERE {
+          ?d ex:lang ?l .
+          { SELECT DISTINCT ?l WHERE { ?x ex:lang ?l } ORDER BY ?l LIMIT 1 }
+        }
+        """,
+    )
+    # LIMIT 1 after ORDER BY keeps only "en"
+    assert _rows(out, ["d", "l"]) == [("b", "en")]
+
+
+def test_subquery_nested_two_deep(ray_session):
+    ds = _triples(GRAPH_ROWS)
+    out = execute(
+        ds,
+        """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d ?l WHERE {
+          ?d ex:lang ?l .
+          { SELECT ?l WHERE {
+              ?y ex:size ?s .
+              { SELECT ?y ?l WHERE { ?y ex:lang ?l } }
+              FILTER (?s >= 100)
+          } }
+        }
+        """,
+    )
+    # only b has size >= 100 -> lang "en" -> outer keeps b
+    assert _rows(out, ["d", "l"]) == [("b", "en")]
+
+
+def test_subquery_errors(ray_session):
+    ds = _triples(GRAPH_ROWS)
+    cases = [
+        # no shared variable with the rest of the group (cross product)
+        """SELECT ?d ?n WHERE { ?d <http://ex.org/lang> ?l .
+           { SELECT ?x (COUNT(*) AS ?n) WHERE { ?x ?p ?o } GROUP BY ?x }
+           FILTER (?n > 1) }""",
+        # mixing with OPTIONAL
+        """SELECT ?d WHERE { OPTIONAL { ?d <http://ex.org/size> ?s }
+           { SELECT ?d WHERE { ?d ?p ?o } } }""",
+        # non-SELECT outer form
+        "ASK { { SELECT ?s WHERE { ?s ?p ?o } } }",
+        # a bare nested group that is not a subquery
+        "SELECT ?s WHERE { { ?s ?p ?o } { ?s ?q ?v } }",
+    ]
+    for q in cases:
+        with pytest.raises(SparqlSyntaxError):
+            execute(ds, q).to_pandas()
