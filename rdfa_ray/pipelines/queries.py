@@ -2335,6 +2335,25 @@ def q_kg_sparql_subquery(sf_dir: str):
     )
 
 
+def q_kg_sparql_values_multi(sf_dir: str):
+    """Multi-variable inline data (SPARQL 1.1 §10.2): ``VALUES (?src
+    ?l) { ... }`` with an UNDEF wildcard position, joined map-side onto
+    the bindings (inline data is broadcast-small by definition — never
+    a shuffle)."""
+    from ..stages.sparql_text import execute
+
+    return execute(
+        _typed_triples(sf_dir),
+        """
+        PREFIX schema: <http://schema.org/>
+        SELECT ?d ?src ?l WHERE {
+          ?d schema:source ?src ; schema:inLanguage ?l .
+          VALUES (?src ?l) { ("src1" "zh") ("src2" "zh") ("src3" UNDEF) }
+        }
+        """,
+    )
+
+
 def q_kg_sparql_expr(sf_dir: str):
     """The SPARQL 1.1 expression library end-to-end (BIND over
     CONCAT/UCASE/IF/FLOOR + a FILTER on the computed column) — what a
@@ -2805,6 +2824,7 @@ QUERIES = {
     "customers_orders_outer": q_customers_orders_outer,
     "kg_sparql_text_filter": q_kg_sparql_text_filter,
     "kg_sparql_subquery": q_kg_sparql_subquery,
+    "kg_sparql_values_multi": q_kg_sparql_values_multi,
     "curation_pipeline": q_curation_pipeline,
     "kg_path_opt": q_kg_path_opt,
     "kg_group_concat": q_kg_group_concat,
@@ -3400,6 +3420,12 @@ ORACLE_SQL = {
         "SELECT subj AS d, obj_value AS n FROM t"
         " WHERE pred = 'http://schema.org/characterCount'"
         " AND CAST(obj_value AS BIGINT) > 400" % _TYPED_TRIPLES_SQL
+    ),
+    "kg_sparql_values_multi": (
+        "SELECT 'http://docs.local/d' || CAST(doc_id AS VARCHAR) AS d,"
+        " source AS src, lang AS l FROM documents"
+        " WHERE (source = 'src1' AND lang = 'zh')"
+        " OR (source = 'src2' AND lang = 'zh') OR source = 'src3'"
     ),
     # subquery bindings are lexical forms (the engine casts the
     # aggregate to its lexical string before the join), hence VARCHAR

@@ -267,6 +267,35 @@ def values_filter(bindings, var: str, values):
     )
 
 
+def values_filter_multi(bindings, var_names, rows):
+    """SPARQL multi-variable ``VALUES (?a ?b) { (x y) (UNDEF z) ... }``
+    joined onto the bindings (vars must be bound by the group — the
+    same filter-join stance as the single-variable form): inline data
+    is by definition broadcast-small, so this is a map-side mask — per
+    inline row, AND the equalities over its non-UNDEF positions; a
+    solution survives if ANY inline row matches.  Never a shuffle."""
+    rows = [tuple(r) for r in rows]
+
+    def xf(t: pa.Table) -> pa.Table:
+        cols = {v: pc.cast(t.column(v), pa.string()) for v in var_names}
+        total = None
+        for r in rows:
+            mask = None
+            for v, val in zip(var_names, r):
+                if val is None:  # UNDEF joins with anything
+                    continue
+                m = pc.equal(cols[v], val)
+                mask = m if mask is None else pc.and_(mask, m)
+            if mask is None:  # all-UNDEF row matches every solution
+                mask = pa.array([True] * t.num_rows, pa.bool_())
+            total = mask if total is None else pc.or_(total, mask)
+        if total is None:  # empty inline block -> no solutions
+            return t.slice(0, 0)
+        return t.filter(pc.fill_null(total, False))
+
+    return bindings.map_batches(xf, batch_format="pyarrow")
+
+
 def bind_var(bindings, var: str, expr):
     """SPARQL ``BIND(expr AS ?var)``: ``expr`` maps the bindings
     pa.Table to the new column's Array (pyarrow.compute kernels) —

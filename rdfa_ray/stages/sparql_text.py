@@ -25,7 +25,10 @@ it raises ``SparqlSyntaxError`` rather than mis-executing):
   predicate-object lists), ``OPTIONAL { ... }``,
   ``{ ... } UNION { ... }`` (top-level arms),
   ``MINUS { ... }``, ``FILTER [NOT] EXISTS { ... }``,
-  ``VALUES ?v { ... }``, ``BIND(expr AS ?y)`` over the full value
+  ``VALUES ?v { ... }`` and the multi-variable form
+  ``VALUES (?a ?b) { (x y) (UNDEF z) ... }`` (vars must be bound by
+  the group — filter-join stance; UNDEF positions join with
+  anything), ``BIND(expr AS ?y)`` over the full value
   fragment, ``FILTER (expr)`` — comparisons over value expressions
   (vars/literals/numbers, ``+ - * /`` arithmetic, and the function
   library: STR, UCASE, LCASE, STRLEN, SUBSTR, CONCAT, STRBEFORE,
@@ -993,6 +996,7 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
     patterns, optionals, filters = [], [], []
     union_arms, minus_groups, exists_groups = [], [], []
     values, binds = [], []
+    values_multi: list = []
     subqueries: list = []
 
     def parse_triples_block(into):
@@ -1123,16 +1127,47 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
             )
         elif p.at_kw("VALUES"):
             p.next()
-            kind, var = p.next()
-            if kind != "var":
-                raise SparqlSyntaxError("VALUES needs a ?variable")
-            p.expect_op("{")
-            vals = []
-            while p.peek() != ("op", "}"):
-                vk, vv = p.next()
-                vals.append(_resolve(vk, vv, prefixes))
-            p.next()
-            values.append((var[1:], vals))
+            if p.peek() == ("op", "("):  # VALUES (?a ?b) { (x y) ... }
+                p.next()
+                vnames = []
+                while p.peek()[0] == "var":
+                    vnames.append(p.next()[1][1:])
+                p.expect_op(")")
+                if not vnames:
+                    raise SparqlSyntaxError("VALUES needs at least one ?variable")
+                p.expect_op("{")
+                rows = []
+                while p.peek() != ("op", "}"):
+                    p.expect_op("(")
+                    row = []
+                    while p.peek() != ("op", ")"):
+                        vk, vv = p.peek()
+                        if vk == "kw" and vv.upper() == "UNDEF":
+                            p.next()
+                            row.append(None)
+                        else:
+                            vk, vv = p.next()
+                            row.append(_resolve(vk, vv, prefixes))
+                    p.next()
+                    if len(row) != len(vnames):
+                        raise SparqlSyntaxError(
+                            "VALUES row has %d terms for %d variables"
+                            % (len(row), len(vnames))
+                        )
+                    rows.append(tuple(row))
+                p.next()
+                values_multi.append((vnames, rows))
+            else:
+                kind, var = p.next()
+                if kind != "var":
+                    raise SparqlSyntaxError("VALUES needs a ?variable")
+                p.expect_op("{")
+                vals = []
+                while p.peek() != ("op", "}"):
+                    vk, vv = p.next()
+                    vals.append(_resolve(vk, vv, prefixes))
+                p.next()
+                values.append((var[1:], vals))
         elif p.at_kw("BIND"):
             p.next()
             p.expect_op("(")
@@ -1226,6 +1261,7 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
         "minus": minus_groups,
         "exists": exists_groups,
         "values": values,
+        "values_multi": values_multi,
         "binds": binds,
         "group_by": group_by,
         "having": having,
@@ -1291,6 +1327,7 @@ def _execute_plan(triples_ds, plan: dict, n_buckets: int = 64):
         order_limit,
         union_match,
         values_filter,
+        values_filter_multi,
     )
 
     graph_vars = []
@@ -1489,6 +1526,9 @@ def _execute_plan(triples_ds, plan: dict, n_buckets: int = 64):
 
     for var, vals in plan["values"]:
         b = values_filter(b, var, vals)
+
+    for vnames, rows in plan["values_multi"]:
+        b = values_filter_multi(b, vnames, rows)
 
     for alias, expr in plan["binds"]:
 

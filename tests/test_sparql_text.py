@@ -832,3 +832,30 @@ def test_subquery_errors(ray_session):
     for q in cases:
         with pytest.raises(SparqlSyntaxError):
             execute(ds, q).to_pandas()
+
+
+def test_values_multi_variable(ray_session):
+    """VALUES (?a ?b) { ... } with UNDEF: per inline row AND over the
+    non-UNDEF positions, OR across rows."""
+    ds = _triples(GRAPH_ROWS)
+    out = execute(
+        ds,
+        """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d ?l ?s WHERE {
+          ?d ex:lang ?l ; ex:size ?s .
+          VALUES (?l ?s) { ("zh" "10") ("en" UNDEF) }
+        }
+        """,
+    )
+    assert _rows(out, ["d", "l", "s"]) == [("a", "zh", "10"), ("b", "en", "200")]
+
+
+def test_values_multi_arity_error(ray_session):
+    ds = _triples(GRAPH_ROWS)
+    with pytest.raises(SparqlSyntaxError):
+        execute(
+            ds,
+            """SELECT ?d WHERE { ?d <http://ex.org/lang> ?l .
+               VALUES (?l) { ("zh" "extra") } }""",
+        )
