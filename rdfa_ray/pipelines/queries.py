@@ -346,6 +346,92 @@ def q_lineitem_agg(sf_dir: str):
     return lineitem_agg(sf_dir)
 
 
+def q_lineitem_below_avg(sf_dir: str):
+    """TPC-H Q17 shape — join a grouped aggregate back onto the fact
+    table it was computed from (SQL's correlated subquery): per part,
+    how many lineitem rows fall below 20% of that part's average
+    quantity.  Pass 1: map-side (partkey -> sum, count) partials, then
+    one grouped sum over the tiny partials gives the threshold table
+    (#parts rows — may itself be large at scale, so it stays a
+    Dataset, never a driver list).  Pass 2: ONE bucketed exchange
+    joins the thin (partkey, quantity) fact projection with the
+    thresholds; the below-threshold filter and a per-part partial
+    count run inside the joined batches, so only (partkey, count)
+    partials reach the final small grouped sum.
+
+    Exactness: l_quantity is integer-valued, so per-part float64 sums
+    are exact and 0.2 * (sum / count) is bit-identical to DuckDB's
+    0.2 * AVG — the comparison cannot drift, and the output counts
+    are integers (hash-stable vs the oracle)."""
+    from ..stages.join import bucketed_hash_join
+
+    li = read_parquet_clean(
+        "%s/lineitem.parquet" % sf_dir, columns=["l_partkey", "l_quantity"]
+    )
+
+    def sum_cnt_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("l_partkey").aggregate(
+            [("l_quantity", "sum"), ("l_quantity", "count")]
+        )
+        return pa.Table.from_pydict(
+            {
+                "l_partkey": g.column("l_partkey"),
+                "s": g.column("l_quantity_sum"),
+                "c": pc.cast(g.column("l_quantity_count"), pa.int64()),
+            }
+        )
+
+    thr = (
+        li.map_batches(sum_cnt_partial, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .sum(["s", "c"])
+    )
+
+    def to_threshold(batch: pa.Table) -> pa.Table:
+        lim = pc.multiply(
+            pc.divide(
+                batch.column("sum(s)"),
+                pc.cast(batch.column("sum(c)"), pa.float64()),
+            ),
+            0.2,
+        )
+        return pa.Table.from_pydict(
+            {"l_partkey": batch.column("l_partkey"), "lim": lim}
+        )
+
+    thr = thr.map_batches(to_threshold, batch_format="pyarrow")
+
+    joined = bucketed_hash_join(
+        li,
+        thr,
+        on="l_partkey",
+        left_schema=pa.schema(
+            [("l_partkey", pa.int64()), ("l_quantity", pa.float64())]
+        ),
+        right_schema=pa.schema([("l_partkey", pa.int64()), ("lim", pa.float64())]),
+    )
+
+    def below_partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.less(batch.column("l_quantity"), batch.column("lim")))
+        g = t.group_by("l_partkey").aggregate([("l_quantity", "count")])
+        return pa.Table.from_pydict(
+            {
+                "l_partkey": g.column("l_partkey"),
+                "n": pc.cast(g.column("l_quantity_count"), pa.int64()),
+            }
+        )
+
+    out = (
+        joined.map_batches(below_partial, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .sum("n")
+    )
+    return out.map_batches(
+        lambda b: b.rename_columns(["l_partkey", "n_below"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_orders_by_segment(sf_dir: str):
     from .relational import orders_by_segment
 
@@ -2738,6 +2824,7 @@ QUERIES = {
     "rdfa_structured": q_rdfa_structured,
     "rdfa_processor_graph": q_rdfa_processor_graph,
     "lineitem_agg": q_lineitem_agg,
+    "lineitem_below_avg": q_lineitem_below_avg,
     "orders_by_segment": q_orders_by_segment,
     "join_bucketed": q_join_bucketed,
     "top_orders": q_top_orders,
@@ -3420,6 +3507,13 @@ ORACLE_SQL = {
         "SELECT subj AS d, obj_value AS n FROM t"
         " WHERE pred = 'http://schema.org/characterCount'"
         " AND CAST(obj_value AS BIGINT) > 400" % _TYPED_TRIPLES_SQL
+    ),
+    "lineitem_below_avg": (
+        "WITH lim AS (SELECT l_partkey, 0.2 * AVG(l_quantity) AS lim"
+        " FROM lineitem GROUP BY l_partkey) "
+        "SELECT l.l_partkey, COUNT(*) AS n_below"
+        " FROM lineitem l JOIN lim USING (l_partkey)"
+        " WHERE l.l_quantity < lim.lim GROUP BY l.l_partkey"
     ),
     "kg_sparql_values_multi": (
         "SELECT 'http://docs.local/d' || CAST(doc_id AS VARCHAR) AS d,"
