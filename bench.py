@@ -151,6 +151,8 @@ def _headline_and_queries(sf_dir: str, num_cpus: int, n_turns: int) -> dict:
     timed("unigram_logppl", Q.q_unigram_logppl)
     timed("mixture_sample", Q.q_mixture_sample)
     timed("dedup_substrings", Q.q_dedup_substrings)
+    timed("bpe_token_counts", Q.q_bpe_token_counts)
+    timed("lineitem_below_avg", Q.q_lineitem_below_avg)
 
     ray.shutdown()
     return {

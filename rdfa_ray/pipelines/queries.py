@@ -340,6 +340,35 @@ def q_rdfa_diagnostics_rollup(sf_dir: str):
 # Relational operators
 
 
+def q_bpe_merges(sf_dir: str):
+    """Distributed BPE tokenizer training (no SQL oracle — iterative
+    merge selection; correctness is pinned by the sequential-reference
+    parity tests in test_round3_ops.py).  The corpus-scale work is the
+    pruned word-histogram shuffle; the merge loop is vectorized Arrow
+    over the bounded vocabulary (stages/bpe.py docstring)."""
+    import ray.data as rd
+
+    from ..stages.bpe import train_bpe
+
+    docs = read_parquet_clean(
+        "%s/documents.parquet" % sf_dir, columns=["doc_id", "text"]
+    )
+    return rd.from_arrow(train_bpe(docs, n_merges=32))
+
+
+def q_bpe_token_counts(sf_dir: str):
+    """Train BPE on the corpus, then the distributed encode pass:
+    per-document token counts under the learned merges (factorized per
+    unique word per batch; merge table broadcast in the closure)."""
+    from ..stages.bpe import encode_token_counts, train_bpe
+
+    docs = read_parquet_clean(
+        "%s/documents.parquet" % sf_dir, columns=["doc_id", "text"]
+    )
+    merges = train_bpe(docs, n_merges=32)
+    return encode_token_counts(docs, merges)
+
+
 def q_lineitem_agg(sf_dir: str):
     from .relational import lineitem_agg
 
@@ -2824,6 +2853,8 @@ QUERIES = {
     "rdfa_structured": q_rdfa_structured,
     "rdfa_processor_graph": q_rdfa_processor_graph,
     "lineitem_agg": q_lineitem_agg,
+    "bpe_merges": q_bpe_merges,
+    "bpe_token_counts": q_bpe_token_counts,
     "lineitem_below_avg": q_lineitem_below_avg,
     "orders_by_segment": q_orders_by_segment,
     "join_bucketed": q_join_bucketed,

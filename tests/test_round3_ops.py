@@ -300,3 +300,114 @@ def test_local_supplier_volume_q5(ray_session):
     # unknown region -> empty
     none = local_supplier_volume(sf, region="ATLANTIS").to_pandas()
     assert len(none) == 0
+
+
+# ------------------------------------------------------------------ BPE
+
+
+def _bpe_train_reference(texts, n_merges, min_pair_count=2):
+    """Sequential Sennrich-style trainer (independent of stages/bpe.py):
+    word histogram -> per-round pair count -> merge best pair with a
+    symbol-scan, greedy left-to-right."""
+    import re
+    from collections import Counter
+
+    tok = re.compile(r"[a-z0-9]+")
+    hist = Counter()
+    for t in texts:
+        hist.update(tok.findall(t.lower()))
+    words = {w: list(w) + ["</w>"] for w in hist}
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += hist[w]
+        if not pairs:
+            break
+        best = max(pairs, key=lambda p: (pairs[p], tuple(-ord(c) for c in " ".join(p))))
+        # deterministic tie-break: count desc, pair asc
+        best = min(
+            (p for p in pairs if pairs[p] == pairs[best]),
+            key=lambda p: " ".join(p),
+        )
+        if pairs[best] < min_pair_count:
+            break
+        merges.append(best)
+        a, b = best
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    return merges, words
+
+
+def test_bpe_train_matches_sequential_reference(ray_session):
+    import ray.data as rd
+
+    from rdfa_ray.stages.bpe import train_bpe
+
+    texts = [
+        "the cat sat on the mat",
+        "the cats sat on the mats",
+        "a cat and a dog and a cat",
+        "low lower lowest newest newer new",
+        "hello hello world world world",
+    ] * 3
+    ds = rd.from_items([{"doc_id": i, "text": t} for i, t in enumerate(texts)])
+    got = train_bpe(ds, n_merges=20, max_words=1000)
+    want, _ = _bpe_train_reference(texts, 20)
+    got_pairs = list(zip(got.column("left").to_pylist(), got.column("right").to_pylist()))
+    assert got_pairs == want
+
+
+def test_bpe_encode_counts_match_reference(ray_session):
+    import re
+
+    import ray.data as rd
+
+    from rdfa_ray.stages.bpe import encode_token_counts, train_bpe
+
+    texts = [
+        "banana bandana banana",
+        "the band banned the banner",
+        "an anagram and a banana",
+    ] * 2
+    ds = rd.from_items([{"doc_id": i, "text": t} for i, t in enumerate(texts)])
+    merges = train_bpe(ds, n_merges=12, max_words=1000)
+    out = (
+        encode_token_counts(ds, merges)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    _, words = _bpe_train_reference(texts, 12)
+    tok = re.compile(r"[a-z0-9]+")
+    for i, t in enumerate(texts):
+        want = sum(len(words[w]) for w in tok.findall(t.lower()))
+        assert int(out.loc[out["doc_id"] == i, "n_tokens"].iloc[0]) == want
+
+
+def test_bpe_consecutive_pair_fixpoint(ray_session):
+    """'a a a a' must merge to [aa, aa] — the shared-delimiter case the
+    single replace pass misses (module docstring)."""
+    import ray.data as rd
+
+    from rdfa_ray.stages.bpe import encode_token_counts, train_bpe
+
+    texts = ["aaaa aaaa aaaa"]  # one word 'aaaa' x3
+    ds = rd.from_items([{"doc_id": 0, "text": texts[0]}])
+    merges = train_bpe(ds, n_merges=1, min_pair_count=1)
+    assert list(
+        zip(merges.column("left").to_pylist(), merges.column("right").to_pylist())
+    ) == [("a", "a")]
+    out = encode_token_counts(ds, merges).to_pandas()
+    # 'aaaa' -> [aa, aa, </w>] = 3 tokens per word, 3 words
+    assert int(out["n_tokens"].iloc[0]) == 9
