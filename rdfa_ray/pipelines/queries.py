@@ -2469,6 +2469,28 @@ def q_kg_sparql_values_multi(sf_dir: str):
     )
 
 
+def q_kg_sparql_mixed_groups(sf_dir: str):
+    """OPTIONAL + MINUS + FILTER NOT EXISTS composed in ONE query,
+    applied in clause order (round-3 lift of the one-group-per-query
+    fragment limit): zh/fr docs, their optional character count,
+    minus src1 docs, keeping only those without a dateCreated in 2020.
+    Each group is one bindings-level exchange."""
+    from ..stages.sparql_text import execute
+
+    return execute(
+        _typed_triples(sf_dir),
+        """
+        PREFIX schema: <http://schema.org/>
+        SELECT ?d ?n WHERE {
+          ?d schema:inLanguage "zh" .
+          OPTIONAL { ?d schema:characterCount ?n }
+          MINUS { ?d schema:source "src1" }
+          FILTER NOT EXISTS { ?d schema:source "src2" }
+        }
+        """,
+    )
+
+
 def q_kg_sparql_expr(sf_dir: str):
     """The SPARQL 1.1 expression library end-to-end (BIND over
     CONCAT/UCASE/IF/FLOOR + a FILTER on the computed column) — what a
@@ -2943,6 +2965,7 @@ QUERIES = {
     "kg_sparql_text_filter": q_kg_sparql_text_filter,
     "kg_sparql_subquery": q_kg_sparql_subquery,
     "kg_sparql_values_multi": q_kg_sparql_values_multi,
+    "kg_sparql_mixed_groups": q_kg_sparql_mixed_groups,
     "curation_pipeline": q_curation_pipeline,
     "kg_path_opt": q_kg_path_opt,
     "kg_group_concat": q_kg_group_concat,
@@ -3545,6 +3568,11 @@ ORACLE_SQL = {
         "SELECT l.l_partkey, COUNT(*) AS n_below"
         " FROM lineitem l JOIN lim USING (l_partkey)"
         " WHERE l.l_quantity < lim.lim GROUP BY l.l_partkey"
+    ),
+    "kg_sparql_mixed_groups": (
+        "SELECT 'http://docs.local/d' || CAST(doc_id AS VARCHAR) AS d,"
+        " CAST(n_chars AS VARCHAR) AS n FROM documents"
+        " WHERE lang = 'zh' AND source <> 'src1' AND source <> 'src2'"
     ),
     "kg_sparql_values_multi": (
         "SELECT 'http://docs.local/d' || CAST(doc_id AS VARCHAR) AS d,"

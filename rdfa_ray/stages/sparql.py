@@ -168,21 +168,11 @@ def filter_bindings(bindings, predicate):
     )
 
 
-def minus_match(
-    triples_ds, base_patterns, minus_patterns, select=None, n_buckets: int = 64
-):
-    """SPARQL ``{ base } MINUS { minus }`` (rdflib evalMinus): drop
-    base solutions compatible with some minus solution on their shared
-    variables — ONE anti-join exchange where only the minus side's
-    distinct keys ship.  Per SPARQL 1.1 §8.3, arms sharing NO variable
-    remove nothing: the base comes back unchanged."""
-    triples_ds = triples_ds.materialize()
-    base, base_vars = _match_with_vars(triples_ds, base_patterns)
-    minus, minus_vars = _match_with_vars(triples_ds, minus_patterns)
-    shared = [v for v in minus_vars if v in base_vars]
-    if not shared:
-        return base if select is None else base.select_columns(list(select))
-    left, left_schema = _with_key(base, shared, base_vars)
+def _compat_join(bindings, bound_vars, probe, probe_vars, shared, how, n_buckets):
+    """Semi/anti join of a bindings table against a probe bindings
+    table on their shared variables — only the probe's key column
+    ships; the bindings keep their full width."""
+    left, left_schema = _with_key(bindings, shared, bound_vars)
 
     def key_only(batch: pa.Table) -> pa.Table:
         if len(shared) == 1:
@@ -194,15 +184,62 @@ def minus_match(
             )
         return pa.Table.from_pydict({"__k": k})
 
-    out = bucketed_hash_join(
+    return bucketed_hash_join(
         left,
-        minus.map_batches(key_only, batch_format="pyarrow"),
+        probe.map_batches(key_only, batch_format="pyarrow"),
         on="__k",
         n_buckets=n_buckets,
-        how="anti",
+        how=how,
         left_schema=left_schema,
         right_schema=pa.schema([("__k", pa.string())]),
     ).drop_columns(["__k"])
+
+
+def minus_bindings(bindings, bound_vars, triples_ds, minus_patterns,
+                   n_buckets: int = 64):
+    """``MINUS { ... }`` over an already-computed bindings table: drop
+    solutions compatible with some minus-group solution on their shared
+    variables (ONE anti-join exchange; only the minus side's distinct
+    keys ship).  Per SPARQL 1.1 §8.3, no shared variable removes
+    nothing."""
+    minus, minus_vars = _match_with_vars(triples_ds, minus_patterns)
+    shared = [v for v in minus_vars if v in bound_vars]
+    if not shared:
+        return bindings
+    return _compat_join(
+        bindings, bound_vars, minus, minus_vars, shared, "anti", n_buckets
+    )
+
+
+def exists_bindings(bindings, bound_vars, triples_ds, exists_patterns,
+                    negate: bool = False, n_buckets: int = 64):
+    """``FILTER [NOT] EXISTS { ... }`` over an already-computed
+    bindings table (correlated on shared variables): one semi (EXISTS)
+    or anti (NOT EXISTS) join exchange."""
+    probe, probe_vars = _match_with_vars(triples_ds, exists_patterns)
+    shared = [v for v in probe_vars if v in bound_vars]
+    if not shared:
+        raise ValueError(
+            "FILTER [NOT] EXISTS group shares no variable with the base "
+            "BGP — uncorrelated existence is a driver-side ask()"
+        )
+    return _compat_join(
+        bindings, bound_vars, probe, probe_vars, shared,
+        "anti" if negate else "semi", n_buckets,
+    )
+
+
+def minus_match(
+    triples_ds, base_patterns, minus_patterns, select=None, n_buckets: int = 64
+):
+    """SPARQL ``{ base } MINUS { minus }`` (rdflib evalMinus): drop
+    base solutions compatible with some minus solution on their shared
+    variables — ONE anti-join exchange where only the minus side's
+    distinct keys ship.  Per SPARQL 1.1 §8.3, arms sharing NO variable
+    remove nothing: the base comes back unchanged."""
+    triples_ds = triples_ds.materialize()
+    base, base_vars = _match_with_vars(triples_ds, base_patterns)
+    out = minus_bindings(base, base_vars, triples_ds, minus_patterns, n_buckets)
     return out if select is None else out.select_columns(list(select))
 
 
@@ -220,34 +257,9 @@ def exists_filter(
     distinct keys ship on the right."""
     triples_ds = triples_ds.materialize()
     base, base_vars = _match_with_vars(triples_ds, base_patterns)
-    probe, probe_vars = _match_with_vars(triples_ds, exists_patterns)
-    shared = [v for v in probe_vars if v in base_vars]
-    if not shared:
-        raise ValueError(
-            "FILTER [NOT] EXISTS group shares no variable with the base "
-            "BGP — uncorrelated existence is a driver-side ask()"
-        )
-    left, left_schema = _with_key(base, shared, base_vars)
-
-    def key_only(batch: pa.Table) -> pa.Table:
-        if len(shared) == 1:
-            k = pc.cast(batch.column(shared[0]), pa.string())
-        else:
-            k = pc.binary_join_element_wise(
-                *[pc.cast(batch.column(v), pa.string()) for v in shared],
-                "\x1f",
-            )
-        return pa.Table.from_pydict({"__k": k})
-
-    out = bucketed_hash_join(
-        left,
-        probe.map_batches(key_only, batch_format="pyarrow"),
-        on="__k",
-        n_buckets=n_buckets,
-        how="anti" if negate else "semi",
-        left_schema=left_schema,
-        right_schema=pa.schema([("__k", pa.string())]),
-    ).drop_columns(["__k"])
+    out = exists_bindings(
+        base, base_vars, triples_ds, exists_patterns, negate, n_buckets
+    )
     return out if select is None else out.select_columns(list(select))
 
 

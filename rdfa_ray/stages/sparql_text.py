@@ -88,10 +88,13 @@ it raises ``SparqlSyntaxError`` rather than mis-executing):
   compiled to ``stages/sparql.path_edges`` plans and joined into the
   surrounding BGP on their shared variables
 
-Compositional limits are explicit errors, never silent misreads:
-UNION arms exclude OPTIONAL/MINUS in the same group; MINUS and
-[NOT] EXISTS require a plain-BGP base (that is what the distributed
-minus/exists operators take).
+OPTIONAL / MINUS / FILTER [NOT] EXISTS groups repeat and mix freely
+over a plain-BGP base, applied in clause order — each group costs one
+bindings-level exchange (left join for OPTIONAL; anti/semi key join
+for MINUS/EXISTS with only the probe side's keys shipping).
+Compositional limits that remain are explicit errors, never silent
+misreads: UNION arms exclude the other group kinds in the same group,
+and those groups need at least one base triple pattern.
 
 Numbers in comparisons compare numerically (bindings hold lexical
 forms; the compiled mask casts vectorized, pyarrow kernels only).
@@ -998,6 +1001,7 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
     values, binds = [], []
     values_multi: list = []
     subqueries: list = []
+    groups: list = []  # (kind, block[, negate]) in clause order
 
     def parse_triples_block(into):
         """triple ('.'|';' lists) until '}' / a keyword clause."""
@@ -1087,10 +1091,14 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
             break
         if p.at_kw("OPTIONAL"):
             p.next()
-            optionals.append(parse_braced_block())
+            block = parse_braced_block()
+            optionals.append(block)
+            groups.append(("optional", block))
         elif p.at_kw("MINUS"):
             p.next()
-            minus_groups.append(parse_braced_block())
+            block = parse_braced_block()
+            minus_groups.append(block)
+            groups.append(("minus", block))
         elif p.at_kw("FILTER"):
             p.next()
             if p.at_kw("EXISTS") or (
@@ -1100,7 +1108,9 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
                 p.next()
                 if negate:
                     p.next()
-                exists_groups.append((parse_braced_block(), negate))
+                block = parse_braced_block()
+                exists_groups.append((block, negate))
+                groups.append(("exists", block, negate))
             else:
                 p.expect_op("(")
                 filters.append(_FilterCompiler(p, prefixes, meta_needed).parse_or())
@@ -1191,10 +1201,6 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
         raise SparqlSyntaxError(
             "UNION arms cannot mix with other top-level patterns in this fragment"
         )
-    if (minus_groups or exists_groups) and optionals:
-        raise SparqlSyntaxError(
-            "MINUS / FILTER EXISTS need a plain-BGP base in this fragment"
-        )
     if subqueries and (union_arms or minus_groups or exists_groups or optionals):
         raise SparqlSyntaxError(
             "subqueries compose with a plain-BGP base only in this fragment"
@@ -1262,6 +1268,7 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
         "exists": exists_groups,
         "values": values,
         "values_multi": values_multi,
+        "groups": groups,
         "binds": binds,
         "group_by": group_by,
         "having": having,
@@ -1319,11 +1326,8 @@ def _execute_plan(triples_ds, plan: dict, n_buckets: int = 64):
         bind_var,
         construct,
         distinct_bindings,
-        exists_filter,
         filter_bindings,
         grouped_aggregate,
-        minus_match,
-        optional_match,
         order_limit,
         union_match,
         values_filter,
@@ -1416,41 +1420,38 @@ def _execute_plan(triples_ds, plan: dict, n_buckets: int = 64):
 
     if plan["union"]:
         b = union_match(triples_ds, plan["union"])
-    elif plan["minus"] or plan["exists"]:
-        if len(plan["minus"]) + len(plan["exists"]) > 1:
+    elif plan["groups"]:
+        # ordered composition of OPTIONAL / MINUS / FILTER [NOT] EXISTS
+        # groups over the plain-BGP base, applied in clause order —
+        # each group is one bindings-level exchange (left join for
+        # OPTIONAL; anti/semi key join for MINUS/EXISTS, probe keys
+        # only on the right)
+        from .sparql import exists_bindings, minus_bindings
+
+        if not plan["patterns"]:
             raise SparqlSyntaxError(
-                "one MINUS or one [NOT] EXISTS group per query in this fragment"
+                "OPTIONAL/MINUS/EXISTS groups need a base BGP in this fragment"
             )
-        if plan["minus"]:
-            b = minus_match(
-                triples_ds, plan["patterns"], plan["minus"][0], n_buckets=n_buckets
-            )
-        else:
-            eg, negate = plan["exists"][0]
-            b = exists_filter(
-                triples_ds, plan["patterns"], eg, negate=negate, n_buckets=n_buckets
-            )
-    elif plan["optionals"]:
-        b = optional_match(
-            triples_ds,
-            plan["patterns"],
-            # engine optional_match takes ONE optional group; apply in
-            # sequence for several
-            plan["optionals"][0],
-            n_buckets=n_buckets,
+        tds = (
+            triples_ds.materialize()
+            if (plan["minus"] or plan["exists"])
+            else triples_ds
         )
-        cols = sorted(
-            {
-                v
-                for pat in plan["patterns"] + plan["optionals"][0]
-                for v in pattern_vars(pat)
-            }
-        )
-        for extra in plan["optionals"][1:]:
-            b = optional_match_bindings(b, triples_ds, extra, n_buckets, cols)
-            cols = sorted(
-                set(cols) | {v for pat in extra for v in pattern_vars(pat)}
-            )
+        b = bgp_match(tds, plan["patterns"], n_buckets=n_buckets)
+        cols = sorted({v for pt in plan["patterns"] for v in pattern_vars(pt)})
+        for g in plan["groups"]:
+            if g[0] == "optional":
+                b = optional_match_bindings(b, tds, g[1], n_buckets, cols)
+                cols = sorted(
+                    set(cols) | {v for pat in g[1] for v in pattern_vars(pat)}
+                )
+            elif g[0] == "minus":
+                b = minus_bindings(b, cols, tds, g[1], n_buckets=n_buckets)
+            else:
+                b = exists_bindings(
+                    b, cols, tds, g[1], negate=g[2], n_buckets=n_buckets
+                )
+        bound = cols
     elif path_pats:
         b, bound = None, []
         if plain_pats:

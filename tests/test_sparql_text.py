@@ -859,3 +859,72 @@ def test_values_multi_arity_error(ray_session):
             """SELECT ?d WHERE { ?d <http://ex.org/lang> ?l .
                VALUES (?l) { ("zh" "extra") } }""",
         )
+
+
+# ------------------------------------------- mixed/chained group composition
+
+
+def test_optional_then_minus(ray_session):
+    """OPTIONAL and MINUS in one query, applied in clause order."""
+    ds = _triples(GRAPH_ROWS)
+    out = execute(
+        ds,
+        """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d ?s WHERE {
+          ?d ex:lang ?l .
+          OPTIONAL { ?d ex:size ?s }
+          MINUS { ?d ex:lang "en" }
+        }
+        """,
+    )
+    assert _rows(out, ["d", "s"]) == [("a", "10"), ("c", "30")]
+
+
+def test_two_minus_groups(ray_session):
+    ds = _triples(GRAPH_ROWS)
+    out = execute(
+        ds,
+        """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d WHERE {
+          ?d ex:size ?s .
+          MINUS { ?d ex:lang "en" }
+          MINUS { ?d ex:lang "zh" . ?d ex:size "30" }
+        }
+        """,
+    )
+    assert _rows(out, ["d"]) == [("a",)]
+
+
+def test_minus_then_not_exists(ray_session):
+    ds = _triples(GRAPH_ROWS)
+    out = execute(
+        ds,
+        """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d WHERE {
+          ?d ex:lang ?l .
+          MINUS { ?d ex:lang "en" }
+          FILTER NOT EXISTS { ?d ex:size "10" }
+        }
+        """,
+    )
+    assert _rows(out, ["d"]) == [("c",)]
+
+
+def test_exists_after_optional(ray_session):
+    """EXISTS applies to the solution including the OPTIONAL column."""
+    ds = _triples(GRAPH_ROWS)
+    out = execute(
+        ds,
+        """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d ?s WHERE {
+          ?d ex:lang ?l .
+          OPTIONAL { ?d ex:size ?s }
+          FILTER EXISTS { ?d a ex:Doc }
+        }
+        """,
+    )
+    assert _rows(out, ["d", "s"]) == [("a", "10"), ("b", "200")]
