@@ -52,6 +52,8 @@ def _split_list(col):
     per row (with boundary empty strings still present)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if pa.types.is_null(col.type):  # an all-null block types as null
+        col = col.cast(pa.string())
     txt = pc.utf8_lower(pc.fill_null(col, ""))
     lst = pc.split_pattern_regex(txt, "[^a-z0-9]+")
     if isinstance(lst, pa.ChunkedArray):
@@ -159,10 +161,12 @@ def train_bpe(
     ``encode_token_counts`` consumes."""
     hist = word_histogram(docs_ds, text_col=text_col, max_words=max_words)
     h = hist.to_pandas()  # bounded by max_words — the documented budget
+    ranks, lefts, rights = [], [], []
+    if not len(h):  # vocabulary-less corpus -> no merges to learn
+        h = pd.DataFrame({"word": [], "n": []})
     col = _to_symbols(h["word"].tolist())
     weights = h["n"].to_numpy()
 
-    ranks, lefts, rights = [], [], []
     for rank in range(n_merges):
         stats = _pair_stats(col, weights)
         if not len(stats):

@@ -411,3 +411,24 @@ def test_bpe_consecutive_pair_fixpoint(ray_session):
     out = encode_token_counts(ds, merges).to_pandas()
     # 'aaaa' -> [aa, aa, </w>] = 3 tokens per word, 3 words
     assert int(out["n_tokens"].iloc[0]) == 9
+
+
+def test_bpe_degenerate_inputs(ray_session):
+    """Empty / null / vocabulary-less texts: no merges, zero counts —
+    and all-null blocks (which Arrow types as null) don't crash the
+    split kernel."""
+    import ray.data as rd
+
+    from rdfa_ray.stages.bpe import encode_token_counts, train_bpe
+
+    ds = rd.from_items(
+        [
+            {"doc_id": 0, "text": ""},
+            {"doc_id": 1, "text": None},
+            {"doc_id": 2, "text": "!!!"},
+        ]
+    )
+    merges = train_bpe(ds, n_merges=8)
+    assert merges.num_rows == 0
+    out = encode_token_counts(ds, merges).to_pandas().sort_values("doc_id")
+    assert out["n_tokens"].tolist() == [0, 0, 0]
