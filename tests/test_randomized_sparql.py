@@ -164,3 +164,78 @@ def test_random_path_plus(ray_session, seed):
         "SELECT DISTINCT s, o FROM r"
     ).fetchdf()
     assert _same(got, want)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_mixed_groups(ray_session, seed):
+    """OPTIONAL + MINUS + FILTER NOT EXISTS mixed in one query (clause
+    order), dual-checked against the SQL left-join/anti-join algebra."""
+    rng = random.Random(5000 + seed)
+    rows = _random_graph(rng)
+    p1, p2, p3, p4 = (rng.choice(PREDS) for _ in range(4))
+    v3, v4 = rng.choice(VALS), rng.choice(VALS)
+
+    q = (
+        "SELECT ?d ?b WHERE { ?d <%s> ?a ."
+        " OPTIONAL { ?d <%s> ?b }"
+        ' MINUS { ?d <%s> "%s" }'
+        ' FILTER NOT EXISTS { ?d <%s> "%s" } }' % (p1, p2, p3, v3, p4, v4)
+    )
+    got = execute(_ds(rows), q, n_buckets=4).to_pandas()
+    # engine's unbound sentinel is '' — mirror with COALESCE
+    want = _con(rows).execute(
+        "SELECT a.subj AS d, COALESCE(b.obj_value, '') AS b FROM t a"
+        " LEFT JOIN t b ON b.subj = a.subj AND b.pred = ?"
+        " WHERE a.pred = ?"
+        " AND a.subj NOT IN (SELECT subj FROM t WHERE pred = ? AND obj_value = ?)"
+        " AND a.subj NOT IN (SELECT subj FROM t WHERE pred = ? AND obj_value = ?)",
+        [p2, p1, p3, v3, p4, v4],
+    ).fetchdf()
+    assert _same(got, want), q
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_subquery(ray_session, seed):
+    """Nested { SELECT ... GROUP BY } joined into the outer BGP,
+    dual-checked against the SQL derived-table join."""
+    rng = random.Random(6000 + seed)
+    rows = _random_graph(rng)
+    p1, p2 = rng.choice(PREDS), rng.choice(PREDS)
+
+    q = (
+        "SELECT ?d ?a ?n WHERE { ?d <%s> ?a ."
+        " { SELECT ?a (COUNT(*) AS ?n) WHERE { ?x <%s> ?a } GROUP BY ?a } }"
+        % (p1, p2)
+    )
+    got = execute(_ds(rows), q, n_buckets=4).to_pandas()
+    want = _con(rows).execute(
+        "SELECT a.subj AS d, a.obj_value AS a,"
+        " CAST(c.n AS VARCHAR) AS n FROM t a JOIN"
+        " (SELECT obj_value, COUNT(*) AS n FROM t WHERE pred = ?"
+        "  GROUP BY obj_value) c ON c.obj_value = a.obj_value"
+        " WHERE a.pred = ?",
+        [p2, p1],
+    ).fetchdf()
+    assert _same(got, want), q
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_values_multi(ray_session, seed):
+    rng = random.Random(7000 + seed)
+    rows = _random_graph(rng)
+    p1, p2 = rng.choice(PREDS), rng.choice(PREDS)
+    va, vb, vc = (rng.choice(VALS) for _ in range(3))
+
+    q = (
+        "SELECT ?a ?b WHERE { ?d <%s> ?a . ?d <%s> ?b ."
+        ' VALUES (?a ?b) { ("%s" "%s") ("%s" UNDEF) } }'
+        % (p1, p2, va, vb, vc)
+    )
+    got = execute(_ds(rows), q, n_buckets=4).to_pandas()
+    want = _con(rows).execute(
+        "SELECT x.obj_value AS a, y.obj_value AS b FROM t x JOIN t y"
+        " ON y.subj = x.subj WHERE x.pred = ? AND y.pred = ?"
+        " AND ((x.obj_value = ? AND y.obj_value = ?) OR x.obj_value = ?)",
+        [p1, p2, va, vb, vc],
+    ).fetchdf()
+    assert _same(got, want), q
