@@ -340,6 +340,36 @@ def q_rdfa_diagnostics_rollup(sf_dir: str):
 # Relational operators
 
 
+def q_html_extract_docs(sf_dir: str):
+    """HTML visible-text extraction (the web-pipeline 'extract' stage)
+    with an INVERSION oracle: documents wrapped into RDFa markup by the
+    transcripts view, extracted back — clean_text must equal the
+    whitespace-normalized original, checkable in pure SQL."""
+    from ..sources.transcripts import view_from_documents, wrap_documents_batch
+    from ..stages.extract import extract_text
+
+    turns = view_from_documents(sf_dir, wrap_documents_batch)
+    out = extract_text(turns, keep=("conv_id",))
+    return out.map_batches(
+        lambda b: b.select(["conv_id", "clean_text"]), batch_format="pyarrow"
+    )
+
+
+def q_html_extract_signals(sf_dir: str):
+    """Boilerplate signals over the synthetic mixed-markup transcript
+    corpus (links, nesting, malformed fragments): per turn, tag count,
+    anchor count, link density and text-to-markup ratio in basis
+    points.  Not SQL-expressible (DOM parse) -> rows-only; unit
+    fixtures pin the signal math."""
+    from ..sources.transcripts import transcripts_dataset
+    from ..stages.extract import extract_text
+
+    turns = transcripts_dataset(2000, override_num_blocks=8)
+    return extract_text(turns, keep=("conv_id", "turn_idx")).map_batches(
+        lambda b: b.drop_columns(["clean_text"]), batch_format="pyarrow"
+    )
+
+
 def q_bpe_merges(sf_dir: str):
     """Distributed BPE tokenizer training (no SQL oracle — iterative
     merge selection; correctness is pinned by the sequential-reference
@@ -2875,6 +2905,8 @@ QUERIES = {
     "rdfa_structured": q_rdfa_structured,
     "rdfa_processor_graph": q_rdfa_processor_graph,
     "lineitem_agg": q_lineitem_agg,
+    "html_extract_docs": q_html_extract_docs,
+    "html_extract_signals": q_html_extract_signals,
     "bpe_merges": q_bpe_merges,
     "bpe_token_counts": q_bpe_token_counts,
     "lineitem_below_avg": q_lineitem_below_avg,
@@ -3561,6 +3593,13 @@ ORACLE_SQL = {
         "SELECT subj AS d, obj_value AS n FROM t"
         " WHERE pred = 'http://schema.org/characterCount'"
         " AND CAST(obj_value AS BIGINT) > 400" % _TYPED_TRIPLES_SQL
+    ),
+    "html_extract_docs": (
+        "SELECT 'doc' || printf('%08d', doc_id) AS conv_id,"
+        " array_to_string(list_filter(list_transform("
+        "   string_split(text, chr(10)),"
+        "   x -> trim(regexp_replace(x, '\s+', ' ', 'g'))),"
+        "  x -> x <> ''), chr(10)) AS clean_text FROM documents"
     ),
     "lineitem_below_avg": (
         "WITH lim AS (SELECT l_partkey, 0.2 * AVG(l_quantity) AS lim"

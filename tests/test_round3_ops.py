@@ -432,3 +432,51 @@ def test_bpe_degenerate_inputs(ray_session):
     assert merges.num_rows == 0
     out = encode_token_counts(ds, merges).to_pandas().sort_values("doc_id")
     assert out["n_tokens"].tolist() == [0, 0, 0]
+
+
+# ------------------------------------------------------------- HTML extract
+
+
+def test_extract_visible_fixtures():
+    from rdfa_ray.stages.extract import extract_visible
+
+    clean, n_tags, n_links, ld, tr = extract_visible(
+        '<html><head><style>p{color:red}</style><script>var x=1;</script>'
+        '</head><body><h1>Title</h1><p>Hello <b>world</b> this is '
+        '<a href="/x">a link</a>.</p><div>Second   block</div></body></html>'
+    )
+    assert clean == "Title\nHello world this is a link.\nSecond block"
+    assert n_links == 1
+    # link chars 'alink'=5 of 38 non-ws visible chars -> 1315 bps
+    assert ld == 1315
+
+    clean, _, n_links, ld, tr = extract_visible("plain text, no markup")
+    assert clean == "plain text, no markup" and n_links == 0 and tr == 10000
+
+    clean, *_ = extract_visible("<p>one</p><p></p><p>two</p>")
+    assert clean == "one\ntwo"
+
+    assert extract_visible("")[0] == ""
+    assert extract_visible(None)[0] == ""
+
+    # nested links and skip subtrees inside body text
+    clean, _, n_links, ld, _ = extract_visible(
+        '<ul><li>a</li><li>b <a href=x>c</a></li></ul>'
+    )
+    assert clean == "a\nb c" and n_links == 1 and ld == 3333
+
+
+def test_extract_text_stage(ray_session):
+    import ray.data as rd
+
+    from rdfa_ray.stages.extract import extract_text
+
+    ds = rd.from_items(
+        [
+            {"doc_id": 1, "text": "<p>alpha <a href=x>beta</a></p>"},
+            {"doc_id": 2, "text": "<script>no()</script>gamma"},
+        ]
+    )
+    out = extract_text(ds, keep=("doc_id",)).to_pandas().sort_values("doc_id")
+    assert out["clean_text"].tolist() == ["alpha beta", "gamma"]
+    assert out["n_links"].tolist() == [1, 0]
