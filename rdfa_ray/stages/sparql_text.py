@@ -1775,7 +1775,10 @@ def _apply_dataset_clause(triples_ds, plan):
 
 
 def _plan_pred_pushdown(plan):
-    """(preds, prunable) the store executor derives from a plan."""
+    """(preds, prunable) the store executor derives from a plan —
+    collected across the base BGP, every group kind, AND nested
+    subqueries (a subquery executes against the same pruned scan, so
+    missing its predicates would silently drop solutions)."""
     groups = (
         [plan["patterns"]]
         + plan["optionals"]
@@ -1794,6 +1797,10 @@ def _plan_pred_pushdown(plan):
                 prunable_box[0] = False
             else:
                 preds.add(p)
+    for sub in plan["subqueries"]:
+        sub_preds, sub_prunable = _plan_pred_pushdown(sub)
+        preds |= sub_preds
+        prunable_box[0] = prunable_box[0] and sub_prunable
     return preds, prunable_box[0]
 
 

@@ -928,3 +928,29 @@ def test_exists_after_optional(ray_session):
         """,
     )
     assert _rows(out, ["d", "s"]) == [("a", "10"), ("b", "200")]
+
+
+def test_store_subquery_pushdown(ray_session, tmp_path):
+    """A subquery's predicates must be part of the store's pushdown set
+    — a pruned scan that misses them silently drops solutions."""
+    from rdfa_ray import query as kg_query
+    from rdfa_ray.stages.kgstore import persist_kg
+    from rdfa_ray.stages.sparql_text import _plan_pred_pushdown, parse_query
+
+    plan = parse_query(
+        """SELECT ?d ?n WHERE { ?d <http://ex.org/lang> ?l .
+           { SELECT ?d (COUNT(*) AS ?n) WHERE { ?d <http://ex.org/size> ?s }
+             GROUP BY ?d } }"""
+    )
+    preds, prunable = _plan_pred_pushdown(plan)
+    assert prunable and preds == {"http://ex.org/lang", "http://ex.org/size"}
+
+    store = str(tmp_path / "kg")
+    persist_kg(_triples(GRAPH_ROWS), store)
+    out = kg_query(
+        store,
+        """SELECT ?d ?n WHERE { ?d <http://ex.org/lang> ?l .
+           { SELECT ?d (COUNT(*) AS ?n) WHERE { ?d <http://ex.org/size> ?s }
+             GROUP BY ?d } }""",
+    )
+    assert _rows(out, ["d", "n"]) == [("a", "1"), ("b", "1"), ("c", "1")]
