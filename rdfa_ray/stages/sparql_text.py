@@ -1840,10 +1840,19 @@ def explain(query: str, store_dir: str | None = None) -> str:
         lines.append("  minus: %d patterns" % len(g))
     for g, neg in plan["exists"]:
         lines.append("  filter %sexists: %d patterns" % ("not " if neg else "", len(g)))
+    for i, sub in enumerate(plan["subqueries"]):
+        lines.append(
+            "  subquery[%d]: projects %s"
+            % (i, " ".join("?%s" % c for c in _plan_out_cols(sub)))
+        )
     if plan["filters"]:
         lines.append("  filters: %d" % len(plan["filters"]))
     if plan["values"]:
         lines.append("  values: %s" % ", ".join("?%s(%d)" % (v, len(vs)) for v, vs in plan["values"]))
+    if plan["values_multi"]:
+        lines.append("  values (multi): %s" % ", ".join(
+            "(%s)x%d" % (" ".join("?%s" % v for v in vs), len(rows))
+            for vs, rows in plan["values_multi"]))
     if plan["binds"]:
         lines.append("  binds: %s" % ", ".join("?%s=<expr>" % a for a, _ in plan["binds"]))
     if plan["group_by"]:
