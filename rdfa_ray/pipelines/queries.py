@@ -2760,36 +2760,22 @@ def q_kg_agg_stats(sf_dir: str):
 
 
 def q_kg_group_concat(sf_dir: str):
-    """SPARQL GROUP_CONCAT + SAMPLE: per-source sorted ','-join of the
-    documents' languages plus a deterministic SAMPLE witness (the MIN
-    value — SPARQL permits any; fixing it keeps runs reproducible and
-    oracle-comparable)."""
-    import pandas as pd
+    """SPARQL GROUP_CONCAT(…; SEPARATOR=",") + SAMPLE through the text
+    front-end: per-source sorted ','-join of the documents' languages
+    plus a deterministic SAMPLE witness (the MIN value — SPARQL permits
+    any; fixing it keeps runs reproducible and oracle-comparable)."""
+    from ..stages.sparql_text import execute
 
-    from ..stages.bgp import bgp_match
-    from ..stages.sparql import grouped_aggregate
-
-    b = bgp_match(
+    return execute(
         _typed_triples(sf_dir),
-        [
-            ("?d", "http://schema.org/source", "?src"),
-            ("?d", "http://schema.org/inLanguage", "?l"),
-        ],
+        """
+        PREFIX schema: <http://schema.org/>
+        SELECT ?src (GROUP_CONCAT(?l; SEPARATOR=",") AS ?langs)
+               (SAMPLE(?l) AS ?sample_lang)
+        WHERE { ?d schema:source ?src . ?d schema:inLanguage ?l . }
+        GROUP BY ?src
+        """,
     )
-    out = grouped_aggregate(
-        b,
-        ["src"],
-        [
-            ("group_concat", "l", "langs"),
-            ("sample", "l", "sample_lang"),
-        ],
-    )
-
-    def to_commas(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["langs"] = batch["langs"].str.replace("\x1f", ",")
-        return batch
-
-    return out.map_batches(to_commas, batch_format="pandas")
 
 
 def q_unigram_logppl(sf_dir: str):

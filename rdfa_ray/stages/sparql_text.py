@@ -921,6 +921,7 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
     template = []
     distinct = False
     proj, aggs = [], []
+    gc_seps = {}  # GROUP_CONCAT alias -> SEPARATOR string (default " ")
     star = False
     describe_var = None
     if subquery:
@@ -982,6 +983,17 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
                 _ek, expr = _FilterCompiler(p, prefixes, meta_needed).parse_value()
                 argvar = "__agg_expr_%d" % len(agg_binds)
                 agg_binds.append((argvar, expr))
+            separator = None
+            if p.peek() == ("op", ";"):  # GROUP_CONCAT(?x; SEPARATOR="…")
+                p.next()
+                p.expect_kw("SEPARATOR")
+                p.expect_op("=")
+                kind, sv = p.next()
+                if kind != "string" or fn.upper() != "GROUP_CONCAT":
+                    raise SparqlSyntaxError(
+                        "SEPARATOR takes a string and is only valid in GROUP_CONCAT"
+                    )
+                separator = _resolve(kind, sv, prefixes)
             p.expect_op(")")
             if distinct_arg:
                 fn = "count_distinct"
@@ -991,6 +1003,8 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
                 raise SparqlSyntaxError("AS needs a ?variable")
             p.expect_op(")")
             aggs.append((fn.lower(), argvar, alias[1:]))
+            if fn.upper() == "GROUP_CONCAT":
+                gc_seps[alias[1:]] = " " if separator is None else separator
         else:
             break
     if form == "select" and not star and not proj and not aggs:
@@ -1270,6 +1284,7 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
         "values_multi": values_multi,
         "groups": groups,
         "binds": binds,
+        "gc_seps": gc_seps,
         "group_by": group_by,
         "having": having,
         "order_by": order_by,
@@ -1572,20 +1587,25 @@ def _execute_plan(triples_ds, plan: dict, n_buckets: int = 64):
             n_buckets=n_buckets,
         )
         out_cols = plan["group_by"] + [a[2] for a in plan["aggs"]]
-        # engine group_concat joins on \x1f; SPARQL's default separator
-        # is a single space
+        # engine group_concat joins on \x1f; SPARQL's separator is the
+        # per-alias SEPARATOR modifier (default single space)
         gc_aliases = [a for f, _v, a in plan["aggs"] if f == "group_concat"]
         if gc_aliases:
+            seps = plan.get("gc_seps") or {}
 
-            def space_join(batch: pa.Table, _als=tuple(gc_aliases)) -> pa.Table:
+            def sep_join(
+                batch: pa.Table,
+                _als=tuple(gc_aliases),
+                _seps={a: seps.get(a, " ") for a in gc_aliases},
+            ) -> pa.Table:
                 cols = {c: batch.column(c) for c in batch.column_names}
                 for alias in _als:
                     cols[alias] = pc.replace_substring(
-                        pc.cast(cols[alias], pa.string()), "\x1f", " "
+                        pc.cast(cols[alias], pa.string()), "\x1f", _seps[alias]
                     )
                 return pa.Table.from_pydict(cols)
 
-            b = b.map_batches(space_join, batch_format="pyarrow")
+            b = b.map_batches(sep_join, batch_format="pyarrow")
     else:
         out_cols = _plan_out_cols(plan)
 

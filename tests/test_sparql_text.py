@@ -454,6 +454,27 @@ def test_group_concat_and_order_by_alias(ray_session):
     assert out["docs"].iloc[0] == "a c"  # sorted, space-joined (SPARQL default)
 
 
+def test_group_concat_separator(ray_session):
+    out = execute(
+        _triples(GRAPH_ROWS),
+        """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?l (GROUP_CONCAT(?d; SEPARATOR="||") AS ?docs) WHERE {
+          ?d ex:lang ?l .
+        } GROUP BY ?l ORDER BY DESC(?l) LIMIT 1
+        """,
+        n_buckets=4,
+    ).to_pandas()
+    assert len(out) == 1
+    assert out["l"].iloc[0] == "zh" and out["docs"].iloc[0] == "a||c"
+    # SEPARATOR outside GROUP_CONCAT is rejected
+    with pytest.raises(SparqlSyntaxError):
+        execute(
+            _triples(GRAPH_ROWS),
+            'SELECT (MAX(?d; SEPARATOR=",") AS ?m) WHERE { ?d ?p ?o . }',
+        )
+
+
 def test_query_over_distilled_markup(ray_session):
     """Kernel -> query integration: distill real RDFa markup, then ask
     the triples a question through the text engine."""
