@@ -1634,6 +1634,19 @@ def q_kg_describe(sf_dir: str):
     )
 
 
+def q_kg_describe_iri(sf_dir: str):
+    """SPARQL DESCRIBE <iri> (constant-subject form) through the text
+    front-end: all triples about two fixed documents.  The constant
+    subject set makes the semi join collapse to a map-side ``is_in``
+    filter over the scan — zero shuffle."""
+    from ..stages.sparql_text import execute
+
+    return execute(
+        _typed_triples(sf_dir),
+        "DESCRIBE <%s0> <%s1>" % (DOC_NS, DOC_NS),
+    )
+
+
 def q_kg_order_limit(sf_dir: str):
     """SPARQL ORDER BY ... OFFSET ... LIMIT: the 10 largest documents
     by characterCount (zero-padded string sort key for a total order),
@@ -2961,6 +2974,7 @@ QUERIES = {
     "kg_path_opt": q_kg_path_opt,
     "kg_group_concat": q_kg_group_concat,
     "kg_describe": q_kg_describe,
+    "kg_describe_iri": q_kg_describe_iri,
     "kg_order_limit": q_kg_order_limit,
     "kg_graph_diff": q_kg_graph_diff,
     "kg_subclass_closure": q_kg_subclass_closure,
@@ -3749,6 +3763,11 @@ ORACLE_SQL = {
         " (SELECT DISTINCT subj FROM t WHERE"
         " pred = 'http://schema.org/inLanguage' AND obj_value = 'zh') m"
         " ON m.subj = t.subj" % _TYPED_TRIPLES_SQL
+    ),
+    "kg_describe_iri": (
+        "WITH t AS (%s) "
+        "SELECT subj, pred, obj_value FROM t"
+        " WHERE subj IN ('%s0', '%s1')" % (_TYPED_TRIPLES_SQL, DOC_NS, DOC_NS)
     ),
     "kg_order_limit": (
         "WITH t AS (%s) "

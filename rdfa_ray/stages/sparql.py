@@ -698,13 +698,34 @@ def grouped_aggregate(bindings, group_vars, aggs, having=None, n_buckets: int = 
     )
 
 
-def describe(triples_ds, patterns, var, n_buckets: int = 64):
+def describe(triples_ds, patterns, var, n_buckets: int = 64,
+             const_subjects=None):
     """SPARQL DESCRIBE ?v: every triple whose SUBJECT is a solution of
     ?v under the BGP (the simple-subject description rdflib's
     describe implementation emits).  One exact semi join of the triples
     against the distinct solution set — only solution keys shuffle on
-    the right."""
+    the right.
+
+    ``const_subjects``: DESCRIBE <iri> … form — the subject set is a
+    known constant list, so the semi join collapses to a map-side
+    ``is_in`` filter over the scan (zero shuffle)."""
     from .distinct import distinct
+
+    if const_subjects:
+        subs = pa.array([str(s) for s in const_subjects], pa.string())
+
+        def pick(batch: pa.Table) -> pa.Table:
+            subj = pc.cast(batch.column("subj"), pa.string())
+            t = batch.filter(pc.is_in(subj, value_set=subs))
+            return pa.Table.from_pydict(
+                {
+                    "subj": pc.cast(t.column("subj"), pa.string()),
+                    "pred": pc.cast(t.column("pred"), pa.string()),
+                    "obj_value": pc.cast(t.column("obj_value"), pa.string()),
+                }
+            )
+
+        return triples_ds.map_batches(pick, batch_format="pyarrow")
 
     triples_ds = triples_ds.materialize()
     bindings = bgp_match(triples_ds, patterns, n_buckets=n_buckets)

@@ -924,6 +924,7 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
     gc_seps = {}  # GROUP_CONCAT alias -> SEPARATOR string (default " ")
     star = False
     describe_var = None
+    describe_iris: list = []
     if subquery:
         p.expect_kw("SELECT")
         if p.at_kw("DISTINCT"):
@@ -938,10 +939,20 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
     elif p.at_kw("DESCRIBE"):
         p.next()
         form = "describe"
-        kind, val = p.next()
-        if kind != "var":
-            raise SparqlSyntaxError("DESCRIBE needs a ?variable in this fragment")
-        describe_var = val[1:]
+        kind, val = p.peek()
+        if kind == "var":
+            p.next()
+            describe_var = val[1:]
+        else:
+            # DESCRIBE <iri> [<iri> ...] — constant-subject description
+            # (no WHERE needed; executes as a map-side subject filter)
+            while p.peek()[0] in ("iri", "pname"):
+                kind, val = p.next()
+                describe_iris.append(_resolve(kind, val, prefixes))
+            if not describe_iris:
+                raise SparqlSyntaxError(
+                    "DESCRIBE needs a ?variable or one or more IRIs"
+                )
     else:
         p.expect_kw("SELECT")
         if p.at_kw("DISTINCT"):
@@ -1068,6 +1079,48 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
         if fk not in ("iri", "pname"):
             raise SparqlSyntaxError("FROM needs an IRI, got %r" % fv)
         (from_named if named else from_graphs).append(iri)
+
+    if form == "describe" and describe_iris and not p.at_kw("WHERE"):
+        # bare DESCRIBE <iri> … [LIMIT n]: no WHERE group; executes as a
+        # map-side constant-subject filter (zero shuffle)
+        limit = None
+        if p.at_kw("LIMIT"):
+            p.next()
+            limit = int(p.next()[1])
+        if p.peek()[0] is not None:
+            raise SparqlSyntaxError(
+                "unexpected trailing token %r" % (p.peek()[1],)
+            )
+        return {
+            "form": form,
+            "subqueries": [],
+            "describe_var": None,
+            "describe_iris": describe_iris,
+            "template": [],
+            "distinct": False,
+            "proj": [],
+            "star": False,
+            "aggs": [],
+            "patterns": [],
+            "optionals": [],
+            "filters": [],
+            "union": [],
+            "minus": [],
+            "exists": [],
+            "values": [],
+            "values_multi": [],
+            "groups": [],
+            "binds": [],
+            "gc_seps": {},
+            "group_by": [],
+            "having": None,
+            "order_by": [],
+            "limit": limit,
+            "offset": 0,
+            "from_graphs": from_graphs,
+            "from_named": from_named,
+            "needs_meta": [],
+        }
 
     if form == "ask":
         if p.at_kw("WHERE"):  # ASK WHERE { } and bare ASK { } both valid
@@ -1263,12 +1316,17 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
 
     if not patterns and not union_arms and not subqueries:
         raise SparqlSyntaxError("WHERE needs at least one triple pattern")
+    if describe_iris:
+        raise SparqlSyntaxError(
+            "DESCRIBE <iri> takes no WHERE group in this fragment"
+        )
     if aggs and not group_by and proj:
         raise SparqlSyntaxError("aggregates need GROUP BY for the plain vars")
     return {
         "form": form,
         "subqueries": subqueries,
         "describe_var": describe_var,
+        "describe_iris": [],
         "template": template,
         "distinct": distinct,
         "proj": proj,
@@ -1427,7 +1485,11 @@ def _execute_plan(triples_ds, plan: dict, n_buckets: int = 64):
         from .sparql import describe
 
         out = describe(
-            triples_ds, plan["patterns"], plan["describe_var"], n_buckets=n_buckets
+            triples_ds,
+            plan["patterns"],
+            plan["describe_var"],
+            n_buckets=n_buckets,
+            const_subjects=plan.get("describe_iris") or None,
         )
         if plan["limit"] is not None:
             out = out.limit(plan["limit"])
@@ -1841,6 +1903,11 @@ def explain(query: str, store_dir: str | None = None) -> str:
             " DISTINCT" if plan["distinct"] else "", " ".join(proj)))
     if plan["describe_var"]:
         lines.append("describe: ?%s" % plan["describe_var"])
+    if plan.get("describe_iris"):
+        lines.append(
+            "describe: %d constant subject(s) (map-side is_in filter, "
+            "no shuffle)" % len(plan["describe_iris"])
+        )
     if plan["from_graphs"] or plan["from_named"]:
         lines.append(
             "dataset: FROM %d graph(s), FROM NAMED %d graph(s)"

@@ -341,6 +341,26 @@ def test_describe_form(ray_session):
     )
 
 
+def test_describe_constant_iris(ray_session):
+    # bare DESCRIBE <iri> — map-side filter, no WHERE group
+    out = execute(_triples(GRAPH_ROWS), "DESCRIBE <a> <c>", n_buckets=4)
+    assert _rows(out, ["subj", "pred", "obj_value"]) == sorted(
+        [r for r in GRAPH_ROWS if r[0] in ("a", "c")]
+    )
+    # prefixed-name form
+    out2 = execute(
+        _triples([("http://ex.org/x", "p", "1"), ("y", "p", "2")]),
+        "PREFIX ex: <http://ex.org/> DESCRIBE ex:x",
+        n_buckets=4,
+    )
+    assert _rows(out2, ["subj", "pred", "obj_value"]) == [
+        ("http://ex.org/x", "p", "1")
+    ]
+    # constant DESCRIBE takes no WHERE group in this fragment
+    with pytest.raises(SparqlSyntaxError):
+        execute(_triples(GRAPH_ROWS), "DESCRIBE <a> WHERE { ?s ?p ?o }")
+
+
 def test_top_level_query_api(ray_session, tmp_path):
     """rdfa_ray.query dispatches Datasets to execute() and store paths
     to execute_on_store()."""
