@@ -2566,6 +2566,24 @@ def q_kg_count_distinct(sf_dir: str):
     )
 
 
+def q_kg_sum_distinct(sf_dir: str):
+    """SUM(DISTINCT ?n) per language through the text front-end — the
+    distinct VALUE SET survives to the reduce (same two-level
+    distinct-pairs exchange as COUNT DISTINCT, then a vectorized
+    per-bucket sum over the deduped pairs)."""
+    from ..stages.sparql_text import execute
+
+    return execute(
+        _typed_triples(sf_dir),
+        """
+        PREFIX schema: <http://schema.org/>
+        SELECT ?l (SUM(DISTINCT ?n) AS ?total) WHERE {
+          ?d schema:inLanguage ?l ; schema:characterCount ?n .
+        } GROUP BY ?l
+        """,
+    )
+
+
 def q_kg_subquery(sf_dir: str):
     """SPARQL 1.1 subquery (§12): documents whose characterCount
     exceeds their source's average — the inner ``SELECT ?src
@@ -2954,6 +2972,7 @@ QUERIES = {
     "kg_store_quads": q_kg_store_quads,
     "kg_subquery": q_kg_subquery,
     "kg_count_distinct": q_kg_count_distinct,
+    "kg_sum_distinct": q_kg_sum_distinct,
     "kg_sparql_text": q_kg_sparql_text,
     "kg_sparql_expr": q_kg_sparql_expr,
     "kg_lang_filter": q_kg_lang_filter,
@@ -3623,6 +3642,15 @@ ORACLE_SQL = {
         " FROM t t1 JOIN t t2 ON t2.subj = t1.subj"
         " WHERE t1.pred = 'http://schema.org/source'"
         " AND t2.pred = 'http://schema.org/inLanguage'"
+        " GROUP BY t1.obj_value" % _TYPED_TRIPLES_SQL
+    ),
+    "kg_sum_distinct": (
+        "WITH t AS (%s) "
+        "SELECT t1.obj_value AS l,"
+        " SUM(DISTINCT CAST(t2.obj_value AS DOUBLE)) AS total"
+        " FROM t t1 JOIN t t2 ON t2.subj = t1.subj"
+        " WHERE t1.pred = 'http://schema.org/inLanguage'"
+        " AND t2.pred = 'http://schema.org/characterCount'"
         " GROUP BY t1.obj_value" % _TYPED_TRIPLES_SQL
     ),
     "kg_subquery": (

@@ -526,20 +526,49 @@ def aggregate_bindings(triples_ds, patterns, group_vars, n_buckets: int = 64):
     return bindings.groupby(list(group_vars)).aggregate(Count(alias_name="n"))
 
 
-def grouped_count_distinct(bindings, group_vars, var, alias, n_buckets: int = 64):
-    """SPARQL ``(COUNT(DISTINCT ?var) AS ?alias) ... GROUP BY`` — the
-    one SPARQL aggregate whose partial is not fixed-width.  Two-level
-    distinct-then-count: map-side drop_duplicates on (group, value)
-    bounds each block's contribution by its distinct pairs, ONE
+def grouped_distinct_aggregate(bindings, group_vars, var, alias, fn="count",
+                               n_buckets: int = 64):
+    """SPARQL ``(AGG(DISTINCT ?var) AS ?alias) ... GROUP BY`` — the
+    aggregates whose partial is not fixed-width because the distinct
+    VALUE SET must survive to the reduce.  Two-level
+    distinct-then-aggregate: map-side drop_duplicates on (group,
+    value) bounds each block's contribution by its distinct pairs, ONE
     bucketed exchange of those pairs, then a vectorized per-bucket
-    nunique.  A hot group ships its distinct values once per block,
-    never its row count."""
+    dedup + final aggregate.  A hot group ships its distinct values
+    once per block, never its row count.
+
+    ``fn``: ``count`` (nunique), ``sum`` / ``avg`` (numeric over the
+    distinct lexical values), or ``group_concat`` (sorted
+    ``\\x1f``-join of the distinct values — same wire format as
+    :func:`grouped_aggregate`, callers re-join on their separator)."""
     import pandas as pd
 
     from ..functions.hashing import crc32_bucket_concat
 
     gvars = list(group_vars)
+
+    if not gvars:
+        # global distinct aggregate: one hidden constant group (SPARQL
+        # treats the whole solution set as one group), dropped after
+        hidden = "__all"
+
+        def add_key(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                hidden, pa.array(["0"] * t.num_rows, pa.string())
+            )
+
+        out = grouped_distinct_aggregate(
+            bindings.map_batches(add_key, batch_format="pyarrow"),
+            [hidden],
+            var,
+            alias,
+            fn=fn,
+            n_buckets=1,
+        )
+        return out.select_columns([alias])
+
     cols = [*gvars, var]
+    sep = "\x1f"
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         if not len(batch):
@@ -550,20 +579,48 @@ def grouped_count_distinct(bindings, group_vars, var, alias, n_buckets: int = 64
             "__bucket", crc32_bucket_concat(tbl, gvars, n_buckets)
         ).replace_schema_metadata(None)
 
+    out_dtype = {"count": "int64", "sum": "float64", "avg": "float64"}.get(
+        fn, "object"
+    )
+
     def reduce_bucket(group: pd.DataFrame) -> pd.DataFrame:
         if not len(group):
             empty = {v: pd.Series([], dtype="object") for v in gvars}
-            empty[alias] = pd.Series([], dtype="int64")
+            empty[alias] = pd.Series([], dtype=out_dtype)
             return pd.DataFrame(empty)
-        s = group.drop_duplicates(cols).groupby(gvars, sort=False)[var].nunique()
+        d = group.drop_duplicates(cols)
+        if fn in ("sum", "avg"):
+            d = d.assign(**{var: pd.to_numeric(d[var], errors="coerce")})
+        gb = d.groupby(gvars, sort=False)[var]
+        if fn == "count":
+            s = gb.nunique()
+        elif fn == "sum":
+            s = gb.sum()
+        elif fn == "avg":
+            s = gb.mean()
+        elif fn == "group_concat":
+            s = gb.agg(lambda vv: sep.join(sorted(vv.astype(str))))
+        else:
+            raise ValueError("unknown distinct aggregate %r" % fn)
         out = s.reset_index()[gvars]
-        out[alias] = s.to_numpy().astype("int64")
+        out[alias] = s.to_numpy()
+        if out_dtype != "object":
+            out[alias] = out[alias].astype(out_dtype)
         return out
 
     return (
         bindings.map_batches(partial, batch_format="pandas")
         .groupby("__bucket")
         .map_groups(reduce_bucket, batch_format="pandas")
+    )
+
+
+def grouped_count_distinct(bindings, group_vars, var, alias, n_buckets: int = 64):
+    """``(COUNT(DISTINCT ?var) AS ?alias)`` — thin alias over
+    :func:`grouped_distinct_aggregate` (kept for callers that predate
+    the generalized distinct-set aggregates)."""
+    return grouped_distinct_aggregate(
+        bindings, group_vars, var, alias, fn="count", n_buckets=n_buckets
     )
 
 

@@ -976,8 +976,11 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
             p.expect_op("(")
             distinct_arg = False
             if p.at_kw("DISTINCT"):
-                if fn.upper() != "COUNT":
-                    raise SparqlSyntaxError("DISTINCT only supported in COUNT")
+                if fn.upper() not in ("COUNT", "SUM", "AVG", "GROUP_CONCAT"):
+                    raise SparqlSyntaxError(
+                        "DISTINCT is supported in COUNT/SUM/AVG/GROUP_CONCAT"
+                        " (it is a no-op in MIN/MAX/SAMPLE)"
+                    )
                 p.next()
                 distinct_arg = True
             if p.peek() == ("op", "*"):
@@ -1007,14 +1010,14 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
                 separator = _resolve(kind, sv, prefixes)
             p.expect_op(")")
             if distinct_arg:
-                fn = "count_distinct"
+                fn = fn.lower() + "_distinct"
             p.expect_kw("AS")
             kind, alias = p.next()
             if kind != "var":
                 raise SparqlSyntaxError("AS needs a ?variable")
             p.expect_op(")")
             aggs.append((fn.lower(), argvar, alias[1:]))
-            if fn.upper() == "GROUP_CONCAT":
+            if fn.upper().startswith("GROUP_CONCAT"):
                 gc_seps[alias[1:]] = " " if separator is None else separator
         else:
             break
@@ -1372,7 +1375,7 @@ def _plan_out_cols(plan: dict) -> list:
     enclosing group)."""
     from .bgp import pattern_vars
 
-    if any(fn == "count_distinct" for fn, _v, _a in plan["aggs"]):
+    if any(fn.endswith("_distinct") for fn, _v, _a in plan["aggs"]):
         return plan["group_by"] + [plan["aggs"][0][2]]
     if plan["aggs"]:
         return plan["group_by"] + [a[2] for a in plan["aggs"]]
@@ -1621,20 +1624,32 @@ def _execute_plan(triples_ds, plan: dict, n_buckets: int = 64):
     for f in plan["filters"]:
         b = filter_bindings(b, f)
 
-    if any(fn == "count_distinct" for fn, _v, _a in plan["aggs"]):
-        from .sparql import grouped_count_distinct
+    if any(fn.endswith("_distinct") for fn, _v, _a in plan["aggs"]):
+        from .sparql import grouped_distinct_aggregate
 
         if len(plan["aggs"]) != 1:
             raise SparqlSyntaxError(
-                "COUNT(DISTINCT ?v) must be the only aggregate in this fragment"
+                "AGG(DISTINCT ?v) must be the only aggregate in this fragment"
             )
         if plan["having"] is not None:
-            raise SparqlSyntaxError("HAVING with COUNT(DISTINCT) is unsupported")
-        _fn, dvar, alias = plan["aggs"][0]
-        b = grouped_count_distinct(
-            b, plan["group_by"], dvar, alias, n_buckets=n_buckets
+            raise SparqlSyntaxError("HAVING with AGG(DISTINCT) is unsupported")
+        fnd, dvar, alias = plan["aggs"][0]
+        base = fnd[: -len("_distinct")]
+        b = grouped_distinct_aggregate(
+            b, plan["group_by"], dvar, alias, fn=base, n_buckets=n_buckets
         )
         out_cols = plan["group_by"] + [alias]
+        if base == "group_concat":
+            gsep = (plan.get("gc_seps") or {}).get(alias, " ")
+
+            def dsep_join(batch: pa.Table, _a=alias, _s=gsep) -> pa.Table:
+                cols = {c: batch.column(c) for c in batch.column_names}
+                cols[_a] = pc.replace_substring(
+                    pc.cast(cols[_a], pa.string()), "\x1f", _s
+                )
+                return pa.Table.from_pydict(cols)
+
+            b = b.map_batches(dsep_join, batch_format="pyarrow")
     elif plan["aggs"]:
         having = plan["having"]
         b = grouped_aggregate(

@@ -454,8 +454,47 @@ def test_count_distinct(ray_session):
     )
     assert _rows(out, ["l", "n"]) == [("en", 1), ("zh", 2)]
 
-    with pytest.raises(SparqlSyntaxError):
-        parse_query("SELECT (SUM(DISTINCT ?x) AS ?s) WHERE { ?a ?b ?x }")
+    with pytest.raises(SparqlSyntaxError):  # no-op DISTINCT rejected
+        parse_query("SELECT (MIN(DISTINCT ?x) AS ?s) WHERE { ?a ?b ?x }")
+
+
+def test_distinct_set_aggregates(ray_session):
+    # two docs share size "30": SUM/AVG/GROUP_CONCAT over the DISTINCT
+    # value set, not the multiset
+    rows = [
+        ("a", "http://ex.org/size", "10"),
+        ("b", "http://ex.org/size", "30"),
+        ("c", "http://ex.org/size", "30"),
+    ]
+    out = execute(
+        _triples(rows),
+        """
+        PREFIX ex: <http://ex.org/>
+        SELECT (SUM(DISTINCT ?s) AS ?total) WHERE { ?d ex:size ?s }
+        """,
+        n_buckets=4,
+    ).to_pandas()
+    assert out["total"].iloc[0] == 40.0
+    out2 = execute(
+        _triples(rows),
+        """
+        PREFIX ex: <http://ex.org/>
+        SELECT (AVG(DISTINCT ?s) AS ?m)
+               WHERE { ?d ex:size ?s }
+        """,
+        n_buckets=4,
+    ).to_pandas()
+    assert out2["m"].iloc[0] == 20.0
+    out3 = execute(
+        _triples(rows),
+        """
+        PREFIX ex: <http://ex.org/>
+        SELECT (GROUP_CONCAT(DISTINCT ?s; SEPARATOR=",") AS ?vals)
+               WHERE { ?d ex:size ?s }
+        """,
+        n_buckets=4,
+    ).to_pandas()
+    assert out3["vals"].iloc[0] == "10,30"
 
 
 def test_group_concat_and_order_by_alias(ray_session):
