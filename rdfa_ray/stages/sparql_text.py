@@ -1193,9 +1193,12 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
             if not block:
                 raise SparqlSyntaxError("GRAPH group needs triple patterns")
             for s, pr, o in block:
-                if isinstance(pr, tuple):
+                if isinstance(pr, tuple) and gterm.startswith("?"):
+                    # constant-graph paths run over the graph-filtered
+                    # view; a variable graph term would need per-graph
+                    # closures — out of this fragment
                     raise SparqlSyntaxError(
-                        "property paths inside GRAPH are unsupported"
+                        "property paths inside GRAPH ?var are unsupported"
                     )
                 patterns.append((s, pr, o, gterm))
         elif at_subquery():
@@ -1537,9 +1540,16 @@ def _execute_plan(triples_ds, plan: dict, n_buckets: int = 64):
         if plain_pats:
             b = bgp_match(triples_ds, plain_pats, n_buckets=n_buckets)
             bound = sorted({v for pt in plain_pats for v in pattern_vars(pt)})
-        for subj, expr, obj in path_pats:
+        for pt in path_pats:
+            subj, expr, obj = pt[0], pt[1], pt[2]
+            src_ds = triples_ds
+            if len(pt) > 3:
+                # GRAPH <g> { … path … }: restrict the path's edge
+                # universe to the named graph map-side, then reuse the
+                # plain path machinery unchanged
+                src_ds = _filter_to_graph(triples_ds, pt[3])
             pb, pvars = _path_pattern_bindings(
-                triples_ds, subj, expr, obj, n_buckets
+                src_ds, subj, expr, obj, n_buckets
             )
             if b is None:
                 b, bound = pb, pvars
@@ -1711,6 +1721,24 @@ def _execute_plan(triples_ds, plan: dict, n_buckets: int = 64):
         return batch.select(out_cols)
 
     return b.map_batches(project, batch_format="pyarrow")
+
+
+def _filter_to_graph(triples_ds, graph_iri: str):
+    """Map-side restriction of a quad view to ONE named graph — the
+    edge universe of a ``GRAPH <iri> { … path … }`` group.  Zero
+    shuffle; downstream path machinery runs unchanged."""
+
+    def pick(batch: pa.Table) -> pa.Table:
+        if "graph" not in batch.column_names:
+            raise SparqlSyntaxError(
+                "GRAPH pattern needs a 'graph' column in the input "
+                "(pass a quads view)"
+            )
+        return batch.filter(
+            pc.equal(pc.cast(batch.column("graph"), pa.string()), graph_iri)
+        )
+
+    return triples_ds.map_batches(pick, batch_format="pyarrow")
 
 
 def _path_pattern_bindings(triples_ds, subj, expr, obj, n_buckets):

@@ -620,6 +620,31 @@ def test_graph_constant(ray_session):
     assert _rows(out, ["d", "n"]) == [("a", "10")]
 
 
+def test_graph_constant_property_path(ray_session):
+    # path edges restricted to ONE named graph: a->b->c only in g1;
+    # the g2 edge b->x must not extend the g1 closure
+    rows = [
+        ("a", "http://ex.org/next", "b", "urn:g1"),
+        ("b", "http://ex.org/next", "c", "urn:g1"),
+        ("b", "http://ex.org/next", "x", "urn:g2"),
+    ]
+    out = execute(
+        _quads(rows),
+        """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?o WHERE { GRAPH <urn:g1> { <a> ex:next+ ?o } }
+        """,
+        n_buckets=4,
+    )
+    assert _rows(out, ["o"]) == [("b",), ("c",)]
+    # variable graph term with a path stays out of the fragment
+    with pytest.raises(SparqlSyntaxError):
+        parse_query(
+            "PREFIX ex: <http://ex.org/> "
+            "SELECT ?o WHERE { GRAPH ?g { <a> ex:next+ ?o } }"
+        )
+
+
 def test_graph_variable_binds_and_projects(ray_session):
     out = execute(
         _quads(QUAD_ROWS),
