@@ -2566,6 +2566,22 @@ def q_kg_count_distinct(sf_dir: str):
     )
 
 
+def q_kg_order_by_expr(sf_dir: str):
+    """ORDER BY over an expression (numeric sort of lexical bindings
+    via a hidden BIND column): top-10 documents by characterCount as a
+    NUMBER — a lexical sort would rank '99' above '1000'."""
+    from ..stages.sparql_text import execute
+
+    return execute(
+        _typed_triples(sf_dir),
+        """
+        PREFIX schema: <http://schema.org/>
+        SELECT ?d ?n WHERE { ?d schema:characterCount ?n . }
+        ORDER BY DESC(?n * 1) ?d LIMIT 10
+        """,
+    )
+
+
 def q_kg_sum_distinct(sf_dir: str):
     """SUM(DISTINCT ?n) per language through the text front-end — the
     distinct VALUE SET survives to the reduce (same two-level
@@ -2973,6 +2989,7 @@ QUERIES = {
     "kg_subquery": q_kg_subquery,
     "kg_count_distinct": q_kg_count_distinct,
     "kg_sum_distinct": q_kg_sum_distinct,
+    "kg_order_by_expr": q_kg_order_by_expr,
     "kg_sparql_text": q_kg_sparql_text,
     "kg_sparql_expr": q_kg_sparql_expr,
     "kg_lang_filter": q_kg_lang_filter,
@@ -3643,6 +3660,13 @@ ORACLE_SQL = {
         " WHERE t1.pred = 'http://schema.org/source'"
         " AND t2.pred = 'http://schema.org/inLanguage'"
         " GROUP BY t1.obj_value" % _TYPED_TRIPLES_SQL
+    ),
+    "kg_order_by_expr": (
+        "WITH t AS (%s) "
+        "SELECT subj AS d, obj_value AS n FROM t"
+        " WHERE pred = 'http://schema.org/characterCount'"
+        " ORDER BY CAST(obj_value AS DOUBLE) DESC, subj ASC LIMIT 10"
+        % _TYPED_TRIPLES_SQL
     ),
     "kg_sum_distinct": (
         "WITH t AS (%s) "

@@ -82,7 +82,8 @@ it raises ``SparqlSyntaxError`` rather than mis-executing):
   term-metadata functions raises.  A subquery whose projection shares
   no variable with the rest of the group (a cross product) raises.
 * ``GROUP BY ?v ...`` (+ ``HAVING`` over projected aggregate aliases)
-* ``ORDER BY [ASC|DESC](?v) ...``, ``LIMIT`` / ``OFFSET``
+* ``ORDER BY [ASC|DESC](?v | expr) ...`` (expressions sort on a hidden
+  BIND; non-aggregate queries only), ``LIMIT`` / ``OFFSET``
 * property paths in predicate position: ``^p``, ``p/q``, ``p|q``,
   ``p+``, ``p*``, ``p?``, ``!(p|q)``, parenthesised combinations —
   compiled to ``stages/sparql.path_edges`` plans and joined into the
@@ -917,6 +918,7 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
     (left unconsumed for the caller)."""
     form = "select"
     agg_binds: list = []  # hidden (var, expr) for aggregates over expressions
+    order_binds: list = []  # hidden (var, expr) for ORDER BY expressions
     meta_needed: list = []  # LANG()/DATATYPE() pseudo-columns used anywhere
     template = []
     distinct = False
@@ -1304,13 +1306,30 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
                 if p.at_kw("DESC") or p.at_kw("ASC"):
                     desc = p.next()[1].upper() == "DESC"
                     p.expect_op("(")
-                    var = p.next()
+                    if p.peek()[0] == "var" and p.peek(1) == ("op", ")"):
+                        name = p.next()[1][1:]
+                    else:
+                        # ORDER BY DESC(expr): sort on a hidden BIND
+                        _ek, expr = _FilterCompiler(
+                            p, prefixes, meta_needed
+                        ).parse_value()
+                        name = "__ord_%d" % len(order_binds)
+                        order_binds.append((name, expr))
                     p.expect_op(")")
+                    order_by.append((name, desc))
                 elif p.peek()[0] == "var":
-                    var = p.next()
+                    order_by.append((p.next()[1][1:], False))
+                elif p.peek() == ("op", "("):  # bare (expr) sort key
+                    p.next()
+                    _ek, expr = _FilterCompiler(
+                        p, prefixes, meta_needed
+                    ).parse_value()
+                    p.expect_op(")")
+                    name = "__ord_%d" % len(order_binds)
+                    order_binds.append((name, expr))
+                    order_by.append((name, False))
                 else:
                     break
-                order_by.append((var[1][1:], desc))
         elif p.at_kw("LIMIT"):
             p.next()
             limit = int(p.next()[1])
@@ -1319,6 +1338,17 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
             offset = int(p.next()[1])
         else:
             raise SparqlSyntaxError("unexpected trailing token %r" % (p.peek()[1],))
+
+    if order_binds:
+        # hidden ORDER BY expression columns are computed with the user
+        # BINDs, pre-aggregation — they would not survive a grouped
+        # reduce, so they compose with non-aggregate queries only
+        if aggs:
+            raise SparqlSyntaxError(
+                "ORDER BY expressions do not compose with aggregates in"
+                " this fragment (order by the aggregate alias instead)"
+            )
+        binds.extend(order_binds)
 
     if not patterns and not union_arms and not subqueries:
         raise SparqlSyntaxError("WHERE needs at least one triple pattern")
@@ -1390,7 +1420,7 @@ def _plan_out_cols(plan: dict) -> list:
         )
         return sorted(
             {v for pat in all_pats for v in pattern_vars(pat)}
-            | {alias for alias, _ in plan["binds"]}
+            | {a for a, _ in plan["binds"] if not a.startswith("__")}
             | {c for sub in plan["subqueries"] for c in _plan_out_cols(sub)}
         )
     return plan["proj"]

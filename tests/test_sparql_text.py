@@ -458,6 +458,35 @@ def test_count_distinct(ray_session):
         parse_query("SELECT (MIN(DISTINCT ?x) AS ?s) WHERE { ?a ?b ?x }")
 
 
+def test_order_by_expression(ray_session):
+    # numeric expression sort: 200 > 30 > 10 (a lexical sort would put
+    # "30" above "200")
+    out = execute(
+        _triples(GRAPH_ROWS),
+        """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d WHERE { ?d ex:size ?s } ORDER BY DESC(?s * 1) LIMIT 2
+        """,
+        n_buckets=4,
+    ).to_pandas()
+    assert list(out["d"]) == ["b", "c"]
+    # hidden sort column stays out of SELECT *
+    star = execute(
+        _triples(GRAPH_ROWS),
+        "PREFIX ex: <http://ex.org/> "
+        "SELECT * WHERE { ?d ex:size ?s } ORDER BY (?s * 1) LIMIT 1",
+        n_buckets=4,
+    ).to_pandas()
+    assert sorted(star.columns) == ["d", "s"]
+    # pre-aggregation sort keys do not survive a grouped reduce
+    with pytest.raises(SparqlSyntaxError):
+        parse_query(
+            "PREFIX ex: <http://ex.org/> "
+            "SELECT ?d (COUNT(*) AS ?n) WHERE { ?d ex:size ?s } "
+            "GROUP BY ?d ORDER BY DESC(?n + 1)"
+        )
+
+
 def test_distinct_set_aggregates(ray_session):
     # two docs share size "30": SUM/AVG/GROUP_CONCAT over the DISTINCT
     # value set, not the multiset
