@@ -33,7 +33,7 @@ it raises ``SparqlSyntaxError`` rather than mis-executing):
   (vars/literals/numbers, ``+ - * /`` arithmetic, and the function
   library: STR, UCASE, LCASE, STRLEN, SUBSTR, CONCAT, STRBEFORE,
   STRAFTER, REPLACE, ABS, CEIL, FLOOR, ROUND, BOUND, COALESCE, IF —
-  see ``_FilterCompiler``; MD5/SHA1/SHA256/ENCODE_FOR_URI;
+  see ``_FilterCompiler``; MD5/SHA1/SHA256/SHA384/SHA512/ENCODE_FOR_URI;
   LANGMATCHES/SAMETERM; the datetime accessors YEAR/MONTH/DAY/HOURS/
   MINUTES/SECONDS/TZ over ISO-8601 lexical forms; plus LANG()/
   DATATYPE() and the term tests ISIRI/ISURI/ISBLANK/ISLITERAL/
@@ -748,7 +748,8 @@ class _FilterCompiler:
                         _as_str(a(t)), _p, _r
                     )
                 )(f)
-            if u in ("MD5", "SHA1", "SHA256", "ENCODE_FOR_URI"):
+            if u in ("MD5", "SHA1", "SHA256", "SHA384", "SHA512",
+                     "ENCODE_FOR_URI"):
                 # SPARQL 1.1 hash / URI-escape functions.  Per-row
                 # Python, but only over each batch's UNIQUE values
                 # (factorize + lut) — the same Zipf lever as SimHasher.
@@ -772,7 +773,9 @@ class _FilterCompiler:
                         fn = lambda s: _up.quote(s, safe="")  # noqa: E731
                     else:
                         algo = {"MD5": _hl.md5, "SHA1": _hl.sha1,
-                                "SHA256": _hl.sha256}[_u]
+                                "SHA256": _hl.sha256,
+                                "SHA384": _hl.sha384,
+                                "SHA512": _hl.sha512}[_u]
                         fn = lambda s: algo(s.encode()).hexdigest()  # noqa: E731
                     lut = np.array([fn(s) for s in uniq], dtype=object)
                     out = pa.array(lut[codes], pa.string())

@@ -359,14 +359,17 @@ def test_hash_and_encode_functions(ray_session):
     import urllib.parse
 
     df = _run(
-        'SELECT ?d ?m ?s1 ?s2 ?e WHERE { ?d ex:name ?nm .'
+        'SELECT ?d ?m ?s1 ?s2 ?s3 ?s4 ?e WHERE { ?d ex:name ?nm .'
         " BIND(MD5(?nm) AS ?m) BIND(SHA1(?nm) AS ?s1)"
-        " BIND(SHA256(?nm) AS ?s2) BIND(ENCODE_FOR_URI(?nm) AS ?e) }"
+        " BIND(SHA256(?nm) AS ?s2) BIND(SHA384(?nm) AS ?s3)"
+        " BIND(SHA512(?nm) AS ?s4) BIND(ENCODE_FOR_URI(?nm) AS ?e) }"
     ).set_index("d")
     for d, nm in (("a", "alpha:one"), ("b", "beta:two")):
         assert df.loc[d, "m"] == hashlib.md5(nm.encode()).hexdigest()
         assert df.loc[d, "s1"] == hashlib.sha1(nm.encode()).hexdigest()
         assert df.loc[d, "s2"] == hashlib.sha256(nm.encode()).hexdigest()
+        assert df.loc[d, "s3"] == hashlib.sha384(nm.encode()).hexdigest()
+        assert df.loc[d, "s4"] == hashlib.sha512(nm.encode()).hexdigest()
         assert df.loc[d, "e"] == urllib.parse.quote(nm, safe="")
 
 
