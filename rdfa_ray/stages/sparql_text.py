@@ -76,11 +76,13 @@ it raises ``SparqlSyntaxError`` rather than mis-executing):
   inside WHERE — evaluated bottom-up (SPARQL 1.1 §12) with the same
   distributed plan, projected, cast to lexical form, and inner-joined
   into the enclosing group's BGP on the shared variables (the same
-  bucketed exchange path patterns pay).  They compose with a
-  plain-BGP base (+ FILTER/BIND/VALUES, property paths); mixing with
-  OPTIONAL/UNION/MINUS/EXISTS, GRAPH, dataset clauses, or
-  term-metadata functions raises.  A subquery whose projection shares
-  no variable with the rest of the group (a cross product) raises.
+  bucketed exchange path patterns pay).  They compose with a BGP base
+  (+ FILTER/BIND/VALUES, property paths) AND with OPTIONAL/MINUS/
+  FILTER [NOT] EXISTS groups — each subquery joins at its textual
+  clause position in the group sequence; mixing with UNION arms,
+  GRAPH, dataset clauses, or term-metadata functions raises.  A
+  subquery whose projection shares no variable with the rest of the
+  group (a cross product) raises.
 * ``GROUP BY ?v ...`` (+ ``HAVING`` over projected aggregate aliases)
 * ``ORDER BY [ASC|DESC](?v | expr) ...`` (expressions sort on a hidden
   BIND; non-aggregate queries only), ``LIMIT`` / ``OFFSET``
@@ -1207,7 +1209,10 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
                     )
                 patterns.append((s, pr, o, gterm))
         elif at_subquery():
-            subqueries.append(parse_subquery())
+            # record the clause position so execution can interleave
+            # the subquery join with the OPTIONAL/MINUS/EXISTS groups
+            # in textual order
+            subqueries.append((parse_subquery(), len(groups)))
         elif p.peek() == ("op", "{"):
             raise SparqlSyntaxError(
                 "nested group graph patterns are supported only as top-level"
@@ -1279,9 +1284,9 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
         raise SparqlSyntaxError(
             "UNION arms cannot mix with other top-level patterns in this fragment"
         )
-    if subqueries and (union_arms or minus_groups or exists_groups or optionals):
+    if subqueries and union_arms:
         raise SparqlSyntaxError(
-            "subqueries compose with a plain-BGP base only in this fragment"
+            "subqueries do not compose with UNION arms in this fragment"
         )
     if subqueries and form != "select":
         raise SparqlSyntaxError("subqueries are supported in SELECT queries only")
@@ -1424,7 +1429,7 @@ def _plan_out_cols(plan: dict) -> list:
         return sorted(
             {v for pat in all_pats for v in pattern_vars(pat)}
             | {a for a, _ in plan["binds"] if not a.startswith("__")}
-            | {c for sub in plan["subqueries"] for c in _plan_out_cols(sub)}
+            | {c for sub, _pos in plan["subqueries"] for c in _plan_out_cols(sub)}
         )
     return plan["proj"]
 
@@ -1452,6 +1457,7 @@ def _execute_plan(triples_ds, plan: dict, n_buckets: int = 64):
 
     path_pats = [pt for pt in plan["patterns"] if isinstance(pt[1], tuple)]
     plain_pats = [pt for pt in plan["patterns"] if not isinstance(pt[1], tuple)]
+    subs_joined = False  # groups path interleaves subquery joins itself
     other_groups = (
         plan["optionals"]
         + plan["union"]
@@ -1555,7 +1561,14 @@ def _execute_plan(triples_ds, plan: dict, n_buckets: int = 64):
         )
         b = bgp_match(tds, plan["patterns"], n_buckets=n_buckets)
         cols = sorted({v for pt in plan["patterns"] for v in pattern_vars(pt)})
-        for g in plan["groups"]:
+        # subqueries interleave with the groups in textual clause
+        # order: each recorded its position (number of groups already
+        # parsed), so pos==i joins before group i runs
+        subs = list(plan["subqueries"])
+        for sub, pos in subs:
+            if pos == 0:
+                b, cols = _join_subquery(b, cols, sub, triples_ds, n_buckets)
+        for i, g in enumerate(plan["groups"]):
             if g[0] == "optional":
                 b = optional_match_bindings(b, tds, g[1], n_buckets, cols)
                 cols = sorted(
@@ -1567,7 +1580,13 @@ def _execute_plan(triples_ds, plan: dict, n_buckets: int = 64):
                 b = exists_bindings(
                     b, cols, tds, g[1], negate=g[2], n_buckets=n_buckets
                 )
+            for sub, pos in subs:
+                if pos == i + 1:
+                    b, cols = _join_subquery(
+                        b, cols, sub, triples_ds, n_buckets
+                    )
         bound = cols
+        subs_joined = True
     elif path_pats:
         b, bound = None, []
         if plain_pats:
@@ -1602,25 +1621,9 @@ def _execute_plan(triples_ds, plan: dict, n_buckets: int = 64):
         else:
             b, bound = None, []  # subqueries only
 
-    for sub in plan["subqueries"]:
-        sub_b = _execute_plan(triples_ds, sub, n_buckets)
-        sub_cols = _plan_out_cols(sub)
-
-        # binding tables hold lexical forms everywhere in this engine;
-        # a subquery's aggregate columns come back typed, so cast them
-        # to their lexical form before the bucketed join
-        def to_lexical(batch: pa.Table, _cols=tuple(sub_cols)) -> pa.Table:
-            return pa.Table.from_pydict(
-                {c: pc.cast(batch.column(c), pa.string()) for c in _cols}
-            )
-
-        sub_b = sub_b.map_batches(to_lexical, batch_format="pyarrow")
-        if b is None:
-            b, bound = sub_b, list(sub_cols)
-        else:
-            b, bound = _join_binding_tables(
-                b, bound, sub_b, sub_cols, n_buckets, what="subquery"
-            )
+    if not subs_joined:
+        for sub, _pos in plan["subqueries"]:
+            b, bound = _join_subquery(b, bound, sub, triples_ds, n_buckets)
 
     if graph_vars:
         # dataset-clause view tagged named rows with the 1-char prefix;
@@ -1754,6 +1757,28 @@ def _execute_plan(triples_ds, plan: dict, n_buckets: int = 64):
         return batch.select(out_cols)
 
     return b.map_batches(project, batch_format="pyarrow")
+
+
+def _join_subquery(b, bound, sub_plan, triples_ds, n_buckets):
+    """Execute a nested ``{ SELECT … }`` plan bottom-up and fold it
+    into the enclosing bindings on the shared variables.  Binding
+    tables hold lexical forms everywhere in this engine; a subquery's
+    aggregate columns come back typed, so they are cast to lexical
+    form before the bucketed join."""
+    sub_b = _execute_plan(triples_ds, sub_plan, n_buckets)
+    sub_cols = _plan_out_cols(sub_plan)
+
+    def to_lexical(batch: pa.Table, _cols=tuple(sub_cols)) -> pa.Table:
+        return pa.Table.from_pydict(
+            {c: pc.cast(batch.column(c), pa.string()) for c in _cols}
+        )
+
+    sub_b = sub_b.map_batches(to_lexical, batch_format="pyarrow")
+    if b is None:
+        return sub_b, list(sub_cols)
+    return _join_binding_tables(
+        b, bound, sub_b, sub_cols, n_buckets, what="subquery"
+    )
 
 
 def _filter_to_graph(triples_ds, graph_iri: str):
@@ -1955,7 +1980,7 @@ def _plan_pred_pushdown(plan):
                 prunable_box[0] = False
             else:
                 preds.add(p)
-    for sub in plan["subqueries"]:
+    for sub, _pos in plan["subqueries"]:
         sub_preds, sub_prunable = _plan_pred_pushdown(sub)
         preds |= sub_preds
         prunable_box[0] = prunable_box[0] and sub_prunable
@@ -2003,10 +2028,10 @@ def explain(query: str, store_dir: str | None = None) -> str:
         lines.append("  minus: %d patterns" % len(g))
     for g, neg in plan["exists"]:
         lines.append("  filter %sexists: %d patterns" % ("not " if neg else "", len(g)))
-    for i, sub in enumerate(plan["subqueries"]):
+    for i, (sub, pos) in enumerate(plan["subqueries"]):
         lines.append(
-            "  subquery[%d]: projects %s"
-            % (i, " ".join("?%s" % c for c in _plan_out_cols(sub)))
+            "  subquery[%d] (joins before group %d): projects %s"
+            % (i, pos, " ".join("?%s" % c for c in _plan_out_cols(sub)))
         )
     if plan["filters"]:
         lines.append("  filters: %d" % len(plan["filters"]))

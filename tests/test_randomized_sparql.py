@@ -219,6 +219,38 @@ def test_random_subquery(ray_session, seed):
     assert _same(got, want), q
 
 
+@pytest.mark.parametrize("seed", range(8))
+def test_random_subquery_with_groups(ray_session, seed):
+    """Subquery joined at its clause position while OPTIONAL and MINUS
+    groups apply — dual-checked against the SQL derived-table join +
+    left join + anti join."""
+    rng = random.Random(8000 + seed)
+    rows = _random_graph(rng)
+    p1, p2, p3, p4 = (rng.choice(PREDS) for _ in range(4))
+    v3 = rng.choice(VALS)
+
+    q = (
+        "SELECT ?d ?a ?n ?b WHERE { ?d <%s> ?a ."
+        " { SELECT ?a (COUNT(*) AS ?n) WHERE { ?x <%s> ?a } GROUP BY ?a }"
+        " OPTIONAL { ?d <%s> ?b }"
+        ' MINUS { ?d <%s> "%s" } }' % (p1, p2, p4, p3, v3)
+    )
+    got = execute(_ds(rows), q, n_buckets=4).to_pandas()
+    want = _con(rows).execute(
+        "SELECT a.subj AS d, a.obj_value AS a, CAST(c.n AS VARCHAR) AS n,"
+        " COALESCE(b.obj_value, '') AS b"
+        " FROM t a JOIN (SELECT obj_value, COUNT(*) AS n FROM t"
+        "  WHERE pred = ? GROUP BY obj_value) c"
+        " ON c.obj_value = a.obj_value"
+        " LEFT JOIN t b ON b.subj = a.subj AND b.pred = ?"
+        " WHERE a.pred = ?"
+        " AND a.subj NOT IN"
+        "  (SELECT subj FROM t WHERE pred = ? AND obj_value = ?)",
+        [p2, p4, p1, p3, v3],
+    ).fetchdf()
+    assert _same(got, want), q
+
+
 @pytest.mark.parametrize("seed", range(6))
 def test_random_values_multi(ray_session, seed):
     rng = random.Random(7000 + seed)

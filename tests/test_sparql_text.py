@@ -948,6 +948,42 @@ def test_subquery_nested_two_deep(ray_session):
     assert _rows(out, ["d", "l"]) == [("b", "en")]
 
 
+def test_subquery_composes_with_groups(ray_session):
+    """Subqueries now mix with OPTIONAL/MINUS/EXISTS groups, joined at
+    their textual clause position."""
+    out = execute(
+        _triples(GRAPH_ROWS),
+        """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d ?l ?n ?s WHERE {
+          ?d ex:lang ?l .
+          { SELECT ?l (COUNT(*) AS ?n) WHERE { ?x ex:lang ?l } GROUP BY ?l }
+          OPTIONAL { ?d ex:size ?s }
+          MINUS { ?d ex:lang "en" }
+        }
+        """,
+        n_buckets=4,
+    )
+    assert _rows(out, ["d", "l", "n", "s"]) == [
+        ("a", "zh", "2", "10"),
+        ("c", "zh", "2", "30"),
+    ]
+    # subquery AFTER a group clause: joins after the MINUS runs
+    out2 = execute(
+        _triples(GRAPH_ROWS),
+        """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d ?l ?n WHERE {
+          ?d ex:lang ?l .
+          MINUS { ?d ex:lang "en" }
+          { SELECT ?l (COUNT(*) AS ?n) WHERE { ?x ex:lang ?l } GROUP BY ?l }
+        }
+        """,
+        n_buckets=4,
+    )
+    assert _rows(out2, ["d", "l", "n"]) == [("a", "zh", "2"), ("c", "zh", "2")]
+
+
 def test_subquery_errors(ray_session):
     ds = _triples(GRAPH_ROWS)
     cases = [
@@ -955,7 +991,7 @@ def test_subquery_errors(ray_session):
         """SELECT ?d ?n WHERE { ?d <http://ex.org/lang> ?l .
            { SELECT ?x (COUNT(*) AS ?n) WHERE { ?x ?p ?o } GROUP BY ?x }
            FILTER (?n > 1) }""",
-        # mixing with OPTIONAL
+        # OPTIONAL needs a base BGP (a subquery alone is not one)
         """SELECT ?d WHERE { OPTIONAL { ?d <http://ex.org/size> ?s }
            { SELECT ?d WHERE { ?d ?p ?o } } }""",
         # non-SELECT outer form
