@@ -2566,6 +2566,23 @@ def q_kg_count_distinct(sf_dir: str):
     )
 
 
+def q_kg_mixed_distinct_agg(sf_dir: str):
+    """Plain and DISTINCT aggregates in ONE GROUP BY: each family is
+    one exchange over the same materialized bindings, then the
+    group-cardinality-sized results join on a packed group key."""
+    from ..stages.sparql_text import execute
+
+    return execute(
+        _typed_triples(sf_dir),
+        """
+        PREFIX schema: <http://schema.org/>
+        SELECT ?src (COUNT(*) AS ?n_docs) (COUNT(DISTINCT ?l) AS ?n_langs)
+        WHERE { ?d schema:source ?src ; schema:inLanguage ?l . }
+        GROUP BY ?src
+        """,
+    )
+
+
 def q_kg_order_by_expr(sf_dir: str):
     """ORDER BY over an expression (numeric sort of lexical bindings
     via a hidden BIND column): top-10 documents by characterCount as a
@@ -2990,6 +3007,7 @@ QUERIES = {
     "kg_count_distinct": q_kg_count_distinct,
     "kg_sum_distinct": q_kg_sum_distinct,
     "kg_order_by_expr": q_kg_order_by_expr,
+    "kg_mixed_distinct_agg": q_kg_mixed_distinct_agg,
     "kg_sparql_text": q_kg_sparql_text,
     "kg_sparql_expr": q_kg_sparql_expr,
     "kg_lang_filter": q_kg_lang_filter,
@@ -3656,6 +3674,15 @@ ORACLE_SQL = {
     "kg_count_distinct": (
         "WITH t AS (%s) "
         "SELECT t1.obj_value AS src, COUNT(DISTINCT t2.obj_value) AS n"
+        " FROM t t1 JOIN t t2 ON t2.subj = t1.subj"
+        " WHERE t1.pred = 'http://schema.org/source'"
+        " AND t2.pred = 'http://schema.org/inLanguage'"
+        " GROUP BY t1.obj_value" % _TYPED_TRIPLES_SQL
+    ),
+    "kg_mixed_distinct_agg": (
+        "WITH t AS (%s) "
+        "SELECT t1.obj_value AS src, COUNT(*) AS n_docs,"
+        " COUNT(DISTINCT t2.obj_value) AS n_langs"
         " FROM t t1 JOIN t t2 ON t2.subj = t1.subj"
         " WHERE t1.pred = 'http://schema.org/source'"
         " AND t2.pred = 'http://schema.org/inLanguage'"

@@ -1416,8 +1416,6 @@ def _plan_out_cols(plan: dict) -> list:
     enclosing group)."""
     from .bgp import pattern_vars
 
-    if any(fn.endswith("_distinct") for fn, _v, _a in plan["aggs"]):
-        return plan["group_by"] + [plan["aggs"][0][2]]
     if plan["aggs"]:
         return plan["group_by"] + [a[2] for a in plan["aggs"]]
     if plan["star"]:
@@ -1671,28 +1669,86 @@ def _execute_plan(triples_ds, plan: dict, n_buckets: int = 64):
         b = filter_bindings(b, f)
 
     if any(fn.endswith("_distinct") for fn, _v, _a in plan["aggs"]):
-        from .sparql import grouped_distinct_aggregate
+        from .sparql import grouped_aggregate, grouped_distinct_aggregate
 
-        if len(plan["aggs"]) != 1:
-            raise SparqlSyntaxError(
-                "AGG(DISTINCT ?v) must be the only aggregate in this fragment"
-            )
         if plan["having"] is not None:
             raise SparqlSyntaxError("HAVING with AGG(DISTINCT) is unsupported")
-        fnd, dvar, alias = plan["aggs"][0]
-        base = fnd[: -len("_distinct")]
-        b = grouped_distinct_aggregate(
-            b, plan["group_by"], dvar, alias, fn=base, n_buckets=n_buckets
-        )
-        out_cols = plan["group_by"] + [alias]
-        if base == "group_concat":
-            gsep = (plan.get("gc_seps") or {}).get(alias, " ")
-
-            def dsep_join(batch: pa.Table, _a=alias, _s=gsep) -> pa.Table:
-                cols = {c: batch.column(c) for c in batch.column_names}
-                cols[_a] = pc.replace_substring(
-                    pc.cast(cols[_a], pa.string()), "\x1f", _s
+        d_aggs = [a for a in plan["aggs"] if a[0].endswith("_distinct")]
+        p_aggs = [a for a in plan["aggs"] if not a[0].endswith("_distinct")]
+        gvars = plan["group_by"]
+        if not p_aggs and len(d_aggs) == 1:
+            fnd, dvar, alias = d_aggs[0]
+            b = grouped_distinct_aggregate(
+                b, gvars, dvar, alias,
+                fn=fnd[: -len("_distinct")], n_buckets=n_buckets,
+            )
+        else:
+            # mixed plain + DISTINCT (or several DISTINCT) aggregates:
+            # each family is one exchange over the SAME materialized
+            # bindings; the group-cardinality-sized results then join
+            # on a packed group key (small tables, cheap exchange)
+            if not gvars:
+                raise SparqlSyntaxError(
+                    "mixing DISTINCT and plain aggregates needs GROUP BY"
+                    " in this fragment"
                 )
+            from .join import bucketed_hash_join
+
+            b = b.materialize()
+            pieces = []
+            if p_aggs:
+                pieces.append(
+                    grouped_aggregate(b, gvars, p_aggs, n_buckets=n_buckets)
+                )
+            for fnd, dvar, alias in d_aggs:
+                pieces.append(
+                    grouped_distinct_aggregate(
+                        b, gvars, dvar, alias,
+                        fn=fnd[: -len("_distinct")], n_buckets=n_buckets,
+                    )
+                )
+
+            def pack_left(t: pa.Table, _g=tuple(gvars)) -> pa.Table:
+                key = pc.binary_join_element_wise(
+                    *[pc.cast(t.column(v), pa.string()) for v in _g], "\x1f"
+                )
+                return t.append_column("__gkey", key)
+
+            def pack_right(t: pa.Table, _g=tuple(gvars)) -> pa.Table:
+                key = pc.binary_join_element_wise(
+                    *[pc.cast(t.column(v), pa.string()) for v in _g], "\x1f"
+                )
+                keep = [c for c in t.column_names if c not in _g]
+                return pa.Table.from_pydict(
+                    {**{c: t.column(c) for c in keep}, "__gkey": key}
+                )
+
+            joined = pieces[0].map_batches(pack_left, batch_format="pyarrow")
+            for nxt in pieces[1:]:
+                joined = bucketed_hash_join(
+                    joined,
+                    nxt.map_batches(pack_right, batch_format="pyarrow"),
+                    on="__gkey",
+                    n_buckets=n_buckets,
+                    how="inner",
+                )
+            b = joined
+        out_cols = gvars + [a[2] for a in plan["aggs"]]
+        gc_d = [
+            (a[2], True) for a in d_aggs if a[0] == "group_concat_distinct"
+        ] + [(a[2], False) for a in p_aggs if a[0] == "group_concat"]
+        if gc_d:
+            seps = plan.get("gc_seps") or {}
+
+            def dsep_join(
+                batch: pa.Table,
+                _seps={al: seps.get(al, " ") for al, _ in gc_d},
+            ) -> pa.Table:
+                cols = {c: batch.column(c) for c in batch.column_names}
+                for al, s in _seps.items():
+                    cols[al] = pc.replace_substring(
+                        pc.cast(cols[al], pa.string()), "\x1f", s
+                    )
                 return pa.Table.from_pydict(cols)
 
             b = b.map_batches(dsep_join, batch_format="pyarrow")

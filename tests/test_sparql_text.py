@@ -948,6 +948,32 @@ def test_subquery_nested_two_deep(ray_session):
     assert _rows(out, ["d", "l"]) == [("b", "en")]
 
 
+def test_mixed_distinct_and_plain_aggregates(ray_session):
+    rows = GRAPH_ROWS + [("a", "http://ex.org/lang", "zh")]  # dup binding
+    out = execute(
+        _triples(rows),
+        """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?l (COUNT(*) AS ?rows) (COUNT(DISTINCT ?d) AS ?docs)
+               (GROUP_CONCAT(DISTINCT ?d; SEPARATOR="|") AS ?ids)
+        WHERE { ?d ex:lang ?l } GROUP BY ?l
+        """,
+        n_buckets=4,
+    ).to_pandas()
+    out = out.sort_values("l").reset_index(drop=True)
+    assert list(out["l"]) == ["en", "zh"]
+    assert [int(x) for x in out["rows"]] == [1, 3]
+    assert [int(x) for x in out["docs"]] == [1, 2]
+    assert list(out["ids"]) == ["b", "a|c"]
+    # global (no GROUP BY) mixing stays out of the fragment
+    with pytest.raises(SparqlSyntaxError):
+        execute(
+            _triples(rows),
+            "SELECT (COUNT(*) AS ?n) (COUNT(DISTINCT ?d) AS ?m)"
+            " WHERE { ?d ?p ?o }",
+        ).to_pandas()
+
+
 def test_subquery_composes_with_groups(ray_session):
     """Subqueries now mix with OPTIONAL/MINUS/EXISTS groups, joined at
     their textual clause position."""
