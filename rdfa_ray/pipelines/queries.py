@@ -2599,6 +2599,26 @@ def q_kg_order_by_expr(sf_dir: str):
     )
 
 
+def q_kg_having_order_agg(sf_dir: str):
+    """Inline aggregate calls in HAVING and as an ORDER BY sort key —
+    neither COUNT is projected: both hoist to hidden aggregate columns
+    (the one grouped exchange computes them alongside nothing else)
+    that are dropped after the filter/sort.  Ref: rdflib evaluates
+    HAVING/ORDER BY aggregate expressions over the group solutions the
+    same way (`graph.query` on a pyrdfa3-distilled graph)."""
+    from ..stages.sparql_text import execute
+
+    return execute(
+        _typed_triples(sf_dir),
+        """
+        PREFIX schema: <http://schema.org/>
+        SELECT ?l WHERE { ?d schema:inLanguage ?l . }
+        GROUP BY ?l HAVING (COUNT(?d) > 60)
+        ORDER BY DESC(COUNT(?d)) ?l LIMIT 3
+        """,
+    )
+
+
 def q_kg_sum_distinct(sf_dir: str):
     """SUM(DISTINCT ?n) per language through the text front-end — the
     distinct VALUE SET survives to the reduce (same two-level
@@ -3008,6 +3028,7 @@ QUERIES = {
     "kg_sum_distinct": q_kg_sum_distinct,
     "kg_order_by_expr": q_kg_order_by_expr,
     "kg_mixed_distinct_agg": q_kg_mixed_distinct_agg,
+    "kg_having_order_agg": q_kg_having_order_agg,
     "kg_sparql_text": q_kg_sparql_text,
     "kg_sparql_expr": q_kg_sparql_expr,
     "kg_lang_filter": q_kg_lang_filter,
@@ -3693,6 +3714,14 @@ ORACLE_SQL = {
         "SELECT subj AS d, obj_value AS n FROM t"
         " WHERE pred = 'http://schema.org/characterCount'"
         " ORDER BY CAST(obj_value AS DOUBLE) DESC, subj ASC LIMIT 10"
+        % _TYPED_TRIPLES_SQL
+    ),
+    "kg_having_order_agg": (
+        "WITH t AS (%s) "
+        "SELECT obj_value AS l FROM t"
+        " WHERE pred = 'http://schema.org/inLanguage'"
+        " GROUP BY obj_value HAVING COUNT(subj) > 60"
+        " ORDER BY COUNT(subj) DESC, obj_value ASC LIMIT 3"
         % _TYPED_TRIPLES_SQL
     ),
     "kg_sum_distinct": (

@@ -383,12 +383,17 @@ class _FilterCompiler:
     batches; the only pandas fallbacks (STRBEFORE/STRAFTER and the
     error-coercing numeric parse) are C-level vectorized."""
 
-    def __init__(self, parser, prefixes, meta_sink=None):
+    def __init__(self, parser, prefixes, meta_sink=None, agg_sink=None):
         self.p = parser
         self.prefixes = prefixes
         # LANG()/DATATYPE() uses are recorded here (shared, plan-level
         # list) so execute() knows to run a metadata-carrying BGP
         self.meta_sink = meta_sink if meta_sink is not None else []
+        # HAVING context only: callable(fn_name) that parses the rest
+        # of an inline aggregate call, registers a hidden aggregate in
+        # the plan, and returns its alias — the compiled expression
+        # then reads that post-aggregation column
+        self.agg_sink = agg_sink
 
     def parse_or(self):
         left = self.parse_and()
@@ -649,6 +654,18 @@ class _FilterCompiler:
             return k, f
         if pk == "kw":
             u = pv.upper()
+            if (
+                self.agg_sink is not None
+                and u in _INLINE_AGG_FNS
+                and self.p.peek(1) == ("op", "(")
+            ):
+                # inline aggregate (HAVING context): hoist to a hidden
+                # aggregate column and reference it post-aggregation
+                self.p.next()
+                alias = self.agg_sink(pv)
+                return "num", (
+                    lambda _a=alias: lambda t: _as_num(t.column(_a))
+                )()
             if u in ("STR", "UCASE", "LCASE"):
                 self.p.next()
                 ((_k, f),) = self._args(1)
@@ -893,6 +910,87 @@ class _FilterCompiler:
 # --------------------------------------------------------------------------
 # Query parsing
 
+# aggregate functions usable inline in HAVING / ORDER BY sort keys
+# (GROUP_CONCAT excluded: string-valued, meaningless as a filter/sort key)
+_INLINE_AGG_FNS = ("COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE")
+
+
+def _agg_is_whole_key(p):
+    """Lookahead: the cursor sits on an ORDER BY sort-key body and the
+    ENTIRE key is a single aggregate call ``AGG( ... )`` (the token
+    after the call's matching close paren is the key's own ``)``).
+    Aggregates mixed into larger expressions stay rejected — they would
+    need a second, post-aggregation evaluation context."""
+    if p.peek()[0] != "kw" or p.peek()[1].upper() not in _INLINE_AGG_FNS:
+        return False
+    if p.peek(1) != ("op", "("):
+        return False
+    depth, k = 0, 1
+    while True:
+        tok = p.peek(k)
+        if tok == (None, None):
+            return False
+        if tok == ("op", "("):
+            depth += 1
+        elif tok == ("op", ")"):
+            depth -= 1
+            if depth == 0:
+                return p.peek(k + 1) == ("op", ")")
+        k += 1
+
+
+def _parse_agg_call(p, prefixes, meta_needed, agg_binds, fn,
+                    allow_distinct=True):
+    """Parse one aggregate call body ``( [DISTINCT] * | ?v | expr
+    [; SEPARATOR=...] )`` — the ``fn`` keyword token is already
+    consumed.  Returns ``(fn_lower[+_distinct], argvar, separator)``;
+    expression arguments register a hidden pre-aggregation BIND in
+    ``agg_binds``.  Shared by the SELECT projection, HAVING, and
+    ORDER BY aggregate-key parsers."""
+    p.expect_op("(")
+    distinct_arg = False
+    if p.at_kw("DISTINCT"):
+        if not allow_distinct:
+            raise SparqlSyntaxError(
+                "AGG(DISTINCT ...) is unsupported in HAVING/ORDER BY"
+                " (project it with an alias instead)"
+            )
+        if fn.upper() not in ("COUNT", "SUM", "AVG", "GROUP_CONCAT"):
+            raise SparqlSyntaxError(
+                "DISTINCT is supported in COUNT/SUM/AVG/GROUP_CONCAT"
+                " (it is a no-op in MIN/MAX/SAMPLE)"
+            )
+        p.next()
+        distinct_arg = True
+    if p.peek() == ("op", "*"):
+        p.next()
+        if fn.upper() != "COUNT" or distinct_arg:
+            raise SparqlSyntaxError("* only valid in COUNT(*)")
+        argvar = None
+    elif p.peek()[0] == "var" and p.peek(1) in (("op", ")"), ("op", ";")):
+        argvar = p.next()[1][1:]
+    else:
+        # aggregate over an expression: compile it and feed the
+        # aggregate through a hidden BIND column (applied after
+        # user BINDs, before grouping)
+        _ek, expr = _FilterCompiler(p, prefixes, meta_needed).parse_value()
+        argvar = "__agg_expr_%d" % len(agg_binds)
+        agg_binds.append((argvar, expr))
+    separator = None
+    if p.peek() == ("op", ";"):  # GROUP_CONCAT(?x; SEPARATOR="…")
+        p.next()
+        p.expect_kw("SEPARATOR")
+        p.expect_op("=")
+        kind, sv = p.next()
+        if kind != "string" or fn.upper() != "GROUP_CONCAT":
+            raise SparqlSyntaxError(
+                "SEPARATOR takes a string and is only valid in GROUP_CONCAT"
+            )
+        separator = _resolve(kind, sv, prefixes)
+    p.expect_op(")")
+    fn = fn.lower() + ("_distinct" if distinct_arg else "")
+    return fn, argvar, separator
+
 
 def parse_query(text: str) -> dict:
     """Parse the supported SELECT fragment to a plan dict (inspect it in
@@ -980,51 +1078,21 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
                 "COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT",
             ):
                 raise SparqlSyntaxError("unsupported aggregate %r" % fn)
-            p.expect_op("(")
-            distinct_arg = False
-            if p.at_kw("DISTINCT"):
-                if fn.upper() not in ("COUNT", "SUM", "AVG", "GROUP_CONCAT"):
-                    raise SparqlSyntaxError(
-                        "DISTINCT is supported in COUNT/SUM/AVG/GROUP_CONCAT"
-                        " (it is a no-op in MIN/MAX/SAMPLE)"
-                    )
-                p.next()
-                distinct_arg = True
-            if p.peek() == ("op", "*"):
-                p.next()
-                if fn.upper() != "COUNT" or distinct_arg:
-                    raise SparqlSyntaxError("* only valid in COUNT(*)")
-                argvar = None
-            elif p.peek()[0] == "var" and p.peek(1) == ("op", ")"):
-                argvar = p.next()[1][1:]
-            else:
-                # aggregate over an expression: compile it and feed the
-                # aggregate through a hidden BIND column (applied after
-                # user BINDs, before grouping)
-                _ek, expr = _FilterCompiler(p, prefixes, meta_needed).parse_value()
-                argvar = "__agg_expr_%d" % len(agg_binds)
-                agg_binds.append((argvar, expr))
-            separator = None
-            if p.peek() == ("op", ";"):  # GROUP_CONCAT(?x; SEPARATOR="…")
-                p.next()
-                p.expect_kw("SEPARATOR")
-                p.expect_op("=")
-                kind, sv = p.next()
-                if kind != "string" or fn.upper() != "GROUP_CONCAT":
-                    raise SparqlSyntaxError(
-                        "SEPARATOR takes a string and is only valid in GROUP_CONCAT"
-                    )
-                separator = _resolve(kind, sv, prefixes)
-            p.expect_op(")")
-            if distinct_arg:
-                fn = fn.lower() + "_distinct"
+            fn, argvar, separator = _parse_agg_call(
+                p, prefixes, meta_needed, agg_binds, fn
+            )
             p.expect_kw("AS")
             kind, alias = p.next()
             if kind != "var":
                 raise SparqlSyntaxError("AS needs a ?variable")
+            if alias.startswith("?__"):
+                raise SparqlSyntaxError(
+                    "aliases starting with __ are reserved for hidden"
+                    " engine columns"
+                )
             p.expect_op(")")
-            aggs.append((fn.lower(), argvar, alias[1:]))
-            if fn.upper().startswith("GROUP_CONCAT"):
+            aggs.append((fn, argvar, alias[1:]))
+            if fn.startswith("group_concat"):
                 gc_seps[alias[1:]] = " " if separator is None else separator
         else:
             break
@@ -1293,6 +1361,22 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
 
     group_by, having = [], None
     order_by, limit, offset = [], None, 0
+    n_binds_closed = len(agg_binds)  # agg_binds already merged into binds
+
+    def hidden_agg_sink(prefix):
+        """Inline HAVING/ORDER BY aggregates hoist into hidden plan
+        aggregates; the alias column is dropped from the projection."""
+
+        def sink(fn):
+            fnl, argvar, _sep = _parse_agg_call(
+                p, prefixes, meta_needed, agg_binds, fn, allow_distinct=False
+            )
+            alias = "%s%d" % (prefix, len(aggs))
+            aggs.append((fnl, argvar, alias))
+            return alias
+
+        return sink
+
     while p.peek() != (None, None) and not (
         subquery and p.peek() == ("op", "}")
     ):
@@ -1304,7 +1388,10 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
         elif p.at_kw("HAVING"):
             p.next()
             p.expect_op("(")
-            having = _FilterCompiler(p, prefixes, meta_needed).parse_or()
+            having = _FilterCompiler(
+                p, prefixes, meta_needed,
+                agg_sink=hidden_agg_sink("__hav_"),
+            ).parse_or()
             p.expect_op(")")
         elif p.at_kw("ORDER"):
             p.next()
@@ -1316,6 +1403,11 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
                     p.expect_op("(")
                     if p.peek()[0] == "var" and p.peek(1) == ("op", ")"):
                         name = p.next()[1][1:]
+                    elif _agg_is_whole_key(p):
+                        # ORDER BY DESC(COUNT(?x)): the whole key is one
+                        # aggregate call — hoist to a hidden aggregate
+                        # and sort the aggregated table on it
+                        name = hidden_agg_sink("__ordagg_")(p.next()[1])
                     else:
                         # ORDER BY DESC(expr): sort on a hidden BIND
                         _ek, expr = _FilterCompiler(
@@ -1329,12 +1421,15 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
                     order_by.append((p.next()[1][1:], False))
                 elif p.peek() == ("op", "("):  # bare (expr) sort key
                     p.next()
-                    _ek, expr = _FilterCompiler(
-                        p, prefixes, meta_needed
-                    ).parse_value()
+                    if _agg_is_whole_key(p):
+                        name = hidden_agg_sink("__ordagg_")(p.next()[1])
+                    else:
+                        _ek, expr = _FilterCompiler(
+                            p, prefixes, meta_needed
+                        ).parse_value()
+                        name = "__ord_%d" % len(order_binds)
+                        order_binds.append((name, expr))
                     p.expect_op(")")
-                    name = "__ord_%d" % len(order_binds)
-                    order_binds.append((name, expr))
                     order_by.append((name, False))
                 else:
                     break
@@ -1354,9 +1449,19 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
         if aggs:
             raise SparqlSyntaxError(
                 "ORDER BY expressions do not compose with aggregates in"
-                " this fragment (order by the aggregate alias instead)"
+                " this fragment (order by the aggregate alias or a bare"
+                " AGG(...) key instead)"
             )
         binds.extend(order_binds)
+    # HAVING/ORDER BY inline aggregates may have added late hidden
+    # expression binds (e.g. HAVING (SUM(?a * ?b) > 1)) — merge them
+    binds.extend(agg_binds[n_binds_closed:])
+    if distinct and any(a[2].startswith("__ordagg_") for a in aggs):
+        raise SparqlSyntaxError(
+            "ORDER BY AGG(...) does not compose with SELECT DISTINCT in"
+            " this fragment (DISTINCT is a no-op on grouped results —"
+            " drop it, or project the aggregate with an alias)"
+        )
 
     if not patterns and not union_arms and not subqueries:
         raise SparqlSyntaxError("WHERE needs at least one triple pattern")
@@ -1417,7 +1522,10 @@ def _plan_out_cols(plan: dict) -> list:
     from .bgp import pattern_vars
 
     if plan["aggs"]:
-        return plan["group_by"] + [a[2] for a in plan["aggs"]]
+        # hidden HAVING/ORDER BY aggregates are not projected
+        return plan["group_by"] + [
+            a[2] for a in plan["aggs"] if not a[2].startswith("__")
+        ]
     if plan["star"]:
         all_pats = (
             plan["patterns"]
@@ -1733,7 +1841,9 @@ def _execute_plan(triples_ds, plan: dict, n_buckets: int = 64):
                     how="inner",
                 )
             b = joined
-        out_cols = gvars + [a[2] for a in plan["aggs"]]
+        out_cols = gvars + [
+            a[2] for a in plan["aggs"] if not a[2].startswith("__")
+        ]
         gc_d = [
             (a[2], True) for a in d_aggs if a[0] == "group_concat_distinct"
         ] + [(a[2], False) for a in p_aggs if a[0] == "group_concat"]
@@ -1765,7 +1875,9 @@ def _execute_plan(triples_ds, plan: dict, n_buckets: int = 64):
             ),
             n_buckets=n_buckets,
         )
-        out_cols = plan["group_by"] + [a[2] for a in plan["aggs"]]
+        out_cols = plan["group_by"] + [
+            a[2] for a in plan["aggs"] if not a[2].startswith("__")
+        ]
         # engine group_concat joins on \x1f; SPARQL's separator is the
         # per-alias SEPARATOR modifier (default single space)
         gc_aliases = [a for f, _v, a in plan["aggs"] if f == "group_concat"]

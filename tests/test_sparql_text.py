@@ -113,6 +113,74 @@ def test_aggregate_group_having(ray_session):
     assert _rows(out, ["l", "n", "first"]) == [("zh", 2, "a")]
 
 
+def test_having_inline_aggregate(ray_session):
+    # HAVING with a non-projected aggregate call: COUNT hoists to a
+    # hidden aggregate column that never reaches the projection
+    out = execute(
+        _triples(GRAPH_ROWS),
+        """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?l WHERE { ?d ex:lang ?l . }
+        GROUP BY ?l HAVING (COUNT(*) > 1)
+        """,
+        n_buckets=4,
+    )
+    df = out.to_pandas()
+    assert list(df.columns) == ["l"]
+    assert sorted(df["l"]) == ["zh"]
+
+
+def test_having_aggregate_expression_and_alias_mix(ray_session):
+    # inline SUM over an expression AND a projected alias in one HAVING
+    out = execute(
+        _triples(GRAPH_ROWS),
+        """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?l (COUNT(*) AS ?n) WHERE { ?d ex:lang ?l ; ex:size ?z . }
+        GROUP BY ?l HAVING (SUM(?z * 2) > 60 && ?n >= 1)
+        """,
+        n_buckets=4,
+    )
+    assert _rows(out, ["l", "n"]) == [("en", 1), ("zh", 2)]
+
+
+def test_order_by_aggregate_key(ray_session):
+    # ORDER BY DESC(COUNT(?d)): sort key is a hidden aggregate; ?l
+    # tiebreak keeps it deterministic
+    out = execute(
+        _triples(GRAPH_ROWS),
+        """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?l WHERE { ?d ex:lang ?l . }
+        GROUP BY ?l ORDER BY DESC(COUNT(?d)) ?l LIMIT 1
+        """,
+        n_buckets=4,
+    )
+    df = out.to_pandas()
+    assert list(df.columns) == ["l"] and df["l"].tolist() == ["zh"]
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        # AGG(DISTINCT) stays out of HAVING/ORDER BY
+        "SELECT ?l WHERE { ?s <http://e/p> ?l } GROUP BY ?l"
+        " HAVING (COUNT(DISTINCT ?s) > 1)",
+        # ORDER BY AGG composes with grouped results, not DISTINCT
+        "SELECT DISTINCT ?l WHERE { ?s <http://e/p> ?l } GROUP BY ?l"
+        " ORDER BY DESC(COUNT(?s))",
+        # aggregate inside a larger ORDER BY expression
+        "SELECT ?l WHERE { ?s <http://e/p> ?l } GROUP BY ?l"
+        " ORDER BY DESC(COUNT(?s) + 1)",
+        # __ aliases are reserved for hidden engine columns
+        "SELECT ?l (COUNT(*) AS ?__n) WHERE { ?s <http://e/p> ?l } GROUP BY ?l",
+    ],
+)
+def test_inline_aggregate_rejections(bad):
+    with pytest.raises(SparqlSyntaxError):
+        parse_query(bad)
+
+
 def test_optional_and_star(ray_session):
     rows = GRAPH_ROWS + [("d", "http://ex.org/lang", "fr")]
     out = execute(
