@@ -2619,6 +2619,28 @@ def q_kg_having_order_agg(sf_dir: str):
     )
 
 
+def q_kg_union_arm_filter(sf_dir: str):
+    """FILTER + BIND inside UNION arms: each arm restricts and tags its
+    own bindings map-side before the aligned bag union — documents
+    bucketed long/short by characterCount, the shared ?n variable
+    dropped by the projection."""
+    from ..stages.sparql_text import execute
+
+    return execute(
+        _typed_triples(sf_dir),
+        """
+        PREFIX schema: <http://schema.org/>
+        SELECT ?d ?bucket WHERE {
+          { ?d schema:characterCount ?n . FILTER (?n >= 400) .
+            BIND("long" AS ?bucket) }
+          UNION
+          { ?d schema:characterCount ?n . FILTER (?n < 150) .
+            BIND("short" AS ?bucket) }
+        }
+        """,
+    )
+
+
 def q_kg_sum_distinct(sf_dir: str):
     """SUM(DISTINCT ?n) per language through the text front-end — the
     distinct VALUE SET survives to the reduce (same two-level
@@ -3029,6 +3051,7 @@ QUERIES = {
     "kg_order_by_expr": q_kg_order_by_expr,
     "kg_mixed_distinct_agg": q_kg_mixed_distinct_agg,
     "kg_having_order_agg": q_kg_having_order_agg,
+    "kg_union_arm_filter": q_kg_union_arm_filter,
     "kg_sparql_text": q_kg_sparql_text,
     "kg_sparql_expr": q_kg_sparql_expr,
     "kg_lang_filter": q_kg_lang_filter,
@@ -3714,6 +3737,17 @@ ORACLE_SQL = {
         "SELECT subj AS d, obj_value AS n FROM t"
         " WHERE pred = 'http://schema.org/characterCount'"
         " ORDER BY CAST(obj_value AS DOUBLE) DESC, subj ASC LIMIT 10"
+        % _TYPED_TRIPLES_SQL
+    ),
+    "kg_union_arm_filter": (
+        "WITH t AS (%s) "
+        "SELECT subj AS d, 'long' AS bucket FROM t"
+        " WHERE pred = 'http://schema.org/characterCount'"
+        " AND CAST(obj_value AS DOUBLE) >= 400"
+        " UNION ALL "
+        "SELECT subj AS d, 'short' AS bucket FROM t"
+        " WHERE pred = 'http://schema.org/characterCount'"
+        " AND CAST(obj_value AS DOUBLE) < 150"
         % _TYPED_TRIPLES_SQL
     ),
     "kg_having_order_agg": (

@@ -123,13 +123,29 @@ def optional_match(
     return bindings
 
 
-def union_match(triples_ds, bgps, select=None):
+def union_match(triples_ds, bgps, select=None, extras=None):
     """SPARQL ``{ bgp1 } UNION { bgp2 } ...``: bag union with columns
-    aligned to the union of the arms' variables (absent ones '')."""
+    aligned to the union of the arms' variables (absent ones '').
+
+    ``extras`` (optional, parallel to ``bgps``) carries per-arm
+    ``(binds, filters)`` — BIND columns (table -> Array callables,
+    appended to the arm's variables) and FILTER masks applied to that
+    arm's bindings BEFORE the alignment union, all map-side."""
     if not bgps:
         raise ValueError("empty UNION")
     triples_ds = triples_ds.materialize()
-    arms = [_match_with_vars(triples_ds, patterns) for patterns in bgps]
+    arms = []
+    for i, patterns in enumerate(bgps):
+        bindings, bvars = _match_with_vars(triples_ds, patterns)
+        if extras is not None:
+            arm_binds, arm_filters = extras[i]
+            for alias, expr in arm_binds:
+                bindings = bind_var(bindings, alias, expr)
+                if alias not in bvars:
+                    bvars = list(bvars) + [alias]
+            for f in arm_filters:
+                bindings = filter_bindings(bindings, f)
+        arms.append((bindings, bvars))
     all_vars: list = []
     for _, bvars in arms:
         for v in bvars:

@@ -23,7 +23,9 @@ it raises ``SparqlSyntaxError`` rather than mis-executing):
   whole solution set)
 * ``WHERE { ... }`` with triple patterns ('.'-separated, ';'
   predicate-object lists), ``OPTIONAL { ... }``,
-  ``{ ... } UNION { ... }`` (top-level arms),
+  ``{ ... } UNION { ... }`` (top-level arms; each arm may carry its
+  own ``FILTER(expr)`` / ``BIND(expr AS ?v)`` clauses, applied to
+  that arm's bindings map-side before the aligned bag union),
   ``MINUS { ... }``, ``FILTER [NOT] EXISTS { ... }``,
   ``VALUES ?v { ... }`` and the multi-variable form
   ``VALUES (?a ?b) { (x y) (UNDEF z) ... }`` (vars must be bound by
@@ -96,8 +98,9 @@ over a plain-BGP base, applied in clause order — each group costs one
 bindings-level exchange (left join for OPTIONAL; anti/semi key join
 for MINUS/EXISTS with only the probe side's keys shipping).
 Compositional limits that remain are explicit errors, never silent
-misreads: UNION arms exclude the other group kinds in the same group,
-and those groups need at least one base triple pattern.
+misreads: UNION arms exclude the nested group kinds (OPTIONAL / MINUS
+/ EXISTS / GRAPH — FILTER and BIND are allowed), and those groups
+need at least one base triple pattern.
 
 Numbers in comparisons compare numerically (bindings hold lexical
 forms; the compiled mask casts vectorized, pyarrow kernels only).
@@ -1101,6 +1104,7 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
 
     patterns, optionals, filters = [], [], []
     union_arms, minus_groups, exists_groups = [], [], []
+    union_extras: list = []  # per-arm (binds, filters), parallel to union_arms
     values, binds = [], []
     values_multi: list = []
     subqueries: list = []
@@ -1183,6 +1187,7 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
             "optionals": [],
             "filters": [],
             "union": [],
+            "union_extras": [],
             "minus": [],
             "exists": [],
             "values": [],
@@ -1221,13 +1226,67 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
         p.expect_op("}")
         return sub
 
+    def parse_union_arm():
+        """One ``{ ... }`` UNION arm: triple patterns plus any number
+        of FILTER(expr) / BIND(expr AS ?v) clauses (applied to that
+        arm's bindings before the union).  Other group kinds inside an
+        arm stay explicit errors."""
+        p.expect_op("{")
+        block, arm_filters, arm_binds = [], [], []
+        while True:
+            parse_triples_block(block)
+            if p.peek() == ("op", "}"):
+                p.next()
+                break
+            if p.at_kw("FILTER"):
+                p.next()
+                if p.at_kw("EXISTS") or (
+                    p.at_kw("NOT")
+                    and p.peek(1)[1]
+                    and p.peek(1)[1].upper() == "EXISTS"
+                ):
+                    raise SparqlSyntaxError(
+                        "FILTER EXISTS inside UNION arms is unsupported"
+                    )
+                p.expect_op("(")
+                arm_filters.append(
+                    _FilterCompiler(p, prefixes, meta_needed).parse_or()
+                )
+                p.expect_op(")")
+                if p.peek() == ("op", "."):  # optional '.' after FILTER
+                    p.next()
+            elif p.at_kw("BIND"):
+                p.next()
+                p.expect_op("(")
+                _ek, expr = _FilterCompiler(
+                    p, prefixes, meta_needed
+                ).parse_value()
+                p.expect_kw("AS")
+                kind, alias = p.next()
+                if kind != "var":
+                    raise SparqlSyntaxError("BIND needs AS ?variable")
+                p.expect_op(")")
+                arm_binds.append((alias[1:], expr))
+                if p.peek() == ("op", "."):
+                    p.next()
+            else:
+                raise SparqlSyntaxError(
+                    "unsupported clause inside a UNION arm: %r"
+                    % (p.peek()[1],)
+                )
+        return block, (arm_binds, arm_filters)
+
     # top-level `{ arm } UNION { arm } ...` (a brace that opens a
     # nested SELECT is a subquery, not a union arm)
     if p.peek() == ("op", "{") and not at_subquery():
-        union_arms.append(parse_braced_block())
+        arm, extra = parse_union_arm()
+        union_arms.append(arm)
+        union_extras.append(extra)
         while p.at_kw("UNION"):
             p.next()
-            union_arms.append(parse_braced_block())
+            arm, extra = parse_union_arm()
+            union_arms.append(arm)
+            union_extras.append(extra)
 
     while True:
         kind, val = p.peek()
@@ -1485,6 +1544,7 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
         "optionals": optionals,
         "filters": filters,
         "union": union_arms,
+        "union_extras": union_extras,
         "minus": minus_groups,
         "exists": exists_groups,
         "values": values,
@@ -1535,6 +1595,7 @@ def _plan_out_cols(plan: dict) -> list:
         return sorted(
             {v for pat in all_pats for v in pattern_vars(pat)}
             | {a for a, _ in plan["binds"] if not a.startswith("__")}
+            | {a for bn, _fl in plan["union_extras"] for a, _ in bn}
             | {c for sub, _pos in plan["subqueries"] for c in _plan_out_cols(sub)}
         )
     return plan["proj"]
@@ -1647,7 +1708,21 @@ def _execute_plan(triples_ds, plan: dict, n_buckets: int = 64):
         return out
 
     if plan["union"]:
-        b = union_match(triples_ds, plan["union"])
+
+        def wrap_bind(_e):
+            def bind_col(t):
+                v = _e(t)
+                if isinstance(v, pa.Scalar):
+                    v = pa.array([v.as_py()] * t.num_rows, type=v.type)
+                return v
+
+            return bind_col
+
+        extras = [
+            ([(a, wrap_bind(e)) for a, e in bn], fl)
+            for bn, fl in plan["union_extras"]
+        ]
+        b = union_match(triples_ds, plan["union"], extras=extras)
     elif plan["groups"]:
         # ordered composition of OPTIONAL / MINUS / FILTER [NOT] EXISTS
         # groups over the plain-BGP base, applied in clause order —

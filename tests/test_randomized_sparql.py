@@ -271,3 +271,31 @@ def test_random_values_multi(ray_session, seed):
         [p1, p2, va, vb, vc],
     ).fetchdf()
     assert _same(got, want), q
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_union_arm_filter_bind(ray_session, seed):
+    """FILTER and BIND inside UNION arms: each arm restricts/extends
+    its own bindings before the aligned bag union."""
+    rng = random.Random(8000 + seed)
+    rows = _random_graph(rng)
+    p1, p2 = rng.choice(PREDS), rng.choice(PREDS)
+    cut1, cut2 = rng.choice(VALS), rng.choice(VALS)
+
+    q = (
+        "SELECT ?d ?tag WHERE {"
+        '  { ?d <%s> ?x . FILTER (?x >= "%s") . BIND(CONCAT("A:", ?x) AS ?tag) }'
+        "  UNION"
+        '  { ?d <%s> ?y . FILTER (?y < "%s") . BIND(CONCAT("B:", ?y) AS ?tag) }'
+        " }" % (p1, cut1, p2, cut2)
+    )
+    got = execute(_ds(rows), q, n_buckets=4).to_pandas()
+    want = _con(rows).execute(
+        "SELECT subj AS d, 'A:' || obj_value AS tag FROM t"
+        " WHERE pred = ? AND obj_value >= ?"
+        " UNION ALL "
+        "SELECT subj AS d, 'B:' || obj_value AS tag FROM t"
+        " WHERE pred = ? AND obj_value < ?",
+        [p1, cut1, p2, cut2],
+    ).fetchdf()
+    assert _same(got[["d", "tag"]], want), q

@@ -181,6 +181,33 @@ def test_inline_aggregate_rejections(bad):
         parse_query(bad)
 
 
+def test_union_arm_filter_and_bind(ray_session):
+    # FILTER restricts and BIND tags each arm independently before the
+    # aligned union; the star projection sees the arm-bind variable
+    out = execute(
+        _triples(GRAPH_ROWS),
+        """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d ?tag WHERE {
+          { ?d ex:lang ?l . FILTER (?l = "zh") . BIND(CONCAT("L:", ?l) AS ?tag) }
+          UNION
+          { ?d ex:size ?n . FILTER (?n > 100) . BIND(STR(?n) AS ?tag) }
+        }
+        """,
+        n_buckets=4,
+    )
+    assert _rows(out, ["d", "tag"]) == [("a", "L:zh"), ("b", "200"), ("c", "L:zh")]
+
+
+def test_union_arm_exists_rejected():
+    with pytest.raises(SparqlSyntaxError):
+        parse_query(
+            "SELECT ?d WHERE { { ?d <http://e/p> ?x ."
+            " FILTER EXISTS { ?d <http://e/q> ?y } }"
+            " UNION { ?d <http://e/r> ?z } }"
+        )
+
+
 def test_optional_and_star(ray_session):
     rows = GRAPH_ROWS + [("d", "http://ex.org/lang", "fr")]
     out = execute(
