@@ -2147,6 +2147,13 @@ def _apply_dataset_clause(triples_ds, plan):
     plan["union"] = [rewrite(g) for g in plan["union"]]
     plan["minus"] = [rewrite(g) for g in plan["minus"]]
     plan["exists"] = [(rewrite(g), neg) for g, neg in plan["exists"]]
+    # plan["groups"] (the ordered executor view of the same blocks)
+    # holds its own references — rewrite them too, or OPTIONAL/MINUS/
+    # EXISTS would match the raw quads view and leak FROM NAMED rows
+    # into default-graph matching
+    plan["groups"] = [
+        (g[0], rewrite(g[1]), *g[2:]) for g in plan["groups"]
+    ]
 
     clash = graph_vars & other_vars
     if clash:

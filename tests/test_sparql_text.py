@@ -901,6 +901,51 @@ def test_from_only_empties_named_and_vice_versa(ray_session):
     assert len(out.to_pandas()) == 0
 
 
+def test_from_named_does_not_leak_into_groups(ray_session):
+    # regression: OPTIONAL/MINUS/NOT EXISTS groups under dataset
+    # clauses must match ONLY the FROM default-graph view — the
+    # executor's ordered group list used to keep the un-rewritten
+    # blocks, so a FROM NAMED row leaked into default-graph matching
+    rows = [
+        ("a", "http://ex.org/p", "1", "urn:g1"),
+        ("b", "http://ex.org/p", "2", "urn:g1"),
+        ("a", "http://ex.org/q", "x", "urn:g2"),  # FROM NAMED only
+    ]
+    opt = execute(
+        _quads(rows),
+        "PREFIX ex: <http://ex.org/> "
+        "SELECT ?s ?o ?x FROM <urn:g1> FROM NAMED <urn:g2> WHERE {"
+        " ?s ex:p ?o . OPTIONAL { ?s ex:q ?x } }",
+        n_buckets=4,
+    )
+    assert _rows(opt, ["s", "o", "x"]) == [("a", "1", ""), ("b", "2", "")]
+    minus = execute(
+        _quads(rows),
+        "PREFIX ex: <http://ex.org/> "
+        "SELECT ?s ?o FROM <urn:g1> FROM NAMED <urn:g2> WHERE {"
+        " ?s ex:p ?o . MINUS { ?s ex:q ?x } }",
+        n_buckets=4,
+    )
+    assert _rows(minus, ["s", "o"]) == [("a", "1"), ("b", "2")]
+    nexists = execute(
+        _quads(rows),
+        "PREFIX ex: <http://ex.org/> "
+        "SELECT ?s ?o FROM <urn:g1> FROM NAMED <urn:g2> WHERE {"
+        " ?s ex:p ?o . FILTER NOT EXISTS { ?s ex:q ?x } }",
+        n_buckets=4,
+    )
+    assert _rows(nexists, ["s", "o"]) == [("a", "1"), ("b", "2")]
+    # the named row stays reachable through GRAPH
+    g = execute(
+        _quads(rows),
+        "PREFIX ex: <http://ex.org/> "
+        "SELECT ?s ?x FROM <urn:g1> FROM NAMED <urn:g2> WHERE {"
+        " ?s ex:p ?o . GRAPH <urn:g2> { ?s ex:q ?x } }",
+        n_buckets=4,
+    )
+    assert _rows(g, ["s", "x"]) == [("a", "x")]
+
+
 def test_from_mixed_default_and_named(ray_session):
     # default pattern over FROM g1; named pattern over FROM NAMED g3,
     # joined on ?d — exercises tag rewriting + prefix stripping together
