@@ -2641,6 +2641,24 @@ def q_kg_union_arm_filter(sf_dir: str):
     )
 
 
+def q_kg_optional_filter(sf_dir: str):
+    """FILTER nested inside OPTIONAL (the SPARQL LeftJoin condition,
+    group-local variables): characterCount joins only when >= 300,
+    smaller documents keep their row with ?n unbound."""
+    from ..stages.sparql_text import execute
+
+    return execute(
+        _typed_triples(sf_dir),
+        """
+        PREFIX schema: <http://schema.org/>
+        SELECT ?d ?l ?n WHERE {
+          ?d schema:inLanguage ?l .
+          OPTIONAL { ?d schema:characterCount ?n . FILTER (?n >= 300) }
+        }
+        """,
+    )
+
+
 def q_kg_sum_distinct(sf_dir: str):
     """SUM(DISTINCT ?n) per language through the text front-end — the
     distinct VALUE SET survives to the reduce (same two-level
@@ -3052,6 +3070,7 @@ QUERIES = {
     "kg_mixed_distinct_agg": q_kg_mixed_distinct_agg,
     "kg_having_order_agg": q_kg_having_order_agg,
     "kg_union_arm_filter": q_kg_union_arm_filter,
+    "kg_optional_filter": q_kg_optional_filter,
     "kg_sparql_text": q_kg_sparql_text,
     "kg_sparql_expr": q_kg_sparql_expr,
     "kg_lang_filter": q_kg_lang_filter,
@@ -3737,6 +3756,18 @@ ORACLE_SQL = {
         "SELECT subj AS d, obj_value AS n FROM t"
         " WHERE pred = 'http://schema.org/characterCount'"
         " ORDER BY CAST(obj_value AS DOUBLE) DESC, subj ASC LIMIT 10"
+        % _TYPED_TRIPLES_SQL
+    ),
+    "kg_optional_filter": (
+        "WITH t AS (%s) "
+        "SELECT t1.subj AS d, t1.obj_value AS l,"
+        " COALESCE(t2.obj_value, '') AS n"
+        " FROM t t1 LEFT JOIN"
+        " (SELECT subj, obj_value FROM t"
+        "  WHERE pred = 'http://schema.org/characterCount'"
+        "  AND CAST(obj_value AS DOUBLE) >= 300) t2"
+        " ON t2.subj = t1.subj"
+        " WHERE t1.pred = 'http://schema.org/inLanguage'"
         % _TYPED_TRIPLES_SQL
     ),
     "kg_union_arm_filter": (

@@ -22,7 +22,10 @@ it raises ``SparqlSyntaxError`` rather than mis-executing):
   column), with or without GROUP BY (a global aggregate groups the
   whole solution set)
 * ``WHERE { ... }`` with triple patterns ('.'-separated, ';'
-  predicate-object lists), ``OPTIONAL { ... }``,
+  predicate-object lists), ``OPTIONAL { ... }`` (blocks may nest
+  FILTER / BIND clauses over group-local variables, applied to the
+  optional side before the left join — outer-variable references
+  raise),
   ``{ ... } UNION { ... }`` (top-level arms; each arm may carry its
   own ``FILTER(expr)`` / ``BIND(expr AS ?v)`` clauses, applied to
   that arm's bindings map-side before the aligned bag union),
@@ -397,6 +400,9 @@ class _FilterCompiler:
         # the plan, and returns its alias — the compiled expression
         # then reads that post-aggregation column
         self.agg_sink = agg_sink
+        # every ?var the compiled expression references (group-scope
+        # validation for filters/binds nested inside OPTIONAL blocks)
+        self.vars_seen: set = set()
 
     def parse_or(self):
         left = self.parse_and()
@@ -496,6 +502,7 @@ class _FilterCompiler:
                     )
                 self.p.expect_op(")")
                 var = val[1:]
+                self.vars_seen.add(var)
                 if name == "ISNUMERIC":
                     col = var + "__datatype"
                     self.meta_sink.append(col)
@@ -537,6 +544,7 @@ class _FilterCompiler:
                 raise SparqlSyntaxError("BOUND needs a ?variable")
             self.p.expect_op(")")
             name = val[1:]
+            self.vars_seen.add(name)
 
             def bound(t, _n=name):
                 from .sparql import UNBOUND
@@ -689,6 +697,7 @@ class _FilterCompiler:
                     raise SparqlSyntaxError("%s needs a ?variable" % u)
                 self.p.expect_op(")")
                 name = val[1:]
+                self.vars_seen.add(name)
                 col = name + ("__lang" if u == "LANG" else "__datatype")
                 self.meta_sink.append(col)
 
@@ -895,6 +904,7 @@ class _FilterCompiler:
         kind, val = self.p.next()
         if kind == "var":
             name = val[1:]
+            self.vars_seen.add(name)
 
             def var_col(t, _n=name):
                 from .sparql import UNBOUND
@@ -1105,6 +1115,7 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
     patterns, optionals, filters = [], [], []
     union_arms, minus_groups, exists_groups = [], [], []
     union_extras: list = []  # per-arm (binds, filters), parallel to union_arms
+    group_extras: list = []  # per-group (binds, filters) | None, ∥ groups
     values, binds = [], []
     values_multi: list = []
     subqueries: list = []
@@ -1188,6 +1199,7 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
             "filters": [],
             "union": [],
             "union_extras": [],
+            "group_extras": [],
             "minus": [],
             "exists": [],
             "values": [],
@@ -1276,6 +1288,81 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
                 )
         return block, (arm_binds, arm_filters)
 
+    def parse_optional_group():
+        """One ``OPTIONAL { ... }`` block: triple patterns plus
+        FILTER / BIND clauses scoped to the block (the SPARQL LeftJoin
+        condition restricted to group-local variables — a filter or
+        bind referencing an outer variable raises rather than silently
+        reading it as unbound)."""
+        p.expect_op("{")
+        block, gfilters, gbinds = [], [], []
+        while True:
+            parse_triples_block(block)
+            if p.peek() == ("op", "}"):
+                p.next()
+                break
+            if p.at_kw("FILTER"):
+                p.next()
+                if p.at_kw("EXISTS") or (
+                    p.at_kw("NOT")
+                    and p.peek(1)[1]
+                    and p.peek(1)[1].upper() == "EXISTS"
+                ):
+                    raise SparqlSyntaxError(
+                        "FILTER EXISTS inside OPTIONAL is unsupported"
+                    )
+                p.expect_op("(")
+                fc = _FilterCompiler(p, prefixes, meta_needed)
+                gfilters.append((fc.parse_or(), fc.vars_seen))
+                p.expect_op(")")
+                if p.peek() == ("op", "."):
+                    p.next()
+            elif p.at_kw("BIND"):
+                p.next()
+                p.expect_op("(")
+                fc = _FilterCompiler(p, prefixes, meta_needed)
+                _ek, expr = fc.parse_value()
+                p.expect_kw("AS")
+                kind, alias = p.next()
+                if kind != "var":
+                    raise SparqlSyntaxError("BIND needs AS ?variable")
+                p.expect_op(")")
+                gbinds.append((alias[1:], expr, fc.vars_seen))
+                if p.peek() == ("op", "."):
+                    p.next()
+            else:
+                raise SparqlSyntaxError(
+                    "unsupported clause inside an OPTIONAL block: %r"
+                    % (p.peek()[1],)
+                )
+        scope = {
+            t[1:]
+            for pat in block
+            for t in pat
+            if isinstance(t, str) and t.startswith("?")
+        }
+        for alias, _e, seen in gbinds:
+            outside = seen - scope
+            if outside:
+                raise SparqlSyntaxError(
+                    "BIND inside OPTIONAL may reference only variables"
+                    " bound inside the group in this fragment"
+                    " (outside: %s)" % sorted(outside)
+                )
+            scope.add(alias)
+        for _f, seen in gfilters:
+            outside = seen - scope
+            if outside:
+                raise SparqlSyntaxError(
+                    "FILTER inside OPTIONAL may reference only variables"
+                    " bound inside the group in this fragment"
+                    " (outside: %s)" % sorted(outside)
+                )
+        return block, (
+            [(a, e) for a, e, _s in gbinds],
+            [f for f, _s in gfilters],
+        )
+
     # top-level `{ arm } UNION { arm } ...` (a brace that opens a
     # nested SELECT is a subquery, not a union arm)
     if p.peek() == ("op", "{") and not at_subquery():
@@ -1295,14 +1382,16 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
             break
         if p.at_kw("OPTIONAL"):
             p.next()
-            block = parse_braced_block()
+            block, extra = parse_optional_group()
             optionals.append(block)
             groups.append(("optional", block))
+            group_extras.append(extra if (extra[0] or extra[1]) else None)
         elif p.at_kw("MINUS"):
             p.next()
             block = parse_braced_block()
             minus_groups.append(block)
             groups.append(("minus", block))
+            group_extras.append(None)
         elif p.at_kw("FILTER"):
             p.next()
             if p.at_kw("EXISTS") or (
@@ -1315,6 +1404,7 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
                 block = parse_braced_block()
                 exists_groups.append((block, negate))
                 groups.append(("exists", block, negate))
+                group_extras.append(None)
             else:
                 p.expect_op("(")
                 filters.append(_FilterCompiler(p, prefixes, meta_needed).parse_or())
@@ -1545,6 +1635,7 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
         "filters": filters,
         "union": union_arms,
         "union_extras": union_extras,
+        "group_extras": group_extras,
         "minus": minus_groups,
         "exists": exists_groups,
         "values": values,
@@ -1596,6 +1687,12 @@ def _plan_out_cols(plan: dict) -> list:
             {v for pat in all_pats for v in pattern_vars(pat)}
             | {a for a, _ in plan["binds"] if not a.startswith("__")}
             | {a for bn, _fl in plan["union_extras"] for a, _ in bn}
+            | {
+                a
+                for ex in plan["group_extras"]
+                if ex
+                for a, _ in ex[0]
+            }
             | {c for sub, _pos in plan["subqueries"] for c in _plan_out_cols(sub)}
         )
     return plan["proj"]
@@ -1749,12 +1846,16 @@ def _execute_plan(triples_ds, plan: dict, n_buckets: int = 64):
         for sub, pos in subs:
             if pos == 0:
                 b, cols = _join_subquery(b, cols, sub, triples_ds, n_buckets)
+        gx = plan["group_extras"] or [None] * len(plan["groups"])
         for i, g in enumerate(plan["groups"]):
             if g[0] == "optional":
-                b = optional_match_bindings(b, tds, g[1], n_buckets, cols)
-                cols = sorted(
-                    set(cols) | {v for pat in g[1] for v in pattern_vars(pat)}
+                b = optional_match_bindings(
+                    b, tds, g[1], n_buckets, cols, extras=gx[i]
                 )
+                newv = {v for pat in g[1] for v in pattern_vars(pat)}
+                if gx[i]:
+                    newv |= {a for a, _ in gx[i][0]}
+                cols = sorted(set(cols) | newv)
             elif g[0] == "minus":
                 b = minus_bindings(b, cols, tds, g[1], n_buckets=n_buckets)
             else:
@@ -2359,7 +2460,7 @@ def execute_on_store(store_dir: str, query: str, n_buckets: int = 64):
 
 
 def optional_match_bindings(bindings, triples_ds, optional_patterns, n_buckets,
-                            base_cols):
+                            base_cols, extras=None):
     """Chain a further OPTIONAL group onto existing bindings (used when
     a query has several OPTIONAL blocks): one composite-key bucketed
     LEFT join on ALL shared variables; optional-only variables of
@@ -2375,6 +2476,29 @@ def optional_match_bindings(bindings, triples_ds, optional_patterns, n_buckets,
     opt_vars = sorted(
         {v for pat in optional_patterns for v in pattern_vars(pat)}
     )
+    if extras is not None:
+        # group-local BIND / FILTER clauses: extend then restrict the
+        # optional side's bindings BEFORE the left join (SPARQL
+        # semantics for clauses nested inside the OPTIONAL group)
+        from .sparql import bind_var, filter_bindings
+
+        gbinds, gfilters = extras
+
+        def _wrap(_e):
+            def bind_col(t):
+                v = _e(t)
+                if isinstance(v, pa.Scalar):
+                    v = pa.array([v.as_py()] * t.num_rows, type=v.type)
+                return v
+
+            return bind_col
+
+        for alias, expr in gbinds:
+            opt = bind_var(opt, alias, _wrap(expr))
+            if alias not in opt_vars:
+                opt_vars.append(alias)
+        for f in gfilters:
+            opt = filter_bindings(opt, f)
     shared = [v for v in opt_vars if v in base_cols]
     if not shared:
         raise SparqlSyntaxError(

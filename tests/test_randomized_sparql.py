@@ -299,3 +299,31 @@ def test_random_union_arm_filter_bind(ray_session, seed):
         [p1, cut1, p2, cut2],
     ).fetchdf()
     assert _same(got[["d", "tag"]], want), q
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_optional_with_filter(ray_session, seed):
+    """FILTER nested inside OPTIONAL restricts the optional side
+    BEFORE the left join (rows failing it come back unbound, not
+    dropped) — the SQL mirror is a filtered derived table."""
+    rng = random.Random(9000 + seed)
+    rows = _random_graph(rng)
+    p1, p2 = rng.sample(PREDS, 2)
+    cut = rng.choice(VALS)
+
+    q = (
+        "SELECT * WHERE { ?d <%s> ?a ."
+        ' OPTIONAL { ?d <%s> ?b . FILTER (?b >= "%s") } }' % (p1, p2, cut)
+    )
+    got = execute(_ds(rows), q, n_buckets=4).to_pandas()
+    want = _con(rows).execute(
+        "SELECT a.subj AS d, a.obj_value AS a, COALESCE(b.obj_value, '') AS b"
+        " FROM t a LEFT JOIN"
+        " (SELECT subj, obj_value FROM t WHERE pred = ? AND obj_value >= ?) b"
+        " ON b.subj = a.subj WHERE a.pred = ?",
+        [p2, cut, p1],
+    ).fetchdf()
+    if len(want) == 0:
+        assert len(got) == 0
+    else:
+        assert _same(got, want), q

@@ -181,6 +181,38 @@ def test_inline_aggregate_rejections(bad):
         parse_query(bad)
 
 
+def test_optional_with_inner_filter_and_bind(ray_session):
+    # FILTER/BIND nested inside OPTIONAL apply to the optional side
+    # BEFORE the left join: rows failing the filter come back unbound
+    out = execute(
+        _triples(GRAPH_ROWS),
+        """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d ?l ?tag WHERE {
+          ?d ex:lang ?l .
+          OPTIONAL { ?d ex:size ?n . FILTER (?n > 20) .
+                     BIND(CONCAT("big:", ?n) AS ?tag) }
+        }
+        """,
+        n_buckets=4,
+    )
+    assert _rows(out, ["d", "l", "tag"]) == [
+        ("a", "zh", ""),
+        ("b", "en", "big:200"),
+        ("c", "zh", "big:30"),
+    ]
+
+
+def test_optional_filter_outer_var_rejected():
+    # a filter referencing a variable not bound inside the group is an
+    # explicit fragment error, never a silent unbound read
+    with pytest.raises(SparqlSyntaxError):
+        parse_query(
+            "SELECT ?d WHERE { ?d <http://e/l> ?l ."
+            " OPTIONAL { ?d <http://e/s> ?n . FILTER (?n > ?l) } }"
+        )
+
+
 def test_union_arm_filter_and_bind(ray_session):
     # FILTER restricts and BIND tags each arm independently before the
     # aligned union; the star projection sees the arm-bind variable
