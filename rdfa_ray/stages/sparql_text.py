@@ -25,7 +25,8 @@ it raises ``SparqlSyntaxError`` rather than mis-executing):
   predicate-object lists), ``OPTIONAL { ... }`` (blocks may nest
   FILTER / BIND clauses over group-local variables, applied to the
   optional side before the left join — outer-variable references
-  raise),
+  raise; MINUS and FILTER [NOT] EXISTS blocks likewise nest FILTERs,
+  applied to the probe side before the anti/semi join),
   ``{ ... } UNION { ... }`` (top-level arms; each arm may carry its
   own ``FILTER(expr)`` / ``BIND(expr AS ?v)`` clauses, applied to
   that arm's bindings map-side before the aligned bag union),
@@ -1288,12 +1289,13 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
                 )
         return block, (arm_binds, arm_filters)
 
-    def parse_optional_group():
-        """One ``OPTIONAL { ... }`` block: triple patterns plus
-        FILTER / BIND clauses scoped to the block (the SPARQL LeftJoin
-        condition restricted to group-local variables — a filter or
-        bind referencing an outer variable raises rather than silently
-        reading it as unbound)."""
+    def parse_filtered_group(kind_name="OPTIONAL", allow_bind=True):
+        """One ``OPTIONAL/MINUS/EXISTS { ... }`` block: triple patterns
+        plus FILTER (and, for OPTIONAL, BIND) clauses scoped to the
+        block — group-local semantics, applied to the group's bindings
+        before its join against the base.  A filter or bind referencing
+        an outer variable raises rather than silently reading it as
+        unbound."""
         p.expect_op("{")
         block, gfilters, gbinds = [], [], []
         while True:
@@ -1309,7 +1311,7 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
                     and p.peek(1)[1].upper() == "EXISTS"
                 ):
                     raise SparqlSyntaxError(
-                        "FILTER EXISTS inside OPTIONAL is unsupported"
+                        "FILTER EXISTS inside %s is unsupported" % kind_name
                     )
                 p.expect_op("(")
                 fc = _FilterCompiler(p, prefixes, meta_needed)
@@ -1317,7 +1319,7 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
                 p.expect_op(")")
                 if p.peek() == ("op", "."):
                     p.next()
-            elif p.at_kw("BIND"):
+            elif p.at_kw("BIND") and allow_bind:
                 p.next()
                 p.expect_op("(")
                 fc = _FilterCompiler(p, prefixes, meta_needed)
@@ -1332,8 +1334,8 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
                     p.next()
             else:
                 raise SparqlSyntaxError(
-                    "unsupported clause inside an OPTIONAL block: %r"
-                    % (p.peek()[1],)
+                    "unsupported clause inside a %s block: %r"
+                    % (kind_name, p.peek()[1])
                 )
         scope = {
             t[1:]
@@ -1345,18 +1347,18 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
             outside = seen - scope
             if outside:
                 raise SparqlSyntaxError(
-                    "BIND inside OPTIONAL may reference only variables"
+                    "BIND inside %s may reference only variables"
                     " bound inside the group in this fragment"
-                    " (outside: %s)" % sorted(outside)
+                    " (outside: %s)" % (kind_name, sorted(outside))
                 )
             scope.add(alias)
         for _f, seen in gfilters:
             outside = seen - scope
             if outside:
                 raise SparqlSyntaxError(
-                    "FILTER inside OPTIONAL may reference only variables"
+                    "FILTER inside %s may reference only variables"
                     " bound inside the group in this fragment"
-                    " (outside: %s)" % sorted(outside)
+                    " (outside: %s)" % (kind_name, sorted(outside))
                 )
         return block, (
             [(a, e) for a, e, _s in gbinds],
@@ -1382,16 +1384,16 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
             break
         if p.at_kw("OPTIONAL"):
             p.next()
-            block, extra = parse_optional_group()
+            block, extra = parse_filtered_group("OPTIONAL")
             optionals.append(block)
             groups.append(("optional", block))
             group_extras.append(extra if (extra[0] or extra[1]) else None)
         elif p.at_kw("MINUS"):
             p.next()
-            block = parse_braced_block()
+            block, extra = parse_filtered_group("MINUS", allow_bind=False)
             minus_groups.append(block)
             groups.append(("minus", block))
-            group_extras.append(None)
+            group_extras.append(extra if extra[1] else None)
         elif p.at_kw("FILTER"):
             p.next()
             if p.at_kw("EXISTS") or (
@@ -1401,10 +1403,12 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
                 p.next()
                 if negate:
                     p.next()
-                block = parse_braced_block()
+                block, extra = parse_filtered_group(
+                    "FILTER EXISTS", allow_bind=False
+                )
                 exists_groups.append((block, negate))
                 groups.append(("exists", block, negate))
-                group_extras.append(None)
+                group_extras.append(extra if extra[1] else None)
             else:
                 p.expect_op("(")
                 filters.append(_FilterCompiler(p, prefixes, meta_needed).parse_or())
@@ -1857,10 +1861,14 @@ def _execute_plan(triples_ds, plan: dict, n_buckets: int = 64):
                     newv |= {a for a, _ in gx[i][0]}
                 cols = sorted(set(cols) | newv)
             elif g[0] == "minus":
-                b = minus_bindings(b, cols, tds, g[1], n_buckets=n_buckets)
+                b = minus_bindings(
+                    b, cols, tds, g[1], n_buckets=n_buckets,
+                    probe_filters=gx[i][1] if gx[i] else None,
+                )
             else:
                 b = exists_bindings(
-                    b, cols, tds, g[1], negate=g[2], n_buckets=n_buckets
+                    b, cols, tds, g[1], negate=g[2], n_buckets=n_buckets,
+                    probe_filters=gx[i][1] if gx[i] else None,
                 )
             for sub, pos in subs:
                 if pos == i + 1:

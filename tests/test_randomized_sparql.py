@@ -327,3 +327,40 @@ def test_random_optional_with_filter(ray_session, seed):
         assert len(got) == 0
     else:
         assert _same(got, want), q
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_minus_and_exists_with_filter(ray_session, seed):
+    """Group-local FILTERs inside MINUS and FILTER NOT EXISTS restrict
+    the probe side before the anti join."""
+    rng = random.Random(10000 + seed)
+    rows = _random_graph(rng)
+    p1, p2 = rng.sample(PREDS, 2)
+    cut = rng.choice(VALS)
+
+    q = (
+        "SELECT ?d ?a WHERE { ?d <%s> ?a ."
+        ' MINUS { ?d <%s> ?b . FILTER (?b >= "%s") } }' % (p1, p2, cut)
+    )
+    got = execute(_ds(rows), q, n_buckets=4).to_pandas()
+    want = _con(rows).execute(
+        "SELECT subj AS d, obj_value AS a FROM t WHERE pred = ?"
+        " AND subj NOT IN"
+        " (SELECT subj FROM t WHERE pred = ? AND obj_value >= ?)",
+        [p1, p2, cut],
+    ).fetchdf()
+    assert _same(got, want), q
+
+    q2 = (
+        "SELECT ?d ?a WHERE { ?d <%s> ?a ."
+        ' FILTER NOT EXISTS { ?d <%s> ?b . FILTER (?b < "%s") } }'
+        % (p1, p2, cut)
+    )
+    got2 = execute(_ds(rows), q2, n_buckets=4).to_pandas()
+    want2 = _con(rows).execute(
+        "SELECT subj AS d, obj_value AS a FROM t WHERE pred = ?"
+        " AND subj NOT IN"
+        " (SELECT subj FROM t WHERE pred = ? AND obj_value < ?)",
+        [p1, p2, cut],
+    ).fetchdf()
+    assert _same(got2, want2), q2

@@ -213,6 +213,42 @@ def test_optional_filter_outer_var_rejected():
         )
 
 
+def test_minus_and_exists_with_inner_filter(ray_session):
+    # group-local FILTERs restrict the probe side before the anti/semi
+    # join: MINUS subtracts only big-size docs; EXISTS keeps only docs
+    # with a size >= 20
+    out = execute(
+        _triples(GRAPH_ROWS),
+        """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d WHERE {
+          ?d ex:lang ?l . MINUS { ?d ex:size ?n . FILTER (?n > 100) }
+        }
+        """,
+        n_buckets=4,
+    )
+    assert _rows(out, ["d"]) == [("a",), ("c",)]
+    out = execute(
+        _triples(GRAPH_ROWS),
+        """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d WHERE {
+          ?d ex:lang ?l . FILTER EXISTS { ?d ex:size ?n . FILTER (?n >= 20) }
+        }
+        """,
+        n_buckets=4,
+    )
+    assert _rows(out, ["d"]) == [("b",), ("c",)]
+
+
+def test_bind_inside_minus_rejected():
+    with pytest.raises(SparqlSyntaxError):
+        parse_query(
+            "SELECT ?d WHERE { ?d <http://e/l> ?l ."
+            " MINUS { ?d <http://e/s> ?n . BIND(?n AS ?m) } }"
+        )
+
+
 def test_union_arm_filter_and_bind(ray_session):
     # FILTER restricts and BIND tags each arm independently before the
     # aligned union; the star projection sees the arm-bind variable
