@@ -2659,6 +2659,26 @@ def q_kg_optional_filter(sf_dir: str):
     )
 
 
+def q_kg_optional_path(sf_dir: str):
+    """Property path nested inside OPTIONAL: each document's direct
+    parent, left-joined to the parent's transitive ancestors via
+    skos:narrower+ — children of the root keep ?anc unbound.  The path
+    closure and the left join compose as binding-table exchanges
+    (stages/sparql_text._block_bindings)."""
+    from ..stages.sparql_text import execute
+
+    return execute(
+        _tree_triples(sf_dir),
+        """
+        PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+        SELECT ?d ?anc WHERE {
+          ?d skos:narrower ?p .
+          OPTIONAL { ?p skos:narrower+ ?anc }
+        }
+        """,
+    )
+
+
 def q_kg_sum_distinct(sf_dir: str):
     """SUM(DISTINCT ?n) per language through the text front-end — the
     distinct VALUE SET survives to the reduce (same two-level
@@ -3071,6 +3091,7 @@ QUERIES = {
     "kg_having_order_agg": q_kg_having_order_agg,
     "kg_union_arm_filter": q_kg_union_arm_filter,
     "kg_optional_filter": q_kg_optional_filter,
+    "kg_optional_path": q_kg_optional_path,
     "kg_sparql_text": q_kg_sparql_text,
     "kg_sparql_expr": q_kg_sparql_expr,
     "kg_lang_filter": q_kg_lang_filter,
@@ -3757,6 +3778,15 @@ ORACLE_SQL = {
         " WHERE pred = 'http://schema.org/characterCount'"
         " ORDER BY CAST(obj_value AS DOUBLE) DESC, subj ASC LIMIT 10"
         % _TYPED_TRIPLES_SQL
+    ),
+    "kg_optional_path": (
+        "WITH RECURSIVE anc(node, a) AS ("
+        " SELECT doc_id, doc_id // 4 FROM documents WHERE doc_id >= 1"
+        " UNION ALL SELECT node, a // 4 FROM anc WHERE a >= 1) "
+        "SELECT '%s' || CAST(e.doc_id AS VARCHAR) AS d,"
+        " COALESCE('%s' || CAST(c.a AS VARCHAR), '') AS anc"
+        " FROM documents e LEFT JOIN anc c ON c.node = e.doc_id // 4"
+        " WHERE e.doc_id >= 1" % (DOC_NS, DOC_NS)
     ),
     "kg_optional_filter": (
         "WITH t AS (%s) "

@@ -212,14 +212,19 @@ def _compat_join(bindings, bound_vars, probe, probe_vars, shared, how, n_buckets
 
 
 def minus_bindings(bindings, bound_vars, triples_ds, minus_patterns,
-                   n_buckets: int = 64, probe_filters=None):
+                   n_buckets: int = 64, probe_filters=None, probe=None):
     """``MINUS { ... }`` over an already-computed bindings table: drop
     solutions compatible with some minus-group solution on their shared
     variables (ONE anti-join exchange; only the minus side's distinct
     keys ship).  Per SPARQL 1.1 §8.3, no shared variable removes
     nothing.  ``probe_filters``: group-local FILTER masks applied to
-    the minus side's bindings map-side before the anti join."""
-    minus, minus_vars = _match_with_vars(triples_ds, minus_patterns)
+    the minus side's bindings map-side before the anti join.
+    ``probe``: prebuilt ``(bindings, vars)`` for the minus side
+    (callers pass it when the block mixes in property paths)."""
+    if probe is not None:
+        minus, minus_vars = probe
+    else:
+        minus, minus_vars = _match_with_vars(triples_ds, minus_patterns)
     for f in probe_filters or ():
         minus = filter_bindings(minus, f)
     shared = [v for v in minus_vars if v in bound_vars]
@@ -232,12 +237,16 @@ def minus_bindings(bindings, bound_vars, triples_ds, minus_patterns,
 
 def exists_bindings(bindings, bound_vars, triples_ds, exists_patterns,
                     negate: bool = False, n_buckets: int = 64,
-                    probe_filters=None):
+                    probe_filters=None, probe=None):
     """``FILTER [NOT] EXISTS { ... }`` over an already-computed
     bindings table (correlated on shared variables): one semi (EXISTS)
     or anti (NOT EXISTS) join exchange.  ``probe_filters``: group-local
-    FILTER masks applied to the probe side map-side before the join."""
-    probe, probe_vars = _match_with_vars(triples_ds, exists_patterns)
+    FILTER masks applied to the probe side map-side before the join.
+    ``probe``: prebuilt ``(bindings, vars)`` for the probe side."""
+    if probe is not None:
+        probe, probe_vars = probe
+    else:
+        probe, probe_vars = _match_with_vars(triples_ds, exists_patterns)
     for f in probe_filters or ():
         probe = filter_bindings(probe, f)
     shared = [v for v in probe_vars if v in bound_vars]

@@ -95,7 +95,9 @@ it raises ``SparqlSyntaxError`` rather than mis-executing):
 * property paths in predicate position: ``^p``, ``p/q``, ``p|q``,
   ``p+``, ``p*``, ``p?``, ``!(p|q)``, parenthesised combinations —
   compiled to ``stages/sparql.path_edges`` plans and joined into the
-  surrounding BGP on their shared variables
+  surrounding BGP on their shared variables; they also appear inside
+  OPTIONAL / MINUS / FILTER [NOT] EXISTS blocks (the group side is a
+  mixed plain+path binding table) — UNION arms still exclude them
 
 OPTIONAL / MINUS / FILTER [NOT] EXISTS groups repeat and mix freely
 over a plain-BGP base, applied in clause order — each group costs one
@@ -1732,9 +1734,9 @@ def _execute_plan(triples_ds, plan: dict, n_buckets: int = 64):
         + plan["minus"]
         + [g for g, _ in plan["exists"]]
     )
-    if path_pats and (other_groups or plan["form"] != "select"):
+    if path_pats and plan["form"] != "select":
         raise SparqlSyntaxError(
-            "property paths are supported in the base BGP of a SELECT only"
+            "property paths are supported in SELECT queries only"
         )
     if plan["subqueries"] and (
         plan["from_graphs"]
@@ -1745,9 +1747,9 @@ def _execute_plan(triples_ds, plan: dict, n_buckets: int = 64):
             "subqueries do not compose with GRAPH patterns or dataset"
             " clauses in this fragment"
         )
-    if any(isinstance(pt[1], tuple) for g in other_groups for pt in g):
+    if any(isinstance(pt[1], tuple) for arm in plan["union"] for pt in arm):
         raise SparqlSyntaxError(
-            "property paths are supported in the base BGP only"
+            "property paths are not supported inside UNION arms"
         )
     if plan["needs_meta"]:
         # LANG()/DATATYPE() read per-triple literal metadata carried
@@ -1841,8 +1843,7 @@ def _execute_plan(triples_ds, plan: dict, n_buckets: int = 64):
             if (plan["minus"] or plan["exists"])
             else triples_ds
         )
-        b = bgp_match(tds, plan["patterns"], n_buckets=n_buckets)
-        cols = sorted({v for pt in plan["patterns"] for v in pattern_vars(pt)})
+        b, cols = _block_bindings(tds, plan["patterns"], n_buckets)
         # subqueries interleave with the groups in textual clause
         # order: each recorded its position (number of groups already
         # parsed), so pos==i joins before group i runs
@@ -1864,11 +1865,21 @@ def _execute_plan(triples_ds, plan: dict, n_buckets: int = 64):
                 b = minus_bindings(
                     b, cols, tds, g[1], n_buckets=n_buckets,
                     probe_filters=gx[i][1] if gx[i] else None,
+                    probe=(
+                        _block_bindings(tds, g[1], n_buckets)
+                        if any(isinstance(pt[1], tuple) for pt in g[1])
+                        else None
+                    ),
                 )
             else:
                 b = exists_bindings(
                     b, cols, tds, g[1], negate=g[2], n_buckets=n_buckets,
                     probe_filters=gx[i][1] if gx[i] else None,
+                    probe=(
+                        _block_bindings(tds, g[1], n_buckets)
+                        if any(isinstance(pt[1], tuple) for pt in g[1])
+                        else None
+                    ),
                 )
             for sub, pos in subs:
                 if pos == i + 1:
@@ -2184,6 +2195,34 @@ def _path_pattern_bindings(triples_ds, subj, expr, obj, n_buckets):
     return edges.map_batches(xf, batch_format="pyarrow"), pvars
 
 
+def _block_bindings(triples_ds, block, n_buckets):
+    """Bindings table for a mixed plain+path pattern block (a group
+    body or the base BGP): plain patterns through ``bgp_match``, each
+    path pattern through ``_path_pattern_bindings`` (4th-term constant
+    graphs restrict the edge universe map-side), folded together with
+    the same bucketed binding join the base BGP pays."""
+    from .bgp import bgp_match, pattern_vars
+
+    plain = [pt for pt in block if not isinstance(pt[1], tuple)]
+    paths = [pt for pt in block if isinstance(pt[1], tuple)]
+    b, bound = None, []
+    if plain:
+        b = bgp_match(triples_ds, plain, n_buckets=n_buckets)
+        bound = sorted({v for pt in plain for v in pattern_vars(pt)})
+    for pt in paths:
+        src_ds = triples_ds
+        if len(pt) > 3:
+            src_ds = _filter_to_graph(triples_ds, pt[3])
+        pb, pvars = _path_pattern_bindings(
+            src_ds, pt[0], pt[1], pt[2], n_buckets
+        )
+        if b is None:
+            b, bound = pb, pvars
+        else:
+            b, bound = _join_binding_tables(b, bound, pb, pvars, n_buckets)
+    return b, bound
+
+
 def _join_binding_tables(b, bound, other, ovars, n_buckets, what="path pattern"):
     """Inner-join two binding tables on their shared variables — the
     same composite-key bucketed exchange bgp_match's pattern loop pays
@@ -2476,14 +2515,12 @@ def optional_match_bindings(bindings, triples_ds, optional_patterns, n_buckets,
     ``base_cols``: the bindings' known columns — passed by the caller
     so plan construction never calls ``Dataset.schema()`` (which would
     execute the upstream plan)."""
-    from .bgp import _with_key, bgp_match, pattern_vars
+    from .bgp import _with_key
     from .join import bucketed_hash_join
     from .sparql import UNBOUND
 
-    opt = bgp_match(triples_ds, optional_patterns, n_buckets=n_buckets)
-    opt_vars = sorted(
-        {v for pat in optional_patterns for v in pattern_vars(pat)}
-    )
+    opt, opt_vars = _block_bindings(triples_ds, optional_patterns, n_buckets)
+    opt_vars = list(opt_vars)
     if extras is not None:
         # group-local BIND / FILTER clauses: extend then restrict the
         # optional side's bindings BEFORE the left join (SPARQL

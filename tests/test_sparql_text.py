@@ -213,6 +213,83 @@ def test_optional_filter_outer_var_rejected():
         )
 
 
+KNOWS_ROWS = [
+    ("a", "http://ex.org/knows", "b"),
+    ("b", "http://ex.org/knows", "c"),
+    ("c", "http://ex.org/knows", "d"),
+    ("a", "http://ex.org/name", "Alice"),
+    ("b", "http://ex.org/name", "Bob"),
+    ("d", "http://ex.org/name", "Dave"),
+]
+
+
+def test_path_inside_optional(ray_session):
+    # knows+ nested in OPTIONAL: transitive reach, unbound when none
+    out = execute(
+        _triples(KNOWS_ROWS),
+        """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?p ?q WHERE { ?p ex:name ?n . OPTIONAL { ?p ex:knows+ ?q } }
+        """,
+        n_buckets=4,
+    )
+    assert _rows(out, ["p", "q"]) == [
+        ("a", "b"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("d", ""),
+    ]
+
+
+def test_path_inside_minus_and_exists(ray_session):
+    # MINUS with a seq path drops 2-hop sources; NOT EXISTS with plus
+    # keeps only unreachable subjects
+    out = execute(
+        _triples(KNOWS_ROWS),
+        """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?p WHERE { ?p ex:name ?n . MINUS { ?p ex:knows/ex:knows ?y } }
+        """,
+        n_buckets=4,
+    )
+    assert _rows(out, ["p"]) == [("d",)]
+    out = execute(
+        _triples(KNOWS_ROWS),
+        """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?p WHERE { ?p ex:name ?n .
+          FILTER NOT EXISTS { ?x ex:knows+ ?p } }
+        """,
+        n_buckets=4,
+    )
+    assert _rows(out, ["p"]) == [("a",)]
+
+
+def test_path_base_composes_with_optional(ray_session):
+    # base-BGP path + OPTIONAL group in one query (both exchanges)
+    out = execute(
+        _triples(KNOWS_ROWS),
+        """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?p ?q ?qn WHERE {
+          ?p ex:knows+ ?q . OPTIONAL { ?q ex:name ?qn }
+        }
+        """,
+        n_buckets=4,
+    )
+    got = dict(((p, q), qn) for p, q, qn in
+               _rows(out, ["p", "q", "qn"]))
+    assert got[("a", "d")] == "Dave" and got[("a", "c")] == ""
+
+
+def test_path_in_union_arm_rejected(ray_session):
+    with pytest.raises(SparqlSyntaxError):
+        execute(
+            _triples(KNOWS_ROWS),
+            "SELECT ?a WHERE { { ?a <http://e/p>+ ?b }"
+            " UNION { ?a <http://e/q> ?b } }",
+            n_buckets=4,
+        )
+
+
 def test_minus_and_exists_with_inner_filter(ray_session):
     # group-local FILTERs restrict the probe side before the anti/semi
     # join: MINUS subtracts only big-size docs; EXISTS keeps only docs
