@@ -123,20 +123,26 @@ def optional_match(
     return bindings
 
 
-def union_match(triples_ds, bgps, select=None, extras=None):
+def union_match(triples_ds, bgps, select=None, extras=None, prebuilt=None):
     """SPARQL ``{ bgp1 } UNION { bgp2 } ...``: bag union with columns
     aligned to the union of the arms' variables (absent ones '').
 
     ``extras`` (optional, parallel to ``bgps``) carries per-arm
     ``(binds, filters)`` — BIND columns (table -> Array callables,
     appended to the arm's variables) and FILTER masks applied to that
-    arm's bindings BEFORE the alignment union, all map-side."""
+    arm's bindings BEFORE the alignment union, all map-side.
+    ``prebuilt`` (optional, parallel): per-arm ``(bindings, vars)``
+    overriding the BGP match — callers pass it for arms that mix in
+    property paths."""
     if not bgps:
         raise ValueError("empty UNION")
     triples_ds = triples_ds.materialize()
     arms = []
     for i, patterns in enumerate(bgps):
-        bindings, bvars = _match_with_vars(triples_ds, patterns)
+        if prebuilt is not None and prebuilt[i] is not None:
+            bindings, bvars = prebuilt[i]
+        else:
+            bindings, bvars = _match_with_vars(triples_ds, patterns)
         if extras is not None:
             arm_binds, arm_filters = extras[i]
             for alias, expr in arm_binds:

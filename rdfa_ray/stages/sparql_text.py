@@ -96,8 +96,8 @@ it raises ``SparqlSyntaxError`` rather than mis-executing):
   ``p+``, ``p*``, ``p?``, ``!(p|q)``, parenthesised combinations —
   compiled to ``stages/sparql.path_edges`` plans and joined into the
   surrounding BGP on their shared variables; they also appear inside
-  OPTIONAL / MINUS / FILTER [NOT] EXISTS blocks (the group side is a
-  mixed plain+path binding table) — UNION arms still exclude them
+  OPTIONAL / MINUS / FILTER [NOT] EXISTS blocks and UNION arms (the
+  group/arm side is a mixed plain+path binding table)
 
 OPTIONAL / MINUS / FILTER [NOT] EXISTS groups repeat and mix freely
 over a plain-BGP base, applied in clause order — each group costs one
@@ -1747,10 +1747,7 @@ def _execute_plan(triples_ds, plan: dict, n_buckets: int = 64):
             "subqueries do not compose with GRAPH patterns or dataset"
             " clauses in this fragment"
         )
-    if any(isinstance(pt[1], tuple) for arm in plan["union"] for pt in arm):
-        raise SparqlSyntaxError(
-            "property paths are not supported inside UNION arms"
-        )
+
     if plan["needs_meta"]:
         # LANG()/DATATYPE() read per-triple literal metadata carried
         # from the BGP scan — supported on the plain-BGP SELECT path
@@ -1825,7 +1822,15 @@ def _execute_plan(triples_ds, plan: dict, n_buckets: int = 64):
             ([(a, wrap_bind(e)) for a, e in bn], fl)
             for bn, fl in plan["union_extras"]
         ]
-        b = union_match(triples_ds, plan["union"], extras=extras)
+        prebuilt = [
+            _block_bindings(triples_ds, arm, n_buckets)
+            if any(isinstance(pt[1], tuple) for pt in arm)
+            else None
+            for arm in plan["union"]
+        ]
+        b = union_match(
+            triples_ds, plan["union"], extras=extras, prebuilt=prebuilt
+        )
     elif plan["groups"]:
         # ordered composition of OPTIONAL / MINUS / FILTER [NOT] EXISTS
         # groups over the plain-BGP base, applied in clause order —

@@ -280,14 +280,23 @@ def test_path_base_composes_with_optional(ray_session):
     assert got[("a", "d")] == "Dave" and got[("a", "c")] == ""
 
 
-def test_path_in_union_arm_rejected(ray_session):
-    with pytest.raises(SparqlSyntaxError):
-        execute(
-            _triples(KNOWS_ROWS),
-            "SELECT ?a WHERE { { ?a <http://e/p>+ ?b }"
-            " UNION { ?a <http://e/q> ?b } }",
-            n_buckets=4,
-        )
+def test_path_in_union_arm(ray_session):
+    # a path arm and a plain arm union into one aligned bag
+    out = execute(
+        _triples(KNOWS_ROWS),
+        """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?a ?b WHERE {
+          { ?a ex:knows+ ?b } UNION { ?a ex:name ?b }
+        }
+        """,
+        n_buckets=4,
+    )
+    assert _rows(out, ["a", "b"]) == [
+        ("a", "Alice"), ("a", "b"), ("a", "c"), ("a", "d"),
+        ("b", "Bob"), ("b", "c"), ("b", "d"),
+        ("c", "d"), ("d", "Dave"),
+    ]
 
 
 def test_minus_and_exists_with_inner_filter(ray_session):
