@@ -2241,6 +2241,25 @@ def q_kg_lang_filter(sf_dir: str):
     )
 
 
+def q_kg_lang_optional(sf_dir: str):
+    """LANG() filter composing with an OPTIONAL group (and a nested
+    group-local FILTER): the meta pseudo-columns ride the base scan
+    and survive the left join, so metadata functions no longer force a
+    plain-BGP query."""
+    from ..stages.sparql_text import execute
+
+    return execute(
+        _meta_triples(sf_dir),
+        """
+        PREFIX schema: <http://schema.org/>
+        SELECT ?d ?name ?n WHERE {
+          ?d schema:name ?name . FILTER (LANG(?name) = "zh")
+          OPTIONAL { ?d schema:characterCount ?n . FILTER (?n >= 300) }
+        }
+        """,
+    )
+
+
 def q_kg_datatype_census(sf_dir: str):
     """SPARQL DATATYPE() census over every triple (variable predicate):
     counts per object datatype ('' = IRI object or untyped/lang-tagged
@@ -3095,6 +3114,7 @@ QUERIES = {
     "kg_sparql_text": q_kg_sparql_text,
     "kg_sparql_expr": q_kg_sparql_expr,
     "kg_lang_filter": q_kg_lang_filter,
+    "kg_lang_optional": q_kg_lang_optional,
     "kg_datatype_census": q_kg_datatype_census,
     "kg_term_census": q_kg_term_census,
     "kg_year_census": q_kg_year_census,
@@ -3627,6 +3647,13 @@ ORACLE_SQL = {
     "kg_lang_filter": (
         "SELECT 'http://docs.local/d' || CAST(doc_id AS VARCHAR) AS d,"
         " 'doc ' || CAST(doc_id AS VARCHAR) AS name"
+        " FROM documents WHERE lang = 'zh'"
+    ),
+    "kg_lang_optional": (
+        "SELECT 'http://docs.local/d' || CAST(doc_id AS VARCHAR) AS d,"
+        " 'doc ' || CAST(doc_id AS VARCHAR) AS name,"
+        " CASE WHEN n_chars >= 300 THEN CAST(n_chars AS VARCHAR)"
+        " ELSE '' END AS n"
         " FROM documents WHERE lang = 'zh'"
     ),
     "kg_datatype_census": (

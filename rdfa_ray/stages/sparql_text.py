@@ -44,9 +44,12 @@ it raises ``SparqlSyntaxError`` rather than mis-executing):
   MINUTES/SECONDS/TZ over ISO-8601 lexical forms; plus LANG()/
   DATATYPE() and the term tests ISIRI/ISURI/ISBLANK/ISLITERAL/
   ISNUMERIC over a metadata-preserving (subj, pred, obj_value,
-  obj_lang, obj_datatype, obj_kind) view — plain-BGP SELECTs only,
-  the term metadata rides the scan as ``?v__lang``/``?v__datatype``/
-  ``?v__kind`` pseudo-columns, object-position variables only),
+  obj_lang, obj_datatype, obj_kind) view — SELECTs over a base BGP,
+  composing with OPTIONAL/MINUS/EXISTS groups and base paths when
+  every referenced variable sits object-position in a plain base
+  pattern (UNION/subqueries/GRAPH still raise); the term metadata
+  rides the scan as ``?v__lang``/``?v__datatype``/``?v__kind``
+  pseudo-columns),
   ``expr [NOT] IN (const, ...)``,
   ``REGEX(?v, "pat")``, ``STRSTARTS`` /
   ``STRENDS`` / ``CONTAINS``, ``&&`` / ``||`` / ``!``
@@ -1750,11 +1753,13 @@ def _execute_plan(triples_ds, plan: dict, n_buckets: int = 64):
 
     if plan["needs_meta"]:
         # LANG()/DATATYPE() read per-triple literal metadata carried
-        # from the BGP scan — supported on the plain-BGP SELECT path
-        # (and the input must be a metadata-preserving view)
+        # from the BGP scan (the input must be a metadata-preserving
+        # view).  They compose with OPTIONAL/MINUS/EXISTS groups and
+        # base-BGP paths, provided every referenced variable is an
+        # object-position variable of a PLAIN base pattern — the meta
+        # columns ride the base scan and survive the group joins.
         if (
-            path_pats
-            or other_groups
+            plan["union"]
             or plan["subqueries"]
             or graph_vars
             or plan["from_graphs"]
@@ -1763,12 +1768,23 @@ def _execute_plan(triples_ds, plan: dict, n_buckets: int = 64):
         ):
             raise SparqlSyntaxError(
                 "term-metadata functions (LANG/DATATYPE/ISIRI/ISBLANK/"
-                "ISLITERAL/ISNUMERIC) are supported in plain-BGP SELECT "
-                "queries only in this fragment"
+                "ISLITERAL/ISNUMERIC) are supported in SELECT queries "
+                "over a base BGP (+ OPTIONAL/MINUS/EXISTS groups) only"
+            )
+        from .bgp import meta_vars_for
+
+        supported = {m for pt in plain_pats for m in meta_vars_for(pt)}
+        lacking = set(plan["needs_meta"]) - supported
+        if lacking:
+            raise SparqlSyntaxError(
+                "term-metadata functions may reference only object-"
+                "position variables of plain base triple patterns "
+                "(no metadata for: %s)" % sorted(lacking)
             )
         clash = [
             v
-            for pt in plan["patterns"]
+            for g in [plan["patterns"]] + [g[1] for g in plan["groups"]]
+            for pt in g
             for v in pattern_vars(pt)
             if v.endswith("__lang") or v.endswith("__datatype")
             or v.endswith("__kind")
@@ -1848,7 +1864,11 @@ def _execute_plan(triples_ds, plan: dict, n_buckets: int = 64):
             if (plan["minus"] or plan["exists"])
             else triples_ds
         )
-        b, cols = _block_bindings(tds, plan["patterns"], n_buckets)
+        b, cols = _block_bindings(
+            tds, plan["patterns"], n_buckets,
+            carry_meta=bool(plan["needs_meta"]),
+            keep_extra=tuple(plan["needs_meta"]),
+        )
         # subqueries interleave with the groups in textual clause
         # order: each recorded its position (number of groups already
         # parsed), so pos==i joins before group i runs
@@ -1896,8 +1916,14 @@ def _execute_plan(triples_ds, plan: dict, n_buckets: int = 64):
     elif path_pats:
         b, bound = None, []
         if plain_pats:
-            b = bgp_match(triples_ds, plain_pats, n_buckets=n_buckets)
+            b = bgp_match(
+                triples_ds, plain_pats, n_buckets=n_buckets,
+                carry_meta=bool(plan["needs_meta"]),
+            )
             bound = sorted({v for pt in plain_pats for v in pattern_vars(pt)})
+            # keep the meta pseudo-columns through the path binding
+            # joins (their projection keeps only ``bound`` + new vars)
+            bound = bound + [m for m in plan["needs_meta"] if m not in bound]
         for pt in path_pats:
             subj, expr, obj = pt[0], pt[1], pt[2]
             src_ds = triples_ds
@@ -2200,7 +2226,8 @@ def _path_pattern_bindings(triples_ds, subj, expr, obj, n_buckets):
     return edges.map_batches(xf, batch_format="pyarrow"), pvars
 
 
-def _block_bindings(triples_ds, block, n_buckets):
+def _block_bindings(triples_ds, block, n_buckets, carry_meta=False,
+                    keep_extra=()):
     """Bindings table for a mixed plain+path pattern block (a group
     body or the base BGP): plain patterns through ``bgp_match``, each
     path pattern through ``_path_pattern_bindings`` (4th-term constant
@@ -2212,8 +2239,13 @@ def _block_bindings(triples_ds, block, n_buckets):
     paths = [pt for pt in block if isinstance(pt[1], tuple)]
     b, bound = None, []
     if plain:
-        b = bgp_match(triples_ds, plain, n_buckets=n_buckets)
+        b = bgp_match(
+            triples_ds, plain, n_buckets=n_buckets, carry_meta=carry_meta
+        )
         bound = sorted({v for pt in plain for v in pattern_vars(pt)})
+        # extra carried columns (meta pseudo-columns) must be in the
+        # bound list or the path-join projections below drop them
+        bound = bound + [m for m in keep_extra if m not in bound]
     for pt in paths:
         src_ds = triples_ds
         if len(pt) > 3:

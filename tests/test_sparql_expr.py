@@ -312,13 +312,16 @@ def test_lang_needs_meta_view_is_loud(ray_session):
         ).to_pandas()
 
 
-def test_lang_outside_plain_bgp_is_loud(ray_session):
+def test_lang_outside_supported_shapes_is_loud(ray_session):
+    # base-var LANG with OPTIONAL now composes (see
+    # test_lang_composes_with_optional_and_minus); UNION stays a loud
+    # rejection — arms build separate scans that drop the meta columns
     ds = _meta_triples_ds(META_ROWS)
     with pytest.raises(SparqlSyntaxError):
         execute(
             ds,
             PREFIX
-            + "SELECT ?d WHERE { ?d ex:name ?v . OPTIONAL { ?d ex:size ?s }"
+            + "SELECT ?d WHERE { { ?d ex:name ?v } UNION { ?d ex:size ?v }"
             ' FILTER (LANG(?v) = "fr") }',
             n_buckets=4,
         )
@@ -461,3 +464,36 @@ def test_datetime_filter_on_year(ray_session):
     ).to_pandas()
     # 'not a date' parses to null -> fails the comparison (unbound stance)
     assert sorted(df["s"]) == ["a", "b"]
+
+
+def test_lang_composes_with_optional_and_minus(ray_session):
+    # metadata pseudo-columns ride the base scan and survive the group
+    # joins — LANG() no longer forces a plain-BGP query
+    ds = _meta_triples_ds(META_ROWS)
+    df = execute(
+        ds,
+        PREFIX + 'SELECT ?d ?n WHERE { ?d ex:name ?v .'
+        ' FILTER (LANG(?v) = "fr") OPTIONAL { ?d ex:size ?n } }',
+        n_buckets=4,
+    ).to_pandas()
+    assert sorted(map(tuple, df[["d", "n"]].values.tolist())) == [("a", "10")]
+    df = execute(
+        ds,
+        PREFIX + 'SELECT ?d WHERE { ?d ex:name ?v .'
+        ' FILTER (LANG(?v) != "") MINUS { ?d ex:size "20" } }',
+        n_buckets=4,
+    ).to_pandas()
+    assert sorted(df["d"]) == ["a"]
+
+
+def test_meta_of_group_var_rejected(ray_session):
+    # metadata functions reference base-BGP object variables only —
+    # an optional-side variable raises, never a silent unbound read
+    ds = _meta_triples_ds(META_ROWS)
+    with pytest.raises(SparqlSyntaxError):
+        execute(
+            ds,
+            PREFIX + "SELECT ?d WHERE { ?d ex:name ?v ."
+            ' OPTIONAL { ?d ex:size ?n } FILTER (LANG(?n) = "") }',
+            n_buckets=4,
+        ).to_pandas()
