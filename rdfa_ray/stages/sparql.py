@@ -794,7 +794,7 @@ def grouped_aggregate(bindings, group_vars, aggs, having=None, n_buckets: int = 
 
 
 def describe(triples_ds, patterns, var, n_buckets: int = 64,
-             const_subjects=None):
+             const_subjects=None, bindings=None):
     """SPARQL DESCRIBE ?v: every triple whose SUBJECT is a solution of
     ?v under the BGP (the simple-subject description rdflib's
     describe implementation emits).  One exact semi join of the triples
@@ -823,7 +823,8 @@ def describe(triples_ds, patterns, var, n_buckets: int = 64,
         return triples_ds.map_batches(pick, batch_format="pyarrow")
 
     triples_ds = triples_ds.materialize()
-    bindings = bgp_match(triples_ds, patterns, n_buckets=n_buckets)
+    if bindings is None:
+        bindings = bgp_match(triples_ds, patterns, n_buckets=n_buckets)
 
     def keys(batch: pa.Table) -> pa.Table:
         return pa.Table.from_pydict(

@@ -15,7 +15,10 @@ it raises ``SparqlSyntaxError`` rather than mis-executing):
 
 * ``PREFIX`` declarations, ``a`` for rdf:type
 * query forms: ``SELECT`` / ``ASK { ... }`` / ``CONSTRUCT { tmpl }
-  WHERE { ... }``
+  WHERE { ... }`` — ASK/CONSTRUCT/DESCRIBE consume the SAME solution
+  bindings a SELECT over their WHERE group would (groups, VALUES,
+  BIND, FILTER all honored; template triples touching an unbound
+  variable are skipped per solution)
 * ``SELECT [DISTINCT] ?v ... | *`` with aggregate projections
   ``(COUNT(*) AS ?n)`` / ``(SUM|AVG|MIN|MAX|SAMPLE(expr) AS ?y)`` —
   aggregates accept full value expressions (compiled to a hidden BIND
@@ -1623,6 +1626,11 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
 
     if not patterns and not union_arms and not subqueries:
         raise SparqlSyntaxError("WHERE needs at least one triple pattern")
+    if form != "select" and (group_by or having or order_by or aggs or distinct):
+        raise SparqlSyntaxError(
+            "GROUP BY/HAVING/ORDER BY/aggregates/DISTINCT are SELECT-only"
+            " modifiers (%s emits a graph or a boolean)" % form.upper()
+        )
     if describe_iris:
         raise SparqlSyntaxError(
             "DESCRIBE <iri> takes no WHERE group in this fragment"
@@ -1712,9 +1720,7 @@ def _execute_plan(triples_ds, plan: dict, n_buckets: int = 64):
     engine behind ``execute`` and nested ``{ SELECT ... }`` subqueries."""
     from .bgp import bgp_match, pattern_vars
     from .sparql import (
-        ask,
         bind_var,
-        construct,
         distinct_bindings,
         filter_bindings,
         grouped_aggregate,
@@ -1795,29 +1801,13 @@ def _execute_plan(triples_ds, plan: dict, n_buckets: int = 64):
                 "with the term-metadata pseudo-columns: %r" % clash
             )
 
-    if plan["form"] == "ask":
-        import ray.data as rd
-
-        answer = ask(triples_ds, plan["patterns"], n_buckets=n_buckets)
-        return rd.from_arrow(pa.table({"answer": pa.array([answer], pa.bool_())}))
-
-    if plan["form"] == "construct":
-        out = construct(
-            triples_ds, plan["patterns"], plan["template"], n_buckets=n_buckets
-        )
-        if plan["limit"] is not None:
-            out = out.limit(plan["limit"])
-        return out
-
-    if plan["form"] == "describe":
+    if plan["form"] == "describe" and plan.get("describe_iris"):
+        # DESCRIBE <iri> ... — no WHERE group: a map-side is_in filter
         from .sparql import describe
 
         out = describe(
-            triples_ds,
-            plan["patterns"],
-            plan["describe_var"],
-            n_buckets=n_buckets,
-            const_subjects=plan.get("describe_iris") or None,
+            triples_ds, [], None, n_buckets=n_buckets,
+            const_subjects=plan["describe_iris"],
         )
         if plan["limit"] is not None:
             out = out.limit(plan["limit"])
@@ -2001,6 +1991,35 @@ def _execute_plan(triples_ds, plan: dict, n_buckets: int = 64):
 
     for f in plan["filters"]:
         b = filter_bindings(b, f)
+
+    # non-SELECT forms consume the SAME solution bindings as a SELECT
+    # over this WHERE group — groups, VALUES, BIND and FILTER all
+    # applied (round-3 fix: the old early-return forms matched the
+    # base BGP only, silently ignoring every other clause)
+    if plan["form"] == "ask":
+        import ray.data as rd
+
+        answer = b.limit(1).count() > 0
+        return rd.from_arrow(
+            pa.table({"answer": pa.array([answer], pa.bool_())})
+        )
+
+    if plan["form"] == "construct":
+        out = _construct_from_bindings(b, plan["template"], n_buckets)
+        if plan["limit"] is not None:
+            out = out.limit(plan["limit"])
+        return out
+
+    if plan["form"] == "describe":
+        from .sparql import describe
+
+        out = describe(
+            triples_ds, None, plan["describe_var"],
+            n_buckets=n_buckets, bindings=b,
+        )
+        if plan["limit"] is not None:
+            out = out.limit(plan["limit"])
+        return out
 
     if any(fn.endswith("_distinct") for fn, _v, _a in plan["aggs"]):
         from .sparql import grouped_aggregate, grouped_distinct_aggregate
@@ -2258,6 +2277,36 @@ def _block_bindings(triples_ds, block, n_buckets, carry_meta=False,
         else:
             b, bound = _join_binding_tables(b, bound, pb, pvars, n_buckets)
     return b, bound
+
+
+def _construct_from_bindings(bindings, template, n_buckets):
+    """CONSTRUCT tail over a computed solution-bindings table:
+    instantiate ``template`` once per solution (vectorized map-side),
+    drop instantiations referencing an unbound ('' sentinel) variable
+    (SPARQL §16.2: such template triples are simply not generated),
+    then set-dedup — CONSTRUCT emits a graph, not a bag."""
+    from .distinct import distinct
+    from .sparql import UNBOUND
+
+    def instantiate(batch: pa.Table) -> pa.Table:
+        outs = []
+        n = batch.num_rows
+        for (s, p, o) in template:
+            cols, mask = {}, None
+            for name, term in zip(("subj", "pred", "obj_value"), (s, p, o)):
+                if isinstance(term, str) and term.startswith("?"):
+                    col = pc.cast(batch.column(term[1:]), pa.string())
+                    m = pc.not_equal(pc.fill_null(col, UNBOUND), UNBOUND)
+                    mask = m if mask is None else pc.and_(mask, m)
+                    cols[name] = col
+                else:
+                    cols[name] = pa.nulls(n, pa.string()).fill_null(term)
+            t = pa.Table.from_pydict(cols)
+            outs.append(t if mask is None else t.filter(mask))
+        return pa.concat_tables(outs)
+
+    made = bindings.map_batches(instantiate, batch_format="pyarrow")
+    return distinct(made, ["subj", "pred", "obj_value"], n_buckets=n_buckets)
 
 
 def _join_binding_tables(b, bound, other, ovars, n_buckets, what="path pattern"):

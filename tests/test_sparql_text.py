@@ -1444,3 +1444,61 @@ def test_store_subquery_pushdown(ray_session, tmp_path):
              GROUP BY ?d } }""",
     )
     assert _rows(out, ["d", "n"]) == [("a", "1"), ("b", "1"), ("c", "1")]
+
+
+def test_construct_ask_describe_honor_full_where(ray_session):
+    """Round-3 regression: non-SELECT forms used to match the base BGP
+    only, silently ignoring FILTER/VALUES/BIND/groups."""
+    rows = [
+        ("a", "http://ex.org/lang", "zh"),
+        ("b", "http://ex.org/lang", "en"),
+        ("b", "http://ex.org/size", "200"),
+    ]
+    pre = "PREFIX ex: <http://ex.org/> "
+    out = execute(
+        _triples(rows),
+        pre + 'CONSTRUCT { ?d ex:tag "small" } WHERE {'
+        " ?d ex:lang ?l . MINUS { ?d ex:size ?n } }",
+        n_buckets=4,
+    )
+    assert _rows(out, ["subj", "pred", "obj_value"]) == [
+        ("a", "http://ex.org/tag", "small")
+    ]
+    ask_false = execute(
+        _triples(rows),
+        pre + 'ASK { ?d ex:lang ?l . FILTER (?l = "fr") }',
+        n_buckets=4,
+    ).to_pandas()
+    assert ask_false["answer"].tolist() == [False]
+    desc = execute(
+        _triples(rows),
+        pre + "DESCRIBE ?d WHERE { ?d ex:lang ?l . MINUS { ?d ex:size ?n } }",
+        n_buckets=4,
+    )
+    assert _rows(desc, ["subj"]) == [("a",)]
+
+
+def test_construct_skips_unbound_template_rows(ray_session):
+    # SPARQL §16.2: a template triple referencing an unbound variable
+    # is not generated for that solution
+    rows = [
+        ("a", "http://ex.org/lang", "zh"),
+        ("b", "http://ex.org/lang", "en"),
+        ("b", "http://ex.org/size", "200"),
+    ]
+    out = execute(
+        _triples(rows),
+        "PREFIX ex: <http://ex.org/> "
+        "CONSTRUCT { ?d ex:sz ?n } WHERE {"
+        " ?d ex:lang ?l . OPTIONAL { ?d ex:size ?n } }",
+        n_buckets=4,
+    )
+    assert _rows(out, ["subj", "obj_value"]) == [("b", "200")]
+
+
+def test_non_select_modifier_rejected():
+    with pytest.raises(SparqlSyntaxError):
+        parse_query(
+            'CONSTRUCT { ?d <http://e/t> "x" } WHERE'
+            " { ?d <http://e/l> ?l } ORDER BY ?l"
+        )
