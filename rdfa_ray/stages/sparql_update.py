@@ -269,18 +269,23 @@ def _instantiate(bindings, template: list, bound_vars: set):
         n = batch.num_rows
         outs = []
         for (s, p_, o) in template:
-            cols = {}
+            cols, mask = {}, None
             for name, term in zip(_COLS, (s, p_, o)):
                 if isinstance(term, str) and term.startswith("?"):
                     if term[1:] in batch.column_names:
-                        cols[name] = pc.cast(
-                            batch.column(term[1:]), pa.string()
-                        )
+                        col = pc.cast(batch.column(term[1:]), pa.string())
+                        # an OPTIONAL-unbound ('' sentinel) variable
+                        # skips this template triple for that solution
+                        # (same SPARQL §16.2 rule CONSTRUCT applies)
+                        m = pc.not_equal(pc.fill_null(col, ""), "")
+                        mask = m if mask is None else pc.and_(mask, m)
+                        cols[name] = col
                     else:  # schemaless empty block
                         cols[name] = pa.array([""] * n, pa.string())
                 else:
                     cols[name] = pa.nulls(n, pa.string()).fill_null(term)
-            outs.append(pa.Table.from_pydict(cols))
+            t = pa.Table.from_pydict(cols)
+            outs.append(t if mask is None else t.filter(mask))
         return pa.concat_tables(outs)
 
     return bindings.map_batches(project, batch_format="pyarrow")

@@ -192,3 +192,23 @@ def test_unbound_template_var_rejected(ray_session, tmp_path):
             'INSERT { ?d <http://p> ?nope }'
             ' WHERE { ?d <http://schema.org/source> "src0" }',
         )
+
+
+def test_optional_unbound_skips_template_row(ray_session, tmp_path):
+    """A template triple referencing an OPTIONAL-unbound variable is
+    skipped for that solution (SPARQL §16.2 via the Update templates) —
+    it must not insert ''-term triples."""
+    d = _store(tmp_path, n=4)
+    # give doc0 an extra triple so its ?x binds; docs 1-3 stay unbound
+    rdfa_ray.update(
+        d,
+        'INSERT DATA { <http://example.org/doc/0> <http://p/extra> "E" }',
+    )
+    rdfa_ray.update(
+        d,
+        "INSERT { ?d <http://p/tag> ?x } WHERE {"
+        " ?d <%s> ?src . OPTIONAL { ?d <http://p/extra> ?x } }" % SRC,
+    )
+    tagged = {t for t in _all(d) if t[1] == "http://p/tag"}
+    assert tagged == {("http://example.org/doc/0", "http://p/tag", "E")}
+    assert not any(t[2] == "" for t in _all(d))
