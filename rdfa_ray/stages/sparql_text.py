@@ -1743,10 +1743,6 @@ def _execute_plan(triples_ds, plan: dict, n_buckets: int = 64):
         + plan["minus"]
         + [g for g, _ in plan["exists"]]
     )
-    if path_pats and plan["form"] != "select":
-        raise SparqlSyntaxError(
-            "property paths are supported in SELECT queries only"
-        )
     if plan["subqueries"] and (
         plan["from_graphs"]
         or plan["from_named"]

@@ -1502,3 +1502,26 @@ def test_non_select_modifier_rejected():
             'CONSTRUCT { ?d <http://e/t> "x" } WHERE'
             " { ?d <http://e/l> ?l } ORDER BY ?l"
         )
+
+
+def test_paths_in_non_select_forms(ray_session):
+    # CONSTRUCT/ASK consume path bindings like any other solution set
+    rows = [
+        ("a", "http://ex.org/next", "b"),
+        ("b", "http://ex.org/next", "c"),
+    ]
+    out = execute(
+        _triples(rows),
+        "PREFIX ex: <http://ex.org/> "
+        "CONSTRUCT { ?a ex:reach ?b } WHERE { ?a ex:next+ ?b }",
+        n_buckets=4,
+    )
+    assert _rows(out, ["subj", "obj_value"]) == [
+        ("a", "b"), ("a", "c"), ("b", "c"),
+    ]
+    ask = execute(
+        _triples(rows),
+        "PREFIX ex: <http://ex.org/> ASK { ?a ex:next/ex:next ?c }",
+        n_buckets=4,
+    ).to_pandas()
+    assert ask["answer"].tolist() == [True]
