@@ -2698,6 +2698,26 @@ def q_kg_optional_path(sf_dir: str):
     )
 
 
+def q_kg_nested_optional(sf_dir: str):
+    """OPTIONAL nested inside OPTIONAL over the category tree: each
+    document's grandparent and (one level deeper) great-grandparent,
+    unbound at the root boundaries — the inner left join composes
+    inside the group side before the outer left join."""
+    from ..stages.sparql_text import execute
+
+    return execute(
+        _tree_triples(sf_dir),
+        """
+        PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+        SELECT ?d ?gp ?ggp WHERE {
+          ?d skos:narrower ?p .
+          OPTIONAL { ?p skos:narrower ?gp .
+                     OPTIONAL { ?gp skos:narrower ?ggp } }
+        }
+        """,
+    )
+
+
 def q_kg_sum_distinct(sf_dir: str):
     """SUM(DISTINCT ?n) per language through the text front-end — the
     distinct VALUE SET survives to the reduce (same two-level
@@ -3111,6 +3131,7 @@ QUERIES = {
     "kg_union_arm_filter": q_kg_union_arm_filter,
     "kg_optional_filter": q_kg_optional_filter,
     "kg_optional_path": q_kg_optional_path,
+    "kg_nested_optional": q_kg_nested_optional,
     "kg_sparql_text": q_kg_sparql_text,
     "kg_sparql_expr": q_kg_sparql_expr,
     "kg_lang_filter": q_kg_lang_filter,
@@ -3805,6 +3826,14 @@ ORACLE_SQL = {
         " WHERE pred = 'http://schema.org/characterCount'"
         " ORDER BY CAST(obj_value AS DOUBLE) DESC, subj ASC LIMIT 10"
         % _TYPED_TRIPLES_SQL
+    ),
+    "kg_nested_optional": (
+        "SELECT '%s' || CAST(doc_id AS VARCHAR) AS d,"
+        " CASE WHEN doc_id // 4 >= 1"
+        "  THEN '%s' || CAST(doc_id // 16 AS VARCHAR) ELSE '' END AS gp,"
+        " CASE WHEN doc_id // 16 >= 1"
+        "  THEN '%s' || CAST(doc_id // 64 AS VARCHAR) ELSE '' END AS ggp"
+        " FROM documents WHERE doc_id >= 1" % (DOC_NS, DOC_NS, DOC_NS)
     ),
     "kg_optional_path": (
         "WITH RECURSIVE anc(node, a) AS ("

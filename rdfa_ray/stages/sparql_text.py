@@ -29,7 +29,10 @@ it raises ``SparqlSyntaxError`` rather than mis-executing):
   FILTER / BIND clauses over group-local variables, applied to the
   optional side before the left join — outer-variable references
   raise; MINUS and FILTER [NOT] EXISTS blocks likewise nest FILTERs,
-  applied to the probe side before the anti/semi join),
+  applied to the probe side before the anti/semi join; group blocks
+  also nest further OPTIONAL / MINUS / FILTER [NOT] EXISTS groups
+  recursively, composed inside the group side in clause order, and a
+  group-wide FILTER may read its nested-OPTIONAL variables),
   ``{ ... } UNION { ... }`` (top-level arms; each arm may carry its
   own ``FILTER(expr)`` / ``BIND(expr AS ?v)`` clauses, applied to
   that arm's bindings map-side before the aligned bag union),
@@ -1305,7 +1308,7 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
         an outer variable raises rather than silently reading it as
         unbound."""
         p.expect_op("{")
-        block, gfilters, gbinds = [], [], []
+        block, gfilters, gbinds, gnested = [], [], [], []
         while True:
             parse_triples_block(block)
             if p.peek() == ("op", "}"):
@@ -1318,9 +1321,15 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
                     and p.peek(1)[1]
                     and p.peek(1)[1].upper() == "EXISTS"
                 ):
-                    raise SparqlSyntaxError(
-                        "FILTER EXISTS inside %s is unsupported" % kind_name
+                    negate = p.at_kw("NOT")
+                    p.next()
+                    if negate:
+                        p.next()
+                    nblock, nextras = parse_filtered_group(
+                        "FILTER EXISTS", allow_bind=False
                     )
+                    gnested.append(("exists", nblock, nextras, negate))
+                    continue
                 p.expect_op("(")
                 fc = _FilterCompiler(p, prefixes, meta_needed)
                 gfilters.append((fc.parse_or(), fc.vars_seen))
@@ -1340,6 +1349,16 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
                 gbinds.append((alias[1:], expr, fc.vars_seen))
                 if p.peek() == ("op", "."):
                     p.next()
+            elif p.at_kw("OPTIONAL"):
+                p.next()
+                nblock, nextras = parse_filtered_group("OPTIONAL")
+                gnested.append(("optional", nblock, nextras, False))
+            elif p.at_kw("MINUS"):
+                p.next()
+                nblock, nextras = parse_filtered_group(
+                    "MINUS", allow_bind=False
+                )
+                gnested.append(("minus", nblock, nextras, False))
             else:
                 raise SparqlSyntaxError(
                     "unsupported clause inside a %s block: %r"
@@ -1360,6 +1379,12 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
                     " (outside: %s)" % (kind_name, sorted(outside))
                 )
             scope.add(alias)
+        # nested OPTIONAL variables surface into the group's solutions
+        # BEFORE the group-wide filters run, so filters may reference
+        # them; nested MINUS/EXISTS bind nothing outward
+        for nk, nblock, nextras, _ng in gnested:
+            if nk == "optional":
+                scope |= _plan_group_vars(nblock, nextras)
         for _f, seen in gfilters:
             outside = seen - scope
             if outside:
@@ -1371,6 +1396,7 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
         return block, (
             [(a, e) for a, e, _s in gbinds],
             [f for f, _s in gfilters],
+            gnested,
         )
 
     # top-level `{ arm } UNION { arm } ...` (a brace that opens a
@@ -1395,13 +1421,13 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
             block, extra = parse_filtered_group("OPTIONAL")
             optionals.append(block)
             groups.append(("optional", block))
-            group_extras.append(extra if (extra[0] or extra[1]) else None)
+            group_extras.append(extra if any(extra) else None)
         elif p.at_kw("MINUS"):
             p.next()
             block, extra = parse_filtered_group("MINUS", allow_bind=False)
             minus_groups.append(block)
             groups.append(("minus", block))
-            group_extras.append(extra if extra[1] else None)
+            group_extras.append(extra if any(extra) else None)
         elif p.at_kw("FILTER"):
             p.next()
             if p.at_kw("EXISTS") or (
@@ -1416,7 +1442,7 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
                 )
                 exists_groups.append((block, negate))
                 groups.append(("exists", block, negate))
-                group_extras.append(extra if extra[1] else None)
+                group_extras.append(extra if any(extra) else None)
             else:
                 p.expect_op("(")
                 filters.append(_FilterCompiler(p, prefixes, meta_needed).parse_or())
@@ -1705,10 +1731,10 @@ def _plan_out_cols(plan: dict) -> list:
             | {a for a, _ in plan["binds"] if not a.startswith("__")}
             | {a for bn, _fl in plan["union_extras"] for a, _ in bn}
             | {
-                a
-                for ex in plan["group_extras"]
-                if ex
-                for a, _ in ex[0]
+                v
+                for g, ex in zip(plan["groups"], plan["group_extras"])
+                if g[0] == "optional"
+                for v in _plan_group_vars(g[1], ex)
             }
             | {c for sub, _pos in plan["subqueries"] for c in _plan_out_cols(sub)}
         )
@@ -1783,9 +1809,20 @@ def _execute_plan(triples_ds, plan: dict, n_buckets: int = 64):
                 "position variables of plain base triple patterns "
                 "(no metadata for: %s)" % sorted(lacking)
             )
+        meta_blocks = [plan["patterns"]] + [g[1] for g in plan["groups"]]
+
+        def _collect_nested_blocks(ex):
+            if not ex:
+                return
+            for _nk, nblock, nextras, _ng in ex[2]:
+                meta_blocks.append(nblock)
+                _collect_nested_blocks(nextras)
+
+        for ex in plan["group_extras"]:
+            _collect_nested_blocks(ex)
         clash = [
             v
-            for g in [plan["patterns"]] + [g[1] for g in plan["groups"]]
+            for g in meta_blocks
             for pt in g
             for v in pattern_vars(pt)
             if v.endswith("__lang") or v.endswith("__datatype")
@@ -1868,29 +1905,16 @@ def _execute_plan(triples_ds, plan: dict, n_buckets: int = 64):
                 b = optional_match_bindings(
                     b, tds, g[1], n_buckets, cols, extras=gx[i]
                 )
-                newv = {v for pat in g[1] for v in pattern_vars(pat)}
-                if gx[i]:
-                    newv |= {a for a, _ in gx[i][0]}
-                cols = sorted(set(cols) | newv)
+                cols = sorted(set(cols) | _plan_group_vars(g[1], gx[i]))
             elif g[0] == "minus":
                 b = minus_bindings(
                     b, cols, tds, g[1], n_buckets=n_buckets,
-                    probe_filters=gx[i][1] if gx[i] else None,
-                    probe=(
-                        _block_bindings(tds, g[1], n_buckets)
-                        if any(isinstance(pt[1], tuple) for pt in g[1])
-                        else None
-                    ),
+                    probe=_group_side_bindings(tds, g[1], gx[i], n_buckets),
                 )
             else:
                 b = exists_bindings(
                     b, cols, tds, g[1], negate=g[2], n_buckets=n_buckets,
-                    probe_filters=gx[i][1] if gx[i] else None,
-                    probe=(
-                        _block_bindings(tds, g[1], n_buckets)
-                        if any(isinstance(pt[1], tuple) for pt in g[1])
-                        else None
-                    ),
+                    probe=_group_side_bindings(tds, g[1], gx[i], n_buckets),
                 )
             for sub, pos in subs:
                 if pos == i + 1:
@@ -2275,6 +2299,35 @@ def _block_bindings(triples_ds, block, n_buckets, carry_meta=False,
     return b, bound
 
 
+def _plan_group_vars(block, extras):
+    """Variables a group body surfaces into its solutions: pattern
+    vars, BIND aliases, and (recursively) nested-OPTIONAL vars —
+    nested MINUS/EXISTS bind nothing outward."""
+    from .bgp import pattern_vars
+
+    vars_ = {v for pat in block for v in pattern_vars(pat)}
+    if extras:
+        binds, _filters, nested = extras
+        vars_ |= {a for a, _ in binds}
+        for nk, nblock, nextras, _ng in nested:
+            if nk == "optional":
+                vars_ |= _plan_group_vars(nblock, nextras)
+    return vars_
+
+
+def _wrap_bind_expr(_e):
+    """BIND closure -> column callable: broadcast scalar results to
+    the batch length (constant expressions fold to pa.Scalar)."""
+
+    def bind_col(t):
+        v = _e(t)
+        if isinstance(v, pa.Scalar):
+            v = pa.array([v.as_py()] * t.num_rows, type=v.type)
+        return v
+
+    return bind_col
+
+
 def _construct_from_bindings(bindings, template, n_buckets):
     """CONSTRUCT tail over a computed solution-bindings table:
     instantiate ``template`` once per solution (vectorized map-side),
@@ -2385,6 +2438,22 @@ def _apply_dataset_clause(triples_ds, plan):
         (g[0], rewrite(g[1]), *g[2:]) for g in plan["groups"]
     ]
 
+    def rewrite_extras(ex):
+        # nested sub-group blocks live inside the extras tree
+        if not ex:
+            return ex
+        binds, filters, nested = ex
+        return (
+            binds,
+            filters,
+            [
+                (nk, rewrite(nb), rewrite_extras(nx), ng)
+                for nk, nb, nx, ng in nested
+            ],
+        )
+
+    plan["group_extras"] = [rewrite_extras(ex) for ex in plan["group_extras"]]
+
     clash = graph_vars & other_vars
     if clash:
         raise SparqlSyntaxError(
@@ -2449,6 +2518,16 @@ def _plan_pred_pushdown(plan):
         + plan["minus"]
         + [g for g, _ in plan["exists"]]
     )
+
+    def collect_nested(ex):
+        if not ex or len(ex) < 3:
+            return
+        for _nk, nblock, nextras, _ng in ex[2]:
+            groups.append(nblock)
+            collect_nested(nextras)
+
+    for ex in plan.get("group_extras", []):
+        collect_nested(ex)
     preds: set = set()
     prunable_box = [True]
     for g in groups:
@@ -2588,6 +2667,50 @@ def execute_on_store(store_dir: str, query: str, n_buckets: int = 64):
     return execute(triples, query, n_buckets=n_buckets)
 
 
+def _group_side_bindings(triples_ds, block, extras, n_buckets):
+    """Solution bindings for one group body, fully composed: mixed
+    plain+path patterns, then group-local BINDs, then nested
+    OPTIONAL/MINUS/EXISTS sub-groups in clause order, then the
+    group-wide FILTERs (which may read nested-OPTIONAL variables).
+    Returns ``(bindings, vars)``."""
+    from .sparql import _compat_join, bind_var, filter_bindings
+
+    b, vars_ = _block_bindings(triples_ds, block, n_buckets)
+    vars_ = list(vars_)
+    gbinds, gfilters, gnested = (
+        extras if extras is not None else ((), (), ())
+    )
+    for alias, expr in gbinds:
+        b = bind_var(b, alias, _wrap_bind_expr(expr))
+        if alias not in vars_:
+            vars_.append(alias)
+    for nk, nblock, nextras, neg in gnested:
+        nb, nvars = _group_side_bindings(triples_ds, nblock, nextras, n_buckets)
+        if nk == "optional":
+            b = _left_join_bindings(b, vars_, nb, nvars, n_buckets)
+            vars_ = vars_ + [v for v in nvars if v not in vars_]
+        else:
+            shared = [v for v in nvars if v in vars_]
+            if nk == "minus":
+                if shared:  # SPARQL 1.1 §8.3: no shared var removes nothing
+                    b = _compat_join(
+                        b, vars_, nb, nvars, shared, "anti", n_buckets
+                    )
+            else:
+                if not shared:
+                    raise SparqlSyntaxError(
+                        "nested FILTER [NOT] EXISTS shares no variable"
+                        " with its enclosing group"
+                    )
+                b = _compat_join(
+                    b, vars_, nb, nvars, shared,
+                    "anti" if neg else "semi", n_buckets,
+                )
+    for f in gfilters:
+        b = filter_bindings(b, f)
+    return b, vars_
+
+
 def optional_match_bindings(bindings, triples_ds, optional_patterns, n_buckets,
                             base_cols, extras=None):
     """Chain a further OPTIONAL group onto existing bindings (used when
@@ -2597,35 +2720,19 @@ def optional_match_bindings(bindings, triples_ds, optional_patterns, n_buckets,
     ``base_cols``: the bindings' known columns — passed by the caller
     so plan construction never calls ``Dataset.schema()`` (which would
     execute the upstream plan)."""
+    opt, opt_vars = _group_side_bindings(
+        triples_ds, optional_patterns, extras, n_buckets
+    )
+    return _left_join_bindings(bindings, base_cols, opt, opt_vars, n_buckets)
+
+
+def _left_join_bindings(bindings, base_cols, opt, opt_vars, n_buckets):
+    """LEFT-join a computed optional-side bindings table onto existing
+    bindings on their shared variables ('' sentinel for unmatched)."""
     from .bgp import _with_key
     from .join import bucketed_hash_join
     from .sparql import UNBOUND
 
-    opt, opt_vars = _block_bindings(triples_ds, optional_patterns, n_buckets)
-    opt_vars = list(opt_vars)
-    if extras is not None:
-        # group-local BIND / FILTER clauses: extend then restrict the
-        # optional side's bindings BEFORE the left join (SPARQL
-        # semantics for clauses nested inside the OPTIONAL group)
-        from .sparql import bind_var, filter_bindings
-
-        gbinds, gfilters = extras
-
-        def _wrap(_e):
-            def bind_col(t):
-                v = _e(t)
-                if isinstance(v, pa.Scalar):
-                    v = pa.array([v.as_py()] * t.num_rows, type=v.type)
-                return v
-
-            return bind_col
-
-        for alias, expr in gbinds:
-            opt = bind_var(opt, alias, _wrap(expr))
-            if alias not in opt_vars:
-                opt_vars.append(alias)
-        for f in gfilters:
-            opt = filter_bindings(opt, f)
     shared = [v for v in opt_vars if v in base_cols]
     if not shared:
         raise SparqlSyntaxError(

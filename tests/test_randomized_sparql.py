@@ -364,3 +364,36 @@ def test_random_minus_and_exists_with_filter(ray_session, seed):
         [p1, p2, cut],
     ).fetchdf()
     assert _same(got2, want2), q2
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_nested_optional(ray_session, seed):
+    """OPTIONAL nested inside OPTIONAL — the SQL mirror nests the left
+    joins the same way (inner join key = the inner block's shared
+    variable with its enclosing group)."""
+    rng = random.Random(11000 + seed)
+    rows = _random_graph(rng)
+    p1, p2, p3 = (rng.choice(PREDS) for _ in range(3))
+
+    q = (
+        "SELECT * WHERE { ?d <%s> ?a ."
+        " OPTIONAL { ?d <%s> ?b . OPTIONAL { ?b <%s> ?c } } }"
+        % (p1, p2, p3)
+    )
+    got = execute(_ds(rows), q, n_buckets=4).to_pandas()
+    want = _con(rows).execute(
+        "SELECT a.subj AS d, a.obj_value AS a,"
+        " COALESCE(x.vb, '') AS b, COALESCE(x.vc, '') AS c"
+        " FROM t a LEFT JOIN ("
+        "  SELECT b.subj, b.obj_value AS vb,"
+        "   COALESCE(c.obj_value, '') AS vc"
+        "  FROM t b LEFT JOIN t c"
+        "   ON c.subj = b.obj_value AND c.pred = ?"
+        "  WHERE b.pred = ?) x"
+        " ON x.subj = a.subj WHERE a.pred = ?",
+        [p3, p2, p1],
+    ).fetchdf()
+    if len(want) == 0:
+        assert len(got) == 0
+    else:
+        assert _same(got, want), q

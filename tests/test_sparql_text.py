@@ -1525,3 +1525,127 @@ def test_paths_in_non_select_forms(ray_session):
         n_buckets=4,
     ).to_pandas()
     assert ask["answer"].tolist() == [True]
+
+
+def test_nested_optional_inside_optional(ray_session):
+    # OPTIONAL { ... OPTIONAL { ... } }: the inner left join composes
+    # inside the group side before the outer left join
+    rows = [
+        ("a", "http://ex.org/lang", "zh"),
+        ("b", "http://ex.org/lang", "en"),
+        ("a", "http://ex.org/size", "10"),
+        ("b", "http://ex.org/size", "200"),
+        ("200", "http://ex.org/cls", "big"),
+    ]
+    out = execute(
+        _triples(rows),
+        """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d ?n ?c WHERE {
+          ?d ex:lang ?l .
+          OPTIONAL { ?d ex:size ?n . OPTIONAL { ?n ex:cls ?c } }
+        }
+        """,
+        n_buckets=4,
+    )
+    assert _rows(out, ["d", "n", "c"]) == [
+        ("a", "10", ""), ("b", "200", "big"),
+    ]
+
+
+def test_nested_minus_inside_optional(ray_session):
+    # MINUS nested in OPTIONAL subtracts inside the group side only:
+    # the optional row disappears (-> unbound), the base row survives
+    rows = [
+        ("a", "http://ex.org/lang", "zh"),
+        ("b", "http://ex.org/lang", "en"),
+        ("a", "http://ex.org/size", "10"),
+        ("b", "http://ex.org/size", "200"),
+        ("b", "http://ex.org/flag", "x"),
+    ]
+    out = execute(
+        _triples(rows),
+        """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d ?n WHERE {
+          ?d ex:lang ?l .
+          OPTIONAL { ?d ex:size ?n . MINUS { ?d ex:flag ?f } }
+        }
+        """,
+        n_buckets=4,
+    )
+    assert _rows(out, ["d", "n"]) == [("a", "10"), ("b", "")]
+
+
+def test_nested_exists_inside_minus(ray_session):
+    # FILTER EXISTS nested inside MINUS restricts which rows the minus
+    # probe contributes
+    rows = [
+        ("a", "http://ex.org/lang", "zh"),
+        ("b", "http://ex.org/lang", "en"),
+        ("a", "http://ex.org/size", "10"),
+        ("b", "http://ex.org/size", "200"),
+        ("b", "http://ex.org/flag", "x"),
+    ]
+    out = execute(
+        _triples(rows),
+        """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d WHERE {
+          ?d ex:lang ?l .
+          MINUS { ?d ex:size ?n . FILTER EXISTS { ?d ex:flag ?f } }
+        }
+        """,
+        n_buckets=4,
+    )
+    assert _rows(out, ["d"]) == [("a",)]
+
+
+def test_outer_filter_reads_nested_optional_var(ray_session):
+    # a group-wide filter may reference its nested-OPTIONAL variables
+    # (they surface before the filter runs); BOUND() distinguishes
+    rows = [
+        ("a", "http://ex.org/lang", "zh"),
+        ("b", "http://ex.org/lang", "en"),
+        ("a", "http://ex.org/size", "10"),
+        ("b", "http://ex.org/size", "200"),
+        ("200", "http://ex.org/cls", "big"),
+    ]
+    out = execute(
+        _triples(rows),
+        """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d ?c WHERE {
+          ?d ex:lang ?l .
+          OPTIONAL { ?d ex:size ?n . OPTIONAL { ?n ex:cls ?c }
+                     FILTER (BOUND(?c)) }
+        }
+        """,
+        n_buckets=4,
+    )
+    assert _rows(out, ["d", "c"]) == [("a", ""), ("b", "big")]
+
+
+def test_store_nested_group_pushdown(ray_session, tmp_path):
+    """Nested sub-group predicates must join the store's pushdown set —
+    a pruned scan missing the inner OPTIONAL's partition would
+    silently return unbound instead of the value."""
+    from rdfa_ray import query as kg_query
+    from rdfa_ray.stages.kgstore import persist_kg
+    from rdfa_ray.stages.sparql_text import _plan_pred_pushdown, parse_query
+
+    q = (
+        "SELECT ?d ?n ?c WHERE { ?d <http://ex.org/lang> ?l ."
+        " OPTIONAL { ?d <http://ex.org/size> ?n ."
+        "   OPTIONAL { ?n <http://ex.org/cls> ?c } } }"
+    )
+    preds, prunable = _plan_pred_pushdown(parse_query(q))
+    assert prunable and preds == {
+        "http://ex.org/lang", "http://ex.org/size", "http://ex.org/cls",
+    }
+    rows = GRAPH_ROWS + [("200", "http://ex.org/cls", "big")]
+    store = str(tmp_path / "kg")
+    persist_kg(_triples(rows), store)
+    out = kg_query(store, q)
+    got = {(d, n): c for d, n, c in _rows(out, ["d", "n", "c"])}
+    assert got[("b", "200")] == "big" and got[("a", "10")] == ""
