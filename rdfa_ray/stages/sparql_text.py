@@ -2555,12 +2555,22 @@ def explain(query: str, store_dir: str | None = None) -> str:
     plan = parse_query(query)
     lines = ["form: %s" % plan["form"].upper()]
     if plan["form"] == "select":
+        vis = [a for a in plan["aggs"] if not a[2].startswith("__")]
+        hid = [a for a in plan["aggs"] if a[2].startswith("__")]
         proj = ["*"] if plan["star"] else [
             "?%s" % v for v in plan["proj"]
         ] + ["(%s(%s) AS ?%s)" % (f.upper(), "?%s" % v if v else "*", a)
-             for f, v, a in plan["aggs"]]
+             for f, v, a in vis]
         lines.append("project%s: %s" % (
             " DISTINCT" if plan["distinct"] else "", " ".join(proj)))
+        if hid:
+            lines.append(
+                "hidden aggregates (HAVING/ORDER BY): %s"
+                % " ".join(
+                    "%s(%s)->%s" % (f.upper(), "?%s" % v if v else "*", a)
+                    for f, v, a in hid
+                )
+            )
     if plan["describe_var"]:
         lines.append("describe: ?%s" % plan["describe_var"])
     if plan.get("describe_iris"):
@@ -2579,14 +2589,44 @@ def explain(query: str, store_dir: str | None = None) -> str:
         if len(pt) > 3:
             line += " GRAPH %s" % pt[3]
         lines.append(line)
+    def _extras_note(ex):
+        if not ex:
+            return ""
+        binds, filters, nested = ex
+        bits = []
+        if binds:
+            bits.append("%d bind" % len(binds))
+        if filters:
+            bits.append("%d filter" % len(filters))
+        if nested:
+            bits.append(
+                "nested: %s" % "+".join(nk for nk, _b, _x, _n in nested)
+            )
+        return " (%s)" % ", ".join(bits) if bits else ""
+
+    gx_by_block = {id(g[1]): ex for g, ex in
+                   zip(plan["groups"], plan["group_extras"])}
     for i, g in enumerate(plan["optionals"]):
-        lines.append("  optional[%d]: %d patterns" % (i, len(g)))
+        lines.append("  optional[%d]: %d patterns%s"
+                     % (i, len(g), _extras_note(gx_by_block.get(id(g)))))
     for i, g in enumerate(plan["union"]):
-        lines.append("  union arm[%d]: %d patterns" % (i, len(g)))
+        ux = (plan["union_extras"] or [None] * len(plan["union"]))[i]
+        note = ""
+        if ux and (ux[0] or ux[1]):
+            bits = []
+            if ux[0]:
+                bits.append("%d bind" % len(ux[0]))
+            if ux[1]:
+                bits.append("%d filter" % len(ux[1]))
+            note = " (%s)" % ", ".join(bits)
+        lines.append("  union arm[%d]: %d patterns%s" % (i, len(g), note))
     for g in plan["minus"]:
-        lines.append("  minus: %d patterns" % len(g))
+        lines.append("  minus: %d patterns%s"
+                     % (len(g), _extras_note(gx_by_block.get(id(g)))))
     for g, neg in plan["exists"]:
-        lines.append("  filter %sexists: %d patterns" % ("not " if neg else "", len(g)))
+        lines.append("  filter %sexists: %d patterns%s"
+                     % ("not " if neg else "", len(g),
+                        _extras_note(gx_by_block.get(id(g)))))
     for i, (sub, pos) in enumerate(plan["subqueries"]):
         lines.append(
             "  subquery[%d] (joins before group %d): projects %s"
