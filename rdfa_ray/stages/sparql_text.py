@@ -32,7 +32,9 @@ it raises ``SparqlSyntaxError`` rather than mis-executing):
   applied to the probe side before the anti/semi join; group blocks
   also nest further OPTIONAL / MINUS / FILTER [NOT] EXISTS groups
   recursively, composed inside the group side in clause order, and a
-  group-wide FILTER may read its nested-OPTIONAL variables),
+  group-wide FILTER may read its nested-OPTIONAL variables; blocks
+  also take ``VALUES`` masks and constant-graph ``GRAPH <iri>``
+  sub-blocks),
   ``{ ... } UNION { ... }`` (top-level arms; each arm may carry its
   own ``FILTER(expr)`` / ``BIND(expr AS ?v)`` clauses, applied to
   that arm's bindings map-side before the aligned bag union),
@@ -1359,6 +1361,82 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
                     "MINUS", allow_bind=False
                 )
                 gnested.append(("minus", nblock, nextras, False))
+            elif p.at_kw("VALUES"):
+                # group-local VALUES: broadcast-small inline data as a
+                # map-side membership mask over the group's bindings
+                p.next()
+                if p.peek() == ("op", "("):
+                    p.next()
+                    vnames = []
+                    while p.peek()[0] == "var":
+                        vnames.append(p.next()[1][1:])
+                    p.expect_op(")")
+                    if not vnames:
+                        raise SparqlSyntaxError(
+                            "VALUES needs at least one ?variable"
+                        )
+                    p.expect_op("{")
+                    rows = []
+                    while p.peek() != ("op", "}"):
+                        p.expect_op("(")
+                        row = []
+                        while p.peek() != ("op", ")"):
+                            vk, vv = p.peek()
+                            if vk == "kw" and vv.upper() == "UNDEF":
+                                p.next()
+                                row.append(None)
+                            else:
+                                vk, vv = p.next()
+                                row.append(_resolve(vk, vv, prefixes))
+                        p.next()
+                        if len(row) != len(vnames):
+                            raise SparqlSyntaxError(
+                                "VALUES row has %d terms for %d variables"
+                                % (len(row), len(vnames))
+                            )
+                        rows.append(tuple(row))
+                    p.next()
+                    gfilters.append(
+                        (_values_multi_mask(vnames, rows), set(vnames))
+                    )
+                else:
+                    kind, var = p.next()
+                    if kind != "var":
+                        raise SparqlSyntaxError("VALUES needs a ?variable")
+                    p.expect_op("{")
+                    vals = []
+                    while p.peek() != ("op", "}"):
+                        vk, vv = p.next()
+                        vals.append(_resolve(vk, vv, prefixes))
+                    p.next()
+                    name = var[1:]
+                    arr = pa.array(vals, pa.string())
+                    gfilters.append((
+                        (lambda t, _v=name, _a=arr: pc.is_in(
+                            pc.cast(t.column(_v), pa.string()), value_set=_a
+                        )),
+                        {name},
+                    ))
+            elif p.at_kw("GRAPH"):
+                # constant-graph quad patterns inside a group block —
+                # same rewrite the base BGP applies; variable graph
+                # terms inside groups stay out of the fragment
+                p.next()
+                gk, gv = p.next()
+                gterm = _resolve(gk, gv, prefixes)
+                if gterm.startswith("?"):
+                    raise SparqlSyntaxError(
+                        "GRAPH ?var inside %s blocks is unsupported"
+                        " (constant graph terms only)" % kind_name
+                    )
+                gblock = []
+                p.expect_op("{")
+                parse_triples_block(gblock)
+                p.expect_op("}")
+                if not gblock:
+                    raise SparqlSyntaxError("GRAPH group needs triple patterns")
+                for s, pr, o in gblock:
+                    block.append((s, pr, o, gterm))
             else:
                 raise SparqlSyntaxError(
                     "unsupported clause inside a %s block: %r"
@@ -2315,6 +2393,32 @@ def _plan_group_vars(block, extras):
     return vars_
 
 
+def _values_multi_mask(var_names, rows):
+    """Boolean mask closure for a multi-variable VALUES block (OR over
+    inline rows of AND over non-UNDEF positions) — the filter-shaped
+    twin of ``sparql.values_filter_multi`` for group-local use."""
+    rows = [tuple(r) for r in rows]
+
+    def mask(t: pa.Table):
+        cols = {v: pc.cast(t.column(v), pa.string()) for v in var_names}
+        total = None
+        for r in rows:
+            m = None
+            for v, val in zip(var_names, r):
+                if val is None:  # UNDEF joins with anything
+                    continue
+                eq = pc.equal(cols[v], val)
+                m = eq if m is None else pc.and_(m, eq)
+            if m is None:  # all-UNDEF row matches every solution
+                m = pa.array([True] * t.num_rows, pa.bool_())
+            total = m if total is None else pc.or_(total, m)
+        if total is None:  # empty inline block -> no solutions
+            return pa.array([False] * t.num_rows, pa.bool_())
+        return total
+
+    return mask
+
+
 def _wrap_bind_expr(_e):
     """BIND closure -> column callable: broadcast scalar results to
     the batch length (constant expressions fold to pa.Scalar)."""
@@ -2691,8 +2795,20 @@ def execute_on_store(store_dir: str, query: str, n_buckets: int = 64):
     plan = parse_query(query)
     preds, prunable = _plan_pred_pushdown(plan)
     cols = ["subj", "pred", "obj_value"]
+
+    def _any_quad(block):
+        return any(len(pt) > 3 for pt in block)
+
+    def _extras_quad(ex):
+        return bool(ex) and any(
+            _any_quad(nb) or _extras_quad(nx) for _k, nb, nx, _n in ex[2]
+        )
+
     if (
-        any(len(pt) > 3 for pt in plan["patterns"])
+        _any_quad(plan["patterns"])
+        or any(_any_quad(g[1]) for g in plan["groups"])
+        or any(_extras_quad(ex) for ex in plan["group_extras"])
+        or any(_any_quad(arm) for arm in plan["union"])
         or plan["from_graphs"]
         or plan["from_named"]
     ):

@@ -1649,3 +1649,58 @@ def test_store_nested_group_pushdown(ray_session, tmp_path):
     out = kg_query(store, q)
     got = {(d, n): c for d, n, c in _rows(out, ["d", "n", "c"])}
     assert got[("b", "200")] == "big" and got[("a", "10")] == ""
+
+
+def test_values_and_graph_inside_groups(ray_session):
+    # group-local VALUES masks the group side; constant GRAPH inside a
+    # group restricts its patterns to that named graph
+    rows = [
+        ("a", "http://ex.org/lang", "zh", "urn:g1"),
+        ("b", "http://ex.org/lang", "en", "urn:g1"),
+        ("a", "http://ex.org/size", "10", "urn:g2"),
+        ("b", "http://ex.org/size", "200", "urn:g3"),
+    ]
+    out = execute(
+        _quads(rows),
+        """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d ?n WHERE {
+          ?d ex:lang ?l .
+          OPTIONAL { ?d ex:size ?n . VALUES ?n { "10" "999" } }
+        }
+        """,
+        n_buckets=4,
+    )
+    assert _rows(out, ["d", "n"]) == [("a", "10"), ("b", "")]
+    out = execute(
+        _quads(rows),
+        """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d ?n WHERE {
+          ?d ex:lang ?l .
+          OPTIONAL { GRAPH <urn:g2> { ?d ex:size ?n } }
+        }
+        """,
+        n_buckets=4,
+    )
+    assert _rows(out, ["d", "n"]) == [("a", "10"), ("b", "")]
+    out = execute(
+        _quads(rows),
+        """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d WHERE {
+          ?d ex:lang ?l .
+          MINUS { ?d ex:size ?n . VALUES (?n) { ("200") } }
+        }
+        """,
+        n_buckets=4,
+    )
+    assert _rows(out, ["d"]) == [("a",)]
+
+
+def test_graph_var_inside_group_rejected():
+    with pytest.raises(SparqlSyntaxError):
+        parse_query(
+            "SELECT ?d WHERE { ?d <http://e/l> ?l ."
+            " OPTIONAL { GRAPH ?g { ?d <http://e/s> ?n } } }"
+        )
