@@ -35,9 +35,9 @@ it raises ``SparqlSyntaxError`` rather than mis-executing):
   group-wide FILTER may read its nested-OPTIONAL variables; blocks
   also take ``VALUES`` masks and constant-graph ``GRAPH <iri>``
   sub-blocks),
-  ``{ ... } UNION { ... }`` (top-level arms; each arm may carry its
-  own ``FILTER(expr)`` / ``BIND(expr AS ?v)`` clauses, applied to
-  that arm's bindings map-side before the aligned bag union),
+  ``{ ... } UNION { ... }`` (top-level arms; each arm is a full
+  group body — FILTER / BIND / VALUES / constant GRAPH / nested
+  OPTIONAL-MINUS-EXISTS — composed before the aligned bag union),
   ``MINUS { ... }``, ``FILTER [NOT] EXISTS { ... }``,
   ``VALUES ?v { ... }`` and the multi-variable form
   ``VALUES (?a ?b) { (x y) (UNDEF z) ... }`` (vars must be bound by
@@ -1252,56 +1252,6 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
         p.expect_op("}")
         return sub
 
-    def parse_union_arm():
-        """One ``{ ... }`` UNION arm: triple patterns plus any number
-        of FILTER(expr) / BIND(expr AS ?v) clauses (applied to that
-        arm's bindings before the union).  Other group kinds inside an
-        arm stay explicit errors."""
-        p.expect_op("{")
-        block, arm_filters, arm_binds = [], [], []
-        while True:
-            parse_triples_block(block)
-            if p.peek() == ("op", "}"):
-                p.next()
-                break
-            if p.at_kw("FILTER"):
-                p.next()
-                if p.at_kw("EXISTS") or (
-                    p.at_kw("NOT")
-                    and p.peek(1)[1]
-                    and p.peek(1)[1].upper() == "EXISTS"
-                ):
-                    raise SparqlSyntaxError(
-                        "FILTER EXISTS inside UNION arms is unsupported"
-                    )
-                p.expect_op("(")
-                arm_filters.append(
-                    _FilterCompiler(p, prefixes, meta_needed).parse_or()
-                )
-                p.expect_op(")")
-                if p.peek() == ("op", "."):  # optional '.' after FILTER
-                    p.next()
-            elif p.at_kw("BIND"):
-                p.next()
-                p.expect_op("(")
-                _ek, expr = _FilterCompiler(
-                    p, prefixes, meta_needed
-                ).parse_value()
-                p.expect_kw("AS")
-                kind, alias = p.next()
-                if kind != "var":
-                    raise SparqlSyntaxError("BIND needs AS ?variable")
-                p.expect_op(")")
-                arm_binds.append((alias[1:], expr))
-                if p.peek() == ("op", "."):
-                    p.next()
-            else:
-                raise SparqlSyntaxError(
-                    "unsupported clause inside a UNION arm: %r"
-                    % (p.peek()[1],)
-                )
-        return block, (arm_binds, arm_filters)
-
     def parse_filtered_group(kind_name="OPTIONAL", allow_bind=True):
         """One ``OPTIONAL/MINUS/EXISTS { ... }`` block: triple patterns
         plus FILTER (and, for OPTIONAL, BIND) clauses scoped to the
@@ -1478,14 +1428,16 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
         )
 
     # top-level `{ arm } UNION { arm } ...` (a brace that opens a
-    # nested SELECT is a subquery, not a union arm)
+    # nested SELECT is a subquery, not a union arm).  Arms parse with
+    # the same recursive group grammar as OPTIONAL blocks: FILTER,
+    # BIND, VALUES, constant GRAPH, and nested OPTIONAL/MINUS/EXISTS.
     if p.peek() == ("op", "{") and not at_subquery():
-        arm, extra = parse_union_arm()
+        arm, extra = parse_filtered_group("UNION arm")
         union_arms.append(arm)
         union_extras.append(extra)
         while p.at_kw("UNION"):
             p.next()
-            arm, extra = parse_union_arm()
+            arm, extra = parse_filtered_group("UNION arm")
             union_arms.append(arm)
             union_extras.append(extra)
 
@@ -1807,7 +1759,11 @@ def _plan_out_cols(plan: dict) -> list:
         return sorted(
             {v for pat in all_pats for v in pattern_vars(pat)}
             | {a for a, _ in plan["binds"] if not a.startswith("__")}
-            | {a for bn, _fl in plan["union_extras"] for a, _ in bn}
+            | {
+                v
+                for arm, ex in zip(plan["union"], plan["union_extras"])
+                for v in _plan_group_vars(arm, ex)
+            }
             | {
                 v
                 for g, ex in zip(plan["groups"], plan["group_extras"])
@@ -1925,29 +1881,15 @@ def _execute_plan(triples_ds, plan: dict, n_buckets: int = 64):
         return out
 
     if plan["union"]:
-
-        def wrap_bind(_e):
-            def bind_col(t):
-                v = _e(t)
-                if isinstance(v, pa.Scalar):
-                    v = pa.array([v.as_py()] * t.num_rows, type=v.type)
-                return v
-
-            return bind_col
-
-        extras = [
-            ([(a, wrap_bind(e)) for a, e in bn], fl)
-            for bn, fl in plan["union_extras"]
-        ]
+        # every arm is a fully-composed group side (patterns + binds +
+        # nested groups + filters); one shared materialization feeds
+        # them all, then union_match aligns and bag-unions
+        tmat = triples_ds.materialize()
         prebuilt = [
-            _block_bindings(triples_ds, arm, n_buckets)
-            if any(isinstance(pt[1], tuple) for pt in arm)
-            else None
-            for arm in plan["union"]
+            _group_side_bindings(tmat, arm, ex, n_buckets)
+            for arm, ex in zip(plan["union"], plan["union_extras"])
         ]
-        b = union_match(
-            triples_ds, plan["union"], extras=extras, prebuilt=prebuilt
-        )
+        b = union_match(tmat, plan["union"], prebuilt=prebuilt)
     elif plan["groups"]:
         # ordered composition of OPTIONAL / MINUS / FILTER [NOT] EXISTS
         # groups over the plain-BGP base, applied in clause order —
@@ -2557,6 +2499,7 @@ def _apply_dataset_clause(triples_ds, plan):
         )
 
     plan["group_extras"] = [rewrite_extras(ex) for ex in plan["group_extras"]]
+    plan["union_extras"] = [rewrite_extras(ex) for ex in plan["union_extras"]]
 
     clash = graph_vars & other_vars
     if clash:
@@ -2631,6 +2574,8 @@ def _plan_pred_pushdown(plan):
             collect_nested(nextras)
 
     for ex in plan.get("group_extras", []):
+        collect_nested(ex)
+    for ex in plan.get("union_extras", []):
         collect_nested(ex)
     preds: set = set()
     prunable_box = [True]
@@ -2715,15 +2660,9 @@ def explain(query: str, store_dir: str | None = None) -> str:
                      % (i, len(g), _extras_note(gx_by_block.get(id(g)))))
     for i, g in enumerate(plan["union"]):
         ux = (plan["union_extras"] or [None] * len(plan["union"]))[i]
-        note = ""
-        if ux and (ux[0] or ux[1]):
-            bits = []
-            if ux[0]:
-                bits.append("%d bind" % len(ux[0]))
-            if ux[1]:
-                bits.append("%d filter" % len(ux[1]))
-            note = " (%s)" % ", ".join(bits)
-        lines.append("  union arm[%d]: %d patterns%s" % (i, len(g), note))
+        lines.append(
+            "  union arm[%d]: %d patterns%s" % (i, len(g), _extras_note(ux))
+        )
     for g in plan["minus"]:
         lines.append("  minus: %d patterns%s"
                      % (len(g), _extras_note(gx_by_block.get(id(g)))))

@@ -353,13 +353,41 @@ def test_union_arm_filter_and_bind(ray_session):
     assert _rows(out, ["d", "tag"]) == [("a", "L:zh"), ("b", "200"), ("c", "L:zh")]
 
 
-def test_union_arm_exists_rejected():
-    with pytest.raises(SparqlSyntaxError):
-        parse_query(
-            "SELECT ?d WHERE { { ?d <http://e/p> ?x ."
-            " FILTER EXISTS { ?d <http://e/q> ?y } }"
-            " UNION { ?d <http://e/r> ?z } }"
-        )
+def test_union_arm_nested_groups(ray_session):
+    # arms parse with the full group grammar: FILTER EXISTS and
+    # OPTIONAL nest inside an arm
+    rows = [
+        ("a", "http://ex.org/p", "1"),
+        ("a", "http://ex.org/q", "y"),
+        ("b", "http://ex.org/p", "2"),
+        ("c", "http://ex.org/r", "3"),
+    ]
+    out = execute(
+        _triples(rows),
+        """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d WHERE {
+          { ?d ex:p ?x . FILTER EXISTS { ?d ex:q ?y } }
+          UNION
+          { ?d ex:r ?z }
+        }
+        """,
+        n_buckets=4,
+    )
+    assert _rows(out, ["d"]) == [("a",), ("c",)]
+    out = execute(
+        _triples(rows),
+        """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d ?q WHERE {
+          { ?d ex:p ?x . OPTIONAL { ?d ex:q ?q } }
+          UNION
+          { ?d ex:r ?q }
+        }
+        """,
+        n_buckets=4,
+    )
+    assert _rows(out, ["d", "q"]) == [("a", "y"), ("b", ""), ("c", "3")]
 
 
 def test_optional_and_star(ray_session):
