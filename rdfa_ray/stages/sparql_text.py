@@ -73,9 +73,11 @@ it raises ``SparqlSyntaxError`` rather than mis-executing):
   solutions — consistent with this engine's documented bag-BGP
   stance); use ``SELECT DISTINCT`` or a deduplicated triples view
   for the deduplicated default graph.  GRAPH groups
-  compose with the base BGP and with each other; they are not
-  supported inside OPTIONAL/UNION/MINUS/EXISTS groups and exclude
-  property paths (explicit errors).
+  compose with the base BGP and with each other; constant-graph
+  ``GRAPH <iri>`` sub-blocks also appear inside OPTIONAL/UNION/MINUS/
+  EXISTS group bodies.  A variable graph term inside a group body,
+  and property paths under a variable graph term, stay out of the
+  fragment (explicit errors).
 * ``FROM <iri>`` / ``FROM NAMED <iri>`` dataset clauses (SPARQL 1.1
   §13.2): with any clause present, default-graph (non-GRAPH) patterns
   match ONLY the union of the ``FROM`` graphs (bag, not merge — same
@@ -100,9 +102,13 @@ it raises ``SparqlSyntaxError`` rather than mis-executing):
   GRAPH, dataset clauses, or term-metadata functions raises.  A
   subquery whose projection shares no variable with the rest of the
   group (a cross product) raises.
-* ``GROUP BY ?v ...`` (+ ``HAVING`` over projected aggregate aliases)
-* ``ORDER BY [ASC|DESC](?v | expr) ...`` (expressions sort on a hidden
-  BIND; non-aggregate queries only), ``LIMIT`` / ``OFFSET``
+* ``GROUP BY ?v ...`` + ``HAVING`` over projected aggregate aliases
+  or inline aggregate calls (``HAVING (COUNT(*) > 5)`` — hidden
+  aggregate columns, computed in the same grouped exchange)
+* ``ORDER BY [ASC|DESC](?v | expr | AGG(...))`` (expressions sort on
+  a hidden BIND pre-aggregation — non-aggregate queries only; a bare
+  aggregate call sorts the aggregated table on a hidden aggregate
+  column), ``LIMIT`` / ``OFFSET``
 * property paths in predicate position: ``^p``, ``p/q``, ``p|q``,
   ``p+``, ``p*``, ``p?``, ``!(p|q)``, parenthesised combinations —
   compiled to ``stages/sparql.path_edges`` plans and joined into the
@@ -115,9 +121,9 @@ over a plain-BGP base, applied in clause order — each group costs one
 bindings-level exchange (left join for OPTIONAL; anti/semi key join
 for MINUS/EXISTS with only the probe side's keys shipping).
 Compositional limits that remain are explicit errors, never silent
-misreads: UNION arms exclude the nested group kinds (OPTIONAL / MINUS
-/ EXISTS / GRAPH — FILTER and BIND are allowed), and those groups
-need at least one base triple pattern.
+misreads — chiefly: variable graph terms inside group bodies,
+subqueries under UNION/GRAPH/dataset clauses, term-metadata functions
+off the plain base BGP, and AGG(DISTINCT) in HAVING/ORDER BY.
 
 Numbers in comparisons compare numerically (bindings hold lexical
 forms; the compiled mask casts vectorized, pyarrow kernels only).
