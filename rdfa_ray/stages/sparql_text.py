@@ -1287,6 +1287,8 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
                         "FILTER EXISTS", allow_bind=False
                     )
                     gnested.append(("exists", nblock, nextras, negate))
+                    if p.peek() == ("op", "."):
+                        p.next()
                     continue
                 p.expect_op("(")
                 fc = _FilterCompiler(p, prefixes, meta_needed)
@@ -1311,12 +1313,16 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
                 p.next()
                 nblock, nextras = parse_filtered_group("OPTIONAL")
                 gnested.append(("optional", nblock, nextras, False))
+                if p.peek() == ("op", "."):
+                    p.next()
             elif p.at_kw("MINUS"):
                 p.next()
                 nblock, nextras = parse_filtered_group(
                     "MINUS", allow_bind=False
                 )
                 gnested.append(("minus", nblock, nextras, False))
+                if p.peek() == ("op", "."):
+                    p.next()
             elif p.at_kw("VALUES"):
                 # group-local VALUES: broadcast-small inline data as a
                 # map-side membership mask over the group's bindings
@@ -1393,6 +1399,8 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
                     raise SparqlSyntaxError("GRAPH group needs triple patterns")
                 for s, pr, o in gblock:
                     block.append((s, pr, o, gterm))
+                if p.peek() == ("op", "."):
+                    p.next()
             else:
                 raise SparqlSyntaxError(
                     "unsupported clause inside a %s block: %r"
@@ -1458,12 +1466,16 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
             optionals.append(block)
             groups.append(("optional", block))
             group_extras.append(extra if any(extra) else None)
+            if p.peek() == ("op", "."):
+                p.next()
         elif p.at_kw("MINUS"):
             p.next()
             block, extra = parse_filtered_group("MINUS", allow_bind=False)
             minus_groups.append(block)
             groups.append(("minus", block))
             group_extras.append(extra if any(extra) else None)
+            if p.peek() == ("op", "."):
+                p.next()
         elif p.at_kw("FILTER"):
             p.next()
             if p.at_kw("EXISTS") or (
@@ -1479,6 +1491,8 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
                 exists_groups.append((block, negate))
                 groups.append(("exists", block, negate))
                 group_extras.append(extra if any(extra) else None)
+                if p.peek() == ("op", "."):
+                    p.next()
             else:
                 p.expect_op("(")
                 filters.append(_FilterCompiler(p, prefixes, meta_needed).parse_or())

@@ -397,3 +397,62 @@ def test_random_nested_optional(ray_session, seed):
         assert len(got) == 0
     else:
         assert _same(got, want), q
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_union_arm_nested_groups(ray_session, seed):
+    """UNION arms as full group bodies: one arm nests OPTIONAL, the
+    other FILTER NOT EXISTS."""
+    rng = random.Random(12000 + seed)
+    rows = _random_graph(rng)
+    p1, p2 = rng.sample(PREDS, 2)
+    p3 = rng.choice(PREDS)
+
+    q = (
+        "SELECT ?d ?a ?b WHERE {"
+        " { ?d <%s> ?a . OPTIONAL { ?d <%s> ?b } }"
+        " UNION"
+        ' { ?d <%s> ?a . FILTER NOT EXISTS { ?d <%s> ?x } . BIND("-" AS ?b) }'
+        " }" % (p1, p2, p2, p3)
+    )
+    got = execute(_ds(rows), q, n_buckets=4).to_pandas()
+    want = _con(rows).execute(
+        "SELECT a.subj AS d, a.obj_value AS a, COALESCE(b.obj_value, '') AS b"
+        " FROM t a LEFT JOIN (SELECT subj, obj_value FROM t WHERE pred = ?) b"
+        " ON b.subj = a.subj WHERE a.pred = ?"
+        " UNION ALL "
+        "SELECT subj AS d, obj_value AS a, '-' AS b FROM t"
+        " WHERE pred = ? AND subj NOT IN (SELECT subj FROM t WHERE pred = ?)",
+        [p2, p1, p2, p3],
+    ).fetchdf()
+    if len(want) == 0:
+        assert len(got) == 0
+    else:
+        assert _same(got, want), q
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_group_values(ray_session, seed):
+    """VALUES inside an OPTIONAL block masks the group side only."""
+    rng = random.Random(13000 + seed)
+    rows = _random_graph(rng)
+    p1, p2 = rng.sample(PREDS, 2)
+    v1, v2 = rng.choice(VALS), rng.choice(VALS)
+
+    q = (
+        "SELECT ?d ?a ?b WHERE { ?d <%s> ?a ."
+        ' OPTIONAL { ?d <%s> ?b . VALUES ?b { "%s" "%s" } } }'
+        % (p1, p2, v1, v2)
+    )
+    got = execute(_ds(rows), q, n_buckets=4).to_pandas()
+    want = _con(rows).execute(
+        "SELECT a.subj AS d, a.obj_value AS a, COALESCE(b.obj_value, '') AS b"
+        " FROM t a LEFT JOIN (SELECT subj, obj_value FROM t"
+        "  WHERE pred = ? AND obj_value IN (?, ?)) b"
+        " ON b.subj = a.subj WHERE a.pred = ?",
+        [p2, v1, v2, p1],
+    ).fetchdf()
+    if len(want) == 0:
+        assert len(got) == 0
+    else:
+        assert _same(got, want), q
