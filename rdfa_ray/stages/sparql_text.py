@@ -98,8 +98,11 @@ it raises ``SparqlSyntaxError`` rather than mis-executing):
   bucketed exchange path patterns pay).  They compose with a BGP base
   (+ FILTER/BIND/VALUES, property paths) AND with OPTIONAL/MINUS/
   FILTER [NOT] EXISTS groups — each subquery joins at its textual
-  clause position in the group sequence; mixing with UNION arms,
-  GRAPH, dataset clauses, or term-metadata functions raises.  A
+  clause position in the group sequence.  Subqueries ALSO nest
+  inside OPTIONAL/MINUS/EXISTS group bodies and UNION arms (joined
+  into the group side at their clause position; group-wide filters
+  may read their projected variables).  Mixing with parent GRAPH
+  patterns, dataset clauses, or term-metadata functions raises.  A
   subquery whose projection shares no variable with the rest of the
   group (a cross product) raises.
 * ``GROUP BY ?v ...`` + ``HAVING`` over projected aggregate aliases
@@ -1379,6 +1382,18 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
                         )),
                         {name},
                     ))
+            elif at_subquery():
+                # nested { SELECT ... } inside a group body: evaluated
+                # bottom-up and inner-joined into the group side on the
+                # shared variables, like top-level subqueries
+                sub = parse_subquery()
+                if sub["from_graphs"] or sub["from_named"]:
+                    raise SparqlSyntaxError(
+                        "dataset clauses inside subqueries are unsupported"
+                    )
+                gnested.append(("subquery", sub, None, False))
+                if p.peek() == ("op", "."):
+                    p.next()
             elif p.at_kw("GRAPH"):
                 # constant-graph quad patterns inside a group block —
                 # same rewrite the base BGP applies; variable graph
@@ -1427,6 +1442,8 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
         for nk, nblock, nextras, _ng in gnested:
             if nk == "optional":
                 scope |= _plan_group_vars(nblock, nextras)
+            elif nk == "subquery":
+                scope |= set(_plan_out_cols(nblock))
         for _f, seen in gfilters:
             outside = seen - scope
             if outside:
@@ -1868,7 +1885,9 @@ def _execute_plan(triples_ds, plan: dict, n_buckets: int = 64):
         def _collect_nested_blocks(ex):
             if not ex:
                 return
-            for _nk, nblock, nextras, _ng in ex[2]:
+            for nk, nblock, nextras, _ng in ex[2]:
+                if nk == "subquery":
+                    continue  # the sub plan runs its own meta checks
                 meta_blocks.append(nblock)
                 _collect_nested_blocks(nextras)
 
@@ -2352,6 +2371,8 @@ def _plan_group_vars(block, extras):
         for nk, nblock, nextras, _ng in nested:
             if nk == "optional":
                 vars_ |= _plan_group_vars(nblock, nextras)
+            elif nk == "subquery":
+                vars_ |= set(_plan_out_cols(nblock))
     return vars_
 
 
@@ -2509,6 +2530,12 @@ def _apply_dataset_clause(triples_ds, plan):
         if not ex:
             return ex
         binds, filters, nested = ex
+        for nk, _nb, _nx, _ng in nested:
+            if nk == "subquery":
+                raise SparqlSyntaxError(
+                    "subqueries nested in group bodies do not compose"
+                    " with dataset clauses in this fragment"
+                )
         return (
             binds,
             filters,
@@ -2586,10 +2613,15 @@ def _plan_pred_pushdown(plan):
         + [g for g, _ in plan["exists"]]
     )
 
+    sub_plans: list = [sub for sub, _pos in plan["subqueries"]]
+
     def collect_nested(ex):
         if not ex or len(ex) < 3:
             return
-        for _nk, nblock, nextras, _ng in ex[2]:
+        for nk, nblock, nextras, _ng in ex[2]:
+            if nk == "subquery":
+                sub_plans.append(nblock)
+                continue
             groups.append(nblock)
             collect_nested(nextras)
 
@@ -2608,7 +2640,7 @@ def _plan_pred_pushdown(plan):
                 prunable_box[0] = False
             else:
                 preds.add(p)
-    for sub, _pos in plan["subqueries"]:
+    for sub in sub_plans:
         sub_preds, sub_prunable = _plan_pred_pushdown(sub)
         preds |= sub_preds
         prunable_box[0] = prunable_box[0] and sub_prunable
@@ -2759,9 +2791,19 @@ def execute_on_store(store_dir: str, query: str, n_buckets: int = 64):
         return any(len(pt) > 3 for pt in block)
 
     def _extras_quad(ex):
-        return bool(ex) and any(
-            _any_quad(nb) or _extras_quad(nx) for _k, nb, nx, _n in ex[2]
-        )
+        if not ex:
+            return False
+        for nk, nb, nx, _n in ex[2]:
+            if nk == "subquery":
+                if (
+                    _any_quad(nb["patterns"])
+                    or any(_any_quad(g[1]) for g in nb["groups"])
+                    or any(_extras_quad(x) for x in nb["group_extras"])
+                ):
+                    return True
+            elif _any_quad(nb) or _extras_quad(nx):
+                return True
+        return False
 
     if (
         _any_quad(plan["patterns"])
@@ -2800,6 +2842,9 @@ def _group_side_bindings(triples_ds, block, extras, n_buckets):
         if alias not in vars_:
             vars_.append(alias)
     for nk, nblock, nextras, neg in gnested:
+        if nk == "subquery":
+            b, vars_ = _join_subquery(b, vars_, nblock, triples_ds, n_buckets)
+            continue
         nb, nvars = _group_side_bindings(triples_ds, nblock, nextras, n_buckets)
         if nk == "optional":
             b = _left_join_bindings(b, vars_, nb, nvars, n_buckets)

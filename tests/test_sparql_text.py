@@ -1732,3 +1732,61 @@ def test_graph_var_inside_group_rejected():
             "SELECT ?d WHERE { ?d <http://e/l> ?l ."
             " OPTIONAL { GRAPH ?g { ?d <http://e/s> ?n } } }"
         )
+
+
+def test_subquery_inside_group_bodies(ray_session):
+    rows = [
+        ("a", "http://ex.org/lang", "zh"),
+        ("b", "http://ex.org/lang", "en"),
+        ("c", "http://ex.org/lang", "zh"),
+        ("a", "http://ex.org/size", "10"),
+        ("a", "http://ex.org/size", "30"),
+        ("b", "http://ex.org/size", "200"),
+    ]
+    # subquery nested in OPTIONAL: per-doc count, unbound when none
+    out = execute(
+        _triples(rows),
+        """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d ?n WHERE {
+          ?d ex:lang ?l .
+          OPTIONAL { { SELECT ?d (COUNT(*) AS ?n)
+                       WHERE { ?d ex:size ?s } GROUP BY ?d } }
+        }
+        """,
+        n_buckets=4,
+    )
+    assert _rows(out, ["d", "n"]) == [("a", "2"), ("b", "1"), ("c", "")]
+    # group-wide filter reads the subquery's projected variable
+    out = execute(
+        _triples(rows),
+        """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d ?n WHERE {
+          ?d ex:lang ?l .
+          OPTIONAL { { SELECT ?d (COUNT(*) AS ?n)
+                       WHERE { ?d ex:size ?s } GROUP BY ?d }
+                     FILTER (?n > 1) }
+        }
+        """,
+        n_buckets=4,
+    )
+    assert _rows(out, ["d", "n"]) == [("a", "2"), ("b", ""), ("c", "")]
+    # subquery nested in a UNION arm
+    out = execute(
+        _triples(rows),
+        """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d ?v WHERE {
+          { ?d ex:lang ?v }
+          UNION
+          { ?d ex:lang "zh" .
+            { SELECT ?d (MAX(?s) AS ?v) WHERE { ?d ex:size ?s }
+              GROUP BY ?d } }
+        }
+        """,
+        n_buckets=4,
+    )
+    assert _rows(out, ["d", "v"]) == [
+        ("a", "30"), ("a", "zh"), ("b", "en"), ("c", "zh"),
+    ]
