@@ -184,8 +184,18 @@ def _parse_term(s: str, pos: int):
 
 
 def parse_ntriples(text: str):
-    """Parse N-Triples text into a set of term-tuples. Fixture use only."""
-    triples = set()
+    """Parse N-Triples text into a set of term-tuples. Fixture use
+    only.  N-Quads lines are accepted and projected to triples (the
+    graph term dropped) — use :func:`parse_nquads` to keep it."""
+    return {(s, p, o) for s, p, o, _g in parse_nquads(text)}
+
+
+def parse_nquads(text: str):
+    """Parse N-Triples / N-Quads text into a set of
+    ``(s, p, o, graph_term_or_None)`` tuples — the read-side twin of
+    ``nquads_lines_arrow`` (the flagship sink), so a materialized
+    N-Quads export round-trips with its named graphs intact."""
+    quads = set()
     for line in text.splitlines():
         line = line.strip()
         if not line or line.startswith("#"):
@@ -193,5 +203,10 @@ def parse_ntriples(text: str):
         s, pos = _parse_term(line, 0)
         p, pos = _parse_term(line, pos)
         o, pos = _parse_term(line, pos)
-        triples.add((s, p, o))
-    return triples
+        g = None
+        while pos < len(line) and line[pos] in " \t":
+            pos += 1
+        if pos < len(line) and line[pos] not in ".":
+            g, pos = _parse_term(line, pos)
+        quads.add((s, p, o, g))
+    return quads

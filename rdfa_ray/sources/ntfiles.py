@@ -11,7 +11,9 @@ with the engine's own reader (``rdf/ntriples.py``, the exact read-side
 twin of the N-Quads sink in ``pipelines/flagship.py``).
 
 Output schema matches the engine's internal triple layout:
-(subj, subj_kind, pred, obj_value, obj_kind, obj_lang, obj_datatype).
+(subj, subj_kind, pred, obj_value, obj_kind, obj_lang, obj_datatype,
+graph) — N-Quads graph terms are preserved ('' for plain triples), so
+a flagship N-Quads export reads back with its named graphs intact.
 """
 
 from __future__ import annotations
@@ -27,6 +29,7 @@ TRIPLES_SCHEMA = pa.schema(
         ("obj_kind", pa.string()),
         ("obj_lang", pa.string()),
         ("obj_datatype", pa.string()),
+        ("graph", pa.string()),
     ]
 )
 
@@ -34,14 +37,16 @@ TRIPLES_SCHEMA = pa.schema(
 def parse_lines_batch(batch: pa.Table) -> pa.Table:
     """(text) line rows -> triple rows.  Statement-per-line means a
     block is parseable in isolation."""
-    from ..rdf.ntriples import parse_ntriples
+    from ..rdf.ntriples import parse_nquads
     from ..rdf.terms import BNODE, LIT
 
     cols = {name: [] for name in TRIPLES_SCHEMA.names}
     text = "\n".join(
         v for v in batch.column("text").to_pylist() if v is not None
     )
-    for (s, p, o) in sorted(parse_ntriples(text)):
+    for (s, p, o, g) in sorted(
+        parse_nquads(text), key=lambda q: (q[0], q[1], q[2], q[3] or ("", ""))
+    ):
         cols["subj"].append(s[1])
         cols["subj_kind"].append("bnode" if s[0] == BNODE else "iri")
         cols["pred"].append(p[1])
@@ -54,6 +59,7 @@ def parse_lines_batch(batch: pa.Table) -> pa.Table:
             cols["obj_kind"].append("bnode" if o[0] == BNODE else "iri")
             cols["obj_lang"].append("")
             cols["obj_datatype"].append("")
+        cols["graph"].append(g[1] if g is not None else "")
     return pa.Table.from_pydict(cols, schema=TRIPLES_SCHEMA)
 
 

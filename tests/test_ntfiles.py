@@ -42,3 +42,34 @@ def test_read_ntriples_roundtrip(ray_session, tmp_path):
         s = (BNODE if r.subj_kind == "bnode" else IRI, r.subj)
         got.add((s, (IRI, r.pred), o))
     assert got == TRIPLES
+
+
+def test_read_nquads_preserves_graphs(ray_session, tmp_path):
+    """The flagship sink emits N-Quads; the file source must read the
+    graph term back (round-3 fix: quads silently projected to triples,
+    dropping the named graph)."""
+    import pyarrow as pa
+
+    from rdfa_ray.rdf.ntriples import nquads_lines_arrow
+    from rdfa_ray.sources.ntfiles import read_ntriples
+
+    quads = pa.table(
+        {
+            "subj": pa.array(["http://s1", "_:b0"]),
+            "subj_kind": pa.array(["iri", "bnode"]),
+            "pred": pa.array(["http://p", "http://p"]),
+            "obj_value": pa.array(["hello", "http://o"]),
+            "obj_kind": pa.array(["literal", "iri"]),
+            "obj_lang": pa.array(["en", ""]),
+            "obj_datatype": pa.array(["", ""]),
+            "graph": pa.array(["http://g/1", "http://g/2"]),
+        }
+    )
+    path = tmp_path / "out.nq"
+    path.write_text("\n".join(nquads_lines_arrow(quads).to_pylist()) + "\n")
+    df = read_ntriples(str(path)).to_pandas().sort_values("subj")
+    assert sorted(df["graph"]) == ["http://g/1", "http://g/2"]
+    row = df[df["subj"] == "http://s1"].iloc[0]
+    assert (row["obj_value"], row["obj_lang"], row["graph"]) == (
+        "hello", "en", "http://g/1"
+    )
