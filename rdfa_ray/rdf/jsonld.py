@@ -133,7 +133,7 @@ class JsonLdSerializer:
                 if datatype:
                     return {"@value": value, "@type": self._compact(datatype, used)}
                 if lang:
-                    return {"@value": value, "@language": lang}
+                    return {"@value": value, "@language": lang.lower()}
                 return {"@value": value}
             if o[0] == IRI and o[1] == RDF_NIL:
                 return {"@list": []}
@@ -229,7 +229,7 @@ def jsonld_to_graph(text: str, bnodes) -> set:
         if "@type" in v:
             return literal(v["@value"], datatype=_expand(v["@type"], ctx))
         if "@language" in v:
-            return literal(v["@value"], lang=v["@language"])
+            return literal(v["@value"], lang=v["@language"].lower())
         return literal(v["@value"])
 
     for node in doc.get("@graph", []):

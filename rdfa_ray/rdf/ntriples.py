@@ -106,7 +106,7 @@ def nquads_lines_arrow(table):
         pc.binary_join_element_wise(_ls("^^<"), dt, _ls(">"), sep),
         pc.if_else(
             pc.not_equal(lang, ""),
-            pc.binary_join_element_wise(_ls("@"), lang, sep),
+            pc.binary_join_element_wise(_ls("@"), pc.utf8_lower(lang), sep),
             sep,
         ),
     )
@@ -172,7 +172,9 @@ def _parse_term(s: str, pos: int):
             end = i + 1
             while end < len(s) and s[end] not in " \t":
                 end += 1
-            lang = s[i + 1 : end]
+            # language tags are case-insensitive (RDF 1.1 §3.3); the
+            # engine's canonical form is lowercase everywhere
+            lang = s[i + 1 : end].lower()
             i = end
         elif s[i : i + 2] == "^^":
             assert s[i + 2] == "<"

@@ -41,6 +41,8 @@ from __future__ import annotations
 
 import re
 
+import re
+
 from .terms import (
     BNODE,
     IRI,
@@ -72,12 +74,45 @@ def split_uri(uri: str) -> tuple[str, str]:
     return uri[:i], local
 
 
+_XML_INVALID = re.compile(
+    # XML 1.0 Char excludes C0 controls other than TAB/LF/CR, and the
+    # surrogate/FFFE-FFFF ranges — such literals CANNOT be carried in
+    # RDF/XML at all, so the writer refuses loudly (the reference
+    # rdflib serializer emits them raw, producing unparseable XML)
+    "[\x00-\x08\x0b\x0c\x0e-\x1f\ufffe\uffff]"
+)
+
+
+def _check_xml_chars(s: str) -> str:
+    if _XML_INVALID.search(s):
+        raise ValueError(
+            "literal contains characters not representable in XML 1.0 "
+            "(use N-Quads/Turtle/JSON-LD for this graph): %r" % s[:50]
+        )
+    return s
+
+
 def _esc_text(s: str) -> str:
-    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    # CR must be a character reference — bare \r (or \r\n) is
+    # line-end-normalized to \n by every conformant XML parser
+    return (
+        _check_xml_chars(s)
+        .replace("&", "&amp;")
+        .replace("<", "&lt;")
+        .replace(">", "&gt;")
+        .replace("\r", "&#13;")
+    )
 
 
 def _esc_attr(s: str) -> str:
-    return _esc_text(s).replace('"', "&quot;")
+    # attribute-value normalization additionally folds TAB/LF to
+    # spaces — reference them numerically too
+    return (
+        _esc_text(s)
+        .replace('"', "&quot;")
+        .replace("\t", "&#9;")
+        .replace("\n", "&#10;")
+    )
 
 
 def _xml_literal_roundtrips(fragment: str) -> bool:
@@ -116,7 +151,14 @@ class RdfXmlSerializer:
 
         self._spo: dict[tuple, list] = {}
         self._obj_refs: dict[tuple, int] = {}
-        for (s, p, o) in sorted(set(triples)):
+        def _tkey(tr):
+            # literal terms carry None lang/datatype slots — map to ''
+            # so mixed-kind sorts stay total (deterministic output)
+            return tuple(
+                tuple("" if x is None else x for x in term) for term in tr
+            )
+
+        for (s, p, o) in sorted(set(triples), key=_tkey):
             self._spo.setdefault(s, []).append((p, o))
             if o[0] != LIT:
                 self._obj_refs[o] = self._obj_refs.get(o, 0) + 1
@@ -261,7 +303,7 @@ class RdfXmlSerializer:
             if datatype:
                 attrs = ' rdf:datatype="%s"' % _esc_attr(datatype)
             elif lang:
-                attrs = ' xml:lang="%s"' % _esc_attr(lang)
+                attrs = ' xml:lang="%s"' % _esc_attr(lang.lower())
             self._out.append("%s<%s%s>%s</%s>" % (ind, q, attrs, _esc_text(value), q))
             return
 

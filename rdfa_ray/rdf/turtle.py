@@ -107,7 +107,7 @@ class TurtleSerializer:
                     return "%s^^%s" % (body, q)
                 return "%s^^<%s>" % (body, datatype)
             if lang:
-                return "%s@%s" % (body, lang)
+                return "%s@%s" % (body, lang.lower())
             return body
         raise ValueError("unknown term kind: %r" % (t,))
 

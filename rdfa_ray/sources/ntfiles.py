@@ -44,9 +44,13 @@ def parse_lines_batch(batch: pa.Table) -> pa.Table:
     text = "\n".join(
         v for v in batch.column("text").to_pylist() if v is not None
     )
-    for (s, p, o, g) in sorted(
-        parse_nquads(text), key=lambda q: (q[0], q[1], q[2], q[3] or ("", ""))
-    ):
+    def _qkey(q):
+        return tuple(
+            tuple("" if x is None else x for x in term)
+            for term in (q[0], q[1], q[2], q[3] or ("", ""))
+        )
+
+    for (s, p, o, g) in sorted(parse_nquads(text), key=_qkey):
         cols["subj"].append(s[1])
         cols["subj_kind"].append("bnode" if s[0] == BNODE else "iri")
         cols["pred"].append(p[1])

@@ -10,6 +10,7 @@ from rdfa_ray.kernel.state import BnodeGen
 from rdfa_ray.rdf.isomorphism import isomorphic
 from rdfa_ray.rdf.jsonld import graph_to_jsonld, jsonld_to_graph
 from rdfa_ray.rdf.ntriples import parse_ntriples
+from rdfa_ray.rdf.rdfxml import graph_to_rdfxml, rdfxml_to_graph
 from rdfa_ray.rdf.terms import iri, literal
 from rdfa_ray.rdf.turtle import graph_to_turtle
 
@@ -347,3 +348,51 @@ def test_isomorphic_interchangeable_leaves():
         }
 
     assert isomorphic(star("a"), star("z"))
+
+
+def test_rdfxml_carriage_return_roundtrips():
+    # bare \r (or \r\n) in XML is line-end-normalized away by every
+    # conformant parser — the writer must emit &#13;
+    g = {(iri("http://ex/s"), iri("http://ex/p"),
+          literal("a\r\nb\rc", lang="en"))}
+    text = graph_to_rdfxml(g)
+    assert "&#13;" in text
+    assert isomorphic(rdfxml_to_graph(text, BnodeGen()), g)
+
+
+def test_rdfxml_refuses_xml_unrepresentable_chars():
+    # C0 controls (other than tab/newline/CR) cannot exist in XML 1.0
+    # at all — loud refusal, never invalid output (the reference
+    # serializer emits them raw and produces unparseable XML)
+    g = {(iri("http://ex/s"), iri("http://ex/p"), literal("bad\x01"))}
+    with pytest.raises(ValueError, match="not representable in XML 1.0"):
+        graph_to_rdfxml(g)
+
+
+def test_rdfxml_mixed_lang_datatype_sort_total():
+    # sorting term tuples with None lang vs str lang slots used to
+    # raise TypeError (None < str) — the writer's determinism sort
+    # must be total over mixed literal shapes
+    g = {
+        (iri("http://ex/s"), iri("http://ex/p"), literal("v", lang="en")),
+        (iri("http://ex/s"), iri("http://ex/p"),
+         literal("v", datatype="http://ex/dt")),
+        (iri("http://ex/s"), iri("http://ex/p"), literal("v")),
+    }
+    text = graph_to_rdfxml(g)
+    assert isomorphic(rdfxml_to_graph(text, BnodeGen()), g)
+
+
+def test_language_tags_normalize_lowercase():
+    # RDF 1.1 language tags are case-insensitive; the engine's
+    # canonical form is lowercase at every read AND write point
+    from rdfa_ray.rdf.ntriples import parse_ntriples
+
+    g = {(iri("http://ex/s"), iri("http://ex/p"),
+          literal("v", lang="zh-hans"))}
+    assert "@zh-hans" in graph_to_turtle(g)
+    got = parse_ntriples('<http://ex/s> <http://ex/p> "v"@zh-HANS .')
+    assert got == {(("iri", "http://ex/s"), ("iri", "http://ex/p"),
+                    ("lit", "v", "zh-hans", None))}
+    back = jsonld_to_graph(graph_to_jsonld(g), BnodeGen())
+    assert isomorphic(back, g)
