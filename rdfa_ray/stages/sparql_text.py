@@ -219,6 +219,14 @@ class _Parser:
         kind, val = self.peek()
         return kind == "kw" and val.upper() == word
 
+    def expect_int(self, what):
+        kind, val = self.next()
+        if kind != "number" or not val.lstrip("+-").isdigit():
+            raise SparqlSyntaxError(
+                "%s needs an integer, got %r" % (what, val)
+            )
+        return int(val)
+
 
 def _resolve(tok_kind, tok_val, prefixes):
     """Map a term token to the engine's pattern notation: '?v' vars
@@ -1202,7 +1210,7 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
         limit = None
         if p.at_kw("LIMIT"):
             p.next()
-            limit = int(p.next()[1])
+            limit = p.expect_int("LIMIT")
         if p.peek()[0] is not None:
             raise SparqlSyntaxError(
                 "unexpected trailing token %r" % (p.peek()[1],)
@@ -1596,7 +1604,16 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
             if p.peek() == ("op", "."):
                 p.next()
         else:
+            before = p.i
             parse_triples_block(patterns)
+            if p.i == before:
+                # parse_triples_block exits without consuming on clause
+                # keywords (e.g. a stray UNION with no preceding arm);
+                # no case above matched either, so the token is garbage —
+                # raise instead of spinning forever
+                raise SparqlSyntaxError(
+                    "unexpected token %r in group body" % (p.peek()[1],)
+                )
 
     # hidden aggregate-expression binds run after every user BIND (they
     # may reference user-bound variables), right before grouping
@@ -1689,10 +1706,10 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
                     break
         elif p.at_kw("LIMIT"):
             p.next()
-            limit = int(p.next()[1])
+            limit = p.expect_int("LIMIT")
         elif p.at_kw("OFFSET"):
             p.next()
-            offset = int(p.next()[1])
+            offset = p.expect_int("OFFSET")
         else:
             raise SparqlSyntaxError("unexpected trailing token %r" % (p.peek()[1],))
 

@@ -1790,3 +1790,71 @@ def test_subquery_inside_group_bodies(ray_session):
     assert _rows(out, ["d", "v"]) == [
         ("a", "30"), ("a", "zh"), ("b", "en"), ("c", "zh"),
     ]
+
+
+# ---------------------------------------------------------------------------
+# parser robustness: mutated/garbage query text must either parse or raise
+# SparqlSyntaxError — never hang, and never leak IndexError/TypeError/etc.
+# (regression: a stray UNION at a non-arm position spun parse_triples_block
+# forever; truncated LIMIT/OFFSET crashed int()).  A 20 000-seed offline
+# sweep of this generator is clean; CI runs a bounded slice.
+
+_FUZZ_SEED_QUERIES = [
+    'SELECT ?s WHERE { ?s <http://p> ?o }',
+    'PREFIX ex: <http://e/> SELECT ?s (COUNT(*) AS ?n) WHERE { ?s ex:p ?o . '
+    'OPTIONAL { ?s ex:q ?x . FILTER (?x > 1) } } GROUP BY ?s HAVING (?n > 1) '
+    'ORDER BY DESC(?n) LIMIT 5',
+    'SELECT * WHERE { { ?a <http://p>+ ?b } UNION { ?a <http://q> ?b . '
+    'VALUES ?b { "x" } } }',
+    'ASK { GRAPH <urn:g> { ?s <http://p> ?o } }',
+    'CONSTRUCT { ?s <http://t> "x" } WHERE { ?s <http://p> ?o . '
+    'MINUS { ?s <http://q> ?z } }',
+    'SELECT ?s FROM <urn:g> WHERE { ?s <http://p> ?o . '
+    'BIND(CONCAT(STR(?o), "x") AS ?y) }',
+]
+_FUZZ_CHARS = list("{}()<>?$.;,\"'@^|+*/!&=# \tabPREFIXSELECTWHEREOPTIONALFILTER")
+
+
+def _mutate_query(seed):
+    import random
+
+    rng = random.Random(seed)
+    ql = list(rng.choice(_FUZZ_SEED_QUERIES))
+    for _ in range(rng.randrange(1, 6)):
+        op = rng.random()
+        pos = rng.randrange(len(ql)) if ql else 0
+        if op < 0.4 and ql:
+            del ql[pos]
+        elif op < 0.8:
+            ql.insert(pos, rng.choice(_FUZZ_CHARS))
+        else:
+            ql[pos:pos] = list(
+                rng.choice(["UNION", "} {", "FILTER (", "??", "<>"])
+            )
+    return "".join(ql)
+
+
+def test_parser_garbage_fuzz_slice():
+    for seed in range(400):
+        mutated = _mutate_query(seed)
+        try:
+            parse_query(mutated)
+        except (SparqlSyntaxError, RecursionError):
+            pass  # the only acceptable failures
+
+
+def test_stray_union_raises_not_hangs():
+    # seed-331-shaped input: UNION with no preceding arm used to loop forever
+    with pytest.raises(SparqlSyntaxError):
+        parse_query('SELECT ?s WHERE { UNION ?s <http://p> ?o }')
+    with pytest.raises(SparqlSyntaxError):
+        parse_query('ASK { GRAPH <urn:g> { ?s <http://p> ?o } UNION }')
+
+
+def test_truncated_limit_offset_raise_syntax_error():
+    with pytest.raises(SparqlSyntaxError):
+        parse_query('SELECT ?s WHERE { ?s <http://p> ?o } LIMIT')
+    with pytest.raises(SparqlSyntaxError):
+        parse_query('SELECT ?s WHERE { ?s <http://p> ?o } OFFSET ?')
+    with pytest.raises(SparqlSyntaxError):
+        parse_query('DESCRIBE <urn:x> LIMIT x')
