@@ -16,7 +16,7 @@ from .node import Document, Element
 _RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 
 
-class XMLParseError(Exception):
+class XMLParseError(ValueError):
     pass
 
 

@@ -41,7 +41,7 @@ def _resolve_iri(base: str, ref: str) -> str:
     return joined
 
 
-class EmbeddedParseError(Exception):
+class EmbeddedParseError(ValueError):
     pass
 
 

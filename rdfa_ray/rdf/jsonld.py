@@ -199,7 +199,19 @@ def jsonld_to_graph(text: str, bnodes) -> set:
     from .terms import iri, literal
 
     doc = json.loads(text)
+    if isinstance(doc, list):
+        # a bare top-level node array is valid JSON-LD shape — treat
+        # it as an implicit @graph with an empty context
+        doc = {"@graph": doc}
+    if not isinstance(doc, dict):
+        raise ValueError("malformed JSON-LD: top level must be an object"
+                         " or node array, got %s" % type(doc).__name__)
+    if "@graph" not in doc and "@id" in doc:
+        # single top-level node object
+        doc = {"@context": doc.get("@context", {}), "@graph": [doc]}
     ctx = doc.get("@context", {})
+    if not isinstance(ctx, dict):
+        raise ValueError("malformed JSON-LD: @context must be an object")
     local: dict[str, tuple] = {}
 
     def node_term(ref: str):
@@ -232,16 +244,24 @@ def jsonld_to_graph(text: str, bnodes) -> set:
             return literal(v["@value"], lang=v["@language"].lower())
         return literal(v["@value"])
 
-    for node in doc.get("@graph", []):
-        s = node_term(node["@id"])
-        for k, vals in node.items():
-            if k == "@id":
-                continue
-            if k == "@type":
-                for t in vals:
-                    triples.add((s, iri(RDF_TYPE_IRI), iri(_expand(t, ctx))))
-                continue
-            p = iri(_expand(k, ctx))
-            for v in vals:
-                triples.add((s, p, value_term(v)))
+    try:
+        for node in doc.get("@graph", []):
+            s = node_term(node["@id"])
+            for k, vals in node.items():
+                if k == "@id":
+                    continue
+                if k == "@type":
+                    for t in vals:
+                        triples.add(
+                            (s, iri(RDF_TYPE_IRI), iri(_expand(t, ctx)))
+                        )
+                    continue
+                p = iri(_expand(k, ctx))
+                for v in vals:
+                    triples.add((s, p, value_term(v)))
+    except (AttributeError, KeyError, TypeError) as e:
+        # structurally malformed node objects (non-dict nodes, missing
+        # @id, scalar where the expanded array form is required):
+        # normalize to the reader's single typed failure mode
+        raise ValueError("malformed JSON-LD node: %s" % e) from e
     return triples

@@ -177,7 +177,8 @@ def _parse_term(s: str, pos: int):
             lang = s[i + 1 : end].lower()
             i = end
         elif s[i : i + 2] == "^^":
-            assert s[i + 2] == "<"
+            if s[i + 2 : i + 3] != "<":
+                raise ValueError("datatype needs <IRI> at %r" % s[i : i + 20])
             end = s.index(">", i)
             datatype = s[i + 3 : end]
             i = end + 1
@@ -192,23 +193,36 @@ def parse_ntriples(text: str):
     return {(s, p, o) for s, p, o, _g in parse_nquads(text)}
 
 
-def parse_nquads(text: str):
+def parse_nquads(text: str, on_malformed: str = "raise"):
     """Parse N-Triples / N-Quads text into a set of
     ``(s, p, o, graph_term_or_None)`` tuples — the read-side twin of
     ``nquads_lines_arrow`` (the flagship sink), so a materialized
-    N-Quads export round-trips with its named graphs intact."""
+    N-Quads export round-trips with its named graphs intact.
+
+    Malformed lines raise ``ValueError`` (always ValueError — truncated
+    terms and unknown escapes are normalized from Index/KeyError so
+    callers get ONE typed failure mode).  ``on_malformed="skip"``
+    quarantines bad lines instead — the file-source option for dirty
+    100-TB inputs where one corrupt line must not kill a whole read."""
     quads = set()
     for line in text.splitlines():
         line = line.strip()
         if not line or line.startswith("#"):
             continue
-        s, pos = _parse_term(line, 0)
-        p, pos = _parse_term(line, pos)
-        o, pos = _parse_term(line, pos)
-        g = None
-        while pos < len(line) and line[pos] in " \t":
-            pos += 1
-        if pos < len(line) and line[pos] not in ".":
-            g, pos = _parse_term(line, pos)
+        try:
+            s, pos = _parse_term(line, 0)
+            p, pos = _parse_term(line, pos)
+            o, pos = _parse_term(line, pos)
+            g = None
+            while pos < len(line) and line[pos] in " \t":
+                pos += 1
+            if pos < len(line) and line[pos] not in ".":
+                g, pos = _parse_term(line, pos)
+        except (ValueError, IndexError, KeyError) as e:
+            if on_malformed == "skip":
+                continue
+            raise ValueError(
+                "malformed N-Quads line %r" % line[:80]
+            ) from e
         quads.add((s, p, o, g))
     return quads

@@ -41,8 +41,6 @@ from __future__ import annotations
 
 import re
 
-import re
-
 from .terms import (
     BNODE,
     IRI,

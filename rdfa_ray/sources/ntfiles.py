@@ -34,9 +34,10 @@ TRIPLES_SCHEMA = pa.schema(
 )
 
 
-def parse_lines_batch(batch: pa.Table) -> pa.Table:
+def parse_lines_batch(batch: pa.Table, on_malformed: str = "raise") -> pa.Table:
     """(text) line rows -> triple rows.  Statement-per-line means a
-    block is parseable in isolation."""
+    block is parseable in isolation.  ``on_malformed="skip"``
+    quarantines corrupt lines (see :func:`read_ntriples`)."""
     from ..rdf.ntriples import parse_nquads
     from ..rdf.terms import BNODE, LIT
 
@@ -50,7 +51,8 @@ def parse_lines_batch(batch: pa.Table) -> pa.Table:
             for term in (q[0], q[1], q[2], q[3] or ("", ""))
         )
 
-    for (s, p, o, g) in sorted(parse_nquads(text), key=_qkey):
+    parsed = parse_nquads(text, on_malformed=on_malformed)
+    for (s, p, o, g) in sorted(parsed, key=_qkey):
         cols["subj"].append(s[1])
         cols["subj_kind"].append("bnode" if s[0] == BNODE else "iri")
         cols["pred"].append(p[1])
@@ -67,10 +69,16 @@ def parse_lines_batch(batch: pa.Table) -> pa.Table:
     return pa.Table.from_pydict(cols, schema=TRIPLES_SCHEMA)
 
 
-def read_ntriples(paths):
-    """Read N-Triples file(s) into a triples Dataset."""
+def read_ntriples(paths, on_malformed: str = "raise"):
+    """Read N-Triples file(s) into a triples Dataset.
+
+    ``on_malformed``: "raise" (default) fails the read on the first
+    corrupt line with a typed ValueError naming it; "skip" quarantines
+    corrupt lines and keeps streaming — at 100-TB scale one bad line
+    in one shard must not kill a multi-hour job."""
+    import functools
+
     import ray.data as rd
 
-    return rd.read_text(paths).map_batches(
-        parse_lines_batch, batch_format="pyarrow"
-    )
+    fn = functools.partial(parse_lines_batch, on_malformed=on_malformed)
+    return rd.read_text(paths).map_batches(fn, batch_format="pyarrow")

@@ -73,3 +73,74 @@ def test_read_nquads_preserves_graphs(ray_session, tmp_path):
     assert (row["obj_value"], row["obj_lang"], row["graph"]) == (
         "hello", "en", "http://g/1"
     )
+
+
+def test_malformed_lines_raise_typed_value_error():
+    """Truncated terms / unknown escapes must surface as ValueError —
+    never raw IndexError/KeyError (garbage-fuzz regressions)."""
+    import pytest
+
+    from rdfa_ray.rdf.ntriples import parse_nquads
+
+    for bad in [
+        '<urn:a> <urn:p  "x <urn:g>\n .',        # unterminated IRI-ish
+        '<urn:a> <urn:p> "x\\q" .',               # unknown escape
+        '<urn:a> <urn:p> "unterminated .',        # unterminated literal
+        '_',                                       # lone underscore
+        '<urn:a> <urn:p> "v"^^urn:dt .',          # datatype missing <
+    ]:
+        with pytest.raises(ValueError):
+            parse_nquads(bad)
+
+
+def test_on_malformed_skip_quarantines_bad_lines(ray_session, tmp_path):
+    """A corrupt line in one shard must not kill a 100-TB read:
+    on_malformed='skip' drops it and keeps every good statement."""
+    from rdfa_ray.sources.ntfiles import read_ntriples
+
+    path = tmp_path / "dirty.nt"
+    path.write_text(
+        '<urn:a> <urn:p> "good" .\n'
+        '<urn:a> <urn:p "truncated .\n'
+        '<urn:b> <urn:p> <urn:c> .\n'
+    )
+    import pytest
+
+    with pytest.raises(Exception):  # default: typed failure, read dies
+        read_ntriples(str(path)).to_pandas()
+    df = read_ntriples(str(path), on_malformed="skip").to_pandas()
+    assert sorted(df["subj"]) == ["urn:a", "urn:b"]
+
+
+def test_jsonld_reader_accepts_array_and_rejects_garbage():
+    from rdfa_ray.kernel.state import BnodeGen
+    from rdfa_ray.rdf.jsonld import jsonld_to_graph
+
+    # bare top-level node array is valid JSON-LD shape
+    g = jsonld_to_graph(
+        '[{"@id": "urn:a", "http://p": [{"@value": "x"}]}]', BnodeGen()
+    )
+    assert len(g) == 1
+    # structural garbage -> ValueError, never AttributeError/KeyError
+    import pytest
+
+    for bad in [
+        '"just a string"',
+        '{"@context": [], "@graph": []}',
+        '{"@graph": [["not", "a", "node"]]}',
+        '{"@graph": [{"no_id": 1}]}',
+        '{"@graph": [{"@id": "urn:a", "http://p": [{"@value": "x", '
+        '"@list": 3}]}]}',
+    ]:
+        with pytest.raises(ValueError):
+            jsonld_to_graph(bad, BnodeGen())
+
+
+def test_parse_error_classes_are_value_errors():
+    """One typed failure mode across every read surface: callers can
+    catch ValueError for any malformed input document."""
+    from rdfa_ray.dom.xml_builder import XMLParseError
+    from rdfa_ray.kernel.embedded import EmbeddedParseError
+
+    assert issubclass(XMLParseError, ValueError)
+    assert issubclass(EmbeddedParseError, ValueError)

@@ -1811,6 +1811,22 @@ _FUZZ_SEED_QUERIES = [
     'MINUS { ?s <http://q> ?z } }',
     'SELECT ?s FROM <urn:g> WHERE { ?s <http://p> ?o . '
     'BIND(CONCAT(STR(?o), "x") AS ?y) }',
+    # round-3 syntax: paths in groups, subqueries, GROUP_CONCAT
+    # modifiers, multi-var VALUES/UNDEF, nested OPTIONAL, DISTINCT
+    # aggregates, inline HAVING/ORDER BY aggregates
+    'SELECT ?s (GROUP_CONCAT(?o; SEPARATOR=",") AS ?os) '
+    'WHERE { ?s <http://p> ?o } GROUP BY ?s',
+    'SELECT ?s WHERE { ?s (<http://p>|^<http://q>)/<http://r>* ?o . '
+    'OPTIONAL { ?o <http://t>+ ?z . FILTER (STRLEN(STR(?z)) > 2) } }',
+    'SELECT * WHERE { { SELECT ?a (SUM(?v) AS ?t) WHERE '
+    '{ ?a <http://v> ?v } GROUP BY ?a } ?a <http://n> ?n . FILTER (?t > 10) }',
+    'SELECT ?x WHERE { VALUES (?x ?y) { (<urn:a> 1) (UNDEF "z") } '
+    '?x <http://p> ?y . MINUS { ?x <http://bad> ?w . FILTER (?w != 0) } }',
+    'SELECT ?s WHERE { ?s <http://p> ?o . OPTIONAL { ?s <http://q> ?x . '
+    'OPTIONAL { ?x <http://r> ?y } BIND(COALESCE(?y, "d") AS ?z) } } '
+    'ORDER BY DESC(COUNT(?o)) LIMIT 3',
+    'SELECT ?s WHERE { ?s <http://p> ?o . FILTER NOT EXISTS '
+    '{ ?s <http://q> ?o . VALUES ?o { "a" "b" } } } OFFSET 2',
 ]
 _FUZZ_CHARS = list("{}()<>?$.;,\"'@^|+*/!&=# \tabPREFIXSELECTWHEREOPTIONALFILTER")
 
