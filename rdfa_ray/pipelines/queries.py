@@ -1927,6 +1927,23 @@ def q_kg_not_exists(sf_dir: str):
     )
 
 
+def q_kg_expr_exists(sf_dir: str):
+    """[NOT] EXISTS inside a FILTER expression — an OR of an existence
+    test with an ordinary string predicate, which no single standalone
+    semi/anti join can express.  Executes as a hidden boolean flag
+    column: the probe side reduces to its distinct correlation keys
+    and (at this size) broadcasts for a map-side membership scan —
+    zero exchange on the bindings (``sparql_text._exists_flag_column``)."""
+    import rdfa_ray
+
+    return rdfa_ray.query(
+        _typed_triples(sf_dir),
+        'SELECT ?d ?src WHERE { ?d <http://schema.org/source> ?src . '
+        'FILTER (EXISTS { ?d <http://schema.org/inLanguage> "zh" } '
+        '|| CONTAINS(STR(?d), "1")) }',
+    )
+
+
 def q_kg_values_bind(sf_dir: str):
     """VALUES + BIND: language rows restricted to the inline set
     {zh, en} (map-side is_in — inline data never shuffles), then
@@ -3101,6 +3118,7 @@ QUERIES = {
     "kg_triangles": q_kg_triangles,
     "kg_bfs_depth": q_kg_bfs_depth,
     "kg_minus": q_kg_minus,
+    "kg_expr_exists": q_kg_expr_exists,
     "kg_not_exists": q_kg_not_exists,
     "kg_values_bind": q_kg_values_bind,
     "kg_distinct_src": q_kg_distinct_src,
@@ -4099,6 +4117,15 @@ ORACLE_SQL = {
         "AND t1.subj NOT IN (SELECT subj FROM t WHERE"
         " pred = 'http://schema.org/inLanguage' AND obj_value = 'zh')"
         % _TYPED_TRIPLES_SQL
+    ),
+    "kg_expr_exists": (
+        "WITH t AS (%s) "
+        "SELECT t1.subj AS d, t1.obj_value AS src FROM t t1 "
+        "WHERE t1.pred = 'http://schema.org/source' "
+        "AND (EXISTS (SELECT 1 FROM t a WHERE a.subj = t1.subj"
+        " AND a.pred = 'http://schema.org/inLanguage'"
+        " AND a.obj_value = 'zh')"
+        " OR t1.subj LIKE '%%1%%')" % _TYPED_TRIPLES_SQL
     ),
     "kg_not_exists": (
         "WITH t AS (%s) "

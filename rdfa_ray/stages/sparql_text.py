@@ -420,12 +420,19 @@ class _FilterCompiler:
     batches; the only pandas fallbacks (STRBEFORE/STRAFTER and the
     error-coercing numeric parse) are C-level vectorized."""
 
-    def __init__(self, parser, prefixes, meta_sink=None, agg_sink=None):
+    def __init__(self, parser, prefixes, meta_sink=None, agg_sink=None,
+                 exists_sink=None):
         self.p = parser
         self.prefixes = prefixes
         # LANG()/DATATYPE() uses are recorded here (shared, plan-level
         # list) so execute() knows to run a metadata-carrying BGP
         self.meta_sink = meta_sink if meta_sink is not None else []
+        # top-level FILTER context only: callable(negate) that parses a
+        # [NOT] EXISTS { ... } group mid-expression, registers it in
+        # the plan, and returns the hidden boolean flag column the
+        # compiled expression then reads (computed per-row before the
+        # filters run, dropped after)
+        self.exists_sink = exists_sink
         # HAVING context only: callable(fn_name) that parses the rest
         # of an inline aggregate call, registers a hidden aggregate in
         # the plan, and returns its alias — the compiled expression
@@ -469,6 +476,22 @@ class _FilterCompiler:
             except SparqlSyntaxError:
                 self.p.i = save
                 return self.parse_comparison()
+        if self.p.at_kw("EXISTS") or (
+            self.p.at_kw("NOT")
+            and self.p.peek(1)[0] == "kw"
+            and self.p.peek(1)[1].upper() == "EXISTS"
+        ):
+            negate = self.p.at_kw("NOT")
+            self.p.next()
+            if negate:
+                self.p.next()
+            if self.exists_sink is None:
+                raise SparqlSyntaxError(
+                    "[NOT] EXISTS inside expressions is supported in "
+                    "top-level FILTER expressions only in this fragment"
+                )
+            alias = self.exists_sink(negate)
+            return lambda t, _a=alias: t.column(_a)
         for name, kernel in (
             ("REGEX", pc.match_substring_regex),
             ("STRSTARTS", pc.starts_with),
@@ -1238,6 +1261,7 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
             "groups": [],
             "binds": [],
             "gc_seps": {},
+            "expr_exists": [],
             "group_by": [],
             "having": None,
             "order_by": [],
@@ -1466,6 +1490,23 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
             gnested,
         )
 
+    # [NOT] EXISTS { ... } groups appearing INSIDE top-level FILTER
+    # expressions (e.g. FILTER(?x > 1 && EXISTS { ... })): parsed with
+    # the same recursive group grammar, registered here; execution
+    # attaches one hidden boolean flag column per entry before the
+    # filters run (see _exists_flag_column)
+    expr_exists: list = []
+
+    def expr_exists_sink(negate: bool) -> str:
+        block, extra = parse_filtered_group(
+            "FILTER-expression EXISTS", allow_bind=False
+        )
+        alias = "__exf_%d" % len(expr_exists)
+        expr_exists.append(
+            (alias, block, extra if any(extra) else None, bool(negate))
+        )
+        return alias
+
     # top-level `{ arm } UNION { arm } ...` (a brace that opens a
     # nested SELECT is a subquery, not a union arm).  Arms parse with
     # the same recursive group grammar as OPTIONAL blocks: FILTER,
@@ -1520,7 +1561,12 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
                     p.next()
             else:
                 p.expect_op("(")
-                filters.append(_FilterCompiler(p, prefixes, meta_needed).parse_or())
+                filters.append(
+                    _FilterCompiler(
+                        p, prefixes, meta_needed,
+                        exists_sink=expr_exists_sink,
+                    ).parse_or()
+                )
                 p.expect_op(")")
         elif p.at_kw("GRAPH"):
             p.next()
@@ -1778,6 +1824,7 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
         "from_graphs": from_graphs,
         "from_named": from_named,
         "needs_meta": sorted(set(meta_needed)),
+        "expr_exists": expr_exists,
     }
 
 
@@ -1827,6 +1874,92 @@ def _plan_out_cols(plan: dict) -> list:
             | {c for sub, _pos in plan["subqueries"] for c in _plan_out_cols(sub)}
         )
     return plan["proj"]
+
+
+def _exists_flag_column(b, avail_vars, tds, block, extras, alias,
+                        negate, n_buckets, broadcast_limit: int = 200_000):
+    """Attach hidden boolean column ``alias`` to the bindings: does a
+    solution of ``block`` (a [NOT] EXISTS group inside a FILTER
+    expression) compatible on the shared variables exist for this row?
+
+    Scale shape: the probe side reduces to its DISTINCT packed
+    correlation keys (key-sized, never solution rows).  At or below
+    ``broadcast_limit`` distinct keys the flag is a map-side ``is_in``
+    membership scan (``ray.put`` once, fetched once per worker — zero
+    exchange on the bindings); above it, a bucketed LEFT join on the
+    packed key marks matches (the bindings pay one exchange, the probe
+    ships only keys)."""
+    import ray
+    import ray.data as rd
+
+    probe, pvars = _group_side_bindings(tds, block, extras, n_buckets)
+    shared = [v for v in pvars if v in avail_vars]
+    if not shared:
+        raise SparqlSyntaxError(
+            "[NOT] EXISTS inside a FILTER expression must share at "
+            "least one variable with the outer bindings in this "
+            "fragment — uncorrelated existence is a driver-side ask()"
+        )
+
+    def pack(batch: pa.Table, _vs=tuple(shared)) -> pa.Array:
+        cols = [pc.cast(batch.column(v), pa.string()) for v in _vs]
+        if len(cols) == 1:
+            return pc.fill_null(cols[0], "")
+        return pc.binary_join_element_wise(*cols, "\x1f")
+
+    from .distinct import distinct
+
+    keys = distinct(
+        probe.map_batches(
+            lambda t: pa.Table.from_pydict({"__k": pack(t)}),
+            batch_format="pyarrow",
+        ),
+        ["__k"],
+        n_buckets=n_buckets,
+    ).materialize()
+
+    if keys.count() <= broadcast_limit:
+        key_ref = ray.put(keys.to_pandas()["__k"].to_numpy())
+
+        def flag(batch: pa.Table) -> pa.Table:
+            from ..state.broadcast import bcast_cached
+
+            vs = pa.array(bcast_cached(key_ref), pa.string())
+            m = pc.fill_null(pc.is_in(pack(batch), value_set=vs), False)
+            if negate:
+                m = pc.invert(m)
+            return batch.append_column(alias, m)
+
+        return b.map_batches(flag, batch_format="pyarrow")
+
+    # big-probe path: one bucketed left join; marker nulls = no match
+    from .join import bucketed_hash_join
+
+    marker = keys.map_batches(
+        lambda t: t.append_column(
+            "__m", pa.array(["1"] * t.num_rows, pa.string())
+        ),
+        batch_format="pyarrow",
+    )
+    left = b.map_batches(
+        lambda t: t.append_column("__k", pack(t)), batch_format="pyarrow"
+    )
+    joined = bucketed_hash_join(
+        left,
+        marker,
+        on="__k",
+        n_buckets=n_buckets,
+        how="left",
+        right_schema=pa.schema([("__k", pa.string()), ("__m", pa.string())]),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        m = pc.fill_null(pc.equal(batch.column("__m"), "1"), False)
+        if negate:
+            m = pc.invert(m)
+        return batch.drop_columns(["__k", "__m"]).append_column(alias, m)
+
+    return joined.map_batches(finish, batch_format="pyarrow")
 
 
 def _execute_plan(triples_ds, plan: dict, n_buckets: int = 64):
@@ -1910,6 +2043,9 @@ def _execute_plan(triples_ds, plan: dict, n_buckets: int = 64):
 
         for ex in plan["group_extras"]:
             _collect_nested_blocks(ex)
+        for _a, eblock, eex, _n in plan.get("expr_exists", []):
+            meta_blocks.append(eblock)
+            _collect_nested_blocks(eex)
         clash = [
             v
             for g in meta_blocks
@@ -2085,8 +2221,23 @@ def _execute_plan(triples_ds, plan: dict, n_buckets: int = 64):
 
         b = bind_var(b, alias, bind_col)
 
+    ee = plan.get("expr_exists") or []
+    if ee:
+        # flag columns for [NOT] EXISTS groups inside FILTER
+        # expressions: computed on the composed bindings right before
+        # the filters that read them, dropped right after
+        tds_e = triples_ds.materialize()
+        avail = set(bound) | {a for a, _e in plan["binds"]}
+        for alias, block, extra, negate in ee:
+            b = _exists_flag_column(
+                b, avail, tds_e, block, extra, alias, negate, n_buckets
+            )
+
     for f in plan["filters"]:
         b = filter_bindings(b, f)
+
+    if ee:
+        b = b.drop_columns([alias for alias, _b, _e, _n in ee])
 
     # non-SELECT forms consume the SAME solution bindings as a SELECT
     # over this WHERE group — groups, VALUES, BIND and FILTER all
@@ -2564,6 +2715,10 @@ def _apply_dataset_clause(triples_ds, plan):
 
     plan["group_extras"] = [rewrite_extras(ex) for ex in plan["group_extras"]]
     plan["union_extras"] = [rewrite_extras(ex) for ex in plan["union_extras"]]
+    plan["expr_exists"] = [
+        (alias, rewrite(block), rewrite_extras(ex), neg)
+        for alias, block, ex, neg in plan.get("expr_exists", [])
+    ]
 
     clash = graph_vars & other_vars
     if clash:
@@ -2646,6 +2801,9 @@ def _plan_pred_pushdown(plan):
         collect_nested(ex)
     for ex in plan.get("union_extras", []):
         collect_nested(ex)
+    for _alias, eblock, eex, _neg in plan.get("expr_exists", []):
+        groups.append(eblock)
+        collect_nested(eex)
     preds: set = set()
     prunable_box = [True]
     for g in groups:
@@ -2746,6 +2904,16 @@ def explain(query: str, store_dir: str | None = None) -> str:
         )
     if plan["filters"]:
         lines.append("  filters: %d" % len(plan["filters"]))
+    if plan.get("expr_exists"):
+        lines.append(
+            "  filter-expression EXISTS flags: %s" % ", ".join(
+                "%s%s(%d pattern%s)" % (
+                    "NOT " if neg else "", alias, len(bl),
+                    "" if len(bl) == 1 else "s",
+                )
+                for alias, bl, _ex, neg in plan["expr_exists"]
+            )
+        )
     if plan["values"]:
         lines.append("  values: %s" % ", ".join("?%s(%d)" % (v, len(vs)) for v, vs in plan["values"]))
     if plan["values_multi"]:
@@ -2827,6 +2995,10 @@ def execute_on_store(store_dir: str, query: str, n_buckets: int = 64):
         or any(_any_quad(g[1]) for g in plan["groups"])
         or any(_extras_quad(ex) for ex in plan["group_extras"])
         or any(_any_quad(arm) for arm in plan["union"])
+        or any(
+            _any_quad(bl) or _extras_quad(ex)
+            for _a, bl, ex, _n in plan.get("expr_exists", [])
+        )
         or plan["from_graphs"]
         or plan["from_named"]
     ):

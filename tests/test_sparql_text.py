@@ -1874,3 +1874,88 @@ def test_truncated_limit_offset_raise_syntax_error():
         parse_query('SELECT ?s WHERE { ?s <http://p> ?o } OFFSET ?')
     with pytest.raises(SparqlSyntaxError):
         parse_query('DESCRIBE <urn:x> LIMIT x')
+
+
+# ---------------------------------------------------------------------------
+# [NOT] EXISTS inside FILTER expressions (hidden boolean flag columns)
+
+def _exists_fixture_ds():
+    rows = []
+    for i in range(20):
+        rows.append({"subj": "urn:s%d" % i, "pred": "http://p",
+                     "obj_value": str(i)})
+        if i % 3 == 0:
+            rows.append({"subj": "urn:s%d" % i, "pred": "http://flag",
+                         "obj_value": "y"})
+        if i % 4 == 0:
+            rows.append({"subj": "urn:s%d" % i, "pred": "http://alt",
+                         "obj_value": "z"})
+    return rd.from_items(rows)
+
+
+def test_exists_in_filter_expression(ray_session):
+    ds = _exists_fixture_ds()
+    out = execute(ds, 'SELECT ?s ?o WHERE { ?s <http://p> ?o . '
+                      'FILTER (EXISTS { ?s <http://flag> ?f } && ?o != "0") }')
+    got = sorted(out.to_pandas()["s"])
+    assert got == sorted("urn:s%d" % i for i in range(20)
+                         if i % 3 == 0 and i != 0)
+
+
+def test_not_exists_or_exists_compose(ray_session):
+    ds = _exists_fixture_ds()
+    out = execute(ds, 'SELECT ?s WHERE { ?s <http://p> ?o . '
+                      'FILTER (NOT EXISTS { ?s <http://flag> ?f } '
+                      '|| EXISTS { ?s <http://alt> ?a }) }')
+    got = sorted(out.to_pandas()["s"])
+    assert got == sorted("urn:s%d" % i for i in range(20)
+                         if i % 3 != 0 or i % 4 == 0)
+
+
+def test_exists_expression_join_path(ray_session):
+    """broadcast_limit=0 forces the bucketed left-join scale path; it
+    must agree exactly with the broadcast path."""
+    from rdfa_ray.stages.sparql_text import _exists_flag_column, parse_query
+    import pyarrow.compute as pc_
+
+    ds = _exists_fixture_ds()
+    plan = parse_query('SELECT ?s WHERE { ?s <http://p> ?o . '
+                       'FILTER (EXISTS { ?s <http://flag> ?f }) }')
+    (alias, block, extra, negate), = plan["expr_exists"]
+    from rdfa_ray.stages.bgp import bgp_match
+
+    b = bgp_match(ds.materialize(), plan["patterns"])
+    flagged = _exists_flag_column(
+        b, {"s", "o"}, ds.materialize(), block, extra, alias, negate,
+        n_buckets=8, broadcast_limit=0,
+    ).to_pandas()
+    assert sorted(flagged[flagged[alias]]["s"].unique()) == sorted(
+        "urn:s%d" % i for i in range(20) if i % 3 == 0
+    )
+    assert len(flagged) == 20  # left join: no row duplicated or lost
+
+
+def test_exists_expression_error_cases(ray_session):
+    ds = _exists_fixture_ds()
+    # uncorrelated EXISTS raises (same stance as the standalone form)
+    with pytest.raises(SparqlSyntaxError):
+        execute(ds, 'SELECT ?s WHERE { ?s <http://p> ?o . '
+                    'FILTER (EXISTS { ?x <http://flag> ?f } || ?o = "1") }'
+                ).to_pandas()
+    # EXISTS inside BIND / group-local filters: loud not-supported
+    with pytest.raises(SparqlSyntaxError):
+        parse_query('SELECT ?s WHERE { ?s <http://p> ?o . '
+                    'BIND(EXISTS { ?s <http://flag> ?f } AS ?b) }')
+    with pytest.raises(SparqlSyntaxError):
+        parse_query('SELECT ?s WHERE { ?s <http://p> ?o . OPTIONAL { '
+                    '?s <http://alt> ?a . FILTER (EXISTS { ?s <http://flag> ?f }) } }')
+
+
+def test_exists_expression_explain(ray_session):
+    from rdfa_ray.stages.sparql_text import explain
+
+    txt = explain('SELECT ?s WHERE { ?s <http://p> ?o . '
+                  'FILTER (NOT EXISTS { ?s <http://flag> ?f }) }')
+    # the standalone clause form keeps its dedicated semi/anti join —
+    # only parenthesized expression use builds a flag
+    assert "EXISTS" in txt
