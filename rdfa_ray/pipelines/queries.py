@@ -2635,6 +2635,23 @@ def q_kg_order_by_expr(sf_dir: str):
     )
 
 
+def q_kg_order_by_agg_expr(sf_dir: str):
+    """ORDER BY expression over an AGGREGATE query: sort key mixes an
+    aggregate alias with a group-key function — computed as a hidden
+    post-aggregation BIND column over the grouped table (group keys +
+    aliases are its whole scope), dropped after the sort."""
+    from ..stages.sparql_text import execute
+
+    return execute(
+        _typed_triples(sf_dir),
+        """
+        PREFIX schema: <http://schema.org/>
+        SELECT ?l (COUNT(*) AS ?n) WHERE { ?d schema:inLanguage ?l . }
+        GROUP BY ?l ORDER BY DESC(?n * 100 + STRLEN(STR(?l))) ?l
+        """,
+    )
+
+
 def q_kg_having_order_agg(sf_dir: str):
     """Inline aggregate calls in HAVING and as an ORDER BY sort key —
     neither COUNT is projected: both hoist to hidden aggregate columns
@@ -3144,6 +3161,7 @@ QUERIES = {
     "kg_count_distinct": q_kg_count_distinct,
     "kg_sum_distinct": q_kg_sum_distinct,
     "kg_order_by_expr": q_kg_order_by_expr,
+    "kg_order_by_agg_expr": q_kg_order_by_agg_expr,
     "kg_mixed_distinct_agg": q_kg_mixed_distinct_agg,
     "kg_having_order_agg": q_kg_having_order_agg,
     "kg_union_arm_filter": q_kg_union_arm_filter,
@@ -3843,6 +3861,14 @@ ORACLE_SQL = {
         "SELECT subj AS d, obj_value AS n FROM t"
         " WHERE pred = 'http://schema.org/characterCount'"
         " ORDER BY CAST(obj_value AS DOUBLE) DESC, subj ASC LIMIT 10"
+        % _TYPED_TRIPLES_SQL
+    ),
+    "kg_order_by_agg_expr": (
+        "WITH t AS (%s) "
+        "SELECT obj_value AS l, COUNT(*) AS n FROM t"
+        " WHERE pred = 'http://schema.org/inLanguage'"
+        " GROUP BY obj_value"
+        " ORDER BY (COUNT(*) * 100 + length(obj_value)) DESC, obj_value ASC"
         % _TYPED_TRIPLES_SQL
     ),
     "kg_nested_optional": (

@@ -1262,6 +1262,7 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
             "binds": [],
             "gc_seps": {},
             "expr_exists": [],
+            "order_binds_post": [],
             "group_by": [],
             "having": None,
             "order_by": [],
@@ -1727,11 +1728,15 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
                         name = hidden_agg_sink("__ordagg_")(p.next()[1])
                     else:
                         # ORDER BY DESC(expr): sort on a hidden BIND
-                        _ek, expr = _FilterCompiler(
-                            p, prefixes, meta_needed
-                        ).parse_value()
+                        # (inline aggregate calls hoist to hidden
+                        # aggregates so the expr can mix them freely)
+                        fc = _FilterCompiler(
+                            p, prefixes, meta_needed,
+                            agg_sink=hidden_agg_sink("__ordagg_"),
+                        )
+                        _ek, expr = fc.parse_value()
                         name = "__ord_%d" % len(order_binds)
-                        order_binds.append((name, expr))
+                        order_binds.append((name, expr, set(fc.vars_seen)))
                     p.expect_op(")")
                     order_by.append((name, desc))
                 elif p.peek()[0] == "var":
@@ -1741,11 +1746,13 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
                     if _agg_is_whole_key(p):
                         name = hidden_agg_sink("__ordagg_")(p.next()[1])
                     else:
-                        _ek, expr = _FilterCompiler(
-                            p, prefixes, meta_needed
-                        ).parse_value()
+                        fc = _FilterCompiler(
+                            p, prefixes, meta_needed,
+                            agg_sink=hidden_agg_sink("__ordagg_"),
+                        )
+                        _ek, expr = fc.parse_value()
                         name = "__ord_%d" % len(order_binds)
-                        order_binds.append((name, expr))
+                        order_binds.append((name, expr, set(fc.vars_seen)))
                     p.expect_op(")")
                     order_by.append((name, False))
                 else:
@@ -1759,17 +1766,45 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
         else:
             raise SparqlSyntaxError("unexpected trailing token %r" % (p.peek()[1],))
 
+    order_binds_post: list = []
     if order_binds:
-        # hidden ORDER BY expression columns are computed with the user
-        # BINDs, pre-aggregation — they would not survive a grouped
-        # reduce, so they compose with non-aggregate queries only
         if aggs:
-            raise SparqlSyntaxError(
-                "ORDER BY expressions do not compose with aggregates in"
-                " this fragment (order by the aggregate alias or a bare"
-                " AGG(...) key instead)"
-            )
-        binds.extend(order_binds)
+            # aggregate query: the sort-key expressions run over the
+            # AGGREGATED table (group keys + aggregate aliases are the
+            # only columns that exist there) — validate scope now,
+            # compute the hidden columns post-aggregation at execution
+            avail = set(group_by) | {a for _f, _v, a in aggs}
+            for name, expr, seen in order_binds:
+                outside = seen - avail
+                if outside:
+                    raise SparqlSyntaxError(
+                        "ORDER BY expressions over an aggregate query "
+                        "may reference only GROUP BY variables and "
+                        "aggregate aliases (outside: %s)"
+                        % sorted(outside)
+                    )
+                order_binds_post.append((name, expr))
+        else:
+            # plain query: hidden columns ride the user BINDs
+            binds.extend((n, e) for n, e, _s in order_binds)
+
+    if aggs and order_by:
+        # every sort column must exist post-aggregation: group keys,
+        # aggregate aliases (incl. hidden __ordagg_), or hidden
+        # expression columns — a bare ?var fast-path key outside that
+        # set would only fail lazily at consumption time
+        post_cols = (
+            set(group_by)
+            | {a for _f, _v, a in aggs}
+            | {n for n, _e in order_binds_post}
+        )
+        for name, _d in order_by:
+            if name not in post_cols:
+                raise SparqlSyntaxError(
+                    "ORDER BY over an aggregate query may sort only on "
+                    "GROUP BY variables, aggregate aliases, or "
+                    "expressions over them (got ?%s)" % name
+                )
     # HAVING/ORDER BY inline aggregates may have added late hidden
     # expression binds (e.g. HAVING (SUM(?a * ?b) > 1)) — merge them
     binds.extend(agg_binds[n_binds_closed:])
@@ -1825,6 +1860,7 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
         "from_named": from_named,
         "needs_meta": sorted(set(meta_needed)),
         "expr_exists": expr_exists,
+        "order_binds_post": order_binds_post,
     }
 
 
@@ -2394,6 +2430,17 @@ def _execute_plan(triples_ds, plan: dict, n_buckets: int = 64):
 
     if plan["distinct"]:
         b = distinct_bindings(b, out_cols, n_buckets=n_buckets)
+
+    for name, expr in plan.get("order_binds_post") or []:
+        # post-aggregation ORDER BY expression columns (scope-checked
+        # at parse time: group keys + aggregate aliases only)
+        def ob_col(t, _e=expr):
+            v = _e(t)
+            if isinstance(v, pa.Scalar):
+                v = pa.array([v.as_py()] * t.num_rows, type=v.type)
+            return v
+
+        b = bind_var(b, name, ob_col)
 
     if plan["order_by"]:
         vars_, descs = zip(*plan["order_by"])

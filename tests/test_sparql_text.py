@@ -169,9 +169,8 @@ def test_order_by_aggregate_key(ray_session):
         # ORDER BY AGG composes with grouped results, not DISTINCT
         "SELECT DISTINCT ?l WHERE { ?s <http://e/p> ?l } GROUP BY ?l"
         " ORDER BY DESC(COUNT(?s))",
-        # aggregate inside a larger ORDER BY expression
-        "SELECT ?l WHERE { ?s <http://e/p> ?l } GROUP BY ?l"
-        " ORDER BY DESC(COUNT(?s) + 1)",
+        # (aggregates inside larger ORDER BY expressions are now
+        # supported — see test_order_by_inline_agg_in_expression)
         # __ aliases are reserved for hidden engine columns
         "SELECT ?l (COUNT(*) AS ?__n) WHERE { ?s <http://e/p> ?l } GROUP BY ?l",
     ],
@@ -755,13 +754,14 @@ def test_order_by_expression(ray_session):
         n_buckets=4,
     ).to_pandas()
     assert sorted(star.columns) == ["d", "s"]
-    # pre-aggregation sort keys do not survive a grouped reduce
-    with pytest.raises(SparqlSyntaxError):
-        parse_query(
-            "PREFIX ex: <http://ex.org/> "
-            "SELECT ?d (COUNT(*) AS ?n) WHERE { ?d ex:size ?s } "
-            "GROUP BY ?d ORDER BY DESC(?n + 1)"
-        )
+    # ORDER BY expressions over aggregate aliases run POST-aggregation
+    # (upgraded from a hard error; see test_order_by_expr_over_aggregates)
+    plan = parse_query(
+        "PREFIX ex: <http://ex.org/> "
+        "SELECT ?d (COUNT(*) AS ?n) WHERE { ?d ex:size ?s } "
+        "GROUP BY ?d ORDER BY DESC(?n + 1)"
+    )
+    assert plan["order_binds_post"]
 
 
 def test_distinct_set_aggregates(ray_session):
@@ -1959,3 +1959,40 @@ def test_exists_expression_explain(ray_session):
     # the standalone clause form keeps its dedicated semi/anti join —
     # only parenthesized expression use builds a flag
     assert "EXISTS" in txt
+
+
+# ---------------------------------------------------------------------------
+# ORDER BY expressions over aggregate queries (post-aggregation hidden
+# bind columns; scope = group keys + aggregate aliases)
+
+def test_order_by_expr_over_aggregates(ray_session):
+    rows = []
+    counts = {"a": 1, "bb": 3, "ccc": 2}
+    for s, n in counts.items():
+        rows += [{"subj": "urn:%s" % s, "pred": "http://v",
+                  "obj_value": str(i)} for i in range(n)]
+    ds = rd.from_items(rows)
+    out = execute(ds, 'SELECT ?s (COUNT(*) AS ?n) WHERE '
+                      '{ ?s <http://v> ?o } GROUP BY ?s '
+                      'ORDER BY DESC(?n * 10 + STRLEN(STR(?s)))')
+    got = list(out.to_pandas()["s"])
+    # keys: a -> 1*10+5=15, bb -> 3*10+6=36, ccc -> 2*10+7=27
+    assert got == ["urn:bb", "urn:ccc", "urn:a"]
+
+
+def test_order_by_inline_agg_in_expression(ray_session):
+    rows = [{"subj": "urn:s%d" % (i % 3), "pred": "http://v",
+             "obj_value": str(i)} for i in range(9)]
+    ds = rd.from_items(rows)
+    out = execute(ds, 'SELECT ?s WHERE { ?s <http://v> ?o } GROUP BY ?s '
+                      'ORDER BY (SUM(?o) * -1) LIMIT 1')
+    # sums: s0=0+3+6=9, s1=1+4+7=12, s2=2+5+8=15 -> -15 smallest -> s2
+    assert list(out.to_pandas()["s"]) == ["urn:s2"]
+
+
+def test_order_by_agg_scope_violations_raise():
+    base = ('SELECT ?s (COUNT(*) AS ?n) WHERE { ?s <http://v> ?o } '
+            'GROUP BY ?s ORDER BY ')
+    for tail in ['DESC(?o)', 'DESC(?o + 1)', '?o']:
+        with pytest.raises(SparqlSyntaxError):
+            parse_query(base + tail)
