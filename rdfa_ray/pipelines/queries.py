@@ -2652,6 +2652,24 @@ def q_kg_order_by_agg_expr(sf_dir: str):
     )
 
 
+def q_kg_having_distinct(sf_dir: str):
+    """COUNT(DISTINCT) inside HAVING with a plain projected aggregate:
+    the hidden distinct aggregate runs as its own per-family exchange
+    over the same materialized bindings (kg_mixed_distinct_agg
+    machinery), then HAVING filters the group-key-joined result."""
+    from ..stages.sparql_text import execute
+
+    return execute(
+        _typed_triples(sf_dir),
+        """
+        PREFIX schema: <http://schema.org/>
+        SELECT ?src (COUNT(*) AS ?n) WHERE { ?d schema:source ?src .
+          ?d schema:inLanguage ?l . }
+        GROUP BY ?src HAVING (COUNT(DISTINCT ?l) >= 2) ORDER BY ?src
+        """,
+    )
+
+
 def q_kg_having_order_agg(sf_dir: str):
     """Inline aggregate calls in HAVING and as an ORDER BY sort key —
     neither COUNT is projected: both hoist to hidden aggregate columns
@@ -3162,6 +3180,7 @@ QUERIES = {
     "kg_sum_distinct": q_kg_sum_distinct,
     "kg_order_by_expr": q_kg_order_by_expr,
     "kg_order_by_agg_expr": q_kg_order_by_agg_expr,
+    "kg_having_distinct": q_kg_having_distinct,
     "kg_mixed_distinct_agg": q_kg_mixed_distinct_agg,
     "kg_having_order_agg": q_kg_having_order_agg,
     "kg_union_arm_filter": q_kg_union_arm_filter,
@@ -3862,6 +3881,15 @@ ORACLE_SQL = {
         " WHERE pred = 'http://schema.org/characterCount'"
         " ORDER BY CAST(obj_value AS DOUBLE) DESC, subj ASC LIMIT 10"
         % _TYPED_TRIPLES_SQL
+    ),
+    "kg_having_distinct": (
+        "WITH t AS (%s) "
+        "SELECT a.obj_value AS src, COUNT(*) AS n "
+        "FROM t a JOIN t b ON b.subj = a.subj "
+        "WHERE a.pred = 'http://schema.org/source' "
+        "AND b.pred = 'http://schema.org/inLanguage' "
+        "GROUP BY a.obj_value HAVING COUNT(DISTINCT b.obj_value) >= 2 "
+        "ORDER BY a.obj_value" % _TYPED_TRIPLES_SQL
     ),
     "kg_order_by_agg_expr": (
         "WITH t AS (%s) "

@@ -1687,7 +1687,7 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
 
         def sink(fn):
             fnl, argvar, _sep = _parse_agg_call(
-                p, prefixes, meta_needed, agg_binds, fn, allow_distinct=False
+                p, prefixes, meta_needed, agg_binds, fn
             )
             alias = "%s%d" % (prefix, len(aggs))
             aggs.append((fnl, argvar, alias))
@@ -2307,8 +2307,6 @@ def _execute_plan(triples_ds, plan: dict, n_buckets: int = 64):
     if any(fn.endswith("_distinct") for fn, _v, _a in plan["aggs"]):
         from .sparql import grouped_aggregate, grouped_distinct_aggregate
 
-        if plan["having"] is not None:
-            raise SparqlSyntaxError("HAVING with AGG(DISTINCT) is unsupported")
         d_aggs = [a for a in plan["aggs"] if a[0].endswith("_distinct")]
         p_aggs = [a for a in plan["aggs"] if not a[0].endswith("_distinct")]
         gvars = plan["group_by"]
@@ -2369,6 +2367,14 @@ def _execute_plan(triples_ds, plan: dict, n_buckets: int = 64):
                     how="inner",
                 )
             b = joined
+        if plan["having"] is not None:
+            # HAVING over (mixed) DISTINCT aggregates: the grouped
+            # table already carries every aggregate column (hidden
+            # __hav_ ones included) — apply as a post-filter, exactly
+            # what grouped_aggregate does internally for the plain path
+            from .sparql import filter_bindings as _fb
+
+            b = _fb(b, plan["having"])
         out_cols = gvars + [
             a[2] for a in plan["aggs"] if not a[2].startswith("__")
         ]

@@ -163,9 +163,8 @@ def test_order_by_aggregate_key(ray_session):
 @pytest.mark.parametrize(
     "bad",
     [
-        # AGG(DISTINCT) stays out of HAVING/ORDER BY
-        "SELECT ?l WHERE { ?s <http://e/p> ?l } GROUP BY ?l"
-        " HAVING (COUNT(DISTINCT ?s) > 1)",
+        # (AGG(DISTINCT) in HAVING/ORDER BY is now supported — see
+        # test_having_with_distinct_aggregate)
         # ORDER BY AGG composes with grouped results, not DISTINCT
         "SELECT DISTINCT ?l WHERE { ?s <http://e/p> ?l } GROUP BY ?l"
         " ORDER BY DESC(COUNT(?s))",
@@ -1996,3 +1995,70 @@ def test_order_by_agg_scope_violations_raise():
     for tail in ['DESC(?o)', 'DESC(?o + 1)', '?o']:
         with pytest.raises(SparqlSyntaxError):
             parse_query(base + tail)
+
+
+# ---------------------------------------------------------------------------
+# AGG(DISTINCT ...) in HAVING and ORDER BY (hidden distinct aggregates
+# ride the mixed per-family exchange; HAVING applies as a post-filter)
+
+def _distinct_agg_ds():
+    return rd.from_items(
+        [{"subj": "urn:s%d" % (i % 4), "pred": "http://v",
+          "obj_value": str(i % (3 + (i % 4)))} for i in range(30)]
+    )
+
+
+def test_having_with_distinct_aggregate(ray_session):
+    ds = _distinct_agg_ds()
+    import duckdb
+    import pandas as pd
+
+    df = ds.to_pandas()
+    exp = duckdb.sql(
+        "SELECT subj AS s, COUNT(DISTINCT obj_value) AS d FROM df "
+        "GROUP BY subj HAVING COUNT(DISTINCT obj_value) > 3 ORDER BY subj"
+    ).df()
+    got = execute(
+        ds,
+        'SELECT ?s (COUNT(DISTINCT ?o) AS ?d) WHERE { ?s <http://v> ?o } '
+        'GROUP BY ?s HAVING (COUNT(DISTINCT ?o) > 3) ORDER BY ?s',
+    ).to_pandas()
+    assert got["s"].tolist() == exp["s"].tolist()
+    assert got["d"].astype(int).tolist() == exp["d"].astype(int).tolist()
+
+
+def test_having_distinct_with_plain_projection(ray_session):
+    # projected plain aggregate + hidden DISTINCT aggregate in HAVING:
+    # two exchanges over the same materialized bindings, group-key join
+    ds = _distinct_agg_ds()
+    import duckdb
+
+    df = ds.to_pandas()
+    exp = duckdb.sql(
+        "SELECT subj AS s, COUNT(*) AS n FROM df GROUP BY subj "
+        "HAVING COUNT(DISTINCT obj_value) >= 4 ORDER BY subj"
+    ).df()
+    got = execute(
+        ds,
+        'SELECT ?s (COUNT(*) AS ?n) WHERE { ?s <http://v> ?o } GROUP BY ?s '
+        'HAVING (COUNT(DISTINCT ?o) >= 4) ORDER BY ?s',
+    ).to_pandas()
+    assert got["s"].tolist() == exp["s"].tolist()
+    assert got["n"].astype(int).tolist() == exp["n"].astype(int).tolist()
+
+
+def test_order_by_distinct_aggregate_key(ray_session):
+    ds = _distinct_agg_ds()
+    import duckdb
+
+    df = ds.to_pandas()
+    exp = duckdb.sql(
+        "SELECT subj AS s FROM df GROUP BY subj "
+        "ORDER BY COUNT(DISTINCT obj_value) DESC, subj LIMIT 2"
+    ).df()
+    got = execute(
+        ds,
+        'SELECT ?s WHERE { ?s <http://v> ?o } GROUP BY ?s '
+        'ORDER BY DESC(COUNT(DISTINCT ?o)) ?s LIMIT 2',
+    ).to_pandas()
+    assert got["s"].tolist() == exp["s"].tolist()
