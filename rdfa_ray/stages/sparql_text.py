@@ -1954,7 +1954,18 @@ def _exists_flag_column(b, avail_vars, tds, block, extras, alias,
         n_buckets=n_buckets,
     ).materialize()
 
-    if keys.count() <= broadcast_limit:
+    n_keys = keys.count()
+    if n_keys == 0:
+        # empty probe: the flag is a constant (False for EXISTS, True
+        # for NOT EXISTS) — append map-side, zero further work
+        def const_flag(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                alias, pa.array([negate] * batch.num_rows, pa.bool_())
+            )
+
+        return b.map_batches(const_flag, batch_format="pyarrow")
+
+    if n_keys <= broadcast_limit:
         key_ref = ray.put(keys.to_pandas()["__k"].to_numpy())
 
         def flag(batch: pa.Table) -> pa.Table:

@@ -456,3 +456,87 @@ def test_random_group_values(ray_session, seed):
         assert len(got) == 0
     else:
         assert _same(got, want), q
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_expr_exists(ray_session, seed):
+    """[NOT] EXISTS inside FILTER expressions composed with && / || and
+    an ordinary predicate — the hidden-flag-column path vs DuckDB."""
+    rng = random.Random(20000 + seed)
+    rows = _random_graph(rng)
+    p1, p2, p3 = rng.sample(PREDS, 3)
+    cut = rng.choice(VALS)
+
+    q = (
+        "SELECT ?d ?a WHERE { ?d <%s> ?a . "
+        'FILTER (EXISTS { ?d <%s> ?b } || ?a >= "%s") }' % (p1, p2, cut)
+    )
+    got = execute(_ds(rows), q, n_buckets=4).to_pandas()
+    want = _con(rows).execute(
+        "SELECT subj AS d, obj_value AS a FROM t WHERE pred = ?"
+        " AND (subj IN (SELECT subj FROM t WHERE pred = ?)"
+        " OR obj_value >= ?)",
+        [p1, p2, cut],
+    ).fetchdf()
+    assert _same(got, want), q
+
+    q2 = (
+        "SELECT ?d WHERE { ?d <%s> ?a . "
+        'FILTER (NOT EXISTS { ?d <%s> ?b . FILTER (?b < "%s") } '
+        "&& EXISTS { ?d <%s> ?c }) }" % (p1, p2, cut, p3)
+    )
+    got2 = execute(_ds(rows), q2, n_buckets=4).to_pandas()
+    want2 = _con(rows).execute(
+        "SELECT subj AS d FROM t WHERE pred = ?"
+        " AND subj NOT IN (SELECT subj FROM t WHERE pred = ?"
+        "  AND obj_value < ?)"
+        " AND subj IN (SELECT subj FROM t WHERE pred = ?)",
+        [p1, p2, cut, p3],
+    ).fetchdf()
+    assert _same(got2, want2), q2
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_order_by_agg_expr(ray_session, seed):
+    """Post-aggregation ORDER BY expressions (alias arithmetic and
+    inline DISTINCT aggregates) vs DuckDB, including LIMIT truncation."""
+    rng = random.Random(21000 + seed)
+    rows = _random_graph(rng)
+    p1 = rng.choice(PREDS)
+    k = rng.randrange(1, 4)
+
+    q = (
+        "SELECT ?d (COUNT(*) AS ?n) WHERE { ?d <%s> ?a } GROUP BY ?d "
+        "ORDER BY DESC(?n * 10 + STRLEN(STR(?d))) ?d LIMIT %d" % (p1, k)
+    )
+    got = execute(_ds(rows), q, n_buckets=4).to_pandas()
+    want = _con(rows).execute(
+        "SELECT subj AS d, COUNT(*) AS n FROM t WHERE pred = ?"
+        " GROUP BY subj"
+        " ORDER BY (COUNT(*) * 10 + length(subj)) DESC, subj LIMIT %d" % k,
+        [p1],
+    ).fetchdf()
+    # ordered comparison: LIMIT makes the row SET depend on the sort
+    assert got["d"].tolist() == want["d"].tolist(), q
+    if len(got):
+        assert got["n"].astype(int).tolist() == want["n"].astype(int).tolist()
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_having_distinct(ray_session, seed):
+    rng = random.Random(22000 + seed)
+    rows = _random_graph(rng)
+    p1 = rng.choice(PREDS)
+    k = rng.randrange(1, 4)
+
+    q = (
+        "SELECT ?d (COUNT(*) AS ?n) WHERE { ?d <%s> ?a } GROUP BY ?d "
+        "HAVING (COUNT(DISTINCT ?a) >= %d)" % (p1, k)
+    )
+    got = execute(_ds(rows), q, n_buckets=4).to_pandas()
+    want = _con(rows).execute(
+        "SELECT subj AS d, COUNT(*) AS n FROM t WHERE pred = ?"
+        " GROUP BY subj HAVING COUNT(DISTINCT obj_value) >= %d" % k,
+        [p1],
+    ).fetchdf()
+    assert _same(got, want), q
