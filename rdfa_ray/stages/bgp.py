@@ -110,6 +110,12 @@ def _scan(triples_ds, pattern, carry_meta: bool = False):
     if not out_vars:
         raise ValueError("pattern %r binds no variables" % (pattern,))
     metas = meta_vars_for(pattern) if carry_meta else []
+    # SPARQL 1.1 §13.3: a variable graph term ranges over NAMED graphs
+    # only — the default graph ('' in the engine's quad layout) never
+    # binds it.  (Under FROM/FROM NAMED the dataset-clause view tags
+    # rows instead and its own unprefix step enforces this; the mask is
+    # a no-op there since tagged rows are never ''.)
+    named_only = len(pattern) > 3 and _is_var(pattern[3])
 
     def scan_batch(batch: pa.Table) -> pa.Table:
         if metas and any(
@@ -137,6 +143,9 @@ def _scan(triples_ds, pattern, carry_meta: bool = False):
                 mask = m if mask is None else pc.and_(mask, m)
             else:
                 first_pos[name] = col
+        if named_only:
+            m = pc.not_equal(pc.cast(batch.column("graph"), pa.string()), "")
+            mask = m if mask is None else pc.and_(mask, m)
         if mask is not None:
             batch = batch.filter(pc.fill_null(mask, False))
         cols = {name: batch.column(first_pos[name]) for name in out_vars}

@@ -2062,3 +2062,21 @@ def test_order_by_distinct_aggregate_key(ray_session):
         'ORDER BY DESC(COUNT(DISTINCT ?o)) ?s LIMIT 2',
     ).to_pandas()
     assert got["s"].tolist() == exp["s"].tolist()
+
+
+def test_graph_var_excludes_default_graph(ray_session):
+    """SPARQL 1.1 §13.3: GRAPH ?g ranges over NAMED graphs only — the
+    default graph ('' in the quad layout) must never bind it, while a
+    plain triple pattern keeps the engine's rdflib-ConjunctiveGraph
+    union-default semantics (matches every graph)."""
+    ds = rd.from_items([
+        {"subj": "urn:a", "pred": "http://p", "obj_value": "x", "graph": ""},
+        {"subj": "urn:b", "pred": "http://p", "obj_value": "y",
+         "graph": "urn:g1"},
+    ])
+    named = execute(
+        ds, 'SELECT ?s ?g WHERE { GRAPH ?g { ?s <http://p> ?o } }'
+    ).to_pandas()
+    assert sorted(zip(named["s"], named["g"])) == [("urn:b", "urn:g1")]
+    union = execute(ds, 'SELECT ?s WHERE { ?s <http://p> ?o }').to_pandas()
+    assert sorted(union["s"]) == ["urn:a", "urn:b"]
