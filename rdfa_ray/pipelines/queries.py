@@ -2407,6 +2407,27 @@ def q_kg_sparql_graph(sf_dir: str):
     )
 
 
+def q_kg_graph_var_exists(sf_dir: str):
+    """GRAPH ?g inside a FILTER EXISTS group, correlated with the base
+    on BOTH ?d and the graph variable: sources whose document carries a
+    Chinese-language triple in the SAME named graph — the semi join's
+    compat key simply includes ?g (round-3: variable graph terms now
+    ride group bodies as quad patterns with the named-graphs-only
+    scan mask)."""
+    from ..stages.sparql_text import execute
+
+    return execute(
+        _typed_quads(sf_dir),
+        """
+        PREFIX schema: <http://schema.org/>
+        SELECT ?g ?src WHERE {
+          GRAPH ?g { ?d schema:source ?src } .
+          FILTER EXISTS { GRAPH ?g { ?d schema:inLanguage "zh" } }
+        }
+        """,
+    )
+
+
 def q_kg_graph_census(sf_dir: str):
     """Per-named-graph triple census: ``GRAPH ?g { ?s ?p ?o } GROUP BY
     ?g`` — the quad-store analogue of rdflib's
@@ -3196,6 +3217,7 @@ QUERIES = {
     "kg_year_census": q_kg_year_census,
     "kg_datetime_parts": q_kg_datetime_parts,
     "kg_sparql_graph": q_kg_sparql_graph,
+    "kg_graph_var_exists": q_kg_graph_var_exists,
     "kg_graph_census": q_kg_graph_census,
     "kg_from_named": q_kg_from_named,
     "kg_store_sparql": q_kg_store_sparql,
@@ -3845,6 +3867,10 @@ ORACLE_SQL = {
         % _TYPED_TRIPLES_SQL
     ),
     "kg_sparql_graph": (
+        "SELECT 'http://graft.local/conv/doc' || printf('%08d', doc_id)"
+        " || '/turn/0' AS g, source AS src FROM documents WHERE lang = 'zh'"
+    ),
+    "kg_graph_var_exists": (
         "SELECT 'http://graft.local/conv/doc' || printf('%08d', doc_id)"
         " || '/turn/0' AS g, source AS src FROM documents WHERE lang = 'zh'"
     ),

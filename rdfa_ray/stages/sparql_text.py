@@ -1428,17 +1428,15 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
                 if p.peek() == ("op", "."):
                     p.next()
             elif p.at_kw("GRAPH"):
-                # constant-graph quad patterns inside a group block —
-                # same rewrite the base BGP applies; variable graph
-                # terms inside groups stay out of the fragment
+                # quad patterns inside a group block — same rewrite the
+                # base BGP applies; a VARIABLE graph term rides as the
+                # pattern's 4th position (the scan's named-graphs-only
+                # mask gives it SPARQL §13.3 scope); it does not
+                # compose with FROM/FROM NAMED (checked at plan level
+                # once the dataset clauses are known)
                 p.next()
                 gk, gv = p.next()
                 gterm = _resolve(gk, gv, prefixes)
-                if gterm.startswith("?"):
-                    raise SparqlSyntaxError(
-                        "GRAPH ?var inside %s blocks is unsupported"
-                        " (constant graph terms only)" % kind_name
-                    )
                 gblock = []
                 p.expect_op("{")
                 parse_triples_block(gblock)
@@ -1446,6 +1444,12 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
                 if not gblock:
                     raise SparqlSyntaxError("GRAPH group needs triple patterns")
                 for s, pr, o in gblock:
+                    if isinstance(pr, tuple) and gterm.startswith("?"):
+                        # same restriction as the base BGP: paths need a
+                        # constant graph-filtered edge universe
+                        raise SparqlSyntaxError(
+                            "property paths inside GRAPH ?var are unsupported"
+                        )
                     block.append((s, pr, o, gterm))
                 if p.peek() == ("op", "."):
                     p.next()
@@ -1585,6 +1589,8 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
                         "property paths inside GRAPH ?var are unsupported"
                     )
                 patterns.append((s, pr, o, gterm))
+            if p.peek() == ("op", "."):  # optional '.' after the group
+                p.next()
         elif at_subquery():
             # record the clause position so execution can interleave
             # the subquery join with the OPTIONAL/MINUS/EXISTS groups
@@ -2749,12 +2755,26 @@ def _apply_dataset_clause(triples_ds, plan):
     plan["union"] = [rewrite(g) for g in plan["union"]]
     plan["minus"] = [rewrite(g) for g in plan["minus"]]
     plan["exists"] = [(rewrite(g), neg) for g, neg in plan["exists"]]
+    # NOTE: rewrite_group (defined below) re-rewrites plan["groups"],
+    # raising on variable graph terms inside group bodies
     # plan["groups"] (the ordered executor view of the same blocks)
     # holds its own references — rewrite them too, or OPTIONAL/MINUS/
     # EXISTS would match the raw quads view and leak FROM NAMED rows
     # into default-graph matching
+    def rewrite_group(group):
+        # a variable graph term inside an OPTIONAL/MINUS/EXISTS probe
+        # would bind the dataset view's default-tag rows (the unprefix
+        # step only sees surfaced top-level bindings) — out of scope
+        for pt in group:
+            if len(pt) > 3 and pt[3].startswith("?"):
+                raise SparqlSyntaxError(
+                    "GRAPH ?var inside OPTIONAL/MINUS/EXISTS blocks does"
+                    " not compose with FROM/FROM NAMED in this fragment"
+                )
+        return rewrite(group)
+
     plan["groups"] = [
-        (g[0], rewrite(g[1]), *g[2:]) for g in plan["groups"]
+        (g[0], rewrite_group(g[1]), *g[2:]) for g in plan["groups"]
     ]
 
     def rewrite_extras(ex):
@@ -2772,7 +2792,7 @@ def _apply_dataset_clause(triples_ds, plan):
             binds,
             filters,
             [
-                (nk, rewrite(nb), rewrite_extras(nx), ng)
+                (nk, rewrite_group(nb), rewrite_extras(nx), ng)
                 for nk, nb, nx, ng in nested
             ],
         )
@@ -2780,7 +2800,7 @@ def _apply_dataset_clause(triples_ds, plan):
     plan["group_extras"] = [rewrite_extras(ex) for ex in plan["group_extras"]]
     plan["union_extras"] = [rewrite_extras(ex) for ex in plan["union_extras"]]
     plan["expr_exists"] = [
-        (alias, rewrite(block), rewrite_extras(ex), neg)
+        (alias, rewrite_group(block), rewrite_extras(ex), neg)
         for alias, block, ex, neg in plan.get("expr_exists", [])
     ]
 

@@ -1725,12 +1725,14 @@ def test_values_and_graph_inside_groups(ray_session):
     assert _rows(out, ["d"]) == [("a",)]
 
 
-def test_graph_var_inside_group_rejected():
-    with pytest.raises(SparqlSyntaxError):
-        parse_query(
-            "SELECT ?d WHERE { ?d <http://e/l> ?l ."
-            " OPTIONAL { GRAPH ?g { ?d <http://e/s> ?n } } }"
-        )
+def test_graph_var_inside_group_parses():
+    # upgraded from a hard rejection — see test_graph_var_inside_groups
+    plan = parse_query(
+        "SELECT ?d WHERE { ?d <http://e/l> ?l ."
+        " OPTIONAL { GRAPH ?g { ?d <http://e/s> ?n } } }"
+    )
+    (kind, block), = [(k, b) for k, b in plan["groups"]]
+    assert kind == "optional" and block == [("?d", "http://e/s", "?n", "?g")]
 
 
 def test_subquery_inside_group_bodies(ray_session):
@@ -2080,3 +2082,63 @@ def test_graph_var_excludes_default_graph(ray_session):
     assert sorted(zip(named["s"], named["g"])) == [("urn:b", "urn:g1")]
     union = execute(ds, 'SELECT ?s WHERE { ?s <http://p> ?o }').to_pandas()
     assert sorted(union["s"]) == ["urn:a", "urn:b"]
+
+
+def test_graph_var_inside_groups(ray_session):
+    """GRAPH ?g inside OPTIONAL/MINUS/EXISTS bodies: quad patterns with
+    a variable 4th term, named-graphs-only scope, graph correlation
+    through the group joins."""
+    ds = rd.from_items([
+        {"subj": "urn:a", "pred": "http://p", "obj_value": "x", "graph": ""},
+        {"subj": "urn:b", "pred": "http://p", "obj_value": "y",
+         "graph": "urn:g1"},
+        {"subj": "urn:c", "pred": "http://p", "obj_value": "z",
+         "graph": "urn:g2"},
+        {"subj": "urn:b", "pred": "http://q", "obj_value": "m",
+         "graph": "urn:g1"},
+        {"subj": "urn:c", "pred": "http://q", "obj_value": "n",
+         "graph": ""},
+    ])
+    # OPTIONAL: ?g surfaces; c's default-graph q-row must NOT bind it
+    opt = execute(ds, 'SELECT ?s ?g WHERE { ?s <http://p> ?o . '
+                      'OPTIONAL { GRAPH ?g { ?s <http://q> ?m } } }'
+                  ).to_pandas()
+    assert sorted(zip(opt["s"], opt["g"])) == [
+        ("urn:a", ""), ("urn:b", "urn:g1"), ("urn:c", "")]
+    # MINUS with a probe-local graph var
+    mns = execute(ds, 'SELECT ?s WHERE { ?s <http://p> ?o . '
+                      'MINUS { GRAPH ?g { ?s <http://q> ?m } } }'
+                  ).to_pandas()
+    assert sorted(mns["s"]) == ["urn:a", "urn:c"]
+    # EXISTS correlated on the graph variable itself
+    exi = execute(ds, 'SELECT ?s ?g WHERE { GRAPH ?g { ?s <http://p> ?o } . '
+                      'FILTER EXISTS { GRAPH ?g { ?s <http://q> ?m } } }'
+                  ).to_pandas()
+    assert sorted(zip(exi["s"], exi["g"])) == [("urn:b", "urn:g1")]
+    # UNION arms take GRAPH ?g too (bag semantics)
+    arm = execute(ds, 'SELECT ?s ?g WHERE { '
+                      '{ GRAPH ?g { ?s <http://q> ?m } } UNION '
+                      '{ GRAPH ?g { ?s <http://p> ?o } } }').to_pandas()
+    assert sorted(zip(arm["s"], arm["g"])) == [
+        ("urn:b", "urn:g1"), ("urn:b", "urn:g1"), ("urn:c", "urn:g2")]
+
+
+def test_graph_var_in_group_rejects_from_and_paths(ray_session):
+    ds = rd.from_items([{"subj": "urn:b", "pred": "http://p",
+                         "obj_value": "y", "graph": "urn:g1"}])
+    # FROM guard fires when the dataset clause is applied (execute time)
+    with pytest.raises(SparqlSyntaxError):
+        execute(ds, 'SELECT ?s FROM <urn:g1> WHERE { ?s <http://p> ?o . '
+                    'OPTIONAL { GRAPH ?g { ?s <http://q> ?m } } }')
+    with pytest.raises(SparqlSyntaxError):
+        parse_query('SELECT ?s WHERE { ?s <http://p> ?o . '
+                    'OPTIONAL { GRAPH ?g { ?s <http://q>+ ?m } } }')
+
+
+def test_top_level_graph_group_trailing_dot(ray_session):
+    # grammar: '.' after a GraphGraphPattern is optional — was rejected
+    ds = rd.from_items([{"subj": "urn:b", "pred": "http://p",
+                         "obj_value": "y", "graph": "urn:g1"}])
+    out = execute(ds, 'SELECT ?s ?g WHERE { GRAPH ?g { ?s <http://p> ?o } . '
+                      '?s <http://p> ?o2 }').to_pandas()
+    assert sorted(zip(out["s"], out["g"])) == [("urn:b", "urn:g1")]
