@@ -22,7 +22,23 @@ from .sources.io import read_parquet as read_parquet_clean
 
 def main(argv=None):
     p = argparse.ArgumentParser(description="rdfa_ray KG-construction pipeline")
-    p.add_argument("--input", required=True, help="transcripts parquet file/dir")
+    p.add_argument("--input", required=True, help="transcripts parquet file/dir, or markup files/dir with --input-format markup")
+    p.add_argument(
+        "--input-format",
+        choices=["parquet", "markup"],
+        default="parquet",
+        help="'parquet': transcript table (conv_id, turn_idx, text, ...);"
+        " 'markup': directory/glob of (X)HTML/SVG/XML documents — the"
+        " reference CLI's file mode, one document per row"
+        " (sources/markupfiles.py)",
+    )
+    p.add_argument(
+        "--on-malformed",
+        choices=["raise", "skip"],
+        default="raise",
+        help="with --input-format markup: 'skip' quarantines undecodable"
+        " files instead of failing the whole run",
+    )
     p.add_argument("--output", required=True, help="output directory")
     p.add_argument(
         "--parts", type=int, default=None,
@@ -96,7 +112,14 @@ def main(argv=None):
         "vocab_expansion": args.vocab_expansion,
     }
 
-    turns = read_parquet_clean(args.input)
+    if args.input_format == "markup":
+        from rdfa_ray.sources.markupfiles import read_markup_documents
+
+        turns = read_markup_documents(
+            args.input, on_malformed=args.on_malformed
+        )
+    else:
+        turns = read_parquet_clean(args.input)
     summary = run_flagship(
         turns,
         args.output,

@@ -144,3 +144,40 @@ def test_parse_error_classes_are_value_errors():
 
     assert issubclass(XMLParseError, ValueError)
     assert issubclass(EmbeddedParseError, ValueError)
+
+
+def test_markup_files_source(ray_session, tmp_path):
+    """Directory-of-HTML-files source: the reference CLI's file mode as
+    a Ray Data source — decode errors quarantine under
+    on_malformed='skip', and rows feed the distiller unchanged."""
+    import pytest
+
+    from rdfa_ray.pipelines.flagship import build_triples
+    from rdfa_ray.sources.markupfiles import read_markup_documents
+
+    html = (
+        '<!DOCTYPE html><html prefix="schema: http://schema.org/"><body>'
+        '<div about="#me" typeof="schema:Person">'
+        '<span property="schema:name">Doc %d</span></div></body></html>'
+    )
+    for i in range(3):
+        (tmp_path / ("doc%d.html" % i)).write_text(html % i)
+    (tmp_path / "bad.html").write_bytes(b"\xff\xfe\x00garbage\x80")
+
+    with pytest.raises(Exception):  # undecodable file fails loudly
+        read_markup_documents(str(tmp_path)).materialize()
+
+    turns = read_markup_documents(str(tmp_path), on_malformed="skip")
+    df = turns.to_pandas()
+    assert len(df) == 3
+    assert set(df["tool"]) == {"text/html"}
+    assert all(df["conv_id"].str.endswith(".html"))
+
+    out = build_triples(turns).to_pandas()
+    triples = out[out["kind"] == "triple"]
+    # 2 triples per doc: rdf:type + schema:name
+    assert len(triples) == 6
+    assert set(triples["pred"]) == {
+        "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+        "http://schema.org/name",
+    }
