@@ -31,6 +31,46 @@ def query(source, sparql: str, n_buckets: int = 64):
     return execute(source, sparql, n_buckets=n_buckets)
 
 
+def parse(source, format: str = "markup", options_kwargs=None,
+          on_malformed: str = "raise"):
+    """Distill input into a triples ``ray.data.Dataset`` — the rdflib
+    ``Graph().parse(...)`` analogue, distributed.
+
+    ``source``:
+      * path(s) / glob / directory of (X)HTML/SVG/XML documents
+        (``format="markup"``, the reference CLI's file mode) — one
+        graph per document;
+      * path(s) to N-Triples / N-Quads files (``format="ntriples"``);
+      * an already-loaded transcripts-shaped Dataset
+        (``conv_id, turn_idx, text, ...``; format ignored).
+
+    Returns the engine's triple layout ``(conv_id?, subj, subj_kind,
+    pred, obj_value, obj_kind, obj_lang, obj_datatype, graph)`` —
+    feed it straight to :func:`query` or any ``stages`` operator.
+    ``on_malformed="skip"`` quarantines undecodable/corrupt inputs
+    instead of failing the read (the 100-TB-crawl stance)."""
+    from .pipelines.flagship import build_triples
+    from .stages.distill import split_triples
+
+    if not isinstance(source, (str, list, tuple)):
+        turns = source  # a transcripts Dataset
+    elif format == "markup":
+        from .sources.markupfiles import read_markup_documents
+
+        turns = read_markup_documents(source, on_malformed=on_malformed)
+    elif format in ("ntriples", "nquads", "nt", "nq"):
+        from .sources.ntfiles import read_ntriples
+
+        return read_ntriples(source, on_malformed=on_malformed)
+    else:
+        raise ValueError(
+            "parse() formats: 'markup', 'ntriples' — got %r" % format
+        )
+    return build_triples(turns, options_kwargs=options_kwargs).map_batches(
+        split_triples, batch_format="pyarrow"
+    )
+
+
 def update(store_dir: str, sparql: str, n_buckets: int = 64) -> dict:
     """Run a SPARQL 1.1 Update string (INSERT/DELETE DATA, DELETE
     WHERE, DELETE/INSERT WHERE, CLEAR; ';'-separated sequences) against

@@ -181,3 +181,32 @@ def test_markup_files_source(ray_session, tmp_path):
         "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
         "http://schema.org/name",
     }
+
+
+def test_parse_query_two_call_workflow(ray_session, tmp_path):
+    """rdflib-parity happy path: rdfa_ray.parse(dir) -> rdfa_ray.query —
+    Graph().parse + graph.query in two distributed calls."""
+    import rdfa_ray
+
+    html = (
+        '<!DOCTYPE html><html prefix="schema: http://schema.org/"><body>'
+        '<div about="#me" typeof="schema:Person">'
+        '<span property="schema:name">P%d</span></div></body></html>'
+    )
+    for i in range(3):
+        (tmp_path / ("d%d.html" % i)).write_text(html % i)
+    g = rdfa_ray.parse(str(tmp_path))
+    res = rdfa_ray.query(
+        g,
+        'SELECT ?n WHERE { ?p a <http://schema.org/Person> ; '
+        '<http://schema.org/name> ?n }',
+    ).to_pandas()
+    assert sorted(res["n"]) == ["P0", "P1", "P2"]
+    # ntriples format routes to the file source
+    nt = tmp_path / "x.nt"
+    nt.write_text('<urn:a> <urn:p> "v" .\n')
+    assert rdfa_ray.parse(str(nt), format="ntriples").count() == 1
+    import pytest
+
+    with pytest.raises(ValueError):
+        rdfa_ray.parse(str(nt), format="turtle-files")
