@@ -2043,15 +2043,6 @@ def _execute_plan(triples_ds, plan: dict, n_buckets: int = 64):
         + plan["minus"]
         + [g for g, _ in plan["exists"]]
     )
-    if plan["subqueries"] and (
-        plan["from_graphs"]
-        or plan["from_named"]
-        or any(len(pt) > 3 for pt in plan["patterns"])
-    ):
-        raise SparqlSyntaxError(
-            "subqueries do not compose with GRAPH patterns or dataset"
-            " clauses in this fragment"
-        )
 
     if plan["needs_meta"]:
         # LANG()/DATATYPE() read per-triple literal metadata carried
@@ -2768,8 +2759,9 @@ def _apply_dataset_clause(triples_ds, plan):
         for pt in group:
             if len(pt) > 3 and pt[3].startswith("?"):
                 raise SparqlSyntaxError(
-                    "GRAPH ?var inside OPTIONAL/MINUS/EXISTS blocks does"
-                    " not compose with FROM/FROM NAMED in this fragment"
+                    "GRAPH ?var inside OPTIONAL/MINUS/EXISTS blocks or"
+                    " subqueries does not compose with FROM/FROM NAMED"
+                    " in this fragment"
                 )
         return rewrite(group)
 
@@ -2803,6 +2795,34 @@ def _apply_dataset_clause(triples_ds, plan):
         (alias, rewrite_group(block), rewrite_extras(ex), neg)
         for alias, block, ex, neg in plan.get("expr_exists", [])
     ]
+
+    def rewrite_subplan(sp):
+        # a subquery evaluates against the OUTER dataset (SPARQL
+        # subqueries take no dataset clauses of their own — the parser
+        # already rejects FROM inside them), so its pattern blocks get
+        # the same tagged-view rewrite.  Variable graph terms inside a
+        # subquery under dataset clauses would bind the view's tag
+        # rows invisibly to the outer unprefix step — rewrite_group's
+        # guard rejects them (constant GRAPH and plain patterns pass).
+        sp["patterns"] = rewrite_group(sp["patterns"])
+        sp["optionals"] = [rewrite_group(g) for g in sp["optionals"]]
+        sp["union"] = [rewrite_group(g) for g in sp["union"]]
+        sp["minus"] = [rewrite_group(g) for g in sp["minus"]]
+        sp["exists"] = [(rewrite_group(g), neg) for g, neg in sp["exists"]]
+        sp["groups"] = [
+            (g[0], rewrite_group(g[1]), *g[2:]) for g in sp["groups"]
+        ]
+        sp["group_extras"] = [rewrite_extras(ex) for ex in sp["group_extras"]]
+        sp["union_extras"] = [rewrite_extras(ex) for ex in sp["union_extras"]]
+        sp["expr_exists"] = [
+            (a, rewrite_group(bl), rewrite_extras(ex), n)
+            for a, bl, ex, n in sp.get("expr_exists", [])
+        ]
+        for inner, _pos in sp["subqueries"]:
+            rewrite_subplan(inner)
+
+    for sub, _pos in plan["subqueries"]:
+        rewrite_subplan(sub)
 
     clash = graph_vars & other_vars
     if clash:

@@ -2142,3 +2142,64 @@ def test_top_level_graph_group_trailing_dot(ray_session):
     out = execute(ds, 'SELECT ?s ?g WHERE { GRAPH ?g { ?s <http://p> ?o } . '
                       '?s <http://p> ?o2 }').to_pandas()
     assert sorted(zip(out["s"], out["g"])) == [("urn:b", "urn:g1")]
+
+
+# ---------------------------------------------------------------------------
+# subqueries composing with GRAPH patterns and dataset clauses
+
+def _sub_graph_ds():
+    return rd.from_items([
+        {"subj": "urn:s%d" % (i % 4), "pred": "http://v",
+         "obj_value": str(i % 5), "graph": "urn:g%d" % (i % 2)}
+        for i in range(24)
+    ])
+
+
+def test_subquery_with_quad_base(ray_session):
+    import duckdb
+
+    ds = _sub_graph_ds()
+    df = ds.to_pandas()
+    got = execute(
+        ds,
+        'SELECT ?s ?t WHERE { GRAPH <urn:g1> { ?s <http://v> ?o } . '
+        '{ SELECT ?s (COUNT(*) AS ?t) WHERE { ?s <http://v> ?x } '
+        'GROUP BY ?s } }',
+    ).to_pandas().drop_duplicates().sort_values("s")
+    exp = duckdb.sql(
+        "SELECT DISTINCT a.subj AS s, b.t FROM df a JOIN "
+        "(SELECT subj, COUNT(*) AS t FROM df GROUP BY subj) b "
+        "ON b.subj = a.subj WHERE a.graph = 'urn:g1' ORDER BY s"
+    ).df()
+    assert got["s"].tolist() == exp["s"].tolist()
+    assert got["t"].astype(int).tolist() == exp["t"].astype(int).tolist()
+
+
+def test_subquery_under_from_clause(ray_session):
+    """SPARQL subqueries evaluate against the OUTER dataset: a FROM
+    clause restricts the subquery's aggregate too."""
+    import duckdb
+
+    ds = _sub_graph_ds()
+    df = ds.to_pandas()
+    got = execute(
+        ds,
+        'SELECT ?s ?t FROM <urn:g0> WHERE { ?s <http://v> ?o . '
+        '{ SELECT ?s (COUNT(*) AS ?t) WHERE { ?s <http://v> ?x } '
+        'GROUP BY ?s } }',
+    ).to_pandas().drop_duplicates().sort_values("s")
+    exp = duckdb.sql(
+        "SELECT DISTINCT a.subj AS s, b.t FROM df a JOIN "
+        "(SELECT subj, COUNT(*) AS t FROM df WHERE graph = 'urn:g0' "
+        "GROUP BY subj) b ON b.subj = a.subj WHERE a.graph = 'urn:g0' "
+        "ORDER BY s"
+    ).df()
+    assert got["s"].tolist() == exp["s"].tolist()
+    assert got["t"].astype(int).tolist() == exp["t"].astype(int).tolist()
+
+
+def test_subquery_graph_var_under_from_raises(ray_session):
+    ds = _sub_graph_ds()
+    with pytest.raises(SparqlSyntaxError):
+        execute(ds, 'SELECT ?s FROM <urn:g0> WHERE { ?s <http://v> ?o . '
+                    '{ SELECT ?s WHERE { GRAPH ?g { ?s <http://v> ?x } } } }')
