@@ -946,6 +946,20 @@ def q_dedup_lines(sf_dir: str):
     return out
 
 
+def q_epoch_shuffle(sf_dir: str):
+    """Deterministic epoch shuffle: documents globally reordered by
+    md5(seed || doc_id) — one map-side hash column + ONE range-sort
+    exchange, reproducible at any parallelism/resume point (the
+    training loader's per-epoch shuffle).  Top 50 keeps the oracle
+    ORDER-sensitive: the row SET depends on the permutation."""
+    from ..stages.split import epoch_shuffle
+
+    docs = read_parquet_clean(
+        "%s/documents.parquet" % sf_dir, columns=["doc_id", "lang"]
+    )
+    return epoch_shuffle(docs, seed=7, keep_cols=["lang"]).limit(50)
+
+
 def q_mixture_sample(sf_dir: str):
     """Dataset mixing: src1 upweighted to 1.5 epochs, src2 kept at
     0.25, everything else 1.0 — deterministic content-hash sampling
@@ -3188,6 +3202,7 @@ QUERIES = {
     "repetition_signals": q_repetition_signals,
     "sequence_packing": q_sequence_packing,
     "mixture_sample": q_mixture_sample,
+    "epoch_shuffle": q_epoch_shuffle,
     "dedup_substrings": q_dedup_substrings,
     "dedup_lines": q_dedup_lines,
     "multimodal_resize": q_multimodal_resize,
@@ -4024,6 +4039,11 @@ ORACLE_SQL = {
         " CAST(floor(-AVG(ln(f.n / tot.total)) * 1000000 + 0.5) AS BIGINT)"
         " AS logppl_micro"
         " FROM tok t JOIN freq f USING (token), tot GROUP BY t.doc_id"
+    ),
+    "epoch_shuffle": (
+        "SELECT doc_id, lang, md5(CAST(7 AS VARCHAR) || '|' ||"
+        " CAST(doc_id AS VARCHAR)) AS shuffle_key"
+        " FROM documents ORDER BY shuffle_key LIMIT 50"
     ),
     "mixture_sample": (
         "WITH f AS (SELECT doc_id, source, substr(md5(text), 1, 4) AS h"

@@ -107,3 +107,38 @@ def mixture_sample(docs_ds, weights: dict, default: float = 1.0):
         )
 
     return docs_ds.map_batches(expand, batch_format="pandas")
+
+
+def epoch_shuffle(docs_ds, seed: int, key_col: str = "doc_id",
+                  keep_cols: list | None = None):
+    """Deterministic epoch shuffle: global reorder by
+    ``md5(seed || key)`` — the reproducible shuffle a training data
+    loader needs per epoch.
+
+    Semantics: a different ``seed`` gives an (effectively) independent
+    permutation; the SAME (seed, corpus) gives the SAME order at ANY
+    parallelism, partitioning, or resume point — unlike an RNG-based
+    shuffle, a crashed epoch resumes mid-stream bit-identically.
+
+    Shape at scale: one map-side hash column + ONE range-sort exchange
+    (Ray's distributed sort) — the standard hash-ordered shuffle; no
+    driver-side materialization, no RNG state to ship.  Exactly
+    reproducible in SQL (``ORDER BY md5(seed || key)``), so the op is
+    oracle-checkable end to end."""
+    keep = [key_col] + [c for c in (keep_cols or []) if c != key_col]
+
+    def add_key(batch: pa.Table, _seed=str(int(seed))) -> pa.Table:
+        keys = [
+            hashlib.md5((_seed + "|" + str(k)).encode()).hexdigest()
+            for k in batch.column(key_col).to_pylist()
+        ]
+        return pa.Table.from_pydict(
+            {
+                **{c: batch.column(c) for c in keep},
+                "shuffle_key": pa.array(keys, pa.string()),
+            }
+        )
+
+    return docs_ds.map_batches(add_key, batch_format="pyarrow").sort(
+        "shuffle_key"
+    )

@@ -467,3 +467,25 @@ def test_kmeans_assign_is_nearest_centroid_not_max_dot(ray_session):
     )
     # with correct euclidean assignment every vector is its own cell
     assert assigns.nunique() == 4
+
+
+def test_epoch_shuffle_determinism_and_independence(ray_session):
+    """Same (seed, corpus) -> identical order at any partitioning;
+    different seeds -> different permutations; no row lost or duplicated."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rdfa_ray.stages.split import epoch_shuffle
+
+    docs = pa.table({"doc_id": pa.array(list(range(200)), pa.int64()),
+                     "lang": pa.array(["l%d" % (i % 3) for i in range(200)])})
+    a = epoch_shuffle(rd.from_arrow(docs).repartition(2), seed=7,
+                      keep_cols=["lang"]).to_pandas()
+    b = epoch_shuffle(rd.from_arrow(docs).repartition(9), seed=7,
+                      keep_cols=["lang"]).to_pandas()
+    c = epoch_shuffle(rd.from_arrow(docs).repartition(4), seed=8).to_pandas()
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()  # partition-invariant
+    assert sorted(a["doc_id"]) == list(range(200))       # a permutation
+    assert sorted(c["doc_id"]) == list(range(200))
+    assert a["doc_id"].tolist() != c["doc_id"].tolist()  # seed-independent
+    assert a["lang"].tolist() == ["l%d" % (i % 3) for i in a["doc_id"]]
