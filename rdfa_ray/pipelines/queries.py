@@ -2442,6 +2442,23 @@ def q_kg_graph_var_exists(sf_dir: str):
     )
 
 
+def q_kg_graph_path(sf_dir: str):
+    """Property path under GRAPH ?g (alt path): per-graph evaluation
+    via graph-packed node keys — closures and sequence joins compose
+    within one named graph by construction, ?g binds per solution."""
+    from ..stages.sparql_text import execute
+
+    return execute(
+        _typed_quads(sf_dir),
+        """
+        PREFIX schema: <http://schema.org/>
+        SELECT ?g ?d ?v WHERE {
+          GRAPH ?g { ?d (schema:source|schema:inLanguage) ?v }
+        }
+        """,
+    )
+
+
 def q_kg_graph_census(sf_dir: str):
     """Per-named-graph triple census: ``GRAPH ?g { ?s ?p ?o } GROUP BY
     ?g`` — the quad-store analogue of rdflib's
@@ -3233,6 +3250,7 @@ QUERIES = {
     "kg_datetime_parts": q_kg_datetime_parts,
     "kg_sparql_graph": q_kg_sparql_graph,
     "kg_graph_var_exists": q_kg_graph_var_exists,
+    "kg_graph_path": q_kg_graph_path,
     "kg_graph_census": q_kg_graph_census,
     "kg_from_named": q_kg_from_named,
     "kg_store_sparql": q_kg_store_sparql,
@@ -3888,6 +3906,13 @@ ORACLE_SQL = {
     "kg_graph_var_exists": (
         "SELECT 'http://graft.local/conv/doc' || printf('%08d', doc_id)"
         " || '/turn/0' AS g, source AS src FROM documents WHERE lang = 'zh'"
+    ),
+    "kg_graph_path": (
+        "SELECT 'http://graft.local/conv/doc' || printf('%08d', doc_id)"
+        " || '/turn/0' AS g,"
+        " 'http://docs.local/d' || CAST(doc_id AS VARCHAR) AS d, v"
+        " FROM (SELECT doc_id, source AS v FROM documents"
+        "       UNION ALL SELECT doc_id, lang AS v FROM documents)"
     ),
     "kg_graph_census": (
         "SELECT 'http://graft.local/conv/doc' || printf('%08d', doc_id)"

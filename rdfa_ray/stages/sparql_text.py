@@ -1444,12 +1444,8 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
                 if not gblock:
                     raise SparqlSyntaxError("GRAPH group needs triple patterns")
                 for s, pr, o in gblock:
-                    if isinstance(pr, tuple) and gterm.startswith("?"):
-                        # same restriction as the base BGP: paths need a
-                        # constant graph-filtered edge universe
-                        raise SparqlSyntaxError(
-                            "property paths inside GRAPH ?var are unsupported"
-                        )
+                    # paths under a VARIABLE graph run per-graph via
+                    # graph-packed node keys (_graph_var_path_bindings)
                     block.append((s, pr, o, gterm))
                 if p.peek() == ("op", "."):
                     p.next()
@@ -1581,13 +1577,9 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
             if not block:
                 raise SparqlSyntaxError("GRAPH group needs triple patterns")
             for s, pr, o in block:
-                if isinstance(pr, tuple) and gterm.startswith("?"):
-                    # constant-graph paths run over the graph-filtered
-                    # view; a variable graph term would need per-graph
-                    # closures — out of this fragment
-                    raise SparqlSyntaxError(
-                        "property paths inside GRAPH ?var are unsupported"
-                    )
+                # constant-graph paths run over the graph-filtered
+                # view; variable-graph paths run per-graph via the
+                # graph-packed node keys (_graph_var_path_bindings)
                 patterns.append((s, pr, o, gterm))
             if p.peek() == ("op", "."):  # optional '.' after the group
                 p.next()
@@ -2192,15 +2184,22 @@ def _execute_plan(triples_ds, plan: dict, n_buckets: int = 64):
             bound = bound + [m for m in plan["needs_meta"] if m not in bound]
         for pt in path_pats:
             subj, expr, obj = pt[0], pt[1], pt[2]
-            src_ds = triples_ds
-            if len(pt) > 3:
-                # GRAPH <g> { … path … }: restrict the path's edge
-                # universe to the named graph map-side, then reuse the
-                # plain path machinery unchanged
-                src_ds = _filter_to_graph(triples_ds, pt[3])
-            pb, pvars = _path_pattern_bindings(
-                src_ds, subj, expr, obj, n_buckets
-            )
+            if len(pt) > 3 and pt[3].startswith("?"):
+                # GRAPH ?g { … path … }: per-graph closure via the
+                # graph-packed node keys (see _graph_var_path_bindings)
+                pb, pvars = _graph_var_path_bindings(
+                    triples_ds, pt, n_buckets
+                )
+            else:
+                src_ds = triples_ds
+                if len(pt) > 3:
+                    # GRAPH <g> { … path … }: restrict the path's edge
+                    # universe to the named graph map-side, then reuse
+                    # the plain path machinery unchanged
+                    src_ds = _filter_to_graph(triples_ds, pt[3])
+                pb, pvars = _path_pattern_bindings(
+                    src_ds, subj, expr, obj, n_buckets
+                )
             if b is None:
                 b, bound = pb, pvars
             else:
@@ -2553,6 +2552,72 @@ def _path_pattern_bindings(triples_ds, subj, expr, obj, n_buckets):
     return edges.map_batches(xf, batch_format="pyarrow"), pvars
 
 
+def _graph_var_path_bindings(triples_ds, pt, n_buckets):
+    """Path pattern under GRAPH ?g: pack ``graph\x1f`` into every node
+    key map-side (named graphs only — SPARQL §13.3 scope), run the
+    UNCHANGED path machinery over the packed view — every seq join and
+    plus/star closure then composes within one graph by construction —
+    and unpack (?g, endpoints) from the packed edges.  No new shuffles
+    beyond the path's own; graph IRIs cannot contain \x1f, so the
+    first-separator split is unambiguous even for literal nodes."""
+    subj, expr, obj, gterm = pt
+    gvar = gterm[1:]
+    SEP = "\x1f"
+
+    def pack(t: pa.Table) -> pa.Table:
+        g = pc.cast(t.column("graph"), pa.string())
+        t = t.filter(pc.fill_null(pc.not_equal(g, ""), False))
+        g = pc.cast(t.column("graph"), pa.string())
+        return pa.Table.from_pydict(
+            {
+                "subj": pc.binary_join_element_wise(
+                    g, pc.cast(t.column("subj"), pa.string()), SEP
+                ),
+                "pred": pc.cast(t.column("pred"), pa.string()),
+                "obj_value": pc.binary_join_element_wise(
+                    g, pc.cast(t.column("obj_value"), pa.string()), SEP
+                ),
+            }
+        )
+
+    from .sparql import path_edges
+
+    edges = path_edges(
+        triples_ds.map_batches(pack, batch_format="pyarrow"),
+        expr,
+        n_buckets=n_buckets,
+    )
+    pvars = [gvar] + [t[1:] for t in (subj, obj) if t.startswith("?")]
+
+    def xf(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        src = pd.Series(pc.cast(batch.column("src"), pa.string()).to_pandas())
+        dst = pd.Series(pc.cast(batch.column("dst"), pa.string()).to_pandas())
+        sp = src.str.split(SEP, n=1, expand=True)
+        dp = dst.str.split(SEP, n=1, expand=True)
+        if len(sp.columns) < 2:  # empty block
+            return pa.Table.from_pydict(
+                {v: pa.array([], pa.string()) for v in pvars}
+            )
+        g, s_node, d_node = sp[0], sp[1], dp[1]
+        mask = pd.Series(True, index=g.index)
+        if not subj.startswith("?"):
+            mask &= s_node == subj
+        if not obj.startswith("?"):
+            mask &= d_node == obj
+        cols = {gvar: g[mask]}
+        if subj.startswith("?"):
+            cols[subj[1:]] = s_node[mask]
+        if obj.startswith("?"):
+            cols[obj[1:]] = d_node[mask]
+        return pa.Table.from_pydict(
+            {k: pa.array(v.to_numpy(), pa.string()) for k, v in cols.items()}
+        )
+
+    return edges.map_batches(xf, batch_format="pyarrow"), pvars
+
+
 def _block_bindings(triples_ds, block, n_buckets, carry_meta=False,
                     keep_extra=()):
     """Bindings table for a mixed plain+path pattern block (a group
@@ -2574,12 +2639,15 @@ def _block_bindings(triples_ds, block, n_buckets, carry_meta=False,
         # bound list or the path-join projections below drop them
         bound = bound + [m for m in keep_extra if m not in bound]
     for pt in paths:
-        src_ds = triples_ds
-        if len(pt) > 3:
-            src_ds = _filter_to_graph(triples_ds, pt[3])
-        pb, pvars = _path_pattern_bindings(
-            src_ds, pt[0], pt[1], pt[2], n_buckets
-        )
+        if len(pt) > 3 and pt[3].startswith("?"):
+            pb, pvars = _graph_var_path_bindings(triples_ds, pt, n_buckets)
+        else:
+            src_ds = triples_ds
+            if len(pt) > 3:
+                src_ds = _filter_to_graph(triples_ds, pt[3])
+            pb, pvars = _path_pattern_bindings(
+                src_ds, pt[0], pt[1], pt[2], n_buckets
+            )
         if b is None:
             b, bound = pb, pvars
         else:

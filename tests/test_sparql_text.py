@@ -942,12 +942,14 @@ def test_graph_constant_property_path(ray_session):
         n_buckets=4,
     )
     assert _rows(out, ["o"]) == [("b",), ("c",)]
-    # variable graph term with a path stays out of the fragment
-    with pytest.raises(SparqlSyntaxError):
-        parse_query(
-            "PREFIX ex: <http://ex.org/> "
-            "SELECT ?o WHERE { GRAPH ?g { <a> ex:next+ ?o } }"
-        )
+    # variable graph term with a path: per-graph closure, ?g binds
+    var = execute(
+        _quads(rows),
+        "PREFIX ex: <http://ex.org/> "
+        "SELECT ?g ?o WHERE { GRAPH ?g { <a> ex:next+ ?o } }",
+        n_buckets=4,
+    )
+    assert _rows(var, ["g", "o"]) == [("urn:g1", "b"), ("urn:g1", "c")]
 
 
 def test_graph_variable_binds_and_projects(ray_session):
@@ -996,16 +998,14 @@ def test_graph_aggregate_per_graph(ray_session):
 def test_graph_errors(ray_session):
     with pytest.raises(SparqlSyntaxError):
         parse_query("SELECT ?s WHERE { GRAPH ?g { } }")  # empty group
-    with pytest.raises(SparqlSyntaxError):
-        parse_query(
-            "PREFIX ex: <http://ex.org/> "
-            "SELECT ?s WHERE { GRAPH ?g { ?s ex:p+ ?o } }"
-        )  # path inside GRAPH
-    with pytest.raises(SparqlSyntaxError):
-        parse_query(
-            "PREFIX ex: <http://ex.org/> "
-            "SELECT ?s WHERE { OPTIONAL { GRAPH ?g { ?s ex:p ?o } } }"
-        )  # GRAPH nested in OPTIONAL
+    # (paths inside GRAPH ?var and GRAPH ?var nested in OPTIONAL are
+    # now supported — see test_paths_under_variable_graph and
+    # test_graph_var_inside_groups; both parse to 4-term patterns)
+    plan = parse_query(
+        "PREFIX ex: <http://ex.org/> "
+        "SELECT ?s WHERE { GRAPH ?g { ?s ex:p+ ?o } }"
+    )
+    assert plan["patterns"][0][3] == "?g"
     # quad pattern against a plain triples dataset: loud error
     import re as _re
     with pytest.raises(Exception, match=_re.compile("graph", _re.I)):
@@ -2130,9 +2130,12 @@ def test_graph_var_in_group_rejects_from_and_paths(ray_session):
     with pytest.raises(SparqlSyntaxError):
         execute(ds, 'SELECT ?s FROM <urn:g1> WHERE { ?s <http://p> ?o . '
                     'OPTIONAL { GRAPH ?g { ?s <http://q> ?m } } }')
-    with pytest.raises(SparqlSyntaxError):
-        parse_query('SELECT ?s WHERE { ?s <http://p> ?o . '
-                    'OPTIONAL { GRAPH ?g { ?s <http://q>+ ?m } } }')
+    # paths under GRAPH ?var inside groups are supported (per-graph
+    # packed keys) — they parse and surface the graph variable
+    plan = parse_query('SELECT ?s WHERE { ?s <http://p> ?o . '
+                       'OPTIONAL { GRAPH ?g { ?s <http://q>+ ?m } } }')
+    (kind, block), = [(k, b) for k, b in plan["groups"]]
+    assert kind == "optional" and block[0][3] == "?g"
 
 
 def test_top_level_graph_group_trailing_dot(ray_session):
@@ -2203,3 +2206,45 @@ def test_subquery_graph_var_under_from_raises(ray_session):
     with pytest.raises(SparqlSyntaxError):
         execute(ds, 'SELECT ?s FROM <urn:g0> WHERE { ?s <http://v> ?o . '
                     '{ SELECT ?s WHERE { GRAPH ?g { ?s <http://v> ?x } } } }')
+
+
+def test_paths_under_variable_graph(ray_session):
+    """Property paths under GRAPH ?g run per-graph via graph-packed
+    node keys: closures never cross graphs, default-graph rows are out
+    of scope, and ?g binds per path solution."""
+    ds = rd.from_items([
+        {"subj": "urn:a", "pred": "http://p", "obj_value": "urn:b",
+         "graph": "urn:g1"},
+        {"subj": "urn:b", "pred": "http://p", "obj_value": "urn:c",
+         "graph": "urn:g1"},
+        {"subj": "urn:c", "pred": "http://p", "obj_value": "urn:d",
+         "graph": "urn:g2"},
+        {"subj": "urn:d", "pred": "http://p", "obj_value": "urn:e",
+         "graph": ""},
+        {"subj": "urn:b", "pred": "http://q", "obj_value": "urn:z",
+         "graph": "urn:g1"},
+    ])
+    plus = execute(ds, 'SELECT ?g ?s ?o WHERE '
+                       '{ GRAPH ?g { ?s <http://p>+ ?o } }').to_pandas()
+    assert sorted(zip(plus["g"], plus["s"], plus["o"])) == [
+        ("urn:g1", "urn:a", "urn:b"),
+        ("urn:g1", "urn:a", "urn:c"),   # closes within g1
+        ("urn:g1", "urn:b", "urn:c"),
+        ("urn:g2", "urn:c", "urn:d"),   # NOT c->e: no cross-graph hop
+    ]
+    seq = execute(ds, 'SELECT ?g ?s ?o WHERE '
+                      '{ GRAPH ?g { ?s <http://p>/<http://q> ?o } }'
+                  ).to_pandas()
+    assert sorted(zip(seq["g"], seq["s"], seq["o"])) == [
+        ("urn:g1", "urn:a", "urn:z")]
+    const = execute(ds, 'SELECT ?g ?o WHERE '
+                        '{ GRAPH ?g { <urn:a> <http://p>+ ?o } }'
+                    ).to_pandas()
+    assert sorted(zip(const["g"], const["o"])) == [
+        ("urn:g1", "urn:b"), ("urn:g1", "urn:c")]
+    # path + plain pattern sharing ?g and ?s compose in one block
+    both = execute(ds, 'SELECT ?g ?s WHERE { GRAPH ?g { '
+                       '?s <http://p>+ <urn:c> . ?s <http://p> ?x } }'
+                   ).to_pandas().drop_duplicates()
+    assert sorted(zip(both["g"], both["s"])) == [
+        ("urn:g1", "urn:a"), ("urn:g1", "urn:b")]
