@@ -2671,6 +2671,25 @@ def q_kg_mixed_distinct_agg(sf_dir: str):
     )
 
 
+def q_kg_global_mixed_agg(sf_dir: str):
+    """Plain and DISTINCT aggregates with NO GROUP BY: the whole
+    solution set is one group (SPARQL §18.5) — each aggregate family
+    still runs as its own exchange over the same materialized
+    bindings, the pack key degenerating to a constant so the final
+    join is two single-row tables."""
+    from ..stages.sparql_text import execute
+
+    return execute(
+        _typed_triples(sf_dir),
+        """
+        PREFIX schema: <http://schema.org/>
+        SELECT (COUNT(*) AS ?n_pairs) (COUNT(DISTINCT ?src) AS ?n_srcs)
+               (COUNT(DISTINCT ?l) AS ?n_langs)
+        WHERE { ?d schema:source ?src ; schema:inLanguage ?l . }
+        """,
+    )
+
+
 def q_kg_order_by_expr(sf_dir: str):
     """ORDER BY over an expression (numeric sort of lexical bindings
     via a hidden BIND column): top-10 documents by characterCount as a
@@ -3235,6 +3254,7 @@ QUERIES = {
     "kg_order_by_agg_expr": q_kg_order_by_agg_expr,
     "kg_having_distinct": q_kg_having_distinct,
     "kg_mixed_distinct_agg": q_kg_mixed_distinct_agg,
+    "kg_global_mixed_agg": q_kg_global_mixed_agg,
     "kg_having_order_agg": q_kg_having_order_agg,
     "kg_union_arm_filter": q_kg_union_arm_filter,
     "kg_optional_filter": q_kg_optional_filter,
@@ -3940,6 +3960,16 @@ ORACLE_SQL = {
         " WHERE t1.pred = 'http://schema.org/source'"
         " AND t2.pred = 'http://schema.org/inLanguage'"
         " GROUP BY t1.obj_value" % _TYPED_TRIPLES_SQL
+    ),
+    "kg_global_mixed_agg": (
+        "WITH t AS (%s) "
+        "SELECT COUNT(*) AS n_pairs,"
+        " COUNT(DISTINCT t1.obj_value) AS n_srcs,"
+        " COUNT(DISTINCT t2.obj_value) AS n_langs"
+        " FROM t t1 JOIN t t2 ON t2.subj = t1.subj"
+        " WHERE t1.pred = 'http://schema.org/source'"
+        " AND t2.pred = 'http://schema.org/inLanguage'"
+        % _TYPED_TRIPLES_SQL
     ),
     "kg_order_by_expr": (
         "WITH t AS (%s) "

@@ -602,8 +602,13 @@ def grouped_distinct_aggregate(bindings, group_vars, var, alias, fn="count",
             alias,
             fn=fn,
             n_buckets=1,
-        )
-        return out.select_columns([alias])
+        ).select_columns([alias]).materialize()
+        if out.count() == 0:
+            # SPARQL §18.5: zero solutions still form ONE empty group —
+            # COUNT(DISTINCT)=0, SUM/AVG=0, GROUP_CONCAT="".  Cheap to
+            # patch here: the ungrouped result is at most one row.
+            return _empty_group_row([(fn, var, alias)])
+        return out
 
     cols = [*gvars, var]
     sep = "\x1f"
@@ -653,6 +658,29 @@ def grouped_distinct_aggregate(bindings, group_vars, var, alias, fn="count",
     )
 
 
+def _empty_group_row(aggs):
+    """The SPARQL §18.5 aggregate result over ZERO solutions with no
+    GROUP BY: the empty solution multiset is one group, so the query
+    yields one row — COUNT = 0, SUM = 0, AVG = 0 (the spec defines
+    Avg({}) = 0), GROUP_CONCAT = "", and MIN / MAX / SAMPLE unbound
+    (the engine's ``UNBOUND`` "" sentinel).  ``aggs``: ``(fn, var,
+    alias)`` tuples; ``fn`` may carry a ``_distinct`` suffix."""
+    import ray.data as rd
+
+    cols = {}
+    for fn, _v, alias, *_ in aggs:
+        base = fn[: -len("_distinct")] if fn.endswith("_distinct") else fn
+        if base == "count":
+            cols[alias] = pa.array([0], pa.int64())
+        elif base in ("sum", "avg"):
+            cols[alias] = pa.array([0.0], pa.float64())
+        elif base == "group_concat":
+            cols[alias] = pa.array([""], pa.string())
+        else:  # min / max / sample: error over {} -> unbound
+            cols[alias] = pa.array([UNBOUND], pa.string())
+    return rd.from_arrow(pa.table(cols))
+
+
 def grouped_count_distinct(bindings, group_vars, var, alias, n_buckets: int = 64):
     """``(COUNT(DISTINCT ?var) AS ?alias)`` — thin alias over
     :func:`grouped_distinct_aggregate` (kept for callers that predate
@@ -699,8 +727,7 @@ def grouped_aggregate(bindings, group_vars, aggs, having=None, n_buckets: int = 
         # global (ungrouped) aggregate — SPARQL treats the whole
         # solution set as one group: aggregate under a constant hidden
         # key, then drop it.  Empty input still yields ONE row (the
-        # SPARQL §18.5 empty-group result: COUNT=0, others unbound) —
-        # handled by the caller's projection of the single reduce row.
+        # SPARQL §18.5 empty-group result) via _empty_group_row.
         hidden = "__all"
 
         def add_key(t: pa.Table) -> pa.Table:
@@ -712,11 +739,22 @@ def grouped_aggregate(bindings, group_vars, aggs, having=None, n_buckets: int = 
             bindings.map_batches(add_key, batch_format="pyarrow"),
             [hidden],
             aggs,
-            having=having,
+            having=None,
             n_buckets=1,
         )
         keep = [a[2] for a in aggs]
-        return out.select_columns(keep)
+        out = out.select_columns(keep).materialize()
+        if out.count() == 0:
+            out = _empty_group_row(aggs)
+        if having is not None:
+            # applied AFTER the empty-group fill: HAVING filters the
+            # (possibly default) aggregated row, same as the grouped
+            # path's post-reduce mask
+            def hav(df, _h=having):
+                return df[_h(df).astype(bool)] if len(df) else df
+
+            out = out.map_batches(hav, batch_format="pandas")
+        return out
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         if not len(batch):

@@ -2327,12 +2327,9 @@ def _execute_plan(triples_ds, plan: dict, n_buckets: int = 64):
             # mixed plain + DISTINCT (or several DISTINCT) aggregates:
             # each family is one exchange over the SAME materialized
             # bindings; the group-cardinality-sized results then join
-            # on a packed group key (small tables, cheap exchange)
-            if not gvars:
-                raise SparqlSyntaxError(
-                    "mixing DISTINCT and plain aggregates needs GROUP BY"
-                    " in this fragment"
-                )
+            # on a packed group key (small tables, cheap exchange).
+            # Ungrouped = one global group: the pack key degenerates to
+            # a constant and each piece is a single row.
             from .join import bucketed_hash_join
 
             b = b.materialize()
@@ -2349,19 +2346,22 @@ def _execute_plan(triples_ds, plan: dict, n_buckets: int = 64):
                     )
                 )
 
-            def pack_left(t: pa.Table, _g=tuple(gvars)) -> pa.Table:
-                key = pc.binary_join_element_wise(
+            def _gkey(t: pa.Table, _g):
+                if not _g:
+                    return pa.array([""] * t.num_rows, pa.string())
+                if len(_g) == 1:
+                    return pc.cast(t.column(_g[0]), pa.string())
+                return pc.binary_join_element_wise(
                     *[pc.cast(t.column(v), pa.string()) for v in _g], "\x1f"
                 )
-                return t.append_column("__gkey", key)
+
+            def pack_left(t: pa.Table, _g=tuple(gvars)) -> pa.Table:
+                return t.append_column("__gkey", _gkey(t, _g))
 
             def pack_right(t: pa.Table, _g=tuple(gvars)) -> pa.Table:
-                key = pc.binary_join_element_wise(
-                    *[pc.cast(t.column(v), pa.string()) for v in _g], "\x1f"
-                )
                 keep = [c for c in t.column_names if c not in _g]
                 return pa.Table.from_pydict(
-                    {**{c: t.column(c) for c in keep}, "__gkey": key}
+                    {**{c: t.column(c) for c in keep}, "__gkey": _gkey(t, _g)}
                 )
 
             joined = pieces[0].map_batches(pack_left, batch_format="pyarrow")

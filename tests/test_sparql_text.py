@@ -1286,13 +1286,52 @@ def test_mixed_distinct_and_plain_aggregates(ray_session):
     assert [int(x) for x in out["rows"]] == [1, 3]
     assert [int(x) for x in out["docs"]] == [1, 2]
     assert list(out["ids"]) == ["b", "a|c"]
-    # global (no GROUP BY) mixing stays out of the fragment
-    with pytest.raises(SparqlSyntaxError):
-        execute(
-            _triples(rows),
-            "SELECT (COUNT(*) AS ?n) (COUNT(DISTINCT ?d) AS ?m)"
-            " WHERE { ?d ?p ?o }",
-        ).to_pandas()
+    # global (no GROUP BY) mixing: one global group, single result row
+    g = execute(
+        _triples(rows),
+        """
+        PREFIX ex: <http://ex.org/>
+        SELECT (COUNT(*) AS ?n) (COUNT(DISTINCT ?d) AS ?m)
+        WHERE { ?d ex:lang ?l }
+        """,
+        n_buckets=4,
+    ).to_pandas()
+    assert len(g) == 1
+    assert int(g["n"][0]) == 4 and int(g["m"][0]) == 3
+
+
+def test_ungrouped_aggregates_over_zero_solutions(ray_session):
+    """SPARQL §18.5: with no GROUP BY, zero solutions still form ONE
+    group — COUNT=0, SUM/AVG=0, GROUP_CONCAT='', MIN/MAX/SAMPLE
+    unbound; HAVING then filters that single row."""
+    none = "WHERE { ?s <http://ex.org/nope> ?v }"
+    ds = _triples(GRAPH_ROWS)
+    plain = execute(
+        ds,
+        "SELECT (COUNT(?s) AS ?n) (SUM(?v) AS ?t) (MIN(?v) AS ?lo) " + none,
+        n_buckets=4,
+    ).to_pandas()
+    assert len(plain) == 1
+    assert int(plain["n"][0]) == 0
+    assert float(plain["t"][0]) == 0.0
+    assert plain["lo"][0] == ""  # unbound sentinel
+    single = execute(
+        ds, "SELECT (COUNT(DISTINCT ?v) AS ?d) " + none, n_buckets=4
+    ).to_pandas()
+    assert len(single) == 1 and int(single["d"][0]) == 0
+    mixed = execute(
+        ds,
+        "SELECT (COUNT(?s) AS ?n) (COUNT(DISTINCT ?v) AS ?d) " + none,
+        n_buckets=4,
+    ).to_pandas()
+    assert len(mixed) == 1
+    assert int(mixed["n"][0]) == 0 and int(mixed["d"][0]) == 0
+    gated = execute(
+        ds,
+        "SELECT (COUNT(?s) AS ?n) " + none + " HAVING (COUNT(?s) > 0)",
+        n_buckets=4,
+    ).to_pandas()
+    assert len(gated) == 0
 
 
 def test_subquery_composes_with_groups(ray_session):
