@@ -2690,6 +2690,27 @@ def q_kg_global_mixed_agg(sf_dir: str):
     )
 
 
+def q_kg_union_join(sf_dir: str):
+    """A UNION block composing with a base pattern (SPARQL
+    Join(P, Union(A, B))): the block evaluates to one aligned bag-union
+    binding table over a shared materialization, then inner-joins the
+    base bindings on the shared variable at its clause position."""
+    from ..stages.sparql_text import execute
+
+    return execute(
+        _typed_triples(sf_dir),
+        """
+        PREFIX schema: <http://schema.org/>
+        SELECT ?d ?l ?v WHERE {
+          ?d schema:inLanguage ?l .
+          { ?d schema:source ?v }
+          UNION
+          { ?d schema:characterCount ?v . FILTER (?v >= 400) }
+        }
+        """,
+    )
+
+
 def q_kg_order_by_expr(sf_dir: str):
     """ORDER BY over an expression (numeric sort of lexical bindings
     via a hidden BIND column): top-10 documents by characterCount as a
@@ -3255,6 +3276,7 @@ QUERIES = {
     "kg_having_distinct": q_kg_having_distinct,
     "kg_mixed_distinct_agg": q_kg_mixed_distinct_agg,
     "kg_global_mixed_agg": q_kg_global_mixed_agg,
+    "kg_union_join": q_kg_union_join,
     "kg_having_order_agg": q_kg_having_order_agg,
     "kg_union_arm_filter": q_kg_union_arm_filter,
     "kg_optional_filter": q_kg_optional_filter,
@@ -3960,6 +3982,20 @@ ORACLE_SQL = {
         " WHERE t1.pred = 'http://schema.org/source'"
         " AND t2.pred = 'http://schema.org/inLanguage'"
         " GROUP BY t1.obj_value" % _TYPED_TRIPLES_SQL
+    ),
+    "kg_union_join": (
+        "WITH t AS (%s) "
+        "SELECT a.subj AS d, a.obj_value AS l, u.v AS v"
+        " FROM t a JOIN ("
+        "SELECT subj, obj_value AS v FROM t"
+        " WHERE pred = 'http://schema.org/source'"
+        " UNION ALL "
+        "SELECT subj, obj_value AS v FROM t"
+        " WHERE pred = 'http://schema.org/characterCount'"
+        " AND CAST(obj_value AS DOUBLE) >= 400"
+        ") u ON u.subj = a.subj"
+        " WHERE a.pred = 'http://schema.org/inLanguage'"
+        % _TYPED_TRIPLES_SQL
     ),
     "kg_global_mixed_agg": (
         "WITH t AS (%s) "

@@ -1169,6 +1169,7 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
     patterns, optionals, filters = [], [], []
     union_arms, minus_groups, exists_groups = [], [], []
     union_extras: list = []  # per-arm (binds, filters), parallel to union_arms
+    union_joins: list = []  # (arms, extras, clause_pos) union/nested blocks
     group_extras: list = []  # per-group (binds, filters) | None, ∥ groups
     values, binds = [], []
     values_multi: list = []
@@ -1253,6 +1254,7 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
             "filters": [],
             "union": [],
             "union_extras": [],
+            "union_joins": [],
             "group_extras": [],
             "minus": [],
             "exists": [],
@@ -1508,20 +1510,6 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
         )
         return alias
 
-    # top-level `{ arm } UNION { arm } ...` (a brace that opens a
-    # nested SELECT is a subquery, not a union arm).  Arms parse with
-    # the same recursive group grammar as OPTIONAL blocks: FILTER,
-    # BIND, VALUES, constant GRAPH, and nested OPTIONAL/MINUS/EXISTS.
-    if p.peek() == ("op", "{") and not at_subquery():
-        arm, extra = parse_filtered_group("UNION arm")
-        union_arms.append(arm)
-        union_extras.append(extra)
-        while p.at_kw("UNION"):
-            p.next()
-            arm, extra = parse_filtered_group("UNION arm")
-            union_arms.append(arm)
-            union_extras.append(extra)
-
     while True:
         kind, val = p.peek()
         if (kind, val) == ("op", "}"):
@@ -1589,10 +1577,28 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
             # in textual order
             subqueries.append((parse_subquery(), len(groups)))
         elif p.peek() == ("op", "{"):
-            raise SparqlSyntaxError(
-                "nested group graph patterns are supported only as top-level"
-                " UNION arms or { SELECT ... } subqueries in this fragment"
-            )
+            # `{ arm } UNION { arm } ...` or a bare nested group `{…}`
+            # (one arm, no UNION keyword) at ANY clause position — a
+            # brace that opens a nested SELECT is a subquery, handled
+            # above.  Arms parse with the same recursive group grammar
+            # as OPTIONAL blocks: FILTER, BIND, VALUES, constant
+            # GRAPH, nested OPTIONAL/MINUS/EXISTS.  The block becomes
+            # one prebuilt binding table (aligned bag union of the
+            # arms) joined at this clause position; a lone block with
+            # nothing else in the body collapses to the dedicated
+            # pure-union path after the parse.
+            blk_arms, blk_extras = [], []
+            arm, extra = parse_filtered_group("UNION arm")
+            blk_arms.append(arm)
+            blk_extras.append(extra)
+            while p.at_kw("UNION"):
+                p.next()
+                arm, extra = parse_filtered_group("UNION arm")
+                blk_arms.append(arm)
+                blk_extras.append(extra)
+            union_joins.append((blk_arms, blk_extras, len(groups)))
+            if p.peek() == ("op", "."):
+                p.next()
         elif p.at_kw("VALUES"):
             p.next()
             if p.peek() == ("op", "("):  # VALUES (?a ?b) { (x y) ... }
@@ -1664,14 +1670,20 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
     # may reference user-bound variables), right before grouping
     binds.extend(agg_binds)
 
-    if union_arms and (patterns or optionals or minus_groups or exists_groups):
-        raise SparqlSyntaxError(
-            "UNION arms cannot mix with other top-level patterns in this fragment"
-        )
-    if subqueries and union_arms:
-        raise SparqlSyntaxError(
-            "subqueries do not compose with UNION arms in this fragment"
-        )
+    # a lone union/nested block with nothing else in the body keeps the
+    # dedicated pure-union execution path (top-level FILTER/BIND/VALUES
+    # apply over the union result in both paths, so they don't block
+    # the collapse); anything else composes via positioned joins
+    if (
+        len(union_joins) == 1
+        and union_joins[0][2] == 0
+        and not patterns
+        and not optionals
+        and not minus_groups
+        and not exists_groups
+        and not subqueries
+    ):
+        union_arms, union_extras, _pos = union_joins.pop()
     if subqueries and form != "select":
         raise SparqlSyntaxError("subqueries are supported in SELECT queries only")
 
@@ -1813,8 +1825,16 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
             " drop it, or project the aggregate with an alias)"
         )
 
-    if not patterns and not union_arms and not subqueries:
+    if not patterns and not union_arms and not union_joins and not subqueries:
         raise SparqlSyntaxError("WHERE needs at least one triple pattern")
+    if union_joins and not patterns and not subqueries and groups:
+        # MINUS/OPTIONAL/EXISTS run against a base built BEFORE the
+        # positioned folds only when patterns or a pos-0 block exist
+        if not any(pos == 0 for _a, _x, pos in union_joins):
+            raise SparqlSyntaxError(
+                "OPTIONAL/MINUS/EXISTS groups need a base pattern or a"
+                " preceding group block in this fragment"
+            )
     if form != "select" and (group_by or having or order_by or aggs or distinct):
         raise SparqlSyntaxError(
             "GROUP BY/HAVING/ORDER BY/aggregates/DISTINCT are SELECT-only"
@@ -1841,6 +1861,7 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
         "filters": filters,
         "union": union_arms,
         "union_extras": union_extras,
+        "union_joins": union_joins,
         "group_extras": group_extras,
         "minus": minus_groups,
         "exists": exists_groups,
@@ -1897,6 +1918,12 @@ def _plan_out_cols(plan: dict) -> list:
             | {
                 v
                 for arm, ex in zip(plan["union"], plan["union_extras"])
+                for v in _plan_group_vars(arm, ex)
+            }
+            | {
+                v
+                for arms, exs, _p in plan.get("union_joins", [])
+                for arm, ex in zip(arms, exs)
                 for v in _plan_group_vars(arm, ex)
             }
             | {
@@ -2045,6 +2072,7 @@ def _execute_plan(triples_ds, plan: dict, n_buckets: int = 64):
         # columns ride the base scan and survive the group joins.
         if (
             plan["union"]
+            or plan.get("union_joins")
             or plan["subqueries"]
             or graph_vars
             or plan["from_graphs"]
@@ -2126,7 +2154,11 @@ def _execute_plan(triples_ds, plan: dict, n_buckets: int = 64):
         # only on the right)
         from .sparql import exists_bindings, minus_bindings
 
-        if not plan["patterns"]:
+        ujs = list(plan.get("union_joins") or [])
+        subs = list(plan["subqueries"])
+        if not plan["patterns"] and not any(
+            pos == 0 for _a, _x, pos in ujs
+        ) and not any(pos == 0 for _s, pos in subs):
             raise SparqlSyntaxError(
                 "OPTIONAL/MINUS/EXISTS groups need a base BGP in this fragment"
             )
@@ -2135,15 +2167,23 @@ def _execute_plan(triples_ds, plan: dict, n_buckets: int = 64):
             if (plan["minus"] or plan["exists"])
             else triples_ds
         )
-        b, cols = _block_bindings(
-            tds, plan["patterns"], n_buckets,
-            carry_meta=bool(plan["needs_meta"]),
-            keep_extra=tuple(plan["needs_meta"]),
-        )
-        # subqueries interleave with the groups in textual clause
-        # order: each recorded its position (number of groups already
-        # parsed), so pos==i joins before group i runs
-        subs = list(plan["subqueries"])
+        if plan["patterns"]:
+            b, cols = _block_bindings(
+                tds, plan["patterns"], n_buckets,
+                carry_meta=bool(plan["needs_meta"]),
+                keep_extra=tuple(plan["needs_meta"]),
+            )
+        else:
+            b, cols = None, []  # pos-0 block/subquery seeds the base
+        # union blocks and subqueries interleave with the groups in
+        # textual clause order: each recorded its position (number of
+        # groups already parsed), so pos==i joins before group i runs;
+        # within one position, blocks fold before subqueries
+        for arms_, ex_, pos in ujs:
+            if pos == 0:
+                b, cols = _join_union_block(
+                    b, cols, arms_, ex_, triples_ds, n_buckets
+                )
         for sub, pos in subs:
             if pos == 0:
                 b, cols = _join_subquery(b, cols, sub, triples_ds, n_buckets)
@@ -2164,6 +2204,11 @@ def _execute_plan(triples_ds, plan: dict, n_buckets: int = 64):
                     b, cols, tds, g[1], negate=g[2], n_buckets=n_buckets,
                     probe=_group_side_bindings(tds, g[1], gx[i], n_buckets),
                 )
+            for arms_, ex_, pos in ujs:
+                if pos == i + 1:
+                    b, cols = _join_union_block(
+                        b, cols, arms_, ex_, triples_ds, n_buckets
+                    )
             for sub, pos in subs:
                 if pos == i + 1:
                     b, cols = _join_subquery(
@@ -2219,6 +2264,14 @@ def _execute_plan(triples_ds, plan: dict, n_buckets: int = 64):
             b, bound = None, []  # subqueries only
 
     if not subs_joined:
+        # without OPTIONAL/MINUS/EXISTS groups there is no clause-order
+        # anchor: union blocks fold first (they can seed an empty base),
+        # then subqueries — inner joins commute, so order only affects
+        # which step raises on a shares-no-variable plan
+        for arms_, ex_, _pos in plan.get("union_joins") or []:
+            b, bound = _join_union_block(
+                b, bound, arms_, ex_, triples_ds, n_buckets
+            )
         for sub, _pos in plan["subqueries"]:
             b, bound = _join_subquery(b, bound, sub, triples_ds, n_buckets)
 
@@ -2477,6 +2530,46 @@ def _execute_plan(triples_ds, plan: dict, n_buckets: int = 64):
         return batch.select(out_cols)
 
     return b.map_batches(project, batch_format="pyarrow")
+
+
+def _join_union_block(b, bound, arms, extras, triples_ds, n_buckets):
+    """A top-level ``{…} UNION {…}`` block (or a bare nested group —
+    one arm, no UNION keyword) evaluated as a fully-composed binding
+    table: every arm is a group side over one shared materialization,
+    aligned and bag-unioned, then inner-joined into the enclosing
+    bindings on the shared variables at its clause position (SPARQL
+    Join(P, Union(A, B))).  Soundness guard: a join variable missing
+    from SOME arm is '' (unbound) in that arm's rows and
+    SPARQL-compatible with ANY outer value — an equality join would
+    silently drop those solutions, so that shape raises instead."""
+    from .sparql import union_match
+
+    tmat = triples_ds.materialize()
+    prebuilt = [
+        _group_side_bindings(tmat, arm, ex, n_buckets)
+        for arm, ex in zip(arms, extras)
+    ]
+    uvars: list = []
+    for _, av in prebuilt:
+        for v in av:
+            if v not in uvars:
+                uvars.append(v)
+    ub = union_match(tmat, arms, prebuilt=prebuilt)
+    if b is None:
+        return ub, uvars
+    shared = [v for v in uvars if v in bound]
+    for i, (_, av) in enumerate(prebuilt):
+        lacking = [v for v in shared if v not in av]
+        if lacking:
+            raise SparqlSyntaxError(
+                "the group block joins the outer pattern on %s, but its"
+                " arm %d does not bind %s — unbound-compatible joins"
+                " are unsupported in this fragment"
+                % (sorted(shared), i, sorted(lacking))
+            )
+    return _join_binding_tables(
+        b, bound, ub, uvars, n_buckets, what="group block"
+    )
 
 
 def _join_subquery(b, bound, sub_plan, triples_ds, n_buckets):
@@ -2859,6 +2952,14 @@ def _apply_dataset_clause(triples_ds, plan):
 
     plan["group_extras"] = [rewrite_extras(ex) for ex in plan["group_extras"]]
     plan["union_extras"] = [rewrite_extras(ex) for ex in plan["union_extras"]]
+    plan["union_joins"] = [
+        (
+            [rewrite(arm) for arm in arms],
+            [rewrite_extras(ex) for ex in exs],
+            pos,
+        )
+        for arms, exs, pos in plan.get("union_joins", [])
+    ]
     plan["expr_exists"] = [
         (alias, rewrite_group(block), rewrite_extras(ex), neg)
         for alias, block, ex, neg in plan.get("expr_exists", [])
@@ -2882,6 +2983,14 @@ def _apply_dataset_clause(triples_ds, plan):
         ]
         sp["group_extras"] = [rewrite_extras(ex) for ex in sp["group_extras"]]
         sp["union_extras"] = [rewrite_extras(ex) for ex in sp["union_extras"]]
+        sp["union_joins"] = [
+            (
+                [rewrite_group(arm) for arm in arms],
+                [rewrite_extras(ex) for ex in exs],
+                pos,
+            )
+            for arms, exs, pos in sp.get("union_joins", [])
+        ]
         sp["expr_exists"] = [
             (a, rewrite_group(bl), rewrite_extras(ex), n)
             for a, bl, ex, n in sp.get("expr_exists", [])
@@ -2973,6 +3082,10 @@ def _plan_pred_pushdown(plan):
         collect_nested(ex)
     for ex in plan.get("union_extras", []):
         collect_nested(ex)
+    for arms, exs, _pos in plan.get("union_joins", []):
+        groups.extend(arms)
+        for ex in exs:
+            collect_nested(ex)
     for _alias, eblock, eex, _neg in plan.get("expr_exists", []):
         groups.append(eblock)
         collect_nested(eex)
@@ -3069,6 +3182,17 @@ def explain(query: str, store_dir: str | None = None) -> str:
         lines.append("  filter %sexists: %d patterns%s"
                      % ("not " if neg else "", len(g),
                         _extras_note(gx_by_block.get(id(g)))))
+    for i, (arms, exs, pos) in enumerate(plan.get("union_joins", [])):
+        lines.append(
+            "  group block[%d] (joins before group %d): %d arm%s (%s)"
+            % (
+                i, pos, len(arms), "s" if len(arms) != 1 else "",
+                ", ".join(
+                    "%d patterns%s" % (len(a), _extras_note(x))
+                    for a, x in zip(arms, exs)
+                ),
+            )
+        )
     for i, (sub, pos) in enumerate(plan["subqueries"]):
         lines.append(
             "  subquery[%d] (joins before group %d): projects %s"
@@ -3167,6 +3291,12 @@ def execute_on_store(store_dir: str, query: str, n_buckets: int = 64):
         or any(_any_quad(g[1]) for g in plan["groups"])
         or any(_extras_quad(ex) for ex in plan["group_extras"])
         or any(_any_quad(arm) for arm in plan["union"])
+        or any(_extras_quad(ex) for ex in plan.get("union_extras", []))
+        or any(
+            _any_quad(arm) or _extras_quad(ex)
+            for arms, exs, _p in plan.get("union_joins", [])
+            for arm, ex in zip(arms, exs)
+        )
         or any(
             _any_quad(bl) or _extras_quad(ex)
             for _a, bl, ex, _n in plan.get("expr_exists", [])

@@ -496,12 +496,54 @@ def test_ask_and_construct_forms(ray_session):
     ]
 
 
-def test_union_mixing_rejected():
+def test_union_mixes_with_other_patterns(ray_session):
+    """UNION blocks compose with other top-level patterns: the block
+    parses into plan["union_joins"] (a positioned prebuilt binding
+    table), leaving plan["union"] for the lone-block pure path."""
+    plan = parse_query(
+        "PREFIX ex: <http://ex.org/> SELECT * WHERE {"
+        ' { ?d ex:lang "zh" } UNION { ?d ex:size "10" } ?d ex:lang ?x }'
+    )
+    assert len(plan["union_joins"]) == 1 and not plan["union"]
+    out = execute(
+        _triples(GRAPH_ROWS),
+        """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d ?v ?l WHERE {
+          ?d ex:lang ?l .
+          { ?d ex:size ?v . FILTER(?v < 100) } UNION { ?d ex:tagless ?v }
+        }
+        """,
+        n_buckets=4,
+    )
+    assert _rows(out, ["d", "v", "l"]) == [("a", "10", "zh"), ("c", "30", "zh")]
+    # a bare nested group is a one-arm block joined the same way
+    out2 = execute(
+        _triples(GRAPH_ROWS),
+        """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d ?v WHERE {
+          ?d ex:lang "zh" .
+          { ?d ex:size ?v . FILTER(?v > 20) }
+        }
+        """,
+        n_buckets=4,
+    )
+    assert _rows(out2, ["d", "v"]) == [("c", "30")]
+    # soundness guard: an arm that does not bind the join variable
+    # would contribute unbound-compatible rows an equality join drops
     with pytest.raises(SparqlSyntaxError):
-        parse_query(
-            "PREFIX ex: <http://ex.org/> SELECT * WHERE {"
-            ' { ?d ex:lang "zh" } UNION { ?d ex:size "1" } ?d ex:other ?x }'
-        )
+        execute(
+            _triples(GRAPH_ROWS),
+            """
+            PREFIX ex: <http://ex.org/>
+            SELECT * WHERE {
+              ?d ex:lang ?l .
+              { ?d ex:size ?v } UNION { ?x ex:size ?v }
+            }
+            """,
+            n_buckets=4,
+        ).to_pandas()
 
 
 def test_execute_on_store_prunes(ray_session, tmp_path):
@@ -1382,12 +1424,18 @@ def test_subquery_errors(ray_session):
            { SELECT ?d WHERE { ?d ?p ?o } } }""",
         # non-SELECT outer form
         "ASK { { SELECT ?s WHERE { ?s ?p ?o } } }",
-        # a bare nested group that is not a subquery
-        "SELECT ?s WHERE { { ?s ?p ?o } { ?s ?q ?v } }",
     ]
     for q in cases:
         with pytest.raises(SparqlSyntaxError):
             execute(ds, q).to_pandas()
+    # two bare nested groups (not subqueries) now join on shared vars
+    out = execute(
+        ds,
+        "SELECT ?s WHERE { { ?s <http://ex.org/lang> \"zh\" }"
+        " { ?s <http://ex.org/size> ?v } }",
+        n_buckets=4,
+    )
+    assert _rows(out, ["s"]) == [("a",), ("c",)]
 
 
 def test_values_multi_variable(ray_session):
@@ -1867,6 +1915,12 @@ _FUZZ_SEED_QUERIES = [
     'ORDER BY DESC(COUNT(?o)) LIMIT 3',
     'SELECT ?s WHERE { ?s <http://p> ?o . FILTER NOT EXISTS '
     '{ ?s <http://q> ?o . VALUES ?o { "a" "b" } } } OFFSET 2',
+    # union/nested blocks composing with other top-level patterns
+    'SELECT ?d ?v WHERE { ?d <http://l> ?l . '
+    '{ ?d <http://p> ?v } UNION { ?d <http://q> ?v . FILTER (?v > 1) } '
+    'OPTIONAL { ?d <http://t> ?t } }',
+    'SELECT ?s WHERE { { ?s <http://p> ?o } { ?s <http://q> ?v } . '
+    '{ SELECT ?s WHERE { ?s <http://r> ?z } } }',
 ]
 _FUZZ_CHARS = list("{}()<>?$.;,\"'@^|+*/!&=# \tabPREFIXSELECTWHEREOPTIONALFILTER")
 
