@@ -1451,6 +1451,22 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
                     block.append((s, pr, o, gterm))
                 if p.peek() == ("op", "."):
                     p.next()
+            elif p.peek() == ("op", "{"):
+                # `{…} UNION {…}` (or a bare nested block) inside a
+                # group body: same grammar as top level, joined into
+                # the group side at its clause position
+                u_arms, u_extras = [], []
+                ua, ux = parse_filtered_group("UNION arm")
+                u_arms.append(ua)
+                u_extras.append(ux)
+                while p.at_kw("UNION"):
+                    p.next()
+                    ua, ux = parse_filtered_group("UNION arm")
+                    u_arms.append(ua)
+                    u_extras.append(ux)
+                gnested.append(("union", u_arms, u_extras, False))
+                if p.peek() == ("op", "."):
+                    p.next()
             else:
                 raise SparqlSyntaxError(
                     "unsupported clause inside a %s block: %r"
@@ -1479,6 +1495,9 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
                 scope |= _plan_group_vars(nblock, nextras)
             elif nk == "subquery":
                 scope |= set(_plan_out_cols(nblock))
+            elif nk == "union":
+                for ua, ux in zip(nblock, nextras):
+                    scope |= _plan_group_vars(ua, ux)
         for _f, seen in gfilters:
             outside = seen - scope
             if outside:
@@ -2102,6 +2121,11 @@ def _execute_plan(triples_ds, plan: dict, n_buckets: int = 64):
             for nk, nblock, nextras, _ng in ex[2]:
                 if nk == "subquery":
                     continue  # the sub plan runs its own meta checks
+                if nk == "union":
+                    meta_blocks.extend(nblock)
+                    for x in nextras:
+                        _collect_nested_blocks(x)
+                    continue
                 meta_blocks.append(nblock)
                 _collect_nested_blocks(nextras)
 
@@ -2763,6 +2787,9 @@ def _plan_group_vars(block, extras):
                 vars_ |= _plan_group_vars(nblock, nextras)
             elif nk == "subquery":
                 vars_ |= set(_plan_out_cols(nblock))
+            elif nk == "union":
+                for ua, ux in zip(nblock, nextras):
+                    vars_ |= _plan_group_vars(ua, ux)
     return vars_
 
 
@@ -2945,7 +2972,16 @@ def _apply_dataset_clause(triples_ds, plan):
             binds,
             filters,
             [
-                (nk, rewrite_group(nb), rewrite_extras(nx), ng)
+                (
+                    (
+                        nk,
+                        [rewrite_group(a) for a in nb],
+                        [rewrite_extras(x) for x in nx],
+                        ng,
+                    )
+                    if nk == "union"
+                    else (nk, rewrite_group(nb), rewrite_extras(nx), ng)
+                )
                 for nk, nb, nx, ng in nested
             ],
         )
@@ -3074,6 +3110,11 @@ def _plan_pred_pushdown(plan):
         for nk, nblock, nextras, _ng in ex[2]:
             if nk == "subquery":
                 sub_plans.append(nblock)
+                continue
+            if nk == "union":
+                groups.extend(nblock)
+                for x in nextras:
+                    collect_nested(x)
                 continue
             groups.append(nblock)
             collect_nested(nextras)
@@ -3282,6 +3323,12 @@ def execute_on_store(store_dir: str, query: str, n_buckets: int = 64):
                     or any(_extras_quad(x) for x in nb["group_extras"])
                 ):
                     return True
+            elif nk == "union":
+                if any(
+                    _any_quad(a) or _extras_quad(x)
+                    for a, x in zip(nb, nx)
+                ):
+                    return True
             elif _any_quad(nb) or _extras_quad(nx):
                 return True
         return False
@@ -3335,6 +3382,11 @@ def _group_side_bindings(triples_ds, block, extras, n_buckets):
     for nk, nblock, nextras, neg in gnested:
         if nk == "subquery":
             b, vars_ = _join_subquery(b, vars_, nblock, triples_ds, n_buckets)
+            continue
+        if nk == "union":
+            b, vars_ = _join_union_block(
+                b, vars_, nblock, nextras, triples_ds, n_buckets
+            )
             continue
         nb, nvars = _group_side_bindings(triples_ds, nblock, nextras, n_buckets)
         if nk == "optional":

@@ -1342,6 +1342,55 @@ def test_mixed_distinct_and_plain_aggregates(ray_session):
     assert int(g["n"][0]) == 4 and int(g["m"][0]) == 3
 
 
+def test_union_nested_in_group_bodies(ray_session):
+    """`{…} UNION {…}` blocks inside OPTIONAL / MINUS / FILTER EXISTS
+    bodies: the block joins into the group side at its clause position
+    before the group joins its base."""
+    rows = GRAPH_ROWS + [
+        ("a", "http://ex.org/tag", "hot"),
+        ("b", "http://ex.org/tag", "cold"),
+    ]
+    ds = _triples(rows)
+    out = execute(
+        ds,
+        """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d ?v WHERE {
+          ?d ex:lang ?l .
+          OPTIONAL { ?d ex:size ?v .
+                     { ?d ex:tag "hot" } UNION { ?d ex:tag "cold" } }
+        }
+        """,
+        n_buckets=4,
+    )
+    assert _rows(out, ["d", "v"]) == [("a", "10"), ("b", "200"), ("c", "")]
+    out2 = execute(
+        ds,
+        """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d WHERE {
+          ?d ex:lang ?l .
+          MINUS { { ?d ex:tag "hot" } UNION { ?d ex:tag "cold" } }
+        }
+        """,
+        n_buckets=4,
+    )
+    assert _rows(out2, ["d"]) == [("c",)]
+    out3 = execute(
+        ds,
+        """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d WHERE {
+          ?d ex:lang ?l .
+          FILTER EXISTS { { ?d ex:tag "hot" }
+                          UNION { ?d ex:size ?v . FILTER (?v > 100) } }
+        }
+        """,
+        n_buckets=4,
+    )
+    assert _rows(out3, ["d"]) == [("a",), ("b",)]
+
+
 def test_ungrouped_aggregates_over_zero_solutions(ray_session):
     """SPARQL §18.5: with no GROUP BY, zero solutions still form ONE
     group — COUNT=0, SUM/AVG=0, GROUP_CONCAT='', MIN/MAX/SAMPLE
