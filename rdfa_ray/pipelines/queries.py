@@ -2711,6 +2711,56 @@ def q_kg_union_join(sf_dir: str):
     )
 
 
+def q_kg_select_expr(sf_dir: str):
+    """SELECT expressions: a plain arithmetic projection would ride the
+    user BINDs; here inline aggregate calls (SUM/COUNT) hoist to hidden
+    aggregates and the ratio computes post-aggregation — one grouped
+    exchange total."""
+    from ..stages.sparql_text import execute
+
+    return execute(
+        _typed_triples(sf_dir),
+        """
+        PREFIX schema: <http://schema.org/>
+        SELECT ?src (COUNT(*) AS ?n) (SUM(?v) / COUNT(?v) AS ?avg_cc)
+        WHERE { ?d schema:source ?src ; schema:characterCount ?v . }
+        GROUP BY ?src
+        """,
+    )
+
+
+def q_kg_trailing_values(sf_dir: str):
+    """Trailing VALUES clause (SPARQL §18.2.4): inline data joined with
+    the query solutions after the WHERE group — a map-side membership
+    mask, zero shuffle."""
+    from ..stages.sparql_text import execute
+
+    return execute(
+        _typed_triples(sf_dir),
+        """
+        PREFIX schema: <http://schema.org/>
+        SELECT ?d ?l WHERE { ?d schema:inLanguage ?l . }
+        VALUES ?l { "en" "de" }
+        """,
+    )
+
+
+def q_kg_groupby_expr(sf_dir: str):
+    """GROUP BY expression keys: the key compiles to a hidden
+    pre-aggregation BIND column the grouped exchange then keys on."""
+    from ..stages.sparql_text import execute
+
+    return execute(
+        _typed_triples(sf_dir),
+        """
+        PREFIX schema: <http://schema.org/>
+        SELECT ?lx (COUNT(*) AS ?n)
+        WHERE { ?d schema:inLanguage ?l . }
+        GROUP BY (CONCAT(?l, "-x") AS ?lx)
+        """,
+    )
+
+
 def q_kg_order_by_expr(sf_dir: str):
     """ORDER BY over an expression (numeric sort of lexical bindings
     via a hidden BIND column): top-10 documents by characterCount as a
@@ -3277,6 +3327,9 @@ QUERIES = {
     "kg_mixed_distinct_agg": q_kg_mixed_distinct_agg,
     "kg_global_mixed_agg": q_kg_global_mixed_agg,
     "kg_union_join": q_kg_union_join,
+    "kg_select_expr": q_kg_select_expr,
+    "kg_trailing_values": q_kg_trailing_values,
+    "kg_groupby_expr": q_kg_groupby_expr,
     "kg_having_order_agg": q_kg_having_order_agg,
     "kg_union_arm_filter": q_kg_union_arm_filter,
     "kg_optional_filter": q_kg_optional_filter,
@@ -3982,6 +4035,27 @@ ORACLE_SQL = {
         " WHERE t1.pred = 'http://schema.org/source'"
         " AND t2.pred = 'http://schema.org/inLanguage'"
         " GROUP BY t1.obj_value" % _TYPED_TRIPLES_SQL
+    ),
+    "kg_select_expr": (
+        "WITH t AS (%s) "
+        "SELECT a.obj_value AS src, COUNT(*) AS n,"
+        " SUM(CAST(b.obj_value AS DOUBLE)) / COUNT(*) AS avg_cc"
+        " FROM t a JOIN t b ON b.subj = a.subj"
+        " WHERE a.pred = 'http://schema.org/source'"
+        " AND b.pred = 'http://schema.org/characterCount'"
+        " GROUP BY a.obj_value" % _TYPED_TRIPLES_SQL
+    ),
+    "kg_trailing_values": (
+        "WITH t AS (%s) "
+        "SELECT subj AS d, obj_value AS l FROM t"
+        " WHERE pred = 'http://schema.org/inLanguage'"
+        " AND obj_value IN ('en', 'de')" % _TYPED_TRIPLES_SQL
+    ),
+    "kg_groupby_expr": (
+        "WITH t AS (%s) "
+        "SELECT obj_value || '-x' AS lx, COUNT(*) AS n FROM t"
+        " WHERE pred = 'http://schema.org/inLanguage'"
+        " GROUP BY obj_value || '-x'" % _TYPED_TRIPLES_SQL
     ),
     "kg_union_join": (
         "WITH t AS (%s) "

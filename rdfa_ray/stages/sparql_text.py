@@ -281,12 +281,15 @@ def _parse_path_elt(p: _Parser, prefixes):
         inverted = True
     if p.peek() == ("op", "!"):
         p.next()
-        p.expect_op("(")
-        iris = [_parse_path_primary_iri(p, prefixes)]
-        while p.peek() == ("op", "|"):
+        if p.peek() == ("op", "("):  # !(iri1|iri2|...)
             p.next()
-            iris.append(_parse_path_primary_iri(p, prefixes))
-        p.expect_op(")")
+            iris = [_parse_path_primary_iri(p, prefixes)]
+            while p.peek() == ("op", "|"):
+                p.next()
+                iris.append(_parse_path_primary_iri(p, prefixes))
+            p.expect_op(")")
+        else:  # bare !iri (a one-member negated set)
+            iris = [_parse_path_primary_iri(p, prefixes)]
         elt = ("neg", *iris)
     elif p.peek() == ("op", "("):
         p.next()
@@ -1006,6 +1009,33 @@ def _agg_is_whole_key(p):
         k += 1
 
 
+def _agg_is_whole_proj(p):
+    """Lookahead: the cursor sits just after a SELECT projection item's
+    opening ``(`` and the ENTIRE item is one aggregate call aliased
+    directly — ``AGG( … ) AS ?v )``.  That shape keeps the dedicated
+    single-aggregate path (DISTINCT and GROUP_CONCAT separators live
+    there); anything else parses as a general SELECT expression."""
+    if p.peek()[0] != "kw" or p.peek()[1].upper() not in (
+        _INLINE_AGG_FNS + ("GROUP_CONCAT",)
+    ):
+        return False
+    if p.peek(1) != ("op", "("):
+        return False
+    depth, k = 0, 1
+    while True:
+        tok = p.peek(k)
+        if tok == (None, None):
+            return False
+        if tok == ("op", "("):
+            depth += 1
+        elif tok == ("op", ")"):
+            depth -= 1
+            if depth == 0:
+                nk, nv = p.peek(k + 1)
+                return nk == "kw" and nv.upper() == "AS"
+        k += 1
+
+
 def _parse_agg_call(p, prefixes, meta_needed, agg_binds, fn,
                     allow_distinct=True):
     """Parse one aggregate call body ``( [DISTINCT] * | ?v | expr
@@ -1130,6 +1160,19 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
         if p.at_kw("DISTINCT"):
             p.next()
             distinct = True
+    proj_exprs: list = []  # (alias, expr, vars_seen) SELECT expressions
+
+    def proj_agg_sink(fn):
+        """Inline aggregate calls inside SELECT expressions hoist to
+        hidden aggregates (same mechanism as HAVING/ORDER BY); the
+        expression then runs post-aggregation over the hidden column."""
+        fnl, argvar, _sep = _parse_agg_call(
+            p, prefixes, meta_needed, agg_binds, fn
+        )
+        alias = "__projagg_%d" % len(aggs)
+        aggs.append((fnl, argvar, alias))
+        return alias
+
     while form == "select":
         kind, val = p.peek()
         if kind == "var":
@@ -1138,29 +1181,49 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
         elif (kind, val) == ("op", "*"):
             p.next()
             star = True
-        elif (kind, val) == ("op", "("):  # (AGG(...) AS ?alias)
+        elif (kind, val) == ("op", "("):
             p.next()
-            kind, fn = p.next()
-            if kind != "kw" or fn.upper() not in (
-                "COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT",
-            ):
-                raise SparqlSyntaxError("unsupported aggregate %r" % fn)
-            fn, argvar, separator = _parse_agg_call(
-                p, prefixes, meta_needed, agg_binds, fn
-            )
-            p.expect_kw("AS")
-            kind, alias = p.next()
-            if kind != "var":
-                raise SparqlSyntaxError("AS needs a ?variable")
-            if alias.startswith("?__"):
-                raise SparqlSyntaxError(
-                    "aliases starting with __ are reserved for hidden"
-                    " engine columns"
+            if _agg_is_whole_proj(p):  # (AGG(...) AS ?alias)
+                kind, fn = p.next()
+                fn, argvar, separator = _parse_agg_call(
+                    p, prefixes, meta_needed, agg_binds, fn
                 )
-            p.expect_op(")")
-            aggs.append((fn, argvar, alias[1:]))
-            if fn.startswith("group_concat"):
-                gc_seps[alias[1:]] = " " if separator is None else separator
+                p.expect_kw("AS")
+                kind, alias = p.next()
+                if kind != "var":
+                    raise SparqlSyntaxError("AS needs a ?variable")
+                if alias.startswith("?__"):
+                    raise SparqlSyntaxError(
+                        "aliases starting with __ are reserved for hidden"
+                        " engine columns"
+                    )
+                p.expect_op(")")
+                aggs.append((fn, argvar, alias[1:]))
+                if fn.startswith("group_concat"):
+                    gc_seps[alias[1:]] = " " if separator is None else separator
+            else:
+                # (expr AS ?alias) — a general SELECT expression;
+                # inline aggregate calls hoist via proj_agg_sink, so
+                # (SUM(?v)/COUNT(?v) AS ?r) works.  Non-aggregate
+                # expressions compile to hidden pre-aggregation BINDs;
+                # aggregate-query expressions run post-aggregation
+                # (classified once GROUP BY is known).
+                fc = _FilterCompiler(
+                    p, prefixes, meta_needed, agg_sink=proj_agg_sink
+                )
+                _ek, expr = fc.parse_value()
+                p.expect_kw("AS")
+                kind, alias = p.next()
+                if kind != "var":
+                    raise SparqlSyntaxError("AS needs a ?variable")
+                if alias.startswith("?__"):
+                    raise SparqlSyntaxError(
+                        "aliases starting with __ are reserved for hidden"
+                        " engine columns"
+                    )
+                p.expect_op(")")
+                proj.append(alias[1:])
+                proj_exprs.append((alias[1:], expr, set(fc.vars_seen)))
         else:
             break
     if form == "select" and not star and not proj and not aggs:
@@ -1213,8 +1276,15 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
         p.expect_op("}")
         return block
 
+    construct_short = False
     if form == "construct":
-        template = parse_braced_block()
+        if p.peek() == ("op", "{"):
+            template = parse_braced_block()
+        else:
+            # CONSTRUCT WHERE { … } shorthand (SPARQL §10.2.3): the
+            # template IS the WHERE basic graph pattern — validated to
+            # be a plain BGP once the body is parsed
+            construct_short = True
 
     from_graphs, from_named = [], []
     while p.at_kw("FROM"):
@@ -1265,6 +1335,9 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
             "gc_seps": {},
             "expr_exists": [],
             "order_binds_post": [],
+            "proj_binds_post": [],
+            "values_post": [],
+            "values_multi_post": [],
             "group_by": [],
             "having": None,
             "order_by": [],
@@ -1529,6 +1602,51 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
         )
         return alias
 
+    def parse_values_into(single, multi):
+        """One VALUES data block (the keyword already consumed) —
+        shared by in-group VALUES and the trailing values clause."""
+        if p.peek() == ("op", "("):  # VALUES (?a ?b) { (x y) ... }
+            p.next()
+            vnames = []
+            while p.peek()[0] == "var":
+                vnames.append(p.next()[1][1:])
+            p.expect_op(")")
+            if not vnames:
+                raise SparqlSyntaxError("VALUES needs at least one ?variable")
+            p.expect_op("{")
+            rows = []
+            while p.peek() != ("op", "}"):
+                p.expect_op("(")
+                row = []
+                while p.peek() != ("op", ")"):
+                    vk, vv = p.peek()
+                    if vk == "kw" and vv.upper() == "UNDEF":
+                        p.next()
+                        row.append(None)
+                    else:
+                        vk, vv = p.next()
+                        row.append(_resolve(vk, vv, prefixes))
+                p.next()
+                if len(row) != len(vnames):
+                    raise SparqlSyntaxError(
+                        "VALUES row has %d terms for %d variables"
+                        % (len(row), len(vnames))
+                    )
+                rows.append(tuple(row))
+            p.next()
+            multi.append((vnames, rows))
+        else:
+            kind, var = p.next()
+            if kind != "var":
+                raise SparqlSyntaxError("VALUES needs a ?variable")
+            p.expect_op("{")
+            vals = []
+            while p.peek() != ("op", "}"):
+                vk, vv = p.next()
+                vals.append(_resolve(vk, vv, prefixes))
+            p.next()
+            single.append((var[1:], vals))
+
     while True:
         kind, val = p.peek()
         if (kind, val) == ("op", "}"):
@@ -1620,47 +1738,7 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
                 p.next()
         elif p.at_kw("VALUES"):
             p.next()
-            if p.peek() == ("op", "("):  # VALUES (?a ?b) { (x y) ... }
-                p.next()
-                vnames = []
-                while p.peek()[0] == "var":
-                    vnames.append(p.next()[1][1:])
-                p.expect_op(")")
-                if not vnames:
-                    raise SparqlSyntaxError("VALUES needs at least one ?variable")
-                p.expect_op("{")
-                rows = []
-                while p.peek() != ("op", "}"):
-                    p.expect_op("(")
-                    row = []
-                    while p.peek() != ("op", ")"):
-                        vk, vv = p.peek()
-                        if vk == "kw" and vv.upper() == "UNDEF":
-                            p.next()
-                            row.append(None)
-                        else:
-                            vk, vv = p.next()
-                            row.append(_resolve(vk, vv, prefixes))
-                    p.next()
-                    if len(row) != len(vnames):
-                        raise SparqlSyntaxError(
-                            "VALUES row has %d terms for %d variables"
-                            % (len(row), len(vnames))
-                        )
-                    rows.append(tuple(row))
-                p.next()
-                values_multi.append((vnames, rows))
-            else:
-                kind, var = p.next()
-                if kind != "var":
-                    raise SparqlSyntaxError("VALUES needs a ?variable")
-                p.expect_op("{")
-                vals = []
-                while p.peek() != ("op", "}"):
-                    vk, vv = p.next()
-                    vals.append(_resolve(vk, vv, prefixes))
-                p.next()
-                values.append((var[1:], vals))
+            parse_values_into(values, values_multi)
         elif p.at_kw("BIND"):
             p.next()
             p.expect_op("(")
@@ -1707,6 +1785,8 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
         raise SparqlSyntaxError("subqueries are supported in SELECT queries only")
 
     group_by, having = [], None
+    values_post: list = []  # trailing VALUES clause (single-var)
+    values_multi_post: list = []  # trailing VALUES (?a ?b) { ... }
     order_by, limit, offset = [], None, 0
     n_binds_closed = len(agg_binds)  # agg_binds already merged into binds
 
@@ -1730,8 +1810,50 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
         if p.at_kw("GROUP"):
             p.next()
             p.expect_kw("BY")
-            while p.peek()[0] == "var":
-                group_by.append(p.next()[1][1:])
+            while True:
+                if p.peek()[0] == "var":
+                    group_by.append(p.next()[1][1:])
+                elif p.peek() == ("op", "("):
+                    # GROUP BY (expr [AS ?v]): the key expression runs
+                    # as a hidden pre-aggregation BIND (the same column
+                    # the aggregate exchange then groups on); without
+                    # AS the key gets a hidden name and stays
+                    # unprojected
+                    p.next()
+                    # boolean keys «(?v > 50 AS ?big)» vs value keys
+                    # «(STRLEN(?l) AS ?g)»: try the boolean read, on
+                    # failure rewind and re-parse as a value (the same
+                    # ambiguity split parse_unary makes for parens)
+                    save = p.i
+                    try:
+                        fc = _FilterCompiler(p, prefixes, meta_needed)
+                        gexpr = fc.parse_or()
+                        if not (
+                            p.peek() == ("op", ")") or p.at_kw("AS")
+                        ):
+                            raise SparqlSyntaxError("not a whole group key")
+                    except SparqlSyntaxError:
+                        p.i = save
+                        fc = _FilterCompiler(p, prefixes, meta_needed)
+                        _ek, gexpr = fc.parse_value()
+                    if p.at_kw("AS"):
+                        p.next()
+                        kind, alias = p.next()
+                        if kind != "var":
+                            raise SparqlSyntaxError("AS needs a ?variable")
+                        if alias.startswith("?__"):
+                            raise SparqlSyntaxError(
+                                "aliases starting with __ are reserved"
+                                " for hidden engine columns"
+                            )
+                        name = alias[1:]
+                    else:
+                        name = "__gbx_%d" % len(group_by)
+                    p.expect_op(")")
+                    binds.append((name, gexpr))
+                    group_by.append(name)
+                else:
+                    break
         elif p.at_kw("HAVING"):
             p.next()
             p.expect_op("(")
@@ -1792,6 +1914,13 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
         elif p.at_kw("OFFSET"):
             p.next()
             offset = p.expect_int("OFFSET")
+        elif p.at_kw("VALUES"):
+            # trailing values clause (SPARQL §18.2.4: joined with the
+            # query solutions after aggregation and HAVING, before the
+            # SELECT expressions) — applied as a membership mask, so
+            # duplicate inline rows do not multiply solutions
+            p.next()
+            parse_values_into(values_post, values_multi_post)
         else:
             raise SparqlSyntaxError("unexpected trailing token %r" % (p.peek()[1],))
 
@@ -1816,6 +1945,43 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
         else:
             # plain query: hidden columns ride the user BINDs
             binds.extend((n, e) for n, e, _s in order_binds)
+
+    if (values_post or values_multi_post) and aggs:
+        # over an aggregate query the trailing VALUES joins the
+        # AGGREGATED table — group keys and aggregate aliases are the
+        # only columns that exist there
+        avail = set(group_by) | {a for _f, _v, a in aggs}
+        outside = (
+            {v for v, _vals in values_post}
+            | {v for vn, _r in values_multi_post for v in vn}
+        ) - avail
+        if outside:
+            raise SparqlSyntaxError(
+                "a trailing VALUES clause over an aggregate query may"
+                " reference only GROUP BY variables and aggregate"
+                " aliases (outside: %s)" % sorted(outside)
+            )
+
+    proj_binds_post: list = []
+    if proj_exprs:
+        if aggs:
+            # SELECT expressions over an aggregate query run on the
+            # AGGREGATED table — group keys + aggregate aliases (the
+            # hidden __projagg_ columns included) are their whole scope
+            avail = set(group_by) | {a for _f, _v, a in aggs}
+            for alias, expr, seen in proj_exprs:
+                outside = seen - avail
+                if outside:
+                    raise SparqlSyntaxError(
+                        "SELECT expressions over an aggregate query may"
+                        " reference only GROUP BY variables and"
+                        " aggregate aliases (outside: %s)"
+                        % sorted(outside)
+                    )
+                proj_binds_post.append((alias, expr))
+        else:
+            # plain query: the expression column rides the user BINDs
+            binds.extend((a, e) for a, e, _s in proj_exprs)
 
     if aggs and order_by:
         # every sort column must exist post-aggregation: group keys,
@@ -1846,6 +2012,22 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
 
     if not patterns and not union_arms and not union_joins and not subqueries:
         raise SparqlSyntaxError("WHERE needs at least one triple pattern")
+    if construct_short:
+        if (
+            filters or binds or values or values_multi or groups
+            or subqueries or union_arms or union_joins or expr_exists
+        ):
+            raise SparqlSyntaxError(
+                "CONSTRUCT WHERE takes a basic graph pattern only"
+                " (no FILTER/BIND/VALUES/groups — spell the template out)"
+            )
+        for pt in patterns:
+            if isinstance(pt[1], tuple) or len(pt) > 3:
+                raise SparqlSyntaxError(
+                    "CONSTRUCT WHERE takes plain triple patterns only"
+                    " (no property paths or GRAPH blocks)"
+                )
+        template = list(patterns)
     if union_joins and not patterns and not subqueries and groups:
         # MINUS/OPTIONAL/EXISTS run against a base built BEFORE the
         # positioned folds only when patterns or a pos-0 block exist
@@ -1863,7 +2045,9 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
         raise SparqlSyntaxError(
             "DESCRIBE <iri> takes no WHERE group in this fragment"
         )
-    if aggs and not group_by and proj:
+    if aggs and not group_by and any(
+        v not in {a for a, _e, _s in proj_exprs} for v in proj
+    ):
         raise SparqlSyntaxError("aggregates need GROUP BY for the plain vars")
     return {
         "form": form,
@@ -1899,6 +2083,9 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
         "needs_meta": sorted(set(meta_needed)),
         "expr_exists": expr_exists,
         "order_binds_post": order_binds_post,
+        "proj_binds_post": proj_binds_post,
+        "values_post": values_post,
+        "values_multi_post": values_multi_post,
     }
 
 
@@ -1921,10 +2108,11 @@ def _plan_out_cols(plan: dict) -> list:
     from .bgp import pattern_vars
 
     if plan["aggs"]:
-        # hidden HAVING/ORDER BY aggregates are not projected
-        return plan["group_by"] + [
+        # hidden HAVING/ORDER BY aggregates are not projected; SELECT
+        # expression aliases (computed post-aggregation) are
+        return [g for g in plan["group_by"] if not g.startswith("__")] + [
             a[2] for a in plan["aggs"] if not a[2].startswith("__")
-        ]
+        ] + [n for n, _e in plan.get("proj_binds_post", [])]
     if plan["star"]:
         all_pats = (
             plan["patterns"]
@@ -2359,6 +2547,14 @@ def _execute_plan(triples_ds, plan: dict, n_buckets: int = 64):
     if ee:
         b = b.drop_columns([alias for alias, _b, _e, _n in ee])
 
+    if not plan["aggs"]:
+        # trailing VALUES over a plain query: every referenced var is
+        # a binding column here, so the mask is the spec's join
+        for var, vals in plan.get("values_post") or []:
+            b = values_filter(b, var, vals)
+        for vn, rows in plan.get("values_multi_post") or []:
+            b = values_filter_multi(b, vn, rows)
+
     # non-SELECT forms consume the SAME solution bindings as a SELECT
     # over this WHERE group — groups, VALUES, BIND and FILTER all
     # applied (round-3 fix: the old early-return forms matched the
@@ -2459,7 +2655,7 @@ def _execute_plan(triples_ds, plan: dict, n_buckets: int = 64):
             from .sparql import filter_bindings as _fb
 
             b = _fb(b, plan["having"])
-        out_cols = gvars + [
+        out_cols = [g for g in gvars if not g.startswith("__")] + [
             a[2] for a in plan["aggs"] if not a[2].startswith("__")
         ]
         gc_d = [
@@ -2493,7 +2689,9 @@ def _execute_plan(triples_ds, plan: dict, n_buckets: int = 64):
             ),
             n_buckets=n_buckets,
         )
-        out_cols = plan["group_by"] + [
+        out_cols = [
+            g for g in plan["group_by"] if not g.startswith("__")
+        ] + [
             a[2] for a in plan["aggs"] if not a[2].startswith("__")
         ]
         # engine group_concat joins on \x1f; SPARQL's separator is the
@@ -2517,6 +2715,29 @@ def _execute_plan(triples_ds, plan: dict, n_buckets: int = 64):
             b = b.map_batches(sep_join, batch_format="pyarrow")
     else:
         out_cols = _plan_out_cols(plan)
+
+    if plan["aggs"]:
+        # trailing VALUES over an aggregate query joins the AGGREGATED
+        # table (SPARQL §18.2.4 order: after HAVING, before the SELECT
+        # expressions); scope-checked at parse time
+        for var, vals in plan.get("values_post") or []:
+            b = values_filter(b, var, vals)
+        for vn, rows in plan.get("values_multi_post") or []:
+            b = values_filter_multi(b, vn, rows)
+        # SELECT expression columns over an aggregate query: computed
+        # on the aggregated table (scope-checked at parse time), right
+        # before DISTINCT / ORDER BY / projection
+        for name, expr in plan.get("proj_binds_post") or []:
+
+            def pj_col(t, _e=expr):
+                v = _e(t)
+                if isinstance(v, pa.Scalar):
+                    v = pa.array([v.as_py()] * t.num_rows, type=v.type)
+                return v
+
+            b = bind_var(b, name, pj_col)
+            if name not in out_cols:
+                out_cols = list(out_cols) + [name]
 
     if plan["distinct"]:
         b = distinct_bindings(b, out_cols, n_buckets=n_buckets)

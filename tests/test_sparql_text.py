@@ -1342,6 +1342,136 @@ def test_mixed_distinct_and_plain_aggregates(ray_session):
     assert int(g["n"][0]) == 4 and int(g["m"][0]) == 3
 
 
+def test_select_expressions(ray_session):
+    """(expr AS ?alias) in the projection: plain expressions ride the
+    user BINDs; inline aggregate calls hoist to hidden aggregates and
+    the expression runs post-aggregation (SUM(?v)/COUNT(?v) works)."""
+    ds = _triples(GRAPH_ROWS)
+    out = execute(
+        ds,
+        "PREFIX ex: <http://ex.org/> "
+        "SELECT ?d (?v * 2 AS ?m) WHERE { ?d ex:size ?v }",
+        n_buckets=4,
+    ).to_pandas()
+    assert sorted(zip(out["d"], (int(x) for x in out["m"]))) == [
+        ("a", 20), ("b", 400), ("c", 60)
+    ]
+    avg = execute(
+        ds,
+        "PREFIX ex: <http://ex.org/> "
+        "SELECT (SUM(?v) / COUNT(?v) AS ?r) WHERE { ?d ex:size ?v }",
+        n_buckets=4,
+    ).to_pandas()
+    assert len(avg) == 1 and float(avg["r"][0]) == 80.0
+    grp = execute(
+        ds,
+        "PREFIX ex: <http://ex.org/> "
+        "SELECT ?l (SUM(?v) AS ?t) (SUM(?v) * 10 AS ?t10) "
+        "WHERE { ?d ex:lang ?l ; ex:size ?v } GROUP BY ?l",
+        n_buckets=4,
+    ).to_pandas()
+    got = sorted(zip(grp["l"], (int(x) for x in grp["t"]),
+                     (int(x) for x in grp["t10"])))
+    assert got == [("en", 200, 2000), ("zh", 40, 400)]
+    # expression over out-of-scope var raises on an aggregate query
+    with pytest.raises(SparqlSyntaxError):
+        execute(
+            ds,
+            "PREFIX ex: <http://ex.org/> "
+            "SELECT (?v + 1 AS ?bad) (COUNT(*) AS ?n) "
+            "WHERE { ?d ex:size ?v } GROUP BY ?d",
+        ).to_pandas()
+
+
+def test_trailing_values_clause(ray_session):
+    """Trailing VALUES (after the WHERE group / modifiers): joined with
+    the query solutions — post-aggregation for aggregate queries."""
+    ds = _triples(GRAPH_ROWS)
+    out = execute(
+        ds,
+        "PREFIX ex: <http://ex.org/> SELECT ?d ?v "
+        'WHERE { ?d ex:size ?v } VALUES ?d { "a" "c" }',
+        n_buckets=4,
+    )
+    assert _rows(out, ["d", "v"]) == [("a", "10"), ("c", "30")]
+    multi = execute(
+        ds,
+        "PREFIX ex: <http://ex.org/> SELECT ?d ?v WHERE { ?d ex:size ?v }"
+        ' VALUES (?d ?v) { ("a" UNDEF) (UNDEF "200") }',
+        n_buckets=4,
+    )
+    assert _rows(multi, ["d", "v"]) == [("a", "10"), ("b", "200")]
+    agg = execute(
+        ds,
+        "PREFIX ex: <http://ex.org/> SELECT ?l (COUNT(*) AS ?n) "
+        'WHERE { ?d ex:lang ?l } GROUP BY ?l VALUES ?l { "zh" }',
+        n_buckets=4,
+    ).to_pandas()
+    assert len(agg) == 1 and agg["l"][0] == "zh" and int(agg["n"][0]) == 2
+    # over an aggregate query only group keys / aliases are in scope
+    with pytest.raises(SparqlSyntaxError):
+        execute(
+            ds,
+            "PREFIX ex: <http://ex.org/> SELECT ?l (COUNT(*) AS ?n) "
+            'WHERE { ?d ex:lang ?l } GROUP BY ?l VALUES ?d { "a" }',
+        ).to_pandas()
+
+
+def test_group_by_expressions(ray_session):
+    """GROUP BY (expr AS ?v) keys compile to hidden pre-aggregation
+    BINDs; without AS the key stays unprojected; boolean keys work."""
+    ds = _triples(GRAPH_ROWS)
+    out = execute(
+        ds,
+        "PREFIX ex: <http://ex.org/> SELECT ?big (COUNT(*) AS ?n) "
+        "WHERE { ?d ex:size ?v } GROUP BY (?v > 50 AS ?big)",
+        n_buckets=4,
+    ).to_pandas()
+    got = sorted(zip((bool(x) for x in out["big"]),
+                     (int(x) for x in out["n"])))
+    assert got == [(False, 2), (True, 1)]
+    hidden = execute(
+        ds,
+        "PREFIX ex: <http://ex.org/> SELECT (COUNT(*) AS ?n) "
+        "WHERE { ?d ex:size ?v } GROUP BY (?v > 50)",
+        n_buckets=4,
+    ).to_pandas()
+    assert list(hidden.columns) == ["n"]
+    assert sorted(int(x) for x in hidden["n"]) == [1, 2]
+
+
+def test_construct_where_shorthand(ray_session):
+    """CONSTRUCT WHERE { bgp } emits the matched pattern itself; any
+    non-BGP clause in the WHERE raises (SPARQL §10.2.3)."""
+    ds = _triples(GRAPH_ROWS)
+    out = execute(
+        ds,
+        "CONSTRUCT WHERE { ?s <http://ex.org/lang> ?o }",
+        n_buckets=4,
+    )
+    assert _rows(out, ["subj", "obj_value"]) == [
+        ("a", "zh"), ("b", "en"), ("c", "zh")
+    ]
+    with pytest.raises(SparqlSyntaxError):
+        execute(
+            ds,
+            'CONSTRUCT WHERE { ?s <http://ex.org/lang> ?o . '
+            'FILTER(?o = "zh") }',
+        ).to_pandas()
+
+
+def test_bare_negated_path_iri(ray_session):
+    """`!iri` (a one-member negated property set) without parens."""
+    ds = _triples(GRAPH_ROWS)
+    out = execute(
+        ds,
+        "SELECT ?s ?o WHERE { ?s !<http://ex.org/lang> ?o }",
+        n_buckets=4,
+    )
+    got = _rows(out, ["s", "o"])
+    assert ("a", "10") in got and all(o != "zh" and o != "en" for _s, o in got)
+
+
 def test_union_nested_in_group_bodies(ray_session):
     """`{…} UNION {…}` blocks inside OPTIONAL / MINUS / FILTER EXISTS
     bodies: the block joins into the group side at its clause position
