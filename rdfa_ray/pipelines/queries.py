@@ -2711,6 +2711,23 @@ def q_kg_union_join(sf_dir: str):
     )
 
 
+def q_kg_anon_node(sf_dir: str):
+    """Blank-node property list sugar: `[ p1 ?a ; p2 ?b ]` expands to a
+    fresh hidden variable joined across the two patterns — one bucketed
+    exchange, identical to the spelled-out BGP."""
+    from ..stages.sparql_text import execute
+
+    return execute(
+        _typed_triples(sf_dir),
+        """
+        PREFIX schema: <http://schema.org/>
+        SELECT ?l ?v WHERE {
+          [ schema:inLanguage ?l ; schema:characterCount ?v ] .
+        }
+        """,
+    )
+
+
 def q_kg_select_expr(sf_dir: str):
     """SELECT expressions: a plain arithmetic projection would ride the
     user BINDs; here inline aggregate calls (SUM/COUNT) hoist to hidden
@@ -3328,6 +3345,7 @@ QUERIES = {
     "kg_global_mixed_agg": q_kg_global_mixed_agg,
     "kg_union_join": q_kg_union_join,
     "kg_select_expr": q_kg_select_expr,
+    "kg_anon_node": q_kg_anon_node,
     "kg_trailing_values": q_kg_trailing_values,
     "kg_groupby_expr": q_kg_groupby_expr,
     "kg_having_order_agg": q_kg_having_order_agg,
@@ -4035,6 +4053,14 @@ ORACLE_SQL = {
         " WHERE t1.pred = 'http://schema.org/source'"
         " AND t2.pred = 'http://schema.org/inLanguage'"
         " GROUP BY t1.obj_value" % _TYPED_TRIPLES_SQL
+    ),
+    "kg_anon_node": (
+        "WITH t AS (%s) "
+        "SELECT a.obj_value AS l, b.obj_value AS v"
+        " FROM t a JOIN t b ON b.subj = a.subj"
+        " WHERE a.pred = 'http://schema.org/inLanguage'"
+        " AND b.pred = 'http://schema.org/characterCount'"
+        % _TYPED_TRIPLES_SQL
     ),
     "kg_select_expr": (
         "WITH t AS (%s) "

@@ -171,7 +171,7 @@ _TOKEN_RE = re.compile(
   | (?P<number>[+-]?\d+(?:\.\d+)?)
   | (?P<pname>[A-Za-z_][A-Za-z0-9_-]*:[A-Za-z0-9_.-]*)
   | (?P<kw>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op><=|>=|!=|&&|\|\||[{}().;,*=<>!+/^|?-])
+  | (?P<op><=|>=|!=|&&|\|\||[{}().;,*=<>!+/^|?\[\]-])
     """,
     re.VERBOSE,
 )
@@ -241,11 +241,19 @@ def _resolve(tok_kind, tok_val, prefixes):
         return tok_val
     if tok_kind == "pname":
         pre, local = tok_val.split(":", 1)
+        if pre == "_":
+            raise SparqlSyntaxError(
+                "blank node labels (_:%s) are unsupported in this"
+                " fragment — use [ ] anon syntax or a ?variable" % local
+            )
         if pre not in prefixes:
             raise SparqlSyntaxError("undeclared prefix %r" % pre)
         return prefixes[pre] + local
     if tok_kind == "kw" and tok_val == "a":
         return _RDF_TYPE
+    if tok_kind == "kw" and tok_val.lower() in ("true", "false"):
+        # boolean literal: bindings are lexical, xsd:boolean canonical
+        return tok_val.lower()
     raise SparqlSyntaxError("unexpected term %r" % tok_val)
 
 
@@ -1239,8 +1247,44 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
     subqueries: list = []
     groups: list = []  # (kind, block[, negate]) in clause order
 
+    bn_counter = [0]  # fresh hidden vars for [ ... ] anon nodes
+
+    def parse_term_or_bnode(into):
+        """One subject/object term.  `[ pred obj ; ... ]` (a blank-node
+        property list, recursive) expands to a fresh hidden variable —
+        SPARQL treats query blank nodes as variables — with its
+        patterns appended to ``into``; `[]` is a bare anon node."""
+        if p.peek() == ("op", "["):
+            p.next()
+            var = "?__bn_%d" % bn_counter[0]
+            bn_counter[0] += 1
+            if p.peek() == ("op", "]"):
+                p.next()
+                return var
+            while True:
+                if p.peek()[0] == "var":
+                    pred = p.next()[1]
+                else:
+                    pred = _parse_path(p, prefixes)
+                obj = parse_term_or_bnode(into)
+                into.append((var, pred, obj))
+                while p.peek() == ("op", ","):
+                    p.next()
+                    obj = parse_term_or_bnode(into)
+                    into.append((var, pred, obj))
+                if p.peek() == ("op", ";"):
+                    p.next()
+                    if p.peek() == ("op", "]"):  # trailing ';'
+                        break
+                    continue
+                break
+            p.expect_op("]")
+            return var
+        k, v = p.next()
+        return _resolve(k, v, prefixes)
+
     def parse_triples_block(into):
-        """triple ('.'|';' lists) until '}' / a keyword clause."""
+        """triple ('.'|';'|',' lists) until '}' / a keyword clause."""
         while True:
             kind, val = p.peek()
             if (kind, val) in (("op", "}"), ("op", "{")) or (
@@ -1251,16 +1295,32 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
                 )
             ):
                 return
-            sk, sv = p.next()
-            subj = _resolve(sk, sv, prefixes)
+            n_before = len(into)
+            subj = parse_term_or_bnode(into)
+            kind, val = p.peek()
+            if (
+                isinstance(subj, str)
+                and subj.startswith("?__bn_")
+                and len(into) > n_before
+                and ((kind, val) in (("op", "."), ("op", "}"), ("op", "{"))
+                     or kind == "kw")
+            ):
+                # a bare `[ props ]` IS a whole triple block — its
+                # patterns are already expanded into `into`
+                if (kind, val) == ("op", "."):
+                    p.next()
+                continue
             while True:
                 if p.peek()[0] == "var":
                     pred = p.next()[1]  # variable predicate: plain pattern
                 else:
                     pred = _parse_path(p, prefixes)  # str, or a path tuple
-                ok, ov = p.next()
-                obj = _resolve(ok, ov, prefixes)
+                obj = parse_term_or_bnode(into)
                 into.append((subj, pred, obj))
+                while p.peek() == ("op", ","):  # object list, same s+p
+                    p.next()
+                    obj = parse_term_or_bnode(into)
+                    into.append((subj, pred, obj))
                 kind, val = p.peek()
                 if (kind, val) == ("op", ";"):
                     p.next()
@@ -1280,6 +1340,17 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
     if form == "construct":
         if p.peek() == ("op", "{"):
             template = parse_braced_block()
+            if any(
+                isinstance(t, str) and t.startswith("?__bn_")
+                for pt in template for t in pt
+            ):
+                # template blank nodes mint a FRESH node per solution
+                # (SPARQL §16.2) — the hidden-variable expansion would
+                # silently drop those triples instead
+                raise SparqlSyntaxError(
+                    "blank nodes in CONSTRUCT templates are unsupported"
+                    " in this fragment — project a variable instead"
+                )
         else:
             # CONSTRUCT WHERE { … } shorthand (SPARQL §10.2.3): the
             # template IS the WHERE basic graph pattern — validated to
@@ -2119,9 +2190,9 @@ def _plan_out_cols(plan: dict) -> list:
             + [p for g in plan["optionals"] for p in g]
             + [p for arm in plan["union"] for p in arm]
         )
-        return sorted(
+        star_vars = (
             {v for pat in all_pats for v in pattern_vars(pat)}
-            | {a for a, _ in plan["binds"] if not a.startswith("__")}
+            | {a for a, _ in plan["binds"]}
             | {
                 v
                 for arm, ex in zip(plan["union"], plan["union_extras"])
@@ -2141,6 +2212,9 @@ def _plan_out_cols(plan: dict) -> list:
             }
             | {c for sub, _pos in plan["subqueries"] for c in _plan_out_cols(sub)}
         )
+        # hidden engine columns ([ ] anon-node vars, __ord_/__gbx_
+        # binds) never surface through SELECT *
+        return sorted(v for v in star_vars if not v.startswith("__"))
     return plan["proj"]
 
 

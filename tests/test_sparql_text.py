@@ -1342,6 +1342,48 @@ def test_mixed_distinct_and_plain_aggregates(ray_session):
     assert int(g["n"][0]) == 4 and int(g["m"][0]) == 3
 
 
+def test_pattern_syntax_sugars(ray_session):
+    """Blank-node property lists (recursive, fresh hidden vars), comma
+    object lists, boolean literals; _:labels and template blank nodes
+    raise loudly."""
+    rows = [
+        ("a", "http://ex.org/p", "n1"),
+        ("n1", "http://ex.org/q", "42"),
+        ("n1", "http://ex.org/r", "7"),
+        ("b", "http://ex.org/num", "10"),
+        ("b", "http://ex.org/num", "20"),
+        ("c", "http://ex.org/flag", "true"),
+    ]
+    ds = _triples(rows)
+    out = execute(
+        ds,
+        "SELECT ?s ?v ?w WHERE { ?s <http://ex.org/p>"
+        " [ <http://ex.org/q> ?v ; <http://ex.org/r> ?w ] }",
+        n_buckets=4,
+    )
+    assert _rows(out, ["s", "v", "w"]) == [("a", "42", "7")]
+    # bare anon subject; SELECT * hides the hidden node var
+    star = execute(
+        ds, "SELECT * WHERE { [ <http://ex.org/q> ?v ] . }", n_buckets=4
+    ).to_pandas()
+    assert list(star.columns) == ["v"] and list(star["v"]) == ["42"]
+    comma = execute(
+        ds, "SELECT ?s WHERE { ?s <http://ex.org/num> 10, 20 }", n_buckets=4
+    )
+    assert _rows(comma, ["s"]) == [("b",)]
+    boolean = execute(
+        ds, "SELECT ?s WHERE { ?s <http://ex.org/flag> true }", n_buckets=4
+    )
+    assert _rows(boolean, ["s"]) == [("c",)]
+    with pytest.raises(SparqlSyntaxError):
+        execute(ds, "SELECT ?v WHERE { _:x <http://ex.org/q> ?v }")
+    with pytest.raises(SparqlSyntaxError):
+        execute(
+            ds,
+            "CONSTRUCT { ?s <http://t> [ ] } WHERE { ?s <http://ex.org/p> ?o }",
+        )
+
+
 def test_select_expressions(ray_session):
     """(expr AS ?alias) in the projection: plain expressions ride the
     user BINDs; inline aggregate calls hoist to hidden aggregates and
@@ -2100,6 +2142,8 @@ _FUZZ_SEED_QUERIES = [
     'OPTIONAL { ?d <http://t> ?t } }',
     'SELECT ?s WHERE { { ?s <http://p> ?o } { ?s <http://q> ?v } . '
     '{ SELECT ?s WHERE { ?s <http://r> ?z } } }',
+    'SELECT ?s ?v WHERE { ?s <http://p> [ <http://q> ?v ; <http://r> 1, true ] . '
+    '[] ?p 10 . }',
 ]
 _FUZZ_CHARS = list("{}()<>?$.;,\"'@^|+*/!&=# \tabPREFIXSELECTWHEREOPTIONALFILTER")
 
