@@ -2711,6 +2711,42 @@ def q_kg_union_join(sf_dir: str):
     )
 
 
+def q_kg_typed_const(sf_dir: str):
+    """A TYPED literal constant in a triple pattern
+    ("2020-01-01"^^xsd:date): rewritten to a hidden object variable
+    plus a metadata-equality mask over the same obj_datatype column
+    DATATYPE() reads — map-side, zero extra shuffle."""
+    from ..stages.sparql_text import execute
+
+    return execute(
+        _meta_triples(sf_dir),
+        """
+        PREFIX schema: <http://schema.org/>
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?d WHERE {
+          ?d schema:dateCreated "2020-01-01"^^xsd:date .
+        }
+        """,
+    )
+
+
+def q_kg_lang_const(sf_dir: str):
+    """A LANGUAGE-TAGGED literal constant in a triple pattern
+    ("doc 42"@fr): same hidden-variable + obj_lang mask rewrite.
+    COUNT form so the result is one row at every scale factor (doc
+    42's language varies per SF; a zero-row projection would drop the
+    schema) — also exercises the §18.5 empty-group row."""
+    from ..stages.sparql_text import execute
+
+    return execute(
+        _meta_triples(sf_dir),
+        """
+        PREFIX schema: <http://schema.org/>
+        SELECT (COUNT(*) AS ?n) WHERE { ?d schema:name "doc 42"@fr . }
+        """,
+    )
+
+
 def q_kg_anon_node(sf_dir: str):
     """Blank-node property list sugar: `[ p1 ?a ; p2 ?b ]` expands to a
     fresh hidden variable joined across the two patterns — one bucketed
@@ -3346,6 +3382,8 @@ QUERIES = {
     "kg_union_join": q_kg_union_join,
     "kg_select_expr": q_kg_select_expr,
     "kg_anon_node": q_kg_anon_node,
+    "kg_typed_const": q_kg_typed_const,
+    "kg_lang_const": q_kg_lang_const,
     "kg_trailing_values": q_kg_trailing_values,
     "kg_groupby_expr": q_kg_groupby_expr,
     "kg_having_order_agg": q_kg_having_order_agg,
@@ -4053,6 +4091,14 @@ ORACLE_SQL = {
         " WHERE t1.pred = 'http://schema.org/source'"
         " AND t2.pred = 'http://schema.org/inLanguage'"
         " GROUP BY t1.obj_value" % _TYPED_TRIPLES_SQL
+    ),
+    "kg_typed_const": (
+        "SELECT 'http://docs.local/d' || CAST(doc_id AS VARCHAR) AS d"
+        " FROM documents WHERE doc_id % 1461 = 0"
+    ),
+    "kg_lang_const": (
+        "SELECT COUNT(*) AS n"
+        " FROM documents WHERE doc_id = 42 AND lang = 'fr'"
     ),
     "kg_anon_node": (
         "WITH t AS (%s) "

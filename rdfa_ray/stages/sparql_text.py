@@ -167,11 +167,12 @@ _TOKEN_RE = re.compile(
   | (?P<comment>\#[^\n]*)
   | (?P<iri><[^<>\s]*>)
   | (?P<string>"(?:[^"\\]|\\.)*")
+  | (?P<langtag>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
   | (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
   | (?P<number>[+-]?\d+(?:\.\d+)?)
   | (?P<pname>[A-Za-z_][A-Za-z0-9_-]*:[A-Za-z0-9_.-]*)
   | (?P<kw>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op><=|>=|!=|&&|\|\||[{}().;,*=<>!+/^|?\[\]-])
+  | (?P<op><=|>=|!=|&&|\|\||\^\^|[{}().;,*=<>!+/^|?\[\]-])
     """,
     re.VERBOSE,
 )
@@ -1248,6 +1249,7 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
     groups: list = []  # (kind, block[, negate]) in clause order
 
     bn_counter = [0]  # fresh hidden vars for [ ... ] anon nodes
+    lit_tagged: list = []  # (var, lexical, lang|None, datatype|None)
 
     def parse_term_or_bnode(into):
         """One subject/object term.  `[ pred obj ; ... ]` (a blank-node
@@ -1281,7 +1283,29 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
             p.expect_op("]")
             return var
         k, v = p.next()
-        return _resolve(k, v, prefixes)
+        term = _resolve(k, v, prefixes)
+        if k == "string":
+            nk, nv = p.peek()
+            if nk == "langtag" or (nk, nv) == ("op", "^^"):
+                # "lex"@lang / "lex"^^<dt> constant: rewritten to a
+                # hidden object variable + a metadata-equality filter
+                # (strict engine-convention match on the same
+                # obj_lang/obj_datatype columns LANG()/DATATYPE() read;
+                # needs a metadata-preserving triples view)
+                var = "?__lit_%d" % len(lit_tagged)
+                if nk == "langtag":
+                    p.next()
+                    lit_tagged.append((var[1:], term, nv[1:].lower(), None))
+                else:
+                    p.next()
+                    dk, dv = p.next()
+                    if dk not in ("iri", "pname"):
+                        raise SparqlSyntaxError("^^ needs a datatype IRI")
+                    lit_tagged.append(
+                        (var[1:], term, None, _resolve(dk, dv, prefixes))
+                    )
+                return var
+        return term
 
     def parse_triples_block(into):
         """triple ('.'|';'|',' lists) until '}' / a keyword clause."""
@@ -1833,6 +1857,29 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
                 raise SparqlSyntaxError(
                     "unexpected token %r in group body" % (p.peek()[1],)
                 )
+
+    # tagged-literal constants ("x"@en / "10"^^<dt>): one metadata-
+    # equality mask each over the hidden object variable; appending
+    # the pseudo-columns to meta_needed makes the existing base-BGP
+    # scope validation (and the carry_meta scan) cover them
+    for name, lex, lang, dt in lit_tagged:
+        meta_needed.append(
+            name + ("__lang" if lang is not None else "__datatype")
+        )
+
+        def lit_mask(t, _n=name, _lex=lex, _lang=lang, _dt=dt):
+            m = pc.equal(pc.cast(t.column(_n), pa.string()), _lex)
+            if _lang is not None:
+                m = pc.and_(m, pc.equal(
+                    pc.cast(t.column(_n + "__lang"), pa.string()), _lang
+                ))
+            if _dt is not None:
+                m = pc.and_(m, pc.equal(
+                    pc.cast(t.column(_n + "__datatype"), pa.string()), _dt
+                ))
+            return m
+
+        filters.append(lit_mask)
 
     # hidden aggregate-expression binds run after every user BIND (they
     # may reference user-bound variables), right before grouping

@@ -1384,6 +1384,46 @@ def test_pattern_syntax_sugars(ray_session):
         )
 
 
+def test_tagged_literal_constants(ray_session):
+    """"lex"@lang and "lex"^^<dt> constants in object position:
+    rewritten to a hidden variable + a metadata-equality mask over the
+    same obj_lang/obj_datatype columns LANG()/DATATYPE() read."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    rows = [
+        ("a", "http://ex.org/name", "hi", "en", "", "literal"),
+        ("b", "http://ex.org/name", "hi", "zh", "", "literal"),
+        ("c", "http://ex.org/name", "hi", "", "", "literal"),
+        ("d", "http://ex.org/num", "10", "",
+         "http://www.w3.org/2001/XMLSchema#integer", "literal"),
+        ("e", "http://ex.org/num", "10", "", "", "literal"),
+    ]
+    subj, pred, obj, lang, dt, kind = zip(*rows)
+    ds = rd.from_arrow(pa.table({
+        "subj": pa.array(subj), "pred": pa.array(pred),
+        "obj_value": pa.array(obj), "obj_lang": pa.array(lang),
+        "obj_datatype": pa.array(dt), "obj_kind": pa.array(kind),
+    }))
+    out = execute(
+        ds, 'SELECT ?s WHERE { ?s <http://ex.org/name> "hi"@en }',
+        n_buckets=4,
+    )
+    assert _rows(out, ["s"]) == [("a",)]
+    out2 = execute(
+        ds,
+        'SELECT ?s WHERE { ?s <http://ex.org/num>'
+        ' "10"^^<http://www.w3.org/2001/XMLSchema#integer> }',
+        n_buckets=4,
+    )
+    assert _rows(out2, ["s"]) == [("d",)]
+    # untagged constants keep matching every lexical form
+    out3 = execute(
+        ds, 'SELECT ?s WHERE { ?s <http://ex.org/name> "hi" }', n_buckets=4
+    )
+    assert _rows(out3, ["s"]) == [("a",), ("b",), ("c",)]
+
+
 def test_select_expressions(ray_session):
     """(expr AS ?alias) in the projection: plain expressions ride the
     user BINDs; inline aggregate calls hoist to hidden aggregates and
@@ -2144,6 +2184,8 @@ _FUZZ_SEED_QUERIES = [
     '{ SELECT ?s WHERE { ?s <http://r> ?z } } }',
     'SELECT ?s ?v WHERE { ?s <http://p> [ <http://q> ?v ; <http://r> 1, true ] . '
     '[] ?p 10 . }',
+    'SELECT ?s WHERE { ?s <http://n> "hi"@en ; '
+    '<http://m> "10"^^<http://www.w3.org/2001/XMLSchema#integer> }',
 ]
 _FUZZ_CHARS = list("{}()<>?$.;,\"'@^|+*/!&=# \tabPREFIXSELECTWHEREOPTIONALFILTER")
 
