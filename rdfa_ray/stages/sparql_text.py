@@ -743,11 +743,16 @@ class _FilterCompiler:
                 return "num", (
                     lambda _a=alias: lambda t: _as_num(t.column(_a))
                 )()
-            if u in ("STR", "UCASE", "LCASE"):
+            if u in ("STR", "UCASE", "LCASE", "IRI", "URI"):
                 self.p.next()
                 ((_k, f),) = self._args(1)
                 kern = {
+                    # bindings are lexical forms engine-wide, so STR and
+                    # IRI/URI are both the identity over the lexical
+                    # value (no base-IRI resolution in this fragment)
                     "STR": lambda a: a,
+                    "IRI": lambda a: a,
+                    "URI": lambda a: a,
                     "UCASE": pc.utf8_upper,
                     "LCASE": pc.utf8_lower,
                 }[u]
@@ -1138,7 +1143,9 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
     describe_iris: list = []
     if subquery:
         p.expect_kw("SELECT")
-        if p.at_kw("DISTINCT"):
+        if p.at_kw("DISTINCT") or p.at_kw("REDUCED"):
+            # REDUCED permits (but does not require) duplicate
+            # elimination — dedup like rdflib for deterministic output
             p.next()
             distinct = True
     elif p.at_kw("ASK"):
@@ -1166,7 +1173,7 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
                 )
     else:
         p.expect_kw("SELECT")
-        if p.at_kw("DISTINCT"):
+        if p.at_kw("DISTINCT") or p.at_kw("REDUCED"):
             p.next()
             distinct = True
     proj_exprs: list = []  # (alias, expr, vars_seen) SELECT expressions

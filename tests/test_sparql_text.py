@@ -1384,6 +1384,29 @@ def test_pattern_syntax_sugars(ray_session):
         )
 
 
+def test_reduced_and_iri(ray_session):
+    """SELECT REDUCED dedups like rdflib (permitted by §18.2.5.2 —
+    deterministic output); IRI()/URI() are the lexical identity."""
+    rows = [
+        ("a", "http://ex.org/l", "zh"),
+        ("a2", "http://ex.org/l", "zh"),
+        ("b", "http://ex.org/l", "en"),
+    ]
+    ds = _triples(rows)
+    out = execute(
+        ds, "SELECT REDUCED ?l WHERE { ?s <http://ex.org/l> ?l }",
+        n_buckets=4,
+    )
+    assert _rows(out, ["l"]) == [("en",), ("zh",)]
+    out2 = execute(
+        ds,
+        'SELECT ?u WHERE { ?s <http://ex.org/l> "en" .'
+        ' BIND(IRI(CONCAT("urn:x:", ?s)) AS ?u) }',
+        n_buckets=4,
+    )
+    assert _rows(out2, ["u"]) == [("urn:x:b",)]
+
+
 def test_tagged_literal_constants(ray_session):
     """"lex"@lang and "lex"^^<dt> constants in object position:
     rewritten to a hidden variable + a metadata-equality mask over the
