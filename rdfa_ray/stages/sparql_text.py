@@ -3608,6 +3608,20 @@ def explain(query: str, store_dir: str | None = None) -> str:
             for vs, rows in plan["values_multi"]))
     if plan["binds"]:
         lines.append("  binds: %s" % ", ".join("?%s=<expr>" % a for a, _ in plan["binds"]))
+    if plan.get("proj_binds_post"):
+        lines.append(
+            "  select exprs (post-aggregation): %s"
+            % ", ".join("?%s=<expr>" % a for a, _ in plan["proj_binds_post"])
+        )
+    if plan.get("values_post") or plan.get("values_multi_post"):
+        lines.append(
+            "  trailing values: %s"
+            % ", ".join(
+                ["?%s(%d)" % (v, len(vs)) for v, vs in plan["values_post"]]
+                + ["(%s)x%d" % (" ".join("?%s" % v for v in vn), len(rows))
+                   for vn, rows in plan["values_multi_post"]]
+            )
+        )
     if plan["group_by"]:
         lines.append("group by: %s" % " ".join("?%s" % v for v in plan["group_by"]))
     if plan["order_by"]:
