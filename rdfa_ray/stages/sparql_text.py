@@ -2407,17 +2407,19 @@ def _execute_plan(triples_ds, plan: dict, n_buckets: int = 64):
         # columns ride the base scan and survive the group joins.
         if (
             plan["union"]
-            or plan.get("union_joins")
-            or plan["subqueries"]
             or graph_vars
             or plan["from_graphs"]
             or plan["from_named"]
             or plan["form"] != "select"
         ):
+            # union BLOCKS and subqueries compose (the meta pseudo-
+            # columns ride the base bindings through their joins); a
+            # lone pure-union body has no base scan to carry them
             raise SparqlSyntaxError(
                 "term-metadata functions (LANG/DATATYPE/ISIRI/ISBLANK/"
                 "ISLITERAL/ISNUMERIC) are supported in SELECT queries "
-                "over a base BGP (+ OPTIONAL/MINUS/EXISTS groups) only"
+                "over a base BGP (+ OPTIONAL/MINUS/EXISTS groups,"
+                " subqueries, and composed union blocks) only"
             )
         from .bgp import meta_vars_for
 
@@ -2600,6 +2602,9 @@ def _execute_plan(triples_ds, plan: dict, n_buckets: int = 64):
             bound = sorted(
                 {v for pt in plan["patterns"] for v in pattern_vars(pt)}
             )
+            # list the meta pseudo-columns in bound so a union-block /
+            # subquery join's projection keeps them for the filters
+            bound = bound + [m for m in plan["needs_meta"] if m not in bound]
         else:
             b, bound = None, []  # subqueries only
 

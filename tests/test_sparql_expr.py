@@ -486,6 +486,28 @@ def test_lang_composes_with_optional_and_minus(ray_session):
     assert sorted(df["d"]) == ["a"]
 
 
+def test_lang_composes_with_union_blocks_and_subqueries(ray_session):
+    """Meta pseudo-columns ride the base bindings through union-block
+    and subquery joins, so LANG() composes with both."""
+    ds = _meta_triples_ds(META_ROWS)
+    df = execute(
+        ds,
+        PREFIX + 'SELECT ?d ?v WHERE { ?d ex:name ?n .'
+        ' FILTER (LANG(?n) != "")'
+        ' { ?d ex:size ?v } UNION { ?d ex:name ?v } }',
+        n_buckets=4,
+    ).to_pandas()
+    assert len(df) > 0
+    df2 = execute(
+        ds,
+        PREFIX + 'SELECT ?d ?c WHERE { ?d ex:name ?n .'
+        ' FILTER (LANG(?n) != "")'
+        ' { SELECT ?d (COUNT(*) AS ?c) WHERE { ?d ?p ?o } GROUP BY ?d } }',
+        n_buckets=4,
+    ).to_pandas()
+    assert len(df2) > 0 and all(int(c) >= 1 for c in df2["c"])
+
+
 def test_meta_of_group_var_rejected(ray_session):
     # metadata functions reference base-BGP object variables only —
     # an optional-side variable raises, never a silent unbound read
