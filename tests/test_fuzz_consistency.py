@@ -49,6 +49,15 @@ def _gen_block(rng, depth, base_var):
             "%s { %s }"
             % (kind, _gen_block(rng, depth - 1, rng.choice([base_var, v1])))
         )
+    if depth > 0 and rng.random() < 0.3:
+        # a union block nested inside the group body: every arm must
+        # bind the join variable (the engine's soundness guard)
+        uv = "?u%d" % rng.randrange(100)
+        parts.append(
+            "{ %s <%s> %s } UNION { %s <%s> %s }"
+            % (base_var, rng.choice(PREDS), uv,
+               base_var, rng.choice(PREDS), uv)
+        )
     return " ".join(parts)
 
 
@@ -59,8 +68,21 @@ def _gen_query(rng):
             ["OPTIONAL", "MINUS", "FILTER EXISTS", "FILTER NOT EXISTS"]
         )
         clauses.append("%s { %s }" % (kind, _gen_block(rng, 1, "?d")))
+    if rng.random() < 0.35:
+        # top-level union block joined with the base pattern
+        uv = "?u%d" % rng.randrange(100)
+        clauses.append(
+            "{ ?d <%s> %s } UNION { ?d <%s> %s . FILTER (%s != \"%s\") }"
+            % (rng.choice(PREDS), uv, rng.choice(PREDS), uv, uv,
+               rng.choice(VALS))
+        )
     if rng.random() < 0.3:
         clauses.append('FILTER (?a != "%s")' % rng.choice(VALS))
+    if rng.random() < 0.25:
+        clauses.append(
+            "VALUES ?d { %s }"
+            % " ".join('"%s"' % s for s in rng.sample(SUBJ, 3))
+        )
     return "SELECT * WHERE { %s }" % " ".join(clauses)
 
 

@@ -540,3 +540,94 @@ def test_random_having_distinct(ray_session, seed):
         [p1],
     ).fetchdf()
     assert _same(got, want), q
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_union_block_join(ray_session, seed):
+    """A `{A} UNION {B}` block composing with a base pattern at a
+    random clause position, vs DuckDB JOIN-over-UNION-ALL."""
+    rng = random.Random(23000 + seed)
+    rows = _random_graph(rng)
+    p0, p1, p2 = (rng.choice(PREDS) for _ in range(3))
+    v = rng.choice(VALS)
+
+    q = (
+        "SELECT ?d ?x WHERE { ?d <%s> ?l . "
+        '{ ?d <%s> ?x } UNION { ?d <%s> ?x . FILTER (?x != "%s") } }'
+        % (p0, p1, p2, v)
+    )
+    got = execute(_ds(rows), q, n_buckets=4).to_pandas()
+    want = _con(rows).execute(
+        "SELECT a.subj AS d, u.x FROM t a JOIN ("
+        "SELECT subj, obj_value AS x FROM t WHERE pred = ?"
+        " UNION ALL "
+        "SELECT subj, obj_value AS x FROM t WHERE pred = ?"
+        " AND obj_value != ?"
+        ") u ON u.subj = a.subj WHERE a.pred = ?",
+        [p1, p2, v, p0],
+    ).fetchdf()
+    assert _same(got, want), q
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_select_expr(ray_session, seed):
+    """Projection expressions: plain (pre-aggregation BIND) and
+    aggregate arithmetic (hidden aggregate + post-aggregation bind)."""
+    rng = random.Random(24000 + seed)
+    rows = _random_graph(rng)
+    p1 = rng.choice(PREDS)
+
+    q = (
+        "SELECT ?d (CONCAT(?x, \"!\") AS ?m) WHERE { ?d <%s> ?x }" % p1
+    )
+    got = execute(_ds(rows), q, n_buckets=4).to_pandas()
+    want = _con(rows).execute(
+        "SELECT subj AS d, obj_value || '!' AS m FROM t WHERE pred = ?",
+        [p1],
+    ).fetchdf()
+    assert _same(got, want), q
+
+    q2 = (
+        "SELECT ?d (COUNT(*) AS ?n) (COUNT(*) * 3 AS ?n3)"
+        " WHERE { ?d <%s> ?x } GROUP BY ?d" % p1
+    )
+    got2 = execute(_ds(rows), q2, n_buckets=4).to_pandas()
+    want2 = _con(rows).execute(
+        "SELECT subj AS d, COUNT(*) AS n,"
+        " CAST(COUNT(*) * 3 AS DOUBLE) AS n3"
+        " FROM t WHERE pred = ? GROUP BY subj",
+        [p1],
+    ).fetchdf()
+    assert _same(got2, want2), q2
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_trailing_values_and_groupby_expr(ray_session, seed):
+    rng = random.Random(25000 + seed)
+    rows = _random_graph(rng)
+    p1 = rng.choice(PREDS)
+    keep = rng.sample(SUBJ, 3)
+
+    q = (
+        "SELECT ?d ?x WHERE { ?d <%s> ?x } VALUES ?d { %s }"
+        % (p1, " ".join('"%s"' % s for s in keep))
+    )
+    got = execute(_ds(rows), q, n_buckets=4).to_pandas()
+    want = _con(rows).execute(
+        "SELECT subj AS d, obj_value AS x FROM t WHERE pred = ?"
+        " AND subj IN (%s)" % ",".join("?" * len(keep)),
+        [p1, *keep],
+    ).fetchdf()
+    assert _same(got, want), q
+
+    q2 = (
+        "SELECT ?g (COUNT(*) AS ?n) WHERE { ?d <%s> ?x }"
+        " GROUP BY (CONCAT(?x, \"-k\") AS ?g)" % p1
+    )
+    got2 = execute(_ds(rows), q2, n_buckets=4).to_pandas()
+    want2 = _con(rows).execute(
+        "SELECT obj_value || '-k' AS g, COUNT(*) AS n FROM t"
+        " WHERE pred = ? GROUP BY obj_value || '-k'",
+        [p1],
+    ).fetchdf()
+    assert _same(got2, want2), q2
