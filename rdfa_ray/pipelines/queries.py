@@ -2764,6 +2764,24 @@ def q_kg_anon_node(sf_dir: str):
     )
 
 
+def q_kg_bnode_label(sf_dir: str):
+    """Labeled query blank nodes: `_:n` maps to one hidden variable
+    per label (SPARQL treats query bnodes as variables, §19.6 scopes a
+    label to one BGP) — same bucketed join as the spelled-out BGP."""
+    from ..stages.sparql_text import execute
+
+    return execute(
+        _typed_triples(sf_dir),
+        """
+        PREFIX schema: <http://schema.org/>
+        SELECT ?l ?v WHERE {
+          _:d schema:inLanguage ?l .
+          _:d schema:characterCount ?v .
+        }
+        """,
+    )
+
+
 def q_kg_select_expr(sf_dir: str):
     """SELECT expressions: a plain arithmetic projection would ride the
     user BINDs; here inline aggregate calls (SUM/COUNT) hoist to hidden
@@ -3382,6 +3400,7 @@ QUERIES = {
     "kg_union_join": q_kg_union_join,
     "kg_select_expr": q_kg_select_expr,
     "kg_anon_node": q_kg_anon_node,
+    "kg_bnode_label": q_kg_bnode_label,
     "kg_typed_const": q_kg_typed_const,
     "kg_lang_const": q_kg_lang_const,
     "kg_trailing_values": q_kg_trailing_values,
@@ -4101,6 +4120,14 @@ ORACLE_SQL = {
         " FROM documents WHERE doc_id = 42 AND lang = 'fr'"
     ),
     "kg_anon_node": (
+        "WITH t AS (%s) "
+        "SELECT a.obj_value AS l, b.obj_value AS v"
+        " FROM t a JOIN t b ON b.subj = a.subj"
+        " WHERE a.pred = 'http://schema.org/inLanguage'"
+        " AND b.pred = 'http://schema.org/characterCount'"
+        % _TYPED_TRIPLES_SQL
+    ),
+    "kg_bnode_label": (
         "WITH t AS (%s) "
         "SELECT a.obj_value AS l, b.obj_value AS v"
         " FROM t a JOIN t b ON b.subj = a.subj"

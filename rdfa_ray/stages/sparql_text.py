@@ -244,7 +244,8 @@ def _resolve(tok_kind, tok_val, prefixes):
         pre, local = tok_val.split(":", 1)
         if pre == "_":
             raise SparqlSyntaxError(
-                "blank node labels (_:%s) are unsupported in this"
+                "blank node labels (_:%s) are only supported in"
+                " subject/object position of triple patterns in this"
                 " fragment — use [ ] anon syntax or a ?variable" % local
             )
         if pre not in prefixes:
@@ -1256,13 +1257,33 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
     groups: list = []  # (kind, block[, negate]) in clause order
 
     bn_counter = [0]  # fresh hidden vars for [ ... ] anon nodes
+    bnl_map: dict = {}  # _:label -> (hidden var, id(block) of its BGP)
     lit_tagged: list = []  # (var, lexical, lang|None, datatype|None)
 
     def parse_term_or_bnode(into):
         """One subject/object term.  `[ pred obj ; ... ]` (a blank-node
         property list, recursive) expands to a fresh hidden variable —
         SPARQL treats query blank nodes as variables — with its
-        patterns appended to ``into``; `[]` is a bare anon node."""
+        patterns appended to ``into``; `[]` is a bare anon node.
+        `_:label` maps to one hidden variable per label, scoped to a
+        single pattern block (SPARQL §19.6: a label cannot span two
+        basic graph patterns)."""
+        nk, nv = p.peek()
+        if nk == "pname" and nv.startswith("_:"):
+            p.next()
+            label = nv[2:]
+            prev = bnl_map.get(label)
+            if prev is not None and prev[1] != id(into):
+                raise SparqlSyntaxError(
+                    "blank node label _:%s is used in two different"
+                    " pattern blocks — SPARQL scopes a label to one"
+                    " basic graph pattern" % label
+                )
+            if prev is None:
+                prev = ("?__bn_l%d" % bn_counter[0], id(into))
+                bn_counter[0] += 1
+                bnl_map[label] = prev
+            return prev[0]
         if p.peek() == ("op", "["):
             p.next()
             var = "?__bn_%d" % bn_counter[0]

@@ -1375,12 +1375,35 @@ def test_pattern_syntax_sugars(ray_session):
         ds, "SELECT ?s WHERE { ?s <http://ex.org/flag> true }", n_buckets=4
     )
     assert _rows(boolean, ["s"]) == [("c",)]
+    # _:label = one hidden variable per label, joining within its BGP
+    lbl = execute(
+        ds,
+        "SELECT ?v ?w WHERE { _:n <http://ex.org/q> ?v ."
+        " _:n <http://ex.org/r> ?w }",
+        n_buckets=4,
+    )
+    assert _rows(lbl, ["v", "w"]) == [("42", "7")]
+    star2 = execute(
+        ds, "SELECT * WHERE { _:n <http://ex.org/q> ?v }", n_buckets=4
+    ).to_pandas()
+    assert list(star2.columns) == ["v"] and list(star2["v"]) == ["42"]
+    # a label spanning two pattern blocks raises (SPARQL §19.6)
     with pytest.raises(SparqlSyntaxError):
-        execute(ds, "SELECT ?v WHERE { _:x <http://ex.org/q> ?v }")
+        execute(
+            ds,
+            "SELECT ?v WHERE { _:n <http://ex.org/q> ?v ."
+            " OPTIONAL { _:n <http://ex.org/r> ?w } }",
+        )
     with pytest.raises(SparqlSyntaxError):
         execute(
             ds,
             "CONSTRUCT { ?s <http://t> [ ] } WHERE { ?s <http://ex.org/p> ?o }",
+        )
+    # _:label in a CONSTRUCT template is a minting bnode — rejected too
+    with pytest.raises(SparqlSyntaxError):
+        execute(
+            ds,
+            "CONSTRUCT { ?s <http://t> _:m } WHERE { ?s <http://ex.org/p> ?o }",
         )
 
 
@@ -2209,8 +2232,11 @@ _FUZZ_SEED_QUERIES = [
     '[] ?p 10 . }',
     'SELECT ?s WHERE { ?s <http://n> "hi"@en ; '
     '<http://m> "10"^^<http://www.w3.org/2001/XMLSchema#integer> }',
+    'SELECT ?v WHERE { _:n <http://q> ?v . _:n <http://r> ?w }',
 ]
-_FUZZ_CHARS = list("{}()<>?$.;,\"'@^|+*/!&=# \tabPREFIXSELECTWHEREOPTIONALFILTER")
+_FUZZ_CHARS = list(
+    "{}()<>?$.;,\"'@^|+*/!&=#_: \tabPREFIXSELECTWHEREOPTIONALFILTER"
+)
 
 
 def _mutate_query(seed):
