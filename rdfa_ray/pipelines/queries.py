@@ -1621,6 +1621,48 @@ def q_kg_ask(sf_dir: str):
     )
 
 
+def q_kg_ask_const(sf_dir: str):
+    """Constant-only ASK patterns (the rdflib ``triple in graph`` /
+    reachability idiom): each fully-constant pattern is an existence
+    gate — one map-side equality filter with a first-match stop; the
+    path form filters the shared closure machinery's (src, dst) edges
+    the same way."""
+    import ray.data as rd
+
+    from ..stages.sparql_text import execute
+
+    t = _typed_triples(sf_dir).materialize()
+    probes = [
+        (
+            "triple",
+            'ASK { <http://docs.local/d0>'
+            ' <http://schema.org/inLanguage> "en" }',
+        ),
+        (
+            "absent",
+            'ASK { <http://docs.local/d0>'
+            ' <http://schema.org/inLanguage> "tlh" }',
+        ),
+        (
+            "path",
+            "ASK { <http://docs.local/d0> (<http://schema.org/inLanguage>"
+            '|<http://schema.org/source>) "en" }',
+        ),
+    ]
+    answers = [
+        bool(execute(t, q, n_buckets=8).to_pandas()["answer"][0])
+        for _n, q in probes
+    ]
+    return rd.from_arrow(
+        pa.table(
+            {
+                "probe": pa.array([n for n, _q in probes], pa.string()),
+                "answer": pa.array(answers, pa.bool_()),
+            }
+        )
+    )
+
+
 def q_kg_group_count(sf_dir: str):
     """SPARQL GROUP BY + COUNT over BGP bindings: documents per source
     among Chinese documents."""
@@ -3372,6 +3414,7 @@ QUERIES = {
     "kg_distinct_src": q_kg_distinct_src,
     "kg_construct": q_kg_construct,
     "kg_ask": q_kg_ask,
+    "kg_ask_const": q_kg_ask_const,
     "kg_group_count": q_kg_group_count,
     "kg_store_group_count": q_kg_store_group_count,
     "kg_agg_stats": q_kg_agg_stats,
@@ -3891,6 +3934,21 @@ ORACLE_SQL = {
         " pred = 'http://schema.org/inLanguage' AND obj_value = 'zh') AS answer "
         "UNION ALL SELECT 'tlh', EXISTS(SELECT 1 FROM t WHERE"
         " pred = 'http://schema.org/inLanguage' AND obj_value = 'tlh')"
+        % _TYPED_TRIPLES_SQL
+    ),
+    "kg_ask_const": (
+        "WITH t AS (%s) "
+        "SELECT 'triple' AS probe, EXISTS(SELECT 1 FROM t WHERE"
+        " subj = 'http://docs.local/d0' AND"
+        " pred = 'http://schema.org/inLanguage' AND obj_value = 'en')"
+        " AS answer "
+        "UNION ALL SELECT 'absent', EXISTS(SELECT 1 FROM t WHERE"
+        " subj = 'http://docs.local/d0' AND"
+        " pred = 'http://schema.org/inLanguage' AND obj_value = 'tlh') "
+        "UNION ALL SELECT 'path', EXISTS(SELECT 1 FROM t WHERE"
+        " subj = 'http://docs.local/d0' AND pred IN"
+        " ('http://schema.org/inLanguage', 'http://schema.org/source')"
+        " AND obj_value = 'en')"
         % _TYPED_TRIPLES_SQL
     ),
     "kg_group_count": (

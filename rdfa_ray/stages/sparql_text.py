@@ -2409,6 +2409,58 @@ def _execute_plan(triples_ds, plan: dict, n_buckets: int = 64):
     if plan["from_graphs"] or plan["from_named"]:
         triples_ds, graph_vars = _apply_dataset_clause(triples_ds, plan)
 
+    # constant-only patterns (`<s> <p> <o>` / `<a> <p>+ <b>`, incl. a
+    # constant GRAPH term) bind nothing — they are existence GATES over
+    # the solution multiset (rdflib's `triple in graph` / reachability
+    # ASK idioms).  Each evaluates map-side to a first-match count; a
+    # false gate empties the solutions BEFORE grouping (an empty input
+    # view), so aggregates still yield the §18.5 empty-group row.
+    def _is_const_gate(pt):
+        if isinstance(pt[1], tuple):
+            return not (
+                pt[0].startswith("?")
+                or pt[2].startswith("?")
+                or (len(pt) > 3 and pt[3].startswith("?"))
+            )
+        from .bgp import pattern_vars as _pv
+
+        return not _pv(pt)
+
+    gates = [pt for pt in plan["patterns"] if _is_const_gate(pt)]
+    if gates:
+        plan = dict(plan)
+        plan["patterns"] = [
+            pt for pt in plan["patterns"] if not _is_const_gate(pt)
+        ]
+        ok = all(
+            _const_gate_nonempty(triples_ds, pt, n_buckets) for pt in gates
+        )
+        nothing_else = not (
+            plan["patterns"]
+            or plan["groups"]
+            or plan["union"]
+            or plan["subqueries"]
+            or plan.get("union_joins")
+            or plan["binds"]
+            or plan["filters"]
+            or plan["values"]
+            or plan["values_multi"]
+        )
+        if nothing_else:
+            if plan["form"] == "ask":
+                import ray.data as rd
+
+                return rd.from_arrow(
+                    pa.table({"answer": pa.array([ok], pa.bool_())})
+                )
+            raise SparqlSyntaxError(
+                "a constant-only WHERE group is supported in ASK"
+                " queries only in this fragment — SELECT/CONSTRUCT/"
+                "DESCRIBE need at least one variable pattern"
+            )
+        if not ok:
+            triples_ds = triples_ds.limit(0)
+
     path_pats = [pt for pt in plan["patterns"] if isinstance(pt[1], tuple)]
     plain_pats = [pt for pt in plan["patterns"] if not isinstance(pt[1], tuple)]
     subs_joined = False  # groups path interleaves subquery joins itself
@@ -3009,6 +3061,48 @@ def _filter_to_graph(triples_ds, graph_iri: str):
         )
 
     return triples_ds.map_batches(pick, batch_format="pyarrow")
+
+
+def _const_gate_nonempty(triples_ds, pt, n_buckets) -> bool:
+    """Does a fully-constant pattern match at least one triple?  Plain
+    patterns are one map-side equality filter with a first-match stop
+    (``limit(1)`` halts the streaming executor after the first
+    surviving block); constant-endpoint paths reuse the shared closure
+    machinery and filter its (src, dst) edges the same way."""
+    if isinstance(pt[1], tuple):
+        from .sparql import path_edges
+
+        src_ds = triples_ds if len(pt) == 3 else _filter_to_graph(
+            triples_ds, pt[3]
+        )
+        edges = path_edges(src_ds, pt[1], n_buckets=n_buckets)
+
+        def pick_edge(batch: pa.Table, _s=pt[0], _o=pt[2]) -> pa.Table:
+            m = pc.and_(
+                pc.equal(pc.cast(batch.column("src"), pa.string()), _s),
+                pc.equal(pc.cast(batch.column("dst"), pa.string()), _o),
+            )
+            return batch.filter(pc.fill_null(m, False)).select(["src"])
+
+        probe = edges.map_batches(pick_edge, batch_format="pyarrow")
+    else:
+        cols = ("subj", "pred", "obj_value", "graph")
+        consts = list(zip(cols, pt))
+
+        def pick(batch: pa.Table, _c=consts) -> pa.Table:
+            if len(_c) > 3 and "graph" not in batch.column_names:
+                raise ValueError(
+                    "graph pattern %r needs a 'graph' column in the"
+                    " input (a quad dataset / quad store)" % (pt,)
+                )
+            mask = None
+            for col, val in _c:
+                m = pc.equal(pc.cast(batch.column(col), pa.string()), val)
+                mask = m if mask is None else pc.and_(mask, m)
+            return batch.filter(pc.fill_null(mask, False)).select(["subj"])
+
+        probe = triples_ds.map_batches(pick, batch_format="pyarrow")
+    return probe.limit(1).count() > 0
 
 
 def _path_pattern_bindings(triples_ds, subj, expr, obj, n_buckets):

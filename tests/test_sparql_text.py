@@ -1342,6 +1342,49 @@ def test_mixed_distinct_and_plain_aggregates(ray_session):
     assert int(g["n"][0]) == 4 and int(g["m"][0]) == 3
 
 
+def test_constant_pattern_gates(ray_session):
+    """Fully-constant patterns are existence gates: ASK answers them
+    directly (triple membership + path reachability); mixed into a
+    SELECT they keep or empty the solution multiset, and a false gate
+    empties solutions BEFORE grouping so aggregates still produce the
+    SPARQL §18.5 empty-group row."""
+    rows = [
+        ("a", "http://p", "b"),
+        ("b", "http://p", "c"),
+        ("x", "http://q", "y"),
+    ]
+    ds = _triples(rows)
+
+    def _ask(q):
+        return bool(execute(ds, q, n_buckets=2).to_pandas()["answer"][0])
+
+    assert _ask("ASK { <a> <http://p> <b> }") is True
+    assert _ask("ASK { <a> <http://p> <c> }") is False
+    assert _ask("ASK { <a> <http://p>+ <c> }") is True  # 2-hop closure
+    assert _ask("ASK { <c> <http://p>+ <a> }") is False
+    kept = execute(
+        ds,
+        "SELECT ?s WHERE { ?s <http://q> ?o . <a> <http://p> <b> }",
+        n_buckets=2,
+    )
+    assert _rows(kept, ["s"]) == [("x",)]
+    gone = execute(
+        ds,
+        "SELECT ?s WHERE { ?s <http://q> ?o . <a> <http://p> <zz> }",
+        n_buckets=2,
+    )
+    assert gone.count() == 0
+    agg = execute(
+        ds,
+        "SELECT (COUNT(*) AS ?n) WHERE"
+        " { ?s <http://q> ?o . <a> <http://p> <zz> }",
+        n_buckets=2,
+    ).to_pandas()
+    assert len(agg) == 1 and int(agg["n"][0]) == 0
+    with pytest.raises(SparqlSyntaxError):
+        execute(ds, "SELECT ?s WHERE { <a> <http://p> <b> }")
+
+
 def test_pattern_syntax_sugars(ray_session):
     """Blank-node property lists (recursive, fresh hidden vars), comma
     object lists, boolean literals; _:labels and template blank nodes
