@@ -3171,6 +3171,77 @@ def q_kg_sparql_update(sf_dir: str):
     )
 
 
+def q_kg_graph_mgmt(sf_dir: str):
+    """SPARQL 1.1 Update graph management (§3.2) end-to-end over the
+    quad store: COPY / ADD / MOVE / DROP between named graphs plus
+    GRAPH-qualified INSERT/DELETE DATA, then a per-graph census.  The
+    store is rebuilt fresh each call — the op sequence mutates it, so
+    a cached store would compound across reruns.  COPY/MOVE/DROP run
+    as map-only partition-local generational rewrites (prune scan on
+    the (pred, graph) columns only); ADD merges through the pruned
+    insert path (rdflib analogue: Dataset.update with graph-management
+    requests, rdflib/plugins/sparql/update.py evalAdd/evalMove)."""
+    import shutil
+
+    import rdfa_ray
+    from ray.data.aggregate import Count
+
+    from ..stages.kgstore import persist_kg, read_kg
+
+    store_dir = _store_tag(sf_dir, "graft_kgmgmt")
+    shutil.rmtree(store_dir, ignore_errors=True)
+    turns = typed_transcripts_from_documents(sf_dir)
+    quads = (
+        build_triples(turns)
+        .map_batches(split_triples, batch_format="pyarrow")
+        .map_batches(
+            lambda t: pa.Table.from_pydict(
+                {
+                    "subj": pc.cast(t.column("subj"), pa.string()),
+                    "pred": pc.cast(t.column("pred"), pa.string()),
+                    "obj_value": pc.cast(t.column("obj_value"), pa.string()),
+                    "graph": pc.cast(t.column("graph"), pa.string()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    persist_kg(quads, store_dir)
+
+    def g(i: int) -> str:
+        return "http://graft.local/conv/doc%08d/turn/0" % i
+
+    rdfa_ray.update(
+        store_dir,
+        """
+        INSERT DATA { GRAPH <urn:audit:run> {
+          <urn:job:1> <http://purl.org/dc/terms/created> "2026-08-19" } } ;
+        COPY <%(g0)s> TO <urn:work:merge> ;
+        ADD <%(g1)s> TO <urn:work:merge> ;
+        MOVE <%(g2)s> TO <urn:work:moved> ;
+        DROP GRAPH <%(g3)s> ;
+        DELETE DATA { GRAPH <urn:work:merge> {
+          <http://docs.local/d0>
+          <http://www.w3.org/1999/02/22-rdf-syntax-ns#type>
+          <http://schema.org/Document> } } ;
+        ADD <urn:audit:run> TO DEFAULT
+        """
+        % {"g0": g(0), "g1": g(1), "g2": g(2), "g3": g(3)},
+    )
+
+    def census(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"g": pc.cast(batch.column("graph"), pa.string())}
+        )
+
+    return (
+        read_kg(store_dir, columns=["graph"])
+        .map_batches(census, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
 def q_kg_store_quads(sf_dir: str):
     """Quad persistence end-to-end: the distilled quads (named-graph
     column riding along) persist into the predicate-partitioned store,
@@ -3432,6 +3503,7 @@ QUERIES = {
     "kg_store_update": q_kg_store_update,
     "kg_sparql_update": q_kg_sparql_update,
     "kg_store_quads": q_kg_store_quads,
+    "kg_graph_mgmt": q_kg_graph_mgmt,
     "kg_subquery": q_kg_subquery,
     "kg_count_distinct": q_kg_count_distinct,
     "kg_sum_distinct": q_kg_sum_distinct,
@@ -4422,6 +4494,43 @@ ORACLE_SQL = {
         "SELECT 'http://schema.org/inLanguage' AS pred,"
         " COUNT(*) AS n FROM documents"
         " UNION ALL SELECT 'http://schema.org/source', COUNT(*) FROM documents"
+    ),
+    "kg_graph_mgmt": (
+        "WITH q AS ("
+        " SELECT 'http://docs.local/d' || CAST(doc_id AS VARCHAR) AS subj,"
+        "  'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,"
+        "  'http://schema.org/Document' AS obj_value,"
+        "  'http://graft.local/conv/doc' || printf('%08d', doc_id)"
+        "  || '/turn/0' AS graph FROM documents"
+        " UNION ALL SELECT 'http://docs.local/d' || CAST(doc_id AS VARCHAR),"
+        "  'http://schema.org/inLanguage', lang,"
+        "  'http://graft.local/conv/doc' || printf('%08d', doc_id)"
+        "  || '/turn/0' FROM documents"
+        " UNION ALL SELECT 'http://docs.local/d' || CAST(doc_id AS VARCHAR),"
+        "  'http://schema.org/source', source,"
+        "  'http://graft.local/conv/doc' || printf('%08d', doc_id)"
+        "  || '/turn/0' FROM documents"
+        " UNION ALL SELECT 'http://docs.local/d' || CAST(doc_id AS VARCHAR),"
+        "  'http://schema.org/characterCount', CAST(n_chars AS VARCHAR),"
+        "  'http://graft.local/conv/doc' || printf('%08d', doc_id)"
+        "  || '/turn/0' FROM documents"
+        "), gids AS ("
+        " SELECT 'http://graft.local/conv/doc' || printf('%08d', doc_id)"
+        " || '/turn/0' AS gid, doc_id FROM documents WHERE doc_id < 4"
+        "), final AS ("
+        " SELECT subj, pred, obj_value, graph FROM q WHERE graph NOT IN"
+        "  (SELECT gid FROM gids WHERE doc_id IN (2, 3))"
+        " UNION ALL SELECT subj, pred, obj_value, 'urn:work:moved' FROM q"
+        "  WHERE graph = (SELECT gid FROM gids WHERE doc_id = 2)"
+        " UNION ALL SELECT subj, pred, obj_value, 'urn:work:merge' FROM q"
+        "  WHERE graph IN (SELECT gid FROM gids WHERE doc_id IN (0, 1))"
+        "  AND NOT (subj = 'http://docs.local/d0' AND pred ="
+        "  'http://www.w3.org/1999/02/22-rdf-syntax-ns#type')"
+        " UNION ALL SELECT 'urn:job:1',"
+        "  'http://purl.org/dc/terms/created', '2026-08-19', 'urn:audit:run'"
+        " UNION ALL SELECT 'urn:job:1',"
+        "  'http://purl.org/dc/terms/created', '2026-08-19', ''"
+        ") SELECT graph AS g, COUNT(*) AS n FROM final GROUP BY graph"
     ),
     "kg_agg_stats": (
         "WITH t AS (%s) "

@@ -32,38 +32,43 @@ _KEYED_SCHEMA = pa.schema(
 _KEY_ONLY = pa.schema([("__k", pa.string())])
 
 
-def _pack(batch: pa.Table) -> pa.ChunkedArray:
+def _pack(batch: pa.Table, cols=_COLS) -> pa.ChunkedArray:
     return pc.binary_join_element_wise(
-        *[pc.cast(batch.column(c), pa.string()) for c in _COLS], _SEP
+        *[pc.cast(batch.column(c), pa.string()) for c in cols], _SEP
     )
 
 
-def _with_key(ds):
+def _with_key(ds, cols=_COLS):
     def add(batch: pa.Table) -> pa.Table:
         return pa.Table.from_pydict(
-            {**{c: pc.cast(batch.column(c), pa.string()) for c in _COLS},
-             "__k": _pack(batch)}
+            {**{c: pc.cast(batch.column(c), pa.string()) for c in cols},
+             "__k": _pack(batch, cols)}
         )
 
     return ds.map_batches(add, batch_format="pyarrow")
 
 
-def _key_only(ds):
+def _key_only(ds, cols=_COLS):
     def add(batch: pa.Table) -> pa.Table:
-        return pa.Table.from_pydict({"__k": _pack(batch)})
+        return pa.Table.from_pydict({"__k": _pack(batch, cols)})
 
     return ds.map_batches(add, batch_format="pyarrow")
 
 
-def _semi_or_anti(a_ds, b_ds, how: str, n_buckets: int):
+def _semi_or_anti(a_ds, b_ds, how: str, n_buckets: int, cols=_COLS):
+    keyed = (
+        _KEYED_SCHEMA
+        if tuple(cols) == _COLS
+        else pa.schema([(c, pa.string()) for c in cols] + [("__k", pa.string())])
+    )
     out = bucketed_hash_join(
-        _with_key(a_ds),
-        _key_only(b_ds),  # only ~key-sized rows shuffle on the right
+        _with_key(a_ds, cols),
+        _key_only(b_ds, cols),  # only ~key-sized rows shuffle on the right
         on="__k",
         n_buckets=n_buckets,
         how=how,
         left_distinct=["__k"],  # set semantics, folded into the join
-        left_schema=_KEYED_SCHEMA,
+        left_schema=keyed,
         right_schema=_KEY_ONLY,
     )
     return out.drop_columns(["__k"])
@@ -74,9 +79,10 @@ def graph_intersection(a_ds, b_ds, n_buckets: int = 64):
     return _semi_or_anti(a_ds, b_ds, "semi", n_buckets)
 
 
-def graph_difference(a_ds, b_ds, n_buckets: int = 64):
-    """Triples of ``a`` absent from ``b`` (rdflib ``g1 - g2``)."""
-    return _semi_or_anti(a_ds, b_ds, "anti", n_buckets)
+def graph_difference(a_ds, b_ds, n_buckets: int = 64, cols=_COLS):
+    """Rows of ``a`` absent from ``b`` (rdflib ``g1 - g2``), keyed on
+    ``cols`` — pass 4 columns for quad (named-graph-aware) difference."""
+    return _semi_or_anti(a_ds, b_ds, "anti", n_buckets, cols)
 
 
 def graph_union(a_ds, b_ds, n_buckets: int = 64):

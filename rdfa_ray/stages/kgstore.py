@@ -46,6 +46,7 @@ from ..sources.io import read_parquet as read_parquet_clean
 _META = "_meta.json"
 _PRED_TOKEN_RE = re.compile(r"[^A-Za-z0-9]+")
 _COLS = ("subj", "pred", "obj_value")
+_QCOLS = ("subj", "pred", "obj_value", "graph")
 
 
 def pred_key(pred: str) -> str:
@@ -72,6 +73,34 @@ def store_is_complete(store_dir: str) -> bool:
             return json.load(f).get("format") == 2
     except (OSError, ValueError):
         return False
+
+
+def store_has_graph(store_dir: str) -> bool:
+    """Is this a quad store (rows carry a ``graph`` column)?  Answered
+    from the manifest's recorded form; older manifests (or ones written
+    before the flag existed) fall back to sniffing one partition file's
+    schema.  An empty store with no recorded form reads as triple-form
+    — the next insert's delta schema decides what it becomes."""
+    meta = _read_meta(store_dir)
+    if "quads" in meta:
+        return bool(meta["quads"])
+    parts = meta["partitions"]
+    if not parts:
+        return False
+    import pyarrow.parquet as pq
+
+    paths = _partition_files(store_dir, parts, sorted(parts)[:1])
+    return bool(paths) and "graph" in pq.read_schema(paths[0]).names
+
+
+def _sniff_quads(store_dir: str, partitions: dict) -> bool:
+    """Schema-sniff a freshly written generation for the graph column."""
+    if not partitions:
+        return False
+    import pyarrow.parquet as pq
+
+    paths = _partition_files(store_dir, partitions, sorted(partitions)[:1])
+    return bool(paths) and "graph" in pq.read_schema(paths[0]).names
 
 
 def _read_meta(store_dir: str) -> dict:
@@ -174,21 +203,33 @@ def persist_kg(triples_ds, store_dir: str) -> dict:
     parts = _write_generation(
         triples_ds.map_batches(_add_key, batch_format="pyarrow"), store_dir, 1
     )
-    meta = {"format": 2, "generation": 1, "partitions": parts}
+    meta = {
+        "format": 2,
+        "generation": 1,
+        "partitions": parts,
+        "quads": _sniff_quads(store_dir, parts),
+    }
     # manifest LAST: callers key "store already built" off this file,
     # so it must not exist before the partition writes completed
     _write_meta(store_dir, meta)
     return meta
 
 
-def update_kg(store_dir: str, insert_ds=None, delete_ds=None) -> dict:
+def update_kg(store_dir: str, insert_ds=None, delete_ds=None, quads=None) -> dict:
     """INSERT DATA / DELETE DATA against the store (deletes apply
     first, matching SPARQL Update's single-request semantics).  Only
     partitions whose predicate appears in the delta are rewritten —
     each as a NEW generation directory, with the manifest re-pointed
     atomically at the end.  Untouched partitions are carried by
     reference.  A crash before the manifest write leaves the previous
-    snapshot fully readable."""
+    snapshot fully readable.
+
+    Works on triple stores and quad stores alike: ``quads`` forces the
+    mode (True = deltas carry / default to a ``graph`` column, set
+    semantics key on all four columns); ``None`` auto-detects from the
+    store's recorded form.  Mixing a quad delta into a triple store
+    raises — the row shapes are incompatible and a silent widen would
+    corrupt every existing reader's schema."""
     import pyarrow.compute as pc
     import ray.data as rd
 
@@ -219,6 +260,10 @@ def update_kg(store_dir: str, insert_ds=None, delete_ds=None) -> dict:
     if not touched:
         return meta
 
+    if quads is None:
+        quads = store_has_graph(store_dir)
+    cols = list(_QCOLS) if quads else list(_COLS)
+
     # current rows of ONLY the touched partitions (pruned read)
     paths = _partition_files(
         store_dir, meta["partitions"], [t for t in touched if t in meta["partitions"]]
@@ -226,32 +271,42 @@ def update_kg(store_dir: str, insert_ds=None, delete_ds=None) -> dict:
     if paths:
         import pyarrow.parquet as pq
 
-        extra = set(pq.read_schema(paths[0]).names) - set(_COLS)
+        extra = set(pq.read_schema(paths[0]).names) - set(cols)
         if extra:
             raise ValueError(
-                "update_kg supports plain triple stores; this store's"
-                " partitions carry extra columns %s (a quad store) —"
-                " rebuild via persist_kg instead" % sorted(extra)
+                "store rows carry columns %s beyond the %s layout this"
+                " update targets — a quad delta cannot apply to a"
+                " triple store (and vice versa); rebuild via persist_kg"
+                % (sorted(extra), "quad" if quads else "triple")
             )
+
+    def norm(b: pa.Table) -> pa.Table:
+        # quad mode: a graph-less delta lands in the default graph ''
+        out = {}
+        for c in cols:
+            if c == "graph" and "graph" not in b.column_names:
+                out[c] = pa.nulls(b.num_rows, pa.string()).fill_null("")
+            else:
+                out[c] = pc.fill_null(pc.cast(b.column(c), pa.string()), "")
+        return pa.Table.from_pydict(out)
+
     if paths:
-        current = read_parquet_clean(paths, columns=list(_COLS))
+        current = read_parquet_clean(paths, columns=cols)
     else:
         current = rd.from_arrow(
-            pa.Table.from_pydict({c: pa.array([], pa.string()) for c in _COLS})
+            pa.Table.from_pydict({c: pa.array([], pa.string()) for c in cols})
         )
 
     updated = current
     if delete_ds is not None:
         # one bucketed anti join, key-sized rows on the delete side
-        updated = graph_difference(updated, delete_ds)
-    if insert_ds is not None:
-        ins = insert_ds.map_batches(
-            lambda b: pa.Table.from_pydict(
-                {c: pc.cast(b.column(c), pa.string()) for c in _COLS}
-            ),
-            batch_format="pyarrow",
+        updated = graph_difference(
+            updated, delete_ds.map_batches(norm, batch_format="pyarrow"),
+            cols=tuple(cols),
         )
-        updated = distinct(updated.union(ins), list(_COLS))
+    if insert_ds is not None:
+        ins = insert_ds.map_batches(norm, batch_format="pyarrow")
+        updated = distinct(updated.union(ins), cols)
 
     new_parts = _write_generation(
         updated.map_batches(_add_key, batch_format="pyarrow"), store_dir, gen
@@ -260,7 +315,12 @@ def update_kg(store_dir: str, insert_ds=None, delete_ds=None) -> dict:
     for t in touched:
         partitions.pop(t, None)  # delta may have emptied the partition
     partitions.update(new_parts)
-    meta = {"format": 2, "generation": gen, "partitions": partitions}
+    meta = {
+        "format": 2,
+        "generation": gen,
+        "partitions": partitions,
+        "quads": bool(quads),
+    }
     _write_meta(store_dir, meta)
     return meta
 
@@ -271,7 +331,94 @@ def clear_kg(store_dir: str) -> dict:
     directories stay on disk for crash safety / time travel until
     ``vacuum_store``."""
     meta = _read_meta(store_dir)
-    meta = {"format": 2, "generation": meta["generation"] + 1, "partitions": {}}
+    meta = {
+        "format": 2,
+        "generation": meta["generation"] + 1,
+        "partitions": {},
+        "quads": meta.get("quads", False),  # an emptied store keeps its form
+    }
+    _write_meta(store_dir, meta)
+    return meta
+
+
+def transform_graphs(store_dir: str, affected, rewrite) -> dict:
+    """Generational map-only rewrite of the partitions whose ``graph``
+    column matches ``affected`` — the engine of SPARQL Update's graph
+    management (§3.2: DROP / CLEAR GRAPH, COPY, MOVE), all of which are
+    PARTITION-LOCAL under predicate partitioning: a graph's rows for
+    predicate P live in P's partition, and so do their retagged copies.
+
+    * ``affected(graph_array) -> bool mask``: which graph values the
+      operation touches (vectorized, pyarrow).
+    * ``rewrite(batch) -> batch``: the per-batch rewrite applied to
+      every row batch of the touched partitions (drop rows, retag
+      graphs, duplicate-and-retag — anything row-local).
+
+    Two passes, no exchange anywhere:
+
+    1. a PRUNE scan reading ONLY the (pred, graph) columns finds the
+       partitions that contain any affected graph (columnar projection
+       — at 100 TB this reads two thin columns, not the store);
+    2. only those partitions re-write through ``rewrite`` as a new
+       generation; every other partition is carried by reference in
+       the manifest swap, exactly like ``update_kg``.
+
+    Requires a quad store (``store_has_graph``); raises otherwise."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    meta = _read_meta(store_dir)
+    if not store_has_graph(store_dir):
+        raise ValueError(
+            "graph management needs a quad store (rows with a 'graph'"
+            " column); this store at %s is triple-form" % store_dir
+        )
+    gen = meta["generation"] + 1
+    partitions = meta["partitions"]
+    all_paths = _partition_files(store_dir, partitions, sorted(partitions))
+    if not all_paths:
+        return meta
+
+    # pass 1: (pred, graph)-only prune scan -> touched pred_keys
+    def hit_preds(b: pa.Table) -> pa.Table:
+        g = pc.fill_null(pc.cast(b.column("graph"), pa.string()), "")
+        hits = b.filter(affected(g))
+        return pa.Table.from_pydict(
+            {"pred": pc.unique(pc.cast(hits.column("pred"), pa.string()))}
+        )
+
+    df = (
+        read_parquet_clean(all_paths, columns=["pred", "graph"])
+        .map_batches(hit_preds, batch_format="pyarrow")
+        .to_pandas()
+    )
+    touched = (
+        sorted({pred_key(p) for p in df["pred"].unique()})
+        if "pred" in df.columns and len(df)
+        else []
+    )
+    touched = [t for t in touched if t in partitions]
+    if not touched:
+        return meta
+
+    # pass 2: rewrite ONLY the touched partitions, map-side
+    paths = _partition_files(store_dir, partitions, touched)
+    updated = read_parquet_clean(paths, columns=list(_QCOLS)).map_batches(
+        rewrite, batch_format="pyarrow"
+    )
+    new_parts = _write_generation(
+        updated.map_batches(_add_key, batch_format="pyarrow"), store_dir, gen
+    )
+    partitions = dict(partitions)
+    for t in touched:
+        partitions.pop(t, None)  # rewrite may have emptied the partition
+    partitions.update(new_parts)
+    meta = {
+        "format": 2,
+        "generation": gen,
+        "partitions": partitions,
+        "quads": True,
+    }
     _write_meta(store_dir, meta)
     return meta
 

@@ -174,7 +174,9 @@ def test_vacuum_removes_only_unreferenced(ray_session, tmp_path):
 
 def test_quad_store_passthrough(ray_session, tmp_path):
     """Extra columns (named graph) persist and read back pruned; the
-    triple-only update path refuses quad stores loudly."""
+    update path auto-detects quad stores — a graph-less delta targets
+    the DEFAULT graph '' (SPARQL Update's rule for triples outside any
+    GRAPH block), so named-graph rows are untouched by it."""
     import ray.data as rd
 
     rows = [
@@ -190,8 +192,23 @@ def test_quad_store_passthrough(ray_session, tmp_path):
     assert len(back) == 5 and set(back["graph"]) == {"g1"}
     assert sorted(back.columns) == ["graph", "obj_value", "pred", "subj"]
 
-    with pytest.raises(ValueError, match="quad store"):
-        update_kg(store, delete_ds=_ds([("s1", LANG, "o1")]))
+    # graph-less delete: keys on ('', s1, LANG, o1) — no default-graph
+    # rows exist, so the named-graph row survives
+    update_kg(store, delete_ds=_ds([("s1", LANG, "o1")]))
+    assert len(read_kg(store, preds=[LANG]).to_pandas()) == 5
+    # quad delete hits the named row
+    qdel = rd.from_arrow(
+        pa.Table.from_pylist(
+            [{"subj": "s1", "pred": LANG, "obj_value": "o1", "graph": "g1"}]
+        )
+    )
+    update_kg(store, delete_ds=qdel)
+    after = read_kg(store, preds=[LANG]).to_pandas()
+    assert len(after) == 4 and "s1" not in set(after["subj"])
+    # graph-less insert lands in the default graph ''
+    update_kg(store, insert_ds=_ds([("sX", LANG, "oX")]))
+    df = read_kg(store, preds=[LANG]).to_pandas()
+    assert set(df[df["subj"] == "sX"]["graph"]) == {""}
 
 
 @pytest.mark.parametrize("seed", range(4))

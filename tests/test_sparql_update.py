@@ -180,8 +180,18 @@ def test_parse_errors(ray_session):
         parse_update("LOAD <http://remote/graph>")
     with pytest.raises(SparqlSyntaxError):
         parse_update("")
+    # CLEAR GRAPH is now in the fragment (graph management §3.2)
+    assert parse_update("CLEAR GRAPH <http://g>") == [
+        {"op": "clear", "target": ("graph", "http://g")}
+    ]
     with pytest.raises(SparqlSyntaxError):
-        parse_update("CLEAR GRAPH <http://g>")
+        parse_update("CLEAR")  # missing target
+    with pytest.raises(SparqlSyntaxError):
+        parse_update("COPY <http://a> <http://b>")  # missing TO
+    with pytest.raises(SparqlSyntaxError):
+        parse_update("WITH <http://g> INSERT DATA { <s> <p> <o> }")
+    with pytest.raises(SparqlSyntaxError):
+        parse_update("CREATE <http://g>")  # CREATE needs GRAPH kw
 
 
 def test_unbound_template_var_rejected(ray_session, tmp_path):
@@ -261,3 +271,213 @@ def test_update_parser_garbage_fuzz_slice():
             parse_update("".join(ql))
         except (SparqlSyntaxError, RecursionError):
             pass  # the only acceptable failures
+
+
+# ---------------------------------------------------------------------------
+# graph management (SPARQL 1.1 Update §3.2) over quad stores
+
+G1 = "http://graphs.local/g1"
+G2 = "http://graphs.local/g2"
+G3 = "http://graphs.local/g3"
+
+
+def _qds(rows):
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.Table.from_pylist(
+            [
+                {"subj": s, "pred": p, "obj_value": o, "graph": g}
+                for s, p, o, g in rows
+            ]
+        )
+    )
+
+
+def _qstore(tmp_path, name="qstore"):
+    rows = [
+        ("http://x/a", SRC, "s1", G1),
+        ("http://x/a", LANG, "en", G1),
+        ("http://x/b", SRC, "s2", G2),
+        ("http://x/b", LANG, "zh", G2),
+        ("http://x/c", SRC, "s3", ""),  # default-graph row
+        ("http://x/shared", SRC, "s2", G1),  # also inserted into G2 by ADD
+    ]
+    d = str(tmp_path / name)
+    persist_kg(_qds(rows), d)
+    return d
+
+
+def _quads(store_dir):
+    df = read_kg(store_dir).to_pandas()
+    if df.empty:
+        return set()
+    return set(zip(df["subj"], df["pred"], df["obj_value"], df["graph"]))
+
+
+def test_quad_store_records_form(ray_session, tmp_path):
+    from rdfa_ray.stages.kgstore import store_has_graph
+
+    qd = _qstore(tmp_path)
+    td = _store(tmp_path)
+    assert store_has_graph(qd) is True
+    assert store_has_graph(td) is False
+
+
+def test_copy_graph(ray_session, tmp_path):
+    d = _qstore(tmp_path)
+    before = _quads(d)
+    rdfa_ray.update(d, "COPY <%s> TO <%s>" % (G1, G2))
+    after = _quads(d)
+    g1 = {q for q in before if q[3] == G1}
+    assert {q for q in after if q[3] == G1} == g1  # source intact
+    assert {q for q in after if q[3] == G2} == {
+        (s, p, o, G2) for (s, p, o, _g) in g1
+    }  # dst replaced wholesale
+    assert {q for q in after if q[3] == ""} == {
+        q for q in before if q[3] == ""
+    }  # untouched
+
+
+def test_move_graph_and_to_default(ray_session, tmp_path):
+    d = _qstore(tmp_path)
+    before = _quads(d)
+    rdfa_ray.update(d, "MOVE <%s> TO <%s>" % (G1, G3))
+    after = _quads(d)
+    assert not {q for q in after if q[3] == G1}
+    assert {q for q in after if q[3] == G3} == {
+        (s, p, o, G3) for (s, p, o, g) in before if g == G1
+    }
+    # MOVE GRAPH TO DEFAULT: named rows land on the '' marker,
+    # replacing the previous default graph
+    rdfa_ray.update(d, "MOVE GRAPH <%s> TO DEFAULT" % G2)
+    after2 = _quads(d)
+    assert {q for q in after2 if q[3] == ""} == {
+        (s, p, o, "") for (s, p, o, g) in before if g == G2
+    }
+
+
+def test_add_graph_merges_with_dedup(ray_session, tmp_path):
+    d = _qstore(tmp_path)
+    before = _quads(d)
+    # plant an overlap: shared row already present in G2
+    rdfa_ray.update(
+        d,
+        'INSERT DATA { GRAPH <%s> { <http://x/shared>'
+        " <http://schema.org/source> \"s2\" } }" % G2,
+    )
+    rdfa_ray.update(d, "ADD <%s> TO <%s>" % (G1, G2))
+    after = _quads(d)
+    g1 = {q for q in before if q[3] == G1}
+    assert {q for q in after if q[3] == G1} == g1  # source intact
+    expected_g2 = (
+        {q for q in before if q[3] == G2}
+        | {("http://x/shared", SRC, "s2", G2)}
+        | {(s, p, o, G2) for (s, p, o, _g) in g1}
+    )
+    assert {q for q in after if q[3] == G2} == expected_g2  # set-merged
+
+
+def test_clear_targets(ray_session, tmp_path):
+    d = _qstore(tmp_path)
+    before = _quads(d)
+    rdfa_ray.update(d, "CLEAR GRAPH <%s>" % G1)
+    assert _quads(d) == {q for q in before if q[3] != G1}
+    rdfa_ray.update(d, "CLEAR DEFAULT")
+    assert _quads(d) == {q for q in before if q[3] not in ("", G1)}
+    rdfa_ray.update(d, "DROP SILENT GRAPH <http://graphs.local/absent>")
+    assert _quads(d) == {q for q in before if q[3] not in ("", G1)}  # no-op
+    rdfa_ray.update(d, "CLEAR NAMED")
+    assert _quads(d) == set()
+    # form survives emptying: a graph-qualified insert still works
+    rdfa_ray.update(
+        d, 'INSERT DATA { GRAPH <%s> { <http://x/n> <%s> "s9" } }' % (G3, SRC)
+    )
+    assert _quads(d) == {("http://x/n", SRC, "s9", G3)}
+
+
+def test_quad_data_and_graph_template_modify(ray_session, tmp_path):
+    d = _qstore(tmp_path)
+    # DELETE DATA with a GRAPH block removes only that graph's row
+    rdfa_ray.update(
+        d,
+        'DELETE DATA { GRAPH <%s> { <http://x/a>'
+        ' <http://schema.org/source> "s1" } }' % G1,
+    )
+    assert ("http://x/a", SRC, "s1", G1) not in _quads(d)
+    # modify with GRAPH ?g template: retag every source triple into
+    # an audit graph derived per-solution from its home graph
+    rdfa_ray.update(
+        d,
+        "INSERT { GRAPH ?g { ?s <http://schema.org/seen> \"y\" } }"
+        " WHERE { GRAPH ?g { ?s <http://schema.org/source> ?o } }",
+    )
+    q = _quads(d)
+    assert ("http://x/b", "http://schema.org/seen", "y", G2) in q
+    assert ("http://x/shared", "http://schema.org/seen", "y", G1) in q
+    # default-graph row matched no GRAPH ?g (named-only scope)
+    assert ("http://x/c", "http://schema.org/seen", "y", "") not in q
+
+
+def test_with_and_using_scopes(ray_session, tmp_path):
+    d = _qstore(tmp_path)
+    # WITH scopes both the match and the template to G1
+    rdfa_ray.update(
+        d,
+        "WITH <%s> DELETE { ?s ?p ?o } WHERE { ?s ?p ?o }" % G1,
+    )
+    after = _quads(d)
+    assert not {q for q in after if q[3] == G1}
+    assert {q for q in after if q[3] == G2}  # untouched
+    # USING restricts the match; plain template writes to default ''
+    rdfa_ray.update(
+        d,
+        "INSERT { ?s <http://schema.org/flag> \"1\" }"
+        " USING <%s> WHERE { ?s <http://schema.org/source> ?o }" % G2,
+    )
+    assert ("http://x/b", "http://schema.org/flag", "1", "") in _quads(d)
+    assert ("http://x/c", "http://schema.org/flag", "1", "") not in _quads(d)
+    # WITH + GRAPH in WHERE is out of fragment
+    with pytest.raises(SparqlSyntaxError):
+        rdfa_ray.update(
+            d,
+            "WITH <%s> DELETE { ?s ?p ?o }"
+            " WHERE { GRAPH <%s> { ?s ?p ?o } }" % (G1, G2),
+        )
+
+
+def test_triple_store_rejects_graph_ops(ray_session, tmp_path):
+    d = _store(tmp_path)
+    with pytest.raises(SparqlSyntaxError):
+        rdfa_ray.update(d, "ADD <%s> TO <%s>" % (G1, G2))
+    with pytest.raises(SparqlSyntaxError):
+        rdfa_ray.update(
+            d, 'INSERT DATA { GRAPH <%s> { <s> <p> "o" } }' % G1
+        )
+    before = _all(d)
+    # CLEAR of a named graph on a triple store: no named graphs exist,
+    # so the spec's absent-graph no-op applies
+    rdfa_ray.update(d, "CLEAR GRAPH <%s>" % G1)
+    rdfa_ray.update(d, "CREATE GRAPH <%s>" % G1)  # tracked nowhere: no-op
+    assert _all(d) == before
+    rdfa_ray.update(d, "CLEAR DEFAULT")  # the whole store IS the default
+    assert _all(d) == set()
+
+
+def test_graph_mgmt_prunes_untouched_partitions(ray_session, tmp_path):
+    """COPY rewrites only partitions containing src/dst rows; the
+    manifest must carry every other partition by reference (same
+    relative path object, no rewrite)."""
+    from rdfa_ray.stages.kgstore import _read_meta, pred_key
+
+    rows = [
+        ("http://x/a", SRC, "s1", G1),
+        ("http://x/b", LANG, "en", G2),  # no G1/G3 rows in this partition
+    ]
+    d = str(tmp_path / "prune")
+    persist_kg(_qds(rows), d)
+    before = _read_meta(d)["partitions"]
+    rdfa_ray.update(d, "COPY <%s> TO <%s>" % (G1, G3))
+    after = _read_meta(d)["partitions"]
+    assert after[pred_key(LANG)] == before[pred_key(LANG)]  # by reference
+    assert after[pred_key(SRC)] != before[pred_key(SRC)]  # rewritten
