@@ -124,9 +124,11 @@ over a plain-BGP base, applied in clause order — each group costs one
 bindings-level exchange (left join for OPTIONAL; anti/semi key join
 for MINUS/EXISTS with only the probe side's keys shipping).
 Compositional limits that remain are explicit errors, never silent
-misreads — chiefly: variable graph terms inside group bodies,
-subqueries under UNION/GRAPH/dataset clauses, term-metadata functions
-off the plain base BGP, and AGG(DISTINCT) in HAVING/ORDER BY.
+misreads — chiefly: property paths under a variable graph term
+combined with dataset clauses, variable graph terms inside subqueries
+under FROM, term-metadata functions over a PURE-union body (no base
+scan to carry the metadata), query bnode labels spanning two pattern
+blocks, and constant-only WHERE groups outside ASK.
 
 Numbers in comparisons compare numerically (bindings hold lexical
 forms; the compiled mask casts vectorized, pyarrow kernels only).
