@@ -1401,6 +1401,20 @@ def q_kmeans_sizes(sf_dir: str):
     return kmeans_cluster_sizes(emb, k=8, n_iters=10)
 
 
+def q_semdedup(sf_dir: str):
+    """SemDeDup (arXiv:2303.09540): k-means-partitioned semantic
+    dedup over the embedding table — per-cluster keep/drop census
+    (rows-only at the driver: the kmeans partition is iterative;
+    planted-duplicate semantics are pytest-pinned in
+    tests/test_semdedup.py)."""
+    from ..stages.semdedup import semdedup_summary
+
+    emb = read_parquet_clean(
+        "%s/embeddings.parquet" % sf_dir, columns=["vec_id", "embedding"]
+    )
+    return semdedup_summary(emb, k=8, eps=0.95, n_iters=10)
+
+
 def q_lineitem_corr(sf_dir: str):
     """Pearson correlation per group via mergeable sufficient
     statistics (micro-quantized)."""
@@ -3558,6 +3572,7 @@ QUERIES = {
     "lineitem_corr": q_lineitem_corr,
     "pii_scrub": q_pii_scrub,
     "kmeans_sizes": q_kmeans_sizes,
+    "semdedup": q_semdedup,
     "events_pivot": q_events_pivot,
     "orders_topk_concat": q_orders_topk_concat,
     "events_user_deltas": q_events_user_deltas,
