@@ -1677,6 +1677,24 @@ def q_kg_ask_const(sf_dir: str):
     )
 
 
+def q_kg_strlang(sf_dir: str):
+    """STRLANG term constructor in BIND: tag each document IRI with
+    its own language value, then keep the Chinese ones by LANG() of
+    the CONSTRUCTED literal (bind-attached metadata, not scan-carried
+    — the rdflib Literal(..., lang=...) minting idiom)."""
+    from ..stages.sparql_text import execute
+
+    t = _typed_triples(sf_dir)
+    return execute(
+        t,
+        "SELECT ?s (LANG(?y) AS ?tag) WHERE {"
+        " ?s <http://schema.org/inLanguage> ?l ."
+        " BIND(STRLANG(?s, ?l) AS ?y)"
+        ' FILTER(STRSTARTS(LANG(?y), "z")) }',
+        n_buckets=16,
+    )
+
+
 def q_kg_group_count(sf_dir: str):
     """SPARQL GROUP BY + COUNT over BGP bindings: documents per source
     among Chinese documents."""
@@ -3500,6 +3518,7 @@ QUERIES = {
     "kg_construct": q_kg_construct,
     "kg_ask": q_kg_ask,
     "kg_ask_const": q_kg_ask_const,
+    "kg_strlang": q_kg_strlang,
     "kg_group_count": q_kg_group_count,
     "kg_store_group_count": q_kg_store_group_count,
     "kg_agg_stats": q_kg_agg_stats,
@@ -4022,6 +4041,10 @@ ORACLE_SQL = {
         "UNION ALL SELECT 'tlh', EXISTS(SELECT 1 FROM t WHERE"
         " pred = 'http://schema.org/inLanguage' AND obj_value = 'tlh')"
         % _TYPED_TRIPLES_SQL
+    ),
+    "kg_strlang": (
+        "SELECT 'http://docs.local/d' || CAST(doc_id AS VARCHAR) AS s,"
+        " lower(lang) AS tag FROM documents WHERE lower(lang) LIKE 'z%'"
     ),
     "kg_ask_const": (
         "WITH t AS (%s) "

@@ -1254,6 +1254,7 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
     union_joins: list = []  # (arms, extras, clause_pos) union/nested blocks
     group_extras: list = []  # per-group (binds, filters) | None, ∥ groups
     values, binds = [], []
+    binds_tagged: list = []  # (alias, "lang"|"dt", tag_fn) for STRLANG/STRDT
     values_multi: list = []
     subqueries: list = []
     groups: list = []  # (kind, block[, negate]) in clause order
@@ -1471,6 +1472,7 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
             "from_graphs": from_graphs,
             "from_named": from_named,
             "needs_meta": [],
+            "binds_tagged": [],
         }
 
     if form == "ask":
@@ -1867,13 +1869,52 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
         elif p.at_kw("BIND"):
             p.next()
             p.expect_op("(")
-            _kind, expr = _FilterCompiler(p, prefixes, meta_needed).parse_value()
+            tagged = None
+            if p.at_kw("STRLANG") or p.at_kw("STRDT"):
+                # term CONSTRUCTORS: the bound value is the lexical
+                # form (a normal bind column, so ordering and later
+                # references work unchanged) and the tag becomes
+                # ?alias__lang / ?alias__datatype metadata attached to
+                # the bindings right after the binds run — LANG() /
+                # DATATYPE() / ISLITERAL() then read it like scan-
+                # carried metadata.  Engine stance (lexical bindings):
+                # no simple-literal argument check, lang tags normalize
+                # lowercase, STRDT's datatype must be a constant IRI.
+                fname = p.next()[1].upper()
+                p.expect_op("(")
+                _k, expr = _FilterCompiler(
+                    p, prefixes, meta_needed
+                ).parse_value()
+                p.expect_op(",")
+                if fname == "STRDT":
+                    kind, val = p.next()
+                    if kind not in ("iri", "pname"):
+                        raise SparqlSyntaxError(
+                            "STRDT needs a constant datatype IRI"
+                        )
+                    dtv = _resolve(kind, val, prefixes)
+                    tagged = ("dt", lambda t, _d=dtv: _d)
+                else:
+                    _k2, tfn = _FilterCompiler(
+                        p, prefixes, meta_needed
+                    ).parse_value()
+                    tagged = (
+                        "lang",
+                        lambda t, _f=tfn: pc.utf8_lower(_as_str(_f(t))),
+                    )
+                p.expect_op(")")
+            else:
+                _kind, expr = _FilterCompiler(
+                    p, prefixes, meta_needed
+                ).parse_value()
             p.expect_kw("AS")
             kind, alias = p.next()
             if kind != "var":
                 raise SparqlSyntaxError("AS needs a ?variable")
             p.expect_op(")")
             binds.append((alias[1:], expr))
+            if tagged is not None:
+                binds_tagged.append((alias[1:], tagged[0], tagged[1]))
             if p.peek() == ("op", "."):
                 p.next()
         else:
@@ -2228,7 +2269,18 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
         "offset": offset,
         "from_graphs": from_graphs,
         "from_named": from_named,
-        "needs_meta": sorted(set(meta_needed)),
+        # metadata provided by tagged BINDs (STRLANG/STRDT) is attached
+        # to the bindings AFTER the binds run — it never needs the scan
+        # to carry it, so it is excluded from the scan-scope validation
+        "needs_meta": sorted(
+            set(meta_needed)
+            - {
+                a + sfx
+                for a, _k, _f in binds_tagged
+                for sfx in ("__lang", "__datatype", "__kind")
+            }
+        ),
+        "binds_tagged": binds_tagged,
         "expr_exists": expr_exists,
         "order_binds_post": order_binds_post,
         "proj_binds_post": proj_binds_post,
@@ -2727,6 +2779,9 @@ def _execute_plan(triples_ds, plan: dict, n_buckets: int = 64):
     for vnames, rows in plan["values_multi"]:
         b = values_filter_multi(b, vnames, rows)
 
+    tag_by_alias = {
+        a: (k, f) for a, k, f in (plan.get("binds_tagged") or [])
+    }
     for alias, expr in plan["binds"]:
 
         def bind_col(t, _e=expr):
@@ -2736,6 +2791,32 @@ def _execute_plan(triples_ds, plan: dict, n_buckets: int = 64):
             return v
 
         b = bind_var(b, alias, bind_col)
+        if alias in tag_by_alias:
+            # STRLANG/STRDT metadata: pseudo-columns attached right
+            # after the alias binds (map-side, zero shuffle) so LATER
+            # binds (e.g. SELECT-expression DATATYPE(?alias)) and the
+            # filters read them exactly like scan-carried metadata
+            mkind, tag_fn = tag_by_alias[alias]
+
+            def add_meta(t, _a=alias, _k=mkind, _f=tag_fn) -> pa.Table:
+                tag = _f(t)
+                if isinstance(tag, str):
+                    arr = pa.nulls(t.num_rows, pa.string()).fill_null(tag)
+                else:
+                    if isinstance(tag, pa.Scalar):
+                        tag = pa.array([tag.as_py()] * t.num_rows)
+                    arr = pc.fill_null(pc.cast(tag, pa.string()), "")
+                empty = pa.nulls(t.num_rows, pa.string()).fill_null("")
+                lit = pa.nulls(t.num_rows, pa.string()).fill_null("literal")
+                t = t.append_column(
+                    _a + "__lang", arr if _k == "lang" else empty
+                )
+                t = t.append_column(
+                    _a + "__datatype", arr if _k == "dt" else empty
+                )
+                return t.append_column(_a + "__kind", lit)
+
+            b = b.map_batches(add_meta, batch_format="pyarrow")
 
     ee = plan.get("expr_exists") or []
     if ee:
@@ -3730,6 +3811,13 @@ def explain(query: str, store_dir: str | None = None) -> str:
             for vs, rows in plan["values_multi"]))
     if plan["binds"]:
         lines.append("  binds: %s" % ", ".join("?%s=<expr>" % a for a, _ in plan["binds"]))
+    if plan.get("binds_tagged"):
+        lines.append(
+            "  tagged binds (STRLANG/STRDT metadata): %s"
+            % ", ".join(
+                "?%s (%s)" % (a, k) for a, k, _f in plan["binds_tagged"]
+            )
+        )
     if plan.get("proj_binds_post"):
         lines.append(
             "  select exprs (post-aggregation): %s"

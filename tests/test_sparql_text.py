@@ -2698,3 +2698,52 @@ def test_paths_under_variable_graph(ray_session):
                    ).to_pandas().drop_duplicates()
     assert sorted(zip(both["g"], both["s"])) == [
         ("urn:g1", "urn:a"), ("urn:g1", "urn:b")]
+
+
+def test_strlang_strdt_tagged_binds(ray_session):
+    """STRLANG/STRDT construct tagged literals in BIND: the lexical
+    value is a normal bind column and the tag rides as bind-attached
+    ?v__lang/?v__datatype metadata — LANG()/DATATYPE()/ISLITERAL()
+    read it like scan-carried metadata, on ANY input (no metadata
+    view needed), and lang tags normalize lowercase."""
+    rows = [("a", "http://p", "hello"), ("b", "http://p", "welt")]
+    ds = _triples(rows)  # plain (subj, pred, obj_value) — no meta cols
+    out = execute(
+        ds,
+        'SELECT ?s (LANG(?y) AS ?tag) WHERE { ?s <http://p> ?o .'
+        ' BIND(STRLANG(?o, "EN") AS ?y)'
+        ' FILTER(LANGMATCHES(LANG(?y), "en")) }',
+        n_buckets=2,
+    )
+    assert _rows(out, ["s", "tag"]) == [("a", "en"), ("b", "en")]
+    out2 = execute(
+        ds,
+        "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+        "SELECT ?s (DATATYPE(?y) AS ?dt) WHERE { ?s <http://p> ?o ."
+        " BIND(STRDT(STRLEN(?o), xsd:integer) AS ?y)"
+        " FILTER(ISLITERAL(?y) && ISNUMERIC(?y)) }",
+        n_buckets=2,
+    )
+    xsd_int = "http://www.w3.org/2001/XMLSchema#integer"
+    assert _rows(out2, ["s", "dt"]) == [("a", xsd_int), ("b", xsd_int)]
+    # the tag argument may be an expression over bound variables
+    out3 = execute(
+        ds,
+        "SELECT ?s WHERE { ?s <http://p> ?o ."
+        ' BIND(STRLANG(?o, ?s) AS ?y) FILTER(LANG(?y) = "b") }',
+        n_buckets=2,
+    )
+    assert _rows(out3, ["s"]) == [("b",)]
+    # constructors stay BIND-only in this fragment
+    with pytest.raises(SparqlSyntaxError):
+        execute(ds, 'SELECT ?s WHERE { ?s <http://p> ?o .'
+                    ' FILTER(STRLANG(?o, "en") = "x") }')
+    with pytest.raises(SparqlSyntaxError):
+        execute(ds, "SELECT ?s WHERE { ?s <http://p> ?o ."
+                    " BIND(STRDT(?o, ?s) AS ?y) }")  # non-constant dt
+    from rdfa_ray.stages.sparql_text import explain
+
+    plan = explain(
+        'SELECT ?s WHERE { ?s <http://p> ?o . BIND(STRLANG(?o, "en") AS ?y) }'
+    )
+    assert "tagged binds" in plan
