@@ -2418,18 +2418,19 @@ def q_kg_year_census(sf_dir: str):
 
 
 def q_kg_datetime_parts(sf_dir: str):
-    """SPARQL HOURS/MINUTES/SECONDS/TZ over xsd:dateTime literals,
-    with the accessors also composed inside the FILTER."""
+    """SPARQL HOURS/MINUTES/SECONDS/TZ/TIMEZONE over xsd:dateTime
+    literals, with the accessors also composed inside the FILTER."""
     from ..stages.sparql_text import execute
 
     return execute(
         _meta_triples(sf_dir),
         """
         PREFIX schema: <http://schema.org/>
-        SELECT ?d ?hh ?mi ?ss ?tz WHERE {
+        SELECT ?d ?hh ?mi ?ss ?tz ?dur WHERE {
           ?d schema:dateModified ?v .
           BIND(HOURS(?v) AS ?hh) BIND(MINUTES(?v) AS ?mi)
           BIND(SECONDS(?v) AS ?ss) BIND(TZ(?v) AS ?tz)
+          BIND(TIMEZONE(?v) AS ?dur)
           FILTER (HOURS(?v) >= 20 && MINUTES(?v) < 30)
         }
         """,
@@ -4160,7 +4161,7 @@ ORACLE_SQL = {
         " CAST(doc_id % 24 AS DOUBLE) AS hh,"
         " CAST((doc_id * 7) % 60 AS DOUBLE) AS mi,"
         " CAST((doc_id * 13) % 60 AS DOUBLE) AS ss,"
-        " 'Z' AS tz FROM documents"
+        " 'Z' AS tz, 'PT0S' AS dur FROM documents"
         " WHERE doc_id % 24 >= 20 AND (doc_id * 7) % 60 < 30"
     ),
     "kg_sparql_expr": (

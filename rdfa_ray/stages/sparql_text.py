@@ -925,8 +925,7 @@ class _FilterCompiler:
                 return "num", seconds
             if u == "TZ":
                 # timezone designator as a string: "Z", "+05:30", or
-                # "" when absent (the spec's TZ(); no TIMEZONE() —
-                # that would need xsd:dayTimeDuration values)
+                # "" when absent (the spec's TZ())
                 self.p.next()
                 ((_k, f),) = self._args(1)
 
@@ -937,6 +936,74 @@ class _FilterCompiler:
                     return pc.fill_null(pc.struct_field(ex, "tz"), "")
 
                 return "str", tz
+            if u == "TIMEZONE":
+                # the tz designator as an xsd:dayTimeDuration LEXICAL
+                # form ("Z" -> PT0S, "+05:30" -> PT5H30M, "-08:00" ->
+                # -PT8H); a value with NO timezone is the spec's type
+                # error -> null, which drops the row in filters (the
+                # engine-wide SPARQL error stance)
+                self.p.next()
+                ((_k, f),) = self._args(1)
+
+                def timezone(t, _f=f):
+                    s = _as_str(_f(t))
+                    # the sign is REQUIRED for the offset branch: a
+                    # tz-less time also ends in dd:dd and must NOT match.
+                    # Arrow extract_regex: unmatched rows -> null struct
+                    # (fields read null); NON-PARTICIPATING groups in a
+                    # matched row read "" -- so branch tests compare
+                    # values, never is_valid.
+                    ex = pc.extract_regex(
+                        s,
+                        r"(?:(?P<z>Z)|(?P<sign>[+-])(?P<h>\d\d):(?P<m>\d\d))$",
+                    )
+                    z = pc.struct_field(ex, "z")
+                    sign = pc.struct_field(ex, "sign")
+                    hs = pc.fill_null(pc.struct_field(ex, "h"), "")
+                    ms = pc.fill_null(pc.struct_field(ex, "m"), "")
+                    # "" (Z branch or unmatched) -> "0" so the cast is
+                    # total; those rows never take the offset branch
+                    hn = pc.cast(
+                        pc.if_else(pc.equal(hs, ""), pa.scalar("0"), hs),
+                        pa.int32(),
+                    )
+                    mn = pc.cast(
+                        pc.if_else(pc.equal(ms, ""), pa.scalar("0"), ms),
+                        pa.int32(),
+                    )
+                    zero = pc.and_(pc.equal(hn, 0), pc.equal(mn, 0))
+                    hpart = pc.if_else(
+                        pc.greater(hn, 0),
+                        pc.binary_join_element_wise(
+                            pc.cast(hn, pa.string()), "H", ""
+                        ),
+                        "",
+                    )
+                    mpart = pc.if_else(
+                        pc.greater(mn, 0),
+                        pc.binary_join_element_wise(
+                            pc.cast(mn, pa.string()), "M", ""
+                        ),
+                        "",
+                    )
+                    neg = pc.if_else(
+                        pc.equal(pc.fill_null(sign, ""), "-"), "-", ""
+                    )
+                    isz = pc.equal(pc.fill_null(z, ""), "Z")
+                    dur = pc.if_else(
+                        pc.or_(isz, zero),
+                        pa.scalar("PT0S"),
+                        pc.binary_join_element_wise(
+                            neg, "PT", hpart, mpart, ""
+                        ),
+                    )
+                    # no tz at all (neither Z nor signed offset): the
+                    # spec's type error -> null
+                    return pc.if_else(
+                        pc.is_valid(z), dur, pa.scalar(None, pa.string())
+                    )
+
+                return "str", timezone
             if u == "COALESCE":
                 self.p.next()
                 parts = self._args(1, 64)

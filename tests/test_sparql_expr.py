@@ -454,6 +454,43 @@ def test_datetime_accessors(ray_session):
     assert df.loc["c", "tz"] == "+05:30"
 
 
+def test_timezone_function(ray_session):
+    # TIMEZONE() = the tz designator as an xsd:dayTimeDuration lexical
+    # form; a tz-less value is the spec's type error -> unbound (null)
+    rows = DT_ROWS + [
+        ("e", "http://ex.org/at", "2020-06-01T10:00:00-08:00", "",
+         "http://www.w3.org/2001/XMLSchema#dateTime"),
+        ("f", "http://ex.org/at", "2020-06-01T10:00:00+00:00", "",
+         "http://www.w3.org/2001/XMLSchema#dateTime"),
+        ("g", "http://ex.org/at", "2020-06-01T10:00:00-00:30", "",
+         "http://www.w3.org/2001/XMLSchema#dateTime"),
+    ]
+    ds = _meta_triples_ds(rows)
+    df = execute(
+        ds,
+        PREFIX
+        + "SELECT ?s ?d WHERE { ?s ex:at ?v ."
+        " BIND(TIMEZONE(?v) AS ?d) }",
+        n_buckets=4,
+    ).to_pandas().set_index("s")
+    assert df.loc["b", "d"] == "PT0S"        # trailing Z
+    assert df.loc["c", "d"] == "PT5H30M"     # +05:30
+    assert df.loc["e", "d"] == "-PT8H"       # -08:00
+    assert df.loc["f", "d"] == "PT0S"        # +00:00 is the zero duration
+    assert df.loc["g", "d"] == "-PT30M"      # -00:30
+    # 'a' (plain date, no tz) and 'd' (not a date): type error -> null
+    assert df.loc["a", "d"] is None or df.loc["a", "d"] != df.loc["a", "d"]
+    # filters drop the error rows (engine-wide SPARQL error stance)
+    df2 = execute(
+        ds,
+        PREFIX
+        + 'SELECT ?s WHERE { ?s ex:at ?v .'
+        ' FILTER (TIMEZONE(?v) = "PT0S") }',
+        n_buckets=4,
+    ).to_pandas()
+    assert sorted(df2["s"]) == ["b", "f"]
+
+
 def test_datetime_filter_on_year(ray_session):
     ds = _meta_triples_ds(DT_ROWS)
     df = execute(
