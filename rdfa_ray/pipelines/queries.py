@@ -3385,6 +3385,38 @@ def q_unigram_logppl(sf_dir: str):
     return unigram_logppl(docs)
 
 
+def q_dsir_weights(sf_dir: str):
+    """DSIR importance weights (arXiv:2302.03169): hashed-ngram bucket
+    distributions over target (lang='en') vs the raw pool, per-doc log
+    importance ratio in integer micro-nats — one 65k-row counts
+    exchange, broadcast ratio table, one scoring map."""
+    from ..stages.dsir import dsir_log_weights
+
+    docs = read_parquet_clean(
+        "%s/documents.parquet" % sf_dir, columns=["doc_id", "text", "lang"]
+    ).map_batches(
+        lambda df: df.assign(is_target=(df["lang"] == "en")).drop(columns=["lang"]),
+        batch_format="pandas",
+    )
+    return dsir_log_weights(docs)
+
+
+def q_dsir_resample(sf_dir: str):
+    """DSIR Gumbel top-k resample over the importance weights —
+    deterministic seeded noise, per-block partial top-k (rows-only:
+    the Gumbel noise is engine-defined; weight correctness is covered
+    by the dsir_weights oracle, selection bias by pytest)."""
+    from ..stages.dsir import dsir_log_weights, dsir_resample
+
+    docs = read_parquet_clean(
+        "%s/documents.parquet" % sf_dir, columns=["doc_id", "text", "lang"]
+    ).map_batches(
+        lambda df: df.assign(is_target=(df["lang"] == "en")).drop(columns=["lang"]),
+        batch_format="pandas",
+    )
+    return dsir_resample(dsir_log_weights(docs), k=50, seed=7)
+
+
 def q_multimodal_resize(sf_dir: str):
     """Image resize/transcode plumbing (binary in -> binary out,
     actor pool, small batches): image payloads shrink deterministically,
@@ -3533,6 +3565,8 @@ QUERIES = {
     "dedup_lines": q_dedup_lines,
     "multimodal_resize": q_multimodal_resize,
     "unigram_logppl": q_unigram_logppl,
+    "dsir_weights": q_dsir_weights,
+    "dsir_resample": q_dsir_resample,
     "kg_graph_scoped": q_kg_graph_scoped,
     "kg_store_update": q_kg_store_update,
     "kg_sparql_update": q_kg_sparql_update,
@@ -4472,6 +4506,32 @@ ORACLE_SQL = {
         " CAST(floor(-AVG(ln(f.n / tot.total)) * 1000000 + 0.5) AS BIGINT)"
         " AS logppl_micro"
         " FROM tok t JOIN freq f USING (token), tot GROUP BY t.doc_id"
+    ),
+    "dsir_weights": (
+        # DSIR: hashed-ngram (unigram+bigram) buckets = md5(gram)[:4],
+        # Laplace-smoothed target/raw bucket distributions, per-doc sum
+        # of per-bucket log ratios quantized to integer micro-nats
+        # BEFORE the sum (order-independent int64 totals)
+        "WITH docs2 AS (SELECT doc_id, lang = 'en' AS it,"
+        "  string_split(lower(text), ' ') AS ts FROM documents),"
+        " uni AS (SELECT doc_id, it, unnest(ts) AS g,"
+        "  generate_subscripts(ts, 1) AS i FROM docs2),"
+        " grams AS ("
+        "  SELECT doc_id, it, g FROM uni"
+        "  UNION ALL"
+        "  SELECT a.doc_id, a.it, a.g || ' ' || b.g AS g"
+        "  FROM uni a JOIN uni b ON b.doc_id = a.doc_id AND b.i = a.i + 1),"
+        " feat AS (SELECT doc_id, it, substr(md5(g),1,4) AS b FROM grams),"
+        " counts AS (SELECT b, COUNT(*) AS n,"
+        "  SUM(CASE WHEN it THEN 1 ELSE 0 END) AS nt FROM feat GROUP BY b),"
+        " tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS r,"
+        "  CAST(SUM(nt) AS DOUBLE) AS t FROM counts),"
+        " ratio AS (SELECT b, CAST(floor((ln(nt + 1) - ln(t + 65536)"
+        "  - ln(n + 1) + ln(r + 65536)) * 1000000 + 0.5) AS BIGINT) AS rm"
+        "  FROM counts, tot) "
+        "SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,"
+        " CAST(SUM(r.rm) AS BIGINT) AS logw_micro"
+        " FROM feat f JOIN ratio r ON r.b = f.b GROUP BY f.doc_id"
     ),
     "epoch_shuffle": (
         "SELECT doc_id, lang, md5(CAST(7 AS VARCHAR) || '|' ||"
