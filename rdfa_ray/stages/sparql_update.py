@@ -27,6 +27,12 @@ Supported fragment (W3C SPARQL 1.1 Update §3):
   ``ADD`` / ``MOVE`` / ``COPY [SILENT] src TO dst`` — map-only
   partition-local generational rewrites (``kgstore.transform_graphs``)
   except ADD, which merges through the pruned insert path
+* ``LOAD [SILENT] <file-iri> [INTO GRAPH <g>]`` — local files only
+  (``file:`` IRIs or plain paths; .nt/.ntriples/.nq/.nquads), read by
+  the distributed N-Triples source and merged through the pruned
+  insert path; ``SILENT`` turns a missing/corrupt document into a
+  no-op (§3.1.2) but does NOT unlock network schemes (a capability
+  error, raised regardless)
 * multiple operations separated by ``;`` run left-to-right, each
   against the store state the previous one produced (§3.1); PREFIX
   prologues accumulate across operations
@@ -47,7 +53,8 @@ Deliberate deviations, all raised loudly: blank nodes in templates
 instead), GRAPH-qualified updates against a TRIPLE-form store (no
 graph column to write), GRAPH patterns inside a WITH-scoped WHERE
 (§4.1.4's all-named-graphs scope is inexpressible in the FROM
-compilation of WITH), and LOAD/SERVICE (no network in this engine).
+compilation of WITH), SERVICE and non-file LOAD schemes (no network
+in this engine).
 """
 
 from __future__ import annotations
@@ -309,8 +316,30 @@ def parse_update(text: str) -> list[dict]:
             p.expect_kw("TO")
             dst = _parse_graph_ref(p, prefixes)
             ops.append({"op": verb, "src": src, "dst": dst})
-        elif p.at_kw("LOAD") or p.at_kw("SERVICE"):
-            raise SparqlSyntaxError("LOAD/SERVICE need network — unsupported")
+        elif p.at_kw("LOAD"):
+            p.next()
+            silent = False
+            if p.at_kw("SILENT"):
+                p.next()
+                silent = True
+            iri = _parse_iri_term(p, prefixes)
+            # scheme policy at PARSE time (never misexecute): local
+            # files only — SILENT does not unlock network schemes
+            if not iri.startswith(("file://", "file:")) and re.match(
+                r"^[a-zA-Z][a-zA-Z0-9+.\-]*:", iri
+            ):
+                raise SparqlSyntaxError(
+                    "LOAD supports local files only (file: IRIs or"
+                    " plain paths); %r needs network" % iri
+                )
+            into = None
+            if p.at_kw("INTO"):
+                p.next()
+                p.expect_kw("GRAPH")
+                into = _parse_iri_term(p, prefixes)
+            ops.append({"op": "load", "iri": iri, "silent": silent, "into": into})
+        elif p.at_kw("SERVICE"):
+            raise SparqlSyntaxError("SERVICE needs network — unsupported")
         else:
             raise SparqlSyntaxError("unsupported update operation %r" % (p.peek(),))
         if p.peek() == ("op", ";"):
@@ -387,6 +416,66 @@ def _ground_ds(quads: list, as_quads: bool, with_graph=None):
     else:
         _check_triple_form(quads, with_graph)
     return rd.from_arrow(pa.Table.from_pydict(cols))
+
+
+def _load_file_ds(iri: str, into, as_quads: bool):
+    """LOAD <file-iri> -> an insert delta in the store's lexical
+    (subj, pred, obj_value[, graph]) layout, read by the distributed
+    N-Triples/N-Quads source (``sources/ntfiles.py``).
+
+    Scheme policy: ``file://`` / ``file:`` IRIs and schemeless paths
+    are local files; any other scheme raises at parse-policy level —
+    a capability error SILENT does not swallow (never misexecute).
+    Format by extension (.nt/.ntriples/.nq/.nquads — the two formats
+    this engine writes).  A plain .nt document lands in the default
+    graph; an N-Quads document keeps its graph terms (rdflib
+    ConjunctiveGraph.parse semantics); ``INTO GRAPH <g>`` retargets
+    every row to ``g``.  Literal lang/datatype tags are lexical in the
+    store layout, matching INSERT DATA."""
+    import os
+
+    path = iri
+    if path.startswith("file://"):
+        path = path[7:]
+    elif path.startswith("file:"):
+        path = path[5:]
+    low = path.lower()
+    if not low.endswith((".nt", ".ntriples", ".nq", ".nquads")):
+        raise ValueError(
+            "LOAD: unsupported document format %r (this engine reads"
+            " .nt/.ntriples/.nq/.nquads)" % path
+        )
+    if not os.path.isfile(path):
+        raise FileNotFoundError("LOAD: no such file %r" % path)
+    from ..sources.ntfiles import read_ntriples
+
+    ds = read_ntriples(path)
+
+    def project(b: pa.Table) -> pa.Table:
+        out = {
+            c: pc.fill_null(pc.cast(b.column(c), pa.string()), "")
+            for c in ("subj", "pred", "obj_value")
+        }
+        g = pc.fill_null(pc.cast(b.column("graph"), pa.string()), "")
+        if as_quads:
+            if into is not None:
+                g = pa.nulls(b.num_rows, pa.string()).fill_null(into)
+            out["graph"] = g
+        else:
+            if into is not None:
+                raise ValueError(
+                    "LOAD INTO GRAPH targets a triple-form store (no"
+                    " graph column) — rebuild via persist_kg with quads"
+                )
+            bad = pc.any(pc.not_equal(g, "")).as_py()
+            if bad:
+                raise ValueError(
+                    "N-Quads named-graph rows cannot load into a"
+                    " triple-form store"
+                )
+        return pa.Table.from_pydict(out)
+
+    return ds.map_batches(project, batch_format="pyarrow")
 
 
 def _instantiate(bindings, template: list, bound_vars: set,
@@ -520,6 +609,15 @@ def execute_update(store_dir: str, text: str, n_buckets: int = 64) -> dict:
     for op in ops:
         kind = op["op"]
         if kind == "create":
+            continue
+        if kind == "load":
+            try:
+                ds = _load_file_ds(op["iri"], op["into"], store_quads)
+                meta = update_kg(store_dir, insert_ds=ds, quads=store_quads)
+            except Exception:
+                if op["silent"]:
+                    continue  # §3.1.2: SILENT turns load failure into success
+                raise
             continue
         if kind in ("insert_data", "delete_data"):
             ds = _ground_ds(op["quads"], store_quads)

@@ -481,3 +481,84 @@ def test_graph_mgmt_prunes_untouched_partitions(ray_session, tmp_path):
     after = _read_meta(d)["partitions"]
     assert after[pred_key(LANG)] == before[pred_key(LANG)]  # by reference
     assert after[pred_key(SRC)] != before[pred_key(SRC)]  # rewritten
+
+
+# SPARQL 1.1 Update §3.1.2 LOAD — local files only
+
+
+def _write_nt(path, lines):
+    path.write_text("".join(l + " .\n" for l in lines))
+    return str(path)
+
+
+def test_load_nt_into_triple_store(ray_session, tmp_path):
+    d = _store(tmp_path, n=2)
+    f = _write_nt(
+        tmp_path / "extra.nt",
+        ['<http://x/new> <%s> "fr"' % LANG,
+         '<http://x/new2> <%s> "de"' % LANG],
+    )
+    before = _all(d)
+    rdfa_ray.update(d, "LOAD <file://%s>" % f)
+    after = _all(d)
+    assert after - before == {
+        ("http://x/new", LANG, "fr"), ("http://x/new2", LANG, "de")
+    }
+    # set semantics: a second LOAD is a no-op
+    rdfa_ray.update(d, "LOAD <%s>" % f)  # plain-path form
+    assert _all(d) == after
+
+
+def test_load_nq_keeps_graphs_and_into_overrides(ray_session, tmp_path):
+    d = _qstore(tmp_path)
+    f = _write_nt(
+        tmp_path / "extra.nq",
+        ['<http://x/q1> <%s> "v1" <%s>' % (SRC, G3),
+         '<http://x/q2> <%s> "v2"' % SRC],
+    )
+    rdfa_ray.update(d, "LOAD <file://%s>" % f)
+    q = _quads(d)
+    assert ("http://x/q1", SRC, "v1", G3) in q
+    assert ("http://x/q2", SRC, "v2", "") in q  # triple line -> default graph
+    rdfa_ray.update(d, "LOAD <file://%s> INTO GRAPH <%s>" % (f, G2))
+    q = _quads(d)
+    assert ("http://x/q1", SRC, "v1", G2) in q
+    assert ("http://x/q2", SRC, "v2", G2) in q
+
+
+def test_load_failures_and_silent(ray_session, tmp_path):
+    import pytest
+
+    d = _store(tmp_path, n=2)
+    before = _all(d)
+    with pytest.raises(FileNotFoundError):
+        rdfa_ray.update(d, "LOAD <file://%s/missing.nt>" % tmp_path)
+    rdfa_ray.update(d, "LOAD SILENT <file://%s/missing.nt>" % tmp_path)
+    # unsupported format: failure, SILENT swallows
+    bad = tmp_path / "doc.ttl"
+    bad.write_text("@prefix x: <http://x/> .")
+    with pytest.raises(ValueError):
+        rdfa_ray.update(d, "LOAD <file://%s>" % bad)
+    rdfa_ray.update(d, "LOAD SILENT <file://%s>" % bad)
+    # SILENT does NOT unlock network schemes (parse-time capability error)
+    with pytest.raises(SparqlSyntaxError):
+        rdfa_ray.update(d, "LOAD SILENT <http://remote/g.nt>")
+    assert _all(d) == before
+
+
+def test_load_named_graph_rows_refuse_triple_store(ray_session, tmp_path):
+    import pytest
+
+    d = _store(tmp_path, n=2)
+    f = _write_nt(
+        tmp_path / "quads.nq",
+        ['<http://x/q1> <%s> "v1" <%s>' % (SRC, G1)],
+    )
+    with pytest.raises(Exception):
+        rdfa_ray.update(d, "LOAD <file://%s>" % f)
+    with pytest.raises(Exception):
+        rdfa_ray.update(d, "LOAD <file://%s> INTO GRAPH <%s>" % (f, G1))
+    # SILENT downgrades both to no-ops
+    before = _all(d)
+    rdfa_ray.update(d, "LOAD SILENT <file://%s>" % f)
+    assert _all(d) == before
