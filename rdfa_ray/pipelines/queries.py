@@ -3385,6 +3385,30 @@ def q_unigram_logppl(sf_dir: str):
     return unigram_logppl(docs)
 
 
+def q_quality_classifier(sf_dir: str):
+    """fastText-style hashed-BoW logistic-regression quality filter:
+    weak labels from lang='en', featurize once, full-batch GD with
+    integer-quantized gradients (bit-identical at any parallelism),
+    score every document (rows-only: iterative training; pinned by a
+    plain-numpy reference twin in pytest)."""
+    from ..stages.classifier import quality_classifier
+
+    docs = read_parquet_clean(
+        "%s/documents.parquet" % sf_dir, columns=["doc_id", "text", "lang"]
+    ).map_batches(
+        lambda df: df.assign(label=(df["lang"] == "en")).drop(columns=["lang"]),
+        batch_format="pandas",
+    )
+    # 12 full-batch supersteps: each is one streaming pass over the
+    # featurized rows; the synthetic corpus carries little lang signal
+    # so the model converges to the base rate quickly (real learning
+    # dynamics are pinned by the planted-signal pytest)
+    scores, _w, _b, _h = quality_classifier(
+        docs, "label", n_features=1 << 15, iters=12
+    )
+    return scores
+
+
 def q_dsir_weights(sf_dir: str):
     """DSIR importance weights (arXiv:2302.03169): hashed-ngram bucket
     distributions over target (lang='en') vs the raw pool, per-doc log
@@ -3567,6 +3591,7 @@ QUERIES = {
     "unigram_logppl": q_unigram_logppl,
     "dsir_weights": q_dsir_weights,
     "dsir_resample": q_dsir_resample,
+    "quality_classifier": q_quality_classifier,
     "kg_graph_scoped": q_kg_graph_scoped,
     "kg_store_update": q_kg_store_update,
     "kg_sparql_update": q_kg_sparql_update,
