@@ -3385,6 +3385,37 @@ def q_unigram_logppl(sf_dir: str):
     return unigram_logppl(docs)
 
 
+def q_pca_covariance(sf_dir: str):
+    """Distributed PCA pass 1+2: exact integer-quantized per-dimension
+    mean, then per-block partial Grams of the centered vectors with
+    per-(row,i,j) products quantized BEFORE summing — the (i, j, cov_q)
+    pair table is bit-exact at any parallelism and hash-matches the
+    DuckDB unnest + self-join twin."""
+    from ..stages.pca import covariance_pairs
+
+    embs = read_parquet_clean(
+        "%s/embeddings.parquet" % sf_dir, columns=["vec_id", "embedding"]
+    )
+    return covariance_pairs(embs, dim=64)
+
+
+def q_pca_project(sf_dir: str):
+    """PCA projection onto the top-8 components (driver eigh over the
+    exact covariance, broadcast-components map) — rows-only (LAPACK);
+    determinism and the numpy twin are pinned by pytest."""
+    from ..stages.pca import pca_project
+
+    embs = read_parquet_clean(
+        "%s/embeddings.parquet" % sf_dir, columns=["vec_id", "embedding"]
+    )
+    out = pca_project(embs, dim=64, n_components=8)
+
+    def strip(batch):
+        return batch[["vec_id", "proj_q"]]
+
+    return out.map_batches(strip, batch_format="pandas")
+
+
 def q_quality_classifier(sf_dir: str):
     """fastText-style hashed-BoW logistic-regression quality filter:
     weak labels from lang='en', featurize once, full-batch GD with
@@ -3592,6 +3623,8 @@ QUERIES = {
     "dsir_weights": q_dsir_weights,
     "dsir_resample": q_dsir_resample,
     "quality_classifier": q_quality_classifier,
+    "pca_covariance": q_pca_covariance,
+    "pca_project": q_pca_project,
     "kg_graph_scoped": q_kg_graph_scoped,
     "kg_store_update": q_kg_store_update,
     "kg_sparql_update": q_kg_sparql_update,
@@ -4531,6 +4564,24 @@ ORACLE_SQL = {
         " CAST(floor(-AVG(ln(f.n / tot.total)) * 1000000 + 0.5) AS BIGINT)"
         " AS logppl_micro"
         " FROM tok t JOIN freq f USING (token), tot GROUP BY t.doc_id"
+    ),
+    "pca_covariance": (
+        # quantized-mean then per-pair quantized centered products:
+        # every sum is an int64 total, identical to the engine's.
+        # CAST to DOUBLE at the source: DuckDB evaluates FLOAT * DOUBLE
+        # in FLOAT (typeof = FLOAT), unlike every other engine here
+        "WITH v AS (SELECT vec_id,"
+        "  CAST(unnest(embedding) AS DOUBLE) AS x,"
+        "  generate_subscripts(embedding, 1) AS i FROM embeddings),"
+        " m AS (SELECT i, (CAST(SUM(CAST(floor(x * 1000000000.0 + 0.5)"
+        "  AS BIGINT)) AS DOUBLE) / 1000000000.0) / COUNT(*) AS mu"
+        "  FROM v GROUP BY i),"
+        " c AS (SELECT v.vec_id, v.i, v.x - m.mu AS cx"
+        "  FROM v JOIN m USING (i)) "
+        "SELECT a.i AS i, b.i AS j,"
+        " CAST(SUM(CAST(floor(a.cx * b.cx * 1000000000.0 + 0.5)"
+        "  AS BIGINT)) AS BIGINT) AS cov_q"
+        " FROM c a JOIN c b ON b.vec_id = a.vec_id GROUP BY a.i, b.i"
     ),
     "dsir_weights": (
         # DSIR: hashed-ngram (unigram+bigram) buckets = md5(gram)[:4],
