@@ -153,6 +153,10 @@ def _headline_and_queries(sf_dir: str, num_cpus: int, n_turns: int) -> dict:
     timed("dedup_substrings", Q.q_dedup_substrings)
     timed("bpe_token_counts", Q.q_bpe_token_counts)
     timed("lineitem_below_avg", Q.q_lineitem_below_avg)
+    timed("semdedup", Q.q_semdedup)
+    timed("dsir_weights", Q.q_dsir_weights)
+    timed("quality_classifier", Q.q_quality_classifier)
+    timed("pca_covariance", Q.q_pca_covariance)
 
     ray.shutdown()
     return {

@@ -118,12 +118,35 @@ def train_quality_logreg(
     ``(weights, bias, history)`` with history = per-iteration mean
     |gradient| (from the exact integer sums)."""
     import ray
-    from ray.data.aggregate import Sum
 
     featurized_ds = featurized_ds.materialize()
     n_docs = featurized_ds.count()
     if n_docs == 0:
         raise ValueError("cannot train on an empty corpus")
+
+    def _accumulate(rows: pd.DataFrame) -> np.ndarray:
+        """Dense int64 gradient (slot 0 = bias, 1.. = features) from
+        sparse one-row-per-block partials — exact int64 adds."""
+        g = np.zeros(n_features + 1, np.int64)
+        for bkt, gv, bq in zip(rows["bkt"], rows["gv"], rows["bq"]):
+            g[np.asarray(bkt, np.int64) + 1] += np.asarray(gv, np.int64)
+            g[0] += int(bq)
+        return g
+
+    def combine(rows: pd.DataFrame) -> pd.DataFrame:
+        # tree-combine <=256 sparse block partials into one sparse row;
+        # int64 addition commutes, so combine order is irrelevant
+        if not len(rows):
+            return rows
+        g = _accumulate(rows)
+        nz = np.flatnonzero(g[1:])
+        return pd.DataFrame(
+            {
+                "bkt": [nz.astype(np.int64)],
+                "gv": [g[1:][nz]],
+                "bq": np.array([g[0]], dtype=np.int64),
+            }
+        )
 
     w = np.zeros(n_features, np.float64)
     bias = 0.0
@@ -133,6 +156,14 @@ def train_quality_logreg(
         b_now = bias
 
         def grad_partial(batch: pd.DataFrame) -> pd.DataFrame:
+            if not len(batch):
+                return pd.DataFrame(
+                    {
+                        "bkt": pd.Series([], dtype=object),
+                        "gv": pd.Series([], dtype=object),
+                        "bq": pd.Series([], dtype="int64"),
+                    }
+                )
             wv = ray.get(w_ref)
             row, idx, val, z = _margins(batch, wv)
             p = 1.0 / (1.0 + np.exp(-(z + b_now)))
@@ -148,23 +179,23 @@ def train_quality_logreg(
             b_q = int(np.floor(err * _GRAD_SCALE + 0.5).astype(np.int64).sum())
             return pd.DataFrame(
                 {
-                    "bucket": np.r_[nz, [-1]].astype(np.int64),
-                    "grad": np.r_[g[nz], [b_q]],
+                    "bkt": [nz.astype(np.int64)],
+                    "gv": [g[nz]],
+                    "bq": np.array([b_q], dtype=np.int64),
                 }
             )
 
-        sums = (
-            featurized_ds.map_batches(grad_partial, batch_format="pandas")
-            .groupby("bucket")
-            .aggregate(Sum("grad", alias_name="g"))
-            .to_pandas()
-        )
-        buckets = sums["bucket"].to_numpy(np.int64)
-        gvals = sums["g"].to_numpy(np.int64).astype(np.float64) / _GRAD_SCALE
-        bias_mask = buckets == -1
-        g_bias = float(gvals[bias_mask].sum()) / n_docs
-        gw = np.zeros(n_features, np.float64)
-        gw[buckets[~bias_mask]] = gvals[~bias_mask]
+        # bounded exchange with NO shuffle: each block emits one sparse
+        # row (<= n_features ints), one coalescing combine level, then
+        # the driver sums the <= n_blocks/256 survivors.  A grouped
+        # aggregate here would sort n_features-row blocks every
+        # iteration — the measured worst case for Ray's sort shuffle.
+        parts = featurized_ds.map_batches(
+            grad_partial, batch_format="pandas"
+        ).map_batches(combine, batch_format="pandas", batch_size=256)
+        g = _accumulate(parts.to_pandas())
+        g_bias = (float(g[0]) / _GRAD_SCALE) / n_docs
+        gw = g[1:].astype(np.float64) / _GRAD_SCALE
         gw /= n_docs
         gw += l2 * w
         gnorm = float(np.abs(gw).mean() + abs(g_bias))
