@@ -12,9 +12,10 @@ Distribution shape (the 100-TB plan):
 
 * ONE pass over the text computes per-block partial bucket counts for
   BOTH distributions at once (the target is a subset of the pool, so
-  each gram row carries an ``is_target`` flag) — the only exchange is
-  the (bucket, n, nt) grouped sum, at most 65,536 rows regardless of
-  corpus size.
+  each gram row carries an ``is_target`` flag) — each block emits ONE
+  sparse counts row (<= 65,536 entries), a coalescing combine level
+  sums every 256 of them, and the driver finalizes the survivors.  No
+  groupby/sort shuffle anywhere: a fixed-size total never needs one.
 * the per-bucket log-ratio table (<= 65,536 int64 rows, ~1 MB) ships
   once via ``ray.put`` and is read per actor, never per batch.
 * scoring is a second map over the documents: vectorized gram
@@ -50,9 +51,13 @@ import pyarrow as pa
 N_BUCKETS = 65536  # 16 bits = 4 hex chars of md5
 _QUANT = 1_000_000.0
 
-_COUNT_SCHEMA = pa.schema(
-    [("b", pa.string()), ("n", pa.int64()), ("nt", pa.int64())]
-)
+_COUNT_FANIN = 256  # block-partials combined per tree-reduce row
+
+_EMPTY_COUNTS = {
+    "bi": pd.Series([], dtype=object),
+    "n": pd.Series([], dtype=object),
+    "nt": pd.Series([], dtype=object),
+}
 
 
 def _grams(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
@@ -88,9 +93,13 @@ def _buckets(grams: np.ndarray) -> np.ndarray:
 
 
 def _count_partial(is_target_col: str):
-    def partial(batch: pd.DataFrame) -> pa.Table:
+    """One sparse row per block: occupied bucket indices (int32,
+    ``int(md5_hex4, 16)``) plus pool/target counts — never more than
+    65,536 entries regardless of block size."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
         if not len(batch):
-            return _COUNT_SCHEMA.empty_table()
+            return pd.DataFrame(_EMPTY_COUNTS)
         parents, grams = _grams(batch["text"])
         b = _buckets(grams)
         it = batch[is_target_col].to_numpy()[parents]
@@ -100,16 +109,38 @@ def _count_partial(is_target_col: str):
             .agg(n=("it", "size"), nt=("it", "sum"))
             .reset_index()
         )
-        return pa.Table.from_arrays(
-            [
-                pa.array(g["b"], pa.string()),
-                pa.array(g["n"].to_numpy(np.int64)),
-                pa.array(g["nt"].to_numpy(np.int64)),
-            ],
-            schema=_COUNT_SCHEMA,
+        bi = np.array([int(h, 16) for h in g["b"]], dtype=np.int32)
+        return pd.DataFrame(
+            {
+                "bi": [bi],
+                "n": [g["n"].to_numpy(np.int64)],
+                "nt": [g["nt"].to_numpy(np.int64)],
+            }
         )
 
     return partial
+
+
+def _accumulate_counts(rows: pd.DataFrame):
+    """Dense (n, nt) int64 totals over the full bucket space from
+    sparse one-row-per-block partials — exact integer adds, order-free."""
+    n = np.zeros(N_BUCKETS, np.int64)
+    nt = np.zeros(N_BUCKETS, np.int64)
+    for bi, nn, tt in zip(rows["bi"], rows["n"], rows["nt"]):
+        idx = np.asarray(bi, np.int64)
+        n[idx] += np.asarray(nn, np.int64)
+        nt[idx] += np.asarray(tt, np.int64)
+    return n, nt
+
+
+def _combine_counts(rows: pd.DataFrame) -> pd.DataFrame:
+    if not len(rows):
+        return rows
+    n, nt = _accumulate_counts(rows)
+    nz = np.flatnonzero(n)  # target is a subset of the pool: nt>0 => n>0
+    return pd.DataFrame(
+        {"bi": [nz.astype(np.int32)], "n": [n[nz]], "nt": [nt[nz]]}
+    )
 
 
 def dsir_log_weights(docs_ds, is_target_col: str = "is_target"):
@@ -122,18 +153,38 @@ def dsir_log_weights(docs_ds, is_target_col: str = "is_target"):
     """
     import ray
     import ray.data as rd
-    from ray.data.aggregate import Sum
 
     docs_ds = docs_ds.materialize()  # two passes: fit + score
 
-    counts = (
+    # bounded exchange with NO shuffle: each block emits one sparse
+    # counts row (<= 65,536 entries), one coalescing combine level
+    # (fan-in 256), then the driver sums the survivors — int64 adds
+    # commute, so the totals are bit-identical at any block layout.
+    parts = (
         docs_ds.map_batches(
             _count_partial(is_target_col), batch_format="pandas"
         )
-        .groupby("b")
-        .aggregate(Sum("n", alias_name="n"), Sum("nt", alias_name="nt"))
+        .map_batches(
+            _combine_counts, batch_format="pandas", batch_size=_COUNT_FANIN
+        )
         .to_pandas()
     )
+    if len(parts):
+        n_dense, nt_dense = _accumulate_counts(parts)
+        nz = np.flatnonzero(n_dense)
+        counts = pd.DataFrame(
+            {
+                "b": [format(i, "04x") for i in nz],
+                "n": n_dense[nz],
+                "nt": nt_dense[nz],
+            }
+        )
+    else:
+        counts = pd.DataFrame(
+            {"b": pd.Series([], dtype=object),
+             "n": pd.Series([], dtype="int64"),
+             "nt": pd.Series([], dtype="int64")}
+        )
     out_schema = pa.schema(
         [("doc_id", pa.int64()), ("n_grams", pa.int64()),
          ("logw_micro", pa.int64())]
