@@ -145,6 +145,7 @@ def _headline_and_queries(sf_dir: str, num_cpus: int, n_turns: int) -> dict:
     timed("kg_agg_stats", Q.q_kg_agg_stats)
     timed("contamination", Q.q_contamination)
     timed("curation_pipeline", Q.q_curation_pipeline)
+    timed("curation_export", Q.q_curation_export)
     timed("kg_sparql_text", Q.q_kg_sparql_text)
     timed("kg_sparql_graph", Q.q_kg_sparql_graph)
     timed("sequence_packing", Q.q_sequence_packing)

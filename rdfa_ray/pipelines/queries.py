@@ -2236,6 +2236,32 @@ def q_curation_pipeline(sf_dir: str):
     )
 
 
+def q_curation_export(sf_dir: str):
+    """The curation family's materialization sink, end-to-end and
+    oracle-checked: quality gate -> exact dedup -> decontaminate ->
+    train split -> md5(seed|doc_id) shuffle-sharded Parquet with
+    atomic per-shard lineage manifests and exact resume
+    (``pipelines/curation_export.py``).  Returns the per-shard
+    (part, docs, tokens) census the manifests record — the DuckDB twin
+    reproduces the whole chain including the hex shard arithmetic."""
+    import shutil
+    import tempfile
+
+    from .curation_export import run_curation_export
+
+    docs = read_parquet_clean(
+        "%s/documents.parquet" % sf_dir, columns=["doc_id", "text", "lang"]
+    )
+    out_dir = tempfile.mkdtemp(prefix="graft_cexport_")
+    try:
+        summary = run_curation_export(
+            docs, out_dir, seed=17, n_parts=8, resume=False
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return summary.sort_values("part").reset_index(drop=True)
+
+
 def q_customers_orders_outer(sf_dir: str):
     """FULL OUTER join (round-3 join-mode completion): high-balance
     customers against per-customer order counts — unmatched rows
@@ -3671,6 +3697,7 @@ QUERIES = {
     "kg_sparql_values_multi": q_kg_sparql_values_multi,
     "kg_sparql_mixed_groups": q_kg_sparql_mixed_groups,
     "curation_pipeline": q_curation_pipeline,
+    "curation_export": q_curation_export,
     "kg_path_opt": q_kg_path_opt,
     "kg_group_concat": q_kg_group_concat,
     "kg_describe": q_kg_describe,
@@ -4183,6 +4210,35 @@ ORACLE_SQL = {
         "SELECT CASE WHEN substr(md5(text), 1, 2) < '40'"
         " THEN 'holdout' ELSE 'train' END AS split, lang, COUNT(*) AS n"
         " FROM clean GROUP BY 1, 2"
+    ),
+    "curation_export": (
+        # same chain as curation_pipeline, then the export's train
+        # filter + md5(seed|doc_id) hex shard arithmetic (seed=17,
+        # n_parts=8) and the per-shard docs/whitespace-token census
+        "WITH sig AS ("
+        " SELECT doc_id, COUNT(*) AS n_grams, COUNT(DISTINCT gram) AS n_distinct"
+        " FROM (SELECT doc_id,"
+        "  array_to_string(array_slice(string_split(text, ' '), i, i + 2), ' ') AS gram"
+        "  FROM documents, LATERAL unnest(generate_series(1,"
+        "   len(string_split(text, ' ')) - 2)) AS s(i)"
+        "  WHERE len(string_split(text, ' ')) >= 3) GROUP BY doc_id),"
+        " q AS (SELECT d.doc_id, d.text, d.lang FROM documents d"
+        "  JOIN sig USING (doc_id) WHERE sig.n_distinct * 2 > sig.n_grams),"
+        " k AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5(text)),"
+        " kept AS (SELECT q.* FROM q JOIN k USING (doc_id)),"
+        " needles AS (SELECT array_to_string(array_slice("
+        "  string_split(text, ' '), 11, 18), ' ') AS needle FROM documents"
+        "  WHERE doc_id % 97 = 0 AND len(string_split(text, ' ')) >= 18),"
+        " clean AS (SELECT kept.* FROM kept WHERE NOT EXISTS ("
+        "  SELECT 1 FROM needles n"
+        "  WHERE position(' ' || n.needle || ' ' IN ' ' || kept.text || ' ') > 0)),"
+        " train AS (SELECT doc_id, text FROM clean"
+        "  WHERE substr(md5(text), 1, 2) >= '40') "
+        "SELECT CAST(CAST(('0x' || substr(md5('17|' ||"
+        " CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 8 AS INTEGER) AS part,"
+        " CAST(COUNT(*) AS BIGINT) AS docs,"
+        " CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens"
+        " FROM train GROUP BY 1"
     ),
     "dedup_lines": (
         "WITH broken AS (SELECT doc_id,"
