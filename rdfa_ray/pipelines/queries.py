@@ -2716,6 +2716,33 @@ def q_kg_sparql_expr(sf_dir: str):
     )
 
 
+def q_kg_xsd_cast(sf_dir: str):
+    """XPath constructor casts (SPARQL 1.1 §17.5): xsd:integer /
+    xsd:decimal truncating-and-coercing lexical numerics inside BINDs
+    and the FILTER, xsd:boolean canonicalizing {1,0} lexicals, and
+    xsd:string round-tripping a numeric bind back to lexical form —
+    the rdflib ``Literal(...).toPython`` coercions a reference user's
+    typed-literal queries rely on (pyRdfa emits typed literals via
+    rdflib Literal, rdflib casts on comparison)."""
+    from ..stages.sparql_text import execute
+
+    return execute(
+        _typed_triples(sf_dir),
+        """
+        PREFIX schema: <http://schema.org/>
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?d ?n ?hundreds ?flag ?lex WHERE {
+          ?d schema:characterCount ?c .
+          BIND(xsd:integer(?c) AS ?n)
+          BIND(xsd:integer(xsd:decimal(?c) / 100) AS ?hundreds)
+          BIND(xsd:boolean(IF(?n >= 500, "1", "0")) AS ?flag)
+          BIND(xsd:string(?n) AS ?lex)
+          FILTER (xsd:integer(?c) >= 100)
+        }
+        """,
+    )
+
+
 def q_kg_store_sparql(sf_dir: str):
     """Textual SPARQL against the persisted store with predicate
     pushdown: the query's two constant predicates prune the scan to
@@ -3679,6 +3706,7 @@ QUERIES = {
     "kg_nested_optional": q_kg_nested_optional,
     "kg_sparql_text": q_kg_sparql_text,
     "kg_sparql_expr": q_kg_sparql_expr,
+    "kg_xsd_cast": q_kg_xsd_cast,
     "kg_lang_filter": q_kg_lang_filter,
     "kg_lang_optional": q_kg_lang_optional,
     "kg_datatype_census": q_kg_datatype_census,
@@ -4323,6 +4351,22 @@ ORACLE_SQL = {
         " WHERE t1.pred = 'http://schema.org/source'"
         " AND t2.pred = 'http://schema.org/characterCount'"
         " AND FLOOR(CAST(t2.obj_value AS DOUBLE) / 100) >= 1"
+        % _TYPED_TRIPLES_SQL
+    ),
+    "kg_xsd_cast": (
+        # xsd:integer truncates toward zero (XPath xs:integer from
+        # numeric) = DuckDB TRUNC; xsd:string of the integer bind is
+        # Arrow's shortest float repr = the integral lexical
+        "WITH t AS (%s) "
+        "SELECT subj AS d,"
+        " TRUNC(CAST(obj_value AS DOUBLE)) AS n,"
+        " TRUNC(CAST(obj_value AS DOUBLE) / 100) AS hundreds,"
+        " CASE WHEN TRUNC(CAST(obj_value AS DOUBLE)) >= 500"
+        "  THEN 'true' ELSE 'false' END AS flag,"
+        " CAST(CAST(TRUNC(CAST(obj_value AS DOUBLE)) AS BIGINT)"
+        "  AS VARCHAR) AS lex"
+        " FROM t WHERE pred = 'http://schema.org/characterCount'"
+        " AND TRUNC(CAST(obj_value AS DOUBLE)) >= 100"
         % _TYPED_TRIPLES_SQL
     ),
     "customers_orders_outer": (

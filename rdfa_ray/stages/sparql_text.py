@@ -377,6 +377,91 @@ def _as_num(v):
     return pa.array(ser, pa.float64(), from_pandas=True)
 
 
+_DATETIME_LEX_RE = r"^-?\d{4,}-\d\d-\d\dT\d\d:\d\d:\d\d(\.\d+)?(Z|[+-]\d\d:\d\d)?$"
+_DATE_LEX_RE = r"^-?\d{4,}-\d\d-\d\d(Z|[+-]\d\d:\d\d)?$"
+
+
+def _lex_validate(s, regex):
+    """Pass values whose lexical form matches ``regex`` through,
+    null the rest (XPath cast type error -> unbound)."""
+    if isinstance(s, pa.Scalar):
+        import re as _re
+
+        lex = s.as_py()
+        ok = lex is not None and _re.match(regex, lex) is not None
+        return pa.scalar(lex if ok else None, pa.string())
+    return pc.if_else(
+        pc.match_substring_regex(s, regex), s, pa.scalar(None, pa.string())
+    )
+
+
+def _xsd_cast(local, arg_kind, f):
+    """XPath constructor function ``xsd:TYPE(expr)`` (SPARQL 1.1
+    §17.5, the casts rdflib Literal.toPython round-trips in the
+    reference — pyRdfa emits typed literals, rdflib coerces them).
+    Bindings are lexical engine-wide, so numeric casts parse the
+    lexical form (invalid -> null -> the row binds unbound / fails
+    filters, the standard type-error-as-unbound stance), xsd:integer
+    truncates toward zero (XPath xs:integer from numeric), boolean
+    maps the XSD lexical space {true,false,1,0} (numeric operands:
+    0 -> false, else true), and dateTime/date validate the ISO-8601
+    lexical form and pass it through."""
+    if local in ("decimal", "double", "float"):
+        return "num", (lambda a: lambda t: _as_num(a(t)))(f)
+    if local == "integer":
+        return "num", (lambda a: lambda t: pc.trunc(_as_num(a(t))))(f)
+    if local == "string":
+        return "str", (lambda a: lambda t: _as_str(a(t)))(f)
+    if local == "boolean":
+        if arg_kind == "num":
+
+            def num_bool(t, _a=f):
+                v = _as_num(_a(t))
+                return pc.if_else(
+                    pc.not_equal(v, 0.0),
+                    pa.scalar("true", pa.string()),
+                    pa.scalar("false", pa.string()),
+                )
+
+            return "str", num_bool
+
+        def lex_bool(t, _a=f):
+            s = _as_str(_a(t))
+            if isinstance(s, pa.Scalar):
+                lex = s.as_py()
+                out = (
+                    "true" if lex in ("true", "1")
+                    else "false" if lex in ("false", "0") else None
+                )
+                return pa.scalar(out, pa.string())
+            is_t = pc.is_in(s, value_set=pa.array(["true", "1"], pa.string()))
+            is_f = pc.is_in(s, value_set=pa.array(["false", "0"], pa.string()))
+            return pc.if_else(
+                is_t,
+                pa.scalar("true", pa.string()),
+                pc.if_else(
+                    is_f,
+                    pa.scalar("false", pa.string()),
+                    pa.scalar(None, pa.string()),
+                ),
+            )
+
+        return "str", lex_bool
+    if local == "dateTime":
+        return "str", (
+            lambda a: lambda t: _lex_validate(_as_str(a(t)), _DATETIME_LEX_RE)
+        )(f)
+    if local == "date":
+        return "str", (
+            lambda a: lambda t: _lex_validate(_as_str(a(t)), _DATE_LEX_RE)
+        )(f)
+    raise SparqlSyntaxError(
+        "unsupported XSD constructor xsd:%s — supported casts:"
+        " integer decimal double float string boolean dateTime date"
+        % local
+    )
+
+
 def _scalar_series(v, sub_fn, default=""):
     """Apply a per-row string->string pandas kernel ``sub_fn`` to an
     operand; scalars stay scalar (pure fold)."""
@@ -1042,6 +1127,19 @@ class _FilterCompiler:
                     )
                 )(cond, f1, f2)
             raise SparqlSyntaxError("unsupported function %r" % pv)
+        if pk in ("pname", "iri") and self.p.peek(1) == ("op", "("):
+            # IRI-named function call: only the XSD constructor casts
+            # (§17.5) exist in this fragment; anything else raises here
+            # rather than mis-parsing the IRI as a constant operand
+            iri = pv[1:-1] if pk == "iri" else _resolve(pk, pv, self.prefixes)
+            if not iri.startswith(_XSD):
+                raise SparqlSyntaxError(
+                    "unsupported function <%s> — only xsd: constructor"
+                    " casts are callable" % iri
+                )
+            self.p.next()
+            ((ak, f),) = self._args(1)
+            return _xsd_cast(iri[len(_XSD):], ak, f)
         kind, val = self.p.next()
         if kind == "var":
             name = val[1:]

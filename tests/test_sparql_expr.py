@@ -556,3 +556,100 @@ def test_meta_of_group_var_rejected(ray_session):
             ' OPTIONAL { ?d ex:size ?n } FILTER (LANG(?n) = "") }',
             n_buckets=4,
         ).to_pandas()
+
+
+# --------------------------------------------------------------------------
+# XPath constructor casts (SPARQL 1.1 §17.5): xsd:TYPE(expr)
+
+XSD_PREFIX = "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>\n"
+
+CAST_ROWS = [
+    ("a", "http://ex.org/size", "10"),
+    ("b", "http://ex.org/size", "3.7"),
+    ("c", "http://ex.org/size", "-3.7"),
+    ("d", "http://ex.org/size", "oops"),
+    ("a", "http://ex.org/flag", "1"),
+    ("b", "http://ex.org/flag", "false"),
+    ("c", "http://ex.org/flag", "maybe"),
+    ("a", "http://ex.org/when", "2020-01-02T03:04:05Z"),
+    ("b", "http://ex.org/when", "not a date"),
+]
+
+
+def test_xsd_integer_truncates_and_nulls(ray_session):
+    # xs:integer truncates toward zero; an unparseable lexical is a
+    # type error -> unbound (null), never a crash
+    df = _run(
+        XSD_PREFIX + "SELECT ?d ?n WHERE { ?d ex:size ?s ."
+        " BIND(xsd:integer(?s) AS ?n) }",
+        rows=CAST_ROWS,
+    )
+    got = _col(df, "n")
+    assert got["a"] == 10.0 and got["b"] == 3.0 and got["c"] == -3.0
+    assert got["d"] != got["d"]  # NaN == unbound
+
+
+def test_xsd_cast_type_error_drops_in_filter(ray_session):
+    df = _run(
+        XSD_PREFIX + "SELECT ?d WHERE { ?d ex:size ?s ."
+        " FILTER (xsd:integer(?s) <= 3) }",
+        rows=CAST_ROWS,
+    )
+    assert set(df["d"]) == {"b", "c"}  # 'oops' row dropped, not kept
+
+
+def test_xsd_boolean_lexical_space(ray_session):
+    df = _run(
+        XSD_PREFIX + "SELECT ?d ?b WHERE { ?d ex:flag ?f ."
+        " BIND(xsd:boolean(?f) AS ?b) }",
+        rows=CAST_ROWS,
+    )
+    got = _col(df, "b")
+    assert got["a"] == "true" and got["b"] == "false"
+    assert got["c"] is None or got["c"] != got["c"]
+
+
+def test_xsd_boolean_of_numeric_operand(ray_session):
+    df = _run(
+        XSD_PREFIX + "SELECT ?d ?b WHERE { ?d ex:size ?s ."
+        " BIND(xsd:boolean(xsd:integer(?s) - 10) AS ?b) }",
+        rows=CAST_ROWS[:3],
+    )
+    got = _col(df, "b")
+    assert got["a"] == "false" and got["b"] == "true" and got["c"] == "true"
+
+
+def test_xsd_datetime_validates_lexical_form(ray_session):
+    df = _run(
+        XSD_PREFIX + "SELECT ?d ?t WHERE { ?d ex:when ?w ."
+        " BIND(xsd:dateTime(?w) AS ?t) }",
+        rows=CAST_ROWS,
+    )
+    got = _col(df, "t")
+    assert got["a"] == "2020-01-02T03:04:05Z"
+    assert got["b"] is None or got["b"] != got["b"]
+
+
+def test_xsd_string_and_double_roundtrip(ray_session):
+    df = _run(
+        XSD_PREFIX + "SELECT ?d ?lex WHERE { ?d ex:size ?s ."
+        " BIND(xsd:string(xsd:integer(?s)) AS ?lex)"
+        " FILTER (BOUND(?lex)) }",
+        rows=CAST_ROWS,
+    )
+    assert _col(df, "lex") == {"a": "10", "b": "3", "c": "-3"}
+
+
+def test_non_xsd_iri_call_raises(ray_session):
+    with pytest.raises(SparqlSyntaxError):
+        _run(
+            "SELECT ?d WHERE { ?d ex:size ?s ."
+            " FILTER (ex:myfunc(?s) > 1) }",
+            rows=CAST_ROWS,
+        )
+    with pytest.raises(SparqlSyntaxError):
+        _run(
+            XSD_PREFIX + "SELECT ?d WHERE { ?d ex:size ?s ."
+            " FILTER (xsd:hexBinary(?s) > 1) }",
+            rows=CAST_ROWS,
+        )
