@@ -859,6 +859,18 @@ def q_text_metrics(sf_dir: str):
     )
 
 
+def q_gopher_rules(sf_dir: str):
+    """Gopher quality-rule gate (Rae et al. 2021 Appendix A) over the
+    documents table: integer signals + failed-rule bitmask + keep flag,
+    one zero-shuffle vectorized pass (stages/text.gopher_rules)."""
+    from ..stages.text import gopher_rules
+
+    docs = read_parquet_clean(
+        "%s/documents.parquet" % sf_dir, columns=["doc_id", "text"]
+    )
+    return gopher_rules(docs, min_words=20)
+
+
 def q_quality_counts(sf_dir: str):
     """Integer-exact quality counts (token / stopword) — the SQL-
     checkable core of the quality-scoring stage."""
@@ -3629,6 +3641,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "text_metrics": q_text_metrics,
     "quality_counts": q_quality_counts,
+    "gopher_rules": q_gopher_rules,
     "quality_signals": q_quality_signals,
     "fingerprints_rolling": q_fingerprints_rolling,
     "ann_bruteforce": q_ann_bruteforce,
@@ -4352,6 +4365,51 @@ ORACLE_SQL = {
         " AND t2.pred = 'http://schema.org/characterCount'"
         " AND FLOOR(CAST(t2.obj_value AS DOUBLE) / 100) >= 1"
         % _TYPED_TRIPLES_SQL
+    ),
+    "gopher_rules": (
+        # the engine's integer rule arithmetic reproduced verbatim:
+        # regexp_extract_all counts = Arrow count_substring_regex
+        # (both RE2, both non-overlapping), replace-based '...' count
+        # matches the non-overlapping substring count
+        "WITH sig AS (SELECT doc_id,"
+        " CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words,"
+        " CAST(length(text) - len(regexp_extract_all(text, '\\s'))"
+        "  AS BIGINT) AS n_word_chars,"
+        " CAST(len(regexp_extract_all(text, '[^\\s]*[A-Za-z][^\\s]*'))"
+        "  AS BIGINT) AS n_alpha_words,"
+        " CAST(length(text) - length(replace(text, '#', ''))"
+        "  + (length(text) - length(replace(text, '...', ''))) / 3"
+        "  AS BIGINT) AS n_symbols,"
+        " CAST(length(text) - length(replace(text, chr(10), '')) + 1"
+        "  AS BIGINT) AS n_lines,"
+        " CAST(len(regexp_extract_all(text, '(?m)^[ \\t]*[-*•]'))"
+        "  AS BIGINT) AS n_bullet,"
+        " CAST(len(regexp_extract_all(text, '(?m)(\\.\\.\\.|…)$'))"
+        "  AS BIGINT) AS n_ellipsis,"
+        " CAST(" + " + ".join(
+            "CASE WHEN regexp_matches(lower(text), '\\b%s\\b')"
+            " THEN 1 ELSE 0 END" % w
+            for w in ("the", "be", "to", "of", "and", "that", "have", "with")
+        ) + " AS BIGINT) AS n_stopwords"
+        " FROM documents) "
+        "SELECT doc_id, n_words, n_word_chars, n_lines, n_stopwords,"
+        " (CASE WHEN n_words < 20 OR n_words > 100000 THEN 1 ELSE 0 END"
+        " + CASE WHEN n_word_chars < 3 * n_words"
+        "    OR n_word_chars > 10 * n_words THEN 2 ELSE 0 END"
+        " + CASE WHEN 10 * n_symbols >= n_words THEN 4 ELSE 0 END"
+        " + CASE WHEN 10 * n_bullet >= 9 * n_lines THEN 8 ELSE 0 END"
+        " + CASE WHEN 10 * n_ellipsis >= 3 * n_lines THEN 16 ELSE 0 END"
+        " + CASE WHEN 5 * n_alpha_words < 4 * n_words THEN 32 ELSE 0 END"
+        " + CASE WHEN n_stopwords < 2 THEN 64 ELSE 0 END) AS mask,"
+        " (CASE WHEN n_words < 20 OR n_words > 100000 THEN 1 ELSE 0 END"
+        " + CASE WHEN n_word_chars < 3 * n_words"
+        "    OR n_word_chars > 10 * n_words THEN 2 ELSE 0 END"
+        " + CASE WHEN 10 * n_symbols >= n_words THEN 4 ELSE 0 END"
+        " + CASE WHEN 10 * n_bullet >= 9 * n_lines THEN 8 ELSE 0 END"
+        " + CASE WHEN 10 * n_ellipsis >= 3 * n_lines THEN 16 ELSE 0 END"
+        " + CASE WHEN 5 * n_alpha_words < 4 * n_words THEN 32 ELSE 0 END"
+        " + CASE WHEN n_stopwords < 2 THEN 64 ELSE 0 END) = 0 AS keep"
+        " FROM sig"
     ),
     "kg_xsd_cast": (
         # xsd:integer truncates toward zero (XPath xs:integer from

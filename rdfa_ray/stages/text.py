@@ -299,3 +299,115 @@ def rolling_fingerprints(docs_ds, window: int = 8):
         return out.sort_values(["doc_id", "fp"]).reset_index(drop=True)
 
     return docs_ds.map_batches(fp, batch_format="pandas", batch_size=1024)
+
+
+# --------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, arXiv:2112.11446 Appendix A)
+
+# the paper's 8-word stopword-presence list (rule 7)
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+# failed-rule bitmask bits (mask == 0 <=> keep)
+GOPHER_RULE_BITS = {
+    "word_count": 1,        # n_words outside [min_words, max_words]
+    "mean_word_len": 2,     # mean word length outside [3, 10]
+    "symbol_ratio": 4,      # (#'#' + #'...') / n_words >= 0.1
+    "bullet_lines": 8,      # >= 90% of lines start with a bullet
+    "ellipsis_lines": 16,   # >= 30% of lines end with an ellipsis
+    "alpha_words": 32,      # < 80% of words contain a letter
+    "stopwords": 64,        # < 2 of the 8 Gopher stopwords present
+}
+
+
+def gopher_rules(docs_ds, min_words: int = 50, max_words: int = 100_000):
+    """The Gopher quality-filter rule set — the standard web-scale
+    pre-training document gate (also the basis of FineWeb/Dolma's
+    heuristic filters) — as ONE zero-shuffle vectorized pass.
+
+    Per document: integer signals (word/line/symbol counts) and a
+    failed-rule bitmask (``GOPHER_RULE_BITS``); ``keep = mask == 0``.
+    Every rule threshold evaluates in INTEGER arithmetic (e.g. mean
+    word length in [3,10] <=> ``3*n_words <= n_word_chars <=
+    10*n_words``), so the output is bit-exact at any parallelism and
+    hash-comparable against a SQL twin — no float ratios anywhere.
+
+    All counting is RE2 Arrow kernels over the whole batch (a "word"
+    is a ``\\S+`` run; a word "has alpha" iff the token contains a
+    letter; ``...`` counts non-overlapping, the same rule as SQL
+    ``replace``); the 8 stopword-presence probes are 8 vectorized
+    regex passes.  No per-row Python, no exchange: at 100 TB this
+    stage streams behind the read like any other map."""
+    bullets_re = r"(?m)^[ \t]*[-*•]"
+    ellipsis_line_re = r"(?m)(\.\.\.|…)$"
+
+    def rules(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column("doc_id"), pa.int64())
+        text = pc.fill_null(pc.cast(batch.column("text"), pa.string()), "")
+        low = pc.utf8_lower(text)
+
+        i64 = lambda v: pc.cast(v, pa.int64())  # noqa: E731
+        n_words = i64(pc.count_substring_regex(text, r"\S+"))
+        n_ws = i64(pc.count_substring_regex(text, r"\s"))
+        n_word_chars = pc.subtract(i64(pc.utf8_length(text)), n_ws)
+        n_alpha_words = i64(
+            pc.count_substring_regex(text, r"[^\s]*[A-Za-z][^\s]*")
+        )
+        n_symbols = pc.add(
+            i64(pc.count_substring(text, "#")),
+            i64(pc.count_substring(text, "...")),
+        )
+        n_lines = pc.add(i64(pc.count_substring(text, "\n")), 1)
+        n_bullet = i64(pc.count_substring_regex(text, bullets_re))
+        n_ellipsis = i64(pc.count_substring_regex(text, ellipsis_line_re))
+        n_stop = None
+        for w in _GOPHER_STOPWORDS:
+            hit = i64(pc.match_substring_regex(low, r"\b%s\b" % w))
+            n_stop = hit if n_stop is None else pc.add(n_stop, hit)
+
+        def bit(mask_bool, b):
+            return pc.multiply(i64(mask_bool), pa.scalar(b, pa.int64()))
+
+        mask = bit(
+            pc.or_(pc.less(n_words, min_words), pc.greater(n_words, max_words)),
+            GOPHER_RULE_BITS["word_count"],
+        )
+        mask = pc.add(mask, bit(
+            pc.or_(
+                pc.less(n_word_chars, pc.multiply(n_words, 3)),
+                pc.greater(n_word_chars, pc.multiply(n_words, 10)),
+            ),
+            GOPHER_RULE_BITS["mean_word_len"],
+        ))
+        mask = pc.add(mask, bit(
+            pc.greater_equal(pc.multiply(n_symbols, 10), n_words),
+            GOPHER_RULE_BITS["symbol_ratio"],
+        ))
+        mask = pc.add(mask, bit(
+            pc.greater_equal(pc.multiply(n_bullet, 10), pc.multiply(n_lines, 9)),
+            GOPHER_RULE_BITS["bullet_lines"],
+        ))
+        mask = pc.add(mask, bit(
+            pc.greater_equal(pc.multiply(n_ellipsis, 10), pc.multiply(n_lines, 3)),
+            GOPHER_RULE_BITS["ellipsis_lines"],
+        ))
+        mask = pc.add(mask, bit(
+            pc.less(pc.multiply(n_alpha_words, 5), pc.multiply(n_words, 4)),
+            GOPHER_RULE_BITS["alpha_words"],
+        ))
+        mask = pc.add(mask, bit(
+            pc.less(n_stop, 2), GOPHER_RULE_BITS["stopwords"],
+        ))
+
+        return pa.Table.from_pydict(
+            {
+                "doc_id": ids,
+                "n_words": n_words,
+                "n_word_chars": n_word_chars,
+                "n_lines": n_lines,
+                "n_stopwords": n_stop,
+                "mask": mask,
+                "keep": pc.equal(mask, 0),
+            }
+        )
+
+    return docs_ds.map_batches(rules, batch_format="pyarrow")

@@ -489,3 +489,95 @@ def test_epoch_shuffle_determinism_and_independence(ray_session):
     assert sorted(c["doc_id"]) == list(range(200))
     assert a["doc_id"].tolist() != c["doc_id"].tolist()  # seed-independent
     assert a["lang"].tolist() == ["l%d" % (i % 3) for i in a["doc_id"]]
+
+
+# --------------------------------------------------------------------------
+# Gopher quality rules
+
+
+def _gopher_docs(texts):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and then runs back "
+    "home with plenty of energy to spare because that morning walk "
+    "gave it confidence that life can be simple and good"
+)
+
+
+def test_gopher_rules_planted(ray_session):
+    from rdfa_ray.stages.text import GOPHER_RULE_BITS, gopher_rules
+
+    texts = [
+        GOOD,                                          # 0: passes all
+        "short words only here",                       # 1: word_count
+        GOOD + " " + " ".join(["###"] * 10),           # 2: symbol_ratio
+        "\n".join(["- " + GOOD] * 10),                 # 3: bullet_lines
+        "\n".join([GOOD + " ..."] * 10),               # 4: ellipsis_lines
+        GOOD + " " + " ".join(["12345"] * 40),         # 5: alpha_words
+        " ".join(["zork gronk blee"] * 12),            # 6: stopwords
+        "supercalifragilisticexpialidocious " * 30,    # 7: mean_word_len
+    ]
+    out = (
+        gopher_rules(_gopher_docs(texts), min_words=20)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert bool(out.loc[0, "keep"]) and out.loc[0, "mask"] == 0
+    expect = {
+        1: "word_count",
+        2: "symbol_ratio",
+        3: "bullet_lines",
+        4: "ellipsis_lines",
+        5: "alpha_words",
+        6: "stopwords",
+        7: "mean_word_len",
+    }
+    for i, rule in expect.items():
+        assert not bool(out.loc[i, "keep"]), (i, rule)
+        assert out.loc[i, "mask"] & GOPHER_RULE_BITS[rule], (
+            i, rule, int(out.loc[i, "mask"]),
+        )
+
+
+def test_gopher_rules_integer_thresholds(ray_session):
+    # boundary exactness: exactly 10% symbols FAILS (>=), just under
+    # passes — the integer comparison 10*symbols >= words
+    from rdfa_ray.stages.text import GOPHER_RULE_BITS, gopher_rules
+
+    base = ("the fox and the dog that have been to all of "
+            "those places be with us " * 2).strip()  # 38 alpha words
+    at_limit = base + " " + " ".join(["#"] * 2)      # 40 words, 4 symbols? no
+    words = len(at_limit.split())
+    n_sym = at_limit.count("#")
+    out = (
+        gopher_rules(_gopher_docs([at_limit]), min_words=5)
+        .to_pandas()
+        .iloc[0]
+    )
+    failed = bool(out["mask"] & GOPHER_RULE_BITS["symbol_ratio"])
+    assert failed == (10 * n_sym >= words)
+
+
+def test_gopher_rules_partition_invariance(ray_session):
+    from rdfa_ray.stages.text import gopher_rules
+
+    texts = [GOOD + (" extra token%d" % i) * (i % 5) for i in range(64)]
+    a = (
+        gopher_rules(_gopher_docs(texts).repartition(1), min_words=20)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        gopher_rules(_gopher_docs(texts).repartition(13), min_words=20)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
