@@ -2276,6 +2276,10 @@ _FUZZ_SEED_QUERIES = [
     'SELECT ?s WHERE { ?s <http://n> "hi"@en ; '
     '<http://m> "10"^^<http://www.w3.org/2001/XMLSchema#integer> }',
     'SELECT ?v WHERE { _:n <http://q> ?v . _:n <http://r> ?w }',
+    # XSD constructor casts (§17.5)
+    'PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> SELECT ?s ?n WHERE '
+    '{ ?s <http://p> ?o . BIND(xsd:integer(?o) AS ?n) '
+    'FILTER (xsd:boolean(xsd:string(?n)) || xsd:decimal(?o) > 1) }',
 ]
 _FUZZ_CHARS = list(
     "{}()<>?$.;,\"'@^|+*/!&=#_: \tabPREFIXSELECTWHEREOPTIONALFILTER"
