@@ -871,6 +871,61 @@ def q_gopher_rules(sf_dir: str):
     return gopher_rules(docs, min_words=20)
 
 
+def q_c4_rules(sf_dir: str):
+    """C4 cleaning rules (Raffel et al. 2020 §2.2) over documents with
+    deterministically planted line structure (the synthetic corpus has
+    no newlines/punctuation, so the query plants the same multi-line
+    text the SQL oracle constructs — the line edit + page gate is
+    what's being checked): a good sentence line, a too-short line, a
+    javascript line, an unterminated line, a 3-sentence trailer on
+    doc_id%7, 'lorem ipsum' poison on %13, a curly brace on %11."""
+    from ..stages.text import c4_rules
+
+    docs = read_parquet_clean(
+        "%s/documents.parquet" % sf_dir, columns=["doc_id", "text"]
+    )
+
+    def plant(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        text = pc.cast(batch.column("text"), pa.string())
+
+        def mod0(m):
+            return pa.array(ids % m == 0, pa.bool_())
+
+        lorem = pc.if_else(
+            mod0(13),
+            pa.scalar(" lorem ipsum", pa.string()),
+            pa.scalar("", pa.string()),
+        )
+        brace = pc.if_else(
+            mod0(11),
+            pa.scalar(" {", pa.string()),
+            pa.scalar("", pa.string()),
+        )
+        trailer = pc.if_else(
+            mod0(7),
+            pa.scalar(
+                "this sentence counts. and this. and this too.", pa.string()
+            ),
+            pa.scalar("no punct here at all trailer", pa.string()),
+        )
+        planted = pc.binary_join_element_wise(
+            text, ".\nshort line.\n",
+            text, " extra javascript line.\n",
+            text, lorem, brace, "\n", trailer,
+            "",
+        )
+        return pa.Table.from_pydict(
+            {"doc_id": batch.column("doc_id"), "text": planted}
+        )
+
+    return c4_rules(docs.map_batches(plant, batch_format="pyarrow"))
+
+
 def q_quality_counts(sf_dir: str):
     """Integer-exact quality counts (token / stopword) — the SQL-
     checkable core of the quality-scoring stage."""
@@ -3642,6 +3697,7 @@ QUERIES = {
     "text_metrics": q_text_metrics,
     "quality_counts": q_quality_counts,
     "gopher_rules": q_gopher_rules,
+    "c4_rules": q_c4_rules,
     "quality_signals": q_quality_signals,
     "fingerprints_rolling": q_fingerprints_rolling,
     "ann_bruteforce": q_ann_bruteforce,
@@ -4365,6 +4421,40 @@ ORACLE_SQL = {
         " AND t2.pred = 'http://schema.org/characterCount'"
         " AND FLOOR(CAST(t2.obj_value AS DOUBLE) / 100) >= 1"
         % _TYPED_TRIPLES_SQL
+    ),
+    "c4_rules": (
+        # identical planted text, then the C4 line filter as
+        # list_filter over string_split — same RE2 predicates as the
+        # engine's exploded-pandas pass
+        "WITH planted AS (SELECT doc_id,"
+        " text || '.' || chr(10) || 'short line.' || chr(10)"
+        " || text || ' extra javascript line.' || chr(10)"
+        " || text"
+        " || CASE WHEN doc_id % 13 = 0 THEN ' lorem ipsum' ELSE '' END"
+        " || CASE WHEN doc_id % 11 = 0 THEN ' {' ELSE '' END"
+        " || chr(10)"
+        " || CASE WHEN doc_id % 7 = 0"
+        "     THEN 'this sentence counts. and this. and this too.'"
+        "     ELSE 'no punct here at all trailer' END AS text"
+        " FROM documents), "
+        "cleaned AS (SELECT doc_id, text,"
+        " CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,"
+        " list_filter(string_split(text, chr(10)), l ->"
+        "  regexp_matches(l, '[.!?\"]$')"
+        "  AND len(regexp_extract_all(l, '\\S+')) >= 5"
+        "  AND NOT contains(lower(l), 'javascript')) AS kept"
+        " FROM planted) "
+        "SELECT doc_id,"
+        " array_to_string(kept, chr(10)) AS text_clean,"
+        " n_lines,"
+        " CAST(len(kept) AS BIGINT) AS n_lines_kept,"
+        " CAST(len(regexp_extract_all(array_to_string(kept, chr(10)),"
+        "  '[.!?]')) AS BIGINT) AS n_sentences,"
+        " (len(regexp_extract_all(array_to_string(kept, chr(10)), '[.!?]'))"
+        "   >= 3"
+        "  AND NOT contains(lower(text), 'lorem ipsum')"
+        "  AND NOT contains(text, '{')) AS keep"
+        " FROM cleaned"
     ),
     "gopher_rules": (
         # the engine's integer rule arithmetic reproduced verbatim:

@@ -411,3 +411,73 @@ def gopher_rules(docs_ds, min_words: int = 50, max_words: int = 100_000):
         )
 
     return docs_ds.map_batches(rules, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# C4 cleaning rules (Raffel et al. 2020, arXiv:1910.10683 §2.2)
+
+
+def c4_rules(docs_ds, min_sentences: int = 3, min_line_words: int = 5):
+    """The C4 line-and-page cleaning pass — the other canonical
+    web-corpus filter next to ``gopher_rules``.  Line level: keep only
+    lines that end in terminal punctuation (``. ! ? "``), carry at
+    least ``min_line_words`` whitespace words, and do not mention
+    "javascript".  Page level: drop documents whose CLEANED text has
+    fewer than ``min_sentences`` sentence-final marks, or whose raw
+    text contains "lorem ipsum" or a curly brace.
+
+    Zero shuffle: a document's lines live in its own row, so the line
+    edit is explode -> vectorized pandas string predicates -> one
+    C-level groupby reassembly (the only per-document Python is the
+    final ``'\\n'.join`` — same budget as the accepted one-md5-per-doc
+    elsewhere in this module).  Emits the cleaned text plus integer
+    line/sentence counts and the page keep flag, all reproducible in
+    SQL (the DuckDB twin uses ``list_filter`` over ``string_split``)."""
+    import pandas as pd
+
+    def clean(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "text_clean": pd.Series([], dtype="object"),
+                "n_lines": pd.Series([], dtype="int64"),
+                "n_lines_kept": pd.Series([], dtype="int64"),
+                "n_sentences": pd.Series([], dtype="int64"),
+                "keep": pd.Series([], dtype="bool"),
+            }
+        )
+        if not len(batch):
+            return empty
+        text = batch["text"].fillna("")
+        lines = text.str.split("\n")
+        n_lines = lines.str.len().to_numpy("int64")
+        ex = lines.explode()  # index = original row position
+        good = (
+            ex.str.contains(r'[.!?"]$', regex=True, na=False)
+            & (ex.str.count(r"\S+") >= min_line_words)
+            & ~ex.str.lower().str.contains("javascript", regex=False, na=False)
+        )
+        kept = ex[good]
+        joined = kept.groupby(level=0).agg("\n".join)
+        clean_text = pd.Series("", index=range(len(batch)), dtype="object")
+        clean_text.update(joined)
+        n_kept = pd.Series(0, index=range(len(batch)), dtype="int64")
+        n_kept.update(good.groupby(level=0).sum().astype("int64"))
+        n_sent = clean_text.str.count(r"[.!?]").astype("int64")
+        keep = (
+            (n_sent >= min_sentences)
+            & ~text.str.lower().str.contains("lorem ipsum", regex=False)
+            & ~text.str.contains("{", regex=False)
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64").to_numpy(),
+                "text_clean": clean_text.to_numpy(),
+                "n_lines": n_lines,
+                "n_lines_kept": n_kept.to_numpy(),
+                "n_sentences": n_sent.to_numpy(),
+                "keep": keep.to_numpy(),
+            }
+        )
+
+    return docs_ds.map_batches(clean, batch_format="pandas")

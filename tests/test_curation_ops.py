@@ -581,3 +581,61 @@ def test_gopher_rules_partition_invariance(ray_session):
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+# --------------------------------------------------------------------------
+# C4 cleaning rules
+
+
+def test_c4_rules_line_edit_and_page_gate(ray_session):
+    from rdfa_ray.stages.text import c4_rules
+
+    texts = [
+        # 0: three good sentences across lines -> kept
+        "the quick brown fox jumps over the dog.\n"
+        "another fine sentence with enough words here!\n"
+        "a third one that also terminates properly?",
+        # 1: good lines but page poisoned by lorem ipsum
+        "the quick brown fox jumps over the dog.\n"
+        "another fine sentence with enough words here.\n"
+        "a third one. lorem ipsum makes this page vanish.",
+        # 2: curly brace poisons the page
+        "function() { return 1; } is code.\n"
+        "another fine sentence with enough words here.\n"
+        "a third one that also terminates properly.",
+        # 3: javascript line removed, leaving too few sentences
+        "please enable javascript to view this page.\n"
+        "one good sentence with enough words here.",
+        # 4: short / unterminated lines dropped
+        "too short.\nno terminal punctuation on this line\n"
+        "one good sentence with enough words here.",
+    ]
+    docs = _gopher_docs(texts)
+    out = c4_rules(docs).to_pandas().set_index("doc_id").sort_index()
+    assert bool(out.loc[0, "keep"]) and out.loc[0, "n_lines_kept"] == 3
+    assert not bool(out.loc[1, "keep"])      # lorem ipsum
+    assert not bool(out.loc[2, "keep"])      # curly brace
+    assert not bool(out.loc[3, "keep"])
+    assert out.loc[3, "n_lines_kept"] == 1   # javascript line edited out
+    assert "javascript" not in out.loc[3, "text_clean"]
+    assert out.loc[4, "n_lines_kept"] == 1 and not bool(out.loc[4, "keep"])
+    assert out.loc[4, "text_clean"] == "one good sentence with enough words here."
+
+
+def test_c4_rules_partition_invariance(ray_session):
+    from rdfa_ray.stages.text import c4_rules
+
+    texts = [
+        ("sentence number %d has exactly enough words to pass." % i)
+        + ("\nshort no" if i % 2 else "\nanother good long sentence right here.")
+        for i in range(40)
+    ]
+    a = (
+        c4_rules(_gopher_docs(texts).repartition(1))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        c4_rules(_gopher_docs(texts).repartition(9))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
