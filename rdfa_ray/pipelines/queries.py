@@ -1077,6 +1077,17 @@ def q_ann_bruteforce(sf_dir: str):
     return ds.map_batches(project, batch_format="pyarrow")
 
 
+def q_ann_sq_topk(sf_dir: str):
+    """Int8 scalar-quantized ANN (the 4x-smaller memory-bandwidth scale
+    path): per-dim min/max fit by bounded tree reduction, SQL-exact
+    half-up encoding, int64 dot-product scores — fully hash-checkable
+    against the DuckDB twin, unlike float cosine (stages/sq.py)."""
+    from ..stages.sq import sq_topk
+
+    embs = read_parquet_clean("%s/embeddings.parquet" % sf_dir)
+    return sq_topk(embs, query_ids=list(range(8)), k=10, dim=64)
+
+
 def q_ann_ivf(sf_dir: str):
     import ray.data as rd
 
@@ -3701,6 +3712,7 @@ QUERIES = {
     "quality_signals": q_quality_signals,
     "fingerprints_rolling": q_fingerprints_rolling,
     "ann_bruteforce": q_ann_bruteforce,
+    "ann_sq_topk": q_ann_sq_topk,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_indexed": q_ann_ivf_indexed,
     "embedding_dups": q_embedding_dups,
@@ -4812,6 +4824,45 @@ ORACLE_SQL = {
         " CAST(floor(-AVG(ln(f.n / tot.total)) * 1000000 + 0.5) AS BIGINT)"
         " AS logppl_micro"
         " FROM tok t JOIN freq f USING (token), tot GROUP BY t.doc_id"
+    ),
+    "ann_sq_topk": (
+        # int8 scalar quantization reproduced verbatim: integer-exact
+        # L2 norms (quantize-before-sum), per-dim min/max over the
+        # normalized corpus, half-up FLOOR(+0.5) encoding (numpy
+        # banker's round would NOT match), quantized affine score
+        # weights, exact integer scores, ties broken by vec_id.  CAST
+        # to DOUBLE at the source (the DuckDB FLOAT*DOUBLE-stays-FLOAT
+        # pitfall, see pca_covariance)
+        "WITH v AS (SELECT vec_id,"
+        "  CAST(unnest(embedding) AS DOUBLE) AS x,"
+        "  generate_subscripts(embedding, 1) AS i FROM embeddings),"
+        " nn AS (SELECT vec_id, CAST(SUM(CAST(floor(x * x"
+        "   * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS n2q"
+        "  FROM v GROUP BY vec_id),"
+        " xn AS (SELECT v.vec_id, v.i, v.x / sqrt(CAST(CASE"
+        "   WHEN nn.n2q > 0 THEN nn.n2q ELSE 1000000000 END AS DOUBLE)"
+        "   / 1000000000.0) AS x FROM v JOIN nn USING (vec_id)),"
+        " pr AS (SELECT i, MIN(x) AS mn, CASE WHEN MAX(x) > MIN(x)"
+        "   THEN MAX(x) - MIN(x) ELSE 1.0 END AS rng"
+        "  FROM xn GROUP BY i),"
+        " c AS (SELECT xn.vec_id, xn.i,"
+        "  CAST(LEAST(GREATEST(FLOOR((xn.x - pr.mn) * 255.0 / pr.rng"
+        "   + 0.5), 0), 255) AS BIGINT) AS code"
+        "  FROM xn JOIN pr USING (i)),"
+        " wt AS (SELECT i,"
+        "  CAST(FLOOR(mn * (rng / 255.0) * 1000000000000.0 + 0.5)"
+        "   AS BIGINT) AS u,"
+        "  CAST(FLOOR((rng / 255.0) * (rng / 255.0) * 1000000000000.0"
+        "   + 0.5) AS BIGINT) AS w FROM pr),"
+        " q AS (SELECT c.vec_id AS query_id, c.i,"
+        "  c.code * wt.w + wt.u AS qw FROM c JOIN wt USING (i)"
+        "  WHERE c.vec_id IN (0,1,2,3,4,5,6,7)),"
+        " s AS (SELECT q.query_id, c.vec_id,"
+        "  CAST(SUM(q.qw * c.code) AS BIGINT) AS score"
+        "  FROM q JOIN c ON c.i = q.i GROUP BY q.query_id, c.vec_id) "
+        "SELECT query_id, vec_id, score FROM s"
+        " QUALIFY row_number() OVER (PARTITION BY query_id"
+        "  ORDER BY score DESC, vec_id) <= 10"
     ),
     "pca_covariance": (
         # quantized-mean then per-pair quantized centered products:

@@ -480,3 +480,133 @@ def test_extract_text_stage(ray_session):
     out = extract_text(ds, keep=("doc_id",)).to_pandas().sort_values("doc_id")
     assert out["clean_text"].tolist() == ["alpha beta", "gamma"]
     assert out["n_links"].tolist() == [1, 0]
+
+
+# --------------------------------------------------------------------------
+# int8 scalar-quantized ANN (stages/sq.py)
+
+
+def _emb_ds(mat):
+    import pyarrow as pa
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(mat)), pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, r)) for r in mat],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+    )
+
+
+def test_sq_encode_matches_plain_numpy_twin(ray_session):
+    import numpy as np
+
+    from rdfa_ray.stages.sq import encode_matrix, normalize_exact, sq_minmax
+
+    rng = np.random.RandomState(7)
+    mat = rng.randn(300, 16).astype(np.float32)
+    ds = _emb_ds(mat)
+    mins, maxs = sq_minmax(ds, dim=16)
+    x = normalize_exact(mat.astype(np.float64))
+    assert np.array_equal(mins, x.min(axis=0))
+    assert np.array_equal(maxs, x.max(axis=0))
+    # the exact-norm normalization tracks true L2 normalization
+    true = mat.astype(np.float64)
+    true = true / np.linalg.norm(true, axis=1, keepdims=True)
+    assert np.abs(x - true).max() < 1e-6
+    codes = encode_matrix(x, mins, maxs)
+    assert codes.dtype.name == "uint8"
+    # reference twin: scalar half-up per element
+    ref = np.empty_like(codes)
+    for i in range(x.shape[0]):
+        for j in range(x.shape[1]):
+            r = maxs[j] - mins[j] if maxs[j] > mins[j] else 1.0
+            ref[i, j] = min(
+                255, max(0, int(np.floor((x[i, j] - mins[j]) * 255.0 / r + 0.5)))
+            )
+    assert np.array_equal(codes, ref)
+
+
+def test_sq_constant_dimension_codes_zero(ray_session):
+    import numpy as np
+
+    from rdfa_ray.stages.sq import encode_matrix
+
+    x = np.ones((5, 3))
+    x[:, 1] = np.arange(5)
+    codes = encode_matrix(x, x.min(axis=0), x.max(axis=0))
+    assert (codes[:, 0] == 0).all() and (codes[:, 2] == 0).all()
+    assert codes[0, 1] == 0 and codes[4, 1] == 255
+
+
+def test_sq_topk_recall_vs_exact(ray_session):
+    import numpy as np
+
+    from rdfa_ray.stages.ann import brute_force_topk
+    from rdfa_ray.stages.sq import sq_topk
+
+    rng = np.random.RandomState(3)
+    # each query has 9 planted near-duplicates; the rest of the corpus
+    # is far away in cosine — the true top-10 is well separated, so a
+    # correct 8-bit quantizer must recover it.  (With near-tied true
+    # sims, sub-quantization-step rank flips are expected SQ behavior,
+    # not a bug.)
+    queries = rng.randn(3, 32) * 2
+    blocks = [
+        np.vstack([q] + [q + rng.randn(32) * 0.01 for _ in range(9)])
+        for q in queries
+    ]
+    mat = np.vstack(blocks + [rng.randn(300, 32) * 2])
+    ds = _emb_ds(mat)
+    qids = [0, 10, 20]
+    exact = (
+        brute_force_topk(ds, query_ids=qids, k=10)
+        .to_pandas().groupby("query_id")["vec_id"].apply(set)
+    )
+    quant = (
+        sq_topk(ds, query_ids=qids, k=10, dim=32)
+        .to_pandas().groupby("query_id")["vec_id"].apply(set)
+    )
+    for qid in qids:
+        recall = len(exact[qid] & quant[qid]) / 10
+        assert recall >= 0.9, (qid, recall)
+
+
+def test_sq_topk_partition_invariance(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from rdfa_ray.stages.sq import sq_topk
+
+    rng = np.random.RandomState(11)
+    mat = rng.randn(400, 16)
+    a = (
+        sq_topk(_emb_ds(mat).repartition(1), query_ids=[1, 2], k=5, dim=16)
+        .to_pandas().sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    )
+    b = (
+        sq_topk(_emb_ds(mat).repartition(17), query_ids=[1, 2], k=5, dim=16)
+        .to_pandas().sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_sq_codes_fixed_size_layout(ray_session):
+    import numpy as np
+
+    from rdfa_ray.stages.sq import sq_codes, sq_minmax
+
+    rng = np.random.RandomState(5)
+    mat = rng.randn(64, 8)
+    ds = _emb_ds(mat)
+    mins, maxs = sq_minmax(ds, dim=8)
+    tbl = sq_codes(ds, mins, maxs).to_pandas()
+    assert len(tbl) == 64
+    assert all(len(c) == 8 for c in tbl["code"])
+    flat = np.concatenate([np.asarray(c) for c in tbl["code"]])
+    assert flat.min() >= 0 and flat.max() <= 255
