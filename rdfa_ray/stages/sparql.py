@@ -91,7 +91,7 @@ def optional_match(
         )
     if opt_filter is not None:
         opt = opt.map_batches(
-            lambda t, _f=opt_filter: t.filter(pc.fill_null(_f(t), False)),
+            lambda t, _f=opt_filter: apply_mask(t, _f(t)),
             batch_format="pyarrow",
         )
 
@@ -181,11 +181,22 @@ def union_match(triples_ds, bgps, select=None, extras=None, prebuilt=None):
     return out
 
 
+def apply_mask(t, mask):
+    """Filter a table by a predicate result that may be an Array OR a
+    pa.Scalar — row-independent expressions (e.g. ``YEAR(NOW()) >=
+    2026``) constant-fold to a scalar, which keeps or empties the
+    whole batch."""
+    if isinstance(mask, pa.Scalar):
+        keep = mask.is_valid and bool(mask.as_py())
+        return t if keep else t.slice(0, 0)
+    return t.filter(pc.fill_null(mask, False))
+
+
 def filter_bindings(bindings, predicate):
     """SPARQL FILTER: ``predicate`` maps a bindings pa.Table to a
     boolean mask (use pyarrow.compute kernels); nulls drop the row."""
     return bindings.map_batches(
-        lambda t: t.filter(pc.fill_null(predicate(t), False)),
+        lambda t: apply_mask(t, predicate(t)),
         batch_format="pyarrow",
     )
 

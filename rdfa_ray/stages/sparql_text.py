@@ -462,6 +462,31 @@ def _xsd_cast(local, arg_kind, f):
     )
 
 
+def _row_entropy(t: pa.Table, salt: int) -> "np.ndarray":
+    """One uint64 per row derived from the FULL current binding row
+    (all columns, sorted by name, unit-separator-joined) and ``salt``
+    — the entropy source for the engine's deterministic RAND/UUID/
+    BNODE family.  Deterministic by construction: the same solution
+    row gets the same value at any parallelism, block layout, or
+    resume point (duplicate solutions therefore SHARE a value — the
+    documented divergence from rdflib's RNG, traded for bit-identical
+    reruns at 100 TB)."""
+    import numpy as np
+    import polars as pl
+
+    cols = [
+        pc.fill_null(pc.cast(t.column(c), pa.string()), "")
+        for c in sorted(t.column_names)
+    ]
+    joined = (
+        pc.binary_join_element_wise(*cols, "\x1f") if len(cols) > 1 else cols[0]
+    )
+    if isinstance(joined, pa.ChunkedArray):
+        joined = joined.combine_chunks()
+    s = pl.Series(joined.to_pandas())
+    return s.hash(seed=salt).to_numpy().astype(np.uint64)
+
+
 def _scalar_series(v, sub_fn, default=""):
     """Apply a per-row string->string pandas kernel ``sub_fn`` to an
     operand; scalars stay scalar (pure fold)."""
@@ -870,6 +895,91 @@ class _FilterCompiler:
                     return pc.fill_null(pc.cast(t.column(_c), pa.string()), "")
 
                 return "str", meta_col
+            if u == "NOW":
+                # one value per query execution (§17.4.5.1): captured
+                # once on the shared parser, embedded as a constant in
+                # every closure — all NOW() calls in the query agree
+                self.p.next()
+                self.p.expect_op("(")
+                self.p.expect_op(")")
+                now = getattr(self.p, "_now_lex", None)
+                if now is None:
+                    import time as _time
+
+                    now = _time.strftime(
+                        "%Y-%m-%dT%H:%M:%SZ", _time.gmtime()
+                    )
+                    self.p._now_lex = now
+                return "str", (lambda _c=now: lambda t: pa.scalar(
+                    _c, pa.string()
+                ))()
+            if u in ("RAND", "UUID", "STRUUID", "BNODE"):
+                # deterministic variants of the spec's nondeterministic
+                # functions: values derive from the full binding row +
+                # a per-function salt (_row_entropy), so reruns and
+                # resumes are bit-identical; duplicate solutions share
+                # a value (documented divergence from rdflib's RNG)
+                self.p.next()
+                self.p.expect_op("(")
+                arg = None
+                if u == "BNODE" and self.p.peek() != ("op", ")"):
+                    _k, arg = self.parse_value()
+                self.p.expect_op(")")
+                salt = {"RAND": 17, "UUID": 29, "STRUUID": 29, "BNODE": 43}[u]
+                if u == "RAND":
+
+                    def rand_col(t, _s=salt):
+                        h = _row_entropy(t, _s)
+                        return pa.array(h / 2.0 ** 64, pa.float64())
+
+                    return "num", rand_col
+                if u in ("UUID", "STRUUID"):
+                    prefix = "urn:uuid:" if u == "UUID" else ""
+
+                    def uuid_col(t, _s=salt, _p=prefix):
+                        import numpy as np
+
+                        h1 = _row_entropy(t, _s)
+                        h2 = _row_entropy(t, _s + 1)
+                        out = [
+                            "%s%08x-%04x-4%03x-8%03x-%012x" % (
+                                _p,
+                                int(a >> np.uint64(32)),
+                                int(a >> np.uint64(16)) & 0xFFFF,
+                                int(a) & 0xFFF,
+                                int(b >> np.uint64(48)) & 0xFFF,
+                                int(b) & 0xFFFFFFFFFFFF,
+                            )
+                            for a, b in zip(h1, h2)
+                        ]
+                        return pa.array(out, pa.string())
+
+                    return "str", uuid_col
+                # BNODE() / BNODE(expr): the optional label argument
+                # folds into the hash so equal labels map to the same
+                # node within a solution (§17.4.2.9)
+                def bnode_col(t, _s=salt, _a=arg):
+                    import numpy as np
+                    import polars as pl
+
+                    h = _row_entropy(t, _s)
+                    if _a is not None:
+                        lbl = _as_str(_a(t))
+                        if isinstance(lbl, pa.Scalar):
+                            lbl = pa.array(
+                                [lbl.as_py() or ""] * len(h), pa.string()
+                            )
+                        if isinstance(lbl, pa.ChunkedArray):
+                            lbl = lbl.combine_chunks()
+                        lh = pl.Series(
+                            pc.fill_null(lbl, "").to_pandas()
+                        ).hash(seed=_s).to_numpy().astype(np.uint64)
+                        h = h ^ lh
+                    return pa.array(
+                        ["_:b%016x" % int(v) for v in h], pa.string()
+                    )
+
+                return "str", bnode_col
             if u == "STRLEN":
                 self.p.next()
                 ((_k, f),) = self._args(1)
@@ -1161,6 +1271,27 @@ class _FilterCompiler:
 
 # --------------------------------------------------------------------------
 # Query parsing
+
+
+def _parse_constraint(p, prefixes, meta_needed, exists_sink=None):
+    """SPARQL Constraint ::= BrackettedExpression | BuiltInCall |
+    FunctionCall — the bare (unbracketted) forms (``FILTER
+    sameTerm(...)``, ``FILTER regex(...)``, ``FILTER
+    xsd:integer(...)``) are a keyword or IRI directly followed by
+    '('.  Returns ``(compiled_predicate, compiler)``."""
+    fc = _FilterCompiler(p, prefixes, meta_needed, exists_sink=exists_sink)
+    nk, nv = p.peek()
+    if (nk, nv) == ("op", "("):
+        p.next()
+        expr = fc.parse_or()
+        p.expect_op(")")
+        return expr, fc
+    if nk in ("kw", "pname", "iri") and p.peek(1) == ("op", "("):
+        return fc.parse_or(), fc
+    raise SparqlSyntaxError(
+        "FILTER needs a bracketted expression or a function call"
+    )
+
 
 # aggregate functions usable inline in HAVING / ORDER BY sort keys
 # (GROUP_CONCAT excluded: string-valued, meaningless as a filter/sort key)
@@ -1693,10 +1824,8 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
                     if p.peek() == ("op", "."):
                         p.next()
                     continue
-                p.expect_op("(")
-                fc = _FilterCompiler(p, prefixes, meta_needed)
-                gfilters.append((fc.parse_or(), fc.vars_seen))
-                p.expect_op(")")
+                expr, fc = _parse_constraint(p, prefixes, meta_needed)
+                gfilters.append((expr, fc.vars_seen))
                 if p.peek() == ("op", "."):
                     p.next()
             elif p.at_kw("BIND") and allow_bind:
@@ -1978,14 +2107,10 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
                 if p.peek() == ("op", "."):
                     p.next()
             else:
-                p.expect_op("(")
-                filters.append(
-                    _FilterCompiler(
-                        p, prefixes, meta_needed,
-                        exists_sink=expr_exists_sink,
-                    ).parse_or()
+                expr, _fc = _parse_constraint(
+                    p, prefixes, meta_needed, exists_sink=expr_exists_sink
                 )
-                p.expect_op(")")
+                filters.append(expr)
         elif p.at_kw("GRAPH"):
             p.next()
             gk, gv = p.next()

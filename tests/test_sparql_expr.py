@@ -653,3 +653,62 @@ def test_non_xsd_iri_call_raises(ray_session):
             " FILTER (xsd:hexBinary(?s) > 1) }",
             rows=CAST_ROWS,
         )
+
+
+# --------------------------------------------------------------------------
+# NOW / RAND / UUID / STRUUID / BNODE (deterministic variants) and
+# bare (unbracketted) FILTER constraints
+
+
+def test_now_constant_per_execution(ray_session):
+    df = _run(
+        "SELECT ?d ?a ?b WHERE { ?d ex:size ?s ."
+        " BIND(NOW() AS ?a) BIND(NOW() AS ?b) FILTER (?a = ?b) }"
+    )
+    assert len(df) == 3
+    vals = set(df["a"]) | set(df["b"])
+    assert len(vals) == 1
+    import re
+
+    assert re.match(r"^\d{4}-\d\d-\d\dT\d\d:\d\d:\d\dZ$", vals.pop())
+
+
+def test_constant_folded_filter_keeps_or_empties(ray_session):
+    assert len(_run(
+        "SELECT ?d WHERE { ?d ex:size ?s . FILTER (YEAR(NOW()) >= 2020) }"
+    )) == 3
+    assert len(_run(
+        "SELECT ?d WHERE { ?d ex:size ?s . FILTER (YEAR(NOW()) < 2000) }"
+    )) == 0
+
+
+def test_rand_uuid_bnode_deterministic_per_row(ray_session):
+    q = (
+        "SELECT ?d ?r ?u ?su ?n0 ?n1 WHERE { ?d ex:size ?s ."
+        " BIND(RAND() AS ?r) BIND(UUID() AS ?u) BIND(STRUUID() AS ?su)"
+        " BIND(BNODE() AS ?n0) BIND(BNODE(?s) AS ?n1) }"
+    )
+    a = _run(q).sort_values("d").reset_index(drop=True)
+    b = _run(q).sort_values("d").reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)  # rerun-identical
+    assert a["r"].between(0, 1).all()
+    assert a["r"].nunique() == 3  # distinct rows -> distinct values
+    assert all(u.startswith("urn:uuid:") for u in a["u"])
+    assert all(not su.startswith("urn:") for su in a["su"])
+    assert all(n.startswith("_:b") for n in a["n0"])
+    assert a["n1"].nunique() == 3
+
+
+def test_bare_filter_constraints(ray_session):
+    # SPARQL Constraint ::= BrackettedExpression | BuiltInCall — the
+    # unbracketted builtin-call form
+    assert set(_run(
+        'SELECT ?d WHERE { ?d ex:size ?s . FILTER REGEX(?s, "^[12]") }'
+    )["d"]) == {"a", "b"}
+    assert len(_run(
+        "SELECT ?d WHERE { ?d ex:size ?s . FILTER BOUND(?s) }"
+    )) == 3
+    with pytest.raises(SparqlSyntaxError):
+        _run("SELECT ?d WHERE { ?d ex:size ?s . FILTER ?s }")
