@@ -154,6 +154,9 @@ def _headline_and_queries(sf_dir: str, num_cpus: int, n_turns: int) -> dict:
     timed("dedup_substrings", Q.q_dedup_substrings)
     timed("bpe_token_counts", Q.q_bpe_token_counts)
     timed("lineitem_below_avg", Q.q_lineitem_below_avg)
+    timed("gopher_rules", Q.q_gopher_rules)
+    timed("c4_rules", Q.q_c4_rules)
+    timed("ann_sq_topk", Q.q_ann_sq_topk)
     timed("semdedup", Q.q_semdedup)
     timed("dsir_weights", Q.q_dsir_weights)
     timed("quality_classifier", Q.q_quality_classifier)

@@ -17,6 +17,23 @@ is reproduced.  Reference anchors are cited per module as
 __version__ = "0.1.0"
 
 
+def query_results(source, sparql: str, format: str = "json",
+                  n_buckets: int = 64) -> str:
+    """``query()`` then serialize to a W3C SPARQL 1.1 results document
+    — ``format`` in {"json", "csv", "tsv"} (``rdf/results.py``); the
+    rdflib ``graph.query(...).serialize(format=...)`` analogue.
+    Collects the result driver-side: meant for query-sized outputs,
+    not corpus-sized ones (serialize per-batch for those)."""
+    from .rdf.results import results_csv, results_json, results_tsv
+
+    res = query(source, sparql, n_buckets=n_buckets)
+    df = res.to_pandas() if hasattr(res, "to_pandas") else res
+    ser = {"json": results_json, "csv": results_csv, "tsv": results_tsv}
+    if format not in ser:
+        raise ValueError("unsupported results format %r" % format)
+    return ser[format](df)
+
+
 def query(source, sparql: str, n_buckets: int = 64):
     """Run a SPARQL string (SELECT / ASK / CONSTRUCT / DESCRIBE — see
     ``rdfa_ray.stages.sparql_text`` for the supported fragment) against
