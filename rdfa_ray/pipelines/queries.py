@@ -871,6 +871,19 @@ def q_gopher_rules(sf_dir: str):
     return gopher_rules(docs, min_words=20)
 
 
+def q_gopher_repetition(sf_dir: str):
+    """The nine Gopher repetition rules (top-2/3/4-gram chars,
+    dup-5..10-gram chars) over documents — one zero-shuffle vectorized
+    pass, integer signals + failed-rule bitmask
+    (stages/text.gopher_repetition)."""
+    from ..stages.text import gopher_repetition
+
+    docs = read_parquet_clean(
+        "%s/documents.parquet" % sf_dir, columns=["doc_id", "text"]
+    )
+    return gopher_repetition(docs)
+
+
 def q_c4_rules(sf_dir: str):
     """C4 cleaning rules (Raffel et al. 2020 §2.2) over documents with
     deterministically planted line structure (the synthetic corpus has
@@ -3708,6 +3721,7 @@ QUERIES = {
     "text_metrics": q_text_metrics,
     "quality_counts": q_quality_counts,
     "gopher_rules": q_gopher_rules,
+    "gopher_repetition": q_gopher_repetition,
     "c4_rules": q_c4_rules,
     "quality_signals": q_quality_signals,
     "fingerprints_rolling": q_fingerprints_rolling,
@@ -3864,6 +3878,63 @@ _TYPED_TRIPLES_SQL = (
     "'%s' || CAST(doc_id AS VARCHAR)" % DOC_NS,
     "'%s' || CAST(doc_id AS VARCHAR)" % DOC_NS,
 )
+
+def _gopher_rep_sql() -> str:
+    """DuckDB twin of stages/text.gopher_repetition: per n, grams via
+    1-based inclusive list slices + generate_series, top-gram by
+    (cnt DESC, g) row_number, dup chars by cnt>=2 sum; integer mask."""
+    ctes = [
+        "w AS (SELECT doc_id, string_split(text, ' ') AS ts,"
+        " CAST(length(replace(text, ' ', '')) AS BIGINT) AS total_chars"
+        " FROM documents)"
+    ]
+    joins, mask_terms, sel = [], [], []
+    thr = {2: 20, 3: 18, 4: 16, 5: 15, 6: 14, 7: 13, 8: 12, 9: 11, 10: 10}
+    for n in range(2, 11):
+        m = n - 1
+        ctes.append(
+            # scalar generate_series + unnest: the lateral-join form
+            # rejects column parameters in this DuckDB version
+            "i%d AS (SELECT doc_id, ts,"
+            " unnest(generate_series(1, len(ts) - %d)) AS i FROM w)"
+            % (n, m)
+        )
+        ctes.append(
+            "g%d AS (SELECT doc_id, array_to_string(ts[i:i+%d], ' ') AS g"
+            " FROM i%d)" % (n, m, n)
+        )
+        ctes.append(
+            "c%d AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g%d"
+            " GROUP BY doc_id, g)" % (n, n)
+        )
+        if n <= 4:
+            ctes.append(
+                "r%d AS (SELECT doc_id, CAST(cnt * length(g) AS BIGINT)"
+                " AS chars FROM c%d QUALIFY row_number() OVER"
+                " (PARTITION BY doc_id ORDER BY cnt DESC, g) = 1)" % (n, n)
+            )
+            sel.append("COALESCE(r%d.chars, 0) AS top%d_chars" % (n, n))
+        else:
+            ctes.append(
+                "r%d AS (SELECT doc_id, CAST(SUM(CASE WHEN cnt >= 2"
+                " THEN cnt * length(g) ELSE 0 END) AS BIGINT) AS chars"
+                " FROM c%d GROUP BY doc_id)" % (n, n)
+            )
+            sel.append("COALESCE(r%d.chars, 0) AS dup%d_chars" % (n, n))
+        joins.append("LEFT JOIN r%d ON r%d.doc_id = w.doc_id" % (n, n))
+        mask_terms.append(
+            "CASE WHEN COALESCE(r%d.chars, 0) * 100 > %d * w.total_chars"
+            " THEN %d ELSE 0 END" % (n, thr[n], 1 << (n - 2))
+        )
+    mask = " + ".join(mask_terms)
+    return (
+        "WITH " + ", ".join(ctes)
+        + " SELECT w.doc_id, w.total_chars, " + ", ".join(sel)
+        + ", CAST(" + mask + " AS BIGINT) AS mask"
+        + ", (" + mask + ") = 0 AS keep"
+        + " FROM w " + " ".join(joins)
+    )
+
 
 ORACLE_SQL = {
     "rdfa_text_triples": (
@@ -4434,6 +4505,7 @@ ORACLE_SQL = {
         " AND FLOOR(CAST(t2.obj_value AS DOUBLE) / 100) >= 1"
         % _TYPED_TRIPLES_SQL
     ),
+    "gopher_repetition": _gopher_rep_sql(),
     "c4_rules": (
         # identical planted text, then the C4 line filter as
         # list_filter over string_split — same RE2 predicates as the

@@ -481,3 +481,121 @@ def c4_rules(docs_ds, min_sentences: int = 3, min_line_words: int = 5):
         )
 
     return docs_ds.map_batches(clean, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# Gopher repetition suite (Rae et al. 2021 App. A, Table A1: the nine
+# repetition rules — top-n-gram char fraction for n=2..4, duplicate-
+# n-gram char fraction for n=5..10)
+
+# drop thresholds in integer percent (fraction > thr/100 fails)
+GOPHER_TOP_THR = {2: 20, 3: 18, 4: 16}
+GOPHER_DUP_THR = {5: 15, 6: 14, 7: 13, 8: 12, 9: 11, 10: 10}
+
+
+def gopher_repetition(docs_ds):
+    """All nine Gopher repetition rules in ONE zero-shuffle pass:
+    per document, the characters covered by the most frequent word
+    n-gram (n = 2, 3, 4; ties broken by the lexicographically smallest
+    gram, the SQL ``ORDER BY cnt DESC, g`` rule) and by all duplicated
+    word n-grams (n = 5..10, counted per occurrence — the published
+    counting variant, NOT positional char-marking), plus the failed-
+    rule bitmask (bit ``1 << (n-2)``); fail = ``chars * 100 >
+    thr_pct * total_chars`` in INTEGER arithmetic, so the output is
+    bit-exact at any parallelism and hash-comparable to the DuckDB
+    twin.
+
+    Vectorized: one token explode, rolling window HASHES per n (no
+    window strings in the hot path — ``functions/shingles.py``), char
+    lengths from a word-length cumsum; gram strings materialize ONLY
+    for the rare count-tied top-gram candidates that need the
+    lexicographic tie-break.  Gram identity is hash identity
+    (collision odds ~2^-64/pair, the ``_gram_counts`` stance).  A
+    gram's char length counts its separators (``length(g)`` in SQL);
+    the oracle contract assumes single-spaced text, like every other
+    token-level oracle here."""
+    import pandas as pd
+
+    from ..functions.shingles import explode_tokens, window_hashes
+
+    def signals(batch: pd.DataFrame) -> pd.DataFrame:
+        nrows = len(batch)
+        cols = {"doc_id": pd.Series([], dtype="int64"),
+                "total_chars": pd.Series([], dtype="int64")}
+        for n in range(2, 5):
+            cols["top%d_chars" % n] = pd.Series([], dtype="int64")
+        for n in range(5, 11):
+            cols["dup%d_chars" % n] = pd.Series([], dtype="int64")
+        cols["mask"] = pd.Series([], dtype="int64")
+        cols["keep"] = pd.Series([], dtype="bool")
+        if not nrows:
+            return pd.DataFrame(cols)
+
+        words, parents = explode_tokens(batch["text"].reset_index(drop=True))
+        wl = pd.Series(words, dtype=object).str.len().to_numpy(np.int64)
+        tot = np.zeros(nrows, np.int64)
+        np.add.at(tot, parents, wl)
+        cs = np.concatenate([[0], np.cumsum(wl)])
+
+        out = {"doc_id": batch["doc_id"].astype("int64").to_numpy(),
+               "total_chars": tot}
+        mask = np.zeros(nrows, np.int64)
+        for n in range(2, 11):
+            col = np.zeros(nrows, np.int64)
+            hashes, win_par = window_hashes(words, parents, n)
+            if len(hashes):
+                m = len(words) - n + 1
+                valid = parents[:m] == parents[n - 1:]
+                pos = np.arange(m)[valid]
+                gramlen = cs[pos + n] - cs[pos] + (n - 1)
+                g = (
+                    pd.DataFrame(
+                        {"p": win_par, "h": hashes,
+                         "len": gramlen, "pos": pos}
+                    )
+                    .groupby(["p", "h"], sort=False)
+                    .agg(cnt=("pos", "size"), length=("len", "first"),
+                         first_pos=("pos", "min"))
+                    .reset_index()
+                )
+                if n <= 4:
+                    mx = g.groupby("p")["cnt"].transform("max")
+                    cand = g[g["cnt"] == mx]
+                    tied_mask = cand["p"].duplicated(keep=False)
+                    if tied_mask.any():
+                        tied = cand[tied_mask].copy()
+                        tied["s"] = [
+                            " ".join(words[q:q + n])
+                            for q in tied["first_pos"].to_numpy()
+                        ]
+                        tied = tied.sort_values(
+                            ["p", "s"], kind="mergesort"
+                        ).drop_duplicates("p")
+                        cand = pd.concat(
+                            [cand[~tied_mask], tied[cand.columns]],
+                            ignore_index=True,
+                        )
+                    col[cand["p"].to_numpy()] = (
+                        cand["cnt"].to_numpy(np.int64)
+                        * cand["length"].to_numpy(np.int64)
+                    )
+                    out["top%d_chars" % n] = col
+                else:
+                    d = g[g["cnt"] >= 2]
+                    if len(d):
+                        np.add.at(
+                            col,
+                            d["p"].to_numpy(),
+                            d["cnt"].to_numpy(np.int64)
+                            * d["length"].to_numpy(np.int64),
+                        )
+                    out["dup%d_chars" % n] = col
+            else:
+                out[("top%d_chars" if n <= 4 else "dup%d_chars") % n] = col
+            thr = GOPHER_TOP_THR.get(n) or GOPHER_DUP_THR[n]
+            mask |= np.where(col * 100 > thr * tot, 1 << (n - 2), 0)
+        out["mask"] = mask
+        out["keep"] = mask == 0
+        return pd.DataFrame(out)
+
+    return docs_ds.map_batches(signals, batch_format="pandas")

@@ -639,3 +639,86 @@ def test_c4_rules_partition_invariance(ray_session):
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+# --------------------------------------------------------------------------
+# Gopher repetition suite
+
+
+def test_gopher_repetition_planted(ray_session):
+    from rdfa_ray.stages.text import gopher_repetition
+
+    texts = [
+        # 0: "x y" repeated 10x -> top-2-gram covers most chars
+        " ".join(["x y"] * 10),
+        # 1: varied text, no repetition — long enough that a single
+        # unique n-gram stays under every fraction threshold
+        " ".join("w%02d" % i for i in range(60)),
+        # 2: a duplicated 5-gram ("a b c d e" twice) inside filler
+        "a b c d e junk1 junk2 junk3 a b c d e junk4 junk5 junk6",
+    ]
+    out = (
+        gopher_repetition(_gopher_docs(texts))
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    # doc 0: gram "x y" (3 chars) occurs 10x... windows overlap: "y x"
+    # occurs 9x; top2 = 10 * 3 = 30 of 20 chars total -> >20% -> fail
+    assert out.loc[0, "top2_chars"] == 30
+    assert not bool(out.loc[0, "keep"])
+    assert bool(out.loc[1, "keep"]) and out.loc[1, "mask"] == 0
+    # doc 2: the 5-gram "a b c d e" (9 chars) occurs twice -> dup5 = 18
+    assert out.loc[2, "dup5_chars"] == 18
+    total2 = out.loc[2, "total_chars"]
+    expect_fail5 = 18 * 100 > 15 * total2
+    assert bool(out.loc[2, "mask"] & (1 << 3)) == expect_fail5
+
+
+def test_gopher_repetition_tie_breaks_lexicographic(ray_session):
+    from rdfa_ray.stages.text import gopher_repetition
+
+    # "b c" and "a d" both occur exactly twice; the smaller gram
+    # string "a d" must win the top-2 slot (SQL ORDER BY cnt DESC, g)
+    text = "b c q a d r b c s a d"
+    out = gopher_repetition(_gopher_docs([text])).to_pandas().iloc[0]
+    # both candidate grams are 3 chars; chars = 2 * 3 either way, but
+    # the rule must be deterministic — pin via a length-asymmetric tie
+    text2 = "bb c q a d r bb c s a d"
+    out2 = gopher_repetition(_gopher_docs([text2])).to_pandas().iloc[0]
+    # candidates: "bb c" (4 chars, 2x) and "a d" (3 chars, 2x);
+    # lexicographically "a d" < "bb c" -> chars = 2 * 3 = 6
+    assert out2["top2_chars"] == 6
+    assert out["top2_chars"] == 6
+
+
+def test_gopher_repetition_partition_invariance(ray_session):
+    import numpy as np
+
+    from rdfa_ray.stages.text import gopher_repetition
+
+    rng = np.random.RandomState(2)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    texts = [
+        " ".join(rng.choice(vocab, size=30)) for _ in range(50)
+    ]
+    a = (
+        gopher_repetition(_gopher_docs(texts).repartition(1))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        gopher_repetition(_gopher_docs(texts).repartition(11))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_gopher_repetition_short_docs(ray_session):
+    from rdfa_ray.stages.text import gopher_repetition
+
+    out = (
+        gopher_repetition(_gopher_docs(["single", "two words", ""]))
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    # docs shorter than n words have zero signals for that n
+    assert out.loc[0, "top2_chars"] == 0 and bool(out.loc[0, "keep"])
+    assert out.loc[1, "dup5_chars"] == 0
+    assert out.loc[2, "total_chars"] == 0 and bool(out.loc[2, "keep"])
