@@ -571,6 +571,16 @@ def q_sessionize_events(sf_dir: str):
     return sessionize_events(sf_dir)
 
 
+def q_events_funnel(sf_dir: str):
+    """Ordered view->click->purchase funnel: users reaching each step
+    strictly after their earliest previous-step completion — ONE
+    user-bucketed exchange, vectorized per-bucket min-chains
+    (pipelines/relational.funnel_counts)."""
+    from .relational import funnel_counts
+
+    return funnel_counts(sf_dir)
+
+
 def q_events_hourly(sf_dir: str):
     from .relational import events_hourly
 
@@ -3698,6 +3708,7 @@ QUERIES = {
     "join_bucketed": q_join_bucketed,
     "top_orders": q_top_orders,
     "sessionize_events": q_sessionize_events,
+    "events_funnel": q_events_funnel,
     "events_hourly": q_events_hourly,
     "events_asof": q_events_asof,
     "top_orders_per_segment": q_top_orders_per_segment,
@@ -4104,6 +4115,24 @@ ORACLE_SQL = {
     "top_orders": (
         "SELECT o_orderkey, o_totalprice FROM orders "
         "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"
+    ),
+    "events_funnel": (
+        # earliest-completion funnel: step k+1 counts users with an
+        # event of that type STRICTLY after their step-k min time
+        "WITH s0 AS (SELECT user_id, MIN(ts) AS t FROM events"
+        "  WHERE event_type = 'view' GROUP BY user_id),"
+        " s1 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e"
+        "  JOIN s0 ON s0.user_id = e.user_id"
+        "  WHERE e.event_type = 'click' AND e.ts > s0.t"
+        "  GROUP BY e.user_id),"
+        " s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e"
+        "  JOIN s1 ON s1.user_id = e.user_id"
+        "  WHERE e.event_type = 'purchase' AND e.ts > s1.t"
+        "  GROUP BY e.user_id) "
+        "SELECT CAST(0 AS BIGINT) AS step, 'view' AS step_name,"
+        " CAST((SELECT COUNT(*) FROM s0) AS BIGINT) AS users"
+        " UNION ALL SELECT 1, 'click', (SELECT COUNT(*) FROM s1)"
+        " UNION ALL SELECT 2, 'purchase', (SELECT COUNT(*) FROM s2)"
     ),
     "sessionize_events": (
         "SELECT user_id,"

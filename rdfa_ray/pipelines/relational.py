@@ -962,3 +962,87 @@ def local_supplier_volume(
         .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
         .sort("revenue_cents", descending=True)
     )
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel_counts(sf_dir: str, steps=FUNNEL_STEPS, n_buckets: int = 64):
+    """Ordered-funnel analysis (the product-analytics staple): how many
+    users reached each step of ``steps`` IN ORDER — a user reaches step
+    k+1 only with an event of that type STRICTLY AFTER their step-k
+    time (earliest-completion semantics: each step's time is the MIN
+    eligible timestamp).  Returns (step, step_name, users).
+
+    Shape: prune to (user_id, ts, event_type in steps) at the read,
+    coarse-bucket users (crc32), ONE shuffle, then a fully vectorized
+    per-bucket chain — for each step a filtered groupby-min against
+    the previous step's per-user time (C-level pandas, no per-user
+    Python) — and a tiny census merge (len(steps) rows)."""
+    import numpy as np
+    import pyarrow.compute as _pc
+
+    from ..functions.hashing import crc32_bucket
+
+    steps = list(steps)
+    ds = read_parquet_clean(
+        "%s/events.parquet" % sf_dir, columns=["user_id", "ts", "event_type"]
+    )
+
+    def prune(batch: pa.Table) -> pa.Table:
+        keep = _pc.is_in(
+            batch.column("event_type"), value_set=pa.array(steps)
+        )
+        t = batch.filter(keep)
+        return t.append_column(
+            "_bucket", crc32_bucket(t.column("user_id"), n_buckets)
+        )
+
+    def bucket_funnel(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"step": pd.Series([], dtype="int64"),
+             "users": pd.Series([], dtype="int64")}
+        )
+        if not len(group):
+            return empty
+        ts = group["ts"].astype("int64")
+        etype = group["event_type"]
+        uid = group["user_id"]
+        prev = None  # per-user completion time of the previous step
+        counts = []
+        for k, step in enumerate(steps):
+            m = etype.to_numpy() == step
+            if prev is not None:
+                m = m & (ts.to_numpy() > uid.map(prev).to_numpy())
+            cur = (
+                pd.DataFrame({"u": uid.to_numpy()[m], "t": ts.to_numpy()[m]})
+                .groupby("u")["t"].min()
+            )
+            counts.append(len(cur))
+            prev = cur
+        return pd.DataFrame(
+            {"step": np.arange(len(steps), dtype="int64"),
+             "users": np.array(counts, dtype="int64")}
+        )
+
+    partials = (
+        ds.map_batches(prune, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(bucket_funnel, batch_format="pandas")
+    )
+
+    def merge(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame(
+                {"step": pd.Series([], dtype="int64"),
+                 "step_name": pd.Series([], dtype="object"),
+                 "users": pd.Series([], dtype="int64")}
+            )
+        out = batch.groupby("step", sort=True)["users"].sum().reset_index()
+        out["step_name"] = [steps[int(s)] for s in out["step"]]
+        out["users"] = out["users"].astype("int64")
+        return out[["step", "step_name", "users"]]
+
+    return partials.repartition(1).map_batches(
+        merge, batch_format="pandas", batch_size=None
+    )

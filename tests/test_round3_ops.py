@@ -610,3 +610,37 @@ def test_sq_codes_fixed_size_layout(ray_session):
     assert all(len(c) == 8 for c in tbl["code"])
     flat = np.concatenate([np.asarray(c) for c in tbl["code"]])
     assert flat.min() >= 0 and flat.max() <= 255
+
+
+# --------------------------------------------------------------------------
+# ordered funnel (pipelines/relational.funnel_counts)
+
+
+def test_funnel_strict_ordering(ray_session, tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rdfa_ray.pipelines.relational import funnel_counts
+
+    # u1: full funnel in order; u2: click BEFORE view (click must not
+    # count); u3: view only; u4: purchase without click (not counted)
+    rows = [
+        (1, 100, "view"), (1, 200, "click"), (1, 300, "purchase"),
+        (2, 100, "click"), (2, 200, "view"), (2, 300, "click"),
+        (3, 100, "view"),
+        (4, 100, "view"), (4, 200, "purchase"),
+        # u5: click at the SAME ts as view -> strictly-after fails
+        (5, 100, "view"), (5, 100, "click"),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    df["ts"] = pd.to_datetime(df["ts"], unit="s")
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    out = (
+        funnel_counts(str(tmp_path))
+        .to_pandas().set_index("step_name")["users"]
+    )
+    assert out["view"] == 5       # u1..u5 all viewed
+    assert out["click"] == 2      # u1 and u2 (u2's 2nd click, after view)
+    assert out["purchase"] == 1   # only u1 in order
