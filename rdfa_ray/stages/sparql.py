@@ -875,9 +875,15 @@ def describe(triples_ds, patterns, var, n_buckets: int = 64,
     if bindings is None:
         bindings = bgp_match(triples_ds, patterns, n_buckets=n_buckets)
 
+    # DESCRIBE ?v [?w ...]: the subject set is the union over vars
+    vars_ = [var] if isinstance(var, str) else list(var)
+
     def keys(batch: pa.Table) -> pa.Table:
-        return pa.Table.from_pydict(
-            {"subj": pc.cast(batch.column(var), pa.string())}
+        return pa.concat_tables(
+            pa.Table.from_pydict(
+                {"subj": pc.cast(batch.column(v), pa.string())}
+            )
+            for v in vars_
         )
 
     subjects = distinct(

@@ -1438,7 +1438,7 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
     proj, aggs = [], []
     gc_seps = {}  # GROUP_CONCAT alias -> SEPARATOR string (default " ")
     star = False
-    describe_var = None
+    describe_vars: list = []
     describe_iris: list = []
     if subquery:
         p.expect_kw("SELECT")
@@ -1458,8 +1458,11 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
         form = "describe"
         kind, val = p.peek()
         if kind == "var":
-            p.next()
-            describe_var = val[1:]
+            # DESCRIBE ?v [?w ...] — the description set is the union
+            # of the solution values of every listed variable
+            while p.peek()[0] == "var":
+                kind, val = p.next()
+                describe_vars.append(val[1:])
         else:
             # DESCRIBE <iri> [<iri> ...] — constant-subject description
             # (no WHERE needed; executes as a map-side subject filter)
@@ -1734,7 +1737,7 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
         return {
             "form": form,
             "subqueries": [],
-            "describe_var": None,
+            "describe_var": [],
             "describe_iris": describe_iris,
             "template": [],
             "distinct": False,
@@ -2531,7 +2534,7 @@ def _parse_plan(p: "_Parser", prefixes: dict, subquery: bool) -> dict:
     return {
         "form": form,
         "subqueries": subqueries,
-        "describe_var": describe_var,
+        "describe_var": describe_vars,
         "describe_iris": [],
         "template": template,
         "distinct": distinct,
@@ -3683,8 +3686,12 @@ def _construct_from_bindings(bindings, template, n_buckets):
     from .distinct import distinct
     from .sparql import UNBOUND
 
+    _EMPTY_TRIPLES = pa.Table.from_pydict(
+        {c: pa.array([], pa.string()) for c in ("subj", "pred", "obj_value")}
+    )
+
     def instantiate(batch: pa.Table) -> pa.Table:
-        outs = []
+        outs = [_EMPTY_TRIPLES]  # empty template (§16.2) -> empty graph
         n = batch.num_rows
         for (s, p, o) in template:
             cols, mask = {}, None
@@ -4016,7 +4023,10 @@ def explain(query: str, store_dir: str | None = None) -> str:
                 )
             )
     if plan["describe_var"]:
-        lines.append("describe: ?%s" % plan["describe_var"])
+        lines.append(
+            "describe: %s"
+            % " ".join("?%s" % v for v in plan["describe_var"])
+        )
     if plan.get("describe_iris"):
         lines.append(
             "describe: %d constant subject(s) (map-side is_in filter, "

@@ -2751,3 +2751,21 @@ def test_strlang_strdt_tagged_binds(ray_session):
         'SELECT ?s WHERE { ?s <http://p> ?o . BIND(STRLANG(?o, "en") AS ?y) }'
     )
     assert "tagged binds" in plan
+
+
+def test_describe_multiple_vars_and_empty_construct(ray_session):
+    ds = rd.from_arrow(pa.table({
+        "subj": pa.array(["a", "b", "c"]),
+        "pred": pa.array(["http://p", "http://q", "http://r"]),
+        "obj_value": pa.array(["b", "c", "d"]),
+    }))
+    # DESCRIBE ?s ?o: union of both variables' solution values
+    d = execute(ds, "DESCRIBE ?s ?o WHERE { ?s <http://p> ?o }",
+                n_buckets=2).to_pandas()
+    assert sorted(d["subj"]) == ["a", "b"]  # 'b' described via ?o
+    # empty CONSTRUCT template (§16.2) -> empty graph, not a crash
+    c = execute(ds, "CONSTRUCT {} WHERE { ?s ?p ?o }",
+                n_buckets=2).to_pandas()
+    # (schema of an all-empty Dataset collapses in to_pandas; the
+    # contract here is "empty graph, no crash")
+    assert len(c) == 0
