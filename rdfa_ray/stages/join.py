@@ -41,6 +41,7 @@ def bucketed_hash_join(
     left_distinct: list | None = None,
     left_schema: pa.Schema | None = None,
     right_schema: pa.Schema | None = None,
+    salt: int = 1,
 ):
     """Join two Datasets on a single key column; right-side name
     collisions (other than the key) get ``suffix``.
@@ -74,6 +75,22 @@ def bucketed_hash_join(
             "bucketed_hash_join supports how='inner'/'left'/'right'/"
             "'outer'/'semi'/'anti' only, got %r" % how
         )
+    # ``salt`` > 1: hot-KEY splitting.  Raising n_buckets cannot split
+    # ONE key (all its rows hash to one bucket); salting can: each left
+    # row lands in sub-bucket base*salt + crc32(row)%salt, and the
+    # right side replicates into ALL ``salt`` sub-buckets, so a whale
+    # key's probe rows spread over ``salt`` parallel merges at the cost
+    # of a salt-fold right-side shuffle.  Exact for the left-preserving
+    # modes (each left row meets the full right partition for its key
+    # exactly once); right/full-outer would emit right rows once per
+    # sub-bucket, so they refuse.  Fully-identical left rows share a
+    # salt — row-level duplicates need ``left_distinct``, not salt.
+    if salt > 1 and how in ("right", "outer"):
+        raise ValueError(
+            "salt > 1 would duplicate right-side rows under how=%r "
+            "(right rows replicate into every sub-bucket)" % how
+        )
+    salt = max(1, int(salt))
     # pa.Schema and ray Schema expose the same .names/.types surface
     left_schema = left_schema if left_schema is not None else left_ds.schema()
     right_schema = (
@@ -121,9 +138,30 @@ def bucketed_hash_join(
                 inv = {v: k for k, v in rename.items()}
                 for c in right_cols:
                     out[c] = typed(batch.column(inv[c]), right_types[c])
-            out["__bucket"] = crc32_bucket(batch.column(on), n_buckets)
+            base = crc32_bucket(batch.column(on), n_buckets)
+            if salt == 1:
+                out["__bucket"] = base
+                out["__side"] = pa.array([side] * n)
+                return pa.Table.from_pydict(out)
+            import numpy as np
+
+            from ..functions.hashing import crc32_bucket_concat
+
+            base_np = base.to_numpy(zero_copy_only=False).astype(np.int32)
             out["__side"] = pa.array([side] * n)
-            return pa.Table.from_pydict(out)
+            if side == "l":
+                srow = crc32_bucket_concat(
+                    batch, left_cols, salt
+                ).to_numpy(zero_copy_only=False).astype(np.int32)
+                out["__bucket"] = pa.array(base_np * salt + srow, pa.int32())
+                return pa.Table.from_pydict(out)
+            t0 = pa.Table.from_pydict(out)
+            return pa.concat_tables(
+                t0.append_column(
+                    "__bucket", pa.array(base_np * salt + s, pa.int32())
+                )
+                for s in range(salt)
+            )
 
         return fn
 

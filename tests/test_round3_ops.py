@@ -644,3 +644,43 @@ def test_funnel_strict_ordering(ray_session, tmp_path):
     assert out["view"] == 5       # u1..u5 all viewed
     assert out["click"] == 2      # u1 and u2 (u2's 2nd click, after view)
     assert out["purchase"] == 1   # only u1 in order
+
+
+def test_salted_join_matches_unsalted(ray_session):
+    """Hot-key salting: identical results to the plain join on a
+    skewed corpus (one whale key), for every left-preserving mode."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rdfa_ray.stages.join import bucketed_hash_join
+
+    rng = np.random.RandomState(9)
+    left = pd.DataFrame(
+        {
+            # 80% of probe rows hit key 7 (the whale)
+            "k": np.where(rng.rand(500) < 0.8, 7, rng.randint(0, 40, 500)),
+            "v": np.arange(500),
+        }
+    )
+    right = pd.DataFrame({"k": np.arange(0, 40, 2), "w": np.arange(20)})
+
+    for how in ("inner", "left", "semi", "anti"):
+        plain = (
+            bucketed_hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                               on="k", how=how, n_buckets=8)
+            .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+        )
+        salted = (
+            bucketed_hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                               on="k", how=how, n_buckets=8, salt=4)
+            .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(plain, salted), how
+
+    import pytest as _pytest
+
+    for how in ("right", "outer"):
+        with _pytest.raises(ValueError):
+            bucketed_hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                               on="k", how=how, salt=4)
