@@ -59,6 +59,24 @@ def _bit_positions(h1, h2, m_bits: int, n_hashes: int):
             yield ((h1 + np.uint64(i) * h2) & _MASK64) % np.uint64(m_bits)
 
 
+def _pc():
+    import pyarrow.compute as pc
+
+    return pc
+
+
+def _broadcast_keys(right_ds, on: str, limit: int):
+    """If the (materialized) build side holds <= ``limit`` keys,
+    return them as a distinct pa.Array for a map-side exact is_in;
+    else None.  count() on a materialized dataset is metadata-free."""
+    if limit <= 0 or right_ds.count() > limit:
+        return None
+    df = right_ds.to_pandas()
+    if on not in df.columns:  # schema-less empty side
+        return pa.array([], pa.string())
+    return pa.Array.from_pandas(df[on].drop_duplicates())
+
+
 def build_bloom(right_ds, on: str, m_bits: int = 1 << 23, n_hashes: int = 4):
     """One pass over the build side -> the OR of per-block fixed-size
     bitsets (uint64-packed numpy array, m_bits/8 bytes)."""
@@ -93,13 +111,31 @@ def bloom_semi_join(
     n_hashes: int = 4,
     left_schema: pa.Schema | None = None,
     right_schema: pa.Schema | None = None,
+    broadcast_limit: int = 200_000,
 ):
     """Exact semi join with a Bloom pre-filter on the probe side.
     ``right_ds`` should be pre-projected to its key column (the same
-    contract as the plain semi join)."""
+    contract as the plain semi join).
+
+    Build sides at or below ``broadcast_limit`` keys skip the Bloom +
+    bucketed join entirely: the exact key set broadcasts once
+    (``ray.put``) and the join is ONE map-side ``is_in`` — zero
+    exchange.  Curation drop-sets (duplicate ids, contaminated ids)
+    are usually this small even at corpus scale."""
     import ray
 
     right_ds = right_ds.materialize()
+    small = _broadcast_keys(right_ds, on, broadcast_limit)
+    if small is not None:
+        keys_ref = ray.put(small)
+
+        def semi_small(batch: pa.Table) -> pa.Table:
+            keys = ray.get(keys_ref)
+            return batch.filter(
+                _pc().is_in(batch.column(on), value_set=keys)
+            )
+
+        return left_ds.map_batches(semi_small, batch_format="pyarrow")
     bits_ref = ray.put(build_bloom(right_ds, on, m_bits, n_hashes))
 
     def prefilter(batch: pa.Table) -> pa.Table:
@@ -136,6 +172,7 @@ def bloom_anti_join(
     n_hashes: int = 4,
     left_schema: pa.Schema | None = None,
     right_schema: pa.Schema | None = None,
+    broadcast_limit: int = 200_000,
 ):
     """Exact ANTI join (left rows with no right match) with a Bloom
     pre-filter: rows whose key misses the filter are DEFINITELY
@@ -144,10 +181,27 @@ def bloom_anti_join(
     bucketed anti join.  With a small right side (a drop-list of
     duplicates or contaminated ids — the curation shape) the exchange
     carries a sliver of the data while the result stays provably equal
-    to the unfiltered anti join."""
+    to the unfiltered anti join.
+
+    Build sides at or below ``broadcast_limit`` keys skip Bloom + join
+    entirely — the exact key set broadcasts once and the anti join is
+    ONE map-side negated ``is_in`` (zero exchange, zero union): the
+    usual case for drop-lists even at corpus scale."""
     import ray
 
     right_ds = right_ds.materialize()
+    small = _broadcast_keys(right_ds, on, broadcast_limit)
+    if small is not None:
+        keys_ref = ray.put(small)
+
+        def anti_small(batch: pa.Table) -> pa.Table:
+            keys = ray.get(keys_ref)
+            pc = _pc()
+            return batch.filter(
+                pc.invert(pc.is_in(batch.column(on), value_set=keys))
+            )
+
+        return left_ds.map_batches(anti_small, batch_format="pyarrow")
     bits_ref = ray.put(build_bloom(right_ds, on, m_bits, n_hashes))
 
     def split_mask(batch: pa.Table):

@@ -116,3 +116,25 @@ def test_exact_dup_drops(ray_session):
     out = exact_dup_drops(docs, n_buckets=4).to_pandas()
     # keepers are min doc_id per content: 1 ('a'), 2 ('b')
     assert sorted(out["doc_id"]) == [3, 4, 5]
+
+
+def test_bloom_path_still_exercised_above_broadcast_limit(ray_session):
+    # broadcast_limit=0 forces the Bloom + bucketed-join path; results
+    # must equal the broadcast fast path
+    import pandas as pd
+    import ray.data as rd
+
+    from rdfa_ray.stages.bloom import bloom_anti_join, bloom_semi_join
+
+    left = pd.DataFrame({"k": list(range(50)), "v": list(range(50))})
+    right = pd.DataFrame({"k": [3, 7, 11, 99]})
+    for fn, expect in (
+        (bloom_semi_join, {3, 7, 11}),
+        (bloom_anti_join, set(range(50)) - {3, 7, 11}),
+    ):
+        fast = fn(rd.from_pandas(left), rd.from_pandas(right), on="k",
+                  n_buckets=4).to_pandas()
+        slow = fn(rd.from_pandas(left), rd.from_pandas(right), on="k",
+                  n_buckets=4, broadcast_limit=0).to_pandas()
+        assert set(fast["k"]) == expect
+        assert set(slow["k"]) == expect
