@@ -571,6 +571,15 @@ def q_sessionize_events(sf_dir: str):
     return sessionize_events(sf_dir)
 
 
+def q_cohort_retention(sf_dir: str):
+    """Signup-week cohort retention matrix — ONE user-bucketed
+    exchange, integer epoch-week arithmetic
+    (pipelines/relational.cohort_retention)."""
+    from .relational import cohort_retention
+
+    return cohort_retention(sf_dir)
+
+
 def q_events_funnel(sf_dir: str):
     """Ordered view->click->purchase funnel: users reaching each step
     strictly after their earliest previous-step completion — ONE
@@ -3709,6 +3718,7 @@ QUERIES = {
     "top_orders": q_top_orders,
     "sessionize_events": q_sessionize_events,
     "events_funnel": q_events_funnel,
+    "cohort_retention": q_cohort_retention,
     "events_hourly": q_events_hourly,
     "events_asof": q_events_asof,
     "top_orders_per_segment": q_top_orders_per_segment,
@@ -4115,6 +4125,21 @@ ORACLE_SQL = {
     "top_orders": (
         "SELECT o_orderkey, o_totalprice FROM orders "
         "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"
+    ),
+    "cohort_retention": (
+        # epoch-aligned integer week arithmetic; any event counts as
+        # activity; pre-signup offsets excluded; DISTINCT user per cell
+        "WITH su AS (SELECT user_id,"
+        "  MIN(epoch_us(ts) // 604800000000) AS cw FROM events"
+        "  WHERE event_type = 'signup' GROUP BY user_id),"
+        " act AS (SELECT DISTINCT e.user_id, su.cw,"
+        "  epoch_us(e.ts) // 604800000000 - su.cw AS off"
+        "  FROM events e JOIN su USING (user_id)"
+        "  WHERE epoch_us(e.ts) // 604800000000 >= su.cw) "
+        "SELECT CAST(cw AS BIGINT) AS cohort_week,"
+        " CAST(off AS BIGINT) AS week_offset,"
+        " CAST(COUNT(*) AS BIGINT) AS users"
+        " FROM act GROUP BY cw, off"
     ),
     "events_funnel": (
         # earliest-completion funnel: step k+1 counts users with an

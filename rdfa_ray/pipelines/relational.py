@@ -1046,3 +1046,91 @@ def funnel_counts(sf_dir: str, steps=FUNNEL_STEPS, n_buckets: int = 64):
     return partials.repartition(1).map_batches(
         merge, batch_format="pandas", batch_size=None
     )
+
+
+_WEEK_US = 7 * 86_400 * 1_000_000
+
+
+def cohort_retention(sf_dir: str, n_buckets: int = 64):
+    """Cohort retention matrix (the product-analytics companion to the
+    funnel): users cohorted by their first ``signup`` week, counted
+    once per (cohort_week, week_offset) they were active in — any
+    event counts as activity; pre-signup activity (offset < 0) is
+    excluded.  Weeks are epoch-aligned integer arithmetic
+    (``epoch_us // WEEK_US``) so the SQL twin is hash-exact.
+
+    Shape: prune to (user_id, ts, event_type) at the read, ONE
+    user-bucketed exchange (a user's signup and activity co-locate),
+    per-bucket vectorized cohorting (groupby-min + map + dedup), then
+    a tiny (cohort, offset) census merge."""
+    import numpy as np
+
+    from ..functions.hashing import crc32_bucket
+
+    ds = read_parquet_clean(
+        "%s/events.parquet" % sf_dir, columns=["user_id", "ts", "event_type"]
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_bucket", crc32_bucket(batch.column("user_id"), n_buckets)
+        )
+
+    def bucket_cohorts(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"cohort_week": pd.Series([], dtype="int64"),
+             "week_offset": pd.Series([], dtype="int64"),
+             "users": pd.Series([], dtype="int64")}
+        )
+        if not len(group):
+            return empty
+        # normalize to µs regardless of the block's datetime unit
+        week = (
+            group["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+            // _WEEK_US
+        )
+        uid = group["user_id"].to_numpy()
+        is_signup = group["event_type"].to_numpy() == "signup"
+        cohort = (
+            pd.DataFrame({"u": uid[is_signup], "w": week[is_signup]})
+            .groupby("u")["w"].min()
+        )
+        cw = pd.Series(uid).map(cohort).to_numpy()
+        off = week - cw
+        keep = ~np.isnan(cw) & (off >= 0)
+        cells = (
+            pd.DataFrame(
+                {"cohort_week": cw[keep].astype("int64"),
+                 "week_offset": off[keep].astype("int64"),
+                 "u": uid[keep]}
+            )
+            .drop_duplicates()
+            .groupby(["cohort_week", "week_offset"], sort=False)
+            .size().reset_index(name="users")
+        )
+        cells["users"] = cells["users"].astype("int64")
+        return cells
+
+    partials = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(bucket_cohorts, batch_format="pandas")
+    )
+
+    def merge(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame(
+                {"cohort_week": pd.Series([], dtype="int64"),
+                 "week_offset": pd.Series([], dtype="int64"),
+                 "users": pd.Series([], dtype="int64")}
+            )
+        out = (
+            batch.groupby(["cohort_week", "week_offset"], sort=True)["users"]
+            .sum().reset_index()
+        )
+        out["users"] = out["users"].astype("int64")
+        return out
+
+    return partials.repartition(1).map_batches(
+        merge, batch_format="pandas", batch_size=None
+    )

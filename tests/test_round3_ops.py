@@ -684,3 +684,43 @@ def test_salted_join_matches_unsalted(ray_session):
         with _pytest.raises(ValueError):
             bucketed_hash_join(rd.from_pandas(left), rd.from_pandas(right),
                                on="k", how=how, salt=4)
+
+
+def test_cohort_retention_semantics(ray_session, tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rdfa_ray.pipelines.relational import cohort_retention
+
+    WEEK = 7 * 86_400
+    rows = [
+        # u1 signs up week 0, active weeks 0 and 2
+        (1, 0 * WEEK + 10, "signup"), (1, 0 * WEEK + 20, "view"),
+        (1, 2 * WEEK + 5, "click"),
+        # u2 signs up week 0 too; pre-signup event must NOT count
+        (2, 0 * WEEK - 100, "view"), (2, 0 * WEEK + 50, "signup"),
+        # u3 signs up week 1, two events same week count ONCE
+        (3, 1 * WEEK + 9, "signup"), (3, 1 * WEEK + 99, "view"),
+        # u4 never signs up -> excluded entirely
+        (4, 0 * WEEK + 5, "view"),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "secs", "event_type"])
+    # shift everything up a year so the pre-signup event stays >= 0
+    df["ts"] = pd.to_datetime(df["secs"] + 52 * WEEK, unit="s")
+    pq.write_table(
+        pa.Table.from_pandas(df[["user_id", "ts", "event_type"]],
+                             preserve_index=False),
+        str(tmp_path / "events.parquet"),
+    )
+    out = (
+        cohort_retention(str(tmp_path))
+        .to_pandas()
+        .set_index(["cohort_week", "week_offset"])["users"]
+    )
+    w0 = 52  # epoch-aligned week of the shifted origin
+    assert out[(w0, 0)] == 2          # u1 + u2 active in signup week
+    assert out[(w0, 2)] == 1          # u1 returns in week 2
+    assert out[(w0 + 1, 0)] == 1      # u3's cohort, deduped to one
+    assert (w0 - 1, 0) not in out.index   # u2 pre-signup dropped
+    assert len(out) == 3
