@@ -890,6 +890,40 @@ def q_gopher_rules(sf_dir: str):
     return gopher_rules(docs, min_words=20)
 
 
+def q_paragraph_dedup(sf_dir: str):
+    """Corpus-wide paragraph dedup over documents with deterministically
+    planted boilerplate (a shared header on every doc, one of three
+    shared footers by doc_id%3) around each doc's unique body — the
+    first occurrence of each repeated paragraph survives, the rest
+    drop, bodies stay (stages/dedup.paragraph_dedup)."""
+    from ..stages.dedup import paragraph_dedup
+
+    docs = read_parquet_clean(
+        "%s/documents.parquet" % sf_dir, columns=["doc_id", "text"]
+    )
+
+    def plant(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        footer = pa.array(
+            ["footer variant %d" % (i % 3) for i in ids], pa.string()
+        )
+        planted = pc.binary_join_element_wise(
+            pa.array(["subscribe to our newsletter"] * len(ids)),
+            batch.column("text"),
+            footer,
+            "\n\n",
+        )
+        return pa.Table.from_pydict(
+            {"doc_id": batch.column("doc_id"), "text": planted}
+        )
+
+    return paragraph_dedup(docs.map_batches(plant, batch_format="pyarrow"))
+
+
 def q_gopher_repetition(sf_dir: str):
     """The nine Gopher repetition rules (top-2/3/4-gram chars,
     dup-5..10-gram chars) over documents — one zero-shuffle vectorized
@@ -3743,6 +3777,7 @@ QUERIES = {
     "quality_counts": q_quality_counts,
     "gopher_rules": q_gopher_rules,
     "gopher_repetition": q_gopher_repetition,
+    "paragraph_dedup": q_paragraph_dedup,
     "c4_rules": q_c4_rules,
     "quality_signals": q_quality_signals,
     "fingerprints_rolling": q_fingerprints_rolling,
@@ -4560,6 +4595,36 @@ ORACLE_SQL = {
         % _TYPED_TRIPLES_SQL
     ),
     "gopher_repetition": _gopher_rep_sql(),
+    "paragraph_dedup": (
+        # identical planted text; dedup classes via md5(p) windows,
+        # keeper = row_number 1 ordered by (doc_id, idx); sub-min_chars
+        # paragraphs exempt (their partitions are class-pure, so the
+        # CASE override cannot displace a non-exempt keeper)
+        "WITH planted AS (SELECT doc_id,"
+        " 'subscribe to our newsletter' || chr(10) || chr(10)"
+        " || text || chr(10) || chr(10)"
+        " || 'footer variant ' || CAST(doc_id % 3 AS VARCHAR) AS text"
+        " FROM documents),"
+        " ex AS (SELECT doc_id,"
+        "  unnest(string_split(text, chr(10) || chr(10))) AS p,"
+        "  generate_subscripts(string_split(text, chr(10) || chr(10)), 1)"
+        "   - 1 AS idx FROM planted),"
+        " ranked AS (SELECT doc_id, p, idx,"
+        "  CASE WHEN length(p) >= 1 THEN row_number() OVER"
+        "   (PARTITION BY md5(p) ORDER BY doc_id, idx)"
+        "  ELSE 1 END AS rn FROM ex),"
+        " kept AS (SELECT doc_id, p, idx FROM ranked WHERE rn = 1),"
+        " agg AS (SELECT doc_id,"
+        "  string_agg(p, chr(10) || chr(10) ORDER BY idx) AS text_clean,"
+        "  COUNT(*) AS n_kept FROM kept GROUP BY doc_id),"
+        " tot AS (SELECT doc_id, COUNT(*) AS n_paragraphs FROM ex"
+        "  GROUP BY doc_id) "
+        "SELECT t.doc_id, COALESCE(a.text_clean, '') AS text_clean,"
+        " CAST(t.n_paragraphs AS BIGINT) AS n_paragraphs,"
+        " CAST(t.n_paragraphs - COALESCE(a.n_kept, 0) AS BIGINT)"
+        "  AS n_dropped"
+        " FROM tot t LEFT JOIN agg a ON a.doc_id = t.doc_id"
+    ),
     "c4_rules": (
         # identical planted text, then the C4 line filter as
         # list_filter over string_split — same RE2 predicates as the

@@ -1094,3 +1094,155 @@ def dedup_lines(
     return kept.groupby("_dbucket").map_groups(
         reassemble, batch_format="pandas"
     )
+
+
+# --------------------------------------------------------------------------
+# Paragraph-level exact dedup (the Dolma/CCNet boilerplate-removal
+# pass: repeated paragraphs — headers, footers, subscription prompts —
+# are removed corpus-wide, keeping only the FIRST occurrence)
+
+_PARA_IDX_BITS = 20  # drop-set pack: doc_id << 20 | idx
+
+
+def paragraph_dedup(docs_ds, sep: str = "\n\n", min_chars: int = 1,
+                    n_buckets: int = 64, broadcast_limit: int = 200_000):
+    """Corpus-wide exact paragraph dedup: split every document on
+    ``sep``, keep each distinct paragraph's first occurrence (ordered
+    by (doc_id, paragraph index) — the deterministic keeper rule), and
+    reassemble documents without their dropped paragraphs.  Paragraphs
+    shorter than ``min_chars`` are exempt (an empty slot between two
+    separators should not dedup away).  Returns (doc_id, text_clean,
+    n_paragraphs, n_dropped).
+
+    Scale shape — document TEXT never crosses an exchange:
+
+    1. one map explodes (md5hex(paragraph), doc_id, idx) KEY rows
+       (32-byte hash + two ints, never the paragraph bytes);
+    2. one hash-keyed exchange finds each hash's keeper = min
+       (doc_id, idx) and inverts to the (doc_id, idx) DROP set —
+       duplicates are the minority, so the inverted side is small;
+    3. a second map over the original docs re-splits, drops the
+       flagged slots via the broadcast sorted drop-set (``ray.put``
+       once, searchsorted probe; key pack doc_id << 20 | idx), and
+       reassembles map-side.
+
+    Deterministic at any parallelism (slots are input-derived).  The
+    drop-set is driver-collected and bounded by ``broadcast_limit``
+    (loud error above it — pre-shard the corpus or raise the limit);
+    docs with >= 2^20 paragraphs refuse loudly (pack overflow)."""
+    import hashlib
+
+    import pandas as pd
+    import ray
+
+    from ..functions.hashing import crc32_bucket
+
+    def _explode(batch: pd.DataFrame):
+        paras = batch["text"].fillna("").str.split(sep, regex=False)
+        ex = paras.explode()
+        doc = batch["doc_id"].astype("int64").to_numpy()[ex.index.to_numpy()]
+        idx = ex.groupby(level=0).cumcount().to_numpy()
+        if len(idx) and idx.max() >= (1 << _PARA_IDX_BITS):
+            raise ValueError(
+                "document with >= 2^%d paragraphs — the drop-set key "
+                "pack cannot address it" % _PARA_IDX_BITS
+            )
+        return paras, ex, doc, idx
+
+    def explode_keys(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"h": pd.Series([], dtype="object"),
+             "doc_id": pd.Series([], dtype="int64"),
+             "idx": pd.Series([], dtype="int64")}
+        )
+        if not len(batch):
+            return empty
+        _paras, ex, doc, idx = _explode(batch)
+        texts = ex.to_numpy()
+        lens = ex.str.len().to_numpy()
+        keep = lens >= min_chars
+        hs = [
+            hashlib.md5(p.encode("utf-8", "surrogatepass")).hexdigest()
+            for p in texts[keep]
+        ]
+        return pd.DataFrame(
+            {"h": pd.Series(hs, dtype="object"),
+             "doc_id": doc[keep], "idx": idx[keep]}
+        )
+
+    keys = docs_ds.map_batches(explode_keys, batch_format="pandas")
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_bucket", crc32_bucket(batch.column("h"), n_buckets)
+        )
+
+    def drops(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "idx": pd.Series([], dtype="int64")}
+        )
+        if not len(group):
+            return empty
+        g = group.sort_values(["h", "doc_id", "idx"], kind="mergesort")
+        dup = g["h"].duplicated(keep="first")
+        return g.loc[dup, ["doc_id", "idx"]].astype(
+            {"doc_id": "int64", "idx": "int64"}
+        )
+
+    drop_df = (
+        keys.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(drops, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(drop_df) > broadcast_limit:
+        raise ValueError(
+            "paragraph drop-set (%d) exceeds broadcast_limit (%d) — "
+            "raise the limit or pre-shard the corpus"
+            % (len(drop_df), broadcast_limit)
+        )
+    if len(drop_df):
+        packed = np.sort(
+            drop_df["doc_id"].to_numpy("int64") * (1 << _PARA_IDX_BITS)
+            + drop_df["idx"].to_numpy("int64")
+        )
+    else:
+        packed = np.array([], dtype="int64")
+    drops_ref = ray.put(packed)
+
+    def rebuild(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "text_clean": pd.Series([], dtype="object"),
+             "n_paragraphs": pd.Series([], dtype="int64"),
+             "n_dropped": pd.Series([], dtype="int64")}
+        )
+        if not len(batch):
+            return empty
+        dset = ray.get(drops_ref)
+        paras, ex, doc, idx = _explode(batch)
+        key = doc * (1 << _PARA_IDX_BITS) + idx
+        dropped = np.zeros(len(key), dtype=bool)
+        if len(dset):
+            pos = np.searchsorted(dset, key)
+            inb = pos < len(dset)
+            dropped[inb] = dset[pos[inb]] == key[inb]
+        rowpos = ex.index.to_numpy()
+        kept = (
+            pd.Series(ex.to_numpy()[~dropped])
+            .groupby(pd.Series(rowpos[~dropped]))
+            .agg(sep.join)
+        )
+        clean = pd.Series("", index=range(len(batch)), dtype="object")
+        clean.update(kept)
+        n_drop = np.zeros(len(batch), np.int64)
+        np.add.at(n_drop, rowpos[dropped], 1)
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"].astype("int64").to_numpy(),
+             "text_clean": clean.to_numpy(),
+             "n_paragraphs": paras.str.len().to_numpy("int64"),
+             "n_dropped": n_drop}
+        )
+
+    return docs_ds.map_batches(rebuild, batch_format="pandas")

@@ -166,3 +166,85 @@ def test_dedup_lines_vs_duckdb(ray_session):
     assert got["doc_id"].tolist() == want["doc_id"].tolist()
     assert got["text"].tolist() == want["text"].tolist()
     assert got["n_lines"].tolist() == want["n_lines"].tolist()
+
+
+# --------------------------------------------------------------------------
+# paragraph-level exact dedup
+
+
+def test_paragraph_dedup_keeper_and_reassembly(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rdfa_ray.stages.dedup import paragraph_dedup
+
+    SEP = "\n\n"
+    texts = [
+        SEP.join(["shared header", "body zero", "shared footer"]),
+        SEP.join(["shared header", "body one", "shared footer"]),
+        SEP.join(["body two", "shared header"]),
+        # empty slot (len < min_chars) is exempt — kept in both docs
+        SEP.join(["", "body three", ""]),
+        SEP.join(["", "body four"]),
+    ]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    out = (
+        paragraph_dedup(docs)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    assert out.loc[0, "text_clean"] == SEP.join(
+        ["shared header", "body zero", "shared footer"]
+    )
+    assert out.loc[0, "n_dropped"] == 0
+    assert out.loc[1, "text_clean"] == "body one"
+    assert out.loc[1, "n_dropped"] == 2
+    assert out.loc[2, "text_clean"] == "body two"
+    assert out.loc[2, "n_dropped"] == 1
+    # exempt empties survive everywhere
+    assert out.loc[3, "text_clean"] == SEP.join(["", "body three", ""])
+    assert out.loc[4, "text_clean"] == SEP.join(["", "body four"])
+    assert out["n_paragraphs"].tolist() == [3, 3, 2, 3, 2]
+
+
+def test_paragraph_dedup_partition_invariance(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rdfa_ray.stages.dedup import paragraph_dedup
+
+    SEP = "\n\n"
+    texts = [
+        SEP.join(["boiler", "unique %d" % i] + (["promo"] if i % 3 else []))
+        for i in range(40)
+    ]
+
+    def run(parts):
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })).repartition(parts)
+        return (
+            paragraph_dedup(ds)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(run(1), run(9))
+
+
+def test_paragraph_dedup_refuses_oversized_dropset(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from rdfa_ray.stages.dedup import paragraph_dedup
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(10), pa.int64()),
+        "text": pa.array(["dup\n\ndup\n\ndup"] * 10, pa.string()),
+    }))
+    with pytest.raises(ValueError):
+        paragraph_dedup(docs, broadcast_limit=3).to_pandas()
