@@ -1996,6 +1996,70 @@ def q_kg_triangles(sf_dir: str):
     return triangle_count(pairs.map_batches(ordered, batch_format="pyarrow"))
 
 
+def q_kg_kcore(sf_dir: str):
+    """k-core of the shared-source document graph (iterative peeling,
+    convergence-checked, adaptive anti-join edge drops).  The graph is
+    a disjoint union of per-source cliques, so the oracle is
+    combinatorial: a size-n clique survives k iff n > k, every
+    survivor at degree n-1 — an independent formulation, not the
+    same algorithm."""
+    from ..stages.graphalgo import kcore
+    from ..stages.join import bucketed_hash_join
+
+    docs = read_parquet_clean(
+        "%s/documents.parquet" % sf_dir, columns=["doc_id", "source"]
+    )
+    left = docs.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"src": t.column("doc_id"), "source": t.column("source")}
+        ),
+        batch_format="pyarrow",
+    )
+    right = docs.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"source": t.column("source"), "dst": t.column("doc_id")}
+        ),
+        batch_format="pyarrow",
+    )
+    pairs = bucketed_hash_join(
+        left,
+        right,
+        on="source",
+        n_buckets=16,
+        left_schema=pa.schema([("src", pa.int64()), ("source", pa.string())]),
+        right_schema=pa.schema([("source", pa.string()), ("dst", pa.int64())]),
+    )
+
+    def ordered(batch: pa.Table) -> pa.Table:
+        keep = pc.less(batch.column("src"), batch.column("dst"))
+        batch = batch.filter(keep)
+        return pa.Table.from_pydict(
+            {"src": batch.column("src"), "dst": batch.column("dst")}
+        )
+
+    import ray.data as rd
+
+    # planted low-degree tail (synthetic ids >= 10^6): a 20-node chain
+    # hung off doc 0 — peels away in the first rounds and drops doc 0
+    # back to its in-clique degree, exercising the iterate-and-re-peel
+    # path; the oracle sees only the surviving cliques
+    chain_nodes = [1_000_000 + j for j in range(20)]
+    chain_edges = [(0, chain_nodes[0])] + [
+        (chain_nodes[j], chain_nodes[j + 1])
+        for j in range(len(chain_nodes) - 1)
+    ]
+    chain = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([a for a, _ in chain_edges], pa.int64()),
+                "dst": pa.array([b for _, b in chain_edges], pa.int64()),
+            }
+        )
+    )
+    edges = pairs.map_batches(ordered, batch_format="pyarrow").union(chain)
+    return kcore(edges, k=10)
+
+
 def q_kg_bfs_depth(sf_dir: str):
     """Single-source BFS levels from the category-tree root (hop
     distance per node); oracle is the equivalent DuckDB WITH
@@ -3801,6 +3865,7 @@ QUERIES = {
     "docs_source_quota": q_docs_source_quota,
     "docs_length_trim": q_docs_length_trim,
     "kg_triangles": q_kg_triangles,
+    "kg_kcore": q_kg_kcore,
     "kg_bfs_depth": q_kg_bfs_depth,
     "kg_minus": q_kg_minus,
     "kg_expr_exists": q_kg_expr_exists,
@@ -5295,6 +5360,13 @@ ORACLE_SQL = {
         "SELECT CAST(COALESCE(SUM(n * (n - 1) * (n - 2) / 6), 0) AS BIGINT)"
         " AS n_triangles FROM"
         " (SELECT COUNT(*) AS n FROM documents GROUP BY source)"
+    ),
+    "kg_kcore": (
+        # disjoint per-source cliques: the k-core keeps every node of
+        # a size-n clique iff n > k, at in-core degree n - 1
+        "SELECT doc_id AS node, CAST(n - 1 AS BIGINT) AS degree FROM ("
+        " SELECT doc_id, COUNT(*) OVER (PARTITION BY source) AS n"
+        " FROM documents) WHERE n > 10"
     ),
     "kg_bfs_depth": (
         "WITH RECURSIVE d(node, depth) AS ("

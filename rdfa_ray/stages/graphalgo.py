@@ -253,3 +253,117 @@ def bfs_levels(
             schema=out_schema,
         )
     )
+
+
+def kcore(edges_ds, k: int, max_iters: int = 10_000, n_buckets: int = 32):
+    """The k-core of the undirected graph: iteratively peel nodes of
+    degree < k until stable; returns the surviving (node:int64,
+    degree:int64) rows — degree measured inside the core.
+
+    Supersteps run until the edge count stops changing (exact
+    convergence; ``max_iters`` is a runaway bound only — peeling
+    strictly shrinks the edge set, so it terminates in at most
+    |V| rounds).  Each superstep: one degree exchange (endpoint
+    explode with map-side partial counts), then edges incident to the
+    PEELED set (nodes below k) drop through two ADAPTIVE anti joins —
+    ``bloom_anti_join`` broadcasts the peeled keys map-side when they
+    fit (the common case once peeling slows) and falls back to the
+    Bloom-prefiltered bucketed anti join for the big first rounds;
+    each superstep ``materialize()``s (iterative Dataset algorithms
+    must — lazy re-execution is combinatorial).  Exact: a node peeled
+    this round can never re-enter (degrees only fall)."""
+    import ray.data as rd
+
+    edges = _canonical_edges(edges_ds, n_buckets).materialize()
+    n_edges = edges.count()
+    empty = rd.from_arrow(
+        pa.table({"node": pa.array([], pa.int64()),
+                  "degree": pa.array([], pa.int64())})
+    )
+
+    def degrees(es):
+        import pyarrow.compute as pc
+
+        def endpoints(batch: pa.Table) -> pa.Table:
+            return pa.Table.from_pydict(
+                {"node": pa.concat_arrays([
+                    pc.cast(batch.column("a"), pa.int64()).combine_chunks(),
+                    pc.cast(batch.column("b"), pa.int64()).combine_chunks(),
+                ])}
+            )
+
+        def partial(batch: pd.DataFrame) -> pd.DataFrame:
+            if not len(batch):
+                return pd.DataFrame(
+                    {"node": pd.Series([], dtype="int64"),
+                     "d": pd.Series([], dtype="int64")}
+                )
+            out = batch.groupby("node", sort=False).size().reset_index(name="d")
+            out["d"] = out["d"].astype("int64")
+            return out
+
+        def merge(group: pd.DataFrame) -> pd.DataFrame:
+            if not len(group):
+                return pd.DataFrame(
+                    {"node": pd.Series([], dtype="int64"),
+                     "degree": pd.Series([], dtype="int64")}
+                )
+            out = group.groupby("node", sort=False)["d"].sum().reset_index(
+                name="degree"
+            )
+            out["degree"] = out["degree"].astype("int64")
+            return out
+
+        from ..functions.hashing import crc32_bucket
+
+        def bucket(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "_bucket", crc32_bucket(batch.column("node"), n_buckets)
+            )
+
+        return (
+            es.map_batches(endpoints, batch_format="pyarrow")
+            .map_batches(partial, batch_format="pandas")
+            .map_batches(bucket, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(merge, batch_format="pandas")
+        )
+
+    from .bloom import bloom_anti_join
+
+    edge_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    node_schema = pa.schema([("node", pa.int64())])
+
+    for _ in range(max_iters):
+        if n_edges == 0:
+            return empty
+        deg = degrees(edges).materialize()
+
+        def low_mask(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            t = batch.filter(pc.less(batch.column("degree"), k))
+            return pa.Table.from_pydict(
+                {"node": pc.cast(t.column("node"), pa.int64())}
+            )
+
+        low = deg.map_batches(low_mask, batch_format="pyarrow").materialize()
+        if low.count() == 0:
+            return deg
+        # drop edges incident to peeled nodes: two adaptive anti joins
+        # (broadcast is_in below 200k peeled nodes — the common case
+        # once peeling slows — else Bloom + bucketed anti join); a
+        # peeled node can never re-enter, so this is exact
+        for endp in ("a", "b"):
+            side = low.map_batches(
+                (lambda c: lambda t: t.rename_columns([c]))(endp),
+                batch_format="pyarrow",
+            )
+            edges = bloom_anti_join(
+                edges, side, on=endp, n_buckets=n_buckets,
+                left_schema=edge_schema,
+                right_schema=pa.schema([(endp, pa.int64())]),
+            )
+        edges = edges.materialize()
+        n_edges = edges.count()
+    raise RuntimeError("kcore did not converge within max_iters")

@@ -66,3 +66,65 @@ def test_bfs_levels_empty_edges(ray_session):
     out = bfs_levels(_edges([]), source=42).to_pandas()
     assert out["node"].tolist() == [42]
     assert out["depth"].tolist() == [0]
+
+
+def test_kcore_known_graph(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from rdfa_ray.stages.graphalgo import kcore
+
+    # K4 on {0,1,2,3} (3-core) + a tail 3-4-5 + a pendant 4-6:
+    # 2-core = K4 only after peeling the tail; 3-core = K4
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+             (3, 4), (4, 5), (4, 6)]
+    df = pd.DataFrame(edges, columns=["src", "dst"])
+    ds = rd.from_pandas(df)
+
+    core2 = kcore(ds, k=2).to_pandas().sort_values("node")
+    assert core2["node"].tolist() == [0, 1, 2, 3]
+    assert core2["degree"].tolist() == [3, 3, 3, 3]
+
+    core3 = kcore(ds, k=3).to_pandas().sort_values("node")
+    assert core3["node"].tolist() == [0, 1, 2, 3]
+
+    core4 = kcore(ds, k=4).to_pandas()
+    assert len(core4) == 0
+
+
+def test_kcore_matches_reference_peeling(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rdfa_ray.stages.graphalgo import kcore
+
+    rng = np.random.RandomState(4)
+    edges = set()
+    while len(edges) < 120:
+        a, b = rng.randint(0, 40, 2)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    edges = sorted(edges)
+
+    def ref_kcore(es, k):
+        es = set(es)
+        while True:
+            deg = {}
+            for a, b in es:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            low = {n for n, d in deg.items() if d < k}
+            if not low:
+                return deg
+            es = {(a, b) for a, b in es if a not in low and b not in low}
+            if not es:
+                return {}
+
+    df = pd.DataFrame(edges, columns=["src", "dst"])
+    for k in (2, 3, 4, 5):
+        pdf = kcore(rd.from_pandas(df), k=k).to_pandas()
+        got = (
+            pdf.set_index("node")["degree"].to_dict() if len(pdf) else {}
+        )
+        assert got == ref_kcore(edges, k), k
