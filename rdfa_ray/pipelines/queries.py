@@ -2355,6 +2355,106 @@ def q_kg_graph_scoped(sf_dir: str):
     return b.map_batches(unpack, batch_format="pyarrow")
 
 
+def q_curation_v2(sf_dir: str):
+    """The round-3 curation chain UPGRADED to the published filter
+    suites: Gopher quality rules (7-rule bitmask, min_words=20) AND
+    the full 9-rule Gopher repetition suite as the quality gates,
+    then exact-dedup keep-first, benchmark decontamination, and the
+    deterministic split census with whitespace-token sums.
+
+    Same scale shape as ``curation_pipeline``: every removal is
+    INVERTED to a small drop-set (failing docs / non-keeper dups /
+    contaminated ids) applied through the adaptive Bloom anti join,
+    so document text never crosses an exchange; both rule suites are
+    zero-shuffle map passes emitting key-only drop rows."""
+    import ray.data as rd
+
+    from ..stages.bloom import bloom_anti_join
+    from ..stages.contamination import extract_needles, flag_contaminated
+    from ..stages.dedup import exact_dup_drops
+    from ..stages.split import assign_split
+    from ..stages.text import gopher_repetition, gopher_rules
+
+    docs = read_parquet_clean(
+        "%s/documents.parquet" % sf_dir, columns=["doc_id", "text", "lang"]
+    )
+    doc_schema = pa.schema(
+        [("doc_id", pa.int64()), ("text", pa.string()), ("lang", pa.string())]
+    )
+    key_schema = pa.schema([("doc_id", pa.int64())])
+
+    def failing(signals_ds):
+        def pick(batch: pa.Table) -> pa.Table:
+            t = batch.filter(pc.not_equal(batch.column("mask"), 0))
+            return pa.Table.from_pydict(
+                {"doc_id": pc.cast(t.column("doc_id"), pa.int64())}
+            )
+
+        return signals_ds.map_batches(pick, batch_format="pyarrow")
+
+    # min_stopwords=1: the synthetic vocabulary carries only 'the' of
+    # the Gopher 8-word list, so the spec default of 2 would empty the
+    # corpus — the rule still gates docs with NO stopword
+    rule_drops = failing(
+        gopher_rules(docs, min_words=20, min_stopwords=1)
+    ).union(failing(gopher_repetition(docs)))
+    gated = bloom_anti_join(
+        docs, rule_drops, on="doc_id", n_buckets=16,
+        left_schema=doc_schema, right_schema=key_schema,
+    ).materialize()
+    kept = bloom_anti_join(
+        gated, exact_dup_drops(gated), on="doc_id", n_buckets=16,
+        left_schema=doc_schema, right_schema=key_schema,
+    ).materialize()
+    clean = bloom_anti_join(
+        kept, flag_contaminated(kept, extract_needles(docs)),
+        on="doc_id", n_buckets=16,
+        left_schema=doc_schema, right_schema=key_schema,
+    )
+
+    def add_tokens(batch: pa.Table) -> pa.Table:
+        toks = pc.add(
+            pc.cast(pc.count_substring(
+                pc.cast(batch.column("text"), pa.string()), " "
+            ), pa.int64()),
+            1,
+        )
+        return batch.append_column("n_tokens", toks)
+
+    labeled = assign_split(
+        clean.map_batches(add_tokens, batch_format="pyarrow"),
+        keep_cols=["lang", "n_tokens"],
+    )
+    import pandas as pd
+
+    def partial_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame(
+                {"split": [], "lang": [],
+                 "n": pd.Series([], dtype="int64"),
+                 "tokens": pd.Series([], dtype="int64")}
+            )
+        out = (
+            batch.groupby(["split", "lang"], sort=False)
+            .agg(n=("n_tokens", "size"), tokens=("n_tokens", "sum"))
+            .reset_index()
+        )
+        return out.astype({"n": "int64", "tokens": "int64"})
+
+    def merge_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            batch.groupby(["split", "lang"], sort=False)[["n", "tokens"]]
+            .sum().reset_index()
+        )
+        return out.astype({"n": "int64", "tokens": "int64"})
+
+    return (
+        labeled.map_batches(partial_counts, batch_format="pandas")
+        .repartition(1)
+        .map_batches(merge_counts, batch_format="pandas", batch_size=None)
+    )
+
+
 def q_curation_pipeline(sf_dir: str):
     """The composed pre-training curation pipeline, end-to-end and
     oracle-checked: repetition-quality gate (map-side) -> exact dedup
@@ -3941,6 +4041,7 @@ QUERIES = {
     "kg_sparql_values_multi": q_kg_sparql_values_multi,
     "kg_sparql_mixed_groups": q_kg_sparql_mixed_groups,
     "curation_pipeline": q_curation_pipeline,
+    "curation_v2": q_curation_v2,
     "curation_export": q_curation_export,
     "kg_path_opt": q_kg_path_opt,
     "kg_group_concat": q_kg_group_concat,
@@ -5558,3 +5659,34 @@ ORACLE_SQL = {
         "ORDER BY score_micro DESC, doc_id ASC, token ASC LIMIT 50"
     ),
 }
+
+# Composed oracle: curation_v2 embeds the verified gopher_rules /
+# gopher_repetition oracle queries as CTE subqueries (nested WITH is
+# legal inside a parenthesized subquery), then the curation chain's
+# dedup / decontamination / split fragments.
+ORACLE_SQL["curation_v2"] = (
+    # min_stopwords=1 in the v2 chain (see q_curation_v2) — rewrite the
+    # embedded gopher_rules threshold clause accordingly
+    "WITH gop AS ("
+    + ORACLE_SQL["gopher_rules"].replace("n_stopwords < 2", "n_stopwords < 1")
+    + "),"
+    " rep AS (" + ORACLE_SQL["gopher_repetition"] + "),"
+    " gated AS (SELECT d.doc_id, d.text, d.lang FROM documents d"
+    "  JOIN gop ON gop.doc_id = d.doc_id AND gop.mask = 0"
+    "  JOIN rep ON rep.doc_id = d.doc_id AND rep.mask = 0),"
+    " kk AS (SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY md5(text)),"
+    " kept AS (SELECT g.* FROM gated g JOIN kk USING (doc_id)),"
+    " needles AS (SELECT array_to_string(array_slice("
+    "  string_split(text, ' '), 11, 18), ' ') AS needle FROM documents"
+    "  WHERE doc_id % 97 = 0 AND len(string_split(text, ' ')) >= 18),"
+    " clean AS (SELECT kept.* FROM kept WHERE NOT EXISTS ("
+    "  SELECT 1 FROM needles n"
+    "  WHERE position(' ' || n.needle || ' ' IN ' ' || kept.text || ' ')"
+    "   > 0)) "
+    "SELECT CASE WHEN substr(md5(text), 1, 2) < '40'"
+    " THEN 'holdout' ELSE 'train' END AS split, lang,"
+    " CAST(COUNT(*) AS BIGINT) AS n,"
+    " CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens"
+    " FROM clean GROUP BY 1, 2"
+)
+

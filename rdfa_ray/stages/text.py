@@ -319,7 +319,8 @@ GOPHER_RULE_BITS = {
 }
 
 
-def gopher_rules(docs_ds, min_words: int = 50, max_words: int = 100_000):
+def gopher_rules(docs_ds, min_words: int = 50, max_words: int = 100_000,
+                 min_stopwords: int = 2):
     """The Gopher quality-filter rule set — the standard web-scale
     pre-training document gate (also the basis of FineWeb/Dolma's
     heuristic filters) — as ONE zero-shuffle vectorized pass.
@@ -395,7 +396,7 @@ def gopher_rules(docs_ds, min_words: int = 50, max_words: int = 100_000):
             GOPHER_RULE_BITS["alpha_words"],
         ))
         mask = pc.add(mask, bit(
-            pc.less(n_stop, 2), GOPHER_RULE_BITS["stopwords"],
+            pc.less(n_stop, min_stopwords), GOPHER_RULE_BITS["stopwords"],
         ))
 
         return pa.Table.from_pydict(
