@@ -154,6 +154,8 @@ def _headline_and_queries(sf_dir: str, num_cpus: int, n_turns: int) -> dict:
     timed("dedup_substrings", Q.q_dedup_substrings)
     timed("bpe_token_counts", Q.q_bpe_token_counts)
     timed("lineitem_below_avg", Q.q_lineitem_below_avg)
+    timed("curation_v2", Q.q_curation_v2)
+    timed("paragraph_dedup", Q.q_paragraph_dedup)
     timed("gopher_rules", Q.q_gopher_rules)
     timed("c4_rules", Q.q_c4_rules)
     timed("ann_sq_topk", Q.q_ann_sq_topk)
