@@ -718,6 +718,13 @@ def q_events_purchase_clicks(sf_dir: str):
     )
 
 
+def q_events_props_census(sf_dir: str):
+    """JSON payload-field extraction (stages/jsonx.py) + census."""
+    from .relational import events_props_census
+
+    return events_props_census(sf_dir)
+
+
 def q_events_value_quantiles(sf_dir: str):
     """Exact per-group quantiles via distinct-value histogram."""
     import ray.data as rd
@@ -3930,6 +3937,7 @@ QUERIES = {
     "shipping_priority": q_shipping_priority,
     "events_purchase_clicks": q_events_purchase_clicks,
     "events_value_quantiles": q_events_value_quantiles,
+    "events_props_census": q_events_props_census,
     "token_top20": q_token_top20,
     "inverted_index": q_inverted_index,
     "dedup_exact": q_dedup_exact,
@@ -4435,6 +4443,12 @@ ORACLE_SQL = {
     ),
     # quantile_disc commutes with the exact milli-unit discretization
     # (value * 1000 is integral for every row in the table)
+    "events_props_census": (
+        "SELECT TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k') AS BIGINT) AS k,"
+        " COUNT(*) AS n_events,"
+        " CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_value_cents "
+        "FROM events GROUP BY 1"
+    ),
     "events_value_quantiles": (
         "SELECT event_type,"
         " CAST(ROUND(quantile_disc(value, 0.5) * 1000) AS BIGINT) AS q50,"

@@ -150,6 +150,41 @@ def events_hourly(sf_dir: str):
     )
 
 
+def events_props_census(sf_dir: str):
+    """Census over a field extracted from the JSON payload column:
+    (k, n_events, sum_value_cents) per distinct ``$.k`` — the
+    payload-metadata extraction stage (``stages/jsonx.py``) feeding a
+    grouped aggregate.  Extraction is map-only (vectorized Rust JSON
+    scan per block, zero shuffle); the only exchange is the tiny
+    grouped aggregate over the derived key.  Money sums are integer
+    cents quantized per row (half away from zero, matching SQL ROUND)
+    so the totals are exact at any parallelism."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.jsonx import json_field
+
+    ds = read_parquet_clean(
+        "%s/events.parquet" % sf_dir, columns=["props", "value"]
+    )
+    ds = json_field(ds, "props", "k", out="k", dtype=pa.int64())
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "value_cents",
+            pc.cast(
+                pc.round(pc.multiply(batch.column("value"), 100.0), 0,
+                         round_mode="half_towards_infinity"),
+                pa.int64(),
+            ),
+        ).drop_columns(["props", "value"])
+
+    return (
+        ds.map_batches(cents, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Count(alias_name="n_events"), Sum("value_cents", alias_name="sum_value_cents"))
+    )
+
+
 SESSION_GAP_S = 1800
 
 
