@@ -2003,6 +2003,44 @@ def q_kg_triangles(sf_dir: str):
     return triangle_count(pairs.map_batches(ordered, batch_format="pyarrow"))
 
 
+def q_kg_link_pred(sf_dir: str):
+    """Common-neighbor / Jaccard link prediction
+    (stages/graphalgo.neighbor_similarity) over the order—part
+    bipartite graph from lineitem (part ids offset into a disjoint id
+    space).  Two orders score when they share parts; result = the top
+    100 order pairs by (jaccard_ppm DESC, u, v) — integer-ppm scores
+    and a deterministic tie-break make the cut SQL-reproducible."""
+    import ray.data as rd
+
+    from ..stages.graphalgo import neighbor_similarity
+    from ..stages.sparql import order_limit
+
+    OFF = 1_000_000_000
+    li = read_parquet_clean(
+        "%s/lineitem.parquet" % sf_dir, columns=["l_orderkey", "l_partkey"]
+    )
+    edges = li.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {
+                "src": pc.cast(t.column("l_orderkey"), pa.int64()),
+                "dst": pc.cast(pc.add(t.column("l_partkey"), OFF), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    sims = neighbor_similarity(edges, min_common=1, exclude_edges=True)
+
+    def order_pairs_only(t: pa.Table) -> pa.Table:
+        # wedges around order centers score part—part pairs too; the
+        # query ranks order—order pairs (both ids below the offset)
+        return t.filter(pc.less(t.column("v"), OFF))
+
+    sims = sims.map_batches(order_pairs_only, batch_format="pyarrow")
+    return order_limit(
+        sims, ["jaccard_ppm", "u", "v"], descending=[True, False, False], limit=100
+    )
+
+
 def q_kg_kcore(sf_dir: str):
     """k-core of the shared-source document graph (iterative peeling,
     convergence-checked, adaptive anti-join edge drops).  The graph is
@@ -3974,6 +4012,7 @@ QUERIES = {
     "docs_length_trim": q_docs_length_trim,
     "kg_triangles": q_kg_triangles,
     "kg_kcore": q_kg_kcore,
+    "kg_link_pred": q_kg_link_pred,
     "kg_bfs_depth": q_kg_bfs_depth,
     "kg_minus": q_kg_minus,
     "kg_expr_exists": q_kg_expr_exists,
@@ -5482,6 +5521,20 @@ ORACLE_SQL = {
         "SELECT doc_id AS node, CAST(n - 1 AS BIGINT) AS degree FROM ("
         " SELECT doc_id, COUNT(*) OVER (PARTITION BY source) AS n"
         " FROM documents) WHERE n > 10"
+    ),
+    "kg_link_pred": (
+        # order—part bipartite graph: common neighbors of two ORDER
+        # nodes = shared distinct parts; degree of an order node = its
+        # distinct-part count.  jaccard_ppm uses integer floor division
+        # (exact; matches the engine's int64 arithmetic).
+        "WITH e AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),"
+        " deg AS (SELECT o, COUNT(*) AS d FROM e GROUP BY o),"
+        " pairs AS (SELECT e1.o AS u, e2.o AS v, CAST(COUNT(*) AS BIGINT) AS common"
+        "  FROM e e1 JOIN e e2 ON e1.p = e2.p AND e1.o < e2.o GROUP BY 1, 2)"
+        " SELECT u, v, common, du.d AS deg_u, dv.d AS deg_v,"
+        "  CAST(common * 1000000 // (du.d + dv.d - common) AS BIGINT) AS jaccard_ppm"
+        " FROM pairs JOIN deg du ON pairs.u = du.o JOIN deg dv ON pairs.v = dv.o"
+        " ORDER BY jaccard_ppm DESC, u ASC, v ASC LIMIT 100"
     ),
     "kg_bfs_depth": (
         "WITH RECURSIVE d(node, depth) AS ("
