@@ -725,6 +725,37 @@ def q_events_props_census(sf_dir: str):
     return events_props_census(sf_dir)
 
 
+def q_events_quantiles_cont(sf_dir: str):
+    """Exact INTERPOLATED per-group quantiles (percentile_cont
+    semantics) in integer micro-units — rational interpolation, no
+    float drift (stages/quantile.grouped_quantiles_cont)."""
+    from ..stages.quantile import grouped_quantiles_cont
+
+    ds = read_parquet_clean("%s/events.parquet" % sf_dir, columns=["event_type", "value"])
+
+    def to_milli(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "event_type": batch.column("event_type"),
+                "value_milli": pc.cast(
+                    pc.round(
+                        pc.multiply(batch.column("value"), 1000.0),
+                        0,
+                        round_mode="half_towards_infinity",
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return grouped_quantiles_cont(
+        ds.map_batches(to_milli, batch_format="pyarrow"),
+        group="event_type",
+        value="value_milli",
+        qs_pct=[50, 90, 99],
+    )
+
+
 def q_events_value_quantiles(sf_dir: str):
     """Exact per-group quantiles via distinct-value histogram."""
     import ray.data as rd
@@ -3976,6 +4007,7 @@ QUERIES = {
     "events_purchase_clicks": q_events_purchase_clicks,
     "events_value_quantiles": q_events_value_quantiles,
     "events_props_census": q_events_props_census,
+    "events_quantiles_cont": q_events_quantiles_cont,
     "token_top20": q_token_top20,
     "inverted_index": q_inverted_index,
     "dedup_exact": q_dedup_exact,
@@ -4487,6 +4519,25 @@ ORACLE_SQL = {
         " COUNT(*) AS n_events,"
         " CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_value_cents "
         "FROM events GROUP BY 1"
+    ),
+    "events_quantiles_cont": (
+        # integer-rational percentile_cont twin: lo/hi order statistics
+        # via ROW_NUMBER, remainder interpolation in exact int64
+        # micro-units (engine formula: v_lo*1e6 + (v_hi-v_lo)*rem*1e4)
+        "WITH v AS (SELECT event_type,"
+        " CAST(ROUND(value * 1000.0) AS BIGINT) AS vm FROM events),"
+        " r AS (SELECT event_type, vm,"
+        "  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY vm) AS rk,"
+        "  COUNT(*) OVER (PARTITION BY event_type) AS n FROM v) "
+        "SELECT event_type, "
+        + ", ".join(
+            "MAX(CASE WHEN rk = ({k}*(n-1))//100 + 1 THEN vm END) * 1000000"
+            " + (MAX(CASE WHEN rk = LEAST(({k}*(n-1))//100 + 2, n) THEN vm END)"
+            "    - MAX(CASE WHEN rk = ({k}*(n-1))//100 + 1 THEN vm END))"
+            " * MAX(({k}*(n-1)) % 100) * 10000 AS q{k}_micro".format(k=k)
+            for k in (50, 90, 99)
+        )
+        + " FROM r GROUP BY event_type"
     ),
     "events_value_quantiles": (
         "SELECT event_type,"
