@@ -756,6 +756,20 @@ def q_events_quantiles_cont(sf_dir: str):
     )
 
 
+def q_docs_profile(sf_dir: str):
+    """One-pass profiler (stages/profile.py) over documents — the
+    oracled projection keeps the EXACT fields (count/nulls/min/max);
+    the approx sketch fields (HLL ndv, MG top value) are covered by
+    pytest instead (no SQL twin can hash-match an estimate)."""
+    from ..stages.profile import profile_table
+
+    ds = read_parquet_clean("%s/documents.parquet" % sf_dir)
+    prof = profile_table(
+        ds, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    return prof[["column", "n", "nulls", "min_value", "max_value"]]
+
+
 def q_events_value_quantiles(sf_dir: str):
     """Exact per-group quantiles via distinct-value histogram."""
     import ray.data as rd
@@ -4008,6 +4022,7 @@ QUERIES = {
     "events_value_quantiles": q_events_value_quantiles,
     "events_props_census": q_events_props_census,
     "events_quantiles_cont": q_events_quantiles_cont,
+    "docs_profile": q_docs_profile,
     "token_top20": q_token_top20,
     "inverted_index": q_inverted_index,
     "dedup_exact": q_dedup_exact,
@@ -4519,6 +4534,15 @@ ORACLE_SQL = {
         " COUNT(*) AS n_events,"
         " CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_value_cents "
         "FROM events GROUP BY 1"
+    ),
+    "docs_profile": (
+        " UNION ALL ".join(
+            "SELECT '{c}' AS column, CAST(COUNT(*) AS BIGINT) AS n,"
+            " CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS nulls,"
+            " CAST(MIN({c}) AS VARCHAR) AS min_value,"
+            " CAST(MAX({c}) AS VARCHAR) AS max_value FROM documents".format(c=c)
+            for c in ("doc_id", "text", "lang", "source", "n_chars")
+        )
     ),
     "events_quantiles_cont": (
         # integer-rational percentile_cont twin: lo/hi order statistics
