@@ -17,6 +17,15 @@ is reproduced.  Reference anchors are cited per module as
 __version__ = "0.1.0"
 
 
+def __getattr__(name):
+    # lazy: Graph pulls in ray.data; keep bare `import rdfa_ray` light
+    if name == "Graph":
+        from .graph import Graph
+
+        return Graph
+    raise AttributeError(name)
+
+
 def query_results(source, sparql: str, format: str = "json",
                   n_buckets: int = 64) -> str:
     """``query()`` then serialize to a W3C SPARQL 1.1 results document
