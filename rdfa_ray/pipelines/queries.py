@@ -756,6 +756,33 @@ def q_events_quantiles_cont(sf_dir: str):
     )
 
 
+_Z_DOMAINS = {"l_partkey": (0, 1 << 18), "l_suppkey": (0, 1 << 14)}
+
+
+def q_lineitem_zorder_keys(sf_dir: str):
+    """Z-order layout keys (stages/layout.zorder_key): Morton
+    interleave of (l_partkey, l_suppkey) quantized over fixed domains;
+    top-100 rows by (zkey, l_orderkey, l_linenumber) — the write-side
+    clustering key a ZORDER BY materialization would sort on, checked
+    bit-for-bit against a SQL twin of the magic-number spreads."""
+    from ..stages.layout import zorder_key
+    from ..stages.sparql import order_limit
+
+    li = read_parquet_clean(
+        "%s/lineitem.parquet" % sf_dir,
+        columns=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"],
+    )
+    keyed = li.map_batches(
+        lambda b: zorder_key(
+            b, ["l_partkey", "l_suppkey"], _Z_DOMAINS, bits=16
+        ).drop_columns(["l_partkey", "l_suppkey"]),
+        batch_format="pyarrow",
+    )
+    return order_limit(
+        keyed, ["zkey", "l_orderkey", "l_linenumber"], descending=False, limit=100
+    )
+
+
 def q_docs_profile(sf_dir: str):
     """One-pass profiler (stages/profile.py) over documents — the
     oracled projection keeps the EXACT fields (count/nulls/min/max);
@@ -4023,6 +4050,7 @@ QUERIES = {
     "events_props_census": q_events_props_census,
     "events_quantiles_cont": q_events_quantiles_cont,
     "docs_profile": q_docs_profile,
+    "lineitem_zorder_keys": q_lineitem_zorder_keys,
     "token_top20": q_token_top20,
     "inverted_index": q_inverted_index,
     "dedup_exact": q_dedup_exact,
@@ -4534,6 +4562,29 @@ ORACLE_SQL = {
         " COUNT(*) AS n_events,"
         " CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_value_cents "
         "FROM events GROUP BY 1"
+    ),
+    "lineitem_zorder_keys": (
+        # SQL twin of the Morton spread: quantize each column to 16
+        # bits over the pinned domain, magic-number bit spreads, OR the
+        # two interleaves.  Constants mirror stages/layout.py exactly.
+        "WITH q AS (SELECT l_orderkey, l_linenumber,"
+        " LEAST(GREATEST((l_partkey - 0) * 65536 // 262144, 0), 65535) AS qa,"
+        " LEAST(GREATEST((l_suppkey - 0) * 65536 // 16384, 0), 65535) AS qb"
+        " FROM lineitem),"
+        " s AS (SELECT l_orderkey, l_linenumber,"
+        "  (qa | (qa << 8)) & 16711935 AS a1, (qb | (qb << 8)) & 16711935 AS b1"
+        " FROM q),"
+        " s2 AS (SELECT l_orderkey, l_linenumber,"
+        "  (a1 | (a1 << 4)) & 252645135 AS a2, (b1 | (b1 << 4)) & 252645135 AS b2"
+        " FROM s),"
+        " s3 AS (SELECT l_orderkey, l_linenumber,"
+        "  (a2 | (a2 << 2)) & 3689348814741910323 AS a3,"
+        "  (b2 | (b2 << 2)) & 3689348814741910323 AS b3 FROM s2),"
+        " s4 AS (SELECT l_orderkey, l_linenumber,"
+        "  (a3 | (a3 << 1)) & 6148914691236517205 AS a4,"
+        "  (b3 | (b3 << 1)) & 6148914691236517205 AS b4 FROM s3)"
+        " SELECT l_orderkey, l_linenumber, CAST(a4 | (b4 << 1) AS BIGINT) AS zkey"
+        " FROM s4 ORDER BY zkey, l_orderkey, l_linenumber LIMIT 100"
     ),
     "docs_profile": (
         " UNION ALL ".join(

@@ -1,0 +1,113 @@
+"""Z-order layout (stages/layout.py): Morton key correctness vs a
+bit-by-bit reference, locality/pruning benefit over a naive layout,
+manifest round-trip, domain clamping, refusals."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from rdfa_ray.stages.layout import (
+    zorder_key,
+    zorder_layout,
+    zorder_prune,
+)
+
+
+def _ref_key(vals, los, his, bits, stride):
+    """Bit-by-bit Python reference of the quantize+interleave."""
+    out = 0
+    for i, (v, lo, hi) in enumerate(zip(vals, los, his)):
+        q = (v - lo) * (1 << bits) // (hi - lo)
+        q = max(0, min((1 << bits) - 1, q))
+        q16 = q << (16 - bits)
+        for b in range(16):
+            out |= ((q16 >> b) & 1) << (b * stride + i)
+    return out
+
+
+def test_key_vs_reference(ray_session):
+    rng = np.random.default_rng(2)
+    df = pd.DataFrame(
+        {
+            "x": rng.integers(0, 1000, 300),
+            "y": rng.integers(-50, 450, 300),
+            "z": rng.integers(0, 7, 300),
+        }
+    )
+    domains = {"x": (0, 1000), "y": (-50, 450), "z": (0, 7)}
+    for cols, bits in ((["x", "y"], 16), (["x", "y", "z"], 10), (["x"], 12)):
+        t = zorder_key(pa.Table.from_pandas(df), cols, domains, bits=bits)
+        got = t.column("zkey").to_pylist()
+        want = [
+            _ref_key([r[c] for c in cols], [domains[c][0] for c in cols],
+                     [domains[c][1] for c in cols], bits, len(cols))
+            for _, r in df.iterrows()
+        ]
+        assert got == want, (cols, bits)
+
+
+def test_key_refusals(ray_session):
+    t = pa.table({"x": pa.array([1], pa.int64())})
+    with pytest.raises(ValueError, match="exceeds int64"):
+        zorder_key(t, ["x"] * 5, {"x": (0, 10)}, bits=16)
+    with pytest.raises(ValueError, match="at most 16"):
+        zorder_key(t, ["x"], {"x": (0, 10)}, bits=20)
+    with pytest.raises(ValueError, match="empty domain"):
+        zorder_key(t, ["x"], {"x": (5, 5)})
+
+
+def test_layout_prune_beats_naive(ray_session, tmp_path):
+    rng = np.random.default_rng(4)
+    n = 20_000
+    df = pd.DataFrame(
+        {
+            "a": rng.integers(0, 1 << 14, n),
+            "b": rng.integers(0, 1 << 14, n),
+            "payload": rng.integers(0, 1 << 30, n),
+        }
+    )
+    domains = {"a": (0, 1 << 14), "b": (0, 1 << 14)}
+    out = str(tmp_path / "zorder")
+    ds = rd.from_pandas(df).repartition(16)
+    manifest = zorder_layout(ds, ["a", "b"], domains, out)
+    n_files = len(manifest["files"])
+    assert n_files >= 8
+
+    # a small box on BOTH dims prunes most files
+    box = {"a": (1000, 1400), "b": (2000, 2400)}
+    kept = zorder_prune(out, box)
+    assert len(kept) <= max(2, n_files // 3)
+
+    # correctness: the surviving files hold every matching row
+    import pyarrow.parquet as pq
+
+    rows = pd.concat([pq.read_table(p).to_pandas() for p in kept])
+    got = rows[(rows.a.between(*box["a"])) & (rows.b.between(*box["b"]))]
+    want = df[(df.a.between(*box["a"])) & (df.b.between(*box["b"]))]
+    assert sorted(got["payload"]) == sorted(want["payload"])
+
+    # a single-dim box also prunes (the point of z-order vs 1-col sort)
+    kept_a = zorder_prune(out, {"a": (0, 800)})
+    kept_b = zorder_prune(out, {"b": (0, 800)})
+    assert len(kept_a) < n_files and len(kept_b) < n_files
+
+    with pytest.raises(ValueError, match="not in the layout"):
+        zorder_prune(out, {"nope": (0, 1)})
+
+
+def test_manifest_shape(ray_session, tmp_path):
+    df = pd.DataFrame({"a": range(100), "b": range(100)})
+    out = str(tmp_path / "z2")
+    manifest = zorder_layout(
+        rd.from_pandas(df), ["a", "b"], {"a": (0, 100), "b": (0, 100)}, out
+    )
+    on_disk = json.load(open(os.path.join(out, "_manifest", "files.json")))
+    assert on_disk == manifest
+    for name, stats in manifest["files"].items():
+        assert os.path.exists(os.path.join(out, name))
+        assert set(stats) == {"a", "b"}
