@@ -783,6 +783,21 @@ def q_lineitem_zorder_keys(sf_dir: str):
     )
 
 
+def q_events_winsorized(sf_dir: str):
+    """Per-group winsorized census (outlier clipping at exact p5/p95)."""
+    from .relational import events_winsorized
+
+    return events_winsorized(sf_dir)
+
+
+def q_events_hourly_dense(sf_dir: str):
+    """Gap-filled hourly calendar per event type (resample with
+    zero-fill)."""
+    from .relational import events_hourly_dense
+
+    return events_hourly_dense(sf_dir)
+
+
 def q_docs_profile(sf_dir: str):
     """One-pass profiler (stages/profile.py) over documents — the
     oracled projection keeps the EXACT fields (count/nulls/min/max);
@@ -4051,6 +4066,8 @@ QUERIES = {
     "events_quantiles_cont": q_events_quantiles_cont,
     "docs_profile": q_docs_profile,
     "lineitem_zorder_keys": q_lineitem_zorder_keys,
+    "events_winsorized": q_events_winsorized,
+    "events_hourly_dense": q_events_hourly_dense,
     "token_top20": q_token_top20,
     "inverted_index": q_inverted_index,
     "dedup_exact": q_dedup_exact,
@@ -4562,6 +4579,32 @@ ORACLE_SQL = {
         " COUNT(*) AS n_events,"
         " CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_value_cents "
         "FROM events GROUP BY 1"
+    ),
+    "events_winsorized": (
+        "WITH v AS (SELECT event_type,"
+        " CAST(ROUND(value * 1000.0) AS BIGINT) AS vm FROM events),"
+        " b AS (SELECT event_type,"
+        "  CAST(quantile_disc(vm, 0.05) AS BIGINT) AS lo,"
+        "  CAST(quantile_disc(vm, 0.95) AS BIGINT) AS hi FROM v GROUP BY event_type)"
+        " SELECT v.event_type AS event_type, CAST(COUNT(*) AS BIGINT) AS n_events,"
+        " CAST(SUM(LEAST(GREATEST(vm, lo), hi)) AS BIGINT) AS winsorized_milli"
+        " FROM v JOIN b ON v.event_type = b.event_type GROUP BY v.event_type"
+    ),
+    "events_hourly_dense": (
+        "WITH agg AS (SELECT CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT)"
+        "  AS window_start, event_type, CAST(COUNT(*) AS BIGINT) AS n_events,"
+        "  CAST(SUM(CAST(ROUND(value * 1000.0) AS BIGINT)) AS BIGINT) AS value_milli"
+        "  FROM events GROUP BY 1, 2),"
+        " bounds AS (SELECT MIN(window_start) AS lo, MAX(window_start) AS hi FROM agg),"
+        " cal AS (SELECT CAST(unnest(generate_series(lo, hi, 3600)) AS BIGINT)"
+        "  AS window_start FROM bounds),"
+        " types AS (SELECT DISTINCT event_type FROM agg)"
+        " SELECT cal.window_start AS window_start, types.event_type AS event_type,"
+        "  COALESCE(n_events, 0) AS n_events,"
+        "  COALESCE(value_milli, 0) AS value_milli"
+        " FROM cal CROSS JOIN types"
+        " LEFT JOIN agg ON agg.window_start = cal.window_start"
+        "  AND agg.event_type = types.event_type"
     ),
     "lineitem_zorder_keys": (
         # SQL twin of the Morton spread: quantize each column to 16

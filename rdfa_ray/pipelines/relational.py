@@ -130,8 +130,12 @@ def events_hourly(sf_dir: str):
     )
 
     def window_key(batch: pa.Table) -> pa.Table:
-        # floor to hour, expressed as epoch seconds (int64)
-        secs = pc.divide(pc.cast(batch.column("ts"), pa.int64()), 1_000_000)
+        # floor to hour, expressed as epoch seconds (int64); normalize
+        # the timestamp unit FIRST — a ns-typed block (pandas default)
+        # would otherwise compute 1000x hours (the cohort_retention
+        # lesson: invisible on the us-typed oracle tables)
+        ts_us = pc.cast(batch.column("ts"), pa.timestamp("us"))
+        secs = pc.divide(pc.cast(ts_us, pa.int64()), 1_000_000)
         hour = pc.multiply(pc.divide(secs, 3600), 3600)
         batch = batch.append_column("window_start", pc.cast(hour, pa.int64()))
         return batch.append_column(
@@ -183,6 +187,101 @@ def events_props_census(sf_dir: str):
         .groupby("k")
         .aggregate(Count(alias_name="n_events"), Sum("value_cents", alias_name="sum_value_cents"))
     )
+
+
+def events_winsorized(sf_dir: str):
+    """Per-group winsorized sums — the outlier-clipping cleaning pass:
+    clip value_milli to each event_type's exact [p5, p95]
+    (order-statistic quantiles from the histogram exchange of
+    ``stages/quantile.py``), then census (n, clipped int sum).  The
+    bounds table is group-sized — it broadcasts via ``ray.put`` and the
+    clip is map-side; no second shuffle over the rows."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.quantile import grouped_quantiles
+
+    ds = read_parquet_clean(
+        "%s/events.parquet" % sf_dir, columns=["event_type", "value"]
+    )
+
+    def to_milli(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "event_type": batch.column("event_type"),
+                "value_milli": pc.cast(
+                    pc.round(pc.multiply(batch.column("value"), 1000.0), 0,
+                             round_mode="half_towards_infinity"),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    milli = ds.map_batches(to_milli, batch_format="pyarrow")
+    bounds = grouped_quantiles(
+        milli, group="event_type", value="value_milli", qs=[0.05, 0.95]
+    ).to_pandas()
+    lut = {
+        r["event_type"]: (int(r["q5"]), int(r["q95"]))
+        for _, r in bounds.iterrows()
+    }
+    lut_ref = ray.put(lut)
+
+    def clip(batch: pd.DataFrame) -> pd.DataFrame:
+        table = ray.get(lut_ref)
+        lo = batch["event_type"].map(lambda g: table[g][0]).to_numpy()
+        hi = batch["event_type"].map(lambda g: table[g][1]).to_numpy()
+        v = batch["value_milli"].to_numpy()
+        batch["value_milli"] = v.clip(lo, hi)
+        return batch
+
+    return (
+        milli.map_batches(clip, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value_milli", alias_name="winsorized_milli"),
+        )
+    )
+
+
+def events_hourly_dense(sf_dir: str):
+    """Gap-filled hourly series per event type: every (event_type,
+    hour) cell of the [global min hour, global max hour] calendar,
+    zero-filled where no events landed — the resample/calendarize pass
+    a time-series consumer needs before window math.  The distributed
+    work is the tumbling aggregate (``events_hourly``); densification
+    runs on its GROUP-SIZED result (hours x types — bounded by the
+    calendar, not the row count)."""
+    import itertools
+
+    import ray.data as rd
+
+    sparse = events_hourly(sf_dir).to_pandas()
+    if not len(sparse):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "window_start": pa.array([], pa.int64()),
+                    "event_type": pa.array([], pa.string()),
+                    "n_events": pa.array([], pa.int64()),
+                    "value_milli": pa.array([], pa.int64()),
+                }
+            )
+        )
+    hours = range(
+        int(sparse["window_start"].min()),
+        int(sparse["window_start"].max()) + 3600,
+        3600,
+    )
+    types = sorted(sparse["event_type"].unique())
+    grid = pd.DataFrame(
+        itertools.product(hours, types), columns=["window_start", "event_type"]
+    )
+    dense = grid.merge(sparse, on=["window_start", "event_type"], how="left")
+    dense["n_events"] = dense["n_events"].fillna(0).astype("int64")
+    dense["value_milli"] = dense["value_milli"].fillna(0).astype("int64")
+    return rd.from_pandas(dense)
 
 
 SESSION_GAP_S = 1800
@@ -341,7 +440,9 @@ def events_sliding(sf_dir: str):
     ds = read_parquet_clean("%s/events.parquet" % sf_dir, columns=["ts", "event_type"])
 
     def explode(batch: pa.Table) -> pa.Table:
-        secs = pc.divide(pc.cast(batch.column("ts"), pa.int64()), 1_000_000)
+        # unit-normalize before epoch math (see events_hourly)
+        ts_us = pc.cast(batch.column("ts"), pa.timestamp("us"))
+        secs = pc.divide(pc.cast(ts_us, pa.int64()), 1_000_000)
         base = np.asarray(
             pc.multiply(pc.divide(secs, SLIDE_HOP_S), SLIDE_HOP_S)
         )
