@@ -163,6 +163,11 @@ def _headline_and_queries(sf_dir: str, num_cpus: int, n_turns: int) -> dict:
     timed("dsir_weights", Q.q_dsir_weights)
     timed("quality_classifier", Q.q_quality_classifier)
     timed("pca_covariance", Q.q_pca_covariance)
+    timed("kg_link_pred", Q.q_kg_link_pred)
+    timed("docs_profile", Q.q_docs_profile)
+    timed("lineitem_zorder_keys", Q.q_lineitem_zorder_keys)
+    timed("events_winsorized", Q.q_events_winsorized)
+    timed("events_props_census", Q.q_events_props_census)
 
     ray.shutdown()
     return {
