@@ -3865,6 +3865,16 @@ def q_kg_group_concat(sf_dir: str):
     )
 
 
+def q_bigram_logppl(sf_dir: str):
+    """Interpolated bigram LM filtering signal — word-order-aware
+    perplexity (the next rung of the CCNet ladder above unigram):
+    one gram-counts exchange, broadcast model, one scoring map."""
+    from ..stages.lmscore import bigram_logppl
+
+    docs = read_parquet_clean("%s/documents.parquet" % sf_dir, columns=["doc_id", "text"])
+    return bigram_logppl(docs)
+
+
 def q_unigram_logppl(sf_dir: str):
     """CCNet-style LM filtering signal: mean negative log-likelihood of
     each document under the corpus's own unigram model — one counts
@@ -4128,6 +4138,7 @@ QUERIES = {
     "dedup_lines": q_dedup_lines,
     "multimodal_resize": q_multimodal_resize,
     "unigram_logppl": q_unigram_logppl,
+    "bigram_logppl": q_bigram_logppl,
     "dsir_weights": q_dsir_weights,
     "dsir_resample": q_dsir_resample,
     "quality_classifier": q_quality_classifier,
@@ -5393,6 +5404,29 @@ ORACLE_SQL = {
         " || '/turn/0' AS g,"
         " 'http://docs.local/d' || CAST(doc_id AS VARCHAR) AS d,"
         " lang AS l FROM documents WHERE source = 'src1'"
+    ),
+    "bigram_logppl": (
+        # interpolated bigram twin: ML bigram over prefix counts backed
+        # off to the unigram, 0.7/0.3 mix identical to the engine's
+        # float expression; quantize AFTER the per-doc mean
+        "WITH tok AS (SELECT doc_id,"
+        "  unnest(string_split(lower(text), ' ')) AS t,"
+        "  generate_subscripts(string_split(lower(text), ' '), 1) AS ord"
+        "  FROM documents),"
+        " uni AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),"
+        " tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS T FROM uni),"
+        " big AS (SELECT a.doc_id, a.t AS w1, b.t AS w2 FROM tok a"
+        "  JOIN tok b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1),"
+        " bc AS (SELECT w1, w2, COUNT(*) AS c FROM big GROUP BY w1, w2),"
+        " pref AS (SELECT w1, SUM(c) AS cp FROM bc GROUP BY w1),"
+        " ll AS (SELECT big.doc_id,"
+        "   -ln(0.7 * (bc.c / pref.cp) + 0.3 * (uni.c / tot.T)) AS nll"
+        "  FROM big JOIN bc ON big.w1 = bc.w1 AND big.w2 = bc.w2"
+        "   JOIN pref ON big.w1 = pref.w1"
+        "   JOIN uni ON big.w2 = uni.t CROSS JOIN tot)"
+        " SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,"
+        "  CAST(floor(AVG(nll) * 1000000 + 0.5) AS BIGINT) AS logppl_micro"
+        " FROM ll GROUP BY doc_id"
     ),
     "unigram_logppl": (
         "WITH tok AS (SELECT doc_id,"

@@ -107,3 +107,139 @@ def unigram_logppl(docs_ds, quantize: float = 1e6):
         )
 
     return docs_ds.map_batches(score_batch, batch_format="pandas")
+
+# ---------------------------------------------------------------------------
+# Interpolated bigram LM (one rung up the CCNet ladder: KenLM is an
+# n-gram model; the bigram captures local word order the unigram
+# cannot, so boilerplate with plausible vocabulary but scrambled order
+# scores worse).
+
+_GRAM_SCHEMA = pa.schema([("gram", pa.string()), ("part", pa.int64())])
+
+
+def _gram_count_partial(batch: pa.Table) -> pa.Table:
+    """ONE text pass emits both count families: unigram rows keyed
+    ``u\\x1f<w>`` and within-document bigram rows ``b\\x1f<w1>\\x1f<w2>``,
+    pre-combined per block."""
+    toks = pc.split_pattern(
+        pc.utf8_lower(pc.cast(batch.column("text"), pa.string())), " "
+    )
+    flat = pc.list_flatten(toks)
+    if len(flat) == 0:
+        return _GRAM_SCHEMA.empty_table()
+    # vectorized: unigram grams on the flat array; bigram grams on the
+    # shifted pair where both positions share a parent list (the
+    # parent-id diff mask — no Python token loop)
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    uni = pc.binary_join_element_wise(
+        pa.array(["u"] * len(flat), pa.string()), flat, "\x1f"
+    )
+    same = parents[1:] == parents[:-1]
+    w1 = flat.slice(0, len(flat) - 1).filter(pa.array(same))
+    w2 = flat.slice(1).filter(pa.array(same))
+    bi = pc.binary_join_element_wise(
+        pa.array(["b"] * len(w1), pa.string()), w1, w2, "\x1f"
+    )
+    grams = pa.concat_arrays([uni.combine_chunks() if isinstance(uni, pa.ChunkedArray) else uni,
+                              bi.combine_chunks() if isinstance(bi, pa.ChunkedArray) else bi])
+    agg = pa.table({"gram": grams}).group_by("gram").aggregate([("gram", "count")])
+    return pa.Table.from_arrays(
+        [agg.column("gram"), pc.cast(agg.column("gram_count"), pa.int64())],
+        schema=_GRAM_SCHEMA,
+    )
+
+
+def bigram_logppl(docs_ds, lam: float = 0.7, quantize: float = 1e6):
+    """(doc_id, text) -> (doc_id, n_bigrams, logppl_micro): mean
+    negative log-likelihood of each within-document bigram under the
+    corpus-trained interpolated model
+
+        p(w2 | w1) = lam * c(w1 w2)/c_prefix(w1) + (1-lam) * c(w2)/T
+
+    (ML bigram backed off to the unigram — deterministic, no
+    smoothing constants to tune, SQL-oracle-checkable).  Documents
+    with fewer than two tokens have no bigrams and are EXCLUDED (not
+    scored 0 — that would conflate "empty" with "perfectly likely").
+
+    Same distribution shape as ``unigram_logppl``: one text pass emits
+    per-block gram-count partials (the only exchange is gram-count
+    sized), the model broadcasts once via ``ray.put``, scoring is one
+    map with zero text shuffles.  ``logppl_micro`` quantizes AFTER the
+    per-document mean, same contract as the unigram score."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    docs_ds = docs_ds.materialize()  # two passes: train + score
+
+    counts = (
+        docs_ds.map_batches(_gram_count_partial, batch_format="pyarrow")
+        .groupby("gram")
+        .aggregate(Sum("part", alias_name="n"))
+        .to_pandas()
+    )
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_bigrams", pa.int64()),
+         ("logppl_micro", pa.int64())]
+    )
+    if not len(counts):
+        return rd.from_arrow(out_schema.empty_table())
+
+    is_uni = counts["gram"].str.startswith("u\x1f")
+    uni = counts[is_uni]
+    uni_c = pd.Series(
+        uni["n"].to_numpy(dtype=np.float64),
+        index=uni["gram"].str.slice(2),
+    )
+    total = float(uni_c.sum())
+    bi = counts[~is_uni]
+    bi_c = pd.Series(
+        bi["n"].to_numpy(dtype=np.float64),
+        index=bi["gram"].str.slice(2),  # "w1\x1fw2"
+    )
+    prefix_c = bi_c.groupby(
+        bi_c.index.str.split("\x1f").str[0]
+    ).sum()
+    model_ref = ray.put((uni_c, bi_c, prefix_c, total))
+
+    def score_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "n_bigrams": pd.Series([], dtype="int64"),
+                "logppl_micro": pd.Series([], dtype="int64"),
+            }
+        )
+        if not len(batch):
+            return empty
+        u_c, b_c, p_c, T = ray.get(model_ref)
+        ids = batch["doc_id"].to_numpy()
+        toks = batch["text"].fillna("").str.lower().str.split(" ")
+        flat = toks.explode()
+        par = flat.index.to_numpy()
+        vals = flat.to_numpy(dtype=object)
+        if len(vals) < 2:
+            return empty
+        same = par[1:] == par[:-1]
+        if not same.any():
+            return empty
+        w1 = pd.Index(vals[:-1][same])
+        w2 = pd.Index(vals[1:][same])
+        docs = ids[par[1:][same].astype(np.int64)]
+        keys = w1.astype(object) + "\x1f" + w2.astype(object)
+        p_bi = b_c.reindex(keys).to_numpy() / p_c.reindex(w1).to_numpy()
+        p_uni = u_c.reindex(w2).to_numpy() / T
+        nll = -np.log(lam * p_bi + (1.0 - lam) * p_uni)
+        g = pd.DataFrame({"d": docs, "nll": nll}).groupby("d")["nll"]
+        mean_nll = g.mean()
+        return pd.DataFrame(
+            {
+                "doc_id": mean_nll.index.to_numpy().astype("int64"),
+                "n_bigrams": g.size().to_numpy().astype("int64"),
+                "logppl_micro": np.floor(
+                    mean_nll.to_numpy() * quantize + 0.5
+                ).astype("int64"),
+            }
+        )
+
+    return docs_ds.map_batches(score_batch, batch_format="pandas")
