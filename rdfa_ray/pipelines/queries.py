@@ -1577,6 +1577,17 @@ def q_kg_pagerank(sf_dir: str):
     return ranks.sort(["rank", "node"], descending=[True, False]).limit(20)
 
 
+def q_kg_ppr(sf_dir: str):
+    """Personalized PageRank (random-walk-with-restart) from seeds
+    {5, 21} over the category tree — "entities related to THESE";
+    iterative float workload, rows-only (pytest bounds all three
+    execution modes against dense numpy)."""
+    from ..stages.pagerank import pagerank
+
+    ranks = pagerank(_doc_tree_edges(sf_dir), n_iters=10, seeds=[5, 21])
+    return ranks.sort(["rank", "node"], descending=[True, False]).limit(20)
+
+
 def q_orders_rollup(sf_dir: str):
     """GROUP BY ROLLUP: leaf aggregate distributed, super-aggregates
     derived from the tiny leaf table."""
@@ -4139,6 +4150,7 @@ QUERIES = {
     "multimodal_resize": q_multimodal_resize,
     "unigram_logppl": q_unigram_logppl,
     "bigram_logppl": q_bigram_logppl,
+    "kg_ppr": q_kg_ppr,
     "dsir_weights": q_dsir_weights,
     "dsir_resample": q_dsir_resample,
     "quality_classifier": q_quality_classifier,

@@ -90,14 +90,38 @@ def _nodes_and_outdeg(edges) -> "pd.DataFrame | None":
     return out
 
 
-def _pagerank_broadcast(edges, state: pd.DataFrame, n_iters: int, damping: float):
+def _teleport_vector(nodes, seeds):
+    """Per-node teleport distribution e: uniform without seeds,
+    1/|seeds| on the seed rows otherwise.  Seeds absent from the node
+    set would silently leak rank mass — refuse loudly."""
+    import numpy as np
+
+    n = len(nodes)
+    if seeds is None:
+        return np.full(n, 1.0 / n)
+    seeds = sorted(set(seeds))
+    pos = pd.Series(range(n), index=nodes)
+    hit = pos.reindex(seeds)
+    if hit.isna().any():
+        missing = [s for s, p in zip(seeds, hit) if pd.isna(p)]
+        raise ValueError(
+            "personalized PageRank seeds not in the graph: %r" % missing[:5]
+        )
+    e = np.zeros(n)
+    e[hit.to_numpy(dtype=np.int64)] = 1.0 / len(seeds)
+    return e
+
+
+def _pagerank_broadcast(edges, state: pd.DataFrame, n_iters: int, damping: float,
+                        seeds=None):
     """Rank vector on the driver; per superstep one broadcast + one
     edge-set pass producing |V|-bounded partials."""
     import ray
 
     n_nodes = len(state)
     state = state.sort_values("node").reset_index(drop=True)
-    state["rank"] = 1.0 / n_nodes
+    e = _teleport_vector(state["node"].to_numpy(), seeds)
+    state["rank"] = e
 
     for _ in range(n_iters):
         deg = state["outdeg"].to_numpy()
@@ -126,9 +150,11 @@ def _pagerank_broadcast(edges, state: pd.DataFrame, n_iters: int, damping: float
             contrib = partials.groupby("node", as_index=False)["c"].sum()
         else:
             contrib = pd.DataFrame({"node": [], "c": []})
-        base = (1.0 - damping) / n_nodes + damping * dangling / n_nodes
         merged = state[["node", "outdeg"]].merge(contrib, on="node", how="left")
-        state["rank"] = base + damping * merged["c"].fillna(0.0).to_numpy()
+        state["rank"] = (
+            (1.0 - damping) * e
+            + damping * (merged["c"].fillna(0.0).to_numpy() + dangling * e)
+        )
 
     import ray.data as rd
 
@@ -144,11 +170,30 @@ def _pagerank_broadcast(edges, state: pd.DataFrame, n_iters: int, damping: float
 
 
 def _pagerank_shuffle(
-    edges, n_nodes: int, n_iters: int, damping: float, n_buckets: int
+    edges, n_nodes: int, n_iters: int, damping: float, n_buckets: int,
+    seeds=None,
 ):
     """The general bucketed-exchange formulation for vertex tables too
-    large to broadcast."""
+    large to broadcast.  ``seeds``: the teleport vector is seed-set
+    sized, so it broadcasts and e(v) evaluates map-side (is_in)."""
+    import numpy as np
     from ray.data.aggregate import Count, Sum
+
+    seed_arr = (
+        None if seeds is None else pa.array(sorted(set(seeds)), pa.int64())
+    )
+    e_seed = 0.0 if seeds is None else 1.0 / len(set(seeds))
+
+    def e_of(node_col):
+        """Teleport mass per node, vectorized."""
+        import pyarrow.compute as pc
+
+        if seed_arr is None:
+            n = len(node_col)
+            return pa.array(np.full(n, 1.0 / n_nodes), pa.float64())
+        return pc.if_else(
+            pc.is_in(node_col, value_set=seed_arr), e_seed, 0.0
+        )
 
     outdeg = edges.groupby("src").aggregate(Count(alias_name="outdeg"))
 
@@ -175,13 +220,25 @@ def _pagerank_shuffle(
         .drop_columns(["_c"])
     )
 
+    if seed_arr is not None:
+        import pyarrow.compute as pc
+
+        found = nodes.map_batches(
+            lambda t: t.filter(
+                pc.is_in(t.column("node"), value_set=seed_arr)
+            ),
+            batch_format="pyarrow",
+        ).count()
+        if found != len(seed_arr):
+            raise ValueError(
+                "personalized PageRank: %d of %d seeds not in the graph"
+                % (len(seed_arr) - found, len(seed_arr))
+            )
+
     ranks = (
         bucketed_hash_join(
             nodes.map_batches(
-                lambda t: t.append_column(
-                    "rank",
-                    pa.array([1.0 / n_nodes] * t.num_rows, pa.float64()),
-                ),
+                lambda t: t.append_column("rank", e_of(t.column("node"))),
                 batch_format="pyarrow",
             ),
             outdeg.map_batches(
@@ -264,7 +321,9 @@ def _pagerank_shuffle(
             .aggregate(Sum("c", alias_name="contrib"))
         )
 
-        base = (1.0 - damping) / n_nodes + damping * dangling / n_nodes
+        # per-node base: ((1-d) + d*dangling) * e(v) — reduces to the
+        # classic scalar when e is uniform
+        base_scale = (1.0 - damping) + damping * dangling
 
         ranks = (
             bucketed_hash_join(
@@ -286,7 +345,7 @@ def _pagerank_shuffle(
                 ),
             )
             .map_batches(
-                lambda t, _base=base: pa.Table.from_pydict(
+                lambda t, _bs=base_scale: pa.Table.from_pydict(
                     {
                         "node": t.column("node"),
                         "rank": pa.compute.add(
@@ -294,7 +353,7 @@ def _pagerank_shuffle(
                                 pa.compute.fill_null(t.column("contrib"), 0.0),
                                 damping,
                             ),
-                            _base,
+                            pa.compute.multiply(e_of(t.column("node")), _bs),
                         ),
                         "outdeg": t.column("outdeg"),
                     }
@@ -308,7 +367,8 @@ def _pagerank_shuffle(
     return ranks.drop_columns(["outdeg"])
 
 
-def _pagerank_local(edges_df: pd.DataFrame, n_iters: int, damping: float):
+def _pagerank_local(edges_df: pd.DataFrame, n_iters: int, damping: float,
+                    seeds=None):
     """Driver-side power iteration for edge sets that fit in one heap:
     the identical update rule on dense numpy (factorized node ids).
     Spinning distributed supersteps over a few thousand edges pays
@@ -323,13 +383,14 @@ def _pagerank_local(edges_df: pd.DataFrame, n_iters: int, damping: float):
     src = edges_df["src"].map(idx).to_numpy()
     dst = edges_df["dst"].map(idx).to_numpy()
     outdeg = np.bincount(src, minlength=n).astype(np.float64)
-    rank = np.full(n, 1.0 / n)
+    e = _teleport_vector(nodes, seeds)
+    rank = e.copy()
     safe_deg = np.where(outdeg == 0, 1.0, outdeg)
     for _ in range(n_iters):
         shares = rank / safe_deg
         contrib = np.bincount(dst, weights=shares[src], minlength=n)
         dangling = rank[outdeg == 0].sum()
-        rank = (1.0 - damping) / n + damping * (contrib + dangling / n)
+        rank = (1.0 - damping) * e + damping * (contrib + dangling * e)
     import ray.data as rd
 
     return rd.from_arrow(
@@ -347,9 +408,18 @@ def pagerank(
     n_buckets: int = 32,
     broadcast_limit: int = 2_000_000,
     local_limit: int = 100_000,
+    seeds=None,
 ):
     """Returns a Dataset (node:int64, rank:float64); ranks sum to ~1.
     Nodes = every endpoint appearing in ``edges_ds``.
+
+    ``seeds``: personalized PageRank — teleport lands uniformly on the
+    seed set instead of all nodes (random-walk-with-restart proximity:
+    "entities related to THESE"), dangling mass redistributes to the
+    seeds likewise.  Seeds absent from the graph raise (silent absence
+    would leak rank mass).  All three execution modes honor it; the
+    teleport vector is seed-set sized, so even the shuffle mode pays
+    only a broadcast ``is_in``.
 
     Adaptive execution: edge sets <= ``local_limit`` rows run ONE
     driver-side dense power iteration (adaptive small-input path, like
@@ -367,7 +437,7 @@ def pagerank(
                     [("node", pa.int64()), ("rank", pa.float64())]
                 ).empty_table()
             )
-        return _pagerank_local(edges_df, n_iters, damping)
+        return _pagerank_local(edges_df, n_iters, damping, seeds=seeds)
     state = _nodes_and_outdeg(edges)
     if state is None:
         import ray.data as rd
@@ -376,5 +446,5 @@ def pagerank(
             pa.schema([("node", pa.int64()), ("rank", pa.float64())]).empty_table()
         )
     if len(state) <= broadcast_limit:
-        return _pagerank_broadcast(edges, state, n_iters, damping)
-    return _pagerank_shuffle(edges, len(state), n_iters, damping, n_buckets)
+        return _pagerank_broadcast(edges, state, n_iters, damping, seeds=seeds)
+    return _pagerank_shuffle(edges, len(state), n_iters, damping, n_buckets, seeds=seeds)
