@@ -315,6 +315,20 @@ class Graph:
             return _query(self._store_dir, sparql, n_buckets=self._n_buckets)
         return _query(self._dataset(), sparql, n_buckets=self._n_buckets)
 
+    def update(self, sparql: str) -> dict:
+        """SPARQL 1.1 Update against a store-backed graph (rdflib
+        ``Graph.update``) — the transactional path ``add``/``remove``
+        point at.  In-memory graphs have no store to mutate: use
+        add/remove/parse there."""
+        if self._store_dir is None:
+            raise ValueError(
+                "update() needs a store-backed Graph — in-memory graphs "
+                "mutate via add()/remove()/parse()"
+            )
+        from . import update as _update
+
+        return _update(self._store_dir, sparql, n_buckets=self._n_buckets)
+
     def serialize(self, format: str = "nt") -> str:
         """Whole-graph serialization to ONE string — driver-sized by
         contract (rdflib returns a string).  Formats: nt, turtle,

@@ -419,7 +419,7 @@ def neighbor_similarity(
     ``exclude_edges=False`` also scores already-adjacent pairs
     (similarity join over the one-hop structure instead of link
     prediction)."""
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Count
 
     import ray
     import ray.data as rd

@@ -187,3 +187,36 @@ def test_outer_join_empty_sides(ray_session):
         right_schema=pa.schema([("k", pa.int64()), ("y", pa.string())]),
     ).to_pandas()
     assert len(out) == 1 and out["y"].iloc[0] == "Y" and pd.isna(out["x"].iloc[0])
+
+
+def test_late_round3_ops_empty(ray_session):
+    from rdfa_ray.stages.graphalgo import neighbor_similarity
+    from rdfa_ray.stages.jsonx import json_field
+    from rdfa_ray.stages.lmscore import bigram_logppl
+    from rdfa_ray.stages.profile import profile_table
+    from rdfa_ray.stages.quantile import grouped_quantiles_cont
+
+    ee = _empty(EMPTY_EDGES)
+    assert neighbor_similarity(ee, n_buckets=2).count() == 0
+
+    ed = _empty(EMPTY_DOCS)
+    assert bigram_logppl(ed).count() == 0
+    prof = profile_table(ed, ["doc_id", "text"])
+    # profiler over zero rows: one row per column, n = 0, all-null mins
+    assert len(prof) in (0, 2)
+    if len(prof):
+        assert (prof["n"] == 0).all()
+
+    js = pa.schema([("doc", pa.string())])
+    assert json_field(_empty(js), "doc", "k", out="k").count() == 0
+
+    q = pa.schema([("g", pa.string()), ("v", pa.int64())])
+    assert grouped_quantiles_cont(_empty(q), "g", "v", [50]).count() == 0
+
+
+def test_zorder_empty_domain_but_no_rows(ray_session, tmp_path):
+    from rdfa_ray.stages.layout import zorder_key
+
+    t = pa.schema([("x", pa.int64()), ("y", pa.int64())]).empty_table()
+    out = zorder_key(t, ["x", "y"], {"x": (0, 10), "y": (0, 10)})
+    assert out.num_rows == 0 and "zkey" in out.column_names

@@ -128,3 +128,22 @@ def test_store_mutation_refused(ray_session, tmp_path):
         g.add((EX + "s", EX + "p", EX + "o"))
     with pytest.raises(ValueError, match="store-backed"):
         g.remove((None, None, None))
+
+
+def test_store_backed_update_and_query(ray_session, tmp_path):
+    import rdfa_ray
+    from rdfa_ray.stages.kgstore import persist_kg
+
+    ds = _full_ds()
+    store = str(tmp_path / "kg")
+    persist_kg(ds.map_batches(
+        lambda t: t.select(["subj", "pred", "obj_value"]), batch_format="pyarrow"
+    ), store)
+    g = Graph(store)
+    assert len(g) == 4
+    assert (EX + "a", EX + "p", EX + "b") in g
+    g.update('INSERT DATA { <%snew> <%sp> <%sb> }' % (EX, EX, EX))
+    assert (EX + "new", EX + "p", EX + "b") in g
+    assert len(g) == 5
+    with pytest.raises(ValueError, match="store-backed"):
+        Graph(_full_ds()).update("INSERT DATA { <x:a> <x:b> <x:c> }")
