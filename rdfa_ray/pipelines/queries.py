@@ -3886,6 +3886,18 @@ def q_bigram_logppl(sf_dir: str):
     return bigram_logppl(docs)
 
 
+def q_ccnet_buckets(sf_dir: str):
+    """CCNet head/middle/tail split (arXiv:1911.00359): per-language
+    LM perplexity terciles — the published training-data selection
+    recipe, composed from the verified LM + quantile primitives."""
+    from ..stages.lmscore import ccnet_buckets
+
+    docs = read_parquet_clean(
+        "%s/documents.parquet" % sf_dir, columns=["doc_id", "text", "lang"]
+    )
+    return ccnet_buckets(docs)
+
+
 def q_unigram_logppl(sf_dir: str):
     """CCNet-style LM filtering signal: mean negative log-likelihood of
     each document under the corpus's own unigram model — one counts
@@ -4151,6 +4163,7 @@ QUERIES = {
     "unigram_logppl": q_unigram_logppl,
     "bigram_logppl": q_bigram_logppl,
     "kg_ppr": q_kg_ppr,
+    "ccnet_buckets": q_ccnet_buckets,
     "dsir_weights": q_dsir_weights,
     "dsir_resample": q_dsir_resample,
     "quality_classifier": q_quality_classifier,
@@ -5416,6 +5429,26 @@ ORACLE_SQL = {
         " || '/turn/0' AS g,"
         " 'http://docs.local/d' || CAST(doc_id AS VARCHAR) AS d,"
         " lang AS l FROM documents WHERE source = 'src1'"
+    ),
+    "ccnet_buckets": (
+        # per-language unigram LM -> per-doc mean NLL in micro-nats ->
+        # per-language tercile thresholds (order statistics) -> census
+        "WITH tok AS (SELECT doc_id, lang,"
+        "  unnest(string_split(lower(text), ' ')) AS token FROM documents),"
+        " freq AS (SELECT lang, token, COUNT(*) AS n FROM tok GROUP BY lang, token),"
+        " tot AS (SELECT lang, CAST(SUM(n) AS DOUBLE) AS T FROM freq GROUP BY lang),"
+        " scored AS (SELECT t.doc_id, t.lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,"
+        "   CAST(floor(-AVG(ln(f.n / tt.T)) * 1000000 + 0.5) AS BIGINT) AS ppl"
+        "  FROM tok t JOIN freq f ON t.lang = f.lang AND t.token = f.token"
+        "   JOIN tot tt ON t.lang = tt.lang GROUP BY t.doc_id, t.lang),"
+        " thr AS (SELECT lang, CAST(quantile_disc(ppl, 0.33) AS BIGINT) AS q33,"
+        "   CAST(quantile_disc(ppl, 0.67) AS BIGINT) AS q67 FROM scored GROUP BY lang)"
+        " SELECT s.lang AS lang,"
+        "  CASE WHEN ppl <= q33 THEN 'head' WHEN ppl <= q67 THEN 'middle'"
+        "   ELSE 'tail' END AS bucket,"
+        "  CAST(COUNT(*) AS BIGINT) AS n_docs,"
+        "  CAST(SUM(n_tokens) AS BIGINT) AS tokens_total"
+        " FROM scored s JOIN thr ON s.lang = thr.lang GROUP BY 1, 2"
     ),
     "bigram_logppl": (
         # interpolated bigram twin: ML bigram over prefix counts backed

@@ -243,3 +243,145 @@ def bigram_logppl(docs_ds, lam: float = 0.7, quantize: float = 1e6):
         )
 
     return docs_ds.map_batches(score_batch, batch_format="pandas")
+
+# ---------------------------------------------------------------------------
+# CCNet bucketing (Wenzek et al. 2019, arXiv:1911.00359): score each
+# document's perplexity under ITS LANGUAGE's model, then split every
+# language into head/middle/tail terciles by perplexity — the split
+# the paper feeds to training-data selection (head = cleanest).
+
+
+def ccnet_buckets(docs_ds, quantize: float = 1e6):
+    """(doc_id, text, lang) -> (lang, bucket, n_docs, tokens_total):
+    per-language unigram LM (deployments swap in KenLM per language —
+    the distribution shape is identical), per-document mean NLL in
+    integer micro-nats, tercile thresholds per language via the exact
+    order-statistic quantiles, head/middle/tail census.
+
+    Scale shape: two text passes (train + score, zero text shuffles —
+    the (lang, token) count exchange and the per-language threshold
+    table are vocabulary-sized), one broadcast of the per-language
+    models, one broadcast of the 2-row-per-language thresholds, and a
+    tiny census aggregate.  Bucket rule (CCNet §4.3, discretized):
+    head = ppl <= q33, middle = ppl <= q67, tail = rest — thresholds
+    are the q(33)/q(67) order statistics, so the rule is pure integer
+    comparison and SQL-reproducible."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from .quantile import grouped_quantiles
+
+    docs_ds = docs_ds.materialize()
+
+    # pass 1: per-(lang, token) counts — ONE exchange, vocab-sized
+    def lang_tok_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(
+            pc.utf8_lower(pc.cast(batch.column("text"), pa.string())), " "
+        )
+        flat = pc.list_flatten(toks)
+        if len(flat) == 0:
+            return pa.schema(
+                [("lang", pa.string()), ("token", pa.string()),
+                 ("part", pa.int64())]
+            ).empty_table()
+        parents = pc.list_parent_indices(toks)
+        langs = pc.cast(batch.column("lang"), pa.string()).take(parents)
+        agg = (
+            pa.table({"lang": langs, "token": flat})
+            .group_by(["lang", "token"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["lang", "token", "part"])
+        )
+        return agg.set_column(
+            2, "part", pc.cast(agg.column("part"), pa.int64())
+        )
+
+    vocab = (
+        docs_ds.map_batches(lang_tok_partial, batch_format="pyarrow")
+        .groupby(["lang", "token"])
+        .aggregate(Sum("part", alias_name="n"))
+        .to_pandas()
+    )
+    out_schema = pa.schema(
+        [("lang", pa.string()), ("bucket", pa.string()),
+         ("n_docs", pa.int64()), ("tokens_total", pa.int64())]
+    )
+    if not len(vocab):
+        return rd.from_arrow(out_schema.empty_table())
+    totals = vocab.groupby("lang")["n"].transform("sum").astype(float)
+    logp = pd.Series(
+        np.log(vocab["n"].to_numpy(dtype=np.float64) / totals.to_numpy()),
+        index=pd.MultiIndex.from_frame(vocab[["lang", "token"]]),
+    )
+    logp_ref = ray.put(logp)
+
+    # pass 2: per-doc mean NLL under the doc's language model
+    def score_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "lang": pd.Series([], dtype="object"),
+                "n_tokens": pd.Series([], dtype="int64"),
+                "logppl_micro": pd.Series([], dtype="int64"),
+            }
+        )
+        if not len(batch):
+            return empty
+        table = ray.get(logp_ref)
+        toks = batch["text"].fillna("").str.lower().str.split(" ")
+        flat = toks.explode()
+        par = flat.index.to_numpy()
+        langs = batch["lang"].to_numpy()[par]
+        keys = pd.MultiIndex.from_arrays([langs, flat.to_numpy(dtype=object)])
+        lps = table.reindex(keys).to_numpy()
+        g = pd.DataFrame({"p": par, "lp": lps}).groupby("p")["lp"]
+        mean_lp = g.mean()
+        idx = mean_lp.index.to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy()[idx],
+                "lang": batch["lang"].to_numpy()[idx],
+                "n_tokens": g.size().to_numpy().astype("int64"),
+                "logppl_micro": np.floor(
+                    -mean_lp.to_numpy() * quantize + 0.5
+                ).astype("int64"),
+            }
+        )
+
+    scored = docs_ds.map_batches(score_batch, batch_format="pandas").materialize()
+
+    # per-language tercile thresholds (exact order statistics)
+    thr = grouped_quantiles(
+        scored, group="lang", value="logppl_micro", qs=[0.33, 0.67]
+    ).to_pandas()
+    thr_lut = {
+        r["lang"]: (int(r["q33"]), int(r["q67"])) for _, r in thr.iterrows()
+    }
+    thr_ref = ray.put(thr_lut)
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame(
+                {"lang": pd.Series([], dtype="object"),
+                 "bucket": pd.Series([], dtype="object"),
+                 "n_tokens": pd.Series([], dtype="int64")}
+            )
+        lut = ray.get(thr_ref)
+        q33 = batch["lang"].map(lambda l: lut[l][0]).to_numpy()
+        q67 = batch["lang"].map(lambda l: lut[l][1]).to_numpy()
+        ppl = batch["logppl_micro"].to_numpy()
+        bucket = np.where(ppl <= q33, "head", np.where(ppl <= q67, "middle", "tail"))
+        return pd.DataFrame(
+            {"lang": batch["lang"], "bucket": bucket,
+             "n_tokens": batch["n_tokens"]}
+        )
+
+    return (
+        scored.map_batches(bucketize, batch_format="pandas")
+        .groupby(["lang", "bucket"])
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_tokens", alias_name="tokens_total"),
+        )
+    )
