@@ -419,34 +419,29 @@ def neighbor_similarity(
     ``exclude_edges=False`` also scores already-adjacent pairs
     (similarity join over the one-hop structure instead of link
     prediction)."""
-    from ray.data.aggregate import Count
-
     import ray
     import ray.data as rd
 
-    edges = _canonical_edges(edges_ds, n_buckets).materialize()
-
-    # adjacency rows in both directions: (center, nbr)
-    def adjacency(batch: pa.Table) -> pa.Table:
+    # RAW canonical (min, max) edges — self-loops dropped, duplicates
+    # KEPT: the wedge kernel dedups neighbor lists per center anyway,
+    # so a standalone distinct exchange (and the separate degree
+    # exchange round 1 of this operator paid) would be pure latency —
+    # the chain is THREE exchanges total (center wedges, pair counts,
+    # caller's top-k), measured 12.5 s -> ~6 s at sf0.1.
+    def canon_raw(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        a = pc.cast(batch.column("a"), pa.int64()).combine_chunks()
-        b = pc.cast(batch.column("b"), pa.int64()).combine_chunks()
+        s = pc.cast(batch.column("src"), pa.int64())
+        d = pc.cast(batch.column("dst"), pa.int64())
+        keep = pc.not_equal(s, d)
+        s, d = s.filter(keep), d.filter(keep)
         return pa.Table.from_pydict(
-            {
-                "center": pa.concat_arrays([a, b]),
-                "nbr": pa.concat_arrays([b, a]),
-            }
+            {"a": pc.min_element_wise(s, d), "b": pc.max_element_wise(s, d)}
         )
 
-    adj = edges.map_batches(adjacency, batch_format="pyarrow")
+    edges = edges_ds.map_batches(canon_raw, batch_format="pyarrow").materialize()
 
-    # degrees: one grouped count (reused for the hub cap AND the
-    # final Jaccard denominator — the full degree, independent of cap)
-    deg_df = (
-        adj.groupby("center").aggregate(Count(alias_name="deg")).to_pandas()
-    )
-    if not len(deg_df):
+    def _empty_result():
         return rd.from_arrow(
             pa.table(
                 {
@@ -459,23 +454,77 @@ def neighbor_similarity(
                 }
             )
         )
-    deg = pd.Series(deg_df["deg"].to_numpy(), index=deg_df["center"].to_numpy())
-    deg_ref = ray.put(deg)
+
+    # id-range pre-pass (map-only, no exchange): emptiness + whether
+    # pair identities pack into ONE int64 — ids in [0, 2^31) pack
+    # (u << 32 | v), giving 1-D np.unique (radix-friendly) instead of
+    # the ~10x-slower axis=0 void-dtype sort and int64 join keys
+    # instead of built strings.  Out-of-range ids take the generic
+    # 2-column path (pinned by test).
+    def id_range(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if batch.num_rows == 0:
+            return pa.table({"mn": pa.array([], pa.int64()),
+                             "mx": pa.array([], pa.int64())})
+        mins = min(pc.min(batch.column("a")).as_py(),
+                   pc.min(batch.column("b")).as_py())
+        maxs = max(pc.max(batch.column("a")).as_py(),
+                   pc.max(batch.column("b")).as_py())
+        return pa.table({"mn": pa.array([mins], pa.int64()),
+                         "mx": pa.array([maxs], pa.int64())})
+
+    rng = edges.map_batches(id_range, batch_format="pyarrow").to_pandas()
+    if not len(rng):
+        return _empty_result()
+    packable = int(rng["mn"].min()) >= 0 and int(rng["mx"].max()) < (1 << 31)
+
+    # adjacency rows in both directions: (center, nbr)
+    def adjacency(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").combine_chunks()
+        b = batch.column("b").combine_chunks()
+        return pa.Table.from_pydict(
+            {
+                "center": pa.concat_arrays([a, b]),
+                "nbr": pa.concat_arrays([b, a]),
+            }
+        )
+
+    adj = edges.map_batches(adjacency, batch_format="pyarrow")
 
     # wedge pairs, COARSE-bucketed by center (a per-center map_groups
-    # pays Ray's per-group dispatch ~17k times; 2 coarse exchanges +
-    # in-bucket numpy run the same work in a handful of tasks — the
-    # stages/distinct.py two-level pattern).  Inside a bucket: sort by
-    # center, expand each center's upper triangle via a size-keyed
-    # triu-template cache (the only per-group Python is two fancy
-    # indexes), then PARTIAL-count duplicate pairs before anything
-    # ships — the exchange carries (u, v, n) partials, not raw wedges.
+    # pays Ray's per-group dispatch once per center; one coarse
+    # exchange + in-bucket numpy runs the same work in a handful of
+    # tasks — the stages/distinct.py two-level pattern).  Inside a
+    # bucket: sort by center, DEDUP each center's neighbor list (this
+    # is where duplicate input edges collapse), expand its upper
+    # triangle via a size-keyed triu-template cache, PARTIAL-count
+    # duplicate pairs, and emit each center's DEGREE as a marker row
+    # (pb = -1) so the Jaccard denominators ride the same exchange —
+    # no separate degree aggregate.
     cap = max_center_degree
+    _LOW32 = np.uint64(0xFFFFFFFF)
+
+    def _pack(u: np.ndarray, v: np.ndarray) -> np.ndarray:
+        return (
+            (u.astype(np.uint64) << np.uint64(32)) | v.astype(np.uint64)
+        ).astype(np.int64)
 
     def add_center_bucket(batch: pa.Table) -> pa.Table:
         c = batch.column("center").to_numpy(zero_copy_only=False).astype(np.uint64)
         b = (_graph_mix(c) % np.uint64(n_buckets)).astype(np.int32)
         return batch.append_column("cb", pa.array(b, pa.int32()))
+
+    def _pair_table(u, v, n_arr, pb) -> pa.Table:
+        if packable:
+            return pa.Table.from_pydict(
+                {"pk": pa.array(u, pa.int64()), "n": pa.array(n_arr, pa.int64()),
+                 "pb": pa.array(pb, pa.int32())}
+            )
+        return pa.Table.from_pydict(
+            {"u": pa.array(u, pa.int64()), "v": pa.array(v, pa.int64()),
+             "n": pa.array(n_arr, pa.int64()), "pb": pa.array(pb, pa.int32())}
+        )
 
     def bucket_wedges(group: pa.Table) -> pa.Table:
         centers = group.column("center").to_numpy(zero_copy_only=False)
@@ -487,59 +536,114 @@ def neighbor_similarity(
         sizes = np.diff(np.r_[boundary, len(centers)])
         tmpl: dict[int, tuple] = {}
         us, vs = [], []
+        deg_nodes, deg_vals = [], []
         for start, n in zip(boundary, sizes):
             n = int(n)
-            if n < 2 or (cap is not None and n > cap):
-                continue
-            ij = tmpl.get(n)
-            if ij is None:
-                ij = np.triu_indices(n, k=1)
-                tmpl[n] = ij
             seg = nbrs[start : start + n]
+            # dedup HERE: duplicate input edges collapse per center,
+            # so no standalone distinct exchange is needed; sorted
+            # unique also hands triu its u < v ordering for free
+            seg = seg[np.r_[True, seg[1:] != seg[:-1]]] if n > 1 else seg
+            d = len(seg)
+            deg_nodes.append(centers[start])
+            deg_vals.append(d)
+            if d < 2 or (cap is not None and d > cap):
+                continue
+            ij = tmpl.get(d)
+            if ij is None:
+                ij = np.triu_indices(d, k=1)
+                tmpl[d] = ij
             us.append(seg[ij[0]])
             vs.append(seg[ij[1]])
+        # degree marker rows (pb = -1): one per center of this bucket —
+        # the Jaccard denominators ride the same exchange
+        dn = np.asarray(deg_nodes, dtype=np.int64)
+        dv = np.asarray(deg_vals, dtype=np.int64)
+        markers = _pair_table(dn, np.zeros_like(dn), dv,
+                              np.full(len(dn), -1, np.int32))
         if not us:
-            return pa.Table.from_pydict(
-                {"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64()),
-                 "n": pa.array([], pa.int64()),
-                 "pb": pa.array([], pa.int32())}
-            )
+            return markers
         u = np.concatenate(us)
         v = np.concatenate(vs)
         # in-bucket partial count of repeated pairs (same pair through
         # several centers of this bucket)
-        packed = np.stack([u, v], axis=1)
-        uniq, inv = np.unique(packed, axis=0, return_inverse=True)
-        n_arr = np.bincount(inv).astype(np.int64)
-        pu = uniq[:, 0]
-        pv = uniq[:, 1]
-        pb = (
-            (_graph_mix(pu.astype(np.uint64)) * np.uint64(0x9E3779B9)
-             + _graph_mix(pv.astype(np.uint64)))
-            % np.uint64(n_buckets)
-        ).astype(np.int32)
-        return pa.Table.from_pydict(
-            {
-                "u": pa.array(pu, pa.int64()),
-                "v": pa.array(pv, pa.int64()),
-                "n": pa.array(n_arr, pa.int64()),
-                "pb": pa.array(pb, pa.int32()),
-            }
-        )
+        if packable:
+            pk = _pack(u, v)
+            uniq, n_arr = np.unique(pk, return_counts=True)
+            pb = (_graph_mix(uniq.astype(np.uint64)) % np.uint64(n_buckets)).astype(np.int32)
+            pt = pa.Table.from_pydict(
+                {
+                    "pk": pa.array(uniq, pa.int64()),
+                    "n": pa.array(n_arr.astype(np.int64), pa.int64()),
+                    "pb": pa.array(pb, pa.int32()),
+                }
+            )
+        else:
+            packed = np.stack([u, v], axis=1)
+            uniq, inv = np.unique(packed, axis=0, return_inverse=True)
+            n_arr = np.bincount(inv).astype(np.int64)
+            pu = uniq[:, 0]
+            pv = uniq[:, 1]
+            pb = (
+                (_graph_mix(pu.astype(np.uint64)) * np.uint64(0x9E3779B9)
+                 + _graph_mix(pv.astype(np.uint64)))
+                % np.uint64(n_buckets)
+            ).astype(np.int32)
+            pt = pa.Table.from_pydict(
+                {
+                    "u": pa.array(pu, pa.int64()),
+                    "v": pa.array(pv, pa.int64()),
+                    "n": pa.array(n_arr, pa.int64()),
+                    "pb": pa.array(pb, pa.int32()),
+                }
+            )
+        return pa.concat_tables([markers, pt])
 
     pairs = (
         adj.map_batches(add_center_bucket, batch_format="pyarrow")
         .groupby("cb")
         .map_groups(bucket_wedges, batch_format="pyarrow")
-    )
+    ).materialize()
+
+    key = "pk" if packable else "u"
+
+    def marker_rows(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = batch.filter(pc.equal(batch.column("pb"), -1))
+        return m.select([key, "n"])
+
+    deg_df = pairs.map_batches(marker_rows, batch_format="pyarrow").to_pandas()
+    if not len(deg_df):
+        return _empty_result()
+    deg = pd.Series(deg_df["n"].to_numpy(), index=deg_df[key].to_numpy())
+    deg_ref = ray.put(deg)
+
+    def pair_rows(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.greater_equal(batch.column("pb"), 0))
+
+    pairs = pairs.map_batches(pair_rows, batch_format="pyarrow")
 
     # final per-pair counts: ONE coarse exchange on the pair bucket,
     # in-bucket vectorized unique+bincount (never a row-per-group sort
     # aggregate)
     def bucket_counts(group: pa.Table) -> pa.Table:
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        if packable:
+            pk = group.column("pk").to_numpy(zero_copy_only=False)
+            uniq, inv = np.unique(pk, return_inverse=True)
+            totals = np.bincount(inv, weights=n).astype(np.int64)
+            keep = totals >= min_common
+            return pa.Table.from_pydict(
+                {
+                    "pk": pa.array(uniq[keep], pa.int64()),
+                    "common": pa.array(totals[keep], pa.int64()),
+                }
+            )
         u = group.column("u").to_numpy(zero_copy_only=False)
         v = group.column("v").to_numpy(zero_copy_only=False)
-        n = group.column("n").to_numpy(zero_copy_only=False)
         packed = np.stack([u, v], axis=1)
         uniq, inv = np.unique(packed, axis=0, return_inverse=True)
         totals = np.bincount(inv, weights=n).astype(np.int64)
@@ -557,37 +661,66 @@ def neighbor_similarity(
     if exclude_edges:
         from .bloom import bloom_anti_join
 
-        def _kk(batch: pa.Table, ca: str, cb: str) -> pa.Array:
-            import pyarrow.compute as pc
+        if packable:
+            def edge_pk(batch: pa.Table) -> pa.Table:
+                a = batch.column("a").to_numpy(zero_copy_only=False)
+                b = batch.column("b").to_numpy(zero_copy_only=False)
+                return pa.Table.from_pydict(
+                    {"pk": pa.array(_pack(a, b), pa.int64())}
+                )
 
-            return pc.binary_join_element_wise(
-                pc.cast(batch.column(ca), pa.string()),
-                pc.cast(batch.column(cb), pa.string()),
-                "\x1f",
+            counted = bloom_anti_join(
+                counted,
+                edges.map_batches(edge_pk, batch_format="pyarrow"),
+                on="pk",
+                n_buckets=n_buckets,
+                # int64 key sets broadcast cheaply (8 B/key): raise the
+                # exact-set fast-path limit over the string default
+                broadcast_limit=2_000_000,
+                left_schema=pa.schema(
+                    [("pk", pa.int64()), ("common", pa.int64())]
+                ),
+                right_schema=pa.schema([("pk", pa.int64())]),
             )
+        else:
+            def _kk(batch: pa.Table, ca: str, cb: str) -> pa.Array:
+                import pyarrow.compute as pc
 
-        def pair_keys(batch: pa.Table) -> pa.Table:
-            return batch.append_column("kk", _kk(batch, "u", "v"))
+                return pc.binary_join_element_wise(
+                    pc.cast(batch.column(ca), pa.string()),
+                    pc.cast(batch.column(cb), pa.string()),
+                    "\x1f",
+                )
 
-        def edge_pair_keys(batch: pa.Table) -> pa.Table:
-            return pa.Table.from_pydict({"kk": _kk(batch, "a", "b")})
+            def pair_keys(batch: pa.Table) -> pa.Table:
+                return batch.append_column("kk", _kk(batch, "u", "v"))
 
-        counted = bloom_anti_join(
-            counted.map_batches(pair_keys, batch_format="pyarrow"),
-            edges.map_batches(edge_pair_keys, batch_format="pyarrow"),
-            on="kk",
-            n_buckets=n_buckets,
-            left_schema=pa.schema(
-                [("u", pa.int64()), ("v", pa.int64()),
-                 ("common", pa.int64()), ("kk", pa.string())]
-            ),
-            right_schema=pa.schema([("kk", pa.string())]),
-        ).map_batches(lambda t: t.drop_columns(["kk"]), batch_format="pyarrow")
+            def edge_pair_keys(batch: pa.Table) -> pa.Table:
+                return pa.Table.from_pydict({"kk": _kk(batch, "a", "b")})
+
+            counted = bloom_anti_join(
+                counted.map_batches(pair_keys, batch_format="pyarrow"),
+                edges.map_batches(edge_pair_keys, batch_format="pyarrow"),
+                on="kk",
+                n_buckets=n_buckets,
+                left_schema=pa.schema(
+                    [("u", pa.int64()), ("v", pa.int64()),
+                     ("common", pa.int64()), ("kk", pa.string())]
+                ),
+                right_schema=pa.schema([("kk", pa.string())]),
+            ).map_batches(
+                lambda t: t.drop_columns(["kk"]), batch_format="pyarrow"
+            )
 
     def score(batch: pa.Table) -> pa.Table:
         d = ray.get(deg_ref)
-        u = batch.column("u").to_numpy(zero_copy_only=False)
-        v = batch.column("v").to_numpy(zero_copy_only=False)
+        if packable:
+            pk = batch.column("pk").to_numpy(zero_copy_only=False).astype(np.uint64)
+            u = (pk >> np.uint64(32)).astype(np.int64)
+            v = (pk & _LOW32).astype(np.int64)
+        else:
+            u = batch.column("u").to_numpy(zero_copy_only=False)
+            v = batch.column("v").to_numpy(zero_copy_only=False)
         c = batch.column("common").to_numpy(zero_copy_only=False).astype(np.int64)
         du = d.reindex(u).to_numpy().astype(np.int64)
         dv = d.reindex(v).to_numpy().astype(np.int64)

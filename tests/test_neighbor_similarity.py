@@ -112,3 +112,17 @@ def test_partition_invariance(ray_session):
     rng = np.random.default_rng(11)
     pairs = [tuple(map(int, rng.integers(0, 30, 2))) for _ in range(120)]
     assert _run(pairs, parallelism=1) == _run(pairs, parallelism=7)
+
+
+def test_unpackable_ids_fallback(ray_session):
+    # ids above 2^31 force the generic 2-column path; results must
+    # match the packed path's semantics exactly
+    BIG = 1 << 40
+    pairs = [(1, 2), (2, 3), (10, 11), (11, 12), (12, 13), (13, 10)]
+    shifted = [(a + BIG, b + BIG) for a, b in pairs]
+    got = _run(shifted)
+    want = [
+        (u + BIG, v + BIG, c, du, dv, j)
+        for (u, v, c, du, dv, j) in _reference(pairs)
+    ]
+    assert got == sorted(want)
