@@ -168,6 +168,9 @@ def _headline_and_queries(sf_dir: str, num_cpus: int, n_turns: int) -> dict:
     timed("lineitem_zorder_keys", Q.q_lineitem_zorder_keys)
     timed("events_winsorized", Q.q_events_winsorized)
     timed("events_props_census", Q.q_events_props_census)
+    timed("bigram_logppl", Q.q_bigram_logppl)
+    timed("ccnet_buckets", Q.q_ccnet_buckets)
+    timed("kg_ppr", Q.q_kg_ppr)
 
     ray.shutdown()
     return {
