@@ -199,8 +199,6 @@ def events_winsorized(sf_dir: str):
     import ray
     from ray.data.aggregate import Count, Sum
 
-    from ..stages.quantile import grouped_quantiles
-
     ds = read_parquet_clean(
         "%s/events.parquet" % sf_dir, columns=["event_type", "value"]
     )
@@ -217,14 +215,42 @@ def events_winsorized(sf_dir: str):
             }
         )
 
-    milli = ds.map_batches(to_milli, batch_format="pyarrow")
-    bounds = grouped_quantiles(
-        milli, group="event_type", value="value_milli", qs=[0.05, 0.95]
-    ).to_pandas()
-    lut = {
-        r["event_type"]: (int(r["q5"]), int(r["q95"]))
-        for _, r in bounds.iterrows()
-    }
+    # materialize: the milli view feeds BOTH the bounds pass and the
+    # clip pass — lazy lineage would run the read + cents map twice
+    milli = ds.map_batches(to_milli, batch_format="pyarrow").materialize()
+
+    # bounds via ONE exchange: the merged (group, value) histogram is
+    # group x distinct-value sized — finalize the q5/q95 rule
+    # driver-side with the same ceil(q*n) order-statistic rule
+    # grouped_quantiles implements (oracle: quantile_disc)
+    from ray.data.aggregate import Sum as _Sum
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        return (
+            batch.group_by(["event_type", "value_milli"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["event_type", "value_milli", "n"])
+        )
+
+    hist = (
+        milli.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby(["event_type", "value_milli"])
+        .aggregate(_Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["event_type", "value_milli"], kind="mergesort")
+    )
+    lut = {}
+    import numpy as np
+
+    for g, sub in hist.groupby("event_type", sort=False):
+        cum = sub["n"].cumsum().to_numpy()
+        total = int(cum[-1])
+        vals = sub["value_milli"].to_numpy()
+        picks = []
+        for q in (0.05, 0.95):
+            target = max(int(np.ceil(q * total)), 1)
+            picks.append(int(vals[np.searchsorted(cum, target)]))
+        lut[g] = tuple(picks)
     lut_ref = ray.put(lut)
 
     def clip(batch: pd.DataFrame) -> pd.DataFrame:
