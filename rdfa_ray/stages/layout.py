@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
 
 import numpy as np
 import pandas as pd
@@ -70,7 +71,17 @@ def zorder_key(
         lo, hi = domains[c]
         if not hi > lo:
             raise ValueError("empty domain for %s" % c)
+        if (hi - lo) > ((1 << 63) - 1) >> bits:
+            # (v - lo) * 2^bits must fit int64 — wider domains would
+            # overflow and wrap BEFORE the clip, silently mis-bucketing
+            raise ValueError(
+                "zorder_key: domain width %d for %s exceeds 2^%d; "
+                "pre-scale the column or lower bits" % (hi - lo, c, 63 - bits)
+            )
         v = batch.column(c).to_numpy(zero_copy_only=False).astype(np.int64)
+        # clamp BEFORE the multiply so far-out-of-domain values can't
+        # overflow the int64 product and wrap into a wrong bucket
+        v = np.clip(v, lo, hi - 1)
         # integer quantization: bucket = (v - lo) * 2^bits // (hi - lo)
         q = (v - lo) * (1 << bits) // (hi - lo)
         q = np.clip(q, 0, int(n_levels) - 1).astype(np.uint64)
@@ -105,7 +116,11 @@ def zorder_layout(
                                          "stats": pa.array([], pa.string())})
         kmin = int(pa.compute.min(batch.column("zkey")).as_py())
         kmax = int(pa.compute.max(batch.column("zkey")).as_py())
-        name = "part-%020d-%020d.parquet" % (kmin, kmax)
+        # unique suffix: after the range sort a run of duplicate keys
+        # can span block boundaries, so (kmin, kmax) alone can collide —
+        # two blocks would silently overwrite one file and drop manifest
+        # stats rows
+        name = "part-%020d-%020d-%s.parquet" % (kmin, kmax, uuid.uuid4().hex[:12])
         tmp = os.path.join(out_dir, "." + name + ".tmp")
         pa.set_cpu_count(1)
         pq.write_table(batch.drop_columns(["zkey"]), tmp)
@@ -122,13 +137,16 @@ def zorder_layout(
         )
 
     rows = keyed.map_batches(write_block, batch_format="pyarrow").to_pandas()
+    files = {}
+    for _, r in rows.iterrows():
+        if r["file"] in files:  # uuid suffix makes this unreachable; fail loud
+            raise RuntimeError("zorder_layout: duplicate output file %s" % r["file"])
+        files[r["file"]] = json.loads(r["stats"])
     manifest = {
         "cols": cols,
         "bits": bits,
         "domains": {c: list(domains[c]) for c in cols},
-        "files": {
-            r["file"]: json.loads(r["stats"]) for _, r in rows.iterrows()
-        },
+        "files": files,
     }
     tmp = os.path.join(out_dir, "_manifest", ".files.json.tmp")
     with open(tmp, "w") as f:

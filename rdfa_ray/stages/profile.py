@@ -55,7 +55,11 @@ def _partial_row(col: str, arr: pa.ChunkedArray, hll_p: int, topk: int) -> dict:
         mm = pc.min_max(valid)
         mn, mx = mm["min"].as_py(), mm["max"].as_py()
         if pa.types.is_integer(kind):
-            row["min_i"], row["max_i"] = np.int64(mn), np.int64(mx)
+            # as STRINGS: partial rows cross the combine level as
+            # pandas/Arrow blocks where a nullable int column round-trips
+            # through float64, silently rounding |v| > 2^53 extremes;
+            # _combine compares them numerically
+            row["min_i"], row["max_i"] = str(int(mn)), str(int(mx))
         elif pa.types.is_floating(kind):
             row["min_f"], row["max_f"] = float(mn), float(mx)
         else:
@@ -91,13 +95,19 @@ def _combine(df: pd.DataFrame, topk: int) -> pd.DataFrame:
             vals = series.dropna()
             return fn(vals) if len(vals) else None
 
+        def _agg_i(series, fn):
+            # int extremes travel as strings (exact beyond 2^53);
+            # compare numerically, keep the string representation
+            vals = [int(v) for v in series.dropna()]
+            return str(fn(vals)) if vals else None
+
         out.append(
             {
                 "column": col,
                 "n": np.int64(g["n"].sum()),
                 "nulls": np.int64(g["nulls"].sum()),
-                "min_i": _agg(g["min_i"], min),
-                "max_i": _agg(g["max_i"], max),
+                "min_i": _agg_i(g["min_i"], min),
+                "max_i": _agg_i(g["max_i"], max),
                 "min_f": _agg(g["min_f"], min),
                 "max_f": _agg(g["max_f"], max),
                 "min_s": _agg(g["min_s"], min),

@@ -111,3 +111,42 @@ def test_manifest_shape(ray_session, tmp_path):
     for name, stats in manifest["files"].items():
         assert os.path.exists(os.path.join(out, name))
         assert set(stats) == {"a", "b"}
+
+
+def test_duplicate_key_runs_no_file_collision(ray_session, tmp_path):
+    # ADVICE r3 (medium): a run of identical zkeys spanning block
+    # boundaries used to give two blocks the same (kmin, kmax) name —
+    # os.replace silently overwrote the first file, losing rows.  One
+    # constant key over many partitions forces exactly that layout.
+    n = 5_000
+    df = pd.DataFrame({"a": np.full(n, 7), "b": np.full(n, 9),
+                       "payload": np.arange(n)})
+    out = str(tmp_path / "zdup")
+    ds = rd.from_pandas(df).repartition(8)
+    manifest = zorder_layout(ds, ["a", "b"], {"a": (0, 16), "b": (0, 16)}, out)
+    import pyarrow.parquet as pq
+
+    files = [os.path.join(out, f) for f in manifest["files"]]
+    rows = pd.concat([pq.read_table(p).to_pandas() for p in files])
+    assert sorted(rows["payload"]) == list(range(n))  # no rows lost
+    on_disk = {
+        f for f in os.listdir(out)
+        if f.endswith(".parquet") and not f.startswith(".")
+    }
+    assert on_disk == set(manifest["files"])  # manifest covers every file
+
+
+def test_zorder_key_domain_width_guard_and_clamp():
+    # ADVICE r3 (low): (v - lo) * 2^bits overflowed int64 before the
+    # clip for huge domains / far-out-of-domain values
+    t = pa.table({"x": pa.array([0, (1 << 62)], pa.int64())})
+    with pytest.raises(ValueError, match="domain width"):
+        zorder_key(t, ["x"], {"x": (0, 1 << 62)}, bits=16)
+    # far-out-of-domain values clamp instead of wrapping: the key for
+    # an over-domain value equals the key for hi-1
+    t2 = pa.table({"x": pa.array([(1 << 62), 99], pa.int64())})
+    keys = zorder_key(t2, ["x"], {"x": (0, 100)}, bits=8).column("zkey").to_pylist()
+    ref = zorder_key(
+        pa.table({"x": pa.array([99], pa.int64())}), ["x"], {"x": (0, 100)}, bits=8
+    ).column("zkey").to_pylist()
+    assert keys[0] == ref[0]

@@ -60,3 +60,17 @@ def test_partition_invariance_exact(ray_session):
     a = profile_table(rd.from_pandas(df), list(df.columns))[cols]
     b = profile_table(rd.from_pandas(df).repartition(11), list(df.columns))[cols]
     pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+
+
+def test_int64_extremes_beyond_2_53_exact_with_nulls(ray_session):
+    # ADVICE r3: nullable int partials used to round-trip as float64
+    # across the combine level, rounding |v| > 2^53 extremes
+    lo = -(2**63) + 3
+    hi = 2**63 - 5
+    df = pd.DataFrame(
+        {"v": pd.array([lo, None, 7, hi, None, 11] * 10, dtype="Int64")}
+    )
+    prof = profile_table(rd.from_pandas(df).repartition(6), ["v"]).set_index("column")
+    assert prof.loc["v", "min_value"] == str(lo)
+    assert prof.loc["v", "max_value"] == str(hi)
+    assert prof.loc["v", "nulls"] == 20
