@@ -45,7 +45,10 @@ def main(argv=None):
         help="output partitions (default: sized from the input row count)",
     )
     p.add_argument(
-        "--serialize", choices=["turtle", "jsonld", "pretty-xml"], default=None,
+        "--serialize", choices=sorted(
+            {"turtle", "n3", "ttl", "xml", "pretty-xml", "nt", "ntriples",
+             "json-ld", "json", "jsonld"}
+        ), default=None,
         help="additionally write one serialized document per graph "
         "(reference CLI output formats; N-Quads+Parquet always written)",
     )
@@ -136,7 +139,7 @@ def main(argv=None):
         triples = build_triples(
             read_parquet_clean(args.input), options_kwargs=options_kwargs
         ).map_batches(split_triples, batch_format="pyarrow")
-        serialize_graphs(triples, args.serialize).write_parquet(
+        serialize_graphs(triples, args.serialize, contiguous=True).write_parquet(
             os.path.join(args.output, "serialized_%s" % args.serialize)
         )
     if args.query:

@@ -190,7 +190,7 @@ def _roundtrip_query(sf_dir: str, fmt: str):
 
     turns = typed_transcripts_from_documents(sf_dir)
     triples = build_triples(turns).map_batches(split_triples, batch_format="pyarrow")
-    docs = serialize_graphs(triples, fmt)
+    docs = serialize_graphs(triples, fmt, contiguous=True)  # distill output: turn-contiguous blocks
 
     def parse_back(batch: pa.Table) -> pa.Table:
         from ..kernel.embedded import parse_turtle

@@ -232,14 +232,18 @@ def events_winsorized(sf_dir: str):
             .rename_columns(["event_type", "value_milli", "n"])
         )
 
-    hist = (
+    from ..stages.quantile import guard_hist_rows
+
+    hist_ds = guard_hist_rows(
         milli.map_batches(hist_partial, batch_format="pyarrow")
         .groupby(["event_type", "value_milli"])
-        .aggregate(_Sum("n", alias_name="n"))
-        .to_pandas()
-        .sort_values(["event_type", "value_milli"], kind="mergesort")
+        .aggregate(_Sum("n", alias_name="n")),
+        label="events_winsorized",
     )
-    lut = {}
+    hist = hist_ds.to_pandas().sort_values(
+        ["event_type", "value_milli"], kind="mergesort"
+    )
+    lo_lut, hi_lut = {}, {}
     import numpy as np
 
     for g, sub in hist.groupby("event_type", sort=False):
@@ -250,13 +254,13 @@ def events_winsorized(sf_dir: str):
         for q in (0.05, 0.95):
             target = max(int(np.ceil(q * total)), 1)
             picks.append(int(vals[np.searchsorted(cum, target)]))
-        lut[g] = tuple(picks)
-    lut_ref = ray.put(lut)
+        lo_lut[g], hi_lut[g] = picks
+    lut_ref = ray.put((lo_lut, hi_lut))
 
     def clip(batch: pd.DataFrame) -> pd.DataFrame:
-        table = ray.get(lut_ref)
-        lo = batch["event_type"].map(lambda g: table[g][0]).to_numpy()
-        hi = batch["event_type"].map(lambda g: table[g][1]).to_numpy()
+        lo_t, hi_t = ray.get(lut_ref)
+        lo = batch["event_type"].map(lo_t).to_numpy()  # dict map: C path
+        hi = batch["event_type"].map(hi_t).to_numpy()
         v = batch["value_milli"].to_numpy()
         batch["value_milli"] = v.clip(lo, hi)
         return batch

@@ -41,11 +41,11 @@ class _ProcessorBnodes:
         self.n += 1
         return ("bnode", label)
 
-_MEDIA_TYPES = {
+_MEDIA_TYPES = {  # keyed on serialize.resolve_format canonical names
     "turtle": "text/turtle",
     "nt": "text/plain",
-    "xml": "application/rdf+xml",
-    "json": "application/ld+json",
+    "pretty-xml": "application/rdf+xml",
+    "jsonld": "application/ld+json",
 }
 
 
@@ -89,16 +89,21 @@ def process_source(
     if want_processor:
         graph |= diagnostics_to_triples(diags, _ProcessorBnodes())
 
-    fmt = output_format if output_format in _MEDIA_TYPES else "turtle"
+    # full reference alias set (turtle/n3/xml/pretty-xml/nt/json-ld,
+    # /root/reference/pyRdfa/__init__.py:459-466); unknown formats
+    # raise instead of the reference's silent turtle fallback
+    from .stages.serialize import resolve_format
+
+    fmt = resolve_format(output_format)
     if fmt == "turtle":
         from .rdf.turtle import graph_to_turtle
 
         body = graph_to_turtle(graph)
-    elif fmt == "xml":
+    elif fmt == "pretty-xml":
         from .rdf.rdfxml import graph_to_rdfxml
 
         body = graph_to_rdfxml(graph)
-    elif fmt == "json":
+    elif fmt == "jsonld":
         from .rdf.jsonld import graph_to_jsonld
 
         body = graph_to_jsonld(graph)

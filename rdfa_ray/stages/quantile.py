@@ -23,6 +23,33 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+# Default ceiling on merged (group, value) histogram rows.  The exact
+# path's exchange volume is distinct-pair bounded — the right shape for
+# quantized/integer domains, UNBOUNDED for a continuous column at
+# 100 TB.  Above the ceiling the exact path refuses loudly instead of
+# silently growing; ``stages/sketch.quantile_sketch`` is the
+# bounded-error alternative for such domains.
+_MAX_HIST_ROWS = 50_000_000
+
+
+def guard_hist_rows(hist_ds, label: str, max_hist_rows: int = _MAX_HIST_ROWS):
+    """Materialize the merged (group, value) histogram Dataset and
+    refuse loudly when its row count (distinct pairs) exceeds
+    ``max_hist_rows`` — the signature of a continuous value domain for
+    which the exact order-statistic path is the wrong tool.  Returns
+    the materialized histogram for reuse."""
+    hist_ds = hist_ds.materialize()
+    n = hist_ds.count()
+    if n > max_hist_rows:
+        raise ValueError(
+            "%s: merged (group, value) histogram has %d rows > "
+            "max_hist_rows=%d — the value domain is too continuous for "
+            "the exact order-statistic path; discretize the column or "
+            "use stages/sketch.quantile_sketch (bounded-error, "
+            "fixed-size partials)" % (label, n, max_hist_rows)
+        )
+    return hist_ds
+
 
 def grouped_quantiles(
     ds,
@@ -30,6 +57,7 @@ def grouped_quantiles(
     value: str,
     qs: list[float],
     n_buckets: int = 64,
+    max_hist_rows: int = _MAX_HIST_ROWS,
 ):
     """Exact per-group quantiles of an int64 ``value`` column.
 
@@ -49,10 +77,12 @@ def grouped_quantiles(
             .rename_columns([group, value, "n"])
         )
 
-    hist = (
+    hist = guard_hist_rows(
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby([group, value])
-        .aggregate(Sum("n", alias_name="n"))
+        .aggregate(Sum("n", alias_name="n")),
+        label="grouped_quantiles",
+        max_hist_rows=max_hist_rows,
     )
 
     # second exchange keys only the group (histogram rows are already
@@ -102,6 +132,7 @@ def grouped_quantiles_cont(
     value: str,
     qs_pct: list[int],
     n_buckets: int = 64,
+    max_hist_rows: int = _MAX_HIST_ROWS,
 ):
     """Exact per-group INTERPOLATED quantiles (SQL ``quantile_cont`` /
     ``percentile_cont`` semantics) of an int64 ``value`` column, in
@@ -140,10 +171,12 @@ def grouped_quantiles_cont(
             .rename_columns([group, value, "n"])
         )
 
-    hist = (
+    hist = guard_hist_rows(
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby([group, value])
-        .aggregate(Sum("n", alias_name="n"))
+        .aggregate(Sum("n", alias_name="n")),
+        label="grouped_quantiles_cont",
+        max_hist_rows=max_hist_rows,
     )
 
     def add_bucket(batch: pa.Table) -> pa.Table:

@@ -65,11 +65,47 @@ _SERIALIZERS = {
     "pretty-xml": RdfXmlSerializer,
     "nt": NTriplesSerializer,
 }
+
+# Output-format aliases, matching the reference's accepted set
+# (/root/reference/pyRdfa/__init__.py:459-466 accepts turtle/n3/xml/
+# pretty-xml/nt/json-ld, with "json" a documented json-ld synonym at
+# :694).  One deliberate deviation: the reference SILENTLY falls back
+# to turtle on an unknown format; this engine raises instead — a
+# silent format switch corrupts downstream consumers.
+FORMAT_ALIASES = {
+    "turtle": "turtle",
+    "n3": "turtle",
+    "ttl": "turtle",
+    "xml": "pretty-xml",
+    "pretty-xml": "pretty-xml",
+    "nt": "nt",
+    "ntriples": "nt",
+    "n-triples": "nt",
+    "json-ld": "jsonld",
+    "json": "jsonld",
+    "jsonld": "jsonld",
+}
+
+
+def resolve_format(fmt: str) -> str:
+    """Canonical serializer key for any reference-accepted format name;
+    raises ``ValueError`` on anything else (loud, unlike the
+    reference's silent turtle fallback)."""
+    try:
+        return FORMAT_ALIASES[str(fmt).strip().lower()]
+    except KeyError:
+        raise ValueError(
+            "unknown output format %r; accepted: %s"
+            % (fmt, "/".join(sorted(FORMAT_ALIASES)))
+        ) from None
+
+
 _CACHE: dict = {}
 
 
 def serialize_batch(batch: pa.Table, fmt: str = "turtle") -> pa.Table:
     """map_batches kernel: triple rows -> one serialized doc per graph."""
+    fmt = resolve_format(fmt)
     ser = _CACHE.get(fmt)
     if ser is None:
         ser = _SERIALIZERS[fmt]()
@@ -91,8 +127,35 @@ def serialize_batch(batch: pa.Table, fmt: str = "turtle") -> pa.Table:
     )
 
 
-def serialize_graphs(triples_ds, fmt: str = "turtle"):
-    """Triples Dataset -> (graph, text, n_triples) Dataset."""
-    return triples_ds.map_batches(
-        lambda b: serialize_batch(b, fmt), batch_format="pyarrow"
+def serialize_graphs(
+    triples_ds, fmt: str = "turtle", contiguous: bool = False, n_buckets: int = 64
+):
+    """Triples Dataset -> (graph, text, n_triples) Dataset.
+
+    ``contiguous=True`` is the zero-shuffle fast path, valid ONLY when
+    every graph's rows sit contiguously inside one block (the
+    distiller's output layout — its callers pass it explicitly).  The
+    default routes through ONE graph-keyed coarse-bucket exchange so
+    an arbitrarily shuffled input still yields exactly one row per
+    graph (a batch-local groupby on shuffled input would silently emit
+    several partial documents per graph)."""
+    fmt = resolve_format(fmt)  # fail on the driver, before any task launches
+    if contiguous:
+        return triples_ds.map_batches(
+            lambda b: serialize_batch(b, fmt), batch_format="pyarrow"
+        )
+    from ..functions.hashing import crc32_bucket
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column("__bucket", crc32_bucket(b.column("graph"), n_buckets))
+
+    # coarse buckets, NOT per-graph dispatch: each map_groups call
+    # serializes a whole bucket of graphs through the same batch kernel
+    return (
+        triples_ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(
+            lambda t: serialize_batch(t.drop_columns(["__bucket"]), fmt),
+            batch_format="pyarrow",
+        )
     )

@@ -3,6 +3,8 @@ the engine's own readers (graph isomorphism), plus the Ray stage."""
 
 import glob
 
+import pandas as pd
+
 import pytest
 
 from rdfa_ray.kernel.embedded import parse_turtle
@@ -396,3 +398,29 @@ def test_language_tags_normalize_lowercase():
                     ("lit", "v", "zh-hans", None))}
     back = jsonld_to_graph(graph_to_jsonld(g), BnodeGen())
     assert isomorphic(back, g)
+
+
+def test_serialize_graphs_shuffled_input_one_row_per_graph(ray_session):
+    # VERDICT r3 item 3: a deliberately shuffled triples Dataset must
+    # still yield exactly ONE document per graph on the default path
+    # (the old batch-local groupby silently emitted partial docs)
+    from rdfa_ray.pipelines.flagship import build_triples
+    from rdfa_ray.stages.distill import split_triples
+    from rdfa_ray.stages.serialize import serialize_graphs
+    from rdfa_ray.sources.transcripts import transcripts_dataset
+
+    turns = transcripts_dataset(60, override_num_blocks=2)
+    triples = build_triples(turns).map_batches(split_triples, batch_format="pyarrow")
+    shuffled = triples.random_shuffle(seed=7).repartition(9)
+    docs = serialize_graphs(shuffled, "turtle").to_pandas()
+    assert docs["graph"].is_unique
+    # same graphs, same triple counts as the contiguous fast path
+    fast = serialize_graphs(triples, "turtle", contiguous=True).to_pandas()
+    a = docs.set_index("graph")["n_triples"].sort_index()
+    b = fast.set_index("graph")["n_triples"].sort_index()
+    pd.testing.assert_series_equal(a, b)
+    # documents parse back to the same graph content
+    for g in docs["graph"].head(5):
+        ga = parse_turtle(docs.set_index("graph").loc[g, "text"], "", BnodeGen())
+        gb = parse_turtle(fast.set_index("graph").loc[g, "text"], "", BnodeGen())
+        assert isomorphic(ga, gb)

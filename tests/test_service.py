@@ -20,9 +20,33 @@ def test_turtle_default_output():
     assert any(p[1] == "http://schema.org/name" for (_, p, _) in graph)
 
 
-def test_unknown_format_falls_back_to_turtle():
-    mt, body = process_source(DOC, "n3000", base=BASE)
-    assert mt == "text/turtle"
+def test_unknown_format_raises_loudly():
+    # deliberate deviation from the reference's silent turtle fallback
+    # (pyRdfa/__init__.py:464): a silent format switch corrupts
+    # downstream consumers
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown output format"):
+        process_source(DOC, "n3000", base=BASE)
+
+
+def test_reference_alias_matrix():
+    # every name the reference accepts (pyRdfa/__init__.py:464 + the
+    # documented 'json' synonym at :694) resolves to the right
+    # serializer + media type
+    want_mt = {
+        "turtle": "text/turtle",
+        "n3": "text/turtle",
+        "xml": "application/rdf+xml",
+        "pretty-xml": "application/rdf+xml",
+        "nt": "text/plain",
+        "json-ld": "application/ld+json",
+        "json": "application/ld+json",
+    }
+    for name, mt in want_mt.items():
+        got_mt, body = process_source(DOC, name, base=BASE)
+        assert got_mt == mt, name
+        assert body
 
 
 def test_nt_output_parses():
