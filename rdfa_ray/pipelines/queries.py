@@ -11,6 +11,8 @@ rows-only check — noted per entry.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -866,31 +868,64 @@ def q_inverted_index(sf_dir: str):
 
 
 
+def _distinct_sketch_checked(sf_dir: str, est_df, rel_bound: float):
+    """Join a sketch's per-type estimate against the exact distinct
+    twin and emit (event_type, n_users, within_bound) — n_users is the
+    EXACT count (SQL-oracled) and within_bound asserts the sketch's
+    published error bound inside the query, so a broken sketch turns
+    the driver's hash compare red instead of hiding behind rows-only."""
+    import math
+
+    import ray.data as rd
+
+    from .relational import events_distinct_users
+
+    exact = events_distinct_users(sf_dir).to_pandas()
+    merged = exact.merge(
+        est_df[["event_type", "n_distinct_est"]], on="event_type", how="left"
+    )
+    err = (merged["n_distinct_est"] - merged["n_users"]).abs()
+    slack = np.maximum(
+        np.ceil(rel_bound * merged["n_users"].to_numpy()), 3
+    )  # small-count floor: sketches are near-exact below saturation
+    out = pd.DataFrame(
+        {
+            "event_type": merged["event_type"],
+            "n_users": merged["n_users"].astype("int64"),
+            "within_bound": (err.to_numpy() <= slack)
+            & merged["n_distinct_est"].notna().to_numpy(),
+        }
+    )
+    return rd.from_pandas(out)
+
+
 def q_events_distinct_users_hll(sf_dir: str):
     """HyperLogLog distinct-count per event type (fixed 4-KiB register
-    partials, elementwise-max merge; rows-only — the exact twin
-    events_distinct_users carries the SQL oracle and a pytest bounds
-    the sketch error against it)."""
+    partials, elementwise-max merge), self-checked against the exact
+    distinct twin at 5x the published standard error (1.04/sqrt(2^p),
+    ~1.6% at p=12) — fully SQL-oracled via the exact count +
+    within_bound flag."""
     from ..stages.sketch import hll_distinct
 
     ds = read_parquet_clean(
         "%s/events.parquet" % sf_dir, columns=["event_type", "user_id"]
     )
-    return hll_distinct(ds, "event_type", "user_id")
+    est = hll_distinct(ds, "event_type", "user_id", p=12).to_pandas()
+    return _distinct_sketch_checked(sf_dir, est, 5 * 1.04 / (2 ** 6))
 
 
 def q_events_distinct_users_approx(sf_dir: str):
-    """KMV sketch distinct-count (approximate, mergeable partials;
-    rows-only — the exact twin events_distinct_users carries the SQL
-    oracle, and a pytest bounds the sketch error against it)."""
-    import ray.data as rd
-
+    """KMV sketch distinct-count (approximate, mergeable partials),
+    self-checked against the exact distinct twin at 5x the published
+    standard error (~1/sqrt(k-2) at k=256) — fully SQL-oracled via the
+    exact count + within_bound flag."""
     from ..stages.sketch import kmv_distinct
 
     ds = read_parquet_clean(
         "%s/events.parquet" % sf_dir, columns=["event_type", "user_id"]
     )
-    return kmv_distinct(ds, "event_type", "user_id")
+    est = kmv_distinct(ds, "event_type", "user_id", k=256).to_pandas()
+    return _distinct_sketch_checked(sf_dir, est, 5 / (254 ** 0.5))
 
 
 
@@ -2226,14 +2261,63 @@ def q_kg_bfs_depth(sf_dir: str):
 def q_events_quantiles_sketch(sf_dir: str):
     """Approximate quantiles of events.value via the mergeable
     equi-weight summary (unbounded continuous domain — the sketch
-    complement of the exact histogram quantiles).  Approximate ->
-    rows-only; pytest bounds the rank error vs exact numpy."""
+    complement of the exact histogram quantiles), self-checked by
+    RANK: one extra thin-column pass counts rows <= each estimate, and
+    within_eps asserts |rank/n - q| <= 5 * (3/k) (the summary's
+    three-level compression bound).  Output (q_pct, n_values,
+    within_eps) is fully SQL-oracled — a sketch outside its bound goes
+    red in the driver's hash compare instead of hiding as rows-only."""
     import ray.data as rd
+    from ray.data.aggregate import Sum
 
     from ..stages.sketch import quantile_sketch
 
-    ds = read_parquet_clean("%s/events.parquet" % sf_dir, columns=["value"])
-    return quantile_sketch(ds, "value", [0.5, 0.9, 0.99])
+    qs = [0.5, 0.9, 0.99]
+    k = 512
+    ds = read_parquet_clean(
+        "%s/events.parquet" % sf_dir, columns=["value"]
+    ).materialize()  # two passes: sketch + rank check
+    est = quantile_sketch(ds, "value", qs, k=k).to_pandas().sort_values("q")
+    thresholds = est["value"].to_numpy(dtype=np.float64)
+
+    def rank_partial(batch: pa.Table) -> pa.Table:
+        col = batch.column("value").to_numpy(zero_copy_only=False)
+        col = col[~np.isnan(col.astype(np.float64))]
+        le = [(col <= t).sum() for t in thresholds]
+        return pa.Table.from_pydict(
+            {
+                "q_pct": pa.array(
+                    [int(round(q * 100)) for q in qs], pa.int64()
+                ),
+                "n_le": pa.array([int(x) for x in le], pa.int64()),
+                "n": pa.array([len(col)] * len(qs), pa.int64()),
+            }
+        )
+
+    ranks = (
+        ds.map_batches(rank_partial, batch_format="pyarrow")
+        .groupby("q_pct")
+        .aggregate(Sum("n_le", alias_name="n_le"), Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("q_pct")
+    )
+    eps = 5 * 3.0 / k
+    within = (
+        np.abs(
+            ranks["n_le"].to_numpy() / ranks["n"].to_numpy()
+            - np.asarray(sorted(qs))
+        )
+        <= eps
+    )
+    return rd.from_pandas(
+        pd.DataFrame(
+            {
+                "q_pct": ranks["q_pct"].astype("int64"),
+                "n_values": ranks["n"].astype("int64"),
+                "within_eps": within,
+            }
+        )
+    )
 
 
 def q_docs_source_quota(sf_dir: str, k: int = 50):
@@ -4262,6 +4346,44 @@ _STOP_LIST = "'the','a','an','and','or','of','to','in','is','are','was','were','
 
 # the typed-view triples as a SQL relation (subj, pred, obj_value) —
 # the base table the BGP oracles self-join over
+# DuckDB power-iteration twin for kg_pagerank / kg_ppr (10 iterations,
+# damping 0.85, category-tree edges doc_id -> doc_id // 4).  %(e_init)s
+# is the teleport vector in the anchor (over `nodes n`); %(e_j)s the
+# same vector in the recursive term (over the derived row `j`).
+_PAGERANK_SQL_TMPL = """
+WITH RECURSIVE
+edges AS (SELECT doc_id AS src, doc_id // 4 AS dst FROM documents WHERE doc_id >= 1),
+nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+deg AS (SELECT src AS node, COUNT(*)::DOUBLE AS outdeg FROM edges GROUP BY src),
+state AS (
+  SELECT 0 AS it, n.node, %(e_init)s AS rank FROM nodes n
+  UNION ALL
+  SELECT j.it + 1, j.node,
+         (0.15::DOUBLE * %(e_j)s
+          + 0.85::DOUBLE * (j.contrib + j.dang * %(e_j)s))::DOUBLE AS rank
+  FROM (
+    SELECT n.node,
+           MAX(g.it) OVER () AS it,
+           MAX(g.dang) OVER () AS dang,
+           COALESCE(g.contrib, 0.0) AS contrib
+    FROM nodes n
+    LEFT JOIN (
+      SELECT e.dst AS node, ANY_VALUE(sd.it) AS it, ANY_VALUE(sd.dang) AS dang,
+             SUM(sd.rank / sd.outdeg) AS contrib
+      FROM (
+        SELECT s.it, s.node, s.rank, d.outdeg,
+               SUM(CASE WHEN d.outdeg IS NULL THEN s.rank ELSE 0 END) OVER () AS dang
+        FROM state s LEFT JOIN deg d ON d.node = s.node
+      ) sd
+      JOIN edges e ON e.src = sd.node
+      GROUP BY e.dst
+    ) g ON g.node = n.node
+  ) j
+  WHERE j.it < 10
+)
+SELECT node, rank FROM state WHERE it = 10 ORDER BY rank DESC, node LIMIT 20
+"""
+
 _TYPED_TRIPLES_SQL = (
     "SELECT %s AS subj, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,"
     " 'http://schema.org/Document' AS obj_value FROM documents "
@@ -4560,6 +4682,22 @@ ORACLE_SQL = {
     "events_distinct_users": (
         "SELECT event_type, COUNT(DISTINCT user_id) AS n_users"
         " FROM events GROUP BY event_type"
+    ),
+    # the sketch queries self-check their published error bound inside
+    # the query (within_bound/within_eps flags) and expose the exact
+    # counts the oracle can reproduce — see q_events_distinct_users_hll
+    "events_distinct_users_hll": (
+        "SELECT event_type, COUNT(DISTINCT user_id) AS n_users,"
+        " TRUE AS within_bound FROM events GROUP BY event_type"
+    ),
+    "events_distinct_users_approx": (
+        "SELECT event_type, COUNT(DISTINCT user_id) AS n_users,"
+        " TRUE AS within_bound FROM events GROUP BY event_type"
+    ),
+    "events_quantiles_sketch": (
+        "SELECT q_pct, (SELECT COUNT(*) FROM events WHERE value IS NOT NULL"
+        " AND NOT isnan(value)) AS n_values, TRUE AS within_eps"
+        " FROM (VALUES (50), (90), (99)) AS t(q_pct)"
     ),
     "customers_semi": (
         "SELECT c.c_custkey AS c_custkey, c.c_mktsegment AS c_mktsegment"
@@ -5837,6 +5975,18 @@ ORACLE_SQL = {
         " UNION ALL SELECT node, a // 4 FROM anc WHERE a >= 1) "
         "SELECT node, a AS anc FROM anc"
     ),
+    # 10-iteration power-iteration twins of stages/pagerank.py: the
+    # recursive term references `state` once (SQL rule), so the
+    # dangling mass rides a window function computed before the edge
+    # join; rank anchors MUST cast ::DOUBLE or DuckDB types the column
+    # DECIMAL(2,1) and truncates every iteration.  Driver value-hash
+    # rounds floats to 6 dp, absorbing summation-order ulps.
+    "kg_pagerank": _PAGERANK_SQL_TMPL
+    % {"e_init": "(1.0 / (SELECT COUNT(*) FROM nodes))::DOUBLE",
+       "e_j": "(1.0 / (SELECT COUNT(*) FROM nodes))"},
+    "kg_ppr": _PAGERANK_SQL_TMPL
+    % {"e_init": "(CASE WHEN n.node IN (5, 21) THEN 0.5 ELSE 0.0 END)::DOUBLE",
+       "e_j": "(CASE WHEN j.node IN (5, 21) THEN 0.5 ELSE 0.0 END)"},
     "kg_degree_hist": (
         "WITH %s, m AS ("
         "SELECT CASE WHEN d.doc_id %% 5 = 0 THEN a.entity ELSE %s END AS subj "
