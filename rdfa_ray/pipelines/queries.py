@@ -1132,6 +1132,33 @@ def q_quality_counts(sf_dir: str):
     return analyze_text(docs).select_columns(["doc_id", "n_tokens", "n_stopwords"])
 
 
+def q_text_normalize(sf_dir: str):
+    """Unicode + whitespace canonicalization (stages/text.normalize_text):
+    the synthetic corpus is ASCII-clean, so the query plants the same
+    decomposed-accent / NBSP / control-byte / ragged-whitespace suffix
+    the SQL oracle plants — the normalization itself is what's being
+    checked (same pattern as pii_scrub)."""
+    from ..stages.text import normalize_text
+
+    docs = read_parquet_clean(
+        "%s/documents.parquet" % sf_dir, columns=["doc_id", "text"]
+    )
+    # e + COMBINING ACUTE (NFC -> \xe9), NBSP, BEL control, tab runs
+    suffix = " cafe\u0301 au\x07 lait\u00A0x \t\t end "
+
+    def plant(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "text": pc.binary_join_element_wise(
+                    batch.column("text"), suffix, ""
+                ),
+            }
+        )
+
+    return normalize_text(docs.map_batches(plant, batch_format="pyarrow"))
+
+
 def q_quality_signals(sf_dir: str):
     import ray.data as rd
 
@@ -4199,6 +4226,7 @@ QUERIES = {
     "paragraph_dedup": q_paragraph_dedup,
     "c4_rules": q_c4_rules,
     "quality_signals": q_quality_signals,
+    "text_normalize": q_text_normalize,
     "fingerprints_rolling": q_fingerprints_rolling,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_sq_topk": q_ann_sq_topk,
@@ -6003,6 +6031,20 @@ ORACLE_SQL = {
         "SELECT vec_id AS a, vec_id + 1000000 AS b,"
         " CAST(1000000 AS BIGINT) AS sim_micro FROM embeddings"
         " WHERE vec_id % 10 = 0"
+    ),
+    "text_normalize": (
+        # same planted suffix as the query: ' cafe'+U+0301 (decomposed
+        # acute), BEL, NBSP, tab runs; then the 4-step normalization
+        "WITH planted AS (SELECT doc_id,"
+        " text || ' cafe' || chr(769) || ' au' || chr(7) || ' lait'"
+        " || chr(160) || 'x ' || chr(9) || chr(9) || ' end ' AS t"
+        " FROM documents), n AS (SELECT doc_id,"
+        " trim(regexp_replace(regexp_replace(replace(nfc_normalize(t),"
+        " chr(160), ' '),"
+        " '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),"
+        " '\\s+', ' ', 'g')) AS text_norm FROM planted)"
+        " SELECT doc_id, text_norm,"
+        " CAST(length(text_norm) AS BIGINT) AS n_chars_norm FROM n"
     ),
     "pii_scrub": (
         "WITH planted AS (SELECT doc_id,"

@@ -600,3 +600,60 @@ def gopher_repetition(docs_ds):
         return pd.DataFrame(out)
 
     return docs_ds.map_batches(signals, batch_format="pandas")
+
+
+def normalize_text(docs_ds, form: str = "NFC"):
+    """Unicode + whitespace canonicalization — the first cleaning pass
+    of any web-scale corpus drop (decomposed accents, NBSP, stray
+    control bytes and ragged whitespace all defeat downstream exact
+    dedup and tokenization if left raw):
+
+    1. Unicode normalization to ``form`` (NFC default),
+    2. NBSP (U+00A0) -> ASCII space,
+    3. C0/C1-control strip (tab/newline survive into step 4),
+    4. whitespace-run collapse to one space + trim.
+
+    Zero-shuffle vectorized Arrow map (RE2 kernels); DuckDB's
+    ``nfc_normalize``/``regexp_replace`` reproduce every step, so the
+    op is SQL-oracle-checkable end to end.  Returns (doc_id,
+    text_norm, n_chars_norm).
+
+    Reference analogue: none in pyrdfa3 — beyond-reference cleaning
+    family (C4/CCNet preprocessing)."""
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError("normalize_text: unknown Unicode form %r" % form)
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        t = pc.cast(batch.column("text"), pa.string())
+        # Unicode normalization: pyarrow's utf8_normalize (utf8proc,
+        # checked at 16.1) does NOT compose e+U+0301 -> \u00E9, so NFC/NFKC
+        # must go through CPython's unicodedata \u2014 but ONLY for rows
+        # that can need it: ASCII strings are normalized by definition,
+        # and web corpora are overwhelmingly ASCII, so the Python-level
+        # pass touches a small minority of rows (vectorized mask first)
+        non_ascii = pc.invert(pc.match_substring_regex(t, r"^[\x00-\x7F]*$"))
+        if pc.any(pc.fill_null(non_ascii, False)).as_py():
+            import unicodedata
+
+            s = t.to_pandas()
+            sel = pc.fill_null(non_ascii, False).to_numpy(zero_copy_only=False)
+            s[sel] = [
+                unicodedata.normalize(form, v) if v is not None else None
+                for v in s[sel]
+            ]
+            t = pa.array(s, pa.string())
+        t = pc.replace_substring(t, "\u00A0", " ")  # NBSP -> space
+        t = pc.replace_substring_regex(
+            t, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", ""
+        )
+        t = pc.replace_substring_regex(t, r"\s+", " ")
+        t = pc.utf8_trim_whitespace(t)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "text_norm": t,
+                "n_chars_norm": pc.cast(pc.utf8_length(t), pa.int64()),
+            }
+        )
+
+    return docs_ds.map_batches(kernel, batch_format="pyarrow")

@@ -722,3 +722,35 @@ def test_gopher_repetition_short_docs(ray_session):
     assert out.loc[0, "top2_chars"] == 0 and bool(out.loc[0, "keep"])
     assert out.loc[1, "dup5_chars"] == 0
     assert out.loc[2, "total_chars"] == 0 and bool(out.loc[2, "keep"])
+
+
+def test_normalize_text_unicode_and_whitespace(ray_session):
+    import ray.data as rd
+    from rdfa_ray.stages.text import normalize_text
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "cafe\u0301 du\u00A0parc",  # decomposed acute + NBSP
+                "a \t\t b\x07c\r\n d  ",     # controls + ragged whitespace
+                None,                          # null passes through as null
+                "plain ascii",
+            ],
+        }
+    )
+    out = (
+        normalize_text(rd.from_pandas(df))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["text_norm"][0] == "caf\u00e9 du parc"  # composed, 1 char
+    assert out["text_norm"][1] == "a bc d"
+    assert out["text_norm"][2] is None or pd.isna(out["text_norm"][2])
+    assert out["text_norm"][3] == "plain ascii"
+    assert out["n_chars_norm"][0] == len("caf\u00e9 du parc")
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown Unicode form"):
+        normalize_text(rd.from_pandas(df), form="NFX")
