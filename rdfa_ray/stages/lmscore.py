@@ -432,9 +432,7 @@ def ccnet_buckets(
     comparison and SQL-reproducible."""
     import ray
     import ray.data as rd
-    from ray.data.aggregate import Count, Sum
-
-    from .quantile import grouped_quantiles
+    from ray.data.aggregate import Sum
 
     docs_ds = docs_ds.materialize()
 
@@ -486,12 +484,15 @@ def ccnet_buckets(
         counts_all, min_count, max_model_rows, "ccnet_buckets"
     )
     if n_model > broadcast_limit:
-        raise ValueError(
-            "ccnet_buckets: pruned per-language model table has %d rows "
-            "> broadcast_limit=%d; raise min_count (KenLM-style pruning) "
-            "or score languages separately via unigram_logppl's "
-            "bucketed-join path" % (n_model, broadcast_limit)
-        )
+        # bucketed-join scale path: the per-language model table never
+        # reaches the driver — text explodes to (doc_id, lang, key)
+        # rows and left-joins the distributed (key, lp) model on
+        # key = lang \x1f token (the per-language totals dict is
+        # language-count sized, so it broadcasts)
+        scored = _ccnet_score_join(
+            docs_ds, model_ds, lang_totals, quantize
+        ).materialize()
+        return _ccnet_bucketize(scored, out_schema)
     vocab = model_ds.to_pandas()
     totals = vocab["lang"].map(lang_totals).astype(float)
     logp = pd.Series(
@@ -543,6 +544,105 @@ def ccnet_buckets(
         )
 
     scored = docs_ds.map_batches(score_batch, batch_format="pandas").materialize()
+    return _ccnet_bucketize(scored, out_schema)
+
+
+def _ccnet_score_join(docs_ds, model_ds, lang_totals: dict, quantize: float):
+    """The over-broadcast-limit scoring path: (doc_id, lang, n_tokens,
+    logppl_micro) via a bucketed hash join of exploded (doc_id, lang,
+    key) token rows against the distributed (key, lp) model, key =
+    lang \\x1f token.  Same exclusion rules as the broadcast path:
+    null-text and all-OOV docs emit no row."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .join import bucketed_hash_join
+
+    totals_ref = ray.put(lang_totals)
+
+    def add_lp(b: pa.Table) -> pa.Table:
+        t = ray.get(totals_ref)
+        langs = pc.cast(b.column("lang"), pa.string())
+        tot = pa.array(
+            pd.Series(langs.to_pandas()).map(t).to_numpy(dtype=np.float64)
+        )
+        lp = pc.ln(pc.divide(pc.cast(b.column("n"), pa.float64()), tot))
+        key = pc.binary_join_element_wise(
+            langs, pc.cast(b.column("token"), pa.string()), "\x1f"
+        )
+        return pa.table({"key": key, "lp": lp})
+
+    lp_ds = model_ds.map_batches(add_lp, batch_format="pyarrow")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(
+            pc.utf8_lower(pc.cast(batch.column("text"), pa.string())), " "
+        )
+        flat = pc.list_flatten(toks)
+        par = pc.list_parent_indices(toks)  # null text yields no rows
+        langs = pc.cast(batch.column("lang"), pa.string()).take(par)
+        key = pc.binary_join_element_wise(langs, flat, "\x1f")
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()).take(par),
+                "lang": langs,
+                "key": key,
+            }
+        )
+
+    tok_rows = docs_ds.map_batches(explode, batch_format="pyarrow")
+    joined = bucketed_hash_join(tok_rows, lp_ds, "key", how="left")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "lang": pd.Series([], dtype="object"),
+                 "sum_lp": pd.Series([], dtype="float64"),
+                 "n_scored": pd.Series([], dtype="int64"),
+                 "n_tok": pd.Series([], dtype="int64")}
+            )
+        g = b.groupby(["doc_id", "lang"])["lp"]
+        out = pd.DataFrame(
+            {"sum_lp": g.sum(), "n_scored": g.count(), "n_tok": g.size()}
+        ).reset_index()
+        out["doc_id"] = out["doc_id"].astype("int64")
+        out["n_scored"] = out["n_scored"].astype("int64")
+        out["n_tok"] = out["n_tok"].astype("int64")
+        return out
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["n_scored"] > 0]  # all-OOV docs excluded
+        mean_lp = b["sum_lp"].to_numpy() / b["n_scored"].to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "lang": b["lang"],
+                "n_tokens": b["n_tok"].astype("int64"),
+                "logppl_micro": np.floor(-mean_lp * quantize + 0.5).astype("int64"),
+            }
+        )
+
+    return (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby(["doc_id", "lang"])
+        .aggregate(
+            Sum("sum_lp", alias_name="sum_lp"),
+            Sum("n_scored", alias_name="n_scored"),
+            Sum("n_tok", alias_name="n_tok"),
+        )
+        .map_batches(finalize, batch_format="pandas")
+    )
+
+
+def _ccnet_bucketize(scored, out_schema):
+    """Thresholds + head/middle/tail census over a materialized scored
+    Dataset (doc_id, lang, n_tokens, logppl_micro) — shared by the
+    broadcast and bucketed-join scoring paths."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from .quantile import grouped_quantiles
 
     # per-language tercile thresholds (exact order statistics)
     thr = grouped_quantiles(

@@ -63,8 +63,31 @@ def test_max_model_rows_guard_refuses_loudly(ray_session):
 def test_bigram_broadcast_limit_refuses_loudly(ray_session):
     with pytest.raises(ValueError, match="broadcast_limit"):
         bigram_logppl(_ds(), broadcast_limit=2).to_pandas()
-    with pytest.raises(ValueError, match="broadcast_limit"):
-        ccnet_buckets(_ds(lang="en"), broadcast_limit=2).to_pandas()
+
+
+def test_ccnet_join_fallback_matches_broadcast(ray_session):
+    # over the broadcast limit ccnet scores through the bucketed join
+    # against the distributed per-language model — identical census
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(12),
+            "text": ["w%d common token extra%d" % (i % 4, i % 2) for i in range(12)],
+            "lang": ["en", "fr", "de"] * 4,
+        }
+    )
+    a = (
+        ccnet_buckets(rd.from_pandas(docs))
+        .to_pandas()
+        .sort_values(["lang", "bucket"])
+        .reset_index(drop=True)
+    )
+    b = (
+        ccnet_buckets(rd.from_pandas(docs), broadcast_limit=0)
+        .to_pandas()
+        .sort_values(["lang", "bucket"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
 
 
 def test_unigram_join_fallback_matches_broadcast(ray_session):
