@@ -52,6 +52,10 @@ class KernelOptions:
     # engine extension points
     transformers: tuple = ()           # extra (node, options, state) callables
     vocab_graphs: dict = field(default_factory=dict)  # vocab URI -> iterable of triples
+    # bump to invalidate per-process expansion-map memos after swapping
+    # vocab_graphs content (the config-fed analogue of the reference
+    # cache's expiration date, rdfs/cache.py:89-334)
+    vocab_cache_generation: int = 0
     host_language: str = "HTML5+RDFa"
 
     def __post_init__(self):

@@ -112,6 +112,43 @@ def expand_data_graph(graph: set, prop_map: dict, class_map: dict) -> set:
     return graph | added | extra
 
 
+# Per-process memo of built expansion maps — the actor-memory analogue
+# of the reference's pickled vocab cache (rdfs/cache.py:89-334).  Keyed
+# on (cache generation, vocab URI set): bumping
+# ``options.vocab_cache_generation`` invalidates every memo entry, the
+# same way the reference's expiration date forces a re-fetch — swap the
+# config-fed ``vocab_graphs`` content AND bump the generation to
+# refresh.  Bounded; cleared wholesale when it outgrows the cap.
+_EXPANSION_MEMO: dict = {}
+_EXPANSION_MEMO_CAP = 64
+
+
+def _validated_vocab_triples(uri: str, g, options) -> set:
+    """The reference records unparseable vocabulary documents as
+    processor-graph errors and continues without them
+    (rdfs/cache.py:186-211); the config-fed analogue: entries that are
+    not well-formed term-tuple triples are dropped with a
+    VocabReferenceError diagnostic instead of crashing the closure."""
+    ok: set = set()
+    bad = 0
+    for t in g:
+        if (
+            isinstance(t, tuple)
+            and len(t) == 3
+            and all(isinstance(x, tuple) and len(x) >= 2 for x in t)
+        ):
+            ok.add(t)
+        else:
+            bad += 1
+    if bad:
+        options.add_warning(
+            "Vocabulary graph for <%s> contains %d malformed triple(s);"
+            " they were skipped" % (uri, bad),
+            warning_type="http://www.w3.org/ns/rdfa#VocabReferenceError",
+        )
+    return ok
+
+
 def process_rdfa_sem(graph: set, options) -> set:
     """rdfs/process.py:253-303 with config-supplied vocab graphs."""
     vocabs = {o[1] for (s, p, o) in graph if p == USES_VOCAB}
@@ -126,10 +163,26 @@ def process_rdfa_sem(graph: set, options) -> set:
                 warning_type="http://www.w3.org/ns/rdfa#VocabReferenceError",
             )
             continue
-        vocab_graph |= set(g)
+        vocab_graph |= _validated_vocab_triples(uri, g, options)
     if not vocab_graph:
         return graph
-    prop_map, class_map = build_expansion_maps(vocab_graph)
+    # key includes a content fingerprint (schema graphs are small, so
+    # the frozenset hash is cheap next to the closure) — two configs
+    # feeding different triples under the same URI can never
+    # cross-contaminate; the generation remains the explicit refresh
+    # control mirroring the reference's expiration date
+    memo_key = (
+        getattr(options, "vocab_cache_generation", 0),
+        frozenset(vocabs),
+        hash(frozenset(vocab_graph)),
+    )
+    maps = _EXPANSION_MEMO.get(memo_key)
+    if maps is None:
+        if len(_EXPANSION_MEMO) >= _EXPANSION_MEMO_CAP:
+            _EXPANSION_MEMO.clear()
+        maps = build_expansion_maps(vocab_graph)
+        _EXPANSION_MEMO[memo_key] = maps
+    prop_map, class_map = maps
     expanded = expand_data_graph(set(graph), prop_map, class_map)
     # reference: add vocab triples, expand, then remove ONLY the literal
     # vocab triples it merged in (rdfs/process.py:293-299) — NOT their

@@ -414,3 +414,55 @@ def test_resume_refuses_without_pinned_meta(ray_session, tmp_path_factory):
     )
     assert len(s2) == 0
     assert os.path.exists("%s/_manifest/meta.json" % out)
+
+
+def test_vocab_malformed_triples_diagnosed_not_crashed():
+    # reference records unparseable vocab docs as processor-graph errors
+    # and continues (rdfs/cache.py:186-211); config-fed analogue
+    from rdfa_ray.kernel.vocab import SUB_PROP, USES_VOCAB, process_rdfa_sem
+
+    p1, p2 = iri("http://v/p1"), iri("http://v/p2")
+    vocab = {(p1, SUB_PROP, p2), ("not-a-term", "nope"), (p1, p2)}
+    opts = KernelOptions(vocab_expansion=True, vocab_graphs={"http://v/": vocab})
+    opts.diagnostics = []
+    s = iri("http://d/s")
+    graph = {(s, USES_VOCAB, iri("http://v/")), (s, p1, iri("http://d/o"))}
+    out = process_rdfa_sem(graph, opts)
+    assert (s, p2, iri("http://d/o")) in out  # valid triple still expands
+    assert any(
+        "malformed" in d.message and "VocabReferenceError" in str(d.dclass)
+        for d in opts.diagnostics
+    )
+
+
+def test_vocab_memo_generation_refresh():
+    from rdfa_ray.kernel import vocab as V
+
+    p1, p2, p3 = iri("http://v/p1"), iri("http://v/p2"), iri("http://v/p3")
+    s = iri("http://d/s")
+
+    def run(vocab_triples, gen):
+        opts = KernelOptions(
+            vocab_expansion=True,
+            vocab_graphs={"http://v/": vocab_triples},
+            vocab_cache_generation=gen,
+        )
+        opts.diagnostics = []
+        g = {(s, V.USES_VOCAB, iri("http://v/")), (s, p1, iri("http://d/o"))}
+        return V.process_rdfa_sem(g, opts)
+
+    V._EXPANSION_MEMO.clear()
+    out1 = run({(p1, V.SUB_PROP, p2)}, 0)
+    assert (s, p2, iri("http://d/o")) in out1
+    assert len(V._EXPANSION_MEMO) == 1
+    # same generation, same content -> memo reused (no new entry)
+    run({(p1, V.SUB_PROP, p2)}, 0)
+    assert len(V._EXPANSION_MEMO) == 1
+    # changed content is keyed independently (no cross-contamination)
+    out2 = run({(p1, V.SUB_PROP, p3)}, 0)
+    assert (s, p3, iri("http://d/o")) in out2
+    assert (s, p2, iri("http://d/o")) not in out2
+    assert len(V._EXPANSION_MEMO) == 2
+    # generation bump = explicit refresh: new entry even for same content
+    run({(p1, V.SUB_PROP, p2)}, 1)
+    assert len(V._EXPANSION_MEMO) == 3
