@@ -1160,12 +1160,30 @@ def q_text_normalize(sf_dir: str):
 
 
 def q_quality_signals(sf_dir: str):
-    import ray.data as rd
-
+    """Text-quality signals (stages/text.TextAnalyzer): stopword ratio
+    in half-up basis points (integer — float division order would
+    hash-drift) and the 40-trigram language guess, both reproduced by
+    the DuckDB twin (regexp token splits + replace-count trigram
+    scores + the first-max tie rule)."""
     from ..stages.text import analyze_text
 
     docs = read_parquet_clean("%s/documents.parquet" % sf_dir, columns=["doc_id", "text"])
-    return analyze_text(docs).select_columns(["doc_id", "stopword_ratio", "lang_pred"])
+
+    def bp(batch: pd.DataFrame) -> pd.DataFrame:
+        ns = batch["n_stopwords"].to_numpy(dtype=np.float64)
+        nt = batch["n_tokens"].to_numpy(dtype=np.float64)
+        out = np.zeros(len(batch), dtype=np.int64)
+        nz = nt > 0
+        out[nz] = np.floor(ns[nz] * 10000.0 / nt[nz] + 0.5).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64"),
+                "stopword_bp": out,
+                "lang_pred": batch["lang_pred"],
+            }
+        )
+
+    return analyze_text(docs).map_batches(bp, batch_format="pandas")
 
 
 def q_repetition_signals(sf_dir: str):
@@ -4374,6 +4392,45 @@ _STOP_LIST = "'the','a','an','and','or','of','to','in','is','are','was','were','
 
 # the typed-view triples as a SQL relation (subj, pred, obj_value) —
 # the base table the BGP oracles self-join over
+def _quality_signals_sql() -> str:
+    """DuckDB twin of q_quality_signals, generated from the SAME
+    stopword / trigram tables the engine uses (stages/text.py) so the
+    two can never drift.  Trigram counts use the replace-and-measure
+    idiom (every table gram is length 3 and none self-overlaps, so
+    non-overlapping replace counting equals the engine's
+    count_substring); the language CASE evaluates in table order =
+    numpy argmax's first-max tie rule."""
+    from ..stages.text import _LANG_TRIGRAMS, _STOPWORDS
+
+    stop = ", ".join("'%s'" % w for w in sorted(_STOPWORDS))
+
+    def score(grams):
+        return " + ".join(
+            "(length(h) - length(replace(h, '%s', ''))) // 3" % g for g in grams
+        )
+
+    s_cols = ",\n    ".join(
+        "(%s) AS s_%s" % (score(g), l) for l, g in _LANG_TRIGRAMS.items()
+    )
+    langs = list(_LANG_TRIGRAMS)
+    m = "greatest(%s)" % ", ".join("s_%s" % l for l in langs)
+    whens = " ".join("WHEN s_%s = %s THEN '%s'" % (l, m, l) for l in langs[:-1])
+    case = "CASE WHEN %s = 0 THEN 'unk' %s ELSE '%s' END" % (m, whens, langs[-1])
+    return (
+        "WITH t AS (SELECT doc_id, COALESCE(text, '') AS text,"
+        " substr(lower(COALESCE(text, '')), 1, 2000) AS h FROM documents),"
+        " s AS (SELECT doc_id,"
+        " CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens,"
+        " CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),"
+        " x -> x <> '' AND list_contains([%s], x))) AS BIGINT) AS n_stop,\n    %s"
+        " FROM t)"
+        " SELECT doc_id,"
+        " CASE WHEN n_tokens > 0 THEN CAST(FLOOR(n_stop * 10000.0 / n_tokens + 0.5)"
+        " AS BIGINT) ELSE 0 END AS stopword_bp,"
+        " %s AS lang_pred FROM s" % (stop, s_cols, case)
+    )
+
+
 # DuckDB power-iteration twin for kg_pagerank / kg_ppr (10 iterations,
 # damping 0.85, category-tree edges doc_id -> doc_id // 4).  %(e_init)s
 # is the teleport vector in the anchor (over `nodes n`); %(e_j)s the
@@ -6032,6 +6089,7 @@ ORACLE_SQL = {
         " CAST(1000000 AS BIGINT) AS sim_micro FROM embeddings"
         " WHERE vec_id % 10 = 0"
     ),
+    "quality_signals": _quality_signals_sql(),
     "text_normalize": (
         # same planted suffix as the query: ' cafe'+U+0301 (decomposed
         # acute), BEL, NBSP, tab runs; then the 4-step normalization
