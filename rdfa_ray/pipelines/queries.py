@@ -1484,6 +1484,27 @@ def q_multimodal_features(sf_dir: str):
 
 
 
+def q_multimodal_audio(sf_dir: str):
+    """REAL RIFF/PCM16 WAV parse + loudness features (integer
+    milli-units) in an actor pool; non-audio payloads surface flagged
+    with zeros.  FULLY SQL-ORACLED end to end: the synthetic waveform
+    is a deterministic integer formula of doc_id, so the DuckDB twin
+    regenerates the samples and recomputes RMS — any corruption in the
+    RIFF encode -> parse -> feature chain goes red.  (The codec is
+    also pinned against CPython's own wave module by pytest.)"""
+    from ..stages.multimodal import audio_features
+
+    docs = read_parquet_clean("%s/documents.parquet" % sf_dir, columns=["doc_id", "text"])
+    feats = audio_features(docs)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(
+            ["media_id", "sample_rate", "n_samples", "duration_ms", "rms_milli"]
+        )
+
+    return feats.map_batches(project, batch_format="pyarrow")
+
+
 def q_multimodal_frames(sf_dir: str):
     """Video frame sampling: one media row explodes into N frame rows
     (actor pool, small batches for wide binary; rows-only)."""
@@ -4254,6 +4275,7 @@ QUERIES = {
     "dedup_semantic": q_dedup_semantic,
     "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,
+    "multimodal_audio": q_multimodal_audio,
     "kg_bgp_star": q_kg_bgp_star,
     "kg_bgp_chain": q_kg_bgp_chain,
     "kg_path_plus": q_kg_path_plus,
@@ -6090,6 +6112,25 @@ ORACLE_SQL = {
         " WHERE vec_id % 10 = 0"
     ),
     "quality_signals": _quality_signals_sql(),
+    # regenerates the synthetic PCM waveform (a deterministic integer
+    # formula of doc_id) and recomputes RMS in SQL — checking the REAL
+    # RIFF encode -> parse -> feature chain end to end; non-wav rows
+    # surface as zeros in both engines
+    "multimodal_audio": (
+        "WITH w AS (SELECT doc_id, 1600 + (doc_id % 4) * 400 AS n,"
+        " (doc_id % 7) + 1 AS step FROM documents WHERE doc_id % 6 IN (1, 4)),"
+        " e AS (SELECT doc_id, n, unnest(range(0, n)) AS i, step FROM w),"
+        " r AS (SELECT doc_id, any_value(n) AS n,"
+        "  CAST(FLOOR(sqrt(avg(pow(((i * step * 257) % 65536 - 32768)"
+        " / 32768.0, 2))) * 1000 + 0.5) AS BIGINT) AS rms"
+        " FROM e GROUP BY doc_id)"
+        " SELECT doc_id AS media_id, 8000 AS sample_rate,"
+        "  CAST(n AS BIGINT) AS n_samples,"
+        "  CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,"
+        "  rms AS rms_milli FROM r"
+        " UNION ALL SELECT doc_id, 0, 0, 0, 0 FROM documents"
+        " WHERE doc_id % 6 NOT IN (1, 4)"
+    ),
     "text_normalize": (
         # same planted suffix as the query: ' cafe'+U+0301 (decomposed
         # acute), BEL, NBSP, tab runs; then the 4-step normalization

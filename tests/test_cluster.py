@@ -93,9 +93,9 @@ def test_frame_sampler_explodes_videos_and_diags_rest(ray_session):
         [{"doc_id": i, "text": "t%d" % i} for i in range(12)], override_num_blocks=2
     )
     got = frame_samples(docs, n_frames=4).to_pandas()
-    # doc_id % 3 == 2 -> video/mp4 in the synthetic source; every other
+    # doc_id % 6 == 2 -> video/mp4 in the synthetic source; every other
     # media row must surface as ONE diagnostic row, not vanish
-    video_ids = {i for i in range(12) if i % 3 == 2}
+    video_ids = {i for i in range(12) if i % 6 == 2}
     assert set(got["media_id"]) == set(range(12))
     for mid in video_ids:
         sub = got[got["media_id"] == mid]
@@ -171,10 +171,21 @@ def test_resized_media_invariants(ray_session):
     assert len(out) == 9
     for mid, row in out.iterrows():
         orig = src.loc[mid]
-        if orig["media_type"].startswith("image/"):
+        m = mid % 6
+        if m == 0:  # valid PPM: REAL nearest-neighbor downsample
             assert row["decode_error"] == ""
             assert row["n_bytes"] < orig["n_bytes"]  # contraction
-        else:
+            from rdfa_ray.stages.multimodal import decode_ppm
+
+            arr = decode_ppm(bytes(row["payload"]))
+            assert max(arr.shape[:2]) == 256  # long edge hit target
+        elif m == 3:  # truncated PPM: flagged, payload untouched
+            assert "truncated" in row["decode_error"]
+            assert bytes(row["payload"]) == bytes(orig["payload"])
+        elif m == 5:  # compressed codec: flagged passthrough
+            assert row["decode_error"].startswith("unsupported codec")
+            assert bytes(row["payload"]) == bytes(orig["payload"])
+        else:  # wav / mp4
             assert row["decode_error"].startswith("not an image")
             assert bytes(row["payload"]) == bytes(orig["payload"])  # untouched
 
