@@ -1470,15 +1470,26 @@ def q_bm25_search(sf_dir: str):
 
 
 def q_multimodal_features(sf_dir: str):
-    import ray.data as rd
-
+    """REAL P6 PPM decode in an actor pool.  SQL-oracled on the decode
+    outcome: the synthetic image dims are pure formulas of doc_id, so
+    the DuckDB twin predicts (width, height, decoded) — a broken
+    header parse (or a silently-succeeding malformed branch) goes red.
+    Pixel-body exactness is pytest-pinned by the encode/decode
+    roundtrip."""
     from ..stages.multimodal import media_features
 
     docs = read_parquet_clean("%s/documents.parquet" % sf_dir, columns=["doc_id", "text"])
     feats = media_features(docs)
 
     def project(batch: pa.Table) -> pa.Table:
-        return batch.select(["media_id", "width", "height", "decode_error"])
+        return pa.Table.from_pydict(
+            {
+                "media_id": batch.column("media_id"),
+                "width": batch.column("width"),
+                "height": batch.column("height"),
+                "decoded": pc.equal(batch.column("decode_error"), ""),
+            }
+        )
 
     return feats.map_batches(project, batch_format="pyarrow")
 
@@ -6116,6 +6127,18 @@ ORACLE_SQL = {
     # formula of doc_id) and recomputes RMS in SQL — checking the REAL
     # RIFF encode -> parse -> feature chain end to end; non-wav rows
     # surface as zeros in both engines
+    # synthetic PPM dims are pure doc_id formulas: the twin predicts
+    # the REAL header parse's outputs (and that malformed/unsupported
+    # branches do NOT decode)
+    "multimodal_features": (
+        "SELECT doc_id AS media_id,"
+        " CAST(CASE WHEN doc_id % 6 = 0 THEN 300 + (doc_id % 4) * 8"
+        "  ELSE 0 END AS INTEGER) AS width,"
+        " CAST(CASE WHEN doc_id % 6 = 0 THEN 200 + (doc_id % 3) * 8"
+        "  ELSE 0 END AS INTEGER) AS height,"
+        " doc_id % 6 = 0 AS decoded"
+        " FROM documents"
+    ),
     "multimodal_audio": (
         "WITH w AS (SELECT doc_id, 1600 + (doc_id % 4) * 400 AS n,"
         " (doc_id % 7) + 1 AS step FROM documents WHERE doc_id % 6 IN (1, 4)),"

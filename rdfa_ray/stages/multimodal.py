@@ -56,17 +56,21 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     """Binary P6 PPM -> (h, w, 3) uint8; ValueError on malformed."""
     if not payload.startswith(b"P6"):
         raise ValueError("not a P6 PPM (bad magic)")
-    # header: magic, width, height, maxval — whitespace separated
-    parts = payload.split(None, 4)
-    if len(parts) < 5:
-        raise ValueError("truncated PPM header")
-    try:
-        w, h, maxval = int(parts[1]), int(parts[2]), int(parts[3])
-    except ValueError:
-        raise ValueError("non-numeric PPM header") from None
+    # header: magic, width, height, maxval, then EXACTLY ONE whitespace
+    # byte before the raw body.  A naive split(None) would also swallow
+    # leading BODY bytes that happen to be whitespace values (a pixel
+    # of 32 or 12 is ' ' / '\f') and mis-report truncation — the spec
+    # says the raster starts right after the single separator.
+    # (Comments ('#') are not emitted by encode_ppm and not supported.)
+    import re as _re
+
+    m = _re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)[ \t\r\n]", payload)
+    if m is None:
+        raise ValueError("truncated or non-numeric PPM header")
+    w, h, maxval = int(m.group(1)), int(m.group(2)), int(m.group(3))
     if maxval != 255:
         raise ValueError("unsupported PPM maxval %d" % maxval)
-    body = parts[4]
+    body = payload[m.end():]
     need = w * h * 3
     if len(body) < need:
         raise ValueError(

@@ -114,3 +114,13 @@ def test_synthesized_wav_parses_with_stdlib_wave_module():
         assert w.getnchannels() == 1
         assert w.getsampwidth() == 2
         assert w.getnframes() == 1600 + (1 % 4) * 400
+
+
+def test_ppm_body_starting_with_whitespace_byte():
+    # regression (caught by the multimodal_features oracle): a first
+    # pixel byte of 32 (' ') or 12 ('\f') was swallowed by the naive
+    # header split and mis-reported as truncation
+    for first in (32, 12, 9, 10, 13):
+        arr = np.full((3, 4, 3), first, dtype=np.uint8)
+        back = decode_ppm(encode_ppm(arr))
+        assert np.array_equal(back, arr)
