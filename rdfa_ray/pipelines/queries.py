@@ -4160,19 +4160,25 @@ def q_dsir_resample(sf_dir: str):
 
 
 def q_multimodal_resize(sf_dir: str):
-    """Image resize/transcode plumbing (binary in -> binary out,
-    actor pool, small batches): image payloads shrink deterministically,
-    non-image payloads pass through flagged (rows-only; the byte-path
-    invariants are pinned by pytest)."""
-    import ray.data as rd
-
+    """REAL P6 resize/transcode (binary in -> binary out, actor pool,
+    small batches).  SQL-oracled on output BYTES: every payload's
+    post-stage size is a closed-form function of doc_id (resized PPM =
+    header + 768*new_h with new_h = h*256//w; passthroughs keep their
+    synthetic sizes), so a wrong resample grid, header drift, or a
+    corrupted passthrough goes red in the hash compare."""
     from ..stages.multimodal import resized_media
 
     docs = read_parquet_clean("%s/documents.parquet" % sf_dir, columns=["doc_id", "text"])
     out = resized_media(docs)
 
     def project(batch: pa.Table) -> pa.Table:
-        return batch.select(["media_id", "n_bytes", "target_px", "decode_error"])
+        return pa.Table.from_pydict(
+            {
+                "media_id": batch.column("media_id"),
+                "n_bytes": batch.column("n_bytes"),
+                "resized": pc.equal(batch.column("decode_error"), ""),
+            }
+        )
 
     return out.map_batches(project, batch_format="pyarrow")
 
@@ -6137,6 +6143,36 @@ ORACLE_SQL = {
         " CAST(CASE WHEN doc_id % 6 = 0 THEN 200 + (doc_id % 3) * 8"
         "  ELSE 0 END AS INTEGER) AS height,"
         " doc_id % 6 = 0 AS decoded"
+        " FROM documents"
+    ),
+    # the exploded frame layout is a closed form: videos (doc_id%6==2)
+    # fan out to 4 frames at 1000 ms intervals, everything else
+    # surfaces as ONE diagnostic row (frame_idx -1) — silent drops or
+    # wrong expansion go red
+    "multimodal_frames": (
+        "WITH v AS (SELECT doc_id, unnest(range(0, 4)) AS i FROM documents"
+        " WHERE doc_id % 6 = 2)"
+        " SELECT doc_id AS media_id, CAST(i AS INTEGER) AS frame_idx,"
+        "  CAST(i * 1000 AS BIGINT) AS ts_ms FROM v"
+        " UNION ALL SELECT doc_id, CAST(-1 AS INTEGER), CAST(0 AS BIGINT)"
+        " FROM documents WHERE doc_id % 6 <> 2"
+    ),
+    # post-resize byte sizes are closed forms of doc_id: valid PPM ->
+    # 15-byte header + 768 * (h*256 // w); truncated PPM passthrough ->
+    # (15 + w*h*3) // 2; WAV -> 44 + 2*n; fake MP4 -> min(16 +
+    # strlen(text), 4096); PNG stub -> 8 + 8*16
+    "multimodal_resize": (
+        "SELECT doc_id AS media_id,"
+        " CAST(CASE doc_id % 6"
+        "  WHEN 0 THEN 15 + 768 * (((200 + (doc_id % 3) * 8) * 256)"
+        "   // (300 + (doc_id % 4) * 8))"
+        "  WHEN 3 THEN (15 + (300 + (doc_id % 4) * 8)"
+        "   * (200 + (doc_id % 3) * 8) * 3) // 2"
+        "  WHEN 1 THEN 44 + 2 * (1600 + (doc_id % 4) * 400)"
+        "  WHEN 4 THEN 44 + 2 * (1600 + (doc_id % 4) * 400)"
+        "  WHEN 2 THEN least(16 + strlen(text), 4096)"
+        "  ELSE 8 + 8 * 16 END AS BIGINT) AS n_bytes,"
+        " doc_id % 6 = 0 AS resized"
         " FROM documents"
     ),
     "multimodal_audio": (
