@@ -128,6 +128,7 @@ def _headline_and_queries(sf_dir: str, num_cpus: int, n_turns: int) -> dict:
     timed("dedup_minhash", Q.q_dedup_minhash)
     timed("dedup_simhash", Q.q_dedup_simhash)
     timed("text_metrics", Q.q_text_metrics)
+    timed("text_normalize", Q.q_text_normalize)
     timed("ann_bruteforce", Q.q_ann_bruteforce)
     timed("ann_ivf_indexed", Q.q_ann_ivf_indexed)
     timed("kg_bgp_star", Q.q_kg_bgp_star)

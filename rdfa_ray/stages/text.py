@@ -647,7 +647,11 @@ def normalize_text(docs_ds, form: str = "NFC"):
             t, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", ""
         )
         t = pc.replace_substring_regex(t, r"\s+", " ")
-        t = pc.utf8_trim_whitespace(t)
+        # ASCII-space trim only: after the \s+ collapse every ASCII
+        # whitespace edge IS a single space, and SQL trim() (the oracle)
+        # trims nothing else — utf8_trim_whitespace would additionally
+        # eat Unicode spaces (U+2000…) and silently diverge from SQL
+        t = pc.utf8_trim(t, " ")
         return pa.Table.from_pydict(
             {
                 "doc_id": batch.column("doc_id"),
