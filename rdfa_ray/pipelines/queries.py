@@ -2706,13 +2706,18 @@ def q_curation_v2(sf_dir: str):
         docs, rule_drops, on="doc_id", n_buckets=16,
         left_schema=doc_schema, right_schema=key_schema,
     ).materialize()
-    kept = bloom_anti_join(
-        gated, exact_dup_drops(gated), on="doc_id", n_buckets=16,
-        left_schema=doc_schema, right_schema=key_schema,
-    ).materialize()
+    # dedup keep-first and decontamination drop-sets BOTH derive from
+    # the same materialized gated set, so their key unions apply in ONE
+    # anti join: a contaminated non-keeper dup is dropped either way
+    # (contam(gated) \ contam(kept) ⊆ dup_drops), making the survivor
+    # set identical to the sequential three-join chain while saving two
+    # full anti-join passes and a materialize (round-4 restructure;
+    # oracle unchanged and re-verified hash-exact)
+    drops2 = exact_dup_drops(gated).union(
+        flag_contaminated(gated, extract_needles(docs))
+    )
     clean = bloom_anti_join(
-        kept, flag_contaminated(kept, extract_needles(docs)),
-        on="doc_id", n_buckets=16,
+        gated, drops2, on="doc_id", n_buckets=16,
         left_schema=doc_schema, right_schema=key_schema,
     )
 
