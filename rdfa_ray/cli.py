@@ -123,6 +123,16 @@ def main(argv=None):
         )
     else:
         turns = read_parquet_clean(args.input)
+        # fail loudly BEFORE launching the pipeline: a wrong input table
+        # (e.g. documents.parquet) otherwise dies deep inside a Ray task
+        # with a bare KeyError and an empty output directory
+        missing = {"conv_id", "turn_idx", "text"} - set(turns.schema().names)
+        if missing:
+            raise SystemExit(
+                "input %s is not a transcripts table: missing column(s) %s "
+                "(expected conv_id, turn_idx, role, text, tool, ts)"
+                % (args.input, sorted(missing))
+            )
     summary = run_flagship(
         turns,
         args.output,

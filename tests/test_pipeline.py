@@ -310,3 +310,17 @@ def test_text_analyzer_vectorized_matches_scalar_lang():
         assert out["n_stopwords"][i] == n_stop
         want_ratio = n_stop / len(toks) if toks else 0.0
         assert abs(out["stopword_ratio"][i] - want_ratio) < 1e-12
+
+
+def test_cli_rejects_non_transcript_table(ray_session, tmp_path):
+    # wrong input table must fail loudly at entry, not KeyError inside
+    # a Ray task with an empty output dir
+    import pytest
+
+    from rdfa_ray.cli import main
+
+    with pytest.raises(SystemExit, match="not a transcripts table"):
+        main([
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--output", str(tmp_path / "out"),
+        ])
