@@ -58,6 +58,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible query (others are
     intentionally omitted -> driver's rows-only check)."""
-    from rdfa_ray.pipelines.queries import ORACLE_SQL
+    from rdfa_ray.pipelines.queries import ORACLE_SQL, bpe_oracle_sql
 
-    return dict(ORACLE_SQL)
+    out = dict(ORACLE_SQL)
+    # golden-file oracles (deterministic ops with no SQL formulation):
+    # built lazily here from the independent sequential reference, keyed
+    # by a corpus fingerprint the SQL recomputes
+    out.update(bpe_oracle_sql())
+    return out

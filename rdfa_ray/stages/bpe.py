@@ -230,3 +230,48 @@ def encode_token_counts(docs_ds, merges: pa.Table, id_col: str = "doc_id",
         )
 
     return docs_ds.map_batches(enc, batch_format="pyarrow")
+
+
+def sequential_reference(texts, n_merges: int, min_pair_count: int = 2):
+    """Independent sequential Sennrich-style trainer — the golden-file
+    oracle generator for the driver's SQL harness (tests keep their own
+    twin copy).  Plain dict/Counter symbol scan, greedy left-to-right
+    merge application; same tokenization contract as the distributed
+    trainer ([a-z0-9]+ over lowercase) and the same deterministic total
+    order (count desc, pair asc).  Returns (merge list, final
+    symbol-list per word)."""
+    import re
+    from collections import Counter
+
+    tok = re.compile(r"[a-z0-9]+")
+    hist = Counter()
+    for t in texts:
+        hist.update(tok.findall((t or "").lower()))
+    words = {w: list(w) + ["</w>"] for w in hist}
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += hist[w]
+        if not pairs:
+            break
+        top = max(pairs.values())
+        best = min(
+            (p for p, c in pairs.items() if c == top), key=lambda p: " ".join(p)
+        )
+        if top < min_pair_count:
+            break
+        merges.append(best)
+        a, b = best
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    return merges, words
