@@ -6467,3 +6467,15 @@ ORACLE_SQL["curation_v2"] = (
     " FROM clean GROUP BY 1, 2"
 )
 
+
+# dsir_resample Gumbel noise = splitmix64 over doc_id XOR seed-mix,
+# reproduced exactly in SQL: the 64x64 multiply runs mod 2^64 via a
+# 32-bit split ((a>>32)*C % 2^32)*2^32 + (a&0xffffffff)*C — each term
+# < 2^96 so it fits signed INT128 (a direct product overflows it).
+# u = (h+1)/(2^64+2); key = logw_micro/1e6 - ln(-ln u); the driver
+# rounds floats to 6 dp, absorbing ulps.  seed=7 -> mix constant
+# 7 * 0x5851F42D4C957F2D mod 2^64 = 7655465419508447803.
+ORACLE_SQL["dsir_resample"] = (
+    "WITH w0 AS (" + ORACLE_SQL["dsir_weights"] + "),"
+    + ' gk_a AS (SELECT doc_id, logw_micro,  xor(CAST(doc_id AS UBIGINT), CAST(7655465419508447803 AS UBIGINT)) AS z  FROM w0), gk_b AS (SELECT doc_id, logw_micro,  CAST((CAST(z AS HUGEINT) + 11400714819323198485)   % 18446744073709551616 AS UBIGINT) AS z FROM gk_a), gk_c AS (SELECT doc_id, logw_micro, CAST(((CAST((xor(z, z >> 30)) >> 32 AS HUGEINT) * 13787848793156543929 % 4294967296) * 4294967296 + CAST((xor(z, z >> 30)) & 4294967295 AS HUGEINT) * 13787848793156543929) % 18446744073709551616 AS UBIGINT) AS z FROM gk_b), gk_d AS (SELECT doc_id, logw_micro, CAST(((CAST((xor(z, z >> 27)) >> 32 AS HUGEINT) * 10723151780598845931 % 4294967296) * 4294967296 + CAST((xor(z, z >> 27)) & 4294967295 AS HUGEINT) * 10723151780598845931) % 18446744073709551616 AS UBIGINT) AS z FROM gk_c), gk_e AS (SELECT doc_id, logw_micro, xor(z, z >> 31) AS h FROM gk_d) SELECT doc_id, logw_micro,  logw_micro / 1000000.0  - ln(-ln((CAST(h AS DOUBLE) + 1.0) / 18446744073709551618.0))  AS gumbel_key FROM gk_e ORDER BY gumbel_key DESC LIMIT 50'
+)
