@@ -37,15 +37,37 @@ def explode_tokens(texts: pd.Series):
     return flat.to_numpy(dtype=object), flat.index.to_numpy()
 
 
-def window_hashes(words: np.ndarray, parents: np.ndarray, n: int):
+def md5_token_hashes(words: np.ndarray) -> np.ndarray:
+    """SQL-reproducible per-token hash: little-endian uint64 of the
+    first 8 md5 bytes (DuckDB's ``md5_number_upper``).  One hashlib
+    call per DISTINCT token (vocab-bounded), mapped back via factorize
+    — used by oracle-checkable fingerprinting; the default siphash
+    ``token_hashes`` stays the hot-path choice."""
+    import hashlib
+
+    codes, uniq = pd.factorize(words, use_na_sentinel=False)
+    lut = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(str(w).encode()).digest()[:8], "little")
+            for w in uniq
+        ),
+        dtype=np.uint64,
+        count=len(uniq),
+    )
+    return lut[codes]
+
+
+def window_hashes(words: np.ndarray, parents: np.ndarray, n: int, hasher=None):
     """Rolling polynomial hash of every n-token window.
 
     Returns ``(hashes, win_parents)`` for the windows that lie fully
-    inside one parent row (document), or two empty arrays."""
+    inside one parent row (document), or two empty arrays.  ``hasher``
+    overrides the per-token hash (default: siphash ``token_hashes``;
+    pass ``md5_token_hashes`` for SQL-reproducible output)."""
     total = len(words)
     if total < n:
         return np.array([], np.uint64), np.array([], np.int64)
-    h = token_hashes(words)
+    h = (hasher or token_hashes)(words)
     m = total - n + 1
     out = np.zeros(m, np.uint64)
     mult = np.uint64(1)

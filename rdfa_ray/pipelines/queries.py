@@ -1295,12 +1295,16 @@ def q_sequence_packing(sf_dir: str):
 
 
 def q_fingerprints_rolling(sf_dir: str):
-    import ray.data as rd
-
+    """Winnowed rolling-hash fingerprints in the SQL-reproducible md5
+    hash mode: the DuckDB twin recomputes every token hash
+    (md5_number_upper = LE-uint64 of the first 8 md5 bytes), rolls the
+    same FNV-prime polynomial with 32-bit-split mod-2^64 multiplies,
+    and winnows with a 4-row window MIN — the full fingerprint SET is
+    hash-checked, not just invariants."""
     from ..stages.text import rolling_fingerprints
 
     docs = read_parquet_clean("%s/documents.parquet" % sf_dir, columns=["doc_id", "text"])
-    return rolling_fingerprints(docs)
+    return rolling_fingerprints(docs, hash_mode="md5")
 
 
 def q_ann_bruteforce(sf_dir: str):
@@ -6479,3 +6483,11 @@ ORACLE_SQL["dsir_resample"] = (
     "WITH w0 AS (" + ORACLE_SQL["dsir_weights"] + "),"
     + ' gk_a AS (SELECT doc_id, logw_micro,  xor(CAST(doc_id AS UBIGINT), CAST(7655465419508447803 AS UBIGINT)) AS z  FROM w0), gk_b AS (SELECT doc_id, logw_micro,  CAST((CAST(z AS HUGEINT) + 11400714819323198485)   % 18446744073709551616 AS UBIGINT) AS z FROM gk_a), gk_c AS (SELECT doc_id, logw_micro, CAST(((CAST((xor(z, z >> 30)) >> 32 AS HUGEINT) * 13787848793156543929 % 4294967296) * 4294967296 + CAST((xor(z, z >> 30)) & 4294967295 AS HUGEINT) * 13787848793156543929) % 18446744073709551616 AS UBIGINT) AS z FROM gk_b), gk_d AS (SELECT doc_id, logw_micro, CAST(((CAST((xor(z, z >> 27)) >> 32 AS HUGEINT) * 10723151780598845931 % 4294967296) * 4294967296 + CAST((xor(z, z >> 27)) & 4294967295 AS HUGEINT) * 10723151780598845931) % 18446744073709551616 AS UBIGINT) AS z FROM gk_c), gk_e AS (SELECT doc_id, logw_micro, xor(z, z >> 31) AS h FROM gk_d) SELECT doc_id, logw_micro,  logw_micro / 1000000.0  - ln(-ln((CAST(h AS DOUBLE) + 1.0) / 18446744073709551618.0))  AS gumbel_key FROM gk_e ORDER BY gumbel_key DESC LIMIT 50'
 )
+
+# fingerprints_rolling (md5 hash mode): token hash =
+# md5_number_upper (LE-uint64 of first 8 md5 bytes), window hash =
+# sum_k h_{i+k} * B^k mod 2^64 (B = FNV prime 1099511628211; B^k
+# constants inlined, multiplies 32-bit-split so terms fit INT128),
+# winnow = MIN over each 4-run inside the doc + global-min rule for
+# docs with < 4 windows, DISTINCT per (doc, fp).
+ORACLE_SQL["fingerprints_rolling"] = "WITH t AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS ts FROM documents), pos AS (SELECT doc_id, ts, unnest(range(1, len(ts) - 8 + 2)) AS i  FROM t WHERE len(ts) >= 8), win AS (SELECT doc_id, i,  CAST(((CAST(md5_number_upper(ts[i+0]) AS HUGEINT)) + (((CAST(md5_number_upper(ts[i+1]) >> 32 AS HUGEINT) * 1099511628211 % 4294967296) * 4294967296 + CAST(md5_number_upper(ts[i+1]) & 4294967295 AS HUGEINT) * 1099511628211)) + (((CAST(md5_number_upper(ts[i+2]) >> 32 AS HUGEINT) * 956575116354345 % 4294967296) * 4294967296 + CAST(md5_number_upper(ts[i+2]) & 4294967295 AS HUGEINT) * 956575116354345)) + (((CAST(md5_number_upper(ts[i+3]) >> 32 AS HUGEINT) * 624165263380053675 % 4294967296) * 4294967296 + CAST(md5_number_upper(ts[i+3]) & 4294967295 AS HUGEINT) * 624165263380053675)) + (((CAST(md5_number_upper(ts[i+4]) >> 32 AS HUGEINT) * 11527715348014283921 % 4294967296) * 4294967296 + CAST(md5_number_upper(ts[i+4]) & 4294967295 AS HUGEINT) * 11527715348014283921)) + (((CAST(md5_number_upper(ts[i+5]) >> 32 AS HUGEINT) * 913917546033277539 % 4294967296) * 4294967296 + CAST(md5_number_upper(ts[i+5]) & 4294967295 AS HUGEINT) * 913917546033277539)) + (((CAST(md5_number_upper(ts[i+6]) >> 32 AS HUGEINT) * 15895002104753931833 % 4294967296) * 4294967296 + CAST(md5_number_upper(ts[i+6]) & 4294967295 AS HUGEINT) * 15895002104753931833)) + (((CAST(md5_number_upper(ts[i+7]) >> 32 AS HUGEINT) * 14218562807570617051 % 4294967296) * 4294967296 + CAST(md5_number_upper(ts[i+7]) & 4294967295 AS HUGEINT) * 14218562807570617051))) % 18446744073709551616 AS UBIGINT) AS wh FROM pos), runm AS (SELECT doc_id, i, wh,  MIN(wh) OVER (PARTITION BY doc_id ORDER BY i   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS rmin,  COUNT(*) OVER (PARTITION BY doc_id) AS nwin FROM win) SELECT DISTINCT doc_id, rmin AS fp FROM runm  WHERE nwin >= 4 AND i <= nwin - 3 UNION SELECT doc_id, MIN(wh) AS fp FROM runm WHERE nwin < 4 GROUP BY doc_id"

@@ -236,7 +236,7 @@ def repetition_signals(docs_ds, n: int = 3):
     return docs_ds.map_batches(signals, batch_format="pandas")
 
 
-def rolling_fingerprints(docs_ds, window: int = 8):
+def rolling_fingerprints(docs_ds, window: int = 8, hash_mode: str = "fast"):
     """Document fingerprinting via winnowed rolling hashes: for each doc,
     the min-sampled set of rolling word-window hashes (one row per
     selected fingerprint) — usable for containment / plagiarism joins.
@@ -247,11 +247,20 @@ def rolling_fingerprints(docs_ds, window: int = 8):
     ``np.minimum.reduce`` over 4 shifted slices — no per-document
     Python.  Guarantee unchanged: any two documents sharing a
     ``window + 3``-word span share at least one selected fingerprint
-    (standard winnowing, Schleimer et al. 2003)."""
+    (standard winnowing, Schleimer et al. 2003).
+
+    ``hash_mode``: "fast" (default) hashes tokens with pandas siphash;
+    "md5" uses the SQL-reproducible md5-uint64 token hash (one hashlib
+    call per distinct token) so the whole fingerprint set can be
+    recomputed by the DuckDB oracle — same winnowing guarantee."""
     import numpy as np
     import pandas as pd
 
-    from ..functions.shingles import explode_tokens, window_hashes
+    from ..functions.shingles import explode_tokens, md5_token_hashes, window_hashes
+
+    if hash_mode not in ("fast", "md5"):
+        raise ValueError("rolling_fingerprints: unknown hash_mode %r" % hash_mode)
+    hasher = md5_token_hashes if hash_mode == "md5" else None
 
     def fp(batch: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -266,7 +275,7 @@ def rolling_fingerprints(docs_ds, window: int = 8):
             _TOKEN_RE_INV, " ", regex=True
         ).str.strip()
         words, parents = explode_tokens(texts.reset_index(drop=True))
-        hashes, win_parents = window_hashes(words, parents, window)
+        hashes, win_parents = window_hashes(words, parents, window, hasher=hasher)
         if not len(hashes):
             return empty
         m = len(hashes)

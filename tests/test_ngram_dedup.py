@@ -248,3 +248,31 @@ def test_paragraph_dedup_refuses_oversized_dropset(ray_session):
     }))
     with pytest.raises(ValueError):
         paragraph_dedup(docs, broadcast_limit=3).to_pandas()
+
+
+def test_rolling_fingerprints_md5_mode_winnowing_guarantee(ray_session):
+    # md5 hash mode (the SQL-reproducible one the oracle checks) keeps
+    # the Schleimer winnowing guarantee: docs sharing a window+3-word
+    # span share >= 1 fingerprint
+    import ray.data as rd
+
+    from rdfa_ray.stages.text import rolling_fingerprints
+
+    span = " ".join("planted%d" % i for i in range(11))  # window=8 -> 8+3
+    docs = rd.from_items(
+        [
+            {"doc_id": 1, "text": "aaa bbb ccc " + span + " ddd eee"},
+            {"doc_id": 2, "text": span + " zzz yyy xxx www vvv uuu"},
+            {"doc_id": 3, "text": "totally different words here nine ten eleven twelve"},
+        ]
+    )
+    out = rolling_fingerprints(docs, hash_mode="md5").to_pandas()
+    f1 = set(out[out.doc_id == 1]["fp"])
+    f2 = set(out[out.doc_id == 2]["fp"])
+    f3 = set(out[out.doc_id == 3]["fp"])
+    assert f1 & f2
+    assert not (f1 & f3)
+    import pytest
+
+    with pytest.raises(ValueError, match="hash_mode"):
+        rolling_fingerprints(docs, hash_mode="sha1")
