@@ -353,7 +353,19 @@ def _num(col):
 
 
 def _as_str(v):
-    """Coerce an operand (Array / ChunkedArray / Scalar) to string."""
+    """Coerce an operand (Array / ChunkedArray / Scalar) to string.
+
+    Multi-chunk inputs are combined FIRST: pyarrow 16.1's string
+    kernel chains (if_else / binary_join over extract_regex fields)
+    can emit later chunks carrying the first chunk's offsets when fed
+    multi-chunk large_string columns — the corrupted array then fails
+    `combine_chunks` with "buffer slice would exceed buffer length".
+    Ray assembles batches from multiple blocks, so multi-chunk columns
+    appear exactly at block boundaries (reproduced with a 4096+280
+    chunked dateTime column through the TIMEZONE kernel); single-chunk
+    inputs keep every downstream kernel single-chunk and safe."""
+    if isinstance(v, pa.ChunkedArray) and v.num_chunks > 1:
+        v = v.combine_chunks()
     return pc.cast(v, pa.string())
 
 

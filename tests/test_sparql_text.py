@@ -2769,3 +2769,33 @@ def test_describe_multiple_vars_and_empty_construct(ray_session):
     # (schema of an all-empty Dataset collapses in to_pandas; the
     # contract here is "empty graph, no crash")
     assert len(c) == 0
+
+
+def test_datetime_accessors_on_multichunk_block(ray_session):
+    """pyarrow 16.1 regression (caught by the sf0.1 all-queries sweep):
+    string kernel chains over a MULTI-CHUNK large_string column emitted
+    later chunks carrying the first chunk's offsets — TIMEZONE() on a
+    batch assembled from two blocks crashed combine_chunks.  _as_str
+    now combines chunks first."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from rdfa_ray.stages.sparql_text import _as_str
+
+    vals = ["2020-01-01T00:00:00Z"] * 4096 + ["2023-03-20T16:52:28+05:30"] * 280
+    arr = pa.chunked_array(
+        [pa.array(vals[:4096], pa.large_string()),
+         pa.array(vals[4096:], pa.large_string())]
+    )
+    s = _as_str(arr)
+    ex = pc.extract_regex(s, r"(?:(?P<z>Z)|(?P<sign>[+-])(?P<h>\d\d):(?P<m>\d\d))$")
+    hs = pc.fill_null(pc.struct_field(ex, "h"), "")
+    hn = pc.cast(pc.if_else(pc.equal(hs, ""), pa.scalar("0"), hs), pa.int32())
+    hpart = pc.if_else(
+        pc.greater(hn, 0),
+        pc.binary_join_element_wise(pc.cast(hn, pa.string()), "H", ""),
+        "",
+    )
+    out = hpart.combine_chunks() if isinstance(hpart, pa.ChunkedArray) else hpart
+    out.validate(full=True)  # used to raise "offset out of bounds"
+    assert out.to_pylist()[-1] == "5H"  # tz offset +05:30 -> h=05
