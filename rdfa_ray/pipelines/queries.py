@@ -2514,12 +2514,28 @@ def q_kg_minus(sf_dir: str):
     )
 
 
+def _collect_typed(ds, fallback_schema: pa.Schema) -> pa.Table:
+    """Collect a SMALL Dataset to a pa.Table without losing the schema
+    when the result is empty — Ray 2.49's ``Dataset.to_pandas()``
+    returns a ZERO-COLUMN frame for zero-row datasets (found by the
+    sf0.1 value sweep: kg_not_exists legitimately empties there and
+    the driver's schema compare would go red on the vanished column
+    names).  Only for results that are group-sized by construction."""
+    batches = list(ds.iter_batches(batch_format="pyarrow"))
+    if batches:
+        return pa.concat_tables(batches, promote_options="permissive")
+    return fallback_schema.empty_table()
+
+
 def q_kg_not_exists(sf_dir: str):
     """FILTER NOT EXISTS correlated on a shared OBJECT variable:
-    (document, source) pairs whose source hosts no Chinese document."""
+    (document, source) pairs whose source hosts no Chinese document.
+    Collected to a typed Arrow table: the result can be legitimately
+    EMPTY (sf0.1 has a zh document on every source) and Ray's
+    to_pandas drops column names for empty datasets."""
     from ..stages.sparql import exists_filter
 
-    return exists_filter(
+    return _collect_typed(exists_filter(
         _typed_triples(sf_dir),
         [("?d", "http://schema.org/source", "?src")],
         [
@@ -2528,7 +2544,7 @@ def q_kg_not_exists(sf_dir: str):
         ],
         negate=True,
         select=["d", "src"],
-    )
+    ), pa.schema([("d", pa.string()), ("src", pa.string())]))
 
 
 def q_kg_expr_exists(sf_dir: str):

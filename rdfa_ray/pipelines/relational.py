@@ -1056,10 +1056,14 @@ def local_supplier_volume(
     ).select_columns(["o_orderkey", "c_nationkey"])
 
     def line_project(batch: pd.DataFrame) -> pd.DataFrame:
-        cents = np.round(
+        # floor(+0.5) half-up, NOT np.round: banker's rounding diverges
+        # from SQL ROUND on exact half-cent boundaries (first hit at
+        # sf0.1 — off-by-1 per boundary row in the nation sums)
+        cents = np.floor(
             batch["l_extendedprice"].to_numpy()
             * (1.0 - batch["l_discount"].to_numpy())
             * 100.0
+            + 0.5
         ).astype("int64")
         return pd.DataFrame(
             {
