@@ -216,7 +216,13 @@ def events_winsorized(sf_dir: str):
         )
 
     # materialize: the milli view feeds BOTH the bounds pass and the
-    # clip pass — lazy lineage would run the read + cents map twice
+    # clip pass — lazy lineage would run the read + cents map twice.
+    # Scale note: this pins only the (event_type, value_milli)
+    # PROJECTION (~16 B/row), never the full table; at 10^12 rows that
+    # is an object-store-spillable 16 TB vs paying the source read
+    # twice — the same column-pruned two-pass tradeoff as
+    # lmscore.materialize_input, and trivially swappable for a re-read
+    # by dropping the materialize()
     milli = ds.map_batches(to_milli, batch_format="pyarrow").materialize()
 
     # bounds via ONE exchange: the merged (group, value) histogram is

@@ -91,9 +91,16 @@ def unigram_logppl(
     min_count: int = 1,
     broadcast_limit: int = _BROADCAST_LIMIT,
     max_model_rows: int = _MAX_MODEL_ROWS,
+    materialize_input: bool = True,
 ):
     """(doc_id, text) -> (doc_id, n_tokens, logppl_micro): mean negative
     log-likelihood under the corpus's own unigram distribution.
+
+    ``materialize_input``: the train + score passes consume the input
+    twice; materializing pins it in the object store (fastest at
+    node-local scale) but holds the FULL TEXT column — at 100 TB pass
+    ``False`` so lazy lineage re-reads the (column-pruned) source for
+    pass 2 instead of spilling a corpus-sized materialization.
 
     ``min_count`` prunes tokens seen fewer times from the model
     map-side (KenLM-style singleton pruning) BEFORE any driver collect;
@@ -112,7 +119,8 @@ def unigram_logppl(
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    docs_ds = docs_ds.materialize()  # two passes: train + score
+    if materialize_input:
+        docs_ds = docs_ds.materialize()  # two passes: train + score
 
     out_schema = pa.schema(
         [("doc_id", pa.int64()), ("n_tokens", pa.int64()),
@@ -281,6 +289,7 @@ def bigram_logppl(
     min_count: int = 1,
     broadcast_limit: int = _BROADCAST_LIMIT,
     max_model_rows: int = _MAX_MODEL_ROWS,
+    materialize_input: bool = True,
 ):
     """(doc_id, text) -> (doc_id, n_bigrams, logppl_micro): mean
     negative log-likelihood of each within-document bigram under the
@@ -308,12 +317,14 @@ def bigram_logppl(
     three aligned tables, so there is no bucketed-join fallback: above
     ``broadcast_limit`` rows the stage refuses loudly (raise
     ``min_count``, or score with ``unigram_logppl`` whose join path is
-    unbounded)."""
+    unbounded).  ``materialize_input`` as in ``unigram_logppl`` (pass
+    False at corpus scales where pinning the text column would spill)."""
     import ray
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    docs_ds = docs_ds.materialize()  # two passes: train + score
+    if materialize_input:
+        docs_ds = docs_ds.materialize()  # two passes: train + score
 
     counts_ds = (
         docs_ds.map_batches(_gram_count_partial, batch_format="pyarrow")
@@ -415,6 +426,7 @@ def ccnet_buckets(
     min_count: int = 1,
     broadcast_limit: int = _BROADCAST_LIMIT,
     max_model_rows: int = _MAX_MODEL_ROWS,
+    materialize_input: bool = True,
 ):
     """(doc_id, text, lang) -> (lang, bucket, n_docs, tokens_total):
     per-language unigram LM (deployments swap in KenLM per language —
@@ -429,12 +441,15 @@ def ccnet_buckets(
     tiny census aggregate.  Bucket rule (CCNet §4.3, discretized):
     head = ppl <= q33, middle = ppl <= q67, tail = rest — thresholds
     are the q(33)/q(67) order statistics, so the rule is pure integer
-    comparison and SQL-reproducible."""
+    comparison and SQL-reproducible.  ``materialize_input`` as in
+    ``unigram_logppl`` (pass False at corpus scales where pinning the
+    text column would spill)."""
     import ray
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    docs_ds = docs_ds.materialize()
+    if materialize_input:
+        docs_ds = docs_ds.materialize()
 
     # pass 1: per-(lang, token) counts — ONE exchange, vocab-sized
     def lang_tok_partial(batch: pa.Table) -> pa.Table:

@@ -178,3 +178,23 @@ def test_bigram_min_count_backoff(ray_session):
     assert set(out["doc_id"]) == set(base["doc_id"])
     assert np.isfinite(out["logppl_micro"].to_numpy()).all()
     assert (out["logppl_micro"] >= 0).all()
+
+
+def test_materialize_input_false_identical(ray_session):
+    # the 100-TB path: lazy re-read instead of pinning the text column
+    a = unigram_logppl(_ds()).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = (
+        unigram_logppl(_ds(), materialize_input=False)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    c1 = ccnet_buckets(_ds(lang="en")).to_pandas().sort_values("bucket").reset_index(drop=True)
+    c2 = (
+        ccnet_buckets(_ds(lang="en"), materialize_input=False)
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(c1, c2)
