@@ -152,6 +152,18 @@ def zorder_layout(
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
     os.replace(tmp, os.path.join(out_dir, "_manifest", "files.json"))
+    # vacuum: uuid-suffixed block names mean a RE-run writes fresh
+    # files; readers only follow the manifest, so stale parts from a
+    # previous layout are invisible but grow the directory forever —
+    # drop every parquet the new manifest doesn't reference (single
+    # writer per layout dir, same contract as kgstore's vacuum)
+    for name in os.listdir(out_dir):
+        if (
+            name.endswith(".parquet")
+            and not name.startswith(".")
+            and name not in files
+        ):
+            os.remove(os.path.join(out_dir, name))
     return manifest
 
 

@@ -150,3 +150,27 @@ def test_zorder_key_domain_width_guard_and_clamp():
         pa.table({"x": pa.array([99], pa.int64())}), ["x"], {"x": (0, 100)}, bits=8
     ).column("zkey").to_pylist()
     assert keys[0] == ref[0]
+
+
+def test_relayout_vacuums_stale_parts(ray_session, tmp_path):
+    # uuid block names make re-runs write fresh files; the manifest
+    # swap must also drop the previous run's now-unreferenced parts
+    df = pd.DataFrame({"a": range(200), "b": range(200)})
+    out = str(tmp_path / "zv")
+    domains = {"a": (0, 200), "b": (0, 200)}
+    m1 = zorder_layout(rd.from_pandas(df).repartition(4), ["a", "b"], domains, out)
+    first = set(m1["files"])
+    m2 = zorder_layout(rd.from_pandas(df).repartition(4), ["a", "b"], domains, out)
+    second = set(m2["files"])
+    assert first.isdisjoint(second)  # uuid names never collide
+    on_disk = {
+        f for f in os.listdir(out)
+        if f.endswith(".parquet") and not f.startswith(".")
+    }
+    assert on_disk == second  # stale first-run parts vacuumed
+    # pruned reads still complete and correct
+    kept = zorder_prune(out, {"a": (0, 50)})
+    import pyarrow.parquet as pq
+
+    rows = pd.concat([pq.read_table(p).to_pandas() for p in kept])
+    assert set(rows[rows.a <= 50]["a"]) == set(range(51))
