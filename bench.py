@@ -125,6 +125,7 @@ def _headline_and_queries(sf_dir: str, num_cpus: int, n_turns: int) -> dict:
     timed("orders_by_segment", Q.q_orders_by_segment)
     timed("events_asof", Q.q_events_asof)
     timed("dedup_exact", Q.q_dedup_exact)
+    timed("dedup_incremental", Q.q_dedup_incremental)
     timed("dedup_minhash", Q.q_dedup_minhash)
     timed("dedup_simhash", Q.q_dedup_simhash)
     timed("text_metrics", Q.q_text_metrics)

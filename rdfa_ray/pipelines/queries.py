@@ -929,6 +929,49 @@ def q_events_distinct_users_approx(sf_dir: str):
 
 
 
+def q_dedup_incremental(sf_dir: str):
+    """Incremental exact dedup against a PERSISTED hash store
+    (stages/dedupstore.py): the 'existing corpus' is the doc_id%10>=2
+    slice (hash store built once per testdata generation, idempotent
+    sentinel), the 'new drop' is doc_id%10<2 — planted overlap via the
+    corpus's natural exact dups plus drop-internal dups.  Returns the
+    drop's surviving (doc_id, h) rows; fully SQL-oracled (md5 twin).
+    The commit path is pytest-covered (mutating a cached store here
+    would break idempotency across runs)."""
+    import hashlib as _hl
+    import os as _os
+
+    from ..stages.dedupstore import (
+        hash_store_is_complete,
+        incremental_exact_dedup,
+        persist_hash_store,
+    )
+
+    st = _os.stat("%s/documents.parquet" % sf_dir)
+    store_dir = "/tmp/graft_hashstore_%s" % _hl.md5(
+        ("%s|%d|%d" % (sf_dir, st.st_mtime_ns, st.st_size)).encode()
+    ).hexdigest()[:12]
+    docs = read_parquet_clean(
+        "%s/documents.parquet" % sf_dir, columns=["doc_id", "text"]
+    )
+    def slice_mod(ds, lo: bool):
+        def f(t: pa.Table) -> pa.Table:
+            r = pc.subtract(
+                t.column("doc_id"),
+                pc.multiply(pc.divide(t.column("doc_id"), 10), 10),
+            )
+            mask = pc.less(r, 2) if lo else pc.greater_equal(r, 2)
+            return t.filter(mask)
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    corpus = slice_mod(docs, lo=False)
+    if not hash_store_is_complete(store_dir):
+        persist_hash_store(corpus, store_dir)
+    drop = slice_mod(docs, lo=True)
+    return incremental_exact_dedup(drop, store_dir)
+
+
 def q_dedup_exact(sf_dir: str):
     import ray.data as rd
 
@@ -4296,6 +4339,7 @@ QUERIES = {
     "token_top20": q_token_top20,
     "inverted_index": q_inverted_index,
     "dedup_exact": q_dedup_exact,
+    "dedup_incremental": q_dedup_incremental,
     "dedup_minhash": q_dedup_minhash,
     "dedup_ngram": q_dedup_ngram,
     "dedup_simhash": q_dedup_simhash,
@@ -5129,6 +5173,15 @@ ORACLE_SQL = {
     "dedup_exact": (
         "SELECT md5(text) AS h, MIN(doc_id) AS keeper, COUNT(*) AS n "
         "FROM documents GROUP BY md5(text)"
+    ),
+    # incremental store dedup: the drop (doc_id%10<2) keeps its
+    # min-doc_id per hash, minus every hash the corpus slice
+    # (doc_id%10>=2) already holds
+    "dedup_incremental": (
+        "WITH drop_k AS (SELECT md5(text) AS h, MIN(doc_id) AS doc_id"
+        " FROM documents WHERE doc_id % 10 < 2 GROUP BY md5(text))"
+        " SELECT doc_id, h FROM drop_k WHERE h NOT IN"
+        " (SELECT md5(text) FROM documents WHERE doc_id % 10 >= 2)"
     ),
     "dedup_clusters": (
         "SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text))"
