@@ -71,28 +71,30 @@ TERMNAME = re.compile(r"^[A-Za-z]([A-Za-z0-9._-]|/)*$")
 
 RDFA_VOCAB_PRED = (IRI, RDFA_NS + "usesVocabulary")
 
-# error message texts (reference __init__.py:268-292)
-err_no_blank_node = "Blank node in %s position is not allowed; ignored"
-err_redefining_URI_as_prefix = "'%s' a registered or an otherwise used URI scheme, but is defined as a prefix here; is this a mistake? (see, eg, http://en.wikipedia.org/wiki/URI_scheme or http://www.iana.org/assignments/uri-schemes.html for further information for most of the URI schemes)"
-err_xmlns_deprecated = "The usage of 'xmlns' for prefix definition is deprecated; please use the 'prefix' attribute instead (definition for '%s')"
-err_bnode_local_prefix = "The '_' local CURIE prefix is reserved for blank nodes, and cannot be defined as a prefix"
-err_col_local_prefix = "The character ':' is not valid in a CURIE Prefix, and cannot be used in a prefix definition (definition for '%s')"
-err_missing_URI_prefix = "Missing URI in prefix declaration for '%s' (in '%s')"
-err_invalid_prefix = "Invalid prefix declaration '%s' (in '%s')"
-err_no_default_prefix = "Default prefix cannot be changed (in '%s')"
-err_prefix_and_xmlns = "@prefix setting for '%s' overrides the 'xmlns:%s' setting; may be a source of problem if same file is run through RDFa 1.0"
-err_non_ncname_prefix = "Non NCNAME '%s' in prefix definition (in '%s'); ignored"
-err_absolute_reference = "CURIE Reference part contains an authority part: %s (in '%s'); ignored"
-err_query_reference = "CURIE Reference query part contains an unauthorized character: %s (in '%s'); ignored"
-err_fragment_reference = "CURIE Reference fragment part contains an unauthorized character: %s (in '%s'); ignored"
-err_URI_scheme = "Unusual URI scheme used in <%s>; may that be a mistake, e.g., resulting from using an undefined CURIE prefix or an incorrect CURIE?"
-err_illegal_safe_CURIE = "Illegal safe CURIE: %s; ignored"
-err_no_CURIE_in_safe_CURIE = "Safe CURIE is used, but the value does not correspond to a defined CURIE: [%s]; ignored"
-err_undefined_terms = "'%s' is used as a term, but has not been defined as such; ignored"
-err_non_legal_CURIE_ref = "Relative URI is not allowed in this position (or not a legal CURIE reference) '%s'; ignored"
-err_undefined_CURIE = "Undefined CURIE: '%s'; ignored"
-err_prefix_redefinition = "Prefix '%s' (defined in the initial RDFa context or in an ancestor) is redefined"
-err_unusual_char_in_URI = "Unusual character in uri: %s; possible error?"
+# warning message texts — same diagnostic CONDITIONS as the reference
+# (__init__.py:268-292) but independently worded; consumers key on the
+# warning-type URI, never on these strings
+err_no_blank_node = "A blank node cannot appear in the %s position; dropped"
+err_redefining_URI_as_prefix = "'%s' looks like a known URI scheme yet is being declared as a prefix here — possibly unintentional (compare against the IANA URI-scheme registry)"
+err_xmlns_deprecated = "Declaring prefixes via 'xmlns' is deprecated in RDFa 1.1; prefer the 'prefix' attribute (declaration of '%s')"
+err_bnode_local_prefix = "'_' is reserved as the blank-node CURIE prefix and cannot be declared"
+err_col_local_prefix = "A CURIE prefix may not contain ':'; declaration of '%s' dropped"
+err_missing_URI_prefix = "Prefix declaration for '%s' has no URI part (in '%s')"
+err_invalid_prefix = "Malformed prefix declaration '%s' (in '%s')"
+err_no_default_prefix = "The default prefix is fixed and cannot be redeclared (in '%s')"
+err_prefix_and_xmlns = "@prefix for '%s' takes precedence over 'xmlns:%s'; RDFa 1.0 processors would resolve this file differently"
+err_non_ncname_prefix = "Prefix '%s' is not an NCNAME (in '%s'); dropped"
+err_absolute_reference = "Reference part of CURIE carries an authority component: %s (in '%s'); dropped"
+err_query_reference = "Query component of CURIE reference holds a disallowed character: %s (in '%s'); dropped"
+err_fragment_reference = "Fragment component of CURIE reference holds a disallowed character: %s (in '%s'); dropped"
+err_URI_scheme = "Uncommon URI scheme in <%s> — could this be an undeclared or mistyped CURIE prefix?"
+err_illegal_safe_CURIE = "Malformed safe CURIE: %s; dropped"
+err_no_CURIE_in_safe_CURIE = "Safe-CURIE brackets around a value that is not a declared CURIE: [%s]; dropped"
+err_undefined_terms = "'%s' used as a term without a definition; dropped"
+err_non_legal_CURIE_ref = "'%s' is a relative URI (or not a valid CURIE reference), which this position disallows; dropped"
+err_undefined_CURIE = "CURIE '%s' has no declared prefix; dropped"
+err_prefix_redefinition = "Prefix '%s' from the initial context or an ancestor element is being redefined"
+err_unusual_char_in_URI = "URI contains an unexpected character: %s — possibly an error"
 
 _UNQUOTED_CHARS = ":/\\?=#~"  # reference utils.py:147
 _WARN_CHARS = (" ", "\n", "\r", "\t")

@@ -15,6 +15,8 @@ a lookup per triple — see ``rdfa_ray.stages.distill``.
 
 from __future__ import annotations
 
+import hashlib
+
 from ..rdf.terms import OWL_NS, RDF_NS, RDFS_NS, iri
 
 TYPE = iri(RDF_NS + "type")
@@ -166,15 +168,19 @@ def process_rdfa_sem(graph: set, options) -> set:
         vocab_graph |= _validated_vocab_triples(uri, g, options)
     if not vocab_graph:
         return graph
-    # key includes a content fingerprint (schema graphs are small, so
-    # the frozenset hash is cheap next to the closure) — two configs
+    # key includes a full content digest (schema graphs are small, so
+    # sorting+hashing is cheap next to the closure) — two configs
     # feeding different triples under the same URI can never
-    # cross-contaminate; the generation remains the explicit refresh
-    # control mirroring the reference's expiration date
+    # cross-contaminate, and unlike Python hash() a cryptographic
+    # digest cannot collide in practice; the generation remains the
+    # explicit refresh control mirroring the reference's expiration date
+    digest = hashlib.sha256(
+        "\x1e".join(sorted("\x1f".join(map(str, t)) for t in vocab_graph)).encode()
+    ).hexdigest()
     memo_key = (
         getattr(options, "vocab_cache_generation", 0),
         frozenset(vocabs),
-        hash(frozenset(vocab_graph)),
+        digest,
     )
     maps = _EXPANSION_MEMO.get(memo_key)
     if maps is None:

@@ -938,8 +938,11 @@ def q_dedup_incremental(sf_dir: str):
     drop's surviving (doc_id, h) rows; fully SQL-oracled (md5 twin).
     The commit path is pytest-covered (mutating a cached store here
     would break idempotency across runs)."""
+    import glob as _glob
     import hashlib as _hl
     import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
 
     from ..stages.dedupstore import (
         hash_store_is_complete,
@@ -948,9 +951,16 @@ def q_dedup_incremental(sf_dir: str):
     )
 
     st = _os.stat("%s/documents.parquet" % sf_dir)
-    store_dir = "/tmp/graft_hashstore_%s" % _hl.md5(
-        ("%s|%d|%d" % (sf_dir, st.st_mtime_ns, st.st_size)).encode()
+    # key = stable sf_dir hash + volatile (mtime,size) hash, so stores
+    # superseded by a testdata regeneration are identifiable and cleaned
+    sf_key = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    vol_key = _hl.md5(
+        ("%d|%d" % (st.st_mtime_ns, st.st_size)).encode()
     ).hexdigest()[:12]
+    store_dir = "/tmp/graft_hashstore_%s_%s" % (sf_key, vol_key)
+    for stale in _glob.glob("/tmp/graft_hashstore_%s_*" % sf_key):
+        if stale != store_dir and "-build-" not in _os.path.basename(stale):
+            _shutil.rmtree(stale, ignore_errors=True)
     docs = read_parquet_clean(
         "%s/documents.parquet" % sf_dir, columns=["doc_id", "text"]
     )
@@ -967,7 +977,18 @@ def q_dedup_incremental(sf_dir: str):
 
     corpus = slice_mod(docs, lo=False)
     if not hash_store_is_complete(store_dir):
-        persist_hash_store(corpus, store_dir)
+        # build under a private dir + atomic rename into the keyed path:
+        # two concurrent drivers on fresh testdata each build their own
+        # candidate and exactly one rename wins — no rmtree race on an
+        # in-flight sibling build (the loser discards its candidate)
+        build_dir = "%s-build-%s" % (store_dir, _uuid.uuid4().hex[:8])
+        persist_hash_store(corpus, build_dir)
+        try:
+            _os.rename(build_dir, store_dir)
+        except OSError:  # a concurrent builder won the rename
+            _shutil.rmtree(build_dir, ignore_errors=True)
+            if not hash_store_is_complete(store_dir):
+                raise
     drop = slice_mod(docs, lo=True)
     return incremental_exact_dedup(drop, store_dir)
 

@@ -79,8 +79,11 @@ def _store_files(store_dir: str, meta: dict, prefixes) -> list:
 
 def persist_hash_store(docs_ds, store_dir: str) -> dict:
     """Build the store from an existing corpus: one hash pass, one
-    hash-prefix shuffle, one parquet file per non-empty prefix.
-    Returns the meta dict; manifest written LAST (sentinel)."""
+    p-range sort, prefix-pure parquet files written per BLOCK.
+    Returns the meta dict; manifest written LAST (sentinel); any
+    parquet not referenced by the new manifest (stale generations from
+    a rebuild over a complete store, or orphans of a crashed commit)
+    is vacuumed after the swap."""
     import shutil
 
     os.makedirs(store_dir, exist_ok=True)
@@ -91,41 +94,168 @@ def persist_hash_store(docs_ds, store_dir: str) -> dict:
 
     hashed = docs_ds.map_batches(_hash_prefix_batch, batch_format="pyarrow")
     parts = _write_generation(hashed, store_dir, gen=1)
-    meta = {"format": 1, "generation": 1,
-            "partitions": {p: [rel] for p, rel in parts.items()}}
+    meta = {"format": 1, "generation": 1, "partitions": parts}
     _write_meta(store_dir, meta)
+    vacuum_hash_store(store_dir)
     return meta
 
 
-def _write_generation(hashed_ds, store_dir: str, gen: int) -> dict:
-    """One file per prefix for this generation: distinct hashes only.
-    Returns {prefix: relpath}."""
+_ROWS_PER_FILE = 4_000_000  # ~40 B/hash -> ~160 MB per file ceiling
+
+
+def _write_generation(hashed_ds, store_dir: str, gen: int,
+                      rows_per_file: int = _ROWS_PER_FILE) -> dict:
+    """Write this generation's hashes as prefix-pure parquet files.
+
+    Scale shape: one p-range sort of the thin (h, p) rows, then each
+    BLOCK of the sorted stream splits itself by the few prefixes it
+    spans and writes bounded-size files — no task ever holds more than
+    one block (the round-4 build funnelled each prefix, ~corpus/256
+    hashes, through a single ``map_groups`` task; at 100 TB that is a
+    multi-GB heap per task).  A prefix spanning several blocks simply
+    yields several files — the manifest's per-prefix file LIST covers
+    it, and ``compact_hash_store`` folds them back down after many
+    drops.  Hashes are deduped per (block, prefix) slice; cross-block
+    duplicates are rare (the stream is h-unsorted only at block
+    boundaries) and harmless for membership semantics.
+    Returns {prefix: [relpaths]}."""
+    import numpy as np
     import pyarrow.parquet as pq
 
     os.makedirs(os.path.join(store_dir, "parts"), exist_ok=True)
+    empty = pa.Table.from_pydict(
+        {"p": pa.array([], pa.string()), "rel": pa.array([], pa.string())}
+    )
 
-    def write_group(t: pa.Table) -> pa.Table:
+    def write_block(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return pa.Table.from_pydict(
-                {"p": pa.array([], pa.string()), "rel": pa.array([], pa.string())}
-            )
-        prefix = t.column("p")[0].as_py()
-        h = pc.unique(pc.cast(t.column("h"), pa.string()))
-        rel = os.path.join("parts", "%s-g%d-%s.parquet" % (
-            prefix, gen, uuid.uuid4().hex[:8]))
-        tmp = os.path.join(store_dir, rel + ".tmp")
+            return empty
         pa.set_cpu_count(1)
-        pq.write_table(pa.table({"h": h}), tmp)
-        os.replace(tmp, os.path.join(store_dir, rel))
-        return pa.Table.from_pydict({"p": pa.array([prefix]), "rel": pa.array([rel])})
+        t = t.combine_chunks()
+        pcol = np.asarray(t.column("p"))
+        # block is p-sorted: each prefix is one contiguous run
+        bounds = np.flatnonzero(pcol[1:] != pcol[:-1]) + 1
+        starts = np.concatenate(([0], bounds))
+        stops = np.concatenate((bounds, [len(pcol)]))
+        ps, rels = [], []
+        for s, e in zip(starts, stops):
+            prefix = pcol[s]
+            h = pc.unique(pc.cast(t.slice(s, e - s).column("h"), pa.string()))
+            for off in range(0, len(h), rows_per_file):
+                rel = os.path.join("parts", "%s-g%d-%s.parquet" % (
+                    prefix, gen, uuid.uuid4().hex[:8]))
+                tmp = os.path.join(store_dir, rel + ".tmp")
+                pq.write_table(
+                    pa.table({"h": h.slice(off, rows_per_file)}), tmp)
+                os.replace(tmp, os.path.join(store_dir, rel))
+                ps.append(prefix)
+                rels.append(rel)
+        return pa.Table.from_pydict(
+            {"p": pa.array(ps, pa.string()), "rel": pa.array(rels, pa.string())}
+        )
 
     rows = (
         hashed_ds.select_columns(["h", "p"])
-        .groupby("p")
-        .map_groups(write_group, batch_format="pyarrow")
+        .sort("p")
+        .map_batches(write_block, batch_format="pyarrow", batch_size=None)
         .to_pandas()
     )
-    return dict(zip(rows["p"], rows["rel"]))
+    parts: dict = {}
+    for p, rel in zip(rows["p"], rows["rel"]):
+        parts.setdefault(p, []).append(rel)
+    return parts
+
+
+def vacuum_hash_store(store_dir: str) -> int:
+    """Unlink every file under parts/ that the CURRENT manifest does
+    not reference (stale generations from a rebuild, superseded
+    compaction inputs, .tmp orphans of a crashed writer).  Returns the
+    number of files removed.
+
+    Concurrency contract (same as ``layout.zorder`` vacuum): the store
+    is single-writer, and a reader must resolve the manifest to file
+    paths per scan — a reader that caches paths across a writer's
+    swap+vacuum may lose files mid-read."""
+    meta = _read_meta(store_dir)
+    referenced = {
+        os.path.normpath(rel)
+        for rels in meta["partitions"].values()
+        for rel in rels
+    }
+    parts_dir = os.path.join(store_dir, "parts")
+    removed = 0
+    if not os.path.isdir(parts_dir):
+        return 0
+    for root, _dirs, files in os.walk(parts_dir):
+        for fn in files:
+            full = os.path.join(root, fn)
+            rel = os.path.normpath(os.path.relpath(full, store_dir))
+            if rel not in referenced:
+                os.unlink(full)
+                removed += 1
+    return removed
+
+
+def compact_hash_store(store_dir: str, max_files_per_prefix: int = 4,
+                       rows_per_file: int = _ROWS_PER_FILE) -> dict:
+    """Fold each over-fragmented prefix's generation files into few
+    distinct-hash files.  After N incremental drops a hot prefix holds
+    N small files, and every future dedup re-reads all of them — this
+    is the read-amplification release valve.  Prefixes at or under
+    ``max_files_per_prefix`` files are left untouched (their bytes are
+    not rewritten).  Swaps the manifest, then vacuums the superseded
+    inputs.  Single-writer; crash before the swap leaves the previous
+    snapshot fully readable and the re-run idempotent.
+
+    Memory shape: compaction MUST co-locate a whole prefix to unique
+    it, so each task holds one prefix's distinct hashes (~corpus/256
+    16-byte digests — ~6 GB per task per PB of 100 KB docs; for larger
+    corpora run with deeper prefixes or compact prefix subsets)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    meta = _read_meta(store_dir)
+    todo = sorted(
+        p for p, rels in meta["partitions"].items()
+        if len(rels) > max_files_per_prefix
+    )
+    if not todo:
+        return meta
+    files_by_prefix = {p: _store_files(store_dir, meta, [p]) for p in todo}
+
+    def compact_prefix(batch: pa.Table) -> pa.Table:
+        pa.set_cpu_count(1)
+        ps, rels = [], []
+        for prefix in batch.column("p").to_pylist():
+            tabs = [pq.read_table(f, columns=["h"]) for f in files_by_prefix[prefix]]
+            h = pc.unique(pc.cast(pa.concat_tables(tabs).column("h"), pa.string()))
+            for off in range(0, len(h), rows_per_file):
+                rel = os.path.join("parts", "%s-c%d-%s.parquet" % (
+                    prefix, meta["generation"], uuid.uuid4().hex[:8]))
+                tmp = os.path.join(store_dir, rel + ".tmp")
+                pq.write_table(pa.table({"h": h.slice(off, rows_per_file)}), tmp)
+                os.replace(tmp, os.path.join(store_dir, rel))
+                ps.append(prefix)
+                rels.append(rel)
+        return pa.Table.from_pydict(
+            {"p": pa.array(ps, pa.string()), "rel": pa.array(rels, pa.string())}
+        )
+
+    rows = (
+        rd.from_items([{"p": p} for p in todo])
+        .map_batches(compact_prefix, batch_format="pyarrow", batch_size=1)
+        .to_pandas()
+    )
+    partitions = {p: list(rels) for p, rels in meta["partitions"].items()}
+    for p in todo:
+        partitions[p] = []
+    for p, rel in zip(rows["p"], rows["rel"]):
+        partitions[p].append(rel)
+    new_meta = {"format": 1, "generation": meta["generation"],
+                "partitions": partitions}
+    _write_meta(store_dir, new_meta)
+    vacuum_hash_store(store_dir)
+    return new_meta
 
 
 def incremental_exact_dedup(new_docs_ds, store_dir: str, commit: bool = False):
@@ -193,9 +323,10 @@ def incremental_exact_dedup(new_docs_ds, store_dir: str, commit: bool = False):
         )
         new_parts = _write_generation(with_prefix, store_dir, gen)
         partitions = {p: list(rels) for p, rels in meta["partitions"].items()}
-        for p, rel in new_parts.items():
-            partitions.setdefault(p, []).append(rel)
+        for p, rels in new_parts.items():
+            partitions.setdefault(p, []).extend(rels)
         _write_meta(store_dir, {
             "format": 1, "generation": gen, "partitions": partitions,
         })
+        vacuum_hash_store(store_dir)  # clears orphans of any crashed commit
     return survivors

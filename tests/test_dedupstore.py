@@ -11,9 +11,11 @@ import pytest
 import ray.data as rd
 
 from rdfa_ray.stages.dedupstore import (
+    compact_hash_store,
     hash_store_is_complete,
     incremental_exact_dedup,
     persist_hash_store,
+    vacuum_hash_store,
 )
 
 
@@ -84,6 +86,118 @@ def test_crash_before_manifest_leaves_old_snapshot(ray_session, tmp_path):
 def test_missing_store_refuses_loudly(ray_session, tmp_path):
     with pytest.raises(FileNotFoundError, match="absent or incomplete"):
         incremental_exact_dedup(_docs(CORPUS), str(tmp_path / "nope"))
+
+
+def _manifest(store):
+    return json.load(open(os.path.join(store, "_meta.json")))
+
+
+def _n_files(store):
+    return sum(len(v) for v in _manifest(store)["partitions"].values())
+
+
+def _parts_on_disk(store):
+    return sorted(
+        f for f in os.listdir(os.path.join(store, "parts"))
+        if f.endswith(".parquet")
+    )
+
+
+def test_compact_after_many_drops_shrinks_and_preserves_semantics(
+    ray_session, tmp_path
+):
+    store = str(tmp_path / "hs")
+    persist_hash_store(_docs(CORPUS), store)
+    for i in range(5):  # five committed drops -> fragmented prefixes
+        drop = _docs([(1000 + 10 * i + j, "drop%d doc %d" % (i, j))
+                      for j in range(8)])
+        incremental_exact_dedup(drop, store, commit=True)
+    before_files = _n_files(store)
+    assert any(len(v) > 1 for v in _manifest(store)["partitions"].values())
+
+    compact_hash_store(store, max_files_per_prefix=1)
+    after = _manifest(store)
+    assert all(len(v) == 1 for v in after["partitions"].values())
+    assert _n_files(store) < before_files
+    # superseded inputs vacuumed: disk matches manifest exactly
+    assert _parts_on_disk(store) == sorted(
+        os.path.basename(r) for v in after["partitions"].values() for r in v
+    )
+
+    # semantics unchanged: everything ever committed is still rejected,
+    # fresh content still survives
+    replay = _docs(
+        [(9000, "corpus doc 7"), (9001, "drop3 doc 2"), (9002, "post-compact new")]
+    )
+    out = incremental_exact_dedup(replay, store).to_pandas()
+    assert sorted(out["doc_id"]) == [9002]
+    # a no-op compaction (already under the threshold) is harmless
+    compact_hash_store(store, max_files_per_prefix=1)
+    assert sorted(incremental_exact_dedup(replay, store).to_pandas()["doc_id"]) \
+        == [9002]
+
+
+def test_rebuild_over_complete_store_vacuums_stale_parts(ray_session, tmp_path):
+    store = str(tmp_path / "hs")
+    persist_hash_store(_docs(CORPUS), store)
+    stale = _parts_on_disk(store)
+    assert stale
+    # rebuild over the COMPLETE store with different content: the old
+    # generation's files must not accumulate (round-4 advice)
+    persist_hash_store(_docs([(i, "rebuilt %d" % i) for i in range(10)]), store)
+    on_disk = set(_parts_on_disk(store))
+    assert not (on_disk & set(stale))
+    assert on_disk == {
+        os.path.basename(r)
+        for v in _manifest(store)["partitions"].values() for r in v
+    }
+
+
+def test_vacuum_removes_tmp_orphans_only_outside_manifest(ray_session, tmp_path):
+    store = str(tmp_path / "hs")
+    persist_hash_store(_docs(CORPUS), store)
+    orphan = os.path.join(store, "parts", "aa-g9-feedface.parquet")
+    tmp_orphan = os.path.join(store, "parts", "bb-g9-cafe.parquet.tmp")
+    for f in (orphan, tmp_orphan):
+        with open(f, "w") as fh:
+            fh.write("x")
+    removed = vacuum_hash_store(store)
+    assert removed == 2
+    assert not os.path.exists(orphan) and not os.path.exists(tmp_orphan)
+    # referenced files untouched
+    assert _parts_on_disk(store) == sorted(
+        os.path.basename(r)
+        for v in _manifest(store)["partitions"].values() for r in v
+    )
+
+
+def test_build_chunks_large_prefixes_into_bounded_files(ray_session, tmp_path):
+    from rdfa_ray.stages import dedupstore as ds_mod
+
+    store = str(tmp_path / "hs")
+    # force tiny files: every prefix slice must chunk
+    hashed = _docs(CORPUS).map_batches(
+        ds_mod._hash_prefix_batch, batch_format="pyarrow"
+    )
+    os.makedirs(store, exist_ok=True)
+    parts = ds_mod._write_generation(hashed, store, gen=1, rows_per_file=2)
+    ds_mod._write_meta(store, {"format": 1, "generation": 1, "partitions": parts})
+    import pyarrow.parquet as pq
+
+    seen = set()
+    for p, rels in parts.items():
+        for rel in rels:
+            t = pq.read_table(os.path.join(store, rel))
+            assert t.num_rows <= 2  # bounded file size honored
+            for h in t.column("h").to_pylist():
+                assert h[:2] == p  # prefix-pure files
+                seen.add(h)
+    assert len(seen) == len(CORPUS)  # nothing lost across chunk splits
+    # the chunked store dedups exactly like a monolithic one
+    out = incremental_exact_dedup(
+        _docs([(600, "corpus doc 5"), (601, "unseen text")]), store
+    ).to_pandas()
+    assert sorted(out["doc_id"]) == [601]
 
 
 def test_empty_drop_and_unseen_prefixes(ray_session, tmp_path):
