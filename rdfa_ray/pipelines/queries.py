@@ -2743,7 +2743,7 @@ def q_kg_graph_scoped(sf_dir: str):
     return b.map_batches(unpack, batch_format="pyarrow")
 
 
-def q_curation_v2(sf_dir: str):
+def q_curation_v2(sf_dir: str, materialize_input: bool = True):
     """The round-3 curation chain UPGRADED to the published filter
     suites: Gopher quality rules (7-rule bitmask, min_words=20) AND
     the full 9-rule Gopher repetition suite as the quality gates,
@@ -2754,7 +2754,17 @@ def q_curation_v2(sf_dir: str):
     INVERTED to a small drop-set (failing docs / non-keeper dups /
     contaminated ids) applied through the adaptive Bloom anti join,
     so document text never crosses an exchange; both rule suites are
-    zero-shuffle map passes emitting key-only drop rows."""
+    zero-shuffle map passes emitting key-only drop rows.
+
+    ``materialize_input``: the gated set feeds THREE consumers (dup
+    drops, contamination flags, final anti-join left); materializing
+    it pins the full text column in the object store — fastest at
+    node-local scale, a corpus-sized pin at 100 TB.  ``False`` keeps
+    the chain lazy: each consumer re-executes the column-pruned
+    source read + the map-side gates (the key-sized drop-sets are
+    still materialized inside the Bloom join), trading ~3 extra
+    source scans for bounded memory — the same opt-out
+    ``stages/lmscore.py`` documents for its two-pass scorers."""
     import ray.data as rd
 
     from ..stages.bloom import bloom_anti_join
@@ -2789,7 +2799,9 @@ def q_curation_v2(sf_dir: str):
     gated = bloom_anti_join(
         docs, rule_drops, on="doc_id", n_buckets=16,
         left_schema=doc_schema, right_schema=key_schema,
-    ).materialize()
+    )
+    if materialize_input:
+        gated = gated.materialize()
     # dedup keep-first and decontamination drop-sets BOTH derive from
     # the same materialized gated set, so their key unions apply in ONE
     # anti join: a contaminated non-keeper dup is dropped either way
@@ -2848,7 +2860,7 @@ def q_curation_v2(sf_dir: str):
     )
 
 
-def q_curation_pipeline(sf_dir: str):
+def q_curation_pipeline(sf_dir: str, materialize_input: bool = True):
     """The composed pre-training curation pipeline, end-to-end and
     oracle-checked: repetition-quality gate (map-side) -> exact dedup
     keep-first -> benchmark decontamination -> deterministic
@@ -2859,7 +2871,13 @@ def q_curation_pipeline(sf_dir: str):
     ids) and applied with Bloom-prefiltered anti joins — rows missing
     the broadcast filter pass map-side, only Bloom hits visit the
     exact anti join.  The shuffled bytes are (doc_id, md5) pairs, drop
-    ids, and the final census partials."""
+    ids, and the final census partials.
+
+    ``materialize_input``: True pins the quality-gated and deduped
+    text sets for their 2 consumers each (fastest node-local); False
+    keeps them lazy so each consumer re-executes the column-pruned
+    read + map gates instead of pinning a corpus-sized text column —
+    the 100-TB setting (see ``stages/lmscore.py`` for the pattern)."""
     import ray.data as rd
 
     from ..stages.bloom import bloom_anti_join
@@ -2877,25 +2895,25 @@ def q_curation_pipeline(sf_dir: str):
     key_schema = pa.schema([("doc_id", pa.int64())])
 
     # 1. quality: drop high-repetition docs (map-side, zero shuffle)
-    q = quality_gate(docs).materialize()  # consumed by steps 2 AND 3
+    q = quality_gate(docs)
+    if materialize_input:
+        q = q.materialize()  # consumed by steps 2 AND 3
 
     # 2. exact dedup: drop non-keeper duplicates (drop-set is the
     # minority side -> Bloom anti join keeps text out of the exchange)
     # The Bloom anti join's union (pass-through blocks + join buckets)
     # fragments the block layout; compact before the next stage fans
     # over it again (plain concat repartition, not a shuffle).
-    kept = (
-        bloom_anti_join(
-            q,
-            exact_dup_drops(q),
-            on="doc_id",
-            n_buckets=16,
-            left_schema=doc_schema,
-            right_schema=key_schema,
-        )
-        .repartition(16)
-        .materialize()  # consumed twice: flag pass + anti-join left
-    )
+    kept = bloom_anti_join(
+        q,
+        exact_dup_drops(q),
+        on="doc_id",
+        n_buckets=16,
+        left_schema=doc_schema,
+        right_schema=key_schema,
+    ).repartition(16)
+    if materialize_input:
+        kept = kept.materialize()  # consumed twice: flag pass + anti-join left
 
     # 3. decontaminate: needles from the FULL corpus; flagged ids are
     # key-sized, same Bloom anti shape

@@ -754,3 +754,18 @@ def test_normalize_text_unicode_and_whitespace(ray_session):
 
     with pytest.raises(ValueError, match="unknown Unicode form"):
         normalize_text(rd.from_pandas(df), form="NFX")
+
+
+def test_curation_lazy_input_matches_materialized(ray_session):
+    """materialize_input=False (the 100-TB setting: no corpus-sized
+    text pin; consumers re-execute the column-pruned read) must be
+    value-identical to the default materialized path."""
+    from rdfa_ray.pipelines.queries import q_curation_pipeline, q_curation_v2
+
+    sf = "/root/testdata/sf0.001"
+    for q in (q_curation_pipeline, q_curation_v2):
+        a = q(sf).to_pandas()
+        b = q(sf, materialize_input=False).to_pandas()
+        a = a.sort_values(["split", "lang"]).reset_index(drop=True)
+        b = b.sort_values(["split", "lang"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
