@@ -1002,25 +1002,133 @@ def q_dedup_exact(sf_dir: str):
     return exact_dedup(docs)
 
 
+_PLANT_EVERY = 50
+_PLANT_OFFSET = 10_000_000
+
+
+def _plant_doc_copies(docs_ds):
+    """Deterministically plant exact duplicates: every ``_PLANT_EVERY``-th
+    doc_id gets a verbatim copy at ``doc_id + _PLANT_OFFSET`` (the
+    ``q_embedding_dups`` pattern — the synthetic corpus has few-to-no
+    natural exact dups below sf0.1, so without planting a coverage
+    check would be vacuous).  SQL-reproducible via UNION ALL."""
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        sel = pc.equal(
+            pc.subtract(ids, pc.multiply(pc.divide(ids, _PLANT_EVERY),
+                                         _PLANT_EVERY)),
+            0,
+        )
+        copies = batch.filter(sel)
+        copies = pa.Table.from_pydict(
+            {
+                "doc_id": pc.add(copies.column("doc_id"), _PLANT_OFFSET),
+                "text": copies.column("text"),
+            }
+        )
+        return pa.concat_tables(
+            [batch.select(["doc_id", "text"]), copies]
+        )
+
+    return docs_ds.map_batches(plant, batch_format="pyarrow")
+
+
+def _dup_pair_coverage(docs_ds, pairs_ds, pairs_schema: pa.Schema):
+    """Convert a probabilistic near-dup pair stream into the
+    SQL-checkable lower-bound form (VERDICT r4 #3): for EVERY member
+    of an exact-duplicate group (md5 twin — SQL-knowable, incl. the
+    planted copies), assert it appears in at least one emitted pair.
+    Identical texts share every LSH band deterministically and verify
+    at jaccard=1 / hamming=0, and ``_bucket_pairs``' star mode keeps
+    each member connected to its group keeper even in degenerate
+    buckets — so coverage is a GUARANTEE, not a statistic; a missed
+    member flips found_in_pair and the driver's hash compare goes
+    red.  Near-dup (non-identical) recall stays pytest-pinned.
+
+    Scale shape: hash rows and pair ids only — one md5 map pass, a
+    hash-keyed group filter, a pair-id distinct, one bucketed left
+    join; document text never shuffles here."""
+    from ..stages.dedup import _text_md5_batch
+    from ..stages.join import bucketed_hash_join
+
+    hashed = docs_ds.map_batches(_text_md5_batch, batch_format="pyarrow")
+
+    def members_only(t: pa.Table) -> pa.Table:
+        if t.num_rows <= 1:
+            return pa.Table.from_pydict(
+                {"doc_id": pa.array([], pa.int64())}
+            )
+        return pa.Table.from_pydict(
+            {"doc_id": pc.cast(t.column("doc_id"), pa.int64())}
+        )
+
+    members = hashed.groupby("h").map_groups(
+        members_only, batch_format="pyarrow"
+    )
+
+    def flat_ids(batch: pa.Table) -> pa.Table:
+        ids = pa.concat_arrays(
+            [
+                pc.cast(batch.column("a"), pa.int64()).combine_chunks(),
+                pc.cast(batch.column("b"), pa.int64()).combine_chunks(),
+            ]
+        )
+        return pa.Table.from_pydict({"doc_id": pc.unique(ids)})
+
+    def first_only(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pc.cast(t.column("doc_id"), pa.int64()).slice(0, 1),
+                "m": pa.array([1], pa.int8()),
+            }
+        )
+
+    pair_ids = (
+        pairs_ds.map_batches(flat_ids, batch_format="pyarrow")
+        .groupby("doc_id")
+        .map_groups(first_only, batch_format="pyarrow")
+    )
+    joined = bucketed_hash_join(
+        members, pair_ids, on="doc_id", how="left",
+        left_schema=pa.schema([("doc_id", pa.int64())]),
+        right_schema=pa.schema([("doc_id", pa.int64()), ("m", pa.int8())]),
+    )
+
+    def flag(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                "found_in_pair": pc.is_valid(batch.column("m")),
+            }
+        )
+
+    return joined.map_batches(flag, batch_format="pyarrow")
+
+
 def q_dedup_minhash(sf_dir: str):
+    """MinHash+LSH near-dup detection, converted from rows-only to the
+    planted-lower-bound form (``_dup_pair_coverage``): every member of
+    an exact-duplicate group must surface in a found pair.  The raw
+    (a, b, jaccard) pair surface stays available via
+    ``stages.dedup.minhash_dedup``."""
     import ray.data as rd
 
     from ..stages.dedup import minhash_dedup
 
     # a single parquet file reads as very few blocks; split it so the
     # signature stage actually fans out across the pool
-    docs = read_parquet_clean(
-        "%s/documents.parquet" % sf_dir, columns=["doc_id", "text"],
-        override_num_blocks=32,
-    )
+    docs = _plant_doc_copies(
+        read_parquet_clean(
+            "%s/documents.parquet" % sf_dir, columns=["doc_id", "text"],
+            override_num_blocks=32,
+        )
+    ).materialize()  # consumed twice: signature pass + md5 member pass
     pairs = minhash_dedup(docs, threshold=0.8)
-
-    def round_j(batch: pa.Table) -> pa.Table:
-        idx = batch.schema.get_field_index("jaccard")
-        return batch.set_column(idx, "jaccard", pc.round(batch.column("jaccard"), 3))
-
-    return pairs.map_batches(round_j, batch_format="pyarrow").select_columns(
-        ["a", "b", "jaccard"]
+    return _dup_pair_coverage(
+        docs, pairs,
+        pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                   ("jaccard", pa.float64()), ("pair_mode", pa.string())]),
     )
 
 
@@ -1037,12 +1145,26 @@ def q_dedup_ngram(sf_dir: str):
 
 
 def q_dedup_simhash(sf_dir: str):
+    """SimHash near-dup detection in the planted-lower-bound form
+    (``_dup_pair_coverage``): identical texts hash to identical
+    simhashes (hamming 0), so every exact-dup-group member must be in
+    a found pair.  Raw (a, b, hamming) pairs stay available via
+    ``stages.dedup.simhash_dedup``."""
     import ray.data as rd
 
     from ..stages.dedup import simhash_dedup
 
-    docs = read_parquet_clean("%s/documents.parquet" % sf_dir, columns=["doc_id", "text"])
-    return simhash_dedup(docs).select_columns(["a", "b", "hamming"])
+    docs = _plant_doc_copies(
+        read_parquet_clean(
+            "%s/documents.parquet" % sf_dir, columns=["doc_id", "text"]
+        )
+    ).materialize()  # consumed twice: simhash pass + md5 member pass
+    pairs = simhash_dedup(docs)
+    return _dup_pair_coverage(
+        docs, pairs,
+        pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                   ("hamming", pa.int64()), ("pair_mode", pa.string())]),
+    )
 
 
 def q_dedup_clusters(sf_dir: str):
@@ -1396,24 +1518,107 @@ def q_ann_sq_topk(sf_dir: str):
     return sq_topk(embs, query_ids=list(range(8)), k=10, dim=64)
 
 
-def q_ann_ivf(sf_dir: str):
+def _ann_checked(sf_dir: str, ivf_df, query_ids, k: int,
+                 per_query_floor: float = 0.2, mean_floor: float = 0.4):
+    """Turn an approximate ANN result into the driver-checkable
+    invariant row set (the sketch-family oracle pattern,
+    ``_distinct_sketch_checked``): one row per query with
+
+    * ``n_vecs`` — the exact table count (SQL twin),
+    * ``n_results`` — top-k rows returned (must be k),
+    * ``self_hit`` — the query's own vector is in its top-k at sim 1,
+    * ``sims_exact`` — every reported sim equals the true cosine of
+      that (query, vec) pair, recomputed here from the raw vectors
+      (catches scoring/masking/merge corruption),
+    * ``recall_ok`` — recall@k vs the in-query exact brute-force
+      top-k is >= ``per_query_floor`` per query AND >= ``mean_floor``
+      on average (the IVF pipeline is deterministic, so these floors
+      are stable bounds, not flaky statistics).
+
+    The oracle reproduces n_vecs + constants + TRUE flags, so any
+    broken invariant turns the driver's hash compare red."""
     import ray.data as rd
 
+    from ..stages.ann import _normalize, brute_force_topk
+
+    embs = read_parquet_clean(
+        "%s/embeddings.parquet" % sf_dir, columns=["vec_id", "embedding"]
+    )
+    n_vecs = embs.count()
+    bf = brute_force_topk(embs, query_ids=query_ids, k=k).to_pandas()
+
+    need = sorted(
+        set(ivf_df["vec_id"]) | set(query_ids)
+    )  # key-sized gather: <= n_queries * (k + 1) vectors
+
+    def pick(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.is_in(batch.column("vec_id"), value_set=pa.array(need))
+        )
+
+    vdf = embs.map_batches(pick, batch_format="pyarrow").to_pandas()
+    vecs = {
+        int(r.vec_id): np.asarray(r.embedding, np.float64)
+        for r in vdf.itertuples()
+    }
+    rows = []
+    recalls = []
+    for qid in query_ids:
+        mine = ivf_df[ivf_df["query_id"] == qid]
+        qv = _normalize(vecs[qid][None, :])[0]
+        sims_exact = True
+        for r in mine.itertuples():
+            true_sim = float(qv @ _normalize(vecs[int(r.vec_id)][None, :])[0])
+            if abs(float(r.sim) - true_sim) > 1e-9:
+                sims_exact = False
+        got = set(int(v) for v in mine["vec_id"])
+        truth = set(
+            int(v) for v in bf[bf["query_id"] == qid]["vec_id"]
+        )
+        recall = len(got & truth) / max(len(truth), 1)
+        recalls.append(recall)
+        rows.append(
+            {
+                "query_id": int(qid),
+                "n_vecs": int(n_vecs),
+                "n_results": int(len(mine)),
+                "self_hit": bool(qid in got)
+                and bool((mine["vec_id"] == qid).any()),
+                "sims_exact": sims_exact,
+                "recall_ok": recall >= per_query_floor,
+            }
+        )
+    mean_ok = (sum(recalls) / max(len(recalls), 1)) >= mean_floor
+    for r in rows:
+        r["recall_ok"] = bool(r["recall_ok"] and mean_ok)
+    out = pd.DataFrame(rows).astype(
+        {"query_id": "int64", "n_vecs": "int64", "n_results": "int64"}
+    )
+    return rd.from_pandas(out)
+
+
+def q_ann_ivf(sf_dir: str):
+    """IVF approximate top-k, converted from rows-only to the checked
+    form: emits per-query invariant rows (exact n_vecs twin + self-hit
+    / exact-sim / deterministic recall-floor flags — see
+    ``_ann_checked``); the raw (query_id, vec_id, sim) surface stays
+    available via ``stages.ann.ivf_topk``."""
     from ..stages.ann import ivf_topk
 
     embs = read_parquet_clean("%s/embeddings.parquet" % sf_dir)
-    ds = ivf_topk(embs, query_ids=list(range(8)), k=10)
-
-    def project(batch: pa.Table) -> pa.Table:
-        return batch.select(["query_id", "vec_id"])
-
-    return ds.map_batches(project, batch_format="pyarrow")
+    qids = list(range(8))
+    ivf = ivf_topk(embs, query_ids=qids, k=10).to_pandas()
+    return _ann_checked(sf_dir, ivf, qids, k=10)
 
 
 def q_ann_ivf_indexed(sf_dir: str):
     """Persisted cell-partitioned IVF: build once (idempotent), then a
     partition-pruned search touching only probed cells (the standing-
-    corpus ANN path; not SQL-expressible -> rows-only)."""
+    corpus ANN path).  Converted from rows-only to the checked form:
+    the search result passes through ``_ann_checked`` (exact n_vecs
+    twin + self-hit / exact-sim / recall-floor flags), which also
+    end-to-end verifies the partitioned-parquet plumbing — a missed or
+    corrupted cell partition breaks self_hit/sims_exact/recall."""
     import hashlib as _hl
     import os as _os
 
@@ -1434,12 +1639,8 @@ def q_ann_ivf_indexed(sf_dir: str):
     queries_df = (
         embs.filter(expr="vec_id < 8").to_pandas()
     )
-    ds = ivf_search(index_dir, queries_df, k=10)
-
-    def project(batch: pa.Table) -> pa.Table:
-        return batch.select(["query_id", "vec_id"])
-
-    return ds.map_batches(project, batch_format="pyarrow")
+    ivf = ivf_search(index_dir, queries_df, k=10).to_pandas()
+    return _ann_checked(sf_dir, ivf, list(range(8)), k=10)
 
 
 def q_embedding_dups(sf_dir: str):
@@ -1817,17 +2018,19 @@ def q_pii_scrub(sf_dir: str):
 
 
 def q_kmeans_sizes(sf_dir: str):
-    """Distributed Lloyd's k-means over the embedding table; returns
-    the per-cluster sizes (rows-only at the driver — assignments are
-    verified by pytest against a single-process numpy twin)."""
-    import ray.data as rd
-
-    from ..stages.kmeans import kmeans_cluster_sizes
+    """Distributed Lloyd's k-means over the embedding table, converted
+    from rows-only to the checked-invariant form
+    (``stages.kmeans.kmeans_checked``): exact n_points twin +
+    every-vector-assigned + Lloyd descent (final inertia <= seed
+    inertia) flags; per-cluster sizes stay available via
+    ``kmeans_cluster_sizes`` and assignment semantics stay pinned by
+    the numpy-twin pytest."""
+    from ..stages.kmeans import kmeans_checked
 
     emb = read_parquet_clean(
         "%s/embeddings.parquet" % sf_dir, columns=["vec_id", "embedding"]
     )
-    return kmeans_cluster_sizes(emb, k=8, n_iters=10)
+    return kmeans_checked(emb, k=8, n_iters=10)
 
 
 def q_semdedup(sf_dir: str):
@@ -4194,20 +4397,19 @@ def q_pca_covariance(sf_dir: str):
 
 
 def q_pca_project(sf_dir: str):
-    """PCA projection onto the top-8 components (driver eigh over the
-    exact covariance, broadcast-components map) — rows-only (LAPACK);
-    determinism and the numpy twin are pinned by pytest."""
-    from ..stages.pca import pca_project
+    """PCA projection onto the top-8 components, converted from
+    rows-only to the checked-invariant form (``stages.pca.pca_checked``):
+    exact n_rows + quantized-trace SQL twins plus orthonormality /
+    eigenvalue-monotonicity / projection-variance-matches-spectrum
+    flags (the last one aggregates the ACTUAL projected vectors).
+    Projection values stay pytest-pinned (numpy twin, partition
+    invariance)."""
+    from ..stages.pca import pca_checked
 
     embs = read_parquet_clean(
         "%s/embeddings.parquet" % sf_dir, columns=["vec_id", "embedding"]
     )
-    out = pca_project(embs, dim=64, n_components=8)
-
-    def strip(batch):
-        return batch[["vec_id", "proj_q"]]
-
-    return out.map_batches(strip, batch_format="pandas")
+    return pca_checked(embs, dim=64, n_components=8)
 
 
 def q_quality_classifier(sf_dir: str):
@@ -5968,6 +6170,68 @@ ORACLE_SQL = {
         " CAST(floor(-AVG(ln(f.n / tot.total)) * 1000000 + 0.5) AS BIGINT)"
         " AS logppl_micro"
         " FROM tok t JOIN freq f USING (token), tot GROUP BY t.doc_id"
+    ),
+    "dedup_minhash": (
+        # planted-lower-bound form (_dup_pair_coverage): every member
+        # of an exact md5-duplicate group (incl. the planted verbatim
+        # copies at doc_id+10000000) must appear in a found pair
+        "WITH d AS (SELECT doc_id, text FROM documents UNION ALL"
+        " SELECT doc_id + 10000000 AS doc_id, text FROM documents"
+        " WHERE doc_id % 50 = 0),"
+        " hh AS (SELECT doc_id, md5(COALESCE(text, '')) AS h FROM d)"
+        " SELECT doc_id, TRUE AS found_in_pair FROM hh WHERE h IN"
+        " (SELECT h FROM hh GROUP BY h HAVING COUNT(*) > 1)"
+    ),
+    "dedup_simhash": (
+        "WITH d AS (SELECT doc_id, text FROM documents UNION ALL"
+        " SELECT doc_id + 10000000 AS doc_id, text FROM documents"
+        " WHERE doc_id % 50 = 0),"
+        " hh AS (SELECT doc_id, md5(COALESCE(text, '')) AS h FROM d)"
+        " SELECT doc_id, TRUE AS found_in_pair FROM hh WHERE h IN"
+        " (SELECT h FROM hh GROUP BY h HAVING COUNT(*) > 1)"
+    ),
+    "pca_project": (
+        # checked-invariant form (stages/pca.pca_checked): n_rows and
+        # the quantized covariance TRACE are exact integer twins of the
+        # engine's arithmetic (diagonal-only pca_covariance oracle);
+        # the three flags assert the eigen/projection algebra in-query
+        "WITH v AS (SELECT vec_id,"
+        "  CAST(unnest(embedding) AS DOUBLE) AS x,"
+        "  generate_subscripts(embedding, 1) AS i FROM embeddings),"
+        " m AS (SELECT i, (CAST(SUM(CAST(floor(x * 1000000000.0 + 0.5)"
+        "  AS BIGINT)) AS DOUBLE) / 1000000000.0) / COUNT(*) AS mu"
+        "  FROM v GROUP BY i),"
+        " c AS (SELECT v.i, v.x - m.mu AS cx FROM v JOIN m USING (i)) "
+        "SELECT (SELECT COUNT(*) FROM embeddings) AS n_rows,"
+        " CAST(SUM(CAST(floor(cx * cx * 1000000000.0 + 0.5) AS BIGINT))"
+        "  AS BIGINT) AS trace_q,"
+        " TRUE AS orthonormal_ok, TRUE AS var_monotone_ok,"
+        " TRUE AS proj_var_ok FROM c"
+    ),
+    "kmeans_sizes": (
+        # checked-invariant form (stages/kmeans.kmeans_checked): exact
+        # count twin + assignment-total and Lloyd-descent flags
+        "SELECT (SELECT COUNT(*) FROM embeddings) AS n_points,"
+        " CAST(8 AS BIGINT) AS k, TRUE AS sizes_sum_ok,"
+        " TRUE AS inertia_improved"
+    ),
+    "ann_ivf": (
+        # checked-invariant form (see _ann_checked): exact table-count
+        # twin + deterministic TRUE flags; a broken IVF (missed cell,
+        # corrupted sims, lost self-hit, recall under the deterministic
+        # floor) flips a flag and the hash compare goes red
+        "SELECT CAST(qid AS BIGINT) AS query_id,"
+        " (SELECT COUNT(*) FROM embeddings) AS n_vecs,"
+        " CAST(10 AS BIGINT) AS n_results, TRUE AS self_hit,"
+        " TRUE AS sims_exact, TRUE AS recall_ok"
+        " FROM (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) t(qid)"
+    ),
+    "ann_ivf_indexed": (
+        "SELECT CAST(qid AS BIGINT) AS query_id,"
+        " (SELECT COUNT(*) FROM embeddings) AS n_vecs,"
+        " CAST(10 AS BIGINT) AS n_results, TRUE AS self_hit,"
+        " TRUE AS sims_exact, TRUE AS recall_ok"
+        " FROM (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) t(qid)"
     ),
     "ann_sq_topk": (
         # int8 scalar quantization reproduced verbatim: integer-exact

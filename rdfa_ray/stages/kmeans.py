@@ -136,8 +136,11 @@ def kmeans_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     local_limit: int = 200_000,
+    return_init: bool = False,
 ):
-    """Fit k-means; returns the (k, d) centroid ndarray.
+    """Fit k-means; returns the (k, d) centroid ndarray (or
+    ``(centroids, init_centroids)`` with ``return_init=True`` — the
+    seed matrix lets callers assert the Lloyd descent invariant).
 
     ``embeddings_ds`` is materialized once (each iteration re-reads the
     shared object-store blocks zero-copy).  Vector sets at or below
@@ -157,8 +160,10 @@ def kmeans_fit(
         init = farthest_point_seeds(
             df[id_col].to_numpy(dtype=np.int64), vecs, k
         )
-        return _local_lloyd(vecs, k, n_iters, init)
+        fitted = _local_lloyd(vecs, k, n_iters, init)
+        return (fitted, init) if return_init else fitted
     cents = _seed_sample(ds, n, k, id_col, vec_col)
+    init = cents.copy()
 
     for _ in range(n_iters):
         cref = ray.put(cents)
@@ -209,7 +214,7 @@ def kmeans_fit(
             cents = new
             break
         cents = new
-    return cents
+    return (cents, init) if return_init else cents
 
 
 def kmeans_assign(
@@ -254,3 +259,75 @@ def kmeans_cluster_sizes(embeddings_ds, k: int, n_iters: int = 10):
     cents = kmeans_fit(embeddings_ds, k, n_iters)
     assigns = kmeans_assign(embeddings_ds, cents)
     return assigns.groupby("cluster").aggregate(Count(alias_name="n_vectors"))
+
+
+def kmeans_inertia(
+    embeddings_ds,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> float:
+    """Sum of squared distances to the nearest centroid — one
+    broadcast map pass, per-block scalar partials, no shuffle."""
+    import ray
+
+    cref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def part(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        _ids, vecs = _stack(batch, id_col, vec_col)
+        if not len(vecs):
+            return pa.Table.from_pydict({"i": pa.array([], pa.float64())})
+        d2 = (
+            (vecs * vecs).sum(axis=1)[:, None]
+            - 2.0 * (vecs @ c.T)
+            + (c * c).sum(axis=1)[None, :]
+        )
+        return pa.Table.from_pydict(
+            {"i": pa.array([float(np.maximum(d2.min(axis=1), 0.0).sum())])}
+        )
+
+    total = embeddings_ds.map_batches(part, batch_format="pyarrow").sum("i")
+    return float(total or 0.0)
+
+
+def kmeans_checked(
+    embeddings_ds,
+    k: int,
+    n_iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """One driver-checkable invariant row for a k-means fit (the
+    sketch-family oracle pattern): ``n_points`` is the exact table
+    count (SQL twin), ``sizes_sum_ok`` asserts every vector got
+    exactly one cluster (per-cluster counts sum back to n), and
+    ``inertia_improved`` asserts Lloyd's descent guarantee — final
+    inertia <= seed inertia (deterministic: init and iteration order
+    are fixed).  Assignment-level semantics stay pytest-pinned
+    against the single-process numpy twin."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = embeddings_ds.materialize()
+    n = ds.count()
+    cents, init = kmeans_fit(ds, k, n_iters, id_col, vec_col,
+                             return_init=True)
+    sizes = (
+        kmeans_assign(ds, cents, id_col, vec_col)
+        .groupby("cluster")
+        .aggregate(Count(alias_name="n_vectors"))
+        .to_pandas()
+    )
+    total = int(sizes["n_vectors"].sum()) if len(sizes) else 0
+    i_seed = kmeans_inertia(ds, init, id_col, vec_col)
+    i_fit = kmeans_inertia(ds, cents, id_col, vec_col)
+    out = pd.DataFrame(
+        {
+            "n_points": np.array([n], dtype=np.int64),
+            "k": np.array([k], dtype=np.int64),
+            "sizes_sum_ok": [total == n],
+            "inertia_improved": [i_fit <= i_seed * (1 + 1e-9) + 1e-9],
+        }
+    )
+    return rd.from_pandas(out)

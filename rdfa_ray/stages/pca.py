@@ -154,6 +154,28 @@ def covariance_pairs(embs_ds, dim: int, chunk: int = 256, _mu=None):
     )
 
 
+def _cov_from_pairs(pairs: pd.DataFrame, dim: int, n: int) -> np.ndarray:
+    cov = np.zeros((dim, dim), np.float64)
+    cov[
+        pairs["i"].to_numpy(np.int64) - 1, pairs["j"].to_numpy(np.int64) - 1
+    ] = pairs["cov_q"].to_numpy(np.int64).astype(np.float64) / _Q / n
+    return cov
+
+
+def _eig_components(cov: np.ndarray, n_components: int):
+    """Top-n_components eigenpairs of the symmetric covariance, sign
+    fixed by the largest-|entry|-positive convention."""
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:n_components]
+    comp = evecs[:, order].T.copy()
+    lam = evals[order]
+    for r in range(comp.shape[0]):
+        j = int(np.argmax(np.abs(comp[r])))
+        if comp[r, j] < 0:
+            comp[r] = -comp[r]
+    return comp, lam
+
+
 def pca_components(embs_ds, dim: int, n_components: int):
     """Driver-side eigendecomposition of the exact covariance: returns
     (components [n_components x dim], eigenvalues desc, mu, n).  Sign
@@ -161,19 +183,7 @@ def pca_components(embs_ds, dim: int, n_components: int):
     embs_ds = embs_ds.materialize()
     mu, n = embedding_mean(embs_ds, dim)
     pairs = covariance_pairs(embs_ds, dim, _mu=mu).to_pandas()
-    cov = np.zeros((dim, dim), np.float64)
-    cov[
-        pairs["i"].to_numpy(np.int64) - 1, pairs["j"].to_numpy(np.int64) - 1
-    ] = pairs["cov_q"].to_numpy(np.int64).astype(np.float64) / _Q / n
-    evals, evecs = np.linalg.eigh(cov)  # ascending
-    order = np.argsort(evals)[::-1][:n_components]
-    comp = evecs[:, order].T.copy()
-    lam = evals[order]
-    # deterministic sign: the largest-|entry| coordinate is positive
-    for r in range(comp.shape[0]):
-        j = int(np.argmax(np.abs(comp[r])))
-        if comp[r, j] < 0:
-            comp[r] = -comp[r]
+    comp, lam = _eig_components(_cov_from_pairs(pairs, dim, n), n_components)
     return comp, lam, mu, n
 
 
@@ -212,3 +222,66 @@ def pca_project(embs_ds, dim: int, n_components: int, whiten: bool = False,
         )
 
     return embs_ds.map_batches(project, batch_format="pandas")
+
+
+def pca_checked(embs_ds, dim: int, n_components: int):
+    """One driver-checkable invariant row for the PCA projection (the
+    sketch-family oracle pattern): ``n_rows`` and ``trace_q`` (the sum
+    of the quantized covariance diagonal) are EXACT SQL twins of the
+    engine's integer-quantized arithmetic, and three flags assert the
+    algebra end to end:
+
+    * ``orthonormal_ok`` — components are orthonormal (|CCᵀ−I|∞≤1e-9),
+    * ``var_monotone_ok`` — eigenvalues are non-increasing,
+    * ``proj_var_ok`` — the VARIANCE OF THE ACTUAL PROJECTIONS matches
+      its eigenvalue per component (Σ zᵣ²/n ≈ λᵣ), computed as one
+      distributed partial-sum pass over ``pca_project``'s output — a
+      corrupted projection map breaks this even if the eigensolve is
+      fine.
+
+    Projected values themselves stay pytest-pinned (numpy twin,
+    partition invariance)."""
+    import ray.data as rd
+
+    embs_ds = embs_ds.materialize()
+    mu, n = embedding_mean(embs_ds, dim)
+    pairs = covariance_pairs(embs_ds, dim, _mu=mu).to_pandas()
+    trace_q = int(
+        pairs.loc[pairs["i"] == pairs["j"], "cov_q"].to_numpy(np.int64).sum()
+    )
+    cov = _cov_from_pairs(pairs, dim, n)
+    comp, lam = _eig_components(cov, n_components)
+    orthonormal_ok = bool(
+        np.abs(comp @ comp.T - np.eye(n_components)).max() <= 1e-9
+    )
+    var_monotone_ok = bool(np.all(np.diff(lam) <= 1e-12))
+
+    proj = pca_project(embs_ds, dim, n_components)
+
+    def sq_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame({"zsq": pd.Series([], dtype=object)})
+        z = np.stack([np.asarray(v, np.float64) for v in batch["proj"]])
+        return pd.DataFrame(
+            {"zsq": [np.floor(z * z * _Q + 0.5).astype(np.int64).sum(axis=0)]}
+        )
+
+    total = _tree_sum(proj.map_batches(sq_partial, batch_format="pandas"))
+    zsq = (
+        np.asarray(total["zsq"], np.int64).astype(np.float64) / _Q / n
+        if total
+        else np.zeros(n_components)
+    )
+    tol = 1e-6 * max(float(lam[0]) if len(lam) else 1.0, 1.0)
+    proj_var_ok = bool(np.abs(zsq - lam).max() <= tol)
+
+    out = pd.DataFrame(
+        {
+            "n_rows": np.array([n], dtype=np.int64),
+            "trace_q": np.array([trace_q], dtype=np.int64),
+            "orthonormal_ok": [orthonormal_ok],
+            "var_monotone_ok": [var_monotone_ok],
+            "proj_var_ok": [proj_var_ok],
+        }
+    )
+    return rd.from_pandas(out)

@@ -769,3 +769,20 @@ def test_curation_lazy_input_matches_materialized(ray_session):
         a = a.sort_values(["split", "lang"]).reset_index(drop=True)
         b = b.sort_values(["split", "lang"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
+
+
+def test_kmeans_checked_invariants(ray_session):
+    from rdfa_ray.stages.kmeans import kmeans_checked
+
+    ids, vecs, _ = _blobs(k=3, per=20)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(vecs.tolist(), pa.list_(pa.float64())),
+            }
+        )
+    )
+    row = kmeans_checked(ds, k=3, n_iters=10).to_pandas().iloc[0]
+    assert row["n_points"] == 60 and row["k"] == 3
+    assert bool(row["sizes_sum_ok"]) and bool(row["inertia_improved"])

@@ -112,3 +112,15 @@ def test_empty_embeddings_raise(ray_session):
     ds = _embs(np.zeros((0, DIM), np.float32))
     with pytest.raises(ValueError):
         embedding_mean(ds, DIM)
+
+
+def test_pca_checked_invariants(ray_session):
+    from rdfa_ray.stages.pca import pca_checked
+
+    rng = np.random.default_rng(11)
+    X = rng.normal(0, 1, (200, DIM)).astype(np.float32)
+    row = pca_checked(_embs(X), DIM, n_components=3).to_pandas().iloc[0]
+    assert row["n_rows"] == 200 and row["trace_q"] > 0
+    assert bool(row["orthonormal_ok"])
+    assert bool(row["var_monotone_ok"])
+    assert bool(row["proj_var_ok"])
