@@ -155,8 +155,14 @@ def zorder_layout(
     # vacuum: uuid-suffixed block names mean a RE-run writes fresh
     # files; readers only follow the manifest, so stale parts from a
     # previous layout are invisible but grow the directory forever —
-    # drop every parquet the new manifest doesn't reference (single
-    # writer per layout dir, same contract as kgstore's vacuum)
+    # drop every parquet the new manifest doesn't reference.
+    # Concurrency contract: SINGLE WRITER per layout dir, and a reader
+    # must resolve the manifest to file paths PER SCAN (zorder_prune
+    # re-opens it) — a reader that caches paths across a writer's
+    # swap+vacuum can lose files mid-read.  If concurrent long scans
+    # ever need to survive a re-layout, defer deletion (grace period
+    # or generation-suffixed directories) instead of vacuuming here;
+    # same contract as kgstore's and dedupstore's vacuums.
     for name in os.listdir(out_dir):
         if (
             name.endswith(".parquet")
