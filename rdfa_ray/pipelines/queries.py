@@ -1066,6 +1066,14 @@ def _dup_pair_coverage(docs_ds, pairs_ds, pairs_schema: pa.Schema):
     members = hashed.groupby("h").map_groups(
         members_only, batch_format="pyarrow"
     )
+    return _pair_membership_flags(members, pairs_ds)
+
+
+def _pair_membership_flags(members_ds, pairs_ds):
+    """(doc_id) members × (a, b) pairs -> (doc_id, found_in_pair):
+    does each member appear in at least one pair?  Key-sized data
+    only: pair-id distinct + one bucketed left join."""
+    from ..stages.join import bucketed_hash_join
 
     def flat_ids(batch: pa.Table) -> pa.Table:
         ids = pa.concat_arrays(
@@ -1090,7 +1098,7 @@ def _dup_pair_coverage(docs_ds, pairs_ds, pairs_schema: pa.Schema):
         .map_groups(first_only, batch_format="pyarrow")
     )
     joined = bucketed_hash_join(
-        members, pair_ids, on="doc_id", how="left",
+        members_ds, pair_ids, on="doc_id", how="left",
         left_schema=pa.schema([("doc_id", pa.int64())]),
         right_schema=pa.schema([("doc_id", pa.int64()), ("m", pa.int8())]),
     )
@@ -1387,9 +1395,15 @@ def q_dedup_substrings(sf_dir: str):
     """Approximate long-common-substring pairs via winnowed
     fingerprint co-occurrence, with a 40-word span PLANTED into every
     101st document (the synthetic corpus is span-collision-free, so
-    without planting the op returns 0 rows and proves nothing;
-    same rationale as embedding_dups).  Not SQL-expressible
-    (winnowing) -> rows-only; the guarantee is pinned by pytest."""
+    without planting the op returns 0 rows and proves nothing; same
+    rationale as embedding_dups).  Converted from rows-only to the
+    planted coverage lower bound: any shared span of window+3 words
+    guarantees a shared winnowed fingerprint, a 40-word span yields
+    many (>= min_shared), and the star fallback keeps every planted
+    doc connected — so each planted doc MUST appear in an emitted
+    pair, which is SQL-knowable.  Raw (a, b, n_shared) pairs stay
+    available via ``stages.dedup.substring_dup_pairs``; winnowing
+    itself stays pytest-pinned."""
     import ray.data as rd
 
     from ..stages.dedup import substring_dup_pairs
@@ -1407,8 +1421,21 @@ def q_dedup_substrings(sf_dir: str):
         df.loc[mark, "text"] = df.loc[mark, "text"] + " " + span
         return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
-    out = substring_dup_pairs(docs.map_batches(plant, batch_format="pyarrow"))
-    return out.select_columns(["a", "b", "n_shared"])
+    planted = docs.map_batches(plant, batch_format="pyarrow")
+    pairs = substring_dup_pairs(planted)
+
+    def planted_members(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        mark = pc.and_(
+            pc.equal(pc.subtract(ids, pc.multiply(pc.divide(ids, 101), 101)), 0),
+            pc.greater(ids, 0),
+        )
+        return pa.Table.from_pydict(
+            {"doc_id": pc.cast(batch.filter(mark).column("doc_id"), pa.int64())}
+        )
+
+    members = docs.map_batches(planted_members, batch_format="pyarrow")
+    return _pair_membership_flags(members, pairs)
 
 
 def q_dedup_lines(sf_dir: str):
@@ -2035,16 +2062,77 @@ def q_kmeans_sizes(sf_dir: str):
 
 def q_semdedup(sf_dir: str):
     """SemDeDup (arXiv:2303.09540): k-means-partitioned semantic
-    dedup over the embedding table — per-cluster keep/drop census
-    (rows-only at the driver: the kmeans partition is iterative;
-    planted-duplicate semantics are pytest-pinned in
-    tests/test_semdedup.py)."""
-    from ..stages.semdedup import semdedup_summary
+    dedup over the embedding table, converted from rows-only to the
+    checked-invariant + planted form: every 10th vec_id gets an exact
+    vector copy at vec_id+1000000 (the ``q_embedding_dups`` pattern).
+    An exact copy has cosine exactly 1 to its source, co-clusters with
+    it deterministically, and the paper's within-cluster kernel must
+    drop at least one of the pair — so ``planted_dedup_ok`` is a
+    GUARANTEE.  ``n_vecs``/``planted_pairs`` are exact SQL twins (a
+    lost or duplicated decision row breaks ``n_vecs`` on its own).
+    Per-cluster census rows stay available via
+    ``stages.semdedup.semdedup_summary``; kernel semantics stay
+    pytest-pinned in tests/test_semdedup.py."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..stages.semdedup import semdedup
 
     emb = read_parquet_clean(
         "%s/embeddings.parquet" % sf_dir, columns=["vec_id", "embedding"]
     )
-    return semdedup_summary(emb, k=8, eps=0.95, n_iters=10)
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id")
+        sel = pc.equal(pc.subtract(ids, pc.multiply(pc.divide(ids, 10), 10)), 0)
+        copies = batch.filter(sel)
+        copies = pa.Table.from_pydict(
+            {
+                "vec_id": pc.add(copies.column("vec_id"), 1000000),
+                "embedding": copies.column("embedding"),
+            }
+        )
+        return pa.concat_tables([batch.select(["vec_id", "embedding"]), copies])
+
+    planted = emb.map_batches(plant, batch_format="pyarrow")
+    decisions = semdedup(planted, k=8, eps=0.95, n_iters=10).materialize()
+
+    n_vecs = decisions.count()
+    # distributed planted-pair audit: only key-sized (pair, kept) rows
+    def pair_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        keep = batch.column("keep").to_numpy(zero_copy_only=False)
+        src = (ids < 1000000) & (ids % 10 == 0)
+        cpy = ids >= 1000000
+        m = src | cpy
+        return pa.Table.from_pydict(
+            {
+                "pair": pa.array(np.where(ids[m] >= 1000000,
+                                          ids[m] - 1000000, ids[m]),
+                                 pa.int64()),
+                "kept": pa.array(keep[m].astype(np.int64), pa.int64()),
+            }
+        )
+
+    pairs = (
+        decisions.map_batches(pair_rows, batch_format="pyarrow")
+        .groupby("pair")
+        .aggregate(Sum("kept", alias_name="kept"))
+        .materialize()
+    )
+    planted_pairs = pairs.count()
+    max_kept = pairs.max("kept") if planted_pairs else 0
+    # n_vecs is the decision-row count: the oracle pins it to the exact
+    # planted-input count, so a lost or duplicated decision row (or a
+    # failed plant) breaks the hash compare on its own
+    out = pd.DataFrame(
+        {
+            "n_vecs": np.array([n_vecs], dtype=np.int64),
+            "planted_pairs": np.array([planted_pairs], dtype=np.int64),
+            "planted_dedup_ok": [bool(max_kept <= 1)],
+        }
+    )
+    return rd.from_pandas(out)
 
 
 def q_lineitem_corr(sf_dir: str):
@@ -4415,25 +4503,83 @@ def q_pca_project(sf_dir: str):
 def q_quality_classifier(sf_dir: str):
     """fastText-style hashed-BoW logistic-regression quality filter:
     weak labels from lang='en', featurize once, full-batch GD with
-    integer-quantized gradients (bit-identical at any parallelism),
-    score every document (rows-only: iterative training; pinned by a
-    plain-numpy reference twin in pytest)."""
+    integer-quantized gradients, score every document.  Converted
+    from rows-only to the checked-invariant form: the headline claim —
+    BIT-IDENTICAL training at any parallelism — is verified IN-QUERY
+    by training twice under different block layouts and asserting the
+    integer score sets match exactly; ``n_docs`` is the exact table
+    twin and ``scores_in_range`` pins every probability to [0, 1e6]
+    micro-units.  Per-doc scores stay available via
+    ``stages.classifier.quality_classifier``; learning dynamics stay
+    pinned by the planted-signal pytest."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
     from ..stages.classifier import quality_classifier
 
-    docs = read_parquet_clean(
-        "%s/documents.parquet" % sf_dir, columns=["doc_id", "text", "lang"]
-    ).map_batches(
-        lambda df: df.assign(label=(df["lang"] == "en")).drop(columns=["lang"]),
-        batch_format="pandas",
+    def load(blocks=None):
+        kw = {"override_num_blocks": blocks} if blocks else {}
+        return read_parquet_clean(
+            "%s/documents.parquet" % sf_dir,
+            columns=["doc_id", "text", "lang"], **kw
+        ).map_batches(
+            lambda df: df.assign(label=(df["lang"] == "en")).drop(columns=["lang"]),
+            batch_format="pandas",
+        )
+
+    # 12 full-batch supersteps; the synthetic corpus carries little
+    # lang signal so the model converges to the base rate quickly
+    # (real learning dynamics are pinned by the planted-signal pytest)
+    s1, _w, _b, _h = quality_classifier(load(), "label",
+                                        n_features=1 << 15, iters=12)
+    s2, _w2, _b2, _h2 = quality_classifier(load(blocks=7), "label",
+                                           n_features=1 << 15, iters=12)
+    s1 = s1.materialize()
+    n_docs = s1.count()
+    lo, hi = s1.min("prob_micro"), s1.max("prob_micro")
+    in_range = bool(0 <= (lo if lo is not None else 0)
+                    and (hi if hi is not None else 0) <= 1_000_000)
+
+    def signed(sign):
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                    "v": pc.multiply(
+                        pc.cast(batch.column("prob_micro"), pa.int64()), sign
+                    ),
+                }
+            )
+
+        return f
+
+    diffs = (
+        s1.map_batches(signed(1), batch_format="pyarrow")
+        .union(s2.map_batches(signed(-1), batch_format="pyarrow"))
+        .groupby("doc_id")
+        .aggregate(Sum("v", alias_name="d"), Count(alias_name="n"))
+        .materialize()
     )
-    # 12 full-batch supersteps: each is one streaming pass over the
-    # featurized rows; the synthetic corpus carries little lang signal
-    # so the model converges to the base rate quickly (real learning
-    # dynamics are pinned by the planted-signal pytest)
-    scores, _w, _b, _h = quality_classifier(
-        docs, "label", n_features=1 << 15, iters=12
+    # every doc scored exactly once per run, and the integer scores
+    # cancel exactly — bit-identical across block layouts
+    max_abs = diffs.map_batches(
+        lambda t: pa.Table.from_pydict({"a": pc.abs(t.column("d"))}),
+        batch_format="pyarrow",
+    ).max("a")
+    invariant = bool(
+        diffs.count() == n_docs
+        and (max_abs or 0) == 0
+        and diffs.min("n") == 2
+        and diffs.max("n") == 2
     )
-    return scores
+    out = pd.DataFrame(
+        {
+            "n_docs": np.array([n_docs], dtype=np.int64),
+            "scores_in_range": [in_range],
+            "partition_invariant": [invariant],
+        }
+    )
+    return rd.from_pandas(out)
 
 
 def q_dsir_weights(sf_dir: str):
@@ -6170,6 +6316,28 @@ ORACLE_SQL = {
         " CAST(floor(-AVG(ln(f.n / tot.total)) * 1000000 + 0.5) AS BIGINT)"
         " AS logppl_micro"
         " FROM tok t JOIN freq f USING (token), tot GROUP BY t.doc_id"
+    ),
+    "quality_classifier": (
+        # checked-invariant form: exact count twin + in-range scores +
+        # the bit-identical-at-any-parallelism training claim verified
+        # by a second differently-partitioned training run in-query
+        "SELECT (SELECT COUNT(*) FROM documents) AS n_docs,"
+        " TRUE AS scores_in_range, TRUE AS partition_invariant"
+    ),
+    "dedup_substrings": (
+        # planted coverage lower bound: every doc carrying the planted
+        # 40-word span must surface in a fingerprint-sharing pair
+        "SELECT doc_id, TRUE AS found_in_pair FROM documents"
+        " WHERE doc_id % 101 = 0 AND doc_id > 0"
+    ),
+    "semdedup": (
+        # checked-invariant + planted form: exact planted-input count
+        # twins + the guaranteed drop-one-of-each-exact-pair flag
+        "SELECT (SELECT COUNT(*) FROM embeddings)"
+        " + (SELECT COUNT(*) FROM embeddings WHERE vec_id % 10 = 0)"
+        " AS n_vecs,"
+        " (SELECT COUNT(*) FROM embeddings WHERE vec_id % 10 = 0)"
+        " AS planted_pairs, TRUE AS planted_dedup_ok"
     ),
     "dedup_minhash": (
         # planted-lower-bound form (_dup_pair_coverage): every member
