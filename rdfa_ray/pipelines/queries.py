@@ -361,15 +361,62 @@ def q_html_extract_signals(sf_dir: str):
     """Boilerplate signals over the synthetic mixed-markup transcript
     corpus (links, nesting, malformed fragments): per turn, tag count,
     anchor count, link density and text-to-markup ratio in basis
-    points.  Not SQL-expressible (DOM parse) -> rows-only; unit
-    fixtures pin the signal math."""
+    points.  The signal VALUES come from a DOM parse (not
+    SQL-expressible, and crc32 — the corpus's family selector — has no
+    DuckDB twin), so the oracle checks the structural invariants
+    instead: exactly one signal row per input turn (malformed markup
+    must yield a row, never a crash), anchors never exceed tags, and
+    both basis-point ratios stay in [0, 10000].  Per-turn signal rows
+    stay available via ``stages.extract.extract_text``; signal math is
+    pinned by the unit fixtures."""
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
     from ..sources.transcripts import transcripts_dataset
     from ..stages.extract import extract_text
 
     turns = transcripts_dataset(2000, override_num_blocks=8)
-    return extract_text(turns, keep=("conv_id", "turn_idx")).map_batches(
-        lambda b: b.drop_columns(["clean_text"]), batch_format="pyarrow"
+    sig = extract_text(turns, keep=("conv_id", "turn_idx"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tags = batch.column("n_tags").to_numpy(zero_copy_only=False)
+        links = batch.column("n_links").to_numpy(zero_copy_only=False)
+        dens = batch.column("link_density_bps").to_numpy(zero_copy_only=False)
+        ratio = batch.column("text_ratio_bps").to_numpy(zero_copy_only=False)
+        ok_range = bool(
+            (tags >= 0).all() and (links >= 0).all()
+            and (dens >= 0).all() and (dens <= 10000).all()
+            and (ratio >= 0).all() and (ratio <= 10000).all()
+        )
+        ok_links = bool((links <= tags).all())
+        return pa.Table.from_pydict(
+            {
+                "g": pa.array([0], pa.int64()),
+                "n": pa.array([batch.num_rows], pa.int64()),
+                "rng": pa.array([int(ok_range)], pa.int64()),
+                "lle": pa.array([int(ok_links)], pa.int64()),
+            }
+        )
+
+    agg = (
+        sig.map_batches(partial, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Min("rng", alias_name="rng"),
+            Min("lle", alias_name="lle"),
+        )
+        .to_pandas()
     )
+    out = pd.DataFrame(
+        {
+            "n_turns": np.array([int(agg["n"].iloc[0]) if len(agg) else 0],
+                                dtype=np.int64),
+            "signals_in_range": [bool(len(agg) and agg["rng"].iloc[0] == 1)],
+            "links_le_tags": [bool(len(agg) and agg["lle"].iloc[0] == 1)],
+        }
+    )
+    return rd.from_pandas(out)
 
 
 def q_bpe_merges(sf_dir: str):
@@ -6316,6 +6363,15 @@ ORACLE_SQL = {
         " CAST(floor(-AVG(ln(f.n / tot.total)) * 1000000 + 0.5) AS BIGINT)"
         " AS logppl_micro"
         " FROM tok t JOIN freq f USING (token), tot GROUP BY t.doc_id"
+    ),
+    "html_extract_signals": (
+        # invariant form: exactly one signal row per generated turn
+        # (2000 — the query's own constant; malformed markup must
+        # yield a row, never a crash) + structural flags; the signal
+        # VALUES are DOM-parse-derived and the corpus family selector
+        # is crc32 (no DuckDB twin) — documented in the query
+        "SELECT CAST(2000 AS BIGINT) AS n_turns,"
+        " TRUE AS signals_in_range, TRUE AS links_le_tags"
     ),
     "quality_classifier": (
         # checked-invariant form: exact count twin + in-range scores +
