@@ -1005,8 +1005,26 @@ def q_dedup_incremental(sf_dir: str):
         ("%d|%d" % (st.st_mtime_ns, st.st_size)).encode()
     ).hexdigest()[:12]
     store_dir = "/tmp/graft_hashstore_%s_%s" % (sf_key, vol_key)
+    # clean superseded stores and crashed-build leftovers, but only
+    # after a grace period: a different-vol_key store younger than the
+    # grace window may belong to a driver that is mid-read on the
+    # previous testdata generation — deleting it under that reader
+    # would fail its in-flight scan
+    _GRACE_S = 1800
+    import time as _time
+
+    now = _time.time()
     for stale in _glob.glob("/tmp/graft_hashstore_%s_*" % sf_key):
-        if stale != store_dir and "-build-" not in _os.path.basename(stale):
+        if stale == store_dir:
+            continue
+        try:
+            age = now - _os.path.getmtime(stale)
+        except OSError:
+            continue
+        # superseded stores AND crashed '-build-' leftovers both age
+        # out; a live builder renames its dir away well within the
+        # window, and a live reader's store shares this store_dir key
+        if age > _GRACE_S:
             _shutil.rmtree(stale, ignore_errors=True)
     docs = read_parquet_clean(
         "%s/documents.parquet" % sf_dir, columns=["doc_id", "text"]
@@ -1062,6 +1080,12 @@ def _plant_doc_copies(docs_ds):
 
     def plant(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id")
+        if batch.num_rows and pc.max(ids).as_py() >= _PLANT_OFFSET:
+            raise ValueError(
+                "_plant_doc_copies: doc_id >= %d collides with the "
+                "planted-copy offset — raise _PLANT_OFFSET for this "
+                "corpus" % _PLANT_OFFSET
+            )
         sel = pc.equal(
             pc.subtract(ids, pc.multiply(pc.divide(ids, _PLANT_EVERY),
                                          _PLANT_EVERY)),
@@ -1081,23 +1105,26 @@ def _plant_doc_copies(docs_ds):
     return docs_ds.map_batches(plant, batch_format="pyarrow")
 
 
-def _dup_pair_coverage(docs_ds, pairs_ds, pairs_schema: pa.Schema):
+def _dup_pair_coverage(docs_ds, pairs_ds):
     """Convert a probabilistic near-dup pair stream into the
     SQL-checkable lower-bound form (VERDICT r4 #3): for EVERY member
     of an exact-duplicate group (md5 twin — SQL-knowable, incl. the
     planted copies), assert it appears in at least one emitted pair.
     Identical texts share every LSH band deterministically and verify
-    at jaccard=1 / hamming=0, and ``_bucket_pairs``' star mode keeps
-    each member connected to its group keeper even in degenerate
-    buckets — so coverage is a GUARANTEE, not a statistic; a missed
+    at jaccard=1 / hamming=0, so any bucket that pairs the group's
+    members with each other survives the similarity filter; a missed
     member flips found_in_pair and the driver's hash compare goes
-    red.  Near-dup (non-identical) recall stays pytest-pinned.
+    red.  Caveat (theoretical on this corpus, checked green at all
+    three SFs): a bucket degenerate beyond ``BUCKET_CAP`` falls back
+    to star pairs against the bucket's min id, which need not be a
+    group member — on a pathological boilerplate corpus that could
+    drop coverage (observable upstream via ``pair_mode='star'``).
+    Near-dup (non-identical) recall stays pytest-pinned.
 
     Scale shape: hash rows and pair ids only — one md5 map pass, a
     hash-keyed group filter, a pair-id distinct, one bucketed left
     join; document text never shuffles here."""
     from ..stages.dedup import _text_md5_batch
-    from ..stages.join import bucketed_hash_join
 
     hashed = docs_ds.map_batches(_text_md5_batch, batch_format="pyarrow")
 
@@ -1167,24 +1194,22 @@ def q_dedup_minhash(sf_dir: str):
     an exact-duplicate group must surface in a found pair.  The raw
     (a, b, jaccard) pair surface stays available via
     ``stages.dedup.minhash_dedup``."""
-    import ray.data as rd
-
     from ..stages.dedup import minhash_dedup
 
     # a single parquet file reads as very few blocks; split it so the
-    # signature stage actually fans out across the pool
+    # signature stage actually fans out across the pool.  Kept LAZY:
+    # the planting map is cheap and deterministic, so each consumer
+    # re-reads the column-pruned source instead of pinning the planted
+    # text column (the same no-corpus-pin rule the curation family
+    # follows at 100 TB).
     docs = _plant_doc_copies(
         read_parquet_clean(
             "%s/documents.parquet" % sf_dir, columns=["doc_id", "text"],
             override_num_blocks=32,
         )
-    ).materialize()  # consumed twice: signature pass + md5 member pass
-    pairs = minhash_dedup(docs, threshold=0.8)
-    return _dup_pair_coverage(
-        docs, pairs,
-        pa.schema([("a", pa.int64()), ("b", pa.int64()),
-                   ("jaccard", pa.float64()), ("pair_mode", pa.string())]),
     )
+    pairs = minhash_dedup(docs, threshold=0.8)
+    return _dup_pair_coverage(docs, pairs)
 
 
 def q_dedup_ngram(sf_dir: str):
@@ -1205,21 +1230,16 @@ def q_dedup_simhash(sf_dir: str):
     simhashes (hamming 0), so every exact-dup-group member must be in
     a found pair.  Raw (a, b, hamming) pairs stay available via
     ``stages.dedup.simhash_dedup``."""
-    import ray.data as rd
-
     from ..stages.dedup import simhash_dedup
 
+    # lazy by design — see q_dedup_minhash's no-corpus-pin note
     docs = _plant_doc_copies(
         read_parquet_clean(
             "%s/documents.parquet" % sf_dir, columns=["doc_id", "text"]
         )
-    ).materialize()  # consumed twice: simhash pass + md5 member pass
-    pairs = simhash_dedup(docs)
-    return _dup_pair_coverage(
-        docs, pairs,
-        pa.schema([("a", pa.int64()), ("b", pa.int64()),
-                   ("hamming", pa.int64()), ("pair_mode", pa.string())]),
     )
+    pairs = simhash_dedup(docs)
+    return _dup_pair_coverage(docs, pairs)
 
 
 def q_dedup_clusters(sf_dir: str):
@@ -1592,7 +1612,7 @@ def q_ann_sq_topk(sf_dir: str):
     return sq_topk(embs, query_ids=list(range(8)), k=10, dim=64)
 
 
-def _ann_checked(sf_dir: str, ivf_df, query_ids, k: int,
+def _ann_checked(embs, ivf_df, query_ids, k: int,
                  per_query_floor: float = 0.2, mean_floor: float = 0.4):
     """Turn an approximate ANN result into the driver-checkable
     invariant row set (the sketch-family oracle pattern,
@@ -1615,9 +1635,9 @@ def _ann_checked(sf_dir: str, ivf_df, query_ids, k: int,
 
     from ..stages.ann import _normalize, brute_force_topk
 
-    embs = read_parquet_clean(
-        "%s/embeddings.parquet" % sf_dir, columns=["vec_id", "embedding"]
-    )
+    # one materialize feeds the three verification consumers (count,
+    # brute-force twin, result-vector gather) instead of three scans
+    embs = embs.materialize()
     n_vecs = embs.count()
     bf = brute_force_topk(embs, query_ids=query_ids, k=k).to_pandas()
 
@@ -1682,7 +1702,7 @@ def q_ann_ivf(sf_dir: str):
     embs = read_parquet_clean("%s/embeddings.parquet" % sf_dir)
     qids = list(range(8))
     ivf = ivf_topk(embs, query_ids=qids, k=10).to_pandas()
-    return _ann_checked(sf_dir, ivf, qids, k=10)
+    return _ann_checked(embs, ivf, qids, k=10)
 
 
 def q_ann_ivf_indexed(sf_dir: str):
@@ -1714,7 +1734,7 @@ def q_ann_ivf_indexed(sf_dir: str):
         embs.filter(expr="vec_id < 8").to_pandas()
     )
     ivf = ivf_search(index_dir, queries_df, k=10).to_pandas()
-    return _ann_checked(sf_dir, ivf, list(range(8)), k=10)
+    return _ann_checked(embs, ivf, list(range(8)), k=10)
 
 
 def q_embedding_dups(sf_dir: str):
@@ -2131,6 +2151,11 @@ def q_semdedup(sf_dir: str):
 
     def plant(batch: pa.Table) -> pa.Table:
         ids = batch.column("vec_id")
+        if batch.num_rows and pc.max(ids).as_py() >= 1000000:
+            raise ValueError(
+                "q_semdedup plant: vec_id >= 1e6 collides with the "
+                "planted-copy offset — raise the offset for this corpus"
+            )
         sel = pc.equal(pc.subtract(ids, pc.multiply(pc.divide(ids, 10), 10)), 0)
         copies = batch.filter(sel)
         copies = pa.Table.from_pydict(
@@ -2145,10 +2170,15 @@ def q_semdedup(sf_dir: str):
     decisions = semdedup(planted, k=8, eps=0.95, n_iters=10).materialize()
 
     n_vecs = decisions.count()
-    # distributed planted-pair audit: only key-sized (pair, kept) rows
+    # distributed planted-pair audit: only key-sized (pair, kept) rows.
+    # The drop-one guarantee holds only when the pair's cluster ran the
+    # full pairwise kernel — an oversize cluster chunks (the observable
+    # `chunked` flag) and a pair straddling a chunk boundary is never
+    # compared, so chunked pairs are exempted rather than failed.
     def pair_rows(batch: pa.Table) -> pa.Table:
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
         keep = batch.column("keep").to_numpy(zero_copy_only=False)
+        chunked = batch.column("chunked").to_numpy(zero_copy_only=False)
         src = (ids < 1000000) & (ids % 10 == 0)
         cpy = ids >= 1000000
         m = src | cpy
@@ -2158,17 +2188,25 @@ def q_semdedup(sf_dir: str):
                                           ids[m] - 1000000, ids[m]),
                                  pa.int64()),
                 "kept": pa.array(keep[m].astype(np.int64), pa.int64()),
+                "chk": pa.array(chunked[m].astype(np.int64), pa.int64()),
             }
         )
+
+    from ray.data.aggregate import Max
 
     pairs = (
         decisions.map_batches(pair_rows, batch_format="pyarrow")
         .groupby("pair")
-        .aggregate(Sum("kept", alias_name="kept"))
+        .aggregate(Sum("kept", alias_name="kept"),
+                   Max("chk", alias_name="chk"))
         .materialize()
     )
     planted_pairs = pairs.count()
-    max_kept = pairs.max("kept") if planted_pairs else 0
+    if planted_pairs:
+        unchunked = pairs.filter(expr="chk == 0").materialize()
+        max_kept = (unchunked.max("kept") or 0) if unchunked.count() else 0
+    else:
+        max_kept = 0
     # n_vecs is the decision-row count: the oracle pins it to the exact
     # planted-input count, so a lost or duplicated decision row (or a
     # failed plant) breaks the hash compare on its own

@@ -188,14 +188,20 @@ def pca_components(embs_ds, dim: int, n_components: int):
 
 
 def pca_project(embs_ds, dim: int, n_components: int, whiten: bool = False,
-                quantize: float = 1e6):
+                quantize: float = 1e6, _components=None):
     """Project every vector onto the top principal components (one
     broadcast-components map): (vec_id, proj list<double>, plus
-    proj_q list<int64> micro-quantized for stable comparisons)."""
+    proj_q list<int64> micro-quantized for stable comparisons).
+    ``_components``: optional precomputed (comp, lam, mu) — a caller
+    that already ran the mean/gram passes (``pca_checked``) passes
+    them in so the dominant O(n·d²) covariance pass is not repeated."""
     import ray
 
     embs_ds = embs_ds.materialize()
-    comp, lam, mu, _n = pca_components(embs_ds, dim, n_components)
+    if _components is None:
+        comp, lam, mu, _n = pca_components(embs_ds, dim, n_components)
+    else:
+        comp, lam, mu = _components
     scale = 1.0 / np.sqrt(np.maximum(lam, 1e-12)) if whiten else None
     b_ref = ray.put((comp, mu, scale))
 
@@ -256,7 +262,8 @@ def pca_checked(embs_ds, dim: int, n_components: int):
     )
     var_monotone_ok = bool(np.all(np.diff(lam) <= 1e-12))
 
-    proj = pca_project(embs_ds, dim, n_components)
+    proj = pca_project(embs_ds, dim, n_components,
+                       _components=(comp, lam, mu))
 
     def sq_partial(batch: pd.DataFrame) -> pd.DataFrame:
         if not len(batch):
