@@ -61,12 +61,14 @@ def hash_store_is_complete(store_dir: str) -> bool:
         return False
 
 
-def _hash_prefix_batch(batch: pa.Table) -> pa.Table:
-    """(doc_id, text) -> (doc_id, h, p): md5 hex + 2-hex-char prefix."""
+def _hash_prefix_batch(batch: pa.Table, prefix_len: int = 2) -> pa.Table:
+    """(doc_id, text) -> (doc_id, h, p): md5 hex + hex-char prefix."""
     from .dedup import _text_md5_batch
 
     t = _text_md5_batch(batch)
-    return t.append_column("p", pc.utf8_slice_codeunits(t.column("h"), 0, 2))
+    return t.append_column(
+        "p", pc.utf8_slice_codeunits(t.column("h"), 0, prefix_len)
+    )
 
 
 def _store_files(store_dir: str, meta: dict, prefixes) -> list:
@@ -77,13 +79,19 @@ def _store_files(store_dir: str, meta: dict, prefixes) -> list:
     ]
 
 
-def persist_hash_store(docs_ds, store_dir: str) -> dict:
+def persist_hash_store(docs_ds, store_dir: str, prefix_len: int = 2) -> dict:
     """Build the store from an existing corpus: one hash pass, one
     p-range sort, prefix-pure parquet files written per BLOCK.
     Returns the meta dict; manifest written LAST (sentinel); any
     parquet not referenced by the new manifest (stale generations from
     a rebuild over a complete store, or orphans of a crashed commit)
-    is vacuumed after the swap."""
+    is vacuumed after the swap.
+
+    ``prefix_len`` (hex chars; recorded in the manifest and honored by
+    every later read/commit/compaction) sets the partition fan-out:
+    2 -> 256 partitions, 3 -> 4096.  Deepen it for very large corpora
+    so compaction's per-prefix task memory (~corpus/16^prefix_len
+    distinct hashes) stays bounded."""
     import shutil
 
     os.makedirs(store_dir, exist_ok=True)
@@ -92,9 +100,13 @@ def persist_hash_store(docs_ds, store_dir: str) -> dict:
         if os.path.isdir(p):  # crashed build: clear partial generations
             shutil.rmtree(p)
 
-    hashed = docs_ds.map_batches(_hash_prefix_batch, batch_format="pyarrow")
+    hashed = docs_ds.map_batches(
+        _hash_prefix_batch, fn_kwargs={"prefix_len": prefix_len},
+        batch_format="pyarrow",
+    )
     parts = _write_generation(hashed, store_dir, gen=1)
-    meta = {"format": 1, "generation": 1, "partitions": parts}
+    meta = {"format": 1, "generation": 1, "prefix_len": prefix_len,
+            "partitions": parts}
     _write_meta(store_dir, meta)
     vacuum_hash_store(store_dir)
     return meta
@@ -252,6 +264,7 @@ def compact_hash_store(store_dir: str, max_files_per_prefix: int = 4,
     for p, rel in zip(rows["p"], rows["rel"]):
         partitions[p].append(rel)
     new_meta = {"format": 1, "generation": meta["generation"],
+                "prefix_len": int(meta.get("prefix_len", 2)),
                 "partitions": partitions}
     _write_meta(store_dir, new_meta)
     vacuum_hash_store(store_dir)
@@ -280,9 +293,11 @@ def incremental_exact_dedup(new_docs_ds, store_dir: str, commit: bool = False):
             "persist_hash_store first" % store_dir
         )
     meta = _read_meta(store_dir)
+    prefix_len = int(meta.get("prefix_len", 2))
 
     hashed = new_docs_ds.map_batches(
-        _hash_prefix_batch, batch_format="pyarrow"
+        _hash_prefix_batch, fn_kwargs={"prefix_len": prefix_len},
+        batch_format="pyarrow",
     ).materialize()  # thin (doc_id, h, p) rows: consumed 2-3 times
 
     # drop-internal keep-first: hash-keyed exchange of hash rows only
@@ -317,7 +332,9 @@ def incremental_exact_dedup(new_docs_ds, store_dir: str, commit: bool = False):
         gen = meta["generation"] + 1
         with_prefix = survivors.map_batches(
             lambda t: t.append_column(
-                "p", pc.utf8_slice_codeunits(pc.cast(t.column("h"), pa.string()), 0, 2)
+                "p", pc.utf8_slice_codeunits(
+                    pc.cast(t.column("h"), pa.string()), 0, prefix_len
+                )
             ),
             batch_format="pyarrow",
         )
@@ -326,7 +343,8 @@ def incremental_exact_dedup(new_docs_ds, store_dir: str, commit: bool = False):
         for p, rels in new_parts.items():
             partitions.setdefault(p, []).extend(rels)
         _write_meta(store_dir, {
-            "format": 1, "generation": gen, "partitions": partitions,
+            "format": 1, "generation": gen, "prefix_len": prefix_len,
+            "partitions": partitions,
         })
         vacuum_hash_store(store_dir)  # clears orphans of any crashed commit
     return survivors

@@ -210,3 +210,30 @@ def test_empty_drop_and_unseen_prefixes(ray_session, tmp_path):
     empty = _docs([]).map_batches(lambda d: d, batch_format="pandas")
     out2 = incremental_exact_dedup(empty, store).to_pandas()
     assert len(out2) == 0
+
+
+def test_deeper_prefixes_roundtrip(ray_session, tmp_path):
+    """prefix_len=3 (4096 partitions) is recorded in the manifest and
+    honored by dedup, commit and compaction."""
+    store = str(tmp_path / "hs3")
+    persist_hash_store(_docs(CORPUS), store, prefix_len=3)
+    meta = _manifest(store)
+    assert meta["prefix_len"] == 3
+    assert all(len(p) == 3 for p in meta["partitions"])
+    out = incremental_exact_dedup(
+        _docs([(700, "corpus doc 9"), (701, "deep-prefix fresh")]),
+        store, commit=True,
+    ).to_pandas()
+    assert sorted(out["doc_id"]) == [701]
+    after = _manifest(store)
+    assert after["prefix_len"] == 3
+    assert all(len(p) == 3 for p in after["partitions"])
+    # replay of the committed content is rejected through 3-char pruning
+    replay = incremental_exact_dedup(
+        _docs([(800, "deep-prefix fresh")]), store
+    ).to_pandas()
+    assert len(replay) == 0
+    compact_hash_store(store, max_files_per_prefix=1)
+    assert _manifest(store)["prefix_len"] == 3
+    assert len(incremental_exact_dedup(
+        _docs([(900, "deep-prefix fresh")]), store).to_pandas()) == 0
