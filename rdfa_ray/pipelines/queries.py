@@ -184,6 +184,47 @@ def q_rdfa_vocab_expansion(sf_dir: str):
     return triples.select_columns(["subj", "pred", "obj_value"])
 
 
+def q_rdfa_vocab_deref(sf_dir: str):
+    """S7 end to end WITHOUT network: the vocabulary graph is
+    DEREFERENCED from a ``file://`` URI through the transport-
+    injectable opener + persisted Expires cache
+    (``sources/uriopen.py`` — the reference's ``return_graph`` /
+    ``rdfs/cache.py`` analogue), parsed as Turtle by media type, and
+    fed into the same vocab-expansion pipeline; the result must match
+    ``rdfa_vocab_expansion``'s config-injected graph exactly."""
+    import hashlib as _hl
+    import os as _os
+
+    from ..sources.transcripts import view_from_documents, wrap_documents_vocab
+    from ..sources.uriopen import VocabCache, load_vocab_graphs
+
+    scratch = "/tmp/graft_vocab_%s" % _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    _os.makedirs(scratch, exist_ok=True)
+    ttl = _os.path.join(scratch, "vocab.ttl")
+    tmp = ttl + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(
+            "<http://vocab.local/name> "
+            "<http://www.w3.org/2000/01/rdf-schema#subPropertyOf> "
+            "<http://vocab.local/label> .\n"
+        )
+    _os.replace(tmp, ttl)
+
+    cache = VocabCache(_os.path.join(scratch, "cache"))
+    graphs = load_vocab_graphs(["file://" + ttl], cache=cache)
+    vocab_graph = graphs["file://" + ttl]
+
+    turns = view_from_documents(sf_dir, wrap_documents_vocab)
+    triples = build_triples(
+        turns,
+        options_kwargs={
+            "vocab_expansion": True,
+            "vocab_graphs": {"http://vocab.local/": vocab_graph},
+        },
+    ).map_batches(split_triples, batch_format="pyarrow")
+    return triples.select_columns(["subj", "pred", "obj_value"])
+
+
 def _roundtrip_query(sf_dir: str, fmt: str):
     """Serialize each turn's graph (Turtle or JSON-LD), parse it BACK
     with the engine's own reader, and return the recovered triples —
@@ -4768,6 +4809,7 @@ QUERIES = {
     "rdfa_embedded_svg": q_rdfa_embedded_svg,
     "rdfa_10_literals": q_rdfa_10_literals,
     "rdfa_vocab_expansion": q_rdfa_vocab_expansion,
+    "rdfa_vocab_deref": q_rdfa_vocab_deref,
     "rdfa_turtle_roundtrip": q_rdfa_turtle_roundtrip,
     "rdfa_jsonld_roundtrip": q_rdfa_jsonld_roundtrip,
     "rdfa_rdfxml_roundtrip": q_rdfa_rdfxml_roundtrip,
@@ -5275,6 +5317,17 @@ ORACLE_SQL = {
     "rdfa_10_literals": (
         "SELECT %s AS subj, 'http://purl.org/dc/elements/1.1/source' AS pred,"
         " source AS obj_value FROM documents" % _SUBJ
+    ),
+    "rdfa_vocab_deref": (
+        # identical expansion semantics, vocabulary arriving via the
+        # file:// dereference path instead of config injection
+        "SELECT subj, pred, obj_value FROM ("
+        "SELECT %s AS subj, 'http://vocab.local/name' AS pred, source AS obj_value"
+        " FROM documents "
+        "UNION ALL SELECT %s, 'http://vocab.local/label', source FROM documents "
+        "UNION ALL SELECT 'http://graft.local/conv/doc' || printf('%%08d', doc_id)"
+        " || '/turn/0', 'http://www.w3.org/ns/rdfa#usesVocabulary',"
+        " 'http://vocab.local/' FROM documents)" % (_SUBJ, _SUBJ)
     ),
     "rdfa_vocab_expansion": (
         "SELECT subj, pred, obj_value FROM ("
