@@ -161,18 +161,12 @@ def q_rdfa_10_literals(sf_dir: str):
     return triples.select_columns(["subj", "pred", "obj_value"])
 
 
-def q_rdfa_vocab_expansion(sf_dir: str):
-    """@vocab + config vocabulary graph + mini-OWL entailment (A3/A4)."""
-    from ..rdf.terms import iri
+def _vocab_expansion_pipeline(sf_dir: str, vocab_graph: set):
+    """The shared expansion tail of the two vocab queries — they must
+    stay semantically identical (both oracles assert the same output),
+    differing ONLY in how ``vocab_graph`` is obtained."""
     from ..sources.transcripts import view_from_documents, wrap_documents_vocab
 
-    vocab_graph = {
-        (
-            iri("http://vocab.local/name"),
-            iri("http://www.w3.org/2000/01/rdf-schema#subPropertyOf"),
-            iri("http://vocab.local/label"),
-        )
-    }
     turns = view_from_documents(sf_dir, wrap_documents_vocab)
     triples = build_triples(
         turns,
@@ -182,6 +176,20 @@ def q_rdfa_vocab_expansion(sf_dir: str):
         },
     ).map_batches(split_triples, batch_format="pyarrow")
     return triples.select_columns(["subj", "pred", "obj_value"])
+
+
+def q_rdfa_vocab_expansion(sf_dir: str):
+    """@vocab + config vocabulary graph + mini-OWL entailment (A3/A4)."""
+    from ..rdf.terms import iri
+
+    vocab_graph = {
+        (
+            iri("http://vocab.local/name"),
+            iri("http://www.w3.org/2000/01/rdf-schema#subPropertyOf"),
+            iri("http://vocab.local/label"),
+        )
+    }
+    return _vocab_expansion_pipeline(sf_dir, vocab_graph)
 
 
 def q_rdfa_vocab_deref(sf_dir: str):
@@ -194,14 +202,17 @@ def q_rdfa_vocab_deref(sf_dir: str):
     ``rdfa_vocab_expansion``'s config-injected graph exactly."""
     import hashlib as _hl
     import os as _os
+    import uuid as _uuid
 
-    from ..sources.transcripts import view_from_documents, wrap_documents_vocab
     from ..sources.uriopen import VocabCache, load_vocab_graphs
 
     scratch = "/tmp/graft_vocab_%s" % _hl.md5(sf_dir.encode()).hexdigest()[:8]
     _os.makedirs(scratch, exist_ok=True)
     ttl = _os.path.join(scratch, "vocab.ttl")
-    tmp = ttl + ".tmp"
+    # uuid-suffixed tmp: two concurrent drivers both write-then-rename
+    # without racing on a shared tmp name (same pattern as the hash
+    # store's build dirs)
+    tmp = "%s.%s.tmp" % (ttl, _uuid.uuid4().hex[:8])
     with open(tmp, "w") as f:
         f.write(
             "<http://vocab.local/name> "
@@ -212,17 +223,7 @@ def q_rdfa_vocab_deref(sf_dir: str):
 
     cache = VocabCache(_os.path.join(scratch, "cache"))
     graphs = load_vocab_graphs(["file://" + ttl], cache=cache)
-    vocab_graph = graphs["file://" + ttl]
-
-    turns = view_from_documents(sf_dir, wrap_documents_vocab)
-    triples = build_triples(
-        turns,
-        options_kwargs={
-            "vocab_expansion": True,
-            "vocab_graphs": {"http://vocab.local/": vocab_graph},
-        },
-    ).map_batches(split_triples, batch_format="pyarrow")
-    return triples.select_columns(["subj", "pred", "obj_value"])
+    return _vocab_expansion_pipeline(sf_dir, graphs["file://" + ttl])
 
 
 def _roundtrip_query(sf_dir: str, fmt: str):
@@ -1063,8 +1064,11 @@ def q_dedup_incremental(sf_dir: str):
         except OSError:
             continue
         # superseded stores AND crashed '-build-' leftovers both age
-        # out; a live builder renames its dir away well within the
-        # window, and a live reader's store shares this store_dir key
+        # out.  Active users keep their dir's mtime fresh: readers
+        # touch the store before each use (below), and builds here
+        # take seconds (a build outlasting the window would need the
+        # same mtime-touch discipline).  These are best-effort /tmp
+        # cache hygiene semantics, not a lock.
         if age > _GRACE_S:
             _shutil.rmtree(stale, ignore_errors=True)
     docs = read_parquet_clean(
@@ -1087,6 +1091,11 @@ def q_dedup_incremental(sf_dir: str):
         # two concurrent drivers on fresh testdata each build their own
         # candidate and exactly one rename wins — no rmtree race on an
         # in-flight sibling build (the loser discards its candidate)
+        # an INCOMPLETE husk at store_dir (pre-upgrade crash, partial
+        # rmtree) would make the rename below fail forever — an
+        # incomplete store has no legitimate readers, so clear it
+        if _os.path.isdir(store_dir):
+            _shutil.rmtree(store_dir, ignore_errors=True)
         build_dir = "%s-build-%s" % (store_dir, _uuid.uuid4().hex[:8])
         persist_hash_store(corpus, build_dir)
         try:
@@ -1095,6 +1104,13 @@ def q_dedup_incremental(sf_dir: str):
             _shutil.rmtree(build_dir, ignore_errors=True)
             if not hash_store_is_complete(store_dir):
                 raise
+    else:
+        # refresh mtime so the grace-window sweep above never reclaims
+        # a store that is actively being read
+        try:
+            _os.utime(store_dir)
+        except OSError:
+            pass
     drop = slice_mod(docs, lo=True)
     return incremental_exact_dedup(drop, store_dir)
 

@@ -38,6 +38,7 @@ import email.utils
 import json
 import os
 import urllib.parse
+import uuid as _uuid
 
 # media types: reference host/__init__.py:102-114
 MT_RDFXML = "application/rdf+xml"
@@ -313,7 +314,12 @@ class VocabCache:
             return {}
 
     def _write_index(self) -> None:
-        tmp = os.path.join(self.dir, self.INDEX + ".tmp")
+        # per-process-unique tmp: concurrent caches sharing a dir must
+        # not race each other's rename (last writer wins, atomically)
+        tmp = os.path.join(
+            self.dir, "%s.%d.%s.tmp" % (self.INDEX, os.getpid(),
+                                        _uuid.uuid4().hex[:6])
+        )
         with open(tmp, "w") as f:
             json.dump(self._index, f)
         os.replace(tmp, os.path.join(self.dir, self.INDEX))
@@ -337,9 +343,12 @@ class VocabCache:
         from ..rdf.ntriples import graph_to_ntriples
 
         key = self._key(uri)
-        tmp = os.path.join(self.dir, key + ".nt.tmp")
+        tmp = os.path.join(
+            self.dir, "%s.%d.%s.nt.tmp" % (key, os.getpid(),
+                                           _uuid.uuid4().hex[:6])
+        )
         with open(tmp, "w") as f:
-            f.write(graph_to_ntriples(sorted(triples)))
+            f.write(graph_to_ntriples(triples))  # writer sorts lines itself
         os.replace(tmp, os.path.join(self.dir, key + ".nt"))
         self._index[uri] = {
             "key": key,
