@@ -237,3 +237,57 @@ def test_deeper_prefixes_roundtrip(ray_session, tmp_path):
     assert _manifest(store)["prefix_len"] == 3
     assert len(incremental_exact_dedup(
         _docs([(900, "deep-prefix fresh")]), store).to_pandas()) == 0
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=6, deadline=None)
+@given(data=st.data())
+def test_incremental_store_matches_set_model(ray_session, tmp_path_factory, data):
+    """Property: across arbitrary corpora, drops, commits and a
+    compaction, the store behaves exactly like a python set of text
+    hashes (membership model), with keep-first inside each drop."""
+    import hashlib as hl
+
+    texts = st.text(alphabet="abc ", min_size=0, max_size=6)
+    corpus = data.draw(st.lists(texts, min_size=1, max_size=12))
+    drops = data.draw(
+        st.lists(st.lists(texts, min_size=0, max_size=8),
+                 min_size=1, max_size=3)
+    )
+    compact_after = data.draw(st.integers(0, len(drops)))
+
+    tmp = tmp_path_factory.mktemp("hsprop")
+    store = str(tmp / "hs")
+    persist_hash_store(
+        _docs([(i, t) for i, t in enumerate(corpus)]), store
+    )
+    model = {hl.md5(t.encode()).hexdigest() for t in corpus}
+
+    next_id = 1000
+    for k, drop_texts in enumerate(drops):
+        if k == compact_after:
+            compact_hash_store(store, max_files_per_prefix=1)
+        rows = [(next_id + j, t) for j, t in enumerate(drop_texts)]
+        next_id += 100
+        out = incremental_exact_dedup(_docs(rows), store, commit=True)
+        df = out.to_pandas()
+        # zero-row Ray to_pandas drops columns (known gotcha)
+        got = sorted(df["doc_id"]) if len(df) else []
+        # model: keep-first per new hash within the drop
+        seen_in_drop = {}
+        for doc_id, t in rows:
+            h = hl.md5(t.encode()).hexdigest()
+            if h not in model and h not in seen_in_drop:
+                seen_in_drop[h] = doc_id
+        assert got == sorted(seen_in_drop.values())
+        model |= set(seen_in_drop)
+    if compact_after == len(drops):
+        compact_hash_store(store, max_files_per_prefix=1)
+    # final probe: one known member of every historical source + one
+    # guaranteed-new text
+    probe = [(99990, corpus[0]), (99991, "zz-definitely-new-zz")]
+    out = incremental_exact_dedup(_docs(probe), store).to_pandas()
+    assert sorted(out["doc_id"]) == [99991]
