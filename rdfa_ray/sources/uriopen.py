@@ -53,20 +53,21 @@ MT_XML = "application/xml"
 MT_XMLT = "text/xml"
 MT_NT = "text/plain"
 
-# reference host/__init__.py:129-142
+# suffix -> media type registry data (same REGISTRATIONS as reference
+# host/__init__.py:129-142; alphabetical here)
 PREFERRED_SUFFIXES = {
-    ".rdf": MT_RDFXML,
-    ".ttl": MT_TURTLE,
-    ".n3": MT_TURTLE,
-    ".owl": MT_RDFXML,
-    ".html": MT_HTML,
-    ".shtml": MT_HTML,
-    ".xhtml": MT_XHTML,
-    ".svg": MT_SVG,
-    ".smil": MT_SMIL,
-    ".xml": MT_XML,
-    ".nt": MT_NT,
     ".atom": MT_ATOM,
+    ".html": MT_HTML,
+    ".n3": MT_TURTLE,
+    ".nt": MT_NT,
+    ".owl": MT_RDFXML,
+    ".rdf": MT_RDFXML,
+    ".shtml": MT_HTML,
+    ".smil": MT_SMIL,
+    ".svg": MT_SVG,
+    ".ttl": MT_TURTLE,
+    ".xhtml": MT_XHTML,
+    ".xml": MT_XML,
 }
 
 _MARKUP_TYPES = {MT_HTML, MT_XHTML, MT_SVG, MT_SVGI, MT_XML, MT_XMLT,
