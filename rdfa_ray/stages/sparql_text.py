@@ -1422,6 +1422,8 @@ def parse_query(text: str) -> dict:
     while p.at_kw("PREFIX"):
         p.next()
         kind, pname = p.next()
+        if pname is None:  # truncated input: 'PREFIX' at end of query
+            raise SparqlSyntaxError("PREFIX needs a prefix name")
         if kind != "pname" or not pname.endswith(":"):
             # tokenizer yields 'pre:' as pname with empty local
             pre = pname.split(":", 1)[0]

@@ -2799,3 +2799,17 @@ def test_datetime_accessors_on_multichunk_block(ray_session):
     out = hpart.combine_chunks() if isinstance(hpart, pa.ChunkedArray) else hpart
     out.validate(full=True)  # used to raise "offset out of bounds"
     assert out.to_pylist()[-1] == "5H"  # tz offset +05:30 -> h=05
+
+
+def test_truncated_prefix_raises_syntax_error():
+    """Bare 'PREFIX' at end of input is a syntax error, not an
+    AttributeError (found by the round-5 garbage fuzz)."""
+    import pytest
+
+    from rdfa_ray.stages.sparql_text import SparqlSyntaxError, parse_query
+
+    for q in ("PREFIX", "PREFIX ", "PREFIX PREFIX SELECT * WHERE { ?s ?p ?o }"):
+        with pytest.raises((SparqlSyntaxError, ValueError)):
+            parse_query(q)
+    with pytest.raises((SparqlSyntaxError, ValueError)):
+        parse_query("PREFIX ex:")  # pname but no <iri>
