@@ -35,22 +35,35 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
     return x ^ (x >> np.uint64(31))
 
 
-def _hash2_u64(values) -> tuple:
-    """Two independent vectorized 64-bit hashes per value (double
-    hashing: probe i uses h1 + i*h2)."""
-    arr = np.asarray(values)
-    if arr.dtype.kind in "iu":
-        u = arr.astype(np.uint64)
+def _hash_column(col) -> tuple:
+    """Two independent vectorized 64-bit hashes per value plus the
+    validity mask: ``(h1, h2, valid)``.
+
+    The branch is chosen from the ARROW type, never the materialized
+    numpy dtype — an int64 block containing a null materializes as
+    float64, and a dtype-based branch would hash the same key two
+    different ways depending on which block it sits in (Bloom false
+    NEGATIVES, i.e. silently wrong joins).  Null positions get
+    arbitrary hashes and ``valid=False``; callers must route null-key
+    rows to the exact join rather than trusting their bits."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    pc = _pc()
+    valid = np.asarray(pc.is_valid(col), dtype=bool)
+    if pa.types.is_integer(col.type):
+        filled = pc.fill_null(pc.cast(col, pa.int64()), 0)
+        u = np.asarray(filled).astype(np.uint64)
         with np.errstate(over="ignore"):
             h1 = _splitmix64(u)
             h2 = _splitmix64(u ^ np.uint64(0xA5A5A5A5A5A5A5A5))
     else:
         import polars as pl
 
-        s = pl.Series([str(v) for v in values])
+        vals = col.to_pylist()
+        s = pl.Series(["" if v is None else str(v) for v in vals])
         h1 = s.hash(seed=7).to_numpy().astype(np.uint64)
         h2 = s.hash(seed=13).to_numpy().astype(np.uint64)
-    return h1, (h2 | np.uint64(1))
+    return h1, (h2 | np.uint64(1)), valid
 
 
 def _bit_positions(h1, h2, m_bits: int, n_hashes: int):
@@ -66,27 +79,49 @@ def _pc():
 
 
 def _broadcast_keys(right_ds, on: str, limit: int):
-    """If the (materialized) build side holds <= ``limit`` keys,
-    return them as a distinct pa.Array for a map-side exact is_in;
-    else None.  count() on a materialized dataset is metadata-free."""
+    """If the (materialized) build side holds <= ``limit`` ROWS,
+    return ``(distinct non-null keys as pa.Array, has_null)``; else
+    ``(None, False)``.  count() on a materialized dataset is
+    metadata-free (row count over-estimates the key count for
+    un-deduped drop lists — a conservative gate).  Keys are collected
+    Arrow/Python-native: a pandas round-trip would decay nullable
+    int64 to float64 and corrupt keys above 2^53."""
     if limit <= 0 or right_ds.count() > limit:
-        return None
-    df = right_ds.to_pandas()
-    if on not in df.columns:  # schema-less empty side
-        return pa.array([], pa.string())
-    return pa.Array.from_pandas(df[on].drop_duplicates())
+        return None, False
+
+    def distinct(batch: pa.Table) -> pa.Table:
+        if on not in batch.column_names:  # schema-less empty side
+            return pa.Table.from_pydict({on: pa.array([], pa.string())})
+        return pa.Table.from_pydict({on: _pc().unique(batch.column(on))})
+
+    rows = right_ds.map_batches(distinct, batch_format="pyarrow").take_all()
+    vals = {r[on] for r in rows}
+    has_null = None in vals
+    vals.discard(None)
+    if not vals:
+        return pa.array([], pa.string()), has_null
+    return pa.array(sorted(vals)), has_null
+
+
+def _round_m_bits(m_bits: int) -> int:
+    """Bitsets are uint64-packed; a non-multiple-of-64 size would index
+    past the last word.  Round up (callers sizing from a distinct-key
+    estimate get >= the capacity they asked for)."""
+    return max(64, (int(m_bits) + 63) // 64 * 64)
 
 
 def build_bloom(right_ds, on: str, m_bits: int = 1 << 23, n_hashes: int = 4):
     """One pass over the build side -> the OR of per-block fixed-size
-    bitsets (uint64-packed numpy array, m_bits/8 bytes)."""
+    bitsets (uint64-packed numpy array, m_bits/8 bytes).  Null keys
+    set no bits — probe-side nulls must route to the exact join."""
+    m_bits = _round_m_bits(m_bits)
     n_words = m_bits // 64
 
     def partial(batch: pa.Table) -> pa.Table:
-        col = batch.column(on).to_numpy(zero_copy_only=False)
         bits = np.zeros(n_words, dtype=np.uint64)
-        if len(col):
-            h1, h2 = _hash2_u64(col)
+        if batch.num_rows:
+            h1, h2, valid = _hash_column(batch.column(on))
+            h1, h2 = h1[valid], h2[valid]
             for idx in _bit_positions(h1, h2, m_bits, n_hashes):
                 words = (idx >> np.uint64(6)).astype(np.int64)
                 masks = np.uint64(1) << (idx & np.uint64(63))
@@ -124,31 +159,38 @@ def bloom_semi_join(
     are usually this small even at corpus scale."""
     import ray
 
+    m_bits = _round_m_bits(m_bits)
     right_ds = right_ds.materialize()
-    small = _broadcast_keys(right_ds, on, broadcast_limit)
+    small, has_null = _broadcast_keys(right_ds, on, broadcast_limit)
     if small is not None:
         keys_ref = ray.put(small)
 
         def semi_small(batch: pa.Table) -> pa.Table:
+            pc = _pc()
             keys = ray.get(keys_ref)
-            return batch.filter(
-                _pc().is_in(batch.column(on), value_set=keys)
-            )
+            col = batch.column(on)
+            if len(keys):
+                m = pc.fill_null(pc.is_in(col, value_set=keys), False)
+            else:
+                m = pa.array(np.zeros(batch.num_rows, dtype=bool))
+            if has_null:  # null matches null (the exact join's pandas
+                m = pc.or_(m, pc.is_null(col))  # isin semantics)
+            return batch.filter(m)
 
         return left_ds.map_batches(semi_small, batch_format="pyarrow")
     bits_ref = ray.put(build_bloom(right_ds, on, m_bits, n_hashes))
 
     def prefilter(batch: pa.Table) -> pa.Table:
         bits = ray.get(bits_ref)
-        col = batch.column(on).to_numpy(zero_copy_only=False)
-        if not len(col):
+        if not batch.num_rows:
             return batch
-        h1, h2 = _hash2_u64(col)
-        keep = np.ones(len(col), dtype=bool)
+        h1, h2, valid = _hash_column(batch.column(on))
+        keep = np.ones(batch.num_rows, dtype=bool)
         for idx in _bit_positions(h1, h2, m_bits, n_hashes):
             words = (idx >> np.uint64(6)).astype(np.int64)
             hit = (bits[words] >> (idx & np.uint64(63))) & np.uint64(1)
             keep &= hit.astype(bool)
+        keep |= ~valid  # null keys: the exact join decides
         return batch.filter(pa.array(keep))
 
     survivors = left_ds.map_batches(prefilter, batch_format="pyarrow")
@@ -173,6 +215,7 @@ def bloom_anti_join(
     left_schema: pa.Schema | None = None,
     right_schema: pa.Schema | None = None,
     broadcast_limit: int = 200_000,
+    materialize_left: bool = False,
 ):
     """Exact ANTI join (left rows with no right match) with a Bloom
     pre-filter: rows whose key misses the filter are DEFINITELY
@@ -186,35 +229,53 @@ def bloom_anti_join(
     Build sides at or below ``broadcast_limit`` keys skip Bloom + join
     entirely — the exact key set broadcasts once and the anti join is
     ONE map-side negated ``is_in`` (zero exchange, zero union): the
-    usual case for drop-lists even at corpus scale."""
+    usual case for drop-lists even at corpus scale.
+
+    ``materialize_left``: the Bloom path consumes the probe side twice
+    (miss pass-through + hit join); True pins it once first — use for
+    expensive KEY-SIZED probe pipelines, never for corpus-sized text
+    probes."""
     import ray
 
+    m_bits = _round_m_bits(m_bits)
     right_ds = right_ds.materialize()
-    small = _broadcast_keys(right_ds, on, broadcast_limit)
+    small, has_null = _broadcast_keys(right_ds, on, broadcast_limit)
     if small is not None:
         keys_ref = ray.put(small)
 
         def anti_small(batch: pa.Table) -> pa.Table:
-            keys = ray.get(keys_ref)
             pc = _pc()
-            return batch.filter(
-                pc.invert(pc.is_in(batch.column(on), value_set=keys))
-            )
+            keys = ray.get(keys_ref)
+            col = batch.column(on)
+            if len(keys):
+                m = pc.fill_null(pc.is_in(col, value_set=keys), False)
+            else:
+                m = pa.array(np.zeros(batch.num_rows, dtype=bool))
+            if has_null:  # null matches null (exact-join pandas isin)
+                m = pc.or_(m, pc.is_null(col))
+            return batch.filter(pc.invert(m))
 
         return left_ds.map_batches(anti_small, batch_format="pyarrow")
     bits_ref = ray.put(build_bloom(right_ds, on, m_bits, n_hashes))
+    if materialize_left:
+        # the miss/hit split consumes the probe side TWICE; callers
+        # whose probe is an expensive lazy pipeline of KEY-SIZED rows
+        # (e.g. a wedge-count shuffle) pin it once here.  Leave False
+        # when the probe carries corpus-sized payloads (text) — there
+        # the lazy double read is the memory-safe choice.
+        left_ds = left_ds.materialize()
 
     def split_mask(batch: pa.Table):
         bits = ray.get(bits_ref)
-        col = batch.column(on).to_numpy(zero_copy_only=False)
-        if not len(col):
+        if not batch.num_rows:
             return np.zeros(0, dtype=bool)
-        h1, h2 = _hash2_u64(col)
-        hit = np.ones(len(col), dtype=bool)
+        h1, h2, valid = _hash_column(batch.column(on))
+        hit = np.ones(batch.num_rows, dtype=bool)
         for idx in _bit_positions(h1, h2, m_bits, n_hashes):
             words = (idx >> np.uint64(6)).astype(np.int64)
             bit = (bits[words] >> (idx & np.uint64(63))) & np.uint64(1)
             hit &= bit.astype(bool)
+        hit |= ~valid  # null keys: candidates for the exact join
         return hit
 
     def keep_misses(batch: pa.Table) -> pa.Table:

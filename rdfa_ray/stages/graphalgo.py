@@ -677,6 +677,7 @@ def neighbor_similarity(
                 # int64 key sets broadcast cheaply (8 B/key): raise the
                 # exact-set fast-path limit over the string default
                 broadcast_limit=2_000_000,
+                materialize_left=True,  # probe = the wedge shuffle output
                 left_schema=pa.schema(
                     [("pk", pa.int64()), ("common", pa.int64())]
                 ),
@@ -703,6 +704,7 @@ def neighbor_similarity(
                 edges.map_batches(edge_pair_keys, batch_format="pyarrow"),
                 on="kk",
                 n_buckets=n_buckets,
+                materialize_left=True,  # probe = the wedge shuffle output
                 left_schema=pa.schema(
                     [("u", pa.int64()), ("v", pa.int64()),
                      ("common", pa.int64()), ("kk", pa.string())]

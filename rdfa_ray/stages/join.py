@@ -90,6 +90,16 @@ def bucketed_hash_join(
             "salt > 1 would duplicate right-side rows under how=%r "
             "(right rows replicate into every sub-bucket)" % how
         )
+    if salt > 1 and left_distinct:
+        # the sub-bucket salt hashes ALL left columns, so rows equal on
+        # left_distinct but differing elsewhere land in different
+        # sub-buckets and the per-bucket drop_duplicates is no longer a
+        # global distinct
+        raise ValueError(
+            "salt > 1 breaks the left_distinct global-dedup guarantee "
+            "(duplicates spread across sub-buckets); pre-distinct the "
+            "left side instead"
+        )
     salt = max(1, int(salt))
     # pa.Schema and ray Schema expose the same .names/.types surface
     left_schema = left_schema if left_schema is not None else left_ds.schema()
@@ -141,14 +151,14 @@ def bucketed_hash_join(
             base = crc32_bucket(batch.column(on), n_buckets)
             if salt == 1:
                 out["__bucket"] = base
-                out["__side"] = pa.array([side] * n)
+                out["__side"] = pa.array([side] * n, pa.string())
                 return pa.Table.from_pydict(out)
             import numpy as np
 
             from ..functions.hashing import crc32_bucket_concat
 
             base_np = base.to_numpy(zero_copy_only=False).astype(np.int32)
-            out["__side"] = pa.array([side] * n)
+            out["__side"] = pa.array([side] * n, pa.string())
             if side == "l":
                 srow = crc32_bucket_concat(
                     batch, left_cols, salt
@@ -172,21 +182,40 @@ def bucketed_hash_join(
     join_cols_l = left_cols
     join_cols_r = [on] + right_cols
 
-    # Null-padding the union decays int64 columns to float64 inside each
-    # pandas group (NaN has no integer dtype), so a raw pandas return
-    # would give each bucket a dtype set depending on which side padded
-    # which column — unstable block schemas, and worse: a float64 key
-    # column feeding crc32_bucket in a downstream join would bucket ids
-    # above 2^53 differently than their int64 twins.  Emit Arrow with
-    # one explicit schema instead: from_pandas treats NaN as null, so
-    # integral-float columns convert back to int64 losslessly.
+    # The per-bucket kernel converts its Arrow group to pandas with
+    # MASKED integer dtypes (see _int_preserving_df) and emits Arrow
+    # with one explicit schema — block schemas stay stable and int64
+    # values above 2^53 survive the null-padded union bit-exactly.
     out_cols = left_cols if how in ("semi", "anti") else all_cols
     out_schema = pa.schema(
         [(c, {**left_types, **right_types}[c]) for c in out_cols]
     )
     empty_table = out_schema.empty_table()
 
-    def join_bucket(group: pd.DataFrame) -> pa.Table:
+    def _int_preserving_df(group: pa.Table) -> pd.DataFrame:
+        # Arrow -> pandas decays int columns containing nulls (the
+        # union's padding) to float64, silently corrupting values above
+        # 2^53 (e.g. packed/hashed 63-bit ids); masked integer dtypes
+        # keep every bit exact through the merge
+        def mapper(t):
+            if pa.types.is_int64(t):
+                return pd.Int64Dtype()
+            if pa.types.is_int32(t):
+                return pd.Int32Dtype()
+            if pa.types.is_int16(t):
+                return pd.Int16Dtype()
+            if pa.types.is_int8(t):
+                return pd.Int8Dtype()
+            if pa.types.is_uint64(t):
+                return pd.UInt64Dtype()
+            if pa.types.is_uint32(t):
+                return pd.UInt32Dtype()
+            return None
+
+        return group.to_pandas(types_mapper=mapper)
+
+    def join_bucket(arrow_group: pa.Table) -> pa.Table:
+        group = _int_preserving_df(arrow_group)
         l = group[group["__side"] == "l"][join_cols_l]
         r = group[group["__side"] == "r"][join_cols_r]
         # mode-aware early-out: empty only when the preserved side(s)
@@ -213,4 +242,6 @@ def bucketed_hash_join(
             merged[out_cols], schema=out_schema, preserve_index=False
         ).replace_schema_metadata(None)
 
-    return tagged.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+    return tagged.groupby("__bucket").map_groups(
+        join_bucket, batch_format="pyarrow"
+    )

@@ -4,7 +4,7 @@ import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
-from rdfa_ray.stages.bloom import _hash2_u64, bloom_semi_join, build_bloom
+from rdfa_ray.stages.bloom import _hash_column, bloom_semi_join, build_bloom
 
 
 def test_bloom_semi_matches_exact_int_keys(ray_session):
@@ -51,7 +51,7 @@ def test_bloom_filter_has_no_false_negatives(ray_session):
     keys = np.arange(0, 100_000, 13, dtype=np.int64)
     ds = rd.from_arrow(pa.table({"k": pa.array(keys, pa.int64())})).repartition(8)
     bits = build_bloom(ds, "k", m_bits=1 << 20, n_hashes=4)
-    h1, h2 = _hash2_u64(keys)
+    h1, h2, _valid = _hash_column(pa.array(keys, pa.int64()))
     for i in range(4):
         idx = ((h1 + np.uint64(i) * h2) & np.uint64(0xFFFFFFFFFFFFFFFF)) % np.uint64(
             1 << 20
@@ -138,3 +138,68 @@ def test_bloom_path_still_exercised_above_broadcast_limit(ray_session):
                   n_buckets=4, broadcast_limit=0).to_pandas()
         assert set(fast["k"]) == expect
         assert set(slow["k"]) == expect
+
+
+def test_null_bearing_int_key_blocks_hash_consistently(ray_session):
+    """An int64 key column whose BLOCK contains a null materializes as
+    float64 in numpy; a dtype-based hash branch would hash the same key
+    two ways across blocks (Bloom false negatives).  Round-5 fix:
+    branch on the Arrow type, route null keys to the exact join."""
+    import ray.data as rd
+
+    from rdfa_ray.stages.bloom import bloom_anti_join, bloom_semi_join
+
+    big = 2**53 + 1  # also exercises exact >2^53 handling
+    left = rd.from_arrow(
+        pa.table({"k": pa.array([7, None, big, 8], pa.int64()),
+                  "v": pa.array(list("abcd"), pa.string())})
+    ).repartition(2)
+    right = rd.from_arrow(pa.table({"k": pa.array([7, big], pa.int64())}))
+    schema_l = pa.schema([("k", pa.int64()), ("v", pa.string())])
+    schema_r = pa.schema([("k", pa.int64())])
+    for limit in (200_000, 0):  # broadcast fast path AND bloom path
+        semi = bloom_semi_join(
+            left, right, on="k", n_buckets=2, broadcast_limit=limit,
+            left_schema=schema_l, right_schema=schema_r,
+        ).to_pandas()
+        assert sorted(semi["v"]) == ["a", "c"], limit
+        anti = bloom_anti_join(
+            left, right, on="k", n_buckets=2, broadcast_limit=limit,
+            left_schema=schema_l, right_schema=schema_r,
+        ).to_pandas()
+        assert sorted(anti["v"]) == ["b", "d"], limit
+
+
+def test_null_key_matches_null_build_row(ray_session):
+    """Pandas isin semantics: a null probe key matches a null build key
+    — both the broadcast fast path and the exact join must agree."""
+    import ray.data as rd
+
+    from rdfa_ray.stages.bloom import bloom_semi_join
+
+    left = rd.from_arrow(
+        pa.table({"k": pa.array([1, None], pa.int64()),
+                  "v": pa.array(["x", "y"], pa.string())})
+    )
+    right = rd.from_arrow(pa.table({"k": pa.array([None], pa.int64())}))
+    out = bloom_semi_join(
+        left, right, on="k", n_buckets=2,
+        left_schema=pa.schema([("k", pa.int64()), ("v", pa.string())]),
+        right_schema=pa.schema([("k", pa.int64())]),
+    ).to_pandas()
+    assert sorted(out["v"]) == ["y"]
+
+
+def test_odd_m_bits_rounds_up(ray_session):
+    import ray.data as rd
+
+    from rdfa_ray.stages.bloom import bloom_semi_join
+
+    left = rd.from_arrow(pa.table({"k": pa.array(list(range(40)), pa.int64())}))
+    right = rd.from_arrow(pa.table({"k": pa.array([5, 25], pa.int64())}))
+    out = bloom_semi_join(
+        left, right, on="k", n_buckets=2, m_bits=1000, broadcast_limit=0,
+        left_schema=pa.schema([("k", pa.int64())]),
+        right_schema=pa.schema([("k", pa.int64())]),
+    ).to_pandas()
+    assert sorted(out["k"]) == [5, 25]

@@ -466,3 +466,54 @@ def test_vocab_memo_generation_refresh():
     # generation bump = explicit refresh: new entry even for same content
     run({(p1, V.SUB_PROP, p2)}, 1)
     assert len(V._EXPANSION_MEMO) == 3
+
+
+def test_join_preserves_int64_above_2_53(ray_session):
+    """Null-padding in the tagged union must not decay int64 non-key
+    columns to float64 (2^53+1 would silently become 2^53) — round-5
+    fix: masked integer dtypes through the per-bucket merge."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rdfa_ray.stages.join import bucketed_hash_join
+
+    big = 2**53 + 1
+    left = rd.from_arrow(
+        pa.table({"k": pa.array([1, 2], pa.int64()),
+                  "payload": pa.array([big, big + 2], pa.int64())})
+    )
+    right = rd.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                  "r": pa.array([10, 20, 30], pa.int64())})
+    )
+    out = bucketed_hash_join(
+        left, right, on="k", n_buckets=2, how="inner",
+        left_schema=pa.schema([("k", pa.int64()), ("payload", pa.int64())]),
+        right_schema=pa.schema([("k", pa.int64()), ("r", pa.int64())]),
+    ).to_pandas().sort_values("k")
+    assert list(out["payload"]) == [big, big + 2]  # bit-exact
+    # outer join: the padded row really is null, not NaN-coerced junk
+    outer = bucketed_hash_join(
+        left, right, on="k", n_buckets=2, how="outer",
+        left_schema=pa.schema([("k", pa.int64()), ("payload", pa.int64())]),
+        right_schema=pa.schema([("k", pa.int64()), ("r", pa.int64())]),
+    ).to_pandas()
+    assert outer.loc[outer["k"] == 3, "payload"].isna().all()
+
+
+def test_salt_with_left_distinct_refused(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from rdfa_ray.stages.join import bucketed_hash_join
+
+    ds = rd.from_items([{"k": 1, "g": 1, "extra": i} for i in range(4)])
+    with pytest.raises(ValueError, match="left_distinct"):
+        bucketed_hash_join(
+            ds, ds, on="k", salt=4, left_distinct=["k", "g"],
+            left_schema=pa.schema([("k", pa.int64()), ("g", pa.int64()),
+                                   ("extra", pa.int64())]),
+            right_schema=pa.schema([("k", pa.int64()), ("g", pa.int64()),
+                                    ("extra", pa.int64())]),
+        )
