@@ -84,13 +84,7 @@ def store_has_graph(store_dir: str) -> bool:
     meta = _read_meta(store_dir)
     if "quads" in meta:
         return bool(meta["quads"])
-    parts = meta["partitions"]
-    if not parts:
-        return False
-    import pyarrow.parquet as pq
-
-    paths = _partition_files(store_dir, parts, sorted(parts)[:1])
-    return bool(paths) and "graph" in pq.read_schema(paths[0]).names
+    return _sniff_quads(store_dir, meta["partitions"])
 
 
 def _sniff_quads(store_dir: str, partitions: dict) -> bool:
@@ -133,10 +127,22 @@ def _add_key(batch: pa.Table) -> pa.Table:
     extra = {
         c: batch.column(c) for c in batch.column_names if c not in _COLS
     }
+    def filled(c):
+        # null term slots normalize to '' exactly like update_kg's
+        # norm(): otherwise a persisted null-graph row packs to a null
+        # set-key and can never be matched by a later DELETE
+        cast = pc.cast(batch.column(c), pa.string())
+        return pc.fill_null(cast, "")
+
     return pa.Table.from_pydict(
         {
-            **{c: pc.cast(batch.column(c), pa.string()) for c in _COLS},
-            **extra,
+            **{c: filled(c) for c in _COLS},
+            **{
+                c: (filled(c) if pa.types.is_string(batch.column(c).type)
+                    or pa.types.is_large_string(batch.column(c).type)
+                    else v)
+                for c, v in extra.items()
+            },
             "pred_key": col,
         }
     )
@@ -193,19 +199,26 @@ def persist_kg(triples_ds, store_dir: str) -> dict:
 
     os.makedirs(store_dir, exist_ok=True)
     # a previous crashed build (no manifest) may have left partial
-    # generation dirs; clear them so the rebuild can't mix generations
+    # generation dirs; clear them so the rebuild can't mix generations.
+    # Over a COMPLETE store, build into a FRESH generation instead —
+    # rewriting gen-1 dirs in place would destroy the live snapshot the
+    # still-valid old manifest points at (a crash mid-build would leave
+    # store_is_complete()==True over mixed old/new data).
     if not store_is_complete(store_dir):
+        gen = 1
         for d in ("parts", "triples"):
             p = os.path.join(store_dir, d)
             if os.path.isdir(p):
                 shutil.rmtree(p)
+    else:
+        gen = _read_meta(store_dir)["generation"] + 1
 
     parts = _write_generation(
-        triples_ds.map_batches(_add_key, batch_format="pyarrow"), store_dir, 1
+        triples_ds.map_batches(_add_key, batch_format="pyarrow"), store_dir, gen
     )
     meta = {
         "format": 2,
-        "generation": 1,
+        "generation": gen,
         "partitions": parts,
         "quads": _sniff_quads(store_dir, parts),
     }
@@ -238,6 +251,12 @@ def update_kg(store_dir: str, insert_ds=None, delete_ds=None, quads=None) -> dic
 
     meta = _read_meta(store_dir)
     gen = meta["generation"] + 1
+    # each delta's lineage is consumed twice (predicate collection +
+    # the merge); pin the key-sized delta rows once
+    if insert_ds is not None:
+        insert_ds = insert_ds.materialize()
+    if delete_ds is not None:
+        delete_ds = delete_ds.materialize()
 
     def delta_keys(ds):
         if ds is None:
@@ -262,6 +281,16 @@ def update_kg(store_dir: str, insert_ds=None, delete_ds=None, quads=None) -> dic
 
     if quads is None:
         quads = store_has_graph(store_dir)
+    elif meta["partitions"] and bool(quads) != store_has_graph(store_dir):
+        # a forced form that contradicts a NON-EMPTY store must refuse
+        # even when every delta predicate is new — otherwise the delta
+        # writes partitions of the other shape next to the existing
+        # ones and flips the recorded form (silent schema widening)
+        raise ValueError(
+            "update_kg(quads=%r) against a non-empty %s store — the row"
+            " shapes are incompatible; rebuild via persist_kg"
+            % (quads, "quad" if store_has_graph(store_dir) else "triple")
+        )
     cols = list(_QCOLS) if quads else list(_COLS)
 
     # current rows of ONLY the touched partitions (pruned read)
@@ -281,6 +310,12 @@ def update_kg(store_dir: str, insert_ds=None, delete_ds=None, quads=None) -> dic
             )
 
     def norm(b: pa.Table) -> pa.Table:
+        # an empty upstream block may arrive schemaless (same hazard
+        # delta_keys' uniq defends against)
+        if b.num_rows == 0:
+            return pa.Table.from_pydict(
+                {c: pa.array([], pa.string()) for c in cols}
+            )
         # quad mode: a graph-less delta lands in the default graph ''
         out = {}
         for c in cols:
@@ -461,7 +496,11 @@ def read_kg(store_dir: str, preds=None, columns=None):
     partitions = meta["partitions"]
 
     want = list(columns) if columns is not None else None
-    read_cols = want if want is None or "pred" in want else [*want, "pred"]
+    # pred is read transparently ONLY when the residual exact filter
+    # needs it (preds given); a plain projection must return exactly
+    # the requested columns and not scan pred for nothing
+    need_pred = preds is not None and want is not None and "pred" not in want
+    read_cols = [*want, "pred"] if need_pred else want
     tokens = (
         sorted(partitions)
         if preds is None
@@ -469,9 +508,9 @@ def read_kg(store_dir: str, preds=None, columns=None):
     )
     paths = _partition_files(store_dir, partitions, tokens)
     if not paths:
+        layout = list(_QCOLS) if meta.get("quads") else list(_COLS)
         empty = {
-            c: pa.array([], pa.string())
-            for c in (read_cols or list(_COLS))
+            c: pa.array([], pa.string()) for c in (want or layout)
         }
         return rd.from_arrow(pa.Table.from_pydict(empty))
     ds = read_parquet_clean(paths, columns=read_cols)

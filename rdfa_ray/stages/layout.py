@@ -78,16 +78,27 @@ def zorder_key(
                 "zorder_key: domain width %d for %s exceeds 2^%d; "
                 "pre-scale the column or lower bits" % (hi - lo, c, 63 - bits)
             )
-        v = batch.column(c).to_numpy(zero_copy_only=False).astype(np.int64)
+        col = batch.column(c)
+        if col.null_count:
+            # a null cannot be bucketed; silently lumping nulls into
+            # the lo bucket would also falsify the manifest min/max
+            raise ValueError(
+                "zorder_key: column %r contains nulls — fill or drop "
+                "them before layout" % c
+            )
+        v = col.to_numpy(zero_copy_only=False).astype(np.int64)
         # clamp BEFORE the multiply so far-out-of-domain values can't
         # overflow the int64 product and wrap into a wrong bucket
         v = np.clip(v, lo, hi - 1)
         # integer quantization: bucket = (v - lo) * 2^bits // (hi - lo)
         q = (v - lo) * (1 << bits) // (hi - lo)
         q = np.clip(q, 0, int(n_levels) - 1).astype(np.uint64)
-        # drop to the 16-bit spread domain
-        q16 = (q << np.uint64(16 - bits)) if bits < 16 else q
-        key |= _spread_bits_16(q16, stride) << np.uint64(i)
+        # spread the bucket's OWN bits (bits x stride total key bits —
+        # the round-4 code first up-shifted buckets into the top of a
+        # 16-bit field, making every key occupy 16 x stride bits: a
+        # 4-column layout set bit 63 and produced NEGATIVE keys that
+        # sorted top buckets first, silently breaking Morton order)
+        key |= _spread_bits_16(q, stride) << np.uint64(i)
     return batch.append_column(out, pa.array(key.astype(np.int64), pa.int64()))
 
 

@@ -293,3 +293,51 @@ def test_vacuum_after_n_updates_store_stays_correct(ray_session, tmp_path):
     assert ("http://example.org/doc/0", SRC, "post") in {
         tuple(r) for r in read_kg(store, preds=[SRC]).to_pandas().to_numpy()
     }
+
+
+def test_rebuild_over_complete_store_is_crash_safe(ray_session, tmp_path):
+    """persist_kg over a COMPLETE store must not touch the live
+    generation's directories: the rebuild lands in a fresh generation
+    and only the final manifest swap makes it visible (round-5 fix —
+    the gen-1 rebuild used to rmtree live dirs in place)."""
+    import glob
+
+    store = str(tmp_path / "kg")
+    from rdfa_ray.stages.kgstore import vacuum_store
+
+    persist_kg(_ds([("s1", "p", "o1"), ("s2", "p", "o2")]), store)
+    meta1 = json.load(open(os.path.join(store, "_meta.json")))
+    old_dirs = set(glob.glob(os.path.join(store, "parts", "*")))
+    assert meta1["generation"] == 1
+
+    persist_kg(_ds([("x", "q", "y")]), store)
+    meta2 = json.load(open(os.path.join(store, "_meta.json")))
+    assert meta2["generation"] == 2
+    # the old generation's directories still exist untouched (crash
+    # safety: a die before the manifest swap leaves gen 1 fully valid)
+    assert old_dirs <= set(glob.glob(os.path.join(store, "parts", "*")))
+    out = read_kg(store).to_pandas()
+    assert sorted(out["subj"]) == ["x"]
+    # vacuum reclaims the superseded generation
+    vacuum_store(store)
+    assert not (old_dirs & set(glob.glob(os.path.join(store, "parts", "*"))))
+
+
+def test_read_kg_projection_exact_and_quad_form_guard(ray_session, tmp_path):
+    import pytest
+
+    store = str(tmp_path / "kg")
+    persist_kg(_ds([("s", "p", "o")]), store)
+    # plain projection returns exactly the requested columns
+    assert read_kg(store, columns=["subj"]).to_pandas().columns.tolist() == ["subj"]
+    # forcing quad mode against a non-empty triple store refuses even
+    # when the delta's predicates are all NEW (round-5 fix)
+    import pyarrow as pa
+    import ray.data as rd
+
+    quad_delta = rd.from_arrow(
+        pa.table({"subj": ["a"], "pred": ["newp"], "obj_value": ["b"],
+                  "graph": ["g1"]})
+    )
+    with pytest.raises(ValueError, match="non-empty"):
+        update_kg(store, insert_ds=quad_delta, quads=True)

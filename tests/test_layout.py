@@ -19,14 +19,16 @@ from rdfa_ray.stages.layout import (
 
 
 def _ref_key(vals, los, his, bits, stride):
-    """Bit-by-bit Python reference of the quantize+interleave."""
+    """Bit-by-bit Python reference of the quantize+interleave (the
+    bucket's OWN bits spread at ``stride`` — keys occupy bits*stride
+    bits; the round-4 up-shift-to-16-bit variant overflowed int64 for
+    4+ columns)."""
     out = 0
     for i, (v, lo, hi) in enumerate(zip(vals, los, his)):
         q = (v - lo) * (1 << bits) // (hi - lo)
         q = max(0, min((1 << bits) - 1, q))
-        q16 = q << (16 - bits)
-        for b in range(16):
-            out |= ((q16 >> b) & 1) << (b * stride + i)
+        for b in range(bits):
+            out |= ((q >> b) & 1) << (b * stride + i)
     return out
 
 
@@ -174,3 +176,19 @@ def test_relayout_vacuums_stale_parts(ray_session, tmp_path):
 
     rows = pd.concat([pq.read_table(p).to_pandas() for p in kept])
     assert set(rows[rows.a <= 50]["a"]) == set(range(51))
+
+
+def test_four_column_keys_fit_int63_and_order(ray_session):
+    """4-column layouts must produce non-negative keys in Morton order
+    (the round-4 packing set bit 63 for ANY 4-column layout)."""
+    doms = {c: (0, 256) for c in "abcd"}
+    t = pa.table({c: pa.array([0, 100, 255], pa.int64()) for c in "abcd"})
+    out = zorder_key(t, list("abcd"), doms, bits=8)
+    keys = out.column("zkey").to_pylist()
+    assert all(k >= 0 for k in keys)
+    assert keys == sorted(keys)  # equal coords -> monotone in magnitude
+    assert keys[2] < (1 << 32)  # 8 bits x 4 cols = 32 key bits
+    # nulls refuse loudly
+    tn = pa.table({c: pa.array([1, None], pa.int64()) for c in "abcd"})
+    with pytest.raises(ValueError, match="null"):
+        zorder_key(tn, list("abcd"), doms, bits=8)
